@@ -1,0 +1,170 @@
+"""Deterministic synthetic transcript + CDC change-stream generator (FIXTURES.md).
+
+Everything is seeded numpy — no external data, byte-stable across runs. The
+change stream exercises every engine feature: Zipf-skewed hot conv_ids (salting),
+late events and exact ts duplicates (LWW tie-break), duplicate offsets (replay
+idempotence), deletes (tombstones), and a schema-v0 file without the ``tool``
+column (additive schema evolution, cf. the reference's null-injection at
+/root/reference/models/cleaning/int_customer360__zendesk.sql:17-19).
+
+``oracle_lake`` is the independent trivial oracle (pandas full sort) that the
+engine's converged state must equal per BASELINE.json's correctness gate.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ROLES = np.array(["user", "assistant", "system", "tool"], dtype=object)
+TOOLS = np.array(["search", "code", "browser", "calculator", None], dtype=object)
+
+BASE_TS = np.datetime64("2025-01-01T00:00:00", "us")
+
+# scale factor → (#conversations K, #change events N)
+SF_SIZES = {
+    0.001: (1_000, 10_000),
+    0.01: (10_000, 100_000),
+    0.1: (100_000, 2_000_000),
+}
+
+
+def _texts(conv_k: np.ndarray, turn: np.ndarray, offsets: np.ndarray, rng) -> np.ndarray:
+    """Deterministic pseudo-text incl. empty strings, accents, 'Last, First' tokens."""
+    n = len(conv_k)
+    base = np.char.add(
+        np.char.add("turn text ", conv_k.astype("U12")),
+        np.char.add(" / ", np.char.add(turn.astype("U8"), np.char.add(" @", offsets.astype("U12")))),
+    ).astype(object)
+    flavor = rng.integers(0, 100, n)
+    base[flavor < 2] = ""  # empty strings
+    base[(flavor >= 2) & (flavor < 4)] += " — café naïve façade Ångström"
+    base[(flavor >= 4) & (flavor < 6)] += " Smith, John said hello"
+    pad_mask = flavor >= 94  # a long tail of bigger payloads
+    if pad_mask.any():
+        pad = " lorem ipsum dolor sit amet " * 40
+        base[pad_mask] = base[pad_mask] + pad
+    return base
+
+
+def gen_changes(
+    num_events: int,
+    num_convs: int,
+    seed: int = 42,
+    zipf_a: float = 1.2,
+    max_turns: int = 64,
+    p_ops: tuple[float, float, float] = (0.55, 0.35, 0.10),
+    late_frac: float = 0.05,
+    dup_frac: float = 0.02,
+) -> pa.Table:
+    """One deterministic change-event table with global monotone ``offset``."""
+    rng = np.random.default_rng(seed)
+    conv_k = (rng.zipf(zipf_a, num_events) - 1) % num_convs
+    turn = rng.integers(0, max_turns, num_events).astype(np.int32)
+    op = rng.choice(np.array(["I", "U", "D"], dtype=object), num_events, p=list(p_ops))
+    offsets = np.arange(num_events, dtype=np.int64)
+
+    # event time: loosely increasing with offset, with jitter; a late fraction
+    # jumps far into the past; exact-duplicate timestamps on purpose
+    step_us = np.int64(1_000_0)
+    jitter = rng.integers(-5_000_000, 5_000_000, num_events)
+    ts_us = offsets * step_us + jitter
+    late = rng.random(num_events) < late_frac
+    ts_us[late] -= rng.integers(3_600_000_000, 7_200_000_000, int(late.sum()))
+    dup_ts = rng.random(num_events) < 0.03
+    ts_us[dup_ts] = (ts_us[dup_ts] // 10_000_000) * 10_000_000  # collide on coarse grid
+    ts = BASE_TS + ts_us.astype("timedelta64[us]")
+
+    conv_id = np.char.add("conv-", np.char.zfill(conv_k.astype("U8"), 8)).astype(object)
+    role = ROLES[rng.integers(0, len(ROLES), num_events)]
+    tool = TOOLS[rng.integers(0, len(TOOLS), num_events)]
+    text = _texts(conv_k, turn, offsets, rng)
+
+    is_delete = op == "D"
+    role = role.copy()
+    text = text.copy()
+    tool = tool.copy()
+    role[is_delete] = None
+    text[is_delete] = None
+    tool[is_delete] = None
+
+    table = pa.table(
+        {
+            "offset": pa.array(offsets, pa.int64()),
+            "op": pa.array(op, pa.string()),
+            "conv_id": pa.array(conv_id, pa.string()),
+            "turn_idx": pa.array(turn, pa.int32()),
+            "role": pa.array(role, pa.string()),
+            "text": pa.array(text, pa.string()),
+            "tool": pa.array(tool, pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    # exact-duplicate events (same offset, same payload) for idempotence tests
+    n_dup = int(num_events * dup_frac)
+    if n_dup:
+        dup_idx = rng.integers(0, num_events, n_dup)
+        table = pa.concat_tables([table, table.take(pa.array(dup_idx))])
+    return table
+
+
+def split_epochs(changes: pa.Table, num_epochs: int) -> list[pa.Table]:
+    """Split a change table into contiguous offset ranges (binlog epochs).
+    Epoch 0 is emitted in schema v0 (no ``tool`` column) for the evolution test."""
+    n = changes.num_rows
+    bounds = np.linspace(0, n, num_epochs + 1).astype(int)
+    parts = []
+    for i in range(num_epochs):
+        part = changes.slice(bounds[i], bounds[i + 1] - bounds[i])
+        if i == 0 and num_epochs > 1:
+            part = part.drop_columns(["tool"])
+        parts.append(part)
+    return parts
+
+
+def write_fixture(out_dir: str, sf: float = 0.001, seed: int = 42, num_epochs: int = 4) -> dict:
+    """Write changes-<i>.parquet epoch files under ``out_dir``; returns paths info.
+
+    Idempotent: skips generation when the directory is already complete.
+    """
+    K, N = SF_SIZES[sf]
+    os.makedirs(out_dir, exist_ok=True)
+    paths = [os.path.join(out_dir, f"changes-{i:05d}.parquet") for i in range(num_epochs)]
+    done = os.path.join(out_dir, "_DONE")
+    if not (os.path.exists(done) and all(os.path.exists(p) for p in paths)):
+        changes = gen_changes(N, K, seed=seed)
+        for i, part in enumerate(split_epochs(changes, num_epochs)):
+            tmp = paths[i] + ".tmp"
+            pq.write_table(part, tmp)
+            os.replace(tmp, paths[i])
+        with open(done, "w") as f:
+            f.write(f"sf={sf} seed={seed} events={changes.num_rows}\n")
+    return {"paths": paths, "num_convs": K, "num_events": N}
+
+
+def oracle_lake(*change_tables: pa.Table) -> pd.DataFrame:
+    """Trivial independent oracle (FIXTURES.md §3): full-sort LWW in pandas.
+
+    Concat all events, keep per (conv_id, turn_idx) the max-(ts, offset) event,
+    drop delete winners, sort by (conv_id, turn_idx)."""
+    frames = []
+    for t in change_tables:
+        df = t.to_pandas()
+        if "tool" not in df.columns:
+            df["tool"] = pd.Series([None] * len(df), dtype=object)
+        frames.append(df)
+    df = pd.concat(frames, ignore_index=True)
+    # exactly-once: the offset IS the event identity — a re-delivered duplicate
+    # (even one re-encoded under an evolved schema) must be a no-op
+    df = df.drop_duplicates("offset", keep="first")
+    df = df.sort_values(["ts", "offset"], kind="stable")
+    df = df.drop_duplicates(["conv_id", "turn_idx"], keep="last")
+    df = df[df["op"] != "D"]
+    return (
+        df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+    )

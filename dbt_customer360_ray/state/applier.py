@@ -1,0 +1,156 @@
+"""Per-partition epoch applier — the stateful heart of the upsert pipeline.
+
+Runs inside ``ds.groupby("skey").map_groups(...)``: one invocation per shuffle
+group per epoch, over zero-copy Arrow. The shuffle key ``skey = pid * S + salt``
+encodes an OWNER partition (``pid = stable_hash(conv_id) % P``, stable forever)
+plus a salt that spreads a hot conversation's events over up to S parallel
+appliers. Every applier writes its LWW-resolved sorted run under the OWNER's
+directory, so a key's whole history always lives in one partition no matter how
+the hot-key set evolves — salting parallelizes compute, never ownership
+(SURVEY.md §7.4 point 4). Because the salt is a pure function of ``turn_idx``,
+sub-runs of one epoch are key-disjoint and the owner's runs merge by plain LWW.
+
+State is the owner partition's committed runs on disk (LSM-flavored: each epoch
+appends runs; a separate compaction step merges them). State is rebuildable from
+(manifest + committed files) — the exactly-once property SURVEY.md §7.4 point 1
+requires: a re-executed applier task rewrites byte-identical files at
+deterministic paths; the driver-side manifest commit is the only visible effect.
+
+Replay dedup: events with ``offset <= committed max_offset(owner pid)`` are
+dropped (the per-partition checkpoint) — exact when routing is unchanged (the
+crash-replay case); if the hot-key set changed between deliveries a re-routed
+duplicate can slip through and is absorbed by LWW idempotence. Late events
+(ts older than an already-applied event for the same key) are counted for
+lineage and resolved by LWW at merge; tombstones are persisted in runs so late
+events can never resurrect a deleted row.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions.lww import lww_latest
+from ..schemas import conform_batch
+
+STATS_SCHEMA = pa.schema(
+    [
+        ("pid", pa.int32()),
+        ("salt", pa.int32()),
+        ("epoch", pa.int64()),
+        ("events_in", pa.int64()),
+        ("events_deduped", pa.int64()),
+        ("upserts", pa.int64()),
+        ("deletes", pa.int64()),
+        ("late_events", pa.int64()),
+        ("max_offset", pa.int64()),
+        ("runs_json", pa.string()),  # [{"path","rows","tombstones"}], lake-relative
+        ("top_keys_json", pa.string()),  # {"conv_id": count} for next-epoch hot set
+    ]
+)
+
+
+def atomic_parquet(table: pa.Table, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def _count_late(events: pa.Table) -> int:
+    """Events applied out of ts order within their key: ts < running max ts of
+    earlier-offset events for the same (conv_id, turn_idx). Vectorized."""
+    if events.num_rows == 0:
+        return 0
+    df = pd.DataFrame(
+        {
+            "conv_id": events.column("conv_id").to_pandas(),
+            "turn_idx": events.column("turn_idx").to_pandas(),
+            "ts": events.column("ts").to_pandas(),
+            "offset": events.column("offset").to_pandas(),
+        }
+    ).sort_values(["conv_id", "turn_idx", "offset"], kind="stable")
+    cummax = df.groupby(["conv_id", "turn_idx"], sort=False)["ts"].cummax()
+    return int((df["ts"] < cummax).sum())
+
+
+class EpochApplier:
+    """Callable for ``groupby("skey").map_groups``; emits one stats row per group."""
+
+    def __init__(
+        self,
+        lake_dir: str,
+        epoch: int,
+        state_schema: pa.Schema,  # event columns + pid
+        committed_offsets: dict[int, int],
+        num_salts: int,
+        topk_keys: int = 16,
+    ):
+        self.lake_dir = lake_dir
+        self.epoch = epoch
+        self.state_schema = state_schema
+        self.committed_offsets = committed_offsets
+        self.S = max(1, num_salts)
+        self.topk_keys = topk_keys
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        skey = int(group.column("skey")[0].as_py())
+        pid, salt = divmod(skey, self.S)
+        group = conform_batch(group, self.state_schema).set_column(
+            self.state_schema.get_field_index("pid"),
+            "pid",
+            pa.array([pid] * group.num_rows, pa.int32()),
+        )
+        events_in = group.num_rows
+        committed = self.committed_offsets.get(pid, -1)
+        new = group.filter(pc.greater(group.column("offset"), committed))
+        deduped = events_in - new.num_rows
+        late = _count_late(new)
+        deletes = int(pc.sum(pc.equal(new.column("op"), "D")).as_py() or 0)
+        upserts = new.num_rows - deletes
+
+        run_table = lww_latest(new)  # winners incl. tombstones, key-sorted
+        new_runs: list[dict] = []
+        if run_table.num_rows > 0:
+            name = (
+                f"run-{self.epoch:06d}.parquet"
+                if salt == 0
+                else f"run-{self.epoch:06d}-s{salt:03d}.parquet"
+            )
+            path = os.path.join("data", f"part-{pid:05d}", name)
+            atomic_parquet(run_table, os.path.join(self.lake_dir, path))
+            tomb = int(pc.sum(pc.equal(run_table.column("op"), "D")).as_py() or 0)
+            new_runs = [{"path": path, "rows": run_table.num_rows, "tombstones": tomb}]
+
+        max_offset = committed
+        if new.num_rows > 0:
+            max_offset = max(max_offset, int(pc.max(new.column("offset")).as_py()))
+
+        vc = (
+            pd.Series(new.column("conv_id").to_pandas())
+            .value_counts()
+            .head(self.topk_keys)
+        )
+        return pa.table(
+            {
+                "pid": pa.array([pid], pa.int32()),
+                "salt": pa.array([salt], pa.int32()),
+                "epoch": pa.array([self.epoch], pa.int64()),
+                "events_in": pa.array([events_in], pa.int64()),
+                "events_deduped": pa.array([deduped], pa.int64()),
+                "upserts": pa.array([upserts], pa.int64()),
+                "deletes": pa.array([deletes], pa.int64()),
+                "late_events": pa.array([late], pa.int64()),
+                "max_offset": pa.array([max_offset], pa.int64()),
+                "runs_json": pa.array([json.dumps(new_runs)], pa.string()),
+                "top_keys_json": pa.array(
+                    [json.dumps({str(k): int(v) for k, v in vc.items()})], pa.string()
+                ),
+            },
+            schema=STATS_SCHEMA,
+        )

@@ -1,0 +1,343 @@
+"""CdcLake — the Ray-Data-native CDC/upsert engine.
+
+Replaces the reference's full-refresh ``dbt run`` materialization
+(/root/reference/dbt_project.yml:11) with incremental, exactly-once epoch
+application per BASELINE.json's north rule:
+
+    read changes (Dataset) → conform/evolve schema (map_batches, zero-copy Arrow)
+    → route: pid = stable_hash(conv_id) % P, hot keys salted (map_batches)
+    → hash shuffle: groupby("pid") → EpochApplier per partition (LWW + sorted
+      runs on disk) → driver commits the manifest atomically.
+
+Everything streams: the only driver-side materialization is the per-partition
+stats table (P rows). State lives in committed parquet runs + the manifest, so
+any task retry or process crash replays idempotently (deterministic file paths,
+offset-checkpoint dedup, manifest as the single commit point).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions.lww import drop_tombstones, lww_latest
+from ..schemas import KEY_COLUMNS, conform_batch, evolve_schema
+from .applier import EpochApplier, atomic_parquet
+from .manifest import Manifest
+from .router import AssignPartitions, estimate_hot_keys
+
+REQUIRED_EVENT_COLUMNS = ("offset", "op", "conv_id", "turn_idx", "ts")
+INTERNAL_COLUMNS = ("op", "offset", "pid")
+
+
+def _apply_group(group: pa.Table, applier: EpochApplier) -> pa.Table:
+    return applier(group)
+
+
+def _dataset_schema(ds) -> pa.Schema:
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    return pa.schema(list(zip(s.names, s.types)))
+
+
+class CdcLake:
+    def __init__(
+        self,
+        lake_dir: str,
+        num_partitions: int = 32,
+        max_runs: int = 4,
+        num_salts: int = 8,
+        hot_threshold: float = 0.05,
+    ):
+        self.lake_dir = lake_dir
+        os.makedirs(lake_dir, exist_ok=True)
+        self.manifest = Manifest(lake_dir)
+        if self.manifest.num_partitions is not None:
+            if self.manifest.num_partitions != num_partitions:
+                # partition count is pinned at creation so checkpoints line up
+                num_partitions = self.manifest.num_partitions
+        self.P = num_partitions
+        self.max_runs = max_runs
+        self.num_salts = num_salts
+        self.hot_threshold = hot_threshold
+
+    # -- schema ------------------------------------------------------------
+    def _event_schema(self) -> pa.Schema | None:
+        """Current lake event schema (state schema minus pid)."""
+        s = self.manifest.schema
+        if s is None:
+            return None
+        return pa.schema([f for f in s if f.name != "pid"])
+
+    # -- write path --------------------------------------------------------
+    def apply(
+        self,
+        changes,
+        epoch: int | None = None,
+        hot_keys: set[str] | None = None,
+        detect_hot: str = "carryover",  # "carryover" | "prepass" | "off"
+    ) -> dict:
+        """Apply one epoch of change events; returns this epoch's metrics."""
+        import ray.data
+
+        if isinstance(changes, (str, list)):
+            ds = ray.data.read_parquet(changes)
+        else:
+            ds = changes
+
+        incoming = _dataset_schema(ds)
+        missing = [c for c in REQUIRED_EVENT_COLUMNS if c not in incoming.names]
+        if missing:
+            raise ValueError(f"change stream missing required columns: {missing}")
+
+        current = self._event_schema()
+        event_schema = (
+            evolve_schema(current, incoming) if current is not None else incoming
+        )
+        state_schema = pa.schema(list(event_schema) + [pa.field("pid", pa.int32())])
+
+        if epoch is None:
+            epoch = self.manifest.last_epoch + 1
+        if self.manifest.epoch_committed(epoch):
+            return {"epoch": epoch, "skipped": True}
+
+        if hot_keys is None:
+            if detect_hot == "prepass":
+                hot_keys = estimate_hot_keys(ds, hot_threshold=self.hot_threshold)
+            elif detect_hot == "carryover":
+                hot_keys = self.manifest_hot_keys()
+            else:
+                hot_keys = set()
+
+        committed = self.manifest.committed_offsets()
+        applier = EpochApplier(
+            self.lake_dir,
+            epoch,
+            state_schema,
+            committed,
+            num_salts=self.num_salts,
+        )
+
+        event_only = pa.schema(list(event_schema))
+        routed = ds.map_batches(
+            lambda t, s=event_only: conform_batch(t, s),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).map_batches(
+            AssignPartitions(self.P, hot_keys, self.num_salts),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        stats = (
+            routed.groupby("skey")
+            .map_groups(
+                functools.partial(_apply_group, applier=applier),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+        )
+
+        # aggregate per owner pid (hot partitions emit one stats row per salt)
+        partition_updates: dict[int, dict] = {}
+        key_counts: dict[str, int] = {}
+        if stats.empty:  # zero-row epoch still commits (advances the epoch log)
+            self.manifest.commit_epoch(
+                epoch, {}, state_schema, self.P,
+                {"events_in": 0, "events_deduped": 0, "upserts": 0,
+                 "deletes": 0, "late_events": 0},
+            )
+            return {"epoch": epoch, "skipped": False, "events_in": 0,
+                    "events_deduped": 0, "upserts": 0, "deletes": 0,
+                    "late_events": 0}
+        for row in stats.itertuples(index=False):
+            pid = int(row.pid)
+            upd = partition_updates.setdefault(
+                pid,
+                {"runs": [], "replaces": False, "max_offset": -1, "rows": 0},
+            )
+            upd["runs"].extend(json.loads(row.runs_json))
+            upd["max_offset"] = max(upd["max_offset"], int(row.max_offset))
+            for k, v in json.loads(row.top_keys_json).items():
+                key_counts[k] = key_counts.get(k, 0) + v
+        for pid, upd in partition_updates.items():
+            prev = self.manifest.partition(pid)
+            # approximate until next compaction recounts exactly
+            upd["rows"] = prev["rows"] + sum(
+                r["rows"] - r["tombstones"] for r in upd["runs"]
+            )
+
+        events_in = int(stats["events_in"].sum())
+        metrics_delta = {
+            "events_in": events_in,
+            "events_deduped": int(stats["events_deduped"].sum()),
+            "upserts": int(stats["upserts"].sum()),
+            "deletes": int(stats["deletes"].sum()),
+            "late_events": int(stats["late_events"].sum()),
+        }
+        next_hot = sorted(
+            k
+            for k, v in key_counts.items()
+            if events_in > 0 and v / events_in >= self.hot_threshold
+        )
+        self.manifest.commit_epoch(
+            epoch,
+            partition_updates,
+            state_schema,
+            self.P,
+            metrics_delta,
+            hot_keys=next_hot,
+        )
+        self.compact()  # merges any partition whose run count exceeds max_runs
+        return {"epoch": epoch, "skipped": False, **metrics_delta}
+
+    def compact(self, force: bool = False) -> int:
+        """Merge run files of partitions with more than ``max_runs`` runs into a
+        single base run per partition (LSM compaction). Crash-safe: base files
+        are written under the next manifest version's name and are invisible
+        until the compaction commit; a crash leaves vacuumable orphans.
+
+        Returns the number of partitions compacted.
+        """
+        import ray.data
+
+        pids = [
+            p
+            for p in range(self.P)
+            if len(self.manifest.partition(p)["runs"]) > (1 if force else self.max_runs)
+        ]
+        if not pids:
+            return 0
+        state_schema = self.manifest.schema
+        version = self.manifest.version + 1
+        files = [f for p in pids for f in self.manifest.live_files(p)]
+        lake_dir = self.lake_dir
+
+        def merge_partition(group: pa.Table) -> pa.Table:
+            pid = int(group.column("pid")[0].as_py())
+            merged = lww_latest(group)
+            path = os.path.join(
+                "data", f"part-{pid:05d}", f"base-v{version:08d}.parquet"
+            )
+            atomic_parquet(merged, os.path.join(lake_dir, path))
+            tomb = int(pc.sum(pc.equal(merged.column("op"), "D")).as_py() or 0)
+            return pa.table(
+                {
+                    "pid": pa.array([pid], pa.int32()),
+                    "rows": pa.array([merged.num_rows], pa.int64()),
+                    "tombstones": pa.array([tomb], pa.int64()),
+                    "path": pa.array([path], pa.string()),
+                }
+            )
+
+        stats = (
+            ray.data.read_parquet(files, schema=state_schema)
+            .groupby("pid")
+            .map_groups(merge_partition, batch_format="pyarrow")
+            .to_pandas()
+        )
+        updates = {}
+        for row in stats.itertuples(index=False):
+            pid = int(row.pid)
+            updates[pid] = {
+                "runs": [
+                    {
+                        "path": row.path,
+                        "rows": int(row.rows),
+                        "tombstones": int(row.tombstones),
+                    }
+                ],
+                "replaces": True,
+                "max_offset": self.manifest.partition(pid)["max_offset"],
+                "rows": int(row.rows) - int(row.tombstones),  # exact recount
+            }
+        self.manifest.commit_compaction(updates)
+        return len(updates)
+
+    # -- read path ---------------------------------------------------------
+    def _public_columns(self) -> list[str]:
+        s = self._event_schema()
+        return [f.name for f in s if f.name not in INTERNAL_COLUMNS]
+
+    def read(self):
+        """Converged lake state as a streaming Dataset: one merged, tombstone-free,
+        ``(conv_id, turn_idx)``-sorted group per partition."""
+        import ray.data
+
+        files = self.manifest.live_files()
+        state_schema = self.manifest.schema
+        if not files or state_schema is None:
+            empty = pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int32())])
+            return ray.data.from_arrow(empty.empty_table())
+
+        public = self._public_columns()
+        ds = ray.data.read_parquet(files, schema=state_schema)
+        single_run = all(
+            len(self.manifest.partition(p)["runs"]) <= 1 for p in range(self.P)
+        )
+        if single_run:
+            # each file is already LWW-resolved and key-sorted: filter + project
+            def finalize(t: pa.Table, cols=tuple(public)) -> pa.Table:
+                return drop_tombstones(t).select(list(cols))
+
+            return ds.map_batches(
+                finalize, batch_format="pyarrow", zero_copy_batch=True
+            )
+
+        def merge(group: pa.Table, cols=tuple(public)) -> pa.Table:
+            merged = drop_tombstones(lww_latest(group))
+            order = pc.sort_indices(
+                merged, sort_keys=[(c, "ascending") for c in KEY_COLUMNS]
+            )
+            return merged.take(order).select(list(cols))
+
+        return ds.groupby("pid").map_groups(merge, batch_format="pyarrow")
+
+    def read_local_table(self) -> pa.Table:
+        """Pure-pyarrow converged state (no Ray) — for tests and small oracles."""
+        state_schema = self.manifest.schema
+        if state_schema is None:
+            return pa.schema([("conv_id", pa.string())]).empty_table()
+        tables = [
+            conform_batch(pq.read_table(f), state_schema)
+            for f in self.manifest.live_files()
+        ]
+        if not tables:
+            return state_schema.empty_table()
+        merged = drop_tombstones(lww_latest(pa.concat_tables(tables)))
+        order = pc.sort_indices(
+            merged, sort_keys=[(c, "ascending") for c in KEY_COLUMNS]
+        )
+        return merged.take(order).select(self._public_columns())
+
+    # -- ops ---------------------------------------------------------------
+    def manifest_hot_keys(self) -> set[str]:
+        return set(self.manifest._state.get("hot_keys", []))
+
+    def checkpoints(self) -> dict[int, int]:
+        return self.manifest.committed_offsets()
+
+    def metrics(self) -> dict:
+        return self.manifest.metrics
+
+    def lineage(self) -> list[dict]:
+        return list(self.manifest._state["epochs"])
+
+    def vacuum(self) -> int:
+        """Delete data files no longer referenced by the current manifest."""
+        live = {os.path.abspath(p) for p in self.manifest.live_files()}
+        removed = 0
+        data_dir = os.path.join(self.lake_dir, "data")
+        for root, _dirs, names in os.walk(data_dir):
+            for name in names:
+                p = os.path.abspath(os.path.join(root, name))
+                if p not in live and (name.endswith(".parquet") or name.endswith(".tmp")):
+                    os.remove(p)
+                    removed += 1
+        return removed

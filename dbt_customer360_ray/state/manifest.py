@@ -1,0 +1,185 @@
+"""Two-phase manifest commit — the exactly-once sink.
+
+The reference has no incremental path at all (every model is a full-refresh
+``CREATE TABLE AS``, /root/reference/dbt_project.yml:11); exactly-once under
+replay is new design per BASELINE.json north_rule. Protocol (SURVEY.md §4.2):
+
+1. Appliers write data files to deterministic final paths
+   (``data/part=<pid>/run-<epoch>.parquet``). A crashed epoch leaves orphans that
+   an identical replay simply overwrites byte-for-byte (LWW is deterministic);
+   orphans are invisible to readers because reads go through the manifest.
+2. The committer writes ``_manifest/MANIFEST-<version>.json`` to a temp name,
+   fsyncs, atomically renames, then atomically updates ``_manifest/CURRENT``.
+   The rename of CURRENT is the commit point.
+
+The manifest records, per partition: live run files, row counts, max committed
+offset (the per-partition checkpoint used for resume + replay dedup), and
+cumulative lineage metrics. It also records the current evolved lake schema.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pyarrow as pa
+
+
+def _atomic_write(path: str, data: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _schema_to_json(schema: pa.Schema) -> str:
+    return schema.serialize().to_pybytes().hex()
+
+
+def _schema_from_json(hexstr: str) -> pa.Schema:
+    return pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(hexstr)))
+
+
+class Manifest:
+    """Versioned lake manifest with atomic CURRENT pointer."""
+
+    def __init__(self, lake_dir: str):
+        self.lake_dir = lake_dir
+        self.dir = os.path.join(lake_dir, "_manifest")
+        os.makedirs(self.dir, exist_ok=True)
+        self._state = self._load()
+
+    # -- load/save ---------------------------------------------------------
+    def _current_path(self) -> str:
+        return os.path.join(self.dir, "CURRENT")
+
+    def _load(self) -> dict:
+        cur = self._current_path()
+        if not os.path.exists(cur):
+            return {
+                "version": 0,
+                "last_epoch": -1,
+                "schema": None,
+                "num_partitions": None,
+                "partitions": {},
+                "metrics": {},
+                "epochs": [],
+            }
+        with open(cur) as f:
+            version = int(f.read().strip())
+        with open(os.path.join(self.dir, f"MANIFEST-{version:08d}.json")) as f:
+            return json.load(f)
+
+    def reload(self) -> None:
+        self._state = self._load()
+
+    # -- accessors ---------------------------------------------------------
+    @property
+    def version(self) -> int:
+        return self._state["version"]
+
+    @property
+    def last_epoch(self) -> int:
+        return self._state["last_epoch"]
+
+    @property
+    def num_partitions(self) -> int | None:
+        return self._state["num_partitions"]
+
+    @property
+    def schema(self) -> pa.Schema | None:
+        s = self._state["schema"]
+        return _schema_from_json(s) if s else None
+
+    @property
+    def metrics(self) -> dict:
+        return dict(self._state["metrics"])
+
+    def partition(self, pid: int) -> dict:
+        return self._state["partitions"].get(
+            str(pid), {"runs": [], "max_offset": -1, "rows": 0}
+        )
+
+    def live_files(self, pid: int | None = None) -> list[str]:
+        parts = self._state["partitions"]
+        pids = [str(pid)] if pid is not None else sorted(parts, key=int)
+        out = []
+        for p in pids:
+            for run in parts.get(p, {}).get("runs", []):
+                out.append(os.path.join(self.lake_dir, run["path"]))
+        return out
+
+    def committed_offsets(self) -> dict[int, int]:
+        """Per-partition max committed offset — the resume checkpoint."""
+        return {
+            int(p): info["max_offset"]
+            for p, info in self._state["partitions"].items()
+        }
+
+    def epoch_committed(self, epoch: int) -> bool:
+        return any(e["epoch"] == epoch for e in self._state["epochs"])
+
+    # -- commit ------------------------------------------------------------
+    def commit_epoch(
+        self,
+        epoch: int,
+        partition_updates: dict[int, dict],
+        schema: pa.Schema,
+        num_partitions: int,
+        metrics_delta: dict,
+        hot_keys: list[str] | None = None,
+    ) -> None:
+        """Atomically commit one applied epoch.
+
+        ``partition_updates[pid]`` = {"runs": [{"path","rows","tombstones"}],
+        "max_offset": int, "rows": int, "replaces": bool} — ``replaces=True``
+        (compaction) swaps the partition's run list instead of appending.
+        """
+        state = json.loads(json.dumps(self._state))  # deep copy
+        for pid, upd in partition_updates.items():
+            cur = state["partitions"].get(
+                str(pid), {"runs": [], "max_offset": -1, "rows": 0}
+            )
+            if upd.get("replaces"):
+                cur["runs"] = list(upd["runs"])
+            else:
+                cur["runs"] = cur["runs"] + list(upd["runs"])
+            cur["max_offset"] = max(cur["max_offset"], upd.get("max_offset", -1))
+            cur["rows"] = upd.get("rows", cur["rows"])
+            state["partitions"][str(pid)] = cur
+        m = state["metrics"]
+        for k, v in metrics_delta.items():
+            m[k] = m.get(k, 0) + v
+        if hot_keys is not None:
+            state["hot_keys"] = list(hot_keys)
+        state["schema"] = _schema_to_json(schema)
+        state["num_partitions"] = num_partitions
+        state["last_epoch"] = max(state["last_epoch"], epoch)
+        state["epochs"].append(
+            {"epoch": epoch, "version": state["version"] + 1, "metrics": metrics_delta}
+        )
+        state["version"] += 1
+        self._persist(state)
+
+    def commit_compaction(self, partition_updates: dict[int, dict]) -> None:
+        """Swap compacted partitions' run lists atomically (no epoch record)."""
+        state = json.loads(json.dumps(self._state))
+        for pid, upd in partition_updates.items():
+            cur = state["partitions"].get(
+                str(pid), {"runs": [], "max_offset": -1, "rows": 0}
+            )
+            cur["runs"] = list(upd["runs"])
+            cur["max_offset"] = max(cur["max_offset"], upd.get("max_offset", -1))
+            cur["rows"] = upd["rows"]
+            state["partitions"][str(pid)] = cur
+        state["version"] += 1
+        self._persist(state)
+
+    def _persist(self, state: dict) -> None:
+        _atomic_write(
+            os.path.join(self.dir, f"MANIFEST-{state['version']:08d}.json"),
+            json.dumps(state, indent=1),
+        )
+        _atomic_write(self._current_path(), str(state["version"]))
+        self._state = state

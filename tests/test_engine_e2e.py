@@ -1,0 +1,143 @@
+"""End-to-end engine tests: replay vs. oracle, idempotence, resume, evolution,
+salting equivalence (SURVEY.md §5 strategy items 2-4)."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dbt_customer360_ray.gen import gen_changes, oracle_lake, split_epochs
+from dbt_customer360_ray.state.engine import CdcLake
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _replay(tmp_path, epochs, lake_kwargs=None, **apply_kwargs):
+    import ray.data
+
+    lake = CdcLake(str(tmp_path / "lake"), **(lake_kwargs or {"num_partitions": 8}))
+    for part in epochs:
+        lake.apply(ray.data.from_arrow(part), **apply_kwargs)
+    return lake
+
+
+def _assert_matches_oracle(lake, *changes):
+    got = lake.read_local_table().to_pandas()
+    want = oracle_lake(*changes)
+    got = got[want.columns.tolist()].sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_single_epoch_matches_oracle(tmp_path):
+    changes = gen_changes(5_000, 300, seed=7)
+    lake = _replay(tmp_path, [changes])
+    _assert_matches_oracle(lake, changes)
+
+
+def test_multi_epoch_with_schema_evolution(tmp_path):
+    changes = gen_changes(8_000, 500, seed=11)
+    epochs = split_epochs(changes, 4)  # epoch 0 lacks `tool` (schema v0)
+    assert "tool" not in epochs[0].column_names
+    lake = _replay(tmp_path, epochs)
+    # evolved schema includes tool; v0-era winners read back as null tool
+    assert "tool" in lake.read_local_table().column_names
+    _assert_matches_oracle(lake, *epochs)
+
+
+def test_replay_same_epoch_is_idempotent(tmp_path):
+    import ray.data
+
+    changes = gen_changes(3_000, 200, seed=13)
+    # detect_hot="off" pins routing: offset-checkpoint dedup is then exact.
+    # (With an evolving hot-key set a re-routed duplicate can slip the offset
+    # check; LWW idempotence still converges the state — covered below.)
+    lake = _replay(tmp_path, [changes], detect_hot="off")
+    before = lake.read_local_table()
+    m = lake.apply(ray.data.from_arrow(changes), detect_hot="off")
+    assert m["events_deduped"] == changes.num_rows
+    after = lake.read_local_table()
+    assert before.equals(after)
+    _assert_matches_oracle(lake, changes)
+
+    # replay again with salted routing: dedup may be partial, state identical
+    lake.apply(ray.data.from_arrow(changes), detect_hot="prepass")
+    assert lake.read_local_table().equals(before)
+
+
+def test_crash_and_resume_mid_epoch(tmp_path):
+    """Epoch files written but manifest not committed → rerun converges identically."""
+    import ray.data
+
+    changes = gen_changes(4_000, 250, seed=17)
+    e0, e1 = split_epochs(changes, 2)
+    lake = _replay(tmp_path, [e0])
+
+    # simulate crash: run epoch 1's appliers but revert the manifest commit
+    manifest_dir = tmp_path / "lake" / "_manifest"
+    current = (manifest_dir / "CURRENT").read_text()
+    lake.apply(ray.data.from_arrow(e1))
+    (manifest_dir / "CURRENT").write_text(current)  # roll back commit point
+
+    resumed = CdcLake(str(tmp_path / "lake"))
+    assert resumed.manifest.last_epoch == 0  # epoch 1 invisible
+    resumed.apply(ray.data.from_arrow(e1))  # replay over orphaned files
+    _assert_matches_oracle(resumed, e0, e1)
+
+
+def test_checkpoints_and_metrics(tmp_path):
+    import pyarrow.compute as pc
+
+    changes = gen_changes(3_000, 200, seed=19)
+    lake = _replay(tmp_path, [changes])
+    cps = lake.checkpoints()
+    assert max(cps.values()) == pc.max(changes.column("offset")).as_py()
+    m = lake.metrics()
+    assert m["events_in"] == changes.num_rows
+    assert m["upserts"] + m["deletes"] + m["events_deduped"] == changes.num_rows
+    assert m["late_events"] > 0
+    assert len(lake.lineage()) == 1
+
+
+def test_salting_equivalent_to_unsalted(tmp_path):
+    """Hot-key salted replay must produce identical state to unsalted replay."""
+    import ray.data
+
+    changes = gen_changes(6_000, 50, seed=23, zipf_a=1.05)  # few convs → hot keys
+    lake_a = CdcLake(str(tmp_path / "a" / "lake"), num_partitions=8)
+    lake_a.apply(ray.data.from_arrow(changes), detect_hot="off")
+    lake_b = CdcLake(str(tmp_path / "b" / "lake"), num_partitions=8, num_salts=4)
+    lake_b.apply(ray.data.from_arrow(changes), detect_hot="prepass")
+    a = lake_a.read_local_table().to_pandas()
+    b = lake_b.read_local_table().to_pandas()
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_compaction_preserves_state_and_vacuum(tmp_path):
+    changes = gen_changes(6_000, 300, seed=29)
+    epochs = split_epochs(changes, 6)  # > max_runs → compaction kicks in
+    lake = _replay(
+        tmp_path, epochs, lake_kwargs={"num_partitions": 4, "max_runs": 3}
+    )
+    # compaction happened: some partition has a base run
+    runs = [r["path"] for p in range(4) for r in lake.manifest.partition(p)["runs"]]
+    assert any("base-" in r for r in runs)
+    _assert_matches_oracle(lake, *epochs)
+    removed = lake.vacuum()
+    assert removed > 0
+    _assert_matches_oracle(lake, *epochs)  # vacuum never touches live files
+
+
+def test_ray_read_path_matches_local(tmp_path):
+    changes = gen_changes(4_000, 300, seed=31)
+    epochs = split_epochs(changes, 3)
+    lake = _replay(tmp_path, epochs)
+    via_ray = (
+        lake.read()
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    local = lake.read_local_table().to_pandas()
+    pd.testing.assert_frame_equal(via_ray[local.columns.tolist()], local, check_dtype=False)
