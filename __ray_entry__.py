@@ -1,16 +1,10 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01 and
+compares it against the matching ``oracle_sql()[name]`` via DuckDB. Neither this
+module nor the library calls ``ray.init()`` — sessions are owned by the driver,
+bench.py, and the test fixture.
 """
 
 from __future__ import annotations
@@ -20,25 +14,86 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship CDC replay at sf0.001: deterministic change stream → converged
+    transcript lake, returned as a streaming ray.data.Dataset."""
+    from dbt_customer360_ray.pipelines.cdc_replay import flagship
+
+    return flagship(sf=0.001)
+
+
+def _cdc_replay_lake(sf_dir: str):
+    """Non-SQL pipeline: full CDC replay scaled to the driver's sf (exactly-once
+    manifest sink, schema evolution, tombstones); rows-only check."""
+    from dbt_customer360_ray.pipelines.cdc_replay import flagship, sf_from_dir
+
+    return flagship(sf=min(sf_from_dir(sf_dir), 0.01))
+
+
+def _lang_quality_documents(sf_dir: str):
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.text import analyze_text
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return analyze_text(ds).select_columns(
+        ["doc_id", "lang_pred", "stopword_ratio", "mean_word_len", "punct_ratio", "quality_score"]
+    )
+
+
+def _minhash_near_dups(sf_dir: str):
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.dedup import connected_groups, minhash_candidates
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_candidates(ds, threshold=0.7).to_pandas()
+    return connected_groups(pairs)
+
+
+def _simhash_documents(sf_dir: str):
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.dedup import simhash_signatures
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_signatures(ds)
+
+
+def _embedding_near_dups(sf_dir: str):
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.dedup import embedding_near_dups
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_near_dups(ds, threshold=0.3)
+
+
+def _lsh_topk_embeddings(sf_dir: str):
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from dbt_customer360_ray.sources.readers import read_table, read_table_arrow
+    from dbt_customer360_ray.stages.similarity import lsh_bucket_topk
+
+    emb = read_table_arrow(sf_dir, "embeddings", ["vec_id", "embedding"])
+    order = pc.sort_indices(emb, sort_keys=[("vec_id", "ascending")])
+    head = emb.take(order).slice(0, 5)
+    q_ids = head.column("vec_id").to_numpy()
+    q_mat = np.stack(head.column("embedding").to_pylist())
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return lsh_bucket_topk(ds, q_mat, q_ids, dim=q_mat.shape[1], k=10)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from dbt_customer360_ray.pipelines.analytics import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = dict(QUERIES)
+    out["cdc_replay_lake"] = _cdc_replay_lake
+    out["lang_quality_documents"] = _lang_quality_documents
+    out["minhash_near_dups"] = _minhash_near_dups
+    out["simhash_documents"] = _simhash_documents
+    out["embedding_near_dups"] = _embedding_near_dups
+    out["lsh_topk_embeddings"] = _lsh_topk_embeddings
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dbt_customer360_ray.pipelines.analytics import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

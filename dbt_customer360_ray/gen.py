@@ -30,25 +30,34 @@ SF_SIZES = {
     0.001: (1_000, 10_000),
     0.01: (10_000, 100_000),
     0.1: (100_000, 2_000_000),
+    # scaling-bench size: epochs large enough (~2M events / ~55MB each) that the
+    # shuffle fans out past 8 CPUs — smaller fixtures cap block counts and make
+    # the two-cluster-size comparison measure only fixed overhead
+    0.5: (300_000, 8_000_000),
 }
 
 
-def _texts(conv_k: np.ndarray, turn: np.ndarray, offsets: np.ndarray, rng) -> np.ndarray:
-    """Deterministic pseudo-text incl. empty strings, accents, 'Last, First' tokens."""
+def _texts(conv_k: np.ndarray, turn: np.ndarray, offsets: np.ndarray, flavor: np.ndarray) -> pa.Array:
+    """Deterministic pseudo-text incl. empty strings, accents, 'Last, First'
+    tokens. Built with Arrow string kernels (np.char is ~10x slower at 10^7+)."""
+    import pyarrow.compute as pc
+
     n = len(conv_k)
-    base = np.char.add(
-        np.char.add("turn text ", conv_k.astype("U12")),
-        np.char.add(" / ", np.char.add(turn.astype("U8"), np.char.add(" @", offsets.astype("U12")))),
-    ).astype(object)
-    flavor = rng.integers(0, 100, n)
-    base[flavor < 2] = ""  # empty strings
-    base[(flavor >= 2) & (flavor < 4)] += " — café naïve façade Ångström"
-    base[(flavor >= 4) & (flavor < 6)] += " Smith, John said hello"
-    pad_mask = flavor >= 94  # a long tail of bigger payloads
-    if pad_mask.any():
-        pad = " lorem ipsum dolor sit amet " * 40
-        base[pad_mask] = base[pad_mask] + pad
-    return base
+    base = pc.binary_join_element_wise(
+        "turn text ",
+        pc.cast(pa.array(conv_k), pa.string()),
+        " / ",
+        pc.cast(pa.array(turn), pa.string()),
+        " @",
+        pc.cast(pa.array(offsets), pa.string()),
+        "",
+    )
+    suffix = np.full(n, "", dtype=object)
+    suffix[(flavor >= 2) & (flavor < 4)] = " — café naïve façade Ångström"
+    suffix[(flavor >= 4) & (flavor < 6)] = " Smith, John said hello"
+    suffix[flavor >= 94] = " lorem ipsum dolor sit amet " * 40  # big-payload tail
+    out = pc.binary_join_element_wise(base, pa.array(suffix, pa.string()), "")
+    return pc.if_else(pa.array(flavor < 2), "", out)  # empty strings
 
 
 def gen_changes(
@@ -65,42 +74,46 @@ def gen_changes(
     rng = np.random.default_rng(seed)
     conv_k = (rng.zipf(zipf_a, num_events) - 1) % num_convs
     turn = rng.integers(0, max_turns, num_events).astype(np.int32)
-    op = rng.choice(np.array(["I", "U", "D"], dtype=object), num_events, p=list(p_ops))
+    # one 63-bit draw per event, bit-sliced for all categorical/mask decisions
+    # (separate rng.choice/random calls dominated gen time at 10^7+ events)
+    bits = rng.integers(0, 1 << 62, num_events, dtype=np.int64)
+    op_pick = bits % 1000
+    op = np.full(num_events, "I", dtype=object)
+    op[op_pick >= int(p_ops[0] * 1000)] = "U"
+    op[op_pick >= int((p_ops[0] + p_ops[1]) * 1000)] = "D"
     offsets = np.arange(num_events, dtype=np.int64)
 
     # event time: loosely increasing with offset, with jitter; a late fraction
     # jumps far into the past; exact-duplicate timestamps on purpose
     step_us = np.int64(1_000_0)
-    jitter = rng.integers(-5_000_000, 5_000_000, num_events)
+    jitter = ((bits >> 10) % 10_000_000) - 5_000_000
     ts_us = offsets * step_us + jitter
-    late = rng.random(num_events) < late_frac
-    ts_us[late] -= rng.integers(3_600_000_000, 7_200_000_000, int(late.sum()))
-    dup_ts = rng.random(num_events) < 0.03
+    late = (bits >> 34) % 1000 < int(late_frac * 1000)
+    ts_us[late] -= 3_600_000_000 + ((bits[late] >> 44) % 3_600_000_000)
+    dup_ts = (bits >> 54) % 100 < 3
     ts_us[dup_ts] = (ts_us[dup_ts] // 10_000_000) * 10_000_000  # collide on coarse grid
     ts = BASE_TS + ts_us.astype("timedelta64[us]")
 
-    conv_id = np.char.add("conv-", np.char.zfill(conv_k.astype("U8"), 8)).astype(object)
-    role = ROLES[rng.integers(0, len(ROLES), num_events)]
-    tool = TOOLS[rng.integers(0, len(TOOLS), num_events)]
-    text = _texts(conv_k, turn, offsets, rng)
+    import pyarrow.compute as pc
 
-    is_delete = op == "D"
-    role = role.copy()
-    text = text.copy()
-    tool = tool.copy()
-    role[is_delete] = None
-    text[is_delete] = None
-    tool[is_delete] = None
+    conv_id = pc.binary_join_element_wise(
+        "conv-", pc.ascii_lpad(pc.cast(pa.array(conv_k), pa.string()), 8, "0"), ""
+    )
+    role = pa.array(ROLES[(bits >> 3) % len(ROLES)], pa.string())
+    tool = pa.array(TOOLS[(bits >> 6) % len(TOOLS)], pa.string())
+    text = _texts(conv_k, turn, offsets, (bits >> 24) % 100)
 
+    is_delete = pa.array(op == "D")
+    null_str = pa.scalar(None, pa.string())
     table = pa.table(
         {
             "offset": pa.array(offsets, pa.int64()),
             "op": pa.array(op, pa.string()),
-            "conv_id": pa.array(conv_id, pa.string()),
+            "conv_id": conv_id,
             "turn_idx": pa.array(turn, pa.int32()),
-            "role": pa.array(role, pa.string()),
-            "text": pa.array(text, pa.string()),
-            "tool": pa.array(tool, pa.string()),
+            "role": pc.if_else(is_delete, null_str, role),
+            "text": pc.if_else(is_delete, null_str, text),
+            "tool": pc.if_else(is_delete, null_str, tool),
             "ts": pa.array(ts, pa.timestamp("us")),
         }
     )

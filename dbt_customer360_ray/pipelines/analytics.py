@@ -1,0 +1,351 @@
+"""Driver-gate analytics battery: each ``q_*`` function is a Ray Data pipeline
+over the driver's sf-dir parquet tables; ``ORACLE_SQL`` holds the DuckDB oracle
+per query (same column names both sides; money summed as integer cents so
+float addition order can never flip a value hash).
+
+These re-express, over the driver's tables, the operator classes the reference
+uses (SURVEY.md §2): LWW merge (the engine core), grouped aggregation with
+map-side partials, broadcast dimension joins, survivorship ranking
+(frequency+recency, customer360__email.sql:109), windowed sessionization,
+exact dedup, top-k, text fingerprinting, similarity search.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.lww import lww_latest
+from ..sources.readers import read_table, read_table_arrow
+from ..stages import text as text_stage
+from ..stages.windows import sessionize
+
+
+def _cents(col) -> pa.Array:
+    """round(x*100) as int64 — matches SQL CAST(ROUND(x*100) AS BIGINT)."""
+    return pc.round(pc.multiply(col, pa.scalar(100.0))).cast(pa.int64())
+
+
+# -- 1. CDC last-writer-wins over the events table --------------------------
+
+def q_cdc_lww_events(sf_dir: str):
+    """LWW winners per (user_id, event_type) keyed on (ts, event_id) — the
+    engine's core merge (functions/lww.py) applied to the driver's events
+    stream: per-batch partial LWW prunes before the shuffle, a per-group final
+    LWW resolves across batches."""
+    ds = read_table(sf_dir, "events")
+    keys = ["user_id", "event_type"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        return lww_latest(t, keys, "ts", "event_id")
+
+    def final(t: pa.Table) -> pa.Table:
+        return lww_latest(t, keys, "ts", "event_id")
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(keys)
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+# -- 2. grouped aggregation with map-side partials (TPC-H Q1 shape) ---------
+
+def q_pricing_summary(sf_dir: str):
+    """lineitem rollup by (returnflag, linestatus): partial aggregation inside
+    map_batches (pyarrow group_by per batch), then a tiny groupby over partials
+    — the pre-aggregate-before-shuffle pattern (SURVEY.md §2.5)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.append_column("price_cents", _cents(t.column("l_extendedprice")))
+        t = t.append_column("one", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("price_cents", "sum"), ("one", "sum")]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity_sum", alias_name="sum_qty"),
+            Sum("price_cents_sum", alias_name="sum_base_price_cents"),
+            Sum("one_sum", alias_name="count_order"),
+        )
+    )
+    return agg
+
+
+# -- 3. broadcast dimension join + rollup -----------------------------------
+
+def q_revenue_by_nation(sf_dir: str):
+    """orders ⋈ customer ⋈ nation via broadcast dict lookups inside map_batches
+    (the reference's seed-join pattern, int_customer360__marketo.sql:177-207),
+    then grouped cents sums."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = read_table_arrow(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = read_table_arrow(sf_dir, "nation", ["n_nationkey", "n_name"])
+    cust_np = {
+        "keys": cust.column("c_custkey").to_numpy(),
+        "vals": cust.column("c_nationkey").to_numpy(),
+    }
+    order = np.argsort(cust_np["keys"])
+    cust_keys = cust_np["keys"][order]
+    cust_vals = cust_np["vals"][order]
+    nation_names = dict(
+        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
+    )
+    ref = ray.put((cust_keys, cust_vals))
+
+    def join_partial(t: pa.Table) -> pa.Table:
+        keys, vals = ray.get(ref)
+        ck = t.column("o_custkey").to_numpy()
+        idx = np.searchsorted(keys, ck)
+        idx = np.clip(idx, 0, len(keys) - 1)
+        nk = np.where(keys[idx] == ck, vals[idx], -1)
+        t2 = pa.table(
+            {
+                "n_nationkey": pa.array(nk.astype(np.int64)),
+                "revenue_cents": _cents(t.column("o_totalprice")),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+        return t2.group_by(["n_nationkey"]).aggregate(
+            [("revenue_cents", "sum"), ("one", "sum")]
+        )
+
+    agg = (
+        read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(join_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_nationkey")
+        .aggregate(
+            Sum("revenue_cents_sum", alias_name="revenue_cents"),
+            Sum("one_sum", alias_name="n_orders"),
+        )
+    )
+
+    def add_name(t: pa.Table) -> pa.Table:
+        names = [nation_names.get(k, None) for k in t.column("n_nationkey").to_pylist()]
+        return t.append_column("n_name", pa.array(names, pa.string()))
+
+    return agg.map_batches(add_name, batch_format="pyarrow").select_columns(
+        ["n_name", "revenue_cents", "n_orders"]
+    )
+
+
+# -- 4. survivorship ranking (customer360 semantics over events) -------------
+
+def q_survivorship_events(sf_dir: str):
+    """Per user, the 'best' event_type by (frequency desc, recency desc, value
+    asc) — exactly the reference's confidence ranking
+    (customer360__email.sql:109-110) re-keyed to the events table."""
+    from ray.data.aggregate import Count, Max
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    counted = ds.groupby(["user_id", "event_type"]).aggregate(
+        Count(alias_name="value_count"), Max("ts", alias_name="last_seen")
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["value_count", "last_seen", "event_type"],
+            ascending=[False, False, True],
+            kind="stable",
+        ).head(1)
+        return g.rename(columns={"event_type": "best_event_type"})
+
+    return counted.groupby("user_id").map_groups(pick, batch_format="pandas")
+
+
+# -- 5. sessionization -------------------------------------------------------
+
+def q_sessionize_events(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    return sessionize(ds, key="user_id", ts_col="ts", tie_col="event_id", gap_seconds=1800)
+
+
+# -- 6. exact dedup ----------------------------------------------------------
+
+def q_dedup_exact_documents(sf_dir: str):
+    """Exact dedup keyed on md5(text) so the group key is portable to SQL."""
+    from ray.data.aggregate import Count, Min
+    import hashlib
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        hashes = [
+            hashlib.md5(s.encode("utf-8")).hexdigest() if s is not None else None
+            for s in t.column("text").to_pylist()
+        ]
+        return pa.table({"fp": pa.array(hashes, pa.string()), "doc_id": t.column("doc_id")})
+
+    return ds.map_batches(fp, batch_format="pyarrow").groupby("fp").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups")
+    )
+
+
+# -- 7. token stats ----------------------------------------------------------
+
+def q_token_stats_documents(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        text_stage.token_stats, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["doc_id", "n_tokens", "n_chars_calc"])
+
+
+# -- 8. fingerprint ----------------------------------------------------------
+
+def q_fingerprint_documents(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(text_stage.fingerprint, batch_format="pyarrow").select_columns(
+        ["doc_id", "fp"]
+    )
+
+
+# -- 9. top-k ----------------------------------------------------------------
+
+def q_top_spenders(sf_dir: str):
+    """Top 100 customers by order revenue (cents), deterministic tie-break on
+    custkey; partial per-batch rollup → small groupby → global sort+limit."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "revenue_cents": _cents(t.column("o_totalprice")),
+            }
+        )
+        return t2.group_by(["o_custkey"]).aggregate([("revenue_cents", "sum")])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(Sum("revenue_cents_sum", alias_name="revenue_cents"))
+    )
+    top = agg.sort(["revenue_cents", "o_custkey"], descending=[True, False]).limit(100)
+    return top
+
+
+# -- 10. similarity search ---------------------------------------------------
+
+def q_ann_topk_embeddings(sf_dir: str, k: int = 10, num_queries: int = 5):
+    """Brute-force cosine top-k for the first ``num_queries`` vectors as queries
+    (broadcast query matrix; per-batch matmul partial top-k; per-query merge)."""
+    from ..stages.similarity import brute_force_topk
+
+    emb = read_table_arrow(sf_dir, "embeddings", ["vec_id", "embedding"])
+    order = pc.sort_indices(emb, sort_keys=[("vec_id", "ascending")])
+    emb_sorted = emb.take(order).slice(0, num_queries)
+    q_ids = emb_sorted.column("vec_id").to_numpy()
+    q_mat = np.stack(emb_sorted.column("embedding").to_pylist())
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, q_mat, q_ids, k=k)
+    return out.select_columns(["query_id", "vec_id", "cosine", "rank"])
+
+
+ORACLE_SQL: dict[str, str] = {
+    "cdc_lww_events": """
+        SELECT event_id, ts, user_id, event_type, value, props FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+               COUNT(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "revenue_by_nation": """
+        SELECT n_name,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+               COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "survivorship_events": """
+        SELECT user_id, event_type AS best_event_type,
+               COUNT(*) AS value_count, MAX(ts) AS last_seen
+        FROM events GROUP BY user_id, event_type
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id
+            ORDER BY value_count DESC, last_seen DESC, event_type ASC) = 1
+    """,
+    "sessionize_events": """
+        SELECT user_id, COUNT(*) AS n_events,
+               COUNT(*) FILTER (
+                   WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+               ) AS n_sessions
+        FROM (
+            SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        ) GROUP BY user_id
+    """,
+    "dedup_exact_documents": """
+        SELECT md5(text) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+        FROM documents GROUP BY md5(text)
+    """,
+    "token_stats_documents": """
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\\w+')) AS n_tokens,
+               length(text) AS n_chars_calc
+        FROM documents
+    """,
+    "fingerprint_documents": """
+        SELECT doc_id, md5(lower(text)) AS fp FROM documents
+    """,
+    "top_spenders": """
+        SELECT o_custkey,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+        FROM orders GROUP BY o_custkey
+        ORDER BY revenue_cents DESC, o_custkey ASC LIMIT 100
+    """,
+    "ann_topk_embeddings": """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+            ORDER BY vec_id LIMIT 5
+        ),
+        sims AS (
+            SELECT q.query_id, e.vec_id,
+                   ROUND(CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE), 2) AS cosine
+            FROM embeddings e CROSS JOIN q
+        )
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+               ) AS BIGINT) AS rank
+        FROM sims
+        QUALIFY rank <= 10
+    """,
+}
+
+QUERIES = {
+    "cdc_lww_events": q_cdc_lww_events,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "survivorship_events": q_survivorship_events,
+    "sessionize_events": q_sessionize_events,
+    "dedup_exact_documents": q_dedup_exact_documents,
+    "token_stats_documents": q_token_stats_documents,
+    "fingerprint_documents": q_fingerprint_documents,
+    "top_spenders": q_top_spenders,
+    "ann_topk_embeddings": q_ann_topk_embeddings,
+}

@@ -39,6 +39,65 @@ def _apply_group(group: pa.Table, applier: EpochApplier) -> pa.Table:
     return applier(group)
 
 
+def _make_slots(P: int, S: int, hot_pids: set[int]) -> tuple[list, "np.ndarray"]:
+    """Enumerate active apply slots and the skey→slot lookup table.
+
+    Cold partitions get one slot; hot partitions get S slots (one per salt) so a
+    skewed partition's apply work fans out across workers. Slot enumeration is
+    deterministic, so replays schedule identically.
+    """
+    import numpy as np
+
+    slots: list[tuple[int, int]] = []
+    slot_of_skey = np.zeros(P * S, dtype=np.int64)
+    for p in range(P):
+        base = len(slots)
+        slots.append((p, 0))
+        slot_of_skey[p * S : (p + 1) * S] = base
+        if p in hot_pids and S > 1:
+            for s in range(1, S):
+                slot_of_skey[p * S + s] = len(slots)
+                slots.append((p, s))
+    return slots, slot_of_skey
+
+
+def _compact_partition(
+    lake_dir: str, pid: int, files: list[str], state_schema: pa.Schema, version: int
+) -> dict:
+    """One-partition compaction task: read this partition's runs (conforming old
+    schemas), LWW-merge, write one base run at a deterministic versioned path."""
+    tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
+    merged = lww_latest(pa.concat_tables(tables))
+    path = os.path.join("data", f"part-{pid:05d}", f"base-v{version:08d}.parquet")
+    atomic_parquet(merged, os.path.join(lake_dir, path))
+    tomb = int(pc.sum(pc.equal(merged.column("op"), "D")).as_py() or 0)
+    return {"pid": pid, "rows": merged.num_rows, "tombstones": tomb, "path": path}
+
+
+def _split_block(table: pa.Table, event_schema, assigner, slot_of_skey, nslots: int):
+    """Fused shuffle-map side: conform the raw block to the evolved schema,
+    route (append skey), then one stable argsort by slot + zero-copy slices.
+    All vectorized; one task per input block."""
+    import numpy as np
+
+    table = assigner(conform_batch(table, event_schema))
+    skey = table.column("skey").to_numpy(zero_copy_only=False)
+    slot = slot_of_skey[skey]
+    idx = np.argsort(slot, kind="stable")
+    t = table.take(pa.array(idx))
+    bounds = np.searchsorted(slot[idx], np.arange(nslots + 1))
+    out = [t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(nslots)]
+    return out if nslots > 1 else out[0]
+
+
+def _apply_slot(applier: EpochApplier, *chunks):
+    """Shuffle-reduce side: concat this slot's chunks and run the applier."""
+    chunks = [c for c in chunks if c.num_rows > 0]
+    if not chunks:
+        return None
+    return applier(pa.concat_tables(chunks))
+
+
 def _dataset_schema(ds) -> pa.Schema:
     s = ds.schema()
     base = getattr(s, "base_schema", None)
@@ -55,6 +114,7 @@ class CdcLake:
         max_runs: int = 4,
         num_salts: int = 8,
         hot_threshold: float = 0.05,
+        exchange: bool = True,
     ):
         self.lake_dir = lake_dir
         os.makedirs(lake_dir, exist_ok=True)
@@ -67,6 +127,11 @@ class CdcLake:
         self.max_runs = max_runs
         self.num_salts = num_salts
         self.hot_threshold = hot_threshold
+        # exchange=True routes events to appliers with an explicit two-stage
+        # task exchange (split-by-slot → per-slot apply) instead of Ray Data's
+        # sort-based groupby — same semantics, far lower constant cost per
+        # micro-batch epoch (SURVEY.md §7.4 point 2 anticipated this choice)
+        self.exchange = exchange
 
     # -- schema ------------------------------------------------------------
     def _event_schema(self) -> pa.Schema | None:
@@ -85,10 +150,23 @@ class CdcLake:
         detect_hot: str = "carryover",  # "carryover" | "prepass" | "off"
     ) -> dict:
         """Apply one epoch of change events; returns this epoch's metrics."""
+        import ray
         import ray.data
 
         if isinstance(changes, (str, list)):
-            ds = ray.data.read_parquet(changes)
+            paths = [changes] if isinstance(changes, str) else list(changes)
+            # Right-size input blocks: Ray's default split targets cpus*2 blocks
+            # even for a 300 KB file. In exchange mode the intermediate object
+            # count is blocks × slots, and apply parallelism comes from slots —
+            # so blocks should just be big (~32 MB parquet each). In groupby
+            # mode apply parallelism tracks blocks, so allow up to #cpus
+            # blocks (≥2 MB each).
+            total = sum(os.path.getsize(p) for p in paths if os.path.exists(p))
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            # split-map parallelism tracks cpus (≥4 MB per block), large epochs
+            # get ~32 MB blocks regardless
+            nb = max(1, min(cpus, total // (4 << 20)), total // (32 << 20))
+            ds = ray.data.read_parquet(paths, override_num_blocks=int(nb))
         else:
             ds = changes
 
@@ -126,23 +204,26 @@ class CdcLake:
         )
 
         event_only = pa.schema(list(event_schema))
-        routed = ds.map_batches(
-            lambda t, s=event_only: conform_batch(t, s),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ).map_batches(
-            AssignPartitions(self.P, hot_keys, self.num_salts),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        stats = (
-            routed.groupby("skey")
-            .map_groups(
-                functools.partial(_apply_group, applier=applier),
+        if self.exchange:
+            stats = self._exchange_apply(ds, event_only, applier, hot_keys)
+        else:
+            routed = ds.map_batches(
+                lambda t, s=event_only: conform_batch(t, s),
                 batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).map_batches(
+                AssignPartitions(self.P, hot_keys, self.num_salts),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
             )
-            .to_pandas()
-        )
+            stats = (
+                routed.groupby("skey")
+                .map_groups(
+                    functools.partial(_apply_group, applier=applier),
+                    batch_format="pyarrow",
+                )
+                .to_pandas()
+            )
 
         # aggregate per owner pid (hot partitions emit one stats row per salt)
         partition_updates: dict[int, dict] = {}
@@ -197,15 +278,63 @@ class CdcLake:
         self.compact()  # merges any partition whose run count exceeds max_runs
         return {"epoch": epoch, "skipped": False, **metrics_delta}
 
+    def _exchange_apply(
+        self, ds, event_schema: pa.Schema, applier: EpochApplier, hot_keys
+    ) -> "pd.DataFrame":
+        """Two-stage task exchange: every raw block is conformed + routed +
+        split by slot in one fused task (one argsort + zero-copy slices), then
+        one task per active slot concats its chunks and applies. Object refs
+        are the only intermediate — no sort machinery, no disk. Task retries
+        are safe: appliers write deterministic files and the manifest commit is
+        driver-side."""
+        import pandas as pd
+        import ray
+
+        from ..hashing import partition_ids
+
+        hot_pids: set[int] = set()
+        if hot_keys:
+            hot_pids = set(int(p) for p in partition_ids(sorted(hot_keys), self.P))
+        slots, slot_of_skey = _make_slots(self.P, self.num_salts, hot_pids)
+        nslots = len(slots)
+
+        refs = ds.to_arrow_refs()
+        if not refs:
+            return pd.DataFrame()
+        split = ray.remote(_split_block)
+        apply_slot = ray.remote(_apply_slot)
+        applier_ref = ray.put(applier)
+        schema_ref = ray.put(event_schema)
+        assigner_ref = ray.put(AssignPartitions(self.P, hot_keys, self.num_salts))
+        slot_lookup_ref = ray.put(slot_of_skey)
+        split_refs = [
+            split.options(num_returns=nslots).remote(
+                r, schema_ref, assigner_ref, slot_lookup_ref, nslots
+            )
+            for r in refs
+        ]
+        if nslots == 1:
+            split_refs = [[r] for r in split_refs]
+        stats_refs = [
+            apply_slot.remote(applier_ref, *[split_refs[b][s] for b in range(len(refs))])
+            for s in range(nslots)
+        ]
+        tables = [t for t in ray.get(stats_refs) if t is not None]
+        if not tables:
+            return pd.DataFrame()
+        return pa.concat_tables(tables).to_pandas()
+
     def compact(self, force: bool = False) -> int:
         """Merge run files of partitions with more than ``max_runs`` runs into a
-        single base run per partition (LSM compaction). Crash-safe: base files
+        single base run per partition (LSM compaction). A partition's runs are
+        already co-located on disk, so compaction is one plain Ray task per
+        partition — embarrassingly parallel, NO shuffle. Crash-safe: base files
         are written under the next manifest version's name and are invisible
         until the compaction commit; a crash leaves vacuumable orphans.
 
         Returns the number of partitions compacted.
         """
-        import ray.data
+        import ray
 
         pids = [
             p
@@ -216,46 +345,30 @@ class CdcLake:
             return 0
         state_schema = self.manifest.schema
         version = self.manifest.version + 1
-        files = [f for p in pids for f in self.manifest.live_files(p)]
         lake_dir = self.lake_dir
 
-        def merge_partition(group: pa.Table) -> pa.Table:
-            pid = int(group.column("pid")[0].as_py())
-            merged = lww_latest(group)
-            path = os.path.join(
-                "data", f"part-{pid:05d}", f"base-v{version:08d}.parquet"
+        compact_task = ray.remote(_compact_partition)
+        schema_ref = ray.put(state_schema)
+        stats_refs = [
+            compact_task.remote(
+                lake_dir, pid, self.manifest.live_files(pid), schema_ref, version
             )
-            atomic_parquet(merged, os.path.join(lake_dir, path))
-            tomb = int(pc.sum(pc.equal(merged.column("op"), "D")).as_py() or 0)
-            return pa.table(
-                {
-                    "pid": pa.array([pid], pa.int32()),
-                    "rows": pa.array([merged.num_rows], pa.int64()),
-                    "tombstones": pa.array([tomb], pa.int64()),
-                    "path": pa.array([path], pa.string()),
-                }
-            )
-
-        stats = (
-            ray.data.read_parquet(files, schema=state_schema)
-            .groupby("pid")
-            .map_groups(merge_partition, batch_format="pyarrow")
-            .to_pandas()
-        )
+            for pid in pids
+        ]
         updates = {}
-        for row in stats.itertuples(index=False):
-            pid = int(row.pid)
+        for row in ray.get(stats_refs):
+            pid = int(row["pid"])
             updates[pid] = {
                 "runs": [
                     {
-                        "path": row.path,
-                        "rows": int(row.rows),
-                        "tombstones": int(row.tombstones),
+                        "path": row["path"],
+                        "rows": int(row["rows"]),
+                        "tombstones": int(row["tombstones"]),
                     }
                 ],
                 "replaces": True,
                 "max_offset": self.manifest.partition(pid)["max_offset"],
-                "rows": int(row.rows) - int(row.tombstones),  # exact recount
+                "rows": int(row["rows"]) - int(row["tombstones"]),  # exact recount
             }
         self.manifest.commit_compaction(updates)
         return len(updates)
