@@ -80,16 +80,73 @@ def _lsh_topk_embeddings(sf_dir: str):
     return lsh_bucket_topk(ds, q_mat, q_ids, dim=q_mat.shape[1], k=10)
 
 
+def _c360(sf_dir: str, key: str):
+    """customer360 DAG over the deterministic synthetic source fixtures
+    (rows-only check: marketo/stripe/zendesk tables are not driver views)."""
+    from dbt_customer360_ray.pipelines.c360_fixtures import gen_c360_sources
+    from dbt_customer360_ray.pipelines.customer360 import run_customer360
+
+    tables, _truth = gen_c360_sources(300, seed=42)
+    return run_customer360(tables)[key]
+
+
+def _stream_replay_lake(sf_dir: str):
+    """Streaming actor-pool ingest (micro-batch tail + checkpoints) of the
+    CDC fixture; returns the converged lake."""
+    import tempfile
+
+    import numpy as np
+
+    from dbt_customer360_ray.gen import gen_changes
+    from dbt_customer360_ray.state.engine import CdcLake
+    from dbt_customer360_ray.state.streaming import StreamingSession
+
+    changes = gen_changes(20_000, 1_000, seed=42)
+    lake = CdcLake(tempfile.mkdtemp(prefix="stream-lake-"), num_partitions=16)
+    sess = StreamingSession(lake, pool_size=4)
+    bounds = np.linspace(0, changes.num_rows, 9).astype(int)
+    for i in range(8):
+        sess.ingest(changes.slice(bounds[i], bounds[i + 1] - bounds[i]))
+        if i % 3 == 2:
+            sess.checkpoint()
+    sess.checkpoint()
+    sess.close()
+    return lake.read_local_table()
+
+
+def _multimodal_image_features(sf_dir: str):
+    import ray.data
+
+    from dbt_customer360_ray.stages.multimodal import gen_media_table, image_features
+
+    return image_features(ray.data.from_arrow(gen_media_table(128, seed=5)))
+
+
+def _multimodal_audio_features(sf_dir: str):
+    import ray.data
+
+    from dbt_customer360_ray.stages.multimodal import audio_features, gen_media_table
+
+    return audio_features(ray.data.from_arrow(gen_media_table(128, seed=5)))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    import functools
+
     from dbt_customer360_ray.pipelines.analytics import QUERIES
 
     out: dict[str, Callable[[str], Any]] = dict(QUERIES)
     out["cdc_replay_lake"] = _cdc_replay_lake
+    out["stream_replay_lake"] = _stream_replay_lake
     out["lang_quality_documents"] = _lang_quality_documents
     out["minhash_near_dups"] = _minhash_near_dups
     out["simhash_documents"] = _simhash_documents
     out["embedding_near_dups"] = _embedding_near_dups
     out["lsh_topk_embeddings"] = _lsh_topk_embeddings
+    for key in ("mapping", "summary", "customer", "attr_email", "attr_phone", "attr_name"):
+        out[f"c360_{key}"] = functools.partial(_c360, key=key)
+    out["multimodal_image_features"] = _multimodal_image_features
+    out["multimodal_audio_features"] = _multimodal_audio_features
     return out
 
 

@@ -191,10 +191,47 @@ def gen_c360_sources(num_people: int = 200, seed: int = 42):
             }
         )
 
+    # per-source metric tables (customer360__customer.sql:53,73,105 inputs)
+    mmet, smet, zmet = [], [], []
+    for r in pp.itertuples(index=False):
+        if r.in_marketo:
+            mmet.append(
+                {
+                    "lead_id": 1000 + r.person,
+                    "count_campaigns": int(r.person % 7),
+                    "count_email_opens": int(r.person % 23),
+                    "count_email_clicks": int(r.person % 11),
+                }
+            )
+        if r.in_stripe:
+            smet.append(
+                {
+                    "customer_id": f"cus_{r.person:06d}",
+                    "total_spend": round(float(r.person % 97) * 10.5, 2),
+                    "count_charges": int(r.person % 13),
+                    "first_charge_at": ts(r.person, 4),
+                    "most_recent_charge_at": ts(r.person, 5),
+                }
+            )
+        if r.in_zendesk:
+            n_tickets = int(r.person % 9)
+            zmet.append(
+                {
+                    "user_id": 5000 + r.person,
+                    "count_tickets": n_tickets,
+                    "count_open_tickets": int(r.person % 3),
+                    "avg_csat": round(3.0 + (r.person % 20) / 10.0, 2),
+                    "count_replies": int(r.person % 17),
+                }
+            )
+
     tables = {
         "marketo_leads": pa.Table.from_pandas(pd.DataFrame(marketo), preserve_index=False),
         "stripe_customer_overview": pa.Table.from_pandas(pd.DataFrame(stripe), preserve_index=False),
         "zendesk_users": pa.Table.from_pandas(pd.DataFrame(zusers), preserve_index=False),
         "zendesk_organizations": pa.Table.from_pandas(pd.DataFrame(zorgs), preserve_index=False),
+        "marketo_metrics": pa.Table.from_pandas(pd.DataFrame(mmet), preserve_index=False),
+        "stripe_metrics": pa.Table.from_pandas(pd.DataFrame(smet), preserve_index=False),
+        "zendesk_metrics": pa.Table.from_pandas(pd.DataFrame(zmet), preserve_index=False),
     }
     return tables, pd.DataFrame(truth)

@@ -654,6 +654,101 @@ def summary(mapping: pd.DataFrame, attrs: dict[str, pd.DataFrame]) -> pd.DataFra
     return out
 
 
+# ---------------------------------------------------------------------------
+# customer metrics rollup (models/customer360__customer.sql:28-337)
+# ---------------------------------------------------------------------------
+
+METRIC_SUM_COLS = {
+    "marketo": ["count_campaigns", "count_email_opens", "count_email_clicks"],
+    "stripe": ["total_spend", "count_charges"],
+    "zendesk": ["count_tickets", "count_open_tickets", "count_replies"],
+}
+
+
+def customer_rollup(
+    mapping: pd.DataFrame,
+    summary_df: pd.DataFrame,
+    metric_tables: dict[str, pa.Table],
+) -> pd.DataFrame:
+    """Per-source metric aggregation joined to the summary dims, plus the org
+    re-aggregation (customer360__customer.sql:238-324). Aggregations run as Ray
+    ``groupby(customer360_id)`` sums after a broadcast id→customer360_id lookup
+    in map_batches (hash join + groupby, SURVEY.md §2.4 'Metrics joins').
+
+    Reproduces the reference quirk (:321): the org rollup reads only
+    ``is_organization_header`` rows whose source ids are NULL, so their joined
+    metrics are NULL and the rolled-up sums are 0 — as-is, by design.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    individual = mapping[~mapping["is_organization_header"]]
+    lookups = {}
+    for src, idc in (("marketo", "lead_id"), ("stripe", "customer_id"), ("zendesk", "user_id")):
+        lookups[src] = {
+            i: c for i, c in zip(individual[idc], individual["customer360_id"]) if pd.notna(i)
+        }
+
+    out = summary_df.copy()
+    for src, idc in (("marketo", "lead_id"), ("stripe", "customer_id"), ("zendesk", "user_id")):
+        table = metric_tables.get(f"{src}_metrics")
+        if table is None or table.num_rows == 0:
+            for c in METRIC_SUM_COLS[src]:
+                out[f"total_{c}" if not c.startswith(("count_", "total_")) else c] = 0
+            continue
+        ref = ray.put(lookups[src])
+
+        def attach(df: pd.DataFrame, _idc=idc, _ref=ref) -> pd.DataFrame:
+            lk = ray.get(_ref)
+            df = df.copy()
+            df["customer360_id"] = df[_idc].map(lk)
+            return df[df["customer360_id"].notna()]
+
+        ds = ray.data.from_arrow(table).map_batches(attach, batch_format="pandas")
+        aggs = [Sum(c, alias_name=c) for c in METRIC_SUM_COLS[src]]
+        if src == "stripe":
+            aggs += [
+                Min("first_charge_at", alias_name="first_charge_at"),
+                Max("most_recent_charge_at", alias_name="most_recent_charge_at"),
+            ]
+        if src == "zendesk":
+            # weighted average: safe_divide(sum(avg*count), sum(count))
+            # (customer360__customer.sql:92-102)
+            def weight(df: pd.DataFrame) -> pd.DataFrame:
+                df = df.copy()
+                df["_csat_weighted"] = df["avg_csat"].fillna(0) * df["count_tickets"].fillna(0)
+                return df
+
+            ds = ds.map_batches(weight, batch_format="pandas")
+            aggs += [Sum("_csat_weighted", alias_name="_csat_weighted")]
+        agg_df = ds.groupby("customer360_id").aggregate(*aggs).to_pandas()
+        if src == "zendesk" and not agg_df.empty:
+            denom = agg_df["count_tickets"].replace(0, np.nan)
+            agg_df["avg_csat"] = (agg_df["_csat_weighted"] / denom).round(6)
+            agg_df = agg_df.drop(columns=["_csat_weighted"])
+        out = out.merge(agg_df, on="customer360_id", how="left")
+
+    for src in METRIC_SUM_COLS:
+        for c in METRIC_SUM_COLS[src]:
+            if c in out.columns:
+                # sum(coalesce(x,0)) semantics for individual rows
+                out[c] = out[c].fillna(0)
+
+    # org rollup over header rows only (quirk: metrics are all NULL→0 there)
+    headers = out[out["is_organization_header"]]
+    if len(headers):
+        roll_cols = [c for src in METRIC_SUM_COLS for c in METRIC_SUM_COLS[src]]
+        rolled = headers.groupby("customer360_organization_id", dropna=False)[roll_cols].sum()
+        for c in roll_cols:
+            out.loc[out["is_organization_header"], c] = (
+                out.loc[out["is_organization_header"], "customer360_organization_id"]
+                .map(rolled[c])
+                .values
+            )
+    return out
+
+
 def run_customer360(tables: dict[str, pa.Table]) -> dict[str, pd.DataFrame]:
     """End-to-end DAG: clean (Ray actor pools) → match → map → attributes →
     summary. Cleaned outputs come back to the driver as pandas for the spine
@@ -668,10 +763,14 @@ def run_customer360(tables: dict[str, pa.Table]) -> dict[str, pd.DataFrame]:
     attrs = {
         attr: attribute_table(attr, mapping, cleaned_dfs) for attr in ATTRIBUTE_SPECS
     }
-    return {
+    summary_df = summary(mapping, attrs)
+    out = {
         "mapping": mapping,
-        "summary": summary(mapping, attrs),
+        "summary": summary_df,
         "matches": matches,
         **{f"attr_{k}": v for k, v in attrs.items()},
         **{f"cleaned_{k}": v for k, v in cleaned_dfs.items()},
     }
+    if any(k.endswith("_metrics") for k in tables):
+        out["customer"] = customer_rollup(mapping, summary_df, tables)
+    return out

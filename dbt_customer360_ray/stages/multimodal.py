@@ -1,0 +1,160 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed by actor-pool map_batches stages.
+
+The Ray-side plumbing (schemas, batch sizing, actor signatures, output layout)
+is real and tested; the codec kernels themselves are STUBS behind
+``DecodeBackend`` because no image/audio libraries exist in this container —
+``FakeDecodeBackend`` produces deterministic arrays so the distributed path is
+exercised end to end, and a real backend (PIL/ffmpeg/torchvision) drops in by
+implementing the same two methods.
+
+Scale notes: binary payloads make rows wide — keep ``batch_size`` small
+(default 32) and let block sizing follow ``DataContext.target_max_block_size``;
+stateful decoder setup happens once per actor in ``__init__``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),  # image | audio | video
+        ("payload", pa.binary()),
+        ("mime", pa.string()),
+        ("width", pa.int32()),  # nullable metadata
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+class DecodeBackend:
+    """Codec interface. Real backends implement decode_image/decode_audio."""
+
+    def decode_image(self, payload: bytes) -> np.ndarray:  # (H, W, 3) uint8
+        raise NotImplementedError(
+            "no image codec in this environment — plug in a PIL/cv2 backend"
+        )
+
+    def decode_audio(self, payload: bytes) -> np.ndarray:  # (n_samples,) float32
+        raise NotImplementedError(
+            "no audio codec in this environment — plug in an ffmpeg backend"
+        )
+
+
+class FakeDecodeBackend(DecodeBackend):
+    """Deterministic fake: bytes → seeded arrays (for tests/benchmarks)."""
+
+    def decode_image(self, payload: bytes) -> np.ndarray:
+        seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "little")
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+
+    def decode_audio(self, payload: bytes) -> np.ndarray:
+        seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "little")
+        rng = np.random.default_rng(seed)
+        return rng.standard_normal(1600).astype(np.float32)
+
+
+class ImageFeatures:
+    """Actor-pool stage: decode image payloads and emit pooled feature stats.
+
+    Output columns: media_id, mean_r/g/b (float64), feature (list<float> 8-dim
+    channel histogram) — the layout a real embedding stage would produce.
+    """
+
+    def __init__(self, backend: DecodeBackend | None = None):
+        self.backend = backend or FakeDecodeBackend()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, means, feats = [], [], []
+        payloads = batch.column("payload").to_pylist()
+        for mid, payload in zip(batch.column("media_id").to_pylist(), payloads):
+            img = self.backend.decode_image(payload)
+            ids.append(mid)
+            means.append(img.reshape(-1, 3).mean(axis=0))
+            hist, _ = np.histogram(img, bins=8, range=(0, 256))
+            feats.append((hist / hist.sum()).astype(np.float32))
+        means = np.array(means) if means else np.zeros((0, 3))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "mean_r": pa.array(means[:, 0] if len(ids) else [], pa.float64()),
+                "mean_g": pa.array(means[:, 1] if len(ids) else [], pa.float64()),
+                "mean_b": pa.array(means[:, 2] if len(ids) else [], pa.float64()),
+                "feature": pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
+            }
+        )
+
+
+class AudioFeatures:
+    """Actor-pool stage: decode audio and emit rms/zero-crossing features."""
+
+    def __init__(self, backend: DecodeBackend | None = None):
+        self.backend = backend or FakeDecodeBackend()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, rms, zcr = [], [], []
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            wav = self.backend.decode_audio(payload)
+            ids.append(mid)
+            rms.append(float(np.sqrt((wav**2).mean())))
+            zcr.append(float((np.diff(np.signbit(wav)) != 0).mean()))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "rms": pa.array(rms, pa.float64()),
+                "zero_crossing_rate": pa.array(zcr, pa.float64()),
+            }
+        )
+
+
+def gen_media_table(n: int = 64, seed: int = 5) -> pa.Table:
+    """Deterministic synthetic media table (binary payloads + typed metadata)."""
+    rng = np.random.default_rng(seed)
+    kinds = np.array(["image", "audio"], dtype=object)[rng.integers(0, 2, n)]
+    payloads = [rng.integers(0, 256, 256, dtype=np.uint8).tobytes() for _ in range(n)]
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(
+                ["image/png" if k == "image" else "audio/wav" for k in kinds], pa.string()
+            ),
+            "width": pa.array([16 if k == "image" else None for k in kinds], pa.int32()),
+            "height": pa.array([16 if k == "image" else None for k in kinds], pa.int32()),
+            "duration_ms": pa.array(
+                [None if k == "image" else 100 for k in kinds], pa.int32()
+            ),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def image_features(ds, concurrency: int = 2, batch_size: int = 32, backend=None):
+    """media Dataset → image feature Dataset (actor pool, small batches)."""
+    return ds.filter(lambda r: r["kind"] == "image").map_batches(
+        ImageFeatures,
+        fn_constructor_kwargs={"backend": backend},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def audio_features(ds, concurrency: int = 2, batch_size: int = 32, backend=None):
+    return ds.filter(lambda r: r["kind"] == "audio").map_batches(
+        AudioFeatures,
+        fn_constructor_kwargs={"backend": backend},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,187 @@
+"""Streaming ingest: a FIXED actor pool of stateful partition appliers tailing
+a change stream in micro-batches (the north-star shape: binlog tail →
+``ray.data`` batches → hash routing → stateful appliers with RocksDB-like
+sorted upsert state → exactly-once manifest commits).
+
+Differences from the epoch path (engine.apply):
+- State lives IN the actors between micro-batches (an LWW-resolved memtable per
+  owned partition), flushed to sorted runs only at ``checkpoint()``. Partition →
+  actor affinity is fixed for the session (pid round-robin over the pool) —
+  the explicit ray.remote routing SURVEY.md §7.4 point 2 calls for, since Ray
+  Data's groupby cannot pin groups to named actors across batches.
+- Exactly-once: ``ingest()`` mutates only actor memory; ``checkpoint()`` makes
+  runs + offsets durable via the same atomic manifest commit. A crash between
+  checkpoints loses memtables only — resume re-tails the stream from
+  ``lake.checkpoints()`` (per-partition committed offsets) and the offset
+  dedup + LWW idempotence absorb any overlap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.lww import lww_latest
+from ..hashing import partition_ids
+from ..schemas import conform_batch, evolve_schema
+from .applier import atomic_parquet
+from .engine import CdcLake, REQUIRED_EVENT_COLUMNS
+
+
+class _PartitionApplier:
+    """Actor body: owns a set of partitions; memtable = LWW winners per pid."""
+
+    def __init__(self, lake_dir: str, pids: list[int], committed: dict[int, int]):
+        self.lake_dir = lake_dir
+        self.pids = set(pids)
+        self.committed = dict(committed)
+        self.mem: dict[int, list[pa.Table]] = {}
+        self.pending_max: dict[int, int] = {}
+        self.counts = {"events_in": 0, "events_deduped": 0, "upserts": 0, "deletes": 0}
+
+    def ingest(self, pid: int, chunk: pa.Table) -> int:
+        assert pid in self.pids
+        self.counts["events_in"] += chunk.num_rows
+        committed = self.committed.get(pid, -1)
+        new = chunk.filter(pc.greater(chunk.column("offset"), committed))
+        self.counts["events_deduped"] += chunk.num_rows - new.num_rows
+        if new.num_rows == 0:
+            return 0
+        deletes = int(pc.sum(pc.equal(new.column("op"), "D")).as_py() or 0)
+        self.counts["deletes"] += deletes
+        self.counts["upserts"] += new.num_rows - deletes
+        winners = lww_latest(new)
+        bucket = self.mem.setdefault(pid, [])
+        bucket.append(winners)
+        if len(bucket) > 8:  # in-memory compaction keeps the memtable bounded
+            self.mem[pid] = [lww_latest(pa.concat_tables(bucket))]
+        self.pending_max[pid] = max(
+            self.pending_max.get(pid, -1), int(pc.max(new.column("offset")).as_py())
+        )
+        return new.num_rows
+
+    def flush(self, epoch: int) -> list[dict]:
+        """Write one sorted run per dirty partition; returns manifest updates."""
+        out = []
+        import os
+
+        for pid, chunks in sorted(self.mem.items()):
+            merged = lww_latest(pa.concat_tables(chunks))
+            path = os.path.join(
+                "data", f"part-{pid:05d}", f"run-{epoch:06d}-stream.parquet"
+            )
+            atomic_parquet(merged, os.path.join(self.lake_dir, path))
+            tomb = int(pc.sum(pc.equal(merged.column("op"), "D")).as_py() or 0)
+            max_off = self.pending_max.get(pid, self.committed.get(pid, -1))
+            out.append(
+                {
+                    "pid": pid,
+                    "runs": [{"path": path, "rows": merged.num_rows, "tombstones": tomb}],
+                    "max_offset": max_off,
+                }
+            )
+            self.committed[pid] = max_off
+        self.mem.clear()
+        self.pending_max.clear()
+        return out
+
+    def take_metrics(self) -> dict:
+        """Per-epoch counters: returned and reset at each checkpoint."""
+        out = dict(self.counts)
+        self.counts = {"events_in": 0, "events_deduped": 0, "upserts": 0, "deletes": 0}
+        return out
+
+
+class StreamingSession:
+    """Fixed applier pool over a CdcLake; driver routes micro-batches."""
+
+    def __init__(self, lake: CdcLake, pool_size: int | None = None):
+        import ray
+
+        self.lake = lake
+        self.P = lake.P
+        pool_size = pool_size or min(self.P, max(2, int(ray.cluster_resources().get("CPU", 8)) // 2))
+        committed = lake.checkpoints()
+        self.pid_to_actor: dict[int, int] = {p: p % pool_size for p in range(self.P)}
+        Actor = ray.remote(_PartitionApplier)
+        self.actors = []
+        for a in range(pool_size):
+            pids = [p for p in range(self.P) if self.pid_to_actor[p] == a]
+            self.actors.append(
+                Actor.remote(lake.lake_dir, pids, {p: committed.get(p, -1) for p in pids})
+            )
+        self._schema: pa.Schema | None = lake._event_schema()
+        self._pending_refs: list = []
+
+    def ingest(self, batch: pa.Table) -> None:
+        """One micro-batch: conform/evolve (driver-side, vectorized), route by
+        pid, ship each slice to its owner actor."""
+        missing = [c for c in REQUIRED_EVENT_COLUMNS if c not in batch.column_names]
+        if missing:
+            raise ValueError(f"micro-batch missing required columns: {missing}")
+        incoming = batch.schema
+        self._schema = (
+            evolve_schema(self._schema, incoming) if self._schema is not None else incoming
+        )
+        conformed = conform_batch(batch, self._schema)
+        pids = partition_ids(conformed.column("conv_id"), self.P)
+        order = np.argsort(pids, kind="stable")
+        t = conformed.take(pa.array(order))
+        sorted_pids = pids[order]
+        bounds = np.searchsorted(sorted_pids, np.arange(self.P + 1))
+        state_schema = pa.schema(list(self._schema) + [pa.field("pid", pa.int32())])
+        for p in range(self.P):
+            lo, hi = bounds[p], bounds[p + 1]
+            if hi <= lo:
+                continue
+            chunk = t.slice(lo, hi - lo)
+            chunk = conform_batch(chunk, state_schema).set_column(
+                state_schema.get_field_index("pid"),
+                "pid",
+                pa.array([p] * chunk.num_rows, pa.int32()),
+            )
+            ref = self.actors[self.pid_to_actor[p]].ingest.remote(p, chunk)
+            self._pending_refs.append(ref)
+
+    def checkpoint(self) -> dict:
+        """Flush all appliers and atomically commit one epoch."""
+        import ray
+
+        ray.get(self._pending_refs)  # drain in-flight ingests
+        self._pending_refs = []
+        epoch = self.lake.manifest.last_epoch + 1
+        updates_nested = ray.get([a.flush.remote(epoch) for a in self.actors])
+        partition_updates: dict[int, dict] = {}
+        for lst in updates_nested:
+            for u in lst:
+                prev = self.lake.manifest.partition(u["pid"])
+                partition_updates[u["pid"]] = {
+                    "runs": u["runs"],
+                    "replaces": False,
+                    "max_offset": u["max_offset"],
+                    "rows": prev["rows"]
+                    + sum(r["rows"] - r["tombstones"] for r in u["runs"]),
+                }
+        metrics = ray.get([a.take_metrics.remote() for a in self.actors])
+        delta = {
+            k: int(sum(m[k] for m in metrics)) for k in
+            ("events_in", "events_deduped", "upserts", "deletes")
+        }
+        delta["late_events"] = 0  # streaming mode: late events counted at read
+        state_schema = pa.schema(
+            list(self._schema) + [pa.field("pid", pa.int32())]
+        ) if self._schema is not None else self.lake.manifest.schema
+        self.lake.manifest.commit_epoch(
+            epoch, partition_updates, state_schema, self.P, delta
+        )
+        self.lake.compact()
+        return {"epoch": epoch, **delta}
+
+    def close(self) -> None:
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

@@ -129,3 +129,22 @@ def test_summary_star(result):
     assert "best_email" in s.columns and "best_name" in s.columns
     ind = s[~s["is_organization_header"]]
     assert ind["best_email"].notna().mean() > 0.5
+
+
+def test_customer_metrics_rollup(result):
+    res, truth = result
+    cust = res.get("customer")
+    assert cust is not None
+    ind = cust[~cust["is_organization_header"]]
+    # a person in stripe with known metrics: total_spend = (person % 97) * 10.5
+    linked = truth[truth["customer_id"].notna()].head(10)
+    for r in linked.itertuples(index=False):
+        rows = ind[ind["customer_id"] == r.customer_id]
+        assert len(rows) == 1
+        assert abs(rows["total_spend"].iloc[0] - (r.person % 97) * 10.5) < 1e-6
+    # quirk reproduction: org-header rows have NULL source ids -> metrics 0
+    headers = cust[cust["is_organization_header"]]
+    assert (headers["total_spend"] == 0).all()
+    # weighted csat within [1,5] where tickets exist
+    with_t = ind[ind["count_tickets"] > 0]
+    assert with_t["avg_csat"].dropna().between(1, 5).all()

@@ -1,0 +1,151 @@
+"""Unit tests: dedup (exact/MinHash/SimHash/Jaccard/embedding), similarity
+search, text analysis, multimodal plumbing — with planted positives/negatives."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from dbt_customer360_ray.stages import dedup as D
+from dbt_customer360_ray.stages import multimodal as M
+from dbt_customer360_ray.stages import similarity as S
+from dbt_customer360_ray.stages import text as T
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seventeen astronauts "
+    "carefully measure gravitational anomalies near the ancient observatory "
+    "and catalog every shimmering constellation above the quiet northern valley"
+)
+
+
+def _docs():
+    rows = [
+        (0, BASE),
+        (1, BASE.replace("quiet", "silent")),      # near-dup of 0
+        (2, BASE),                                  # exact dup of 0
+        (3, "completely different text about cooking pasta with garlic and olive oil in a small kitchen"),
+        (4, "yet another unrelated document describing quarterly financial results and revenue growth"),
+    ]
+    return pa.table(
+        {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+         "text": pa.array([r[1] for r in rows], pa.string())}
+    )
+
+
+def test_exact_dedup(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_docs())
+    out = D.exact_dedup(ds).to_pandas()
+    # 0 and 2 identical → one group of size 2 keeping doc_id 0
+    dup = out[out["n_dups"] == 2]
+    assert len(dup) == 1 and dup["doc_id"].iloc[0] == 0
+    assert len(out) == 4  # 4 distinct texts
+
+
+def test_minhash_finds_planted_near_dups(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_docs())
+    pairs = D.minhash_candidates(ds, threshold=0.6).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    assert not any(3 in p or 4 in p for p in got)  # unrelated docs never pair
+    groups = D.connected_groups(pairs).to_pandas()
+    assert set(groups[groups["dup_group"] == 0]["doc_id"]) == {0, 1, 2}
+
+
+def test_simhash_similar_docs_close(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_docs())
+    sigs = D.simhash_signatures(ds).to_pandas().set_index("doc_id")["simhash"]
+    mask = (1 << 64) - 1  # simhash is a uint64 stored in int64
+    ham = lambda a, b: bin((int(a) ^ int(b)) & mask).count("1")  # noqa: E731
+    assert ham(sigs[0], sigs[2]) == 0
+    assert ham(sigs[0], sigs[1]) <= 8
+    assert ham(sigs[0], sigs[3]) > 12
+
+
+def test_ngram_jaccard():
+    assert D.ngram_jaccard(BASE, BASE) == 1.0
+    assert D.ngram_jaccard(BASE, BASE.replace("quiet", "silent")) > 0.7
+    assert D.ngram_jaccard(BASE, "pasta with garlic") < 0.05
+
+
+def test_embedding_near_dups_and_topk(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((50, 16))
+    mat[7] = mat[3] * 1.001 + 1e-4  # planted near-identical pair (3, 7)
+    tbl = pa.table(
+        {"vec_id": pa.array(np.arange(50, dtype=np.int64)),
+         "embedding": pa.array([r.tolist() for r in mat], pa.list_(pa.float32()))}
+    )
+    ds = ray.data.from_arrow(tbl)
+    pairs = D.embedding_near_dups(ds, threshold=0.99).to_pandas()
+    assert {(3, 7)} == {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+
+    # brute-force top-k vs numpy oracle
+    q = mat[:2]
+    out = S.brute_force_topk(ds, q, np.array([0, 1]), k=5, round_to=None).to_pandas()
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qid in (0, 1):
+        sims = norm @ (q[qid] / np.linalg.norm(q[qid]))
+        want = set(np.argsort(-sims)[:5])
+        got = set(out[out["query_id"] == qid]["vec_id"])
+        assert got == want
+
+    # LSH variant: query itself is rank 1 (it shares its own bucket)
+    lsh = S.lsh_bucket_topk(ds, q, np.array([0, 1]), dim=16, k=5).to_pandas()
+    top1 = lsh[lsh["rank"] == 1].set_index("query_id")["vec_id"]
+    assert top1[0] == 0 and top1[1] == 1
+
+
+def test_text_quality_and_langid(ray_session):
+    import ray.data
+
+    tbl = pa.table(
+        {"doc_id": pa.array([0, 1, 2], pa.int64()),
+         "text": pa.array(
+             ["the cat and the dog went to the park and it is a good day for the team",
+              "der hund und die katze sind nicht mit der maus zu den bergen gegangen",
+              "!!! ??? ### $$$"], pa.string())}
+    )
+    out = T.analyze_text(ray.data.from_arrow(tbl), concurrency=1).to_pandas().set_index("doc_id")
+    assert out.loc[0, "lang_pred"] == "en"
+    assert out.loc[1, "lang_pred"] == "de"
+    assert out.loc[2, "lang_pred"] == "und"
+    assert out.loc[0, "quality_score"] > out.loc[2, "quality_score"]
+
+    stats = T.token_stats(tbl).to_pandas()
+    assert stats["n_tokens"].tolist()[0] == len(tbl.column("text")[0].as_py().split())
+
+    fp = T.fingerprint(tbl).to_pandas()
+    assert fp["fp"].str.len().eq(32).all()
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data
+
+    media = M.gen_media_table(40, seed=5)
+    ds = ray.data.from_arrow(media)
+    img = M.image_features(ds).to_pandas()
+    aud = M.audio_features(ds).to_pandas()
+    n_img = media.to_pandas()["kind"].eq("image").sum()
+    assert len(img) == n_img and len(aud) == 40 - n_img
+    assert img["mean_r"].between(0, 255).all()
+    assert (img["feature"].map(len) == 8).all()
+    assert aud["rms"].gt(0).all()
+    # deterministic: same payload → same features
+    img2 = M.image_features(ray.data.from_arrow(media)).to_pandas()
+    pd.testing.assert_frame_equal(
+        img.sort_values("media_id").reset_index(drop=True),
+        img2.sort_values("media_id").reset_index(drop=True),
+    )
+    # the real backend is an explicit stub
+    with pytest.raises(NotImplementedError):
+        M.DecodeBackend().decode_image(b"x")
