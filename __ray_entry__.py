@@ -143,7 +143,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["simhash_documents"] = _simhash_documents
     out["embedding_near_dups"] = _embedding_near_dups
     out["lsh_topk_embeddings"] = _lsh_topk_embeddings
-    for key in ("mapping", "summary", "customer", "attr_email", "attr_phone", "attr_name"):
+    for key in (
+        "mapping", "summary", "customer", "attr_email", "attr_phone",
+        "attr_name", "attr_address", "ip_address", "status", "updates",
+    ):
         out[f"c360_{key}"] = functools.partial(_c360, key=key)
     out["multimodal_image_features"] = _multimodal_image_features
     out["multimodal_audio_features"] = _multimodal_audio_features

@@ -635,6 +635,140 @@ def attribute_table(
     return long.drop(columns=["_ts", "_placeholder"])
 
 
+DEMOTED_TYPES = {"inferred"}  # ranked last (customer360__address.sql:211-212)
+
+
+def _id_to_c360(mapping: pd.DataFrame) -> dict:
+    out = {}
+    individual = mapping[~mapping["is_organization_header"]]
+    for src, idc in (("marketo", "lead_id"), ("stripe", "customer_id"), ("zendesk", "user_id")):
+        for i, cid in zip(individual[idc], individual["customer360_id"]):
+            if pd.notna(i):
+                out[(src, i)] = cid
+    return out
+
+
+def address_attribute(mapping: pd.DataFrame, cleaned_dfs: dict[str, pd.DataFrame]) -> pd.DataFrame:
+    """customer360__address.sql:24-116,140-212: unpivot per-source address rows
+    (line_1/line_2/city/state/zip/country + type), rank per entity by
+    (non-inferred first, frequency, recency) on the line_1 value."""
+    lk = _id_to_c360(mapping)
+    rows = []
+    specs = [("marketo", "primary"), ("stripe", "customer")]
+    for src, type_label in specs:
+        df = cleaned_dfs[src]
+        if "address_line_1" not in df:
+            continue
+        sid = ID_COLS[src]
+        sub = df[df["address_line_1"].notna()]
+        for r in sub.itertuples(index=False):
+            cid = lk.get((src, getattr(r, sid)))
+            if cid is None:
+                continue
+            rows.append(
+                {
+                    "customer360_id": cid,
+                    "value": r.address_line_1,
+                    "address_line_2": r.address_line_2,
+                    "city": r.city,
+                    "state_code": r.state_code,
+                    "postal_code": r.postal_code,
+                    "country_code": r.country_code,
+                    "type": type_label,
+                    "source": src,
+                    "last_updated": r.updated_at if pd.notna(r.updated_at) else r.created_at,
+                }
+            )
+    if not rows:
+        return pd.DataFrame(
+            columns=["customer360_id", "value", "address_line_2", "city", "state_code",
+                     "postal_code", "country_code", "type", "source", "value_count",
+                     "last_updated", "confidence_rank", "index"]
+        )
+    long = pd.DataFrame(rows)
+    grp = long.groupby(["customer360_id", "value"])
+    long["value_count"] = grp["value"].transform("size")
+    long["last_updated"] = grp["last_updated"].transform("max")
+    epoch = pd.Timestamp("1970-01-01")
+    long["_ts"] = long["last_updated"].fillna(epoch)
+    long["_demoted"] = long["type"].isin(DEMOTED_TYPES)
+    long = long.sort_values(
+        ["customer360_id", "_demoted", "value_count", "_ts", "value", "source"],
+        ascending=[True, True, False, False, True, True],
+        kind="stable",
+    ).reset_index(drop=True)
+    long["index"] = long.groupby("customer360_id").cumcount() + 1
+    long["confidence_rank"] = long["index"]  # dense==row here (ties broken by value)
+    return long.drop(columns=["_ts", "_demoted"])
+
+
+def ip_address_table(mapping: pd.DataFrame, cleaned_dfs: dict[str, pd.DataFrame]) -> pd.DataFrame:
+    """customer360__ip_address.sql:23-29: marketo IPs joined to the spine with
+    ipv4/ipv6 classification."""
+    lk = _id_to_c360(mapping)
+    m = cleaned_dfs["marketo"]
+    sub = m[m["anonymous_ip"].notna()]
+    return pd.DataFrame(
+        {
+            "customer360_id": [lk.get(("marketo", i)) for i in sub["lead_id"]],
+            "ip_address": sub["anonymous_ip"].to_numpy(),
+            "type": sub["ip_type"].to_numpy(),
+            "source": "marketo",
+        }
+    ).dropna(subset=["customer360_id"]).reset_index(drop=True)
+
+
+STATUS_SPECS = [
+    ("marketo", "is_unsubscribed"), ("marketo", "is_email_invalid"),
+    ("marketo", "do_not_call"), ("stripe", "is_delinquent"),
+    ("stripe", "is_deleted"), ("zendesk", "is_active"), ("zendesk", "is_suspended"),
+]
+
+
+def status_table(mapping: pd.DataFrame, cleaned_dfs: dict[str, pd.DataFrame]) -> pd.DataFrame:
+    """customer360__status.sql:39-176: per-source status flags unpivoted to
+    (customer360_id, status, value, source) rows."""
+    lk = _id_to_c360(mapping)
+    rows = []
+    for src, col in STATUS_SPECS:
+        df = cleaned_dfs[src]
+        if col not in df:
+            continue
+        sid = ID_COLS[src]
+        sub = df[df[col].notna()]
+        for i, v in zip(sub[sid], sub[col]):
+            cid = lk.get((src, i))
+            if cid is not None:
+                rows.append(
+                    {"customer360_id": cid, "status": col, "value": bool(v), "source": src}
+                )
+    return pd.DataFrame(rows, columns=["customer360_id", "status", "value", "source"])
+
+
+def updates_table(mapping: pd.DataFrame, cleaned_dfs: dict[str, pd.DataFrame]) -> pd.DataFrame:
+    """customer360__updates.sql:7-68: per-source recency rows
+    (customer360_id, source, last_updated, created_at)."""
+    lk = _id_to_c360(mapping)
+    rows = []
+    for src, idc in (("marketo", "lead_id"), ("stripe", "customer_id"), ("zendesk", "user_id")):
+        df = cleaned_dfs[src]
+        for r in df.itertuples(index=False):
+            cid = lk.get((src, getattr(r, idc)))
+            if cid is None:
+                continue
+            rows.append(
+                {
+                    "customer360_id": cid,
+                    "source": src,
+                    "last_updated": r.updated_at if pd.notna(r.updated_at) else r.created_at,
+                    "created_at": r.created_at,
+                }
+            )
+    return pd.DataFrame(
+        rows, columns=["customer360_id", "source", "last_updated", "created_at"]
+    )
+
+
 def summary(mapping: pd.DataFrame, attrs: dict[str, pd.DataFrame]) -> pd.DataFrame:
     """customer360__summary.sql:46-157: best (index=1) value per attribute
     star-joined onto the spine."""
@@ -749,6 +883,74 @@ def customer_rollup(
     return out
 
 
+# ---------------------------------------------------------------------------
+# analyses (consumption queries over the outputs — analyses_old/, SURVEY.md §3.3)
+# ---------------------------------------------------------------------------
+
+
+def analysis_email_campaign_list(res: dict[str, pd.DataFrame]) -> pd.DataFrame:
+    """analyses_old/elan/email_campaign_list_360.sql:9-75: revenue buckets ×
+    ticket counts → campaign segments with best email."""
+    cust = res.get("customer", res["summary"]).copy()
+    ind = cust[~cust["is_organization_header"]].copy()
+    spend = ind.get("total_spend", pd.Series(0, index=ind.index)).fillna(0)
+    ind["revenue_bucket"] = pd.cut(
+        spend, bins=[-0.01, 0, 250, 1000, float("inf")],
+        labels=["none", "low", "mid", "high"],
+    ).astype(str)
+    tickets = ind.get("count_tickets", pd.Series(0, index=ind.index)).fillna(0)
+    ind["has_open_tickets"] = ind.get(
+        "count_open_tickets", pd.Series(0, index=ind.index)
+    ).fillna(0) > 0
+    out = ind[ind["best_email"].notna()][
+        ["customer360_id", "best_email", "best_name", "revenue_bucket", "has_open_tickets"]
+    ]
+    return out.reset_index(drop=True)
+
+
+def analysis_metrics_with_all_phones(res: dict[str, pd.DataFrame]) -> pd.DataFrame:
+    """analyses_old/elan/metrics_with_all_phones_360.sql:13-135: customers
+    reachable by any phone, with their metrics and every known phone."""
+    phones = res["attr_phone"]
+    if phones.empty:
+        return pd.DataFrame(columns=["customer360_id", "phones", "best_name"])
+    agg = (
+        phones.sort_values(["customer360_id", "index"])
+        .groupby("customer360_id")["value"]
+        .apply(lambda v: ", ".join(dict.fromkeys(v)))  # distinct, rank order
+        .rename("phones")
+        .reset_index()
+    )
+    cust = res.get("customer", res["summary"])
+    out = agg.merge(cust, on="customer360_id", how="left")
+    keep = ["customer360_id", "phones", "best_name", "best_email"]
+    keep += [c for c in ("total_spend", "count_tickets") if c in out.columns]
+    return out[keep]
+
+
+def date_spine(start, end, freq: str = "MS") -> pd.DataFrame:
+    """dbt_utils.date_spine equivalent (analyses_old/drafts/
+    monthly_metrics_customer360.sql:3-8)."""
+    return pd.DataFrame({"month": pd.date_range(start, end, freq=freq)})
+
+
+def analysis_monthly_metrics(res: dict[str, pd.DataFrame]) -> pd.DataFrame:
+    """monthly_metrics_customer360.sql:1-56: month spine × new-customer counts
+    (date_trunc on created_at)."""
+    ind = res["mapping"][~res["mapping"]["is_organization_header"]]
+    created = pd.to_datetime(ind["created_at"]).dropna()
+    if created.empty:
+        return pd.DataFrame(columns=["month", "new_customers"])
+    spine = date_spine(created.min().floor("d").replace(day=1), created.max())
+    months = created.dt.to_period("M").dt.to_timestamp()
+    counts = months.value_counts().rename("new_customers")
+    out = spine.merge(
+        counts.rename_axis("month").reset_index(), on="month", how="left"
+    )
+    out["new_customers"] = out["new_customers"].fillna(0).astype(int)
+    return out
+
+
 def run_customer360(tables: dict[str, pa.Table]) -> dict[str, pd.DataFrame]:
     """End-to-end DAG: clean (Ray actor pools) → match → map → attributes →
     summary. Cleaned outputs come back to the driver as pandas for the spine
@@ -763,11 +965,15 @@ def run_customer360(tables: dict[str, pa.Table]) -> dict[str, pd.DataFrame]:
     attrs = {
         attr: attribute_table(attr, mapping, cleaned_dfs) for attr in ATTRIBUTE_SPECS
     }
+    attrs["address"] = address_attribute(mapping, cleaned_dfs)
     summary_df = summary(mapping, attrs)
     out = {
         "mapping": mapping,
         "summary": summary_df,
         "matches": matches,
+        "ip_address": ip_address_table(mapping, cleaned_dfs),
+        "status": status_table(mapping, cleaned_dfs),
+        "updates": updates_table(mapping, cleaned_dfs),
         **{f"attr_{k}": v for k, v in attrs.items()},
         **{f"cleaned_{k}": v for k, v in cleaned_dfs.items()},
     }

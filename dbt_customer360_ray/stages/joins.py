@@ -1,0 +1,137 @@
+"""Join/lookup operators (SURVEY.md §2.4) as reusable Ray Data patterns.
+
+- ``broadcast_join``: small side shipped once via ray.put, dict/merge lookup
+  inside map_batches — the seed-join pattern
+  (/root/reference/models/cleaning/int_customer360__marketo.sql:177-207).
+- ``bucketed_hash_join``: both sides large — add ``bucket = hash(key) % B`` to
+  each side, tag, union, groupby(bucket), pandas merge per bucket. The portable
+  partitioned hash join (ray_guide.md); ``Dataset.join`` is the built-in
+  alternative on this Ray version.
+- ``semi_join`` / ``anti_join``: broadcast the key set, filter in map_batches
+  (the reference has none — SURVEY.md §2.4 'Semi/anti joins: none'; provided
+  for completeness).
+- ``asof_join``: sort within buckets + ``pd.merge_asof`` per bucket — the
+  custom operator recipe for range/as-of semantics Ray Data lacks.
+
+Partitioning assumptions are documented per function; hot-key salting composes
+by salting the bucket column exactly as the CDC router does.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..hashing import stable_hash
+
+
+def broadcast_join(
+    ds,
+    small_df: pd.DataFrame,
+    on: str,
+    right_on: str | None = None,
+    how: str = "left",
+):
+    """Left/inner join a Dataset against a driver-side small table (broadcast)."""
+    import ray
+
+    ref = ray.put(small_df)
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        small = ray.get(ref)
+        return batch.merge(
+            small, how=how, left_on=on, right_on=right_on or on
+        )
+
+    return ds.map_batches(per_batch, batch_format="pandas")
+
+
+def _with_bucket(ds, on: str, num_buckets: int, side: str):
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_bucket"] = (
+            stable_hash(batch[on].astype(str)) % np.uint64(num_buckets)
+        ).astype(np.int64)
+        batch["_side"] = side
+        return batch
+
+    return ds.map_batches(tag, batch_format="pandas")
+
+
+def bucketed_hash_join(
+    left,
+    right,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    num_buckets: int = 16,
+):
+    """Partitioned hash join of two Datasets: one shuffle on the bucket column,
+    pandas merge per bucket. Assumes no single key's rows exceed a worker's
+    heap (salt hot keys into sub-buckets otherwise)."""
+    r_on = right_on or on
+    left_cols = list(left.schema().names)
+    right_cols = list(right.schema().names)
+    lt = _with_bucket(left, on, num_buckets, "l")
+    rt = _with_bucket(right, r_on, num_buckets, "r")
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # the union pads each side with the other's columns as nulls — slice
+        # back to the original column sets before merging
+        l = g[g["_side"] == "l"][left_cols]  # noqa: E741
+        r = g[g["_side"] == "r"][right_cols]
+        out = l.merge(r, how=how, left_on=on, right_on=r_on, suffixes=("", "_r"))
+        return out
+
+    return lt.union(rt).groupby("_bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def semi_join(ds, keys, on: str, anti: bool = False):
+    """Keep rows whose key is (not) in the broadcast key set."""
+    import ray
+
+    ref = ray.put(frozenset(keys))
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(ref)
+        mask = batch[on].isin(ks)
+        return batch[~mask] if anti else batch[mask]
+
+    return ds.map_batches(per_batch, batch_format="pandas")
+
+
+def anti_join(ds, keys, on: str):
+    return semi_join(ds, keys, on, anti=True)
+
+
+def asof_join(
+    left,
+    right,
+    key: str,
+    ts: str,
+    num_buckets: int = 16,
+    direction: str = "backward",
+    suffix: str = "_r",
+):
+    """As-of join: for each left row, the latest right row with
+    right.ts <= left.ts for the same key (direction='backward').
+
+    Buckets by key hash, sorts both sides within the bucket, pd.merge_asof per
+    bucket. Assumption: one bucket fits in a worker's heap."""
+    left_cols = list(left.schema().names)
+    right_cols = list(right.schema().names)
+    lt = _with_bucket(left, key, num_buckets, "l")
+    rt = _with_bucket(right, key, num_buckets, "r")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == "l"][left_cols].sort_values(ts)  # noqa: E741
+        r = g[g["_side"] == "r"][right_cols].sort_values(ts)
+        if l.empty:
+            return l.iloc[0:0]
+        if r.empty:
+            return l
+        return pd.merge_asof(
+            l, r, on=ts, by=key, direction=direction, suffixes=("", suffix)
+        )
+
+    return lt.union(rt).groupby("_bucket").map_groups(per_bucket, batch_format="pandas")

@@ -1,0 +1,119 @@
+"""Join operators + PipelineConfig + remaining attribute tables."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dbt_customer360_ray.config import MatchIdSpec, PipelineConfig
+from dbt_customer360_ray.stages import joins as J
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _ds(df):
+    import ray.data
+
+    return ray.data.from_pandas(df)
+
+
+LEFT = pd.DataFrame({"k": [1, 2, 2, 3, 5], "a": list("abcde")})
+RIGHT = pd.DataFrame({"k": [1, 2, 4], "b": list("xyz")})
+
+
+def test_broadcast_join():
+    out = J.broadcast_join(_ds(LEFT), RIGHT, on="k").to_pandas().sort_values(["k", "a"])
+    assert out["b"].where(out["b"].notna(), None).tolist() == ["x", "y", "y", None, None]
+
+
+def test_bucketed_hash_join_matches_pandas():
+    for how in ("inner", "left"):
+        got = (
+            J.bucketed_hash_join(_ds(LEFT), _ds(RIGHT), on="k", how=how, num_buckets=4)
+            .to_pandas()
+            .sort_values(["k", "a"])
+            .reset_index(drop=True)
+        )
+        want = LEFT.merge(RIGHT, on="k", how=how).sort_values(["k", "a"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+
+def test_semi_anti_join():
+    semi = J.semi_join(_ds(LEFT), {2, 3}, on="k").to_pandas()
+    assert sorted(semi["k"]) == [2, 2, 3]
+    anti = J.anti_join(_ds(LEFT), {2, 3}, on="k").to_pandas()
+    assert sorted(anti["k"]) == [1, 5]
+
+
+def test_asof_join_matches_pandas():
+    t0 = pd.Timestamp("2025-01-01")
+    left = pd.DataFrame(
+        {"k": ["a"] * 4 + ["b"] * 3, "ts": [t0 + pd.Timedelta(minutes=m) for m in (1, 5, 9, 13, 2, 6, 10)],
+         "v": range(7)}
+    )
+    right = pd.DataFrame(
+        {"k": ["a", "a", "b"], "ts": [t0, t0 + pd.Timedelta(minutes=8), t0 + pd.Timedelta(minutes=4)],
+         "price": [1.0, 2.0, 3.0]}
+    )
+    got = (
+        J.asof_join(_ds(left), _ds(right), key="k", ts="ts", num_buckets=2)
+        .to_pandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(left.sort_values("ts"), right.sort_values("ts"), on="ts", by="k")
+    want = want.sort_values(["k", "ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+
+def test_pipeline_config_validation():
+    PipelineConfig()  # defaults valid
+    with pytest.raises(ValueError):
+        PipelineConfig(enabled_sources=("marketo",))  # 2-of-3 rule
+    with pytest.raises(ValueError):
+        PipelineConfig(enabled_sources=("marketo", "hubspot"))
+    with pytest.raises(ValueError):
+        PipelineConfig(grains={"marketo": "galactic"})
+    spec = MatchIdSpec("crm_id", {"marketo": "crm_id", "stripe": "metadata_crm_id"})
+    cfg = PipelineConfig(internal_match_ids=(spec,))
+    assert cfg.internal_match_ids[0].name == "crm_id"
+
+
+def test_remaining_attribute_tables():
+    from dbt_customer360_ray.pipelines.c360_fixtures import gen_c360_sources
+    from dbt_customer360_ray.pipelines.customer360 import run_customer360
+
+    tables, _ = gen_c360_sources(80, seed=9)
+    res = run_customer360(tables)
+    addr = res["attr_address"]
+    assert not addr.empty
+    assert addr[addr["index"] == 1]["customer360_id"].is_unique
+    # street-expanded values: match keys made '123 X St' == '123 X Street'
+    assert addr["value"].str.contains("Street|Rd|Avenue", regex=True).any()
+    ip = res["ip_address"]
+    assert set(ip["type"].unique()) <= {"ipv4", "ipv6"}
+    st = res["status"]
+    assert set(st["status"].unique()) >= {"is_unsubscribed", "is_delinquent", "is_active"}
+    up = res["updates"]
+    assert set(up["source"].unique()) == {"marketo", "stripe", "zendesk"}
+    assert "best_address" in res["summary"].columns
+
+
+def test_analyses_layer():
+    from dbt_customer360_ray.pipelines.c360_fixtures import gen_c360_sources
+    from dbt_customer360_ray.pipelines.customer360 import (
+        analysis_email_campaign_list,
+        analysis_metrics_with_all_phones,
+        analysis_monthly_metrics,
+        run_customer360,
+    )
+
+    tables, _ = gen_c360_sources(80, seed=9)
+    res = run_customer360(tables)
+    camp = analysis_email_campaign_list(res)
+    assert set(camp["revenue_bucket"].unique()) <= {"none", "low", "mid", "high"}
+    assert camp["best_email"].notna().all()
+    phones = analysis_metrics_with_all_phones(res)
+    assert phones["phones"].str.contains(r"\+1").any()
+    monthly = analysis_monthly_metrics(res)
+    assert monthly["new_customers"].sum() > 0
+    assert monthly["month"].is_monotonic_increasing
