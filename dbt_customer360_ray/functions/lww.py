@@ -48,17 +48,18 @@ def lww_latest(
         (ts_column, "ascending"),
         (tie_column, "ascending"),
     ]
-    idx = pc.sort_indices(table, sort_keys=sort_keys, null_placement="at_start")
-    t = table.take(idx)
-    n = t.num_rows
+    idx_arr = pc.sort_indices(table, sort_keys=sort_keys, null_placement="at_start")
+    idx = idx_arr.to_numpy(zero_copy_only=False)
+    n = table.num_rows
     same_all = np.ones(n - 1, dtype=bool)
     for c in keys:
-        codes = _key_codes(t.column(c))
+        codes = _key_codes(table.column(c))[idx]  # reorder codes, not the table
         same_all &= codes[:-1] == codes[1:]
-    # row i is the last of its group iff the composite key changes at i+1
+    # row i (in sorted order) is the last of its group iff the key changes next;
+    # take winners directly — ONE gather of the winning rows, not sort+filter
     last = np.ones(n, dtype=bool)
     last[:-1] = ~same_all
-    return t.filter(pa.array(last))
+    return table.take(pa.array(idx[last]))
 
 
 def drop_tombstones(table: pa.Table, op_column: str = "op") -> pa.Table:

@@ -30,10 +30,11 @@ SF_SIZES = {
     0.001: (1_000, 10_000),
     0.01: (10_000, 100_000),
     0.1: (100_000, 2_000_000),
-    # scaling-bench size: epochs large enough (~2M events / ~55MB each) that the
-    # shuffle fans out past 8 CPUs — smaller fixtures cap block counts and make
-    # the two-cluster-size comparison measure only fixed overhead
+    # scaling-bench sizes: epochs large enough that per-epoch compute dominates
+    # the fixed micro-batch pipeline floor (~1-2 s) — smaller fixtures make the
+    # two-cluster-size comparison measure only that floor
     0.5: (300_000, 8_000_000),
+    1.5: (600_000, 20_000_000),
 }
 
 

@@ -32,7 +32,9 @@ def sf_from_dir(sf_dir: str, default: float = 0.001) -> float:
     return default
 
 
-def changes_fixture(sf: float, num_epochs: int = 4) -> dict:
+def changes_fixture(sf: float, num_epochs: int | None = None) -> dict:
+    if num_epochs is None:
+        num_epochs = 2 if sf >= 1 else 4  # big scaling fixtures: fewer barriers
     out_dir = os.path.join(FIXTURE_ROOT, f"changes-sf{sf}")
     return write_fixture(out_dir, sf=sf, num_epochs=num_epochs)
 

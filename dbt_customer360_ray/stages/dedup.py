@@ -76,9 +76,29 @@ class MinHasher:
         return vals.min(axis=1)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack([self.signature(t) for t in batch["text"].tolist()])
+        # batch-level hashing: ONE stable_hash call over all shingles in the
+        # batch (per-doc hash_array calls dominated wall time), then per-doc
+        # minima over slices
+        texts = batch["text"].tolist()
+        shingle_lists = []
+        for t in texts:
+            toks = self.word_re.findall((t or "").lower())
+            if len(toks) < self.n:
+                shingle_lists.append([" ".join(toks)] if toks else [""])
+            else:
+                shingle_lists.append(
+                    [" ".join(toks[i : i + self.n]) for i in range(len(toks) - self.n + 1)]
+                )
+        lengths = np.array([len(s) for s in shingle_lists])
+        flat = np.concatenate([np.array(s, dtype=object) for s in shingle_lists])
+        h = stable_hash(flat).astype(np.uint64)
+        starts = np.concatenate([[0], np.cumsum(lengths)])
+        sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
+        for i in range(len(texts)):
+            hh = h[starts[i] : starts[i + 1]]
+            sigs[i] = ((self.a[:, None] * hh[None, :] + self.b[:, None]) % _MERSENNE).min(axis=1)
         out = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy()})
-        out["sig"] = list(sigs.astype(np.uint64))
+        out["sig"] = list(sigs)
         return out
 
 
@@ -103,47 +123,60 @@ def minhash_candidates(
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
 
+    coarse_buckets = 1024  # shuffle granularity: thousands of groups, not one
+    # map_groups invocation per LSH bucket (hundreds of thousands of tiny
+    # groups made the shuffle overhead-dominated)
+
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         sigs = np.stack(batch["sig"].to_numpy())  # (n, num_perm)
         n = len(batch)
         band_hashes = np.empty((n, bands), dtype=np.int64)
         for b in range(bands):
             chunk = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
-            acc = np.zeros(n, dtype=np.uint64)
+            acc = np.full(n, np.uint64(b + 1), dtype=np.uint64)
             for r in range(rows_per_band):  # mix rows of the band
                 acc = acc * np.uint64(1099511628211) + chunk[:, r]
             band_hashes[:, b] = acc.astype(np.int64)
         out = pd.DataFrame(
             {
-                "band": np.repeat(np.arange(bands, dtype=np.int32), n),
-                "band_hash": band_hashes.T.reshape(-1),
+                "band_hash": band_hashes.T.reshape(-1),  # band id mixed in
                 "doc_id": np.tile(batch["doc_id"].to_numpy(), bands),
             }
         )
+        out["bucket"] = (out["band_hash"].to_numpy().astype(np.uint64) % np.uint64(coarse_buckets)).astype(np.int32)
         out["sig"] = list(np.tile(sigs, (bands, 1)))
         return out
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype="int64"),
-                 "doc_b": pd.Series([], dtype="int64"),
-                 "est_jaccard": pd.Series([], dtype="float64")}
-            )
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sigs = np.stack(g["sig"].to_numpy())
-        rows = []
-        for i in range(len(ids)):
-            eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            hits = np.nonzero(eq >= threshold)[0]
-            for j in hits:
-                rows.append((ids[i], ids[i + 1 + j], float(eq[j])))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "est_jaccard"]) if rows else pd.DataFrame(
+    def _empty_pairs() -> pd.DataFrame:
+        return pd.DataFrame(
             {"doc_a": pd.Series([], dtype="int64"),
              "doc_b": pd.Series([], dtype="int64"),
              "est_jaccard": pd.Series([], dtype="float64")}
         )
+
+    def coarse_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """One shuffle group = many LSH buckets; pandas groupby inside."""
+        rows = []
+        for _bh, grp in g.groupby("band_hash", sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values("doc_id").drop_duplicates("doc_id")
+            ids = grp["doc_id"].to_numpy()
+            sigs = np.stack(grp["sig"].to_numpy())
+            for i in range(len(ids)):
+                eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+                hits = np.nonzero(eq >= threshold)[0]
+                for j in hits:
+                    rows.append((ids[i], ids[i + 1 + j], float(eq[j])))
+        if not rows:
+            return _empty_pairs()
+        out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "est_jaccard"])
+        # dedupe within the group; cross-band duplicates of the same pair land
+        # in different groups and are deduped in the final stage
+        return out.drop_duplicates(["doc_a", "doc_b"])
+
+    def dedupe_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"])
 
     sigs = ds.map_batches(
         MinHasher,
@@ -153,12 +186,24 @@ def minhash_candidates(
         concurrency=concurrency,
     )
     exploded = sigs.map_batches(explode, batch_format="pandas")
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    pairs = exploded.groupby("bucket").map_groups(
+        coarse_bucket_pairs, batch_format="pandas"
     )
-    # same pair can surface from several bands — dedup
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+
+    def add_pair_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["pbucket"] = (
+            (batch["doc_a"].to_numpy().astype(np.uint64) * np.uint64(2654435761)
+             + batch["doc_b"].to_numpy().astype(np.uint64))
+            % np.uint64(coarse_buckets)
+        ).astype(np.int32)
+        return batch
+
+    return (
+        pairs.map_batches(add_pair_bucket, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(dedupe_pairs, batch_format="pandas")
+        .drop_columns(["pbucket"])
     )
 
 

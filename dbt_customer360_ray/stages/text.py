@@ -23,7 +23,14 @@ LANG_MARKERS = {
     "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"},
     "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"},
     "es": {"el", "la", "los", "las", "y", "es", "un", "una", "que", "por"},
+    "it": {"il", "lo", "gli", "e", "di", "che", "non", "per", "con", "sono"},
+    "pt": {"o", "os", "as", "um", "uma", "não", "com", "para", "mais", "como"},
+    "nl": {"de", "het", "een", "van", "en", "niet", "met", "voor", "naar", "zijn"},
+    "sv": {"och", "att", "det", "som", "en", "på", "är", "för", "med", "inte"},
 }
+
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[\w.+-]+@[\w-]+\.[\w.]+"
 
 
 def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -93,6 +100,66 @@ class TextQuality:
         punct_ok = 1.0 - np.clip(batch["punct_ratio"].to_numpy() * 4.0, 0, 1)
         batch["quality_score"] = (length_ok + word_ok + punct_ok) / 3.0
         return batch
+
+
+ENRICH_SCHEMA = pa.schema(
+    [
+        ("n_tokens", pa.int64()),
+        ("lang_pred", pa.string()),
+        ("quality_score", pa.float64()),
+    ]
+)
+
+
+class TranscriptEnricher:
+    """Per-event transcript enrichment for the CDC ingest path: token counts,
+    language ID, quality score on the ``text`` payload. Plugged into
+    ``CdcLake.apply(enrich=...)`` so enrichment runs fused inside the
+    shuffle-map task — the realistic compute profile of a training-data
+    transcript pipeline (per-turn analysis during ingest).
+
+    Fully vectorized: one RE2 alternation scan per language + token/punct
+    scans (pyarrow compute kernels), no Python row loops."""
+
+    def __init__(self):
+        self.langs = sorted(LANG_MARKERS)
+        self.patterns = [
+            r"\b(" + "|".join(sorted(LANG_MARKERS[lang])) + r")\b"
+            for lang in self.langs
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        low = pc.utf8_lower(text)
+        n_tokens = pc.count_substring_regex(text, TOKEN_RE).cast(pa.int64())
+        hits = np.stack(
+            [
+                pc.count_substring_regex(low, pat).to_numpy(zero_copy_only=False)
+                for pat in self.patterns
+            ]
+        )  # (n_langs, n)
+        best = hits.argmax(axis=0)
+        any_hit = hits.max(axis=0) > 0
+        lang = np.where(any_hit, np.array(self.langs, dtype=object)[best], "und")
+        n_tok = n_tokens.to_numpy(zero_copy_only=False)
+        safe_n = np.maximum(n_tok, 1)
+        punct = pc.count_substring_regex(text, r"[^\w\s]").to_numpy(zero_copy_only=False)
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        n_urls = pc.count_substring_regex(text, URL_RE).to_numpy(zero_copy_only=False)
+        n_emails = pc.count_substring_regex(text, EMAIL_RE).to_numpy(zero_copy_only=False)
+        n_digits = pc.count_substring_regex(text, r"\d").to_numpy(zero_copy_only=False)
+        quality = (
+            np.clip(n_tok / 20.0, 0, 1)
+            + (1.0 - np.clip(punct / np.maximum(n_chars, 1) * 4.0, 0, 1))
+            + np.clip(hits.max(axis=0) / safe_n * 10.0, 0, 1)
+            + (1.0 - np.clip((n_urls + n_emails) / 3.0, 0, 1))
+            + (1.0 - np.clip(n_digits / np.maximum(n_chars, 1) * 2.0, 0, 1))
+        ) / 5.0
+        return (
+            batch.append_column("n_tokens", n_tokens)
+            .append_column("lang_pred", pa.array(lang, pa.string()))
+            .append_column("quality_score", pa.array(quality, pa.float64()))
+        )
 
 
 def analyze_text(ds, concurrency: int = 4, batch_size: int = 4096):

@@ -30,6 +30,7 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -64,19 +65,28 @@ def atomic_parquet(table: pa.Table, path: str) -> None:
 
 def _count_late(events: pa.Table) -> int:
     """Events applied out of ts order within their key: ts < running max ts of
-    earlier-offset events for the same (conv_id, turn_idx). Vectorized."""
-    if events.num_rows == 0:
+    earlier-offset events for the same (conv_id, turn_idx). Pure numpy:
+    lexsort on integer codes + segmented running max."""
+    import pyarrow.compute as pc2
+
+    n = events.num_rows
+    if n == 0:
         return 0
-    df = pd.DataFrame(
-        {
-            "conv_id": events.column("conv_id").to_pandas(),
-            "turn_idx": events.column("turn_idx").to_pandas(),
-            "ts": events.column("ts").to_pandas(),
-            "offset": events.column("offset").to_pandas(),
-        }
-    ).sort_values(["conv_id", "turn_idx", "offset"], kind="stable")
-    cummax = df.groupby(["conv_id", "turn_idx"], sort=False)["ts"].cummax()
-    return int((df["ts"] < cummax).sum())
+    conv = events.column("conv_id")
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+    conv_codes = pc2.dictionary_encode(conv).indices.to_numpy(zero_copy_only=False)
+    turn = events.column("turn_idx").to_numpy(zero_copy_only=False).astype(np.int64)
+    off = events.column("offset").to_numpy(zero_copy_only=False)
+    ts = events.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+    order = np.lexsort((off, turn, conv_codes))
+    cc, tt, tss = conv_codes[order], turn[order], ts[order]
+    new_seg = np.ones(n, dtype=bool)
+    new_seg[1:] = (cc[1:] != cc[:-1]) | (tt[1:] != tt[:-1])
+    seg_id = np.cumsum(new_seg) - 1
+    # segmented running max (int64-keyed pandas cummax runs in C)
+    runmax = pd.Series(tss).groupby(pd.Series(seg_id), sort=False).cummax().to_numpy()
+    return int((tss < runmax).sum())
 
 
 class EpochApplier:

@@ -74,12 +74,14 @@ def _compact_partition(
     return {"pid": pid, "rows": merged.num_rows, "tombstones": tomb, "path": path}
 
 
-def _split_block(table: pa.Table, event_schema, assigner, slot_of_skey, nslots: int):
-    """Fused shuffle-map side: conform the raw block to the evolved schema,
-    route (append skey), then one stable argsort by slot + zero-copy slices.
-    All vectorized; one task per input block."""
+def _route_and_slice(table: pa.Table, event_schema, assigner, slot_of_skey, nslots: int, enrich=None):
+    """Fused shuffle-map body: (optionally) enrich the raw rows, conform to the
+    evolved schema, route (append skey), then one stable argsort by slot +
+    zero-copy slices."""
     import numpy as np
 
+    if enrich is not None:
+        table = enrich(table)
     table = assigner(conform_batch(table, event_schema))
     skey = table.column("skey").to_numpy(zero_copy_only=False)
     slot = slot_of_skey[skey]
@@ -88,6 +90,19 @@ def _split_block(table: pa.Table, event_schema, assigner, slot_of_skey, nslots: 
     bounds = np.searchsorted(slot[idx], np.arange(nslots + 1))
     out = [t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(nslots)]
     return out if nslots > 1 else out[0]
+
+
+def _split_block(table: pa.Table, event_schema, assigner, slot_of_skey, nslots: int, enrich=None):
+    """Shuffle-map over an in-store Arrow block (Dataset inputs)."""
+    return _route_and_slice(table, event_schema, assigner, slot_of_skey, nslots, enrich)
+
+
+def _split_file_unit(path: str, row_groups: list[int], event_schema, assigner, slot_of_skey, nslots: int, enrich=None):
+    """Shuffle-map that reads its parquet row-groups straight from storage —
+    raw bytes never round-trip through the object store (the only in-store
+    intermediate is the routed slices the appliers consume)."""
+    table = pq.ParquetFile(path).read_row_groups(row_groups)
+    return _route_and_slice(table, event_schema, assigner, slot_of_skey, nslots, enrich)
 
 
 def _apply_slot(applier: EpochApplier, *chunks):
@@ -104,6 +119,47 @@ def _dataset_schema(ds) -> pa.Schema:
     if isinstance(base, pa.Schema):
         return base
     return pa.schema(list(zip(s.names, s.types)))
+
+
+def _plan_file_units(paths: list[str], target_bytes: int = 32 << 20):
+    """Group parquet row-groups into ~target_bytes read units; returns
+    ([(path, [row_group_idx...])], unified arrow schema)."""
+    units: list[tuple[str, list[int]]] = []
+    schemas = []
+    for path in paths:
+        f = pq.ParquetFile(path)
+        schemas.append(f.schema_arrow)
+        cur: list[int] = []
+        cur_bytes = 0
+        for rg in range(f.metadata.num_row_groups):
+            size = f.metadata.row_group(rg).total_byte_size
+            cur.append(rg)
+            cur_bytes += size
+            if cur_bytes >= target_bytes:
+                units.append((path, cur))
+                cur, cur_bytes = [], 0
+        if cur:
+            units.append((path, cur))
+    schema = schemas[0]
+    for sc in schemas[1:]:
+        schema = pa.unify_schemas([schema, sc])
+    return units, schema
+
+
+def _estimate_hot_files(paths: list[str], hot_threshold: float) -> set[str]:
+    """Prepass histogram straight off the conv_id column of the files."""
+    import pandas as pd
+
+    counts: dict[str, int] = {}
+    total = 0
+    for path in paths:
+        col = pq.read_table(path, columns=["conv_id"]).column("conv_id").to_pandas()
+        total += len(col)
+        for k, v in col.value_counts().head(64).items():
+            counts[k] = counts.get(k, 0) + int(v)
+    if total == 0:
+        return set()
+    return {k for k, v in counts.items() if v / total >= hot_threshold}
 
 
 class CdcLake:
@@ -148,29 +204,37 @@ class CdcLake:
         epoch: int | None = None,
         hot_keys: set[str] | None = None,
         detect_hot: str = "carryover",  # "carryover" | "prepass" | "off"
+        enrich=None,
+        enrich_schema: pa.Schema | None = None,
     ) -> dict:
-        """Apply one epoch of change events; returns this epoch's metrics."""
+        """Apply one epoch of change events; returns this epoch's metrics.
+
+        ``enrich``: optional vectorized per-batch transform run inside the
+        shuffle-map task (e.g. transcript text analysis); the columns it adds
+        must be declared in ``enrich_schema`` so they join the lake schema."""
         import ray
         import ray.data
 
+        ds = None
+        file_units = None
         if isinstance(changes, (str, list)):
             paths = [changes] if isinstance(changes, str) else list(changes)
-            # Right-size input blocks: Ray's default split targets cpus*2 blocks
-            # even for a 300 KB file. In exchange mode the intermediate object
-            # count is blocks × slots, and apply parallelism comes from slots —
-            # so blocks should just be big (~32 MB parquet each). In groupby
-            # mode apply parallelism tracks blocks, so allow up to #cpus
-            # blocks (≥2 MB each).
-            total = sum(os.path.getsize(p) for p in paths if os.path.exists(p))
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-            # split-map parallelism tracks cpus (≥4 MB per block), large epochs
-            # get ~32 MB blocks regardless
-            nb = max(1, min(cpus, total // (4 << 20)), total // (32 << 20))
-            ds = ray.data.read_parquet(paths, override_num_blocks=int(nb))
+            if self.exchange:
+                # plan (path, row-group) read units from the footers: split
+                # tasks read their row groups straight from storage, so raw
+                # bytes never double-buffer through the object store
+                file_units, incoming = _plan_file_units(paths)
+            else:
+                # groupby mode: apply parallelism tracks blocks — up to #cpus
+                # blocks (≥2 MB each), ~32 MB blocks for large epochs
+                total = sum(os.path.getsize(p) for p in paths if os.path.exists(p))
+                cpus = int(ray.cluster_resources().get("CPU", 8))
+                nb = max(1, min(cpus, total // (2 << 20)), total // (32 << 20))
+                ds = ray.data.read_parquet(paths, override_num_blocks=int(nb))
+                incoming = _dataset_schema(ds)
         else:
             ds = changes
-
-        incoming = _dataset_schema(ds)
+            incoming = _dataset_schema(ds)
         missing = [c for c in REQUIRED_EVENT_COLUMNS if c not in incoming.names]
         if missing:
             raise ValueError(f"change stream missing required columns: {missing}")
@@ -179,6 +243,8 @@ class CdcLake:
         event_schema = (
             evolve_schema(current, incoming) if current is not None else incoming
         )
+        if enrich_schema is not None:
+            event_schema = evolve_schema(event_schema, enrich_schema)
         state_schema = pa.schema(list(event_schema) + [pa.field("pid", pa.int32())])
 
         if epoch is None:
@@ -188,7 +254,10 @@ class CdcLake:
 
         if hot_keys is None:
             if detect_hot == "prepass":
-                hot_keys = estimate_hot_keys(ds, hot_threshold=self.hot_threshold)
+                if ds is not None:
+                    hot_keys = estimate_hot_keys(ds, hot_threshold=self.hot_threshold)
+                else:
+                    hot_keys = _estimate_hot_files(paths, self.hot_threshold)
             elif detect_hot == "carryover":
                 hot_keys = self.manifest_hot_keys()
             else:
@@ -205,7 +274,14 @@ class CdcLake:
 
         event_only = pa.schema(list(event_schema))
         if self.exchange:
-            stats = self._exchange_apply(ds, event_only, applier, hot_keys)
+            stats = self._exchange_apply(
+                file_units if file_units is not None else ds,
+                event_only,
+                applier,
+                hot_keys,
+                from_files=file_units is not None,
+                enrich=enrich,
+            )
         else:
             routed = ds.map_batches(
                 lambda t, s=event_only: conform_batch(t, s),
@@ -279,7 +355,8 @@ class CdcLake:
         return {"epoch": epoch, "skipped": False, **metrics_delta}
 
     def _exchange_apply(
-        self, ds, event_schema: pa.Schema, applier: EpochApplier, hot_keys
+        self, source, event_schema: pa.Schema, applier: EpochApplier, hot_keys,
+        from_files: bool = False, enrich=None,
     ) -> "pd.DataFrame":
         """Two-stage task exchange: every raw block is conformed + routed +
         split by slot in one fused task (one argsort + zero-copy slices), then
@@ -298,25 +375,39 @@ class CdcLake:
         slots, slot_of_skey = _make_slots(self.P, self.num_salts, hot_pids)
         nslots = len(slots)
 
-        refs = ds.to_arrow_refs()
-        if not refs:
-            return pd.DataFrame()
-        split = ray.remote(_split_block)
         apply_slot = ray.remote(_apply_slot)
         applier_ref = ray.put(applier)
         schema_ref = ray.put(event_schema)
         assigner_ref = ray.put(AssignPartitions(self.P, hot_keys, self.num_salts))
         slot_lookup_ref = ray.put(slot_of_skey)
-        split_refs = [
-            split.options(num_returns=nslots).remote(
-                r, schema_ref, assigner_ref, slot_lookup_ref, nslots
-            )
-            for r in refs
-        ]
+        if from_files:
+            units = source
+            if not units:
+                return pd.DataFrame()
+            split = ray.remote(_split_file_unit)
+            split_refs = [
+                split.options(num_returns=nslots).remote(
+                    path, rgs, schema_ref, assigner_ref, slot_lookup_ref, nslots, enrich
+                )
+                for path, rgs in units
+            ]
+            n_inputs = len(units)
+        else:
+            refs = source.to_arrow_refs()
+            if not refs:
+                return pd.DataFrame()
+            split = ray.remote(_split_block)
+            split_refs = [
+                split.options(num_returns=nslots).remote(
+                    r, schema_ref, assigner_ref, slot_lookup_ref, nslots, enrich
+                )
+                for r in refs
+            ]
+            n_inputs = len(refs)
         if nslots == 1:
             split_refs = [[r] for r in split_refs]
         stats_refs = [
-            apply_slot.remote(applier_ref, *[split_refs[b][s] for b in range(len(refs))])
+            apply_slot.remote(applier_ref, *[split_refs[b][s] for b in range(n_inputs)])
             for s in range(nslots)
         ]
         tables = [t for t in ray.get(stats_refs) if t is not None]
