@@ -80,14 +80,20 @@ def _lsh_topk_embeddings(sf_dir: str):
     return lsh_bucket_topk(ds, q_mat, q_ids, dim=q_mat.shape[1], k=10)
 
 
+_C360_CACHE: dict = {}
+
+
 def _c360(sf_dir: str, key: str):
     """customer360 DAG over the deterministic synthetic source fixtures
-    (rows-only check: marketo/stripe/zendesk tables are not driver views)."""
-    from dbt_customer360_ray.pipelines.c360_fixtures import gen_c360_sources
-    from dbt_customer360_ray.pipelines.customer360 import run_customer360
+    (rows-only check: marketo/stripe/zendesk tables are not driver views).
+    The DAG runs once per process; each output table is served from cache."""
+    if "res" not in _C360_CACHE:
+        from dbt_customer360_ray.pipelines.c360_fixtures import gen_c360_sources
+        from dbt_customer360_ray.pipelines.customer360 import run_customer360
 
-    tables, _truth = gen_c360_sources(300, seed=42)
-    return run_customer360(tables)[key]
+        tables, _truth = gen_c360_sources(300, seed=42)
+        _C360_CACHE["res"] = run_customer360(tables)
+    return _C360_CACHE["res"][key]
 
 
 def _stream_replay_lake(sf_dir: str):
