@@ -258,7 +258,135 @@ def q_ann_topk_embeddings(sf_dir: str, k: int = 10, num_queries: int = 5):
     return out.select_columns(["query_id", "vec_id", "cosine", "rank"])
 
 
+# -- 11. date_trunc rollup ---------------------------------------------------
+
+def q_events_daily(sf_dir: str):
+    """Per-day event counts + value cents (date_trunc semantics, §2.8)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t.column("ts"), unit="day")
+        t2 = pa.table(
+            {
+                "day": day,
+                "value_cents": _cents(t.column("value")),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+        return t2.group_by(["day"]).aggregate([("value_cents", "sum"), ("one", "sum")])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .aggregate(
+            Sum("value_cents_sum", alias_name="value_cents"),
+            Sum("one_sum", alias_name="n_events"),
+        )
+    )
+
+
+# -- 12. fact⋈dim rollup on part type ---------------------------------------
+
+def q_parts_by_type(sf_dir: str):
+    """lineitem ⋈ part (broadcast) → per-type quantity and revenue cents."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = read_table_arrow(sf_dir, "part", ["p_partkey", "p_type"])
+    keys = part.column("p_partkey").to_numpy()
+    order = np.argsort(keys)
+    types = part.column("p_type").to_pandas().to_numpy(dtype=object)[order]
+    keys = keys[order]
+    uniq_types, type_codes = np.unique(types, return_inverse=True)
+    ref = ray.put((keys, type_codes.astype(np.int64)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        k, codes = ray.get(ref)
+        pk = t.column("l_partkey").to_numpy()
+        idx = np.clip(np.searchsorted(k, pk), 0, len(k) - 1)
+        code = np.where(k[idx] == pk, codes[idx], -1)
+        t2 = pa.table(
+            {
+                "type_code": pa.array(code.astype(np.int64)),
+                "sum_qty": t.column("l_quantity"),
+                "revenue_cents": _cents(t.column("l_extendedprice")),
+            }
+        )
+        return t2.group_by(["type_code"]).aggregate(
+            [("sum_qty", "sum"), ("revenue_cents", "sum")]
+        )
+
+    agg = (
+        read_table(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("type_code")
+        .aggregate(
+            Sum("sum_qty_sum", alias_name="sum_qty"),
+            Sum("revenue_cents_sum", alias_name="revenue_cents"),
+        )
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        names = [
+            uniq_types[c] if c >= 0 else None for c in t.column("type_code").to_pylist()
+        ]
+        return t.append_column("p_type", pa.array(names, pa.string()))
+
+    return agg.map_batches(decode, batch_format="pyarrow").select_columns(
+        ["p_type", "sum_qty", "revenue_cents"]
+    )
+
+
+# -- 13. segment stats -------------------------------------------------------
+
+def q_segment_stats(sf_dir: str):
+    """customer per market segment: count + balance cents (min/max/sum)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = read_table(sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": t.column("c_mktsegment"),
+                "bal_cents": _cents(t.column("c_acctbal")),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_mktsegment")
+        .aggregate(
+            Count(alias_name="n_customers"),
+            Sum("bal_cents", alias_name="sum_bal_cents"),
+            Min("bal_cents", alias_name="min_bal_cents"),
+            Max("bal_cents", alias_name="max_bal_cents"),
+        )
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "events_daily": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1
+    """,
+    "parts_by_type": """
+        SELECT p_type, SUM(l_quantity) AS sum_qty,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_type
+    """,
+    "segment_stats": """
+        SELECT c_mktsegment, COUNT(*) AS n_customers,
+               SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sum_bal_cents,
+               MIN(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS min_bal_cents,
+               MAX(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS max_bal_cents
+        FROM customer GROUP BY c_mktsegment
+    """,
     "cdc_lww_events": """
         SELECT event_id, ts, user_id, event_type, value, props FROM events
         QUALIFY row_number() OVER (
@@ -338,6 +466,9 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 QUERIES = {
+    "events_daily": q_events_daily,
+    "parts_by_type": q_parts_by_type,
+    "segment_stats": q_segment_stats,
     "cdc_lww_events": q_cdc_lww_events,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
