@@ -35,18 +35,25 @@ def q_cdc_lww_events(sf_dir: str):
     engine's core merge (functions/lww.py) applied to the driver's events
     stream: per-batch partial LWW prunes before the shuffle, a per-group final
     LWW resolves across batches."""
+    from ..hashing import stable_hash
+
     ds = read_table(sf_dir, "events")
     keys = ["user_id", "event_type"]
+    coarse = 64  # shuffle granularity: per-key groups would be overhead-bound
 
     def partial(t: pa.Table) -> pa.Table:
-        return lww_latest(t, keys, "ts", "event_id")
+        t = lww_latest(t, keys, "ts", "event_id")
+        bucket = (stable_hash(t.column("user_id")) % np.uint64(coarse)).astype(np.int64)
+        return t.append_column("bucket", pa.array(bucket))
 
     def final(t: pa.Table) -> pa.Table:
-        return lww_latest(t, keys, "ts", "event_id")
+        # lww_latest sorts by the full key, so one call resolves every key in
+        # the bucket (all rows of a key share the bucket: hash(user_id))
+        return lww_latest(t, keys, "ts", "event_id").drop_columns(["bucket"])
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(keys)
+        .groupby("bucket")
         .map_groups(final, batch_format="pyarrow")
     )
 
