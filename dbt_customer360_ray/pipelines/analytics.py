@@ -73,6 +73,13 @@ def q_pricing_summary(sf_dir: str):
     )
 
     def partial(t: pa.Table) -> pa.Table:
+        # l_quantity is an integral double; sum as int64 to match the oracle's
+        # CAST(SUM(...) AS BIGINT) dtype exactly
+        t = t.set_column(
+            t.schema.get_field_index("l_quantity"),
+            "l_quantity",
+            pc.round(t.column("l_quantity")).cast(pa.int64()),
+        )
         t = t.append_column("price_cents", _cents(t.column("l_extendedprice")))
         t = t.append_column("one", pa.array(np.ones(t.num_rows, dtype=np.int64)))
         return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
@@ -274,23 +281,36 @@ def q_events_daily(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["ts", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
-        day = pc.floor_temporal(t.column("ts"), unit="day")
+        # group on int64 epoch-us (Ray's hash aggregate downgrades timestamp
+        # keys to [s] via numpy); cast back to timestamp[us] post-aggregate so
+        # the dtype matches DuckDB's CAST(date_trunc(...) AS TIMESTAMP)
+        day = pc.floor_temporal(t.column("ts"), unit="day").cast(pa.int64())
         t2 = pa.table(
             {
-                "day": day,
+                "day_us": day,
                 "value_cents": _cents(t.column("value")),
                 "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
             }
         )
-        return t2.group_by(["day"]).aggregate([("value_cents", "sum"), ("one", "sum")])
+        return t2.group_by(["day_us"]).aggregate([("value_cents", "sum"), ("one", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": t.column("day_us").cast(pa.timestamp("us")),
+                "value_cents": t.column("value_cents"),
+                "n_events": t.column("n_events"),
+            }
+        )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("day")
+        .groupby("day_us")
         .aggregate(
             Sum("value_cents_sum", alias_name="value_cents"),
             Sum("one_sum", alias_name="n_events"),
         )
+        .map_batches(finish, batch_format="pyarrow")
     )
 
 
@@ -317,7 +337,9 @@ def q_parts_by_type(sf_dir: str):
         t2 = pa.table(
             {
                 "type_code": pa.array(code.astype(np.int64)),
-                "sum_qty": t.column("l_quantity"),
+                # l_quantity is an integral double; sum as int64 to match the
+                # oracle's CAST(SUM(...) AS BIGINT) dtype exactly
+                "sum_qty": pc.round(t.column("l_quantity")).cast(pa.int64()),
                 "revenue_cents": _cents(t.column("l_extendedprice")),
             }
         )
@@ -377,19 +399,19 @@ def q_segment_stats(sf_dir: str):
 ORACLE_SQL: dict[str, str] = {
     "events_daily": """
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
                COUNT(*) AS n_events
         FROM events GROUP BY 1
     """,
     "parts_by_type": """
-        SELECT p_type, SUM(l_quantity) AS sum_qty,
-               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+        SELECT p_type, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_type
     """,
     "segment_stats": """
         SELECT c_mktsegment, COUNT(*) AS n_customers,
-               SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sum_bal_cents,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_cents,
                MIN(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS min_bal_cents,
                MAX(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS max_bal_cents
         FROM customer GROUP BY c_mktsegment
@@ -401,14 +423,14 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               SUM(l_quantity) AS sum_qty,
-               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+               CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
                COUNT(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
     "revenue_by_nation": """
         SELECT n_name,
-               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
                COUNT(*) AS n_orders
         FROM orders
         JOIN customer ON o_custkey = c_custkey
@@ -449,7 +471,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "top_spenders": """
         SELECT o_custkey,
-               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         FROM orders GROUP BY o_custkey
         ORDER BY revenue_cents DESC, o_custkey ASC LIMIT 100
     """,
