@@ -25,13 +25,30 @@ VALID_GRAINS = ("individual", "organization")
 
 
 @dataclass(frozen=True)
+class MapTableSpec:
+    """Optional external map table joined in to fetch a match key
+    (int_customer360__marketo.sql:26-37; README.md:117-120): the source row is
+    left-joined to ``table`` on ``join_with_map_on = map_table_join_on`` and
+    the match id is read from the map side's ``match_key`` column."""
+
+    table: object  # pyarrow.Table (read via ray.data.read_parquet(...).to_arrow_refs or readers)
+    join_with_map_on: str
+    map_table_join_on: str
+
+
+@dataclass(frozen=True)
 class MatchIdSpec:
     """One internal match-id set: a name plus the per-source column holding it
     (README.md:85-120). Rows sharing a non-null value on these columns match
-    exactly, before any fuzzy confirmation."""
+    exactly — injected as the first OR-arm of the blocking join
+    (int_customer360__source_matches.sql:58-62) and, when ``customer_grain``
+    is 'individual' (or either side runs at organization grain), as an extra
+    OR-arm of the confirmation filter (:133-140)."""
 
     name: str
     source_columns: dict[str, str] = field(default_factory=dict)
+    customer_grain: str = "individual"
+    map_tables: dict[str, MapTableSpec] = field(default_factory=dict)
 
 
 @dataclass

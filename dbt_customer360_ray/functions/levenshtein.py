@@ -54,6 +54,35 @@ def any_name_similar(
     return False
 
 
+def similar_mask(a: np.ndarray, b: np.ndarray, threshold: float = 0.95) -> np.ndarray:
+    """Batched element-wise fuzzy confirm: out[i] = similarity(a[i], b[i]) >= t.
+
+    The per-row DP is the operator itself (the reference runs a warehouse
+    Levenshtein UDF per row, macros/levenshtein_distance.sql:12-35); the batch
+    layer adds two exact prunes so the DP runs only where it can matter:
+    - null/sentinel skip: sim('aaa','bbb')=0, so any null side can never pass
+      (null ≠ null by construction);
+    - length prune: |len(a)-len(b)| <= dist, so if 1-|la-lb|/max < t the pair
+      can't pass — at t=.95 this skips nearly every non-match.
+    """
+    n = len(a)
+    out = np.zeros(n, dtype=bool)
+    allow = (1.0 - threshold)
+    for i in range(n):
+        x, y = a[i], b[i]
+        if not isinstance(x, str) or not x or not isinstance(y, str) or not y:
+            continue
+        if x == y:
+            out[i] = True
+            continue
+        la, lb = len(x), len(y)
+        m = la if la > lb else lb
+        if (m - (lb if la > lb else la)) > m * allow:
+            continue
+        out[i] = (1.0 - levenshtein(x, y) / m) >= threshold
+    return out
+
+
 def pairwise_similarity_matrix(names_a: list[str], names_b: list[str]) -> np.ndarray:
     out = np.zeros((len(names_a), len(names_b)))
     for i, a in enumerate(names_a):

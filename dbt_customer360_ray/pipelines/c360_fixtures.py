@@ -40,6 +40,40 @@ ORGS = ["Acme", "Globex", "Initech", "Umbrella", "Stark Industries", "Wayne"]
 T0 = np.datetime64("2024-06-01T00:00:00", "us")
 
 
+def _extract_paren_person(df: pd.DataFrame, col: str) -> pd.Series:
+    """'Org LLC (First Last)' → 'First Last'; plain names pass through."""
+    name = df[col].astype(object)
+    has_paren = name.str.contains(r"\(", na=False)
+    return name.str.extract(r"\(([^)]*)\)", expand=False).where(has_paren, name)
+
+
+def _extract_paren_org(df: pd.DataFrame, col: str) -> pd.Series:
+    """'Org LLC (First Last)' → 'Org LLC'; plain names → null (no org)."""
+    name = df[col].astype(object)
+    has_paren = name.str.contains(r"\(", na=False)
+    return name.str.replace(r"\s*\(.*\)\s*", "", regex=True).where(has_paren)
+
+
+def fixture_stripe_extractors() -> dict:
+    """The fixture's enforced Stripe pattern is 'Org LLC (Person)' — these
+    extractors are the engine-side analogue of the reference's
+    ``stripe_*_extract_sql`` vars (int_customer360__stripe.sql:81-88;
+    README.md:125-133), exercising the user-extension surface."""
+    return {
+        "customer_full_name": lambda df: _extract_paren_person(df, "customer_name"),
+        "shipping_full_name": lambda df: df["shipping_name"],
+        "customer_organization_name": lambda df: _extract_paren_org(df, "customer_name"),
+        "shipping_organization_name": lambda df: pd.Series([None] * len(df), dtype=object),
+    }
+
+
+def fixture_config(**overrides):
+    """PipelineConfig wired for the synthetic fixture (paren-name extractors)."""
+    from ..config import PipelineConfig
+
+    return PipelineConfig(stripe_extractors=fixture_stripe_extractors(), **overrides)
+
+
 def gen_c360_sources(num_people: int = 200, seed: int = 42):
     """Returns (tables: dict[str, pa.Table], truth: pd.DataFrame)."""
     rng = np.random.default_rng(seed)

@@ -4,52 +4,127 @@
 Stage map (reference file → here):
 - cleaning (models/cleaning/int_customer360__{marketo,stripe,zendesk}.sql)
     → ``CleanMarketo/CleanStripe/CleanZendesk`` actor-pool map_batches stages
-      (regex/seed state compiled once per actor; vectorized pandas kernels)
+      (regex/seed state compiled once per actor; vectorized pandas kernels).
+      Config hooks consumed here: stripe name extractors
+      (int_customer360__stripe.sql:78-90; identity by default, like the
+      reference's var defaults) and internal match-id column injection with
+      optional external map-table broadcast joins
+      (int_customer360__marketo.sql:9-37; README.md:85-120).
 - match prep (identity_resolution/prep/*_for_matching.sql)
-    → ``match_candidates`` filter + ``match_keys`` blocking-key projection
+    → ``match_candidates`` vectorized filter + ``match_keys`` blocking-key
+      projection, both grain-aware (org grain swaps the name predicate,
+      prep/int_customer360__marketo_for_matching.sql:53)
 - pairwise matching (int_customer360__source_matches.sql:56-117)
     → ONE hash equi-join per source pair on a unified blocking key column
       ('email:<v>' / 'phone:<v>' / 'addr_cs:<line|city|state>' /
-      'addr_zc:<line|zip|country>'), the decomposition SURVEY.md §2.4 maps the
-      reference's OR-join to — never a theta join
+      'addr_zc:<line|zip|country>' / 'mid:<name>:<v>'), the decomposition
+      SURVEY.md §2.4 maps the reference's OR-join to — never a theta join.
+      Runs as ``stages.joins.bucketed_hash_join`` over Datasets.
 - fuzzy confirmation (source_matches.sql:133-153 + macros/levenshtein_distance.sql)
-    → ``FuzzyConfirm`` actor: exact email OR Levenshtein-similarity ≥ .95 over
-      all name×name combos (null→'aaa'/'bbb' sentinels so null never matches)
-- 3-way consolidation (source_matches.sql:319-354) → pandas full-outer merges
-  + groupby max on the (small) pair tables; the 100 TB path is the same
-  groupby hash-partitioned
-- mapping (output/customer360__mapping.sql) → md5 surrogate keys
-  (dbt_utils recipe), org-header aggregate rows, JSON source_ids strings
+    → vectorized batch kernel: exact email OR internal-match-id equality OR
+      Levenshtein-similarity ≥ threshold over the grain-selected FULL-name set,
+      both sides lowercased (source_matches.sql:151 lower(...)), nulls skipped
+      ('aaa'/'bbb' sentinels can never reach the threshold).
+- 3-way consolidation (source_matches.sql:319-354) → vectorized pandas
+  outer-merges + groupby max/min over the (small, O(matched entities)) pair
+  tables on the driver; the pair tables are the natural broadcast side.
+- mapping (output/customer360__mapping.sql) → distributed fragment pass:
+  every cleaned row emits a spine fragment keyed by its match-tuple position
+  (or its own id when unmatched), one Ray groupby combines fragments into
+  spine rows; md5 surrogate keys minted vectorized (dbt_utils recipe,
+  mapping.sql:107,205 — org id is the 5-component surrogate, computed
+  unconditionally, reproducing the reference's null-org header quirk).
 - attribute tables (output/customer360__{email,phone,name,...}.sql)
-    → unpivot unions + per-entity ``map_groups`` confidence ranking
-      (value_count desc, recency desc — README.md:48 'recency and frequency')
-- summary (output/customer360__summary.sql) → index=1 star join
+    → per-source vectorized unpivot kernels + broadcast id→customer360_id
+      lookup in map_batches, union, one groupby(bucket) with a fully
+      vectorized rank kernel (value_count desc, recency desc — README.md:48
+      'recency and frequency'; dense_rank + row_number,
+      customer360__email.sql:95-110).
+- summary (output/customer360__summary.sql) → index=1 star join on the
+  (O(entities), driver-held) spine.
+
+Scale notes: the only driver-materialized tables are the pair tables and the
+mapping spine — both O(resolved entities), the designed broadcast side. All
+O(input-row) stages (cleaning, key extraction, confirmation, spine fragments,
+attribute unpivots) run as Ray map_batches / bucketed joins / groupbys.
 """
 
 from __future__ import annotations
-
-import json
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.levenshtein import any_name_similar
-from ..hashing import surrogate_key
+from ..config import PipelineConfig
+from ..functions.levenshtein import similar_mask, similarity
+from ..hashing import render_sql_string, surrogate_key
 from ..stages import normalize as N
 
-# ---------------------------------------------------------------------------
-# cleaning
-# ---------------------------------------------------------------------------
+EPOCH = pd.Timestamp("1970-01-01")
+ID_COLS = {"marketo": "lead_id", "stripe": "customer_id", "zendesk": "user_id"}
+SRC_RANK = {"marketo": 0, "stripe": 1, "zendesk": 2}
+PHONE_COLS = {
+    "marketo": ["phone", "main_phone", "mobile_phone"],
+    "stripe": ["phone", "shipping_phone"],
+    "zendesk": ["phone"],
+}
+# org-name columns per source (source_matches.sql:143-144,225; mapping.sql:107)
+ORG_NAME_COLS = {
+    "marketo": ["company", "inferred_company"],
+    "stripe": ["organization", "shipping_organization"],
+    "zendesk": ["organization"],
+}
+# fuzzy-confirm name sets: FULL names only, per grain
+# (source_matches.sql:143-144: marketo_names/stripe_names/zendesk_names)
+CONFIRM_NAME_COLS = {
+    ("marketo", "individual"): ["full_name"],
+    ("marketo", "organization"): ["company", "inferred_company"],
+    ("stripe", "individual"): ["full_name", "shipping_name"],
+    ("stripe", "organization"): ["organization", "shipping_organization"],
+    ("zendesk", "individual"): ["full_name"],
+    ("zendesk", "organization"): ["organization"],
+}
+DEFAULT_NUM_BUCKETS = 16
 
 
 def _coalesce_ts(updated: pd.Series, created: pd.Series) -> pd.Series:
     return updated.fillna(created)
 
 
-class CleanMarketo(N.Cleaner):
+# ---------------------------------------------------------------------------
+# cleaning
+# ---------------------------------------------------------------------------
+
+
+class _MatchIdMixin:
+    """Internal match-id injection (int_customer360__marketo.sql:9-37): a
+    direct source column copy, or a broadcast left join against an external
+    map table (README.md:117-120). State (map frames) lives in the actor."""
+
+    def _init_match_ids(self, match_id_cols=None, match_id_maps=None):
+        self.match_id_cols = match_id_cols or {}
+        self.match_id_maps = match_id_maps or {}
+
+    def _apply_match_ids(self, out: pd.DataFrame, df: pd.DataFrame) -> pd.DataFrame:
+        for name, col in self.match_id_cols.items():
+            out[name] = (
+                N.empty_to_null(df[col].astype(object))
+                if col in df.columns
+                else pd.Series([None] * len(df), dtype=object)
+            )
+        for name, (map_df, join_on, map_on, key_col) in self.match_id_maps.items():
+            lk = dict(zip(map_df[map_on], map_df[key_col]))
+            out[name] = df[join_on].map(lk).astype(object).where(lambda s: s.notna(), None)
+        return out
+
+
+class CleanMarketo(N.Cleaner, _MatchIdMixin):
     """int_customer360__marketo.sql:108-475 (standardize→tokenize→restandardize
     →add_nicknames→final) as one vectorized batch fn."""
+
+    def __init__(self, match_id_cols=None, match_id_maps=None):
+        super().__init__()
+        self._init_match_ids(match_id_cols, match_id_maps)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({"lead_id": df["lead_id"]})
@@ -64,6 +139,12 @@ class CleanMarketo(N.Cleaner):
         out["possible_alt_first_names"] = N.add_nicknames(first_nt, self.nicknames)
 
         out["company"], out["company_suffix"] = N.strip_org_suffix(df["company"], self.org_suffix_re)
+        inferred = df["inferred_company"] if "inferred_company" in df.columns else pd.Series(
+            [None] * len(df), dtype=object
+        )
+        out["inferred_company"], _ = N.strip_org_suffix(
+            N.empty_to_null(pd.Series(inferred, dtype=object)), self.org_suffix_re
+        )
 
         out["phone"], out["phone_ext"] = N.normalize_phone(df["phone"])
         out["main_phone"], out["main_phone_ext"] = N.normalize_phone(df["main_phone"])
@@ -85,32 +166,58 @@ class CleanMarketo(N.Cleaner):
             out[b] = df[b]
         out["updated_at"] = df["updated_timestamp"]
         out["created_at"] = df["created_timestamp"]
-        return out
+        return self._apply_match_ids(out, df)
 
 
-class CleanStripe(N.Cleaner):
-    """int_customer360__stripe.sql:67-550; 'Org (Person)' combined-name parse
-    per the stripe extractor hooks (README.md:125-133)."""
+def default_stripe_extractors() -> dict:
+    """The reference's var defaults are the identity projections
+    (int_customer360__stripe.sql:81-88: ``var(..., 'customer_name')``)."""
+    return {
+        "customer_full_name": lambda df: df["customer_name"],
+        "shipping_full_name": lambda df: df["shipping_name"],
+        "customer_organization_name": lambda df: df["customer_name"],
+        "shipping_organization_name": lambda df: df["shipping_name"],
+    }
+
+
+class CleanStripe(N.Cleaner, _MatchIdMixin):
+    """int_customer360__stripe.sql:67-550. The four name projections are
+    user-splicable extractors (README.md:125-133); defaults are identity as in
+    the reference."""
+
+    def __init__(self, extractors=None, match_id_cols=None, match_id_maps=None):
+        super().__init__()
+        self.extractors = {**default_stripe_extractors(), **(extractors or {})}
+        self._init_match_ids(match_id_cols, match_id_maps)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({"customer_id": df["customer_id"]})
         out["email"] = N.normalize_email(df["email"])
         out["email_local"], out["email_domain"] = N.email_local_domain(df["email"])
 
-        name = df["customer_name"].astype(object)
-        has_paren = name.str.contains(r"\(", na=False)
-        person = name.str.extract(r"\(([^)]*)\)", expand=False).where(has_paren, name)
-        org_raw = name.str.replace(r"\s*\(.*\)\s*", "", regex=True).where(has_paren)
-
+        person = N.empty_to_null(pd.Series(self.extractors["customer_full_name"](df), dtype=object))
         person_nt, _title = N.strip_title(person, self.title_re)
         person_ns, out["name_suffix"] = N.strip_name_suffix(person_nt, self.name_suffix_re)
         out["first_name"], out["last_name"] = N.split_first_last(person_ns)
         out["full_name"] = N.recombine_name(out["first_name"], out["last_name"])
         out["possible_alt_first_names"] = N.add_nicknames(out["first_name"], self.nicknames)
+
+        ship = N.empty_to_null(pd.Series(self.extractors["shipping_full_name"](df), dtype=object))
+        ship_nt, _ = N.strip_title(ship, self.title_re)
+        ship_ns, _ = N.strip_name_suffix(ship_nt, self.name_suffix_re)
+        sf, sl = N.split_first_last(ship_ns)
+        out["shipping_name"] = N.recombine_name(sf, sl)
+
+        org_raw = N.empty_to_null(
+            pd.Series(self.extractors["customer_organization_name"](df), dtype=object)
+        )
         out["organization"], out["organization_suffix"] = N.strip_org_suffix(
             org_raw, self.org_suffix_re
         )
-        out["shipping_name"] = N.empty_to_null(df["shipping_name"])
+        ship_org_raw = N.empty_to_null(
+            pd.Series(self.extractors["shipping_organization_name"](df), dtype=object)
+        )
+        out["shipping_organization"], _ = N.strip_org_suffix(ship_org_raw, self.org_suffix_re)
 
         out["phone"], out["phone_ext"] = N.normalize_phone(df["phone"])
         out["shipping_phone"], out["shipping_phone_ext"] = N.normalize_phone(df["shipping_phone"])
@@ -120,26 +227,27 @@ class CleanStripe(N.Cleaner):
         )
         out["address_line_2"] = N.empty_to_null(df["customer_address_line_2"])
         out["city"] = N.empty_to_null(df["customer_address_city"].str.strip())
-        sc, sl, cc, cl = N.disambiguate_state_country(
+        sc, sl2, cc, cl = N.disambiguate_state_country(
             df["customer_address_state"], df["customer_address_country"]
         )
         out["country_code"] = N.resolve_country(cc, cl, self.countries)
-        out["state_code"] = N.resolve_state(sc, sl, out["country_code"], self.states)
+        out["state_code"] = N.resolve_state(sc, sl2, out["country_code"], self.states)
         out["postal_code"] = N.normalize_postal(df["customer_address_postal_code"])
         out["is_delinquent"] = df["is_delinquent"]
         out["is_deleted"] = df["is_deleted"]
         out["updated_at"] = pd.Series([pd.NaT] * len(df))  # stripe has no updated ts
         out["created_at"] = df["customer_created_at"]      # (int_customer360__stripe.sql:127)
-        return out
+        return self._apply_match_ids(out, df)
 
 
-class CleanZendesk(N.Cleaner):
+class CleanZendesk(N.Cleaner, _MatchIdMixin):
     """int_customer360__zendesk.sql:79-369; users filtered to role='end-user'
     (:39) and left-joined to organizations (:116-118) via a broadcast dict."""
 
-    def __init__(self, org_lookup: dict[int, str]):
+    def __init__(self, org_lookup: dict[int, str], match_id_cols=None, match_id_maps=None):
         super().__init__()
         self.org_lookup = org_lookup
+        self._init_match_ids(match_id_cols, match_id_maps)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["role"] == "end-user"].reset_index(drop=True)
@@ -163,63 +271,31 @@ class CleanZendesk(N.Cleaner):
         out["is_suspended"] = df["is_suspended"]
         out["updated_at"] = df["updated_at"]
         out["created_at"] = df["created_at"]
-        return out
+        return self._apply_match_ids(out, df)
 
-
-def clean_sources(tables: dict[str, pa.Table], concurrency: int = 2) -> dict:
-    """dict of raw Arrow tables → dict of cleaned Datasets (actor pools)."""
-    import ray.data
-
-    orgs = tables["zendesk_organizations"].to_pandas()
-    org_lookup = dict(zip(orgs["organization_id"], orgs["name"]))
-    return {
-        "marketo": ray.data.from_arrow(tables["marketo_leads"]).map_batches(
-            CleanMarketo, batch_format="pandas", concurrency=concurrency
-        ),
-        "stripe": ray.data.from_arrow(tables["stripe_customer_overview"]).map_batches(
-            CleanStripe, batch_format="pandas", concurrency=concurrency
-        ),
-        "zendesk": ray.data.from_arrow(tables["zendesk_users"]).map_batches(
-            CleanZendesk,
-            fn_constructor_kwargs={"org_lookup": org_lookup},
-            batch_format="pandas",
-            concurrency=concurrency,
-        ),
-    }
-
-
-# ---------------------------------------------------------------------------
-# match prep: candidate filter + blocking keys
-# ---------------------------------------------------------------------------
-
-PHONE_COLS = {
-    "marketo": ["phone", "main_phone", "mobile_phone"],
-    "stripe": ["phone", "shipping_phone"],
-    "zendesk": ["phone"],
-}
-ID_COLS = {"marketo": "lead_id", "stripe": "customer_id", "zendesk": "user_id"}
 
 # canonical cleaned-output columns per source, used to rebuild schema for empty
-# sources (a disabled source — the reference's customer360__using_* vars — must
-# flow through as zero rows, not a missing-column crash)
+# sources (a disabled source — the reference's customer360__using_* vars —
+# flows through as zero rows, not a missing-column crash)
 CLEANED_COLUMNS = {
     "marketo": [
         "lead_id", "email", "email_local", "email_domain", "first_name",
         "first_name_title", "last_name", "name_suffix", "full_name",
-        "possible_alt_first_names", "company", "company_suffix", "phone",
-        "phone_ext", "main_phone", "main_phone_ext", "mobile_phone",
-        "mobile_phone_ext", "address_line_1", "address_line_2", "city",
-        "country_code", "state_code", "postal_code", "anonymous_ip", "ip_type",
-        "is_unsubscribed", "is_email_invalid", "do_not_call", "updated_at",
-        "created_at",
+        "possible_alt_first_names", "company", "company_suffix",
+        "inferred_company", "phone", "phone_ext", "main_phone",
+        "main_phone_ext", "mobile_phone", "mobile_phone_ext", "address_line_1",
+        "address_line_2", "city", "country_code", "state_code", "postal_code",
+        "anonymous_ip", "ip_type", "is_unsubscribed", "is_email_invalid",
+        "do_not_call", "updated_at", "created_at",
     ],
     "stripe": [
         "customer_id", "email", "email_local", "email_domain", "name_suffix",
         "first_name", "last_name", "full_name", "possible_alt_first_names",
-        "organization", "organization_suffix", "shipping_name", "phone",
-        "phone_ext", "shipping_phone", "shipping_phone_ext", "address_line_1",
-        "address_line_2", "city", "country_code", "state_code", "postal_code",
-        "is_delinquent", "is_deleted", "updated_at", "created_at",
+        "organization", "organization_suffix", "shipping_organization",
+        "shipping_name", "phone", "phone_ext", "shipping_phone",
+        "shipping_phone_ext", "address_line_1", "address_line_2", "city",
+        "country_code", "state_code", "postal_code", "is_delinquent",
+        "is_deleted", "updated_at", "created_at",
     ],
     "zendesk": [
         "user_id", "organization_id", "email", "email_local", "email_domain",
@@ -231,19 +307,98 @@ CLEANED_COLUMNS = {
 }
 
 
-def _conform_cleaned(df: pd.DataFrame, source: str) -> pd.DataFrame:
-    """Backfill the canonical cleaned schema (empty/partial frames)."""
-    for c in CLEANED_COLUMNS[source]:
-        if c not in df.columns:
-            df[c] = pd.Series([None] * len(df), dtype=object)
-    return df[CLEANED_COLUMNS[source]]
+def _empty_cleaned(source: str, config: PipelineConfig | None = None) -> pd.DataFrame:
+    cols = list(CLEANED_COLUMNS[source])
+    if config is not None:
+        cols += [s.name for s in config.internal_match_ids]
+    return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
 
 
-def match_candidates(df: pd.DataFrame, source: str) -> pd.DataFrame:
+def _match_id_kwargs(source: str, config: PipelineConfig):
+    cols, maps = {}, {}
+    for spec in config.internal_match_ids:
+        if source in spec.map_tables:
+            mt = spec.map_tables[source]
+            table = mt.table
+            if isinstance(table, pa.Table):
+                table = table.to_pandas()
+            maps[spec.name] = (
+                table, mt.join_with_map_on, mt.map_table_join_on,
+                spec.source_columns[source],
+            )
+        elif source in spec.source_columns:
+            cols[spec.name] = spec.source_columns[source]
+    return cols, maps
+
+
+def clean_sources(
+    tables: dict[str, pa.Table],
+    config: PipelineConfig | None = None,
+    concurrency: int = 2,
+) -> dict:
+    """dict of raw Arrow tables → dict of cleaned, MATERIALIZED Datasets
+    (actor pools). Materialize is deliberate: the cleaned tables feed 4+
+    downstream consumers (keys, confirm attrs, spine fragments, attribute
+    unpivots) — caching the blocks in the object store beats re-running the
+    cleaning actors per consumer."""
+    import ray.data
+
+    cfg = config or PipelineConfig()
+    out = {}
+    if "marketo" in cfg.enabled_sources:
+        cols, maps = _match_id_kwargs("marketo", cfg)
+        out["marketo"] = ray.data.from_arrow(tables["marketo_leads"]).map_batches(
+            CleanMarketo,
+            fn_constructor_kwargs={"match_id_cols": cols, "match_id_maps": maps},
+            batch_format="pandas",
+            concurrency=concurrency,
+        )
+    if "stripe" in cfg.enabled_sources:
+        cols, maps = _match_id_kwargs("stripe", cfg)
+        out["stripe"] = ray.data.from_arrow(tables["stripe_customer_overview"]).map_batches(
+            CleanStripe,
+            fn_constructor_kwargs={
+                "extractors": cfg.stripe_extractors or None,
+                "match_id_cols": cols,
+                "match_id_maps": maps,
+            },
+            batch_format="pandas",
+            concurrency=concurrency,
+        )
+    if "zendesk" in cfg.enabled_sources:
+        orgs = tables["zendesk_organizations"].to_pandas()
+        org_lookup = dict(zip(orgs["organization_id"], orgs["name"]))
+        cols, maps = _match_id_kwargs("zendesk", cfg)
+        out["zendesk"] = ray.data.from_arrow(tables["zendesk_users"]).map_batches(
+            CleanZendesk,
+            fn_constructor_kwargs={
+                "org_lookup": org_lookup,
+                "match_id_cols": cols,
+                "match_id_maps": maps,
+            },
+            batch_format="pandas",
+            concurrency=concurrency,
+        )
+    return {k: ds.materialize() for k, ds in out.items()}
+
+
+# ---------------------------------------------------------------------------
+# match prep: candidate filter + blocking keys + confirm attrs
+# ---------------------------------------------------------------------------
+
+
+def match_candidates(df: pd.DataFrame, source: str, grain: str = "individual") -> pd.DataFrame:
     """prep/int_customer360__*_for_matching.sql:42-70: keep rows usable for
     identity joins — (name OR email) AND (email OR any phone OR (address line
-    AND (city+state OR zip+country)))."""
-    has_name = df.get("full_name", pd.Series(index=df.index, dtype=object)).notna()
+    AND (city+state OR zip+country))). At organization grain the name arm
+    reads the org-name coalesce instead (prep/..._for_matching.sql:53)."""
+    if grain == "organization":
+        has_name = pd.Series(False, index=df.index)
+        for c in ORG_NAME_COLS[source]:
+            if c in df:
+                has_name |= df[c].notna()
+    else:
+        has_name = df.get("full_name", pd.Series(index=df.index, dtype=object)).notna()
     has_email = df["email"].notna()
     has_phone = pd.Series(False, index=df.index)
     for c in PHONE_COLS[source]:
@@ -260,11 +415,13 @@ def match_candidates(df: pd.DataFrame, source: str) -> pd.DataFrame:
     return df[keep].reset_index(drop=True)
 
 
-def match_keys(df: pd.DataFrame, source: str) -> pd.DataFrame:
+def match_keys(df: pd.DataFrame, source: str, mid_names: tuple[str, ...] = ()) -> pd.DataFrame:
     """Unified blocking-key projection: one (id, key) row per usable join key.
 
     Nulls are simply not emitted — the equi-join equivalent of the reference's
-    null-sentinel encoding (SURVEY.md §2.2): equality on null must fail."""
+    null-sentinel encoding (SURVEY.md §2.2): equality on null must fail.
+    Internal match ids become 'mid:<name>:<value>' arms — the first OR-arm of
+    the reference's blocking join (source_matches.sql:58-62)."""
     sid = ID_COLS[source]
     frames = []
     em = df[df["email"].notna()]
@@ -309,219 +466,540 @@ def match_keys(df: pd.DataFrame, source: str) -> pd.DataFrame:
                     }
                 )
             )
+    for m in mid_names:
+        if m not in df:
+            continue
+        mi = df[df[m].notna()]
+        if len(mi):
+            frames.append(
+                pd.DataFrame({sid: mi[sid], "key": f"mid:{m}:" + mi[m].astype(str)})
+            )
     if not frames:
         return pd.DataFrame({sid: pd.Series(dtype=df[sid].dtype), "key": pd.Series(dtype=object)})
     return pd.concat(frames, ignore_index=True).drop_duplicates()
 
 
-# ---------------------------------------------------------------------------
-# pairwise matching + fuzzy confirmation
-# ---------------------------------------------------------------------------
+def _to_arrow(df: pd.DataFrame, schema: pa.Schema) -> pa.Table:
+    """pandas → Arrow with an EXPLICIT schema. Ray's inferred conversion maps
+    an all-null column to Arrow null type, which sort shuffles won't unify and
+    the acero hash join rejects outright — pinning the schema per kernel keeps
+    every block of a union/join input type-identical."""
+    t = pa.Table.from_pandas(df[schema.names], preserve_index=False)
+    return t.cast(schema)
 
 
-def _name_set(row: pd.Series) -> list:
-    names = [row.get("full_name"), row.get("first_name"), row.get("last_name")]
-    alts = row.get("possible_alt_first_names")
-    if isinstance(alts, str):
-        last = row.get("last_name") or ""
-        names += [f"{a} {last}".strip() for a in alts.split(", ")]
-    return [n for n in names if isinstance(n, str)]
+def _sid_type(source: str) -> pa.DataType:
+    return pa.string() if source == "stripe" else pa.int64()
 
 
-def _pair_candidates(keys_a: pd.DataFrame, keys_b: pd.DataFrame, id_a: str, id_b: str) -> pd.DataFrame:
-    """Hash equi-join on the blocking key, then pair-dedup. (Executed with
-    pandas merge per bucket at demo scale; Dataset.join(num_partitions=P) is
-    the drop-in at 100 TB — same key.)"""
-    pairs = keys_a.merge(keys_b, on="key")[[id_a, id_b]].drop_duplicates()
-    return pairs.reset_index(drop=True)
+def _keys_schema(source: str) -> pa.Schema:
+    return pa.schema([(ID_COLS[source], _sid_type(source)), ("key", pa.string())])
 
 
-def _confirm_pairs(
-    pairs: pd.DataFrame,
-    side_a: pd.DataFrame,
-    side_b: pd.DataFrame,
-    id_a: str,
-    id_b: str,
-    threshold: float = 0.95,
+def _attrs_schema(source: str, mid_names: tuple[str, ...]) -> pa.Schema:
+    fields = [
+        (ID_COLS[source], _sid_type(source)),
+        ("email", pa.string()), ("name0", pa.string()), ("name1", pa.string()),
+    ]
+    fields += [(f"mid_{m}", pa.string()) for m in mid_names]
+    fields += [("upd", pa.timestamp("us")), ("cre", pa.timestamp("us"))]
+    return pa.schema(fields)
+
+
+def _frag_schema(mid_names: tuple[str, ...]) -> pa.Schema:
+    fields = [
+        ("spine_key", pa.string()), ("src_rank", pa.int64()),
+        ("lead_id", pa.int64()), ("customer_id", pa.string()), ("user_id", pa.int64()),
+        ("upd", pa.timestamp("us")), ("cre", pa.timestamp("us")),
+        ("m_org", pa.string()), ("m_inferred_org", pa.string()),
+        ("s_org", pa.string()), ("s_ship_org", pa.string()),
+        ("z_org_id", pa.int64()), ("org_display", pa.string()),
+    ]
+    fields += [(f"mid_{m}", pa.string()) for m in mid_names]
+    return pa.schema(fields)
+
+
+def _attr_frag_schema(extra_cols: list[str]) -> pa.Schema:
+    fields = [("customer360_id", pa.string()), ("value", pa.string())]
+    fields += [(c, pa.string()) for c in extra_cols]
+    fields += [
+        ("type", pa.string()), ("source", pa.string()),
+        ("last_updated", pa.timestamp("us")),
+    ]
+    return pa.schema(fields)
+
+
+def _confirm_attrs(
+    df: pd.DataFrame, source: str, grain: str, mid_names: tuple[str, ...]
 ) -> pd.DataFrame:
-    """source_matches.sql:133-153: keep pair iff exact email match OR any
-    name×name Levenshtein similarity ≥ threshold."""
-    if pairs.empty:
-        return pairs
-    a = side_a.set_index(id_a)
-    b = side_b.set_index(id_b)
-    keep = []
-    for row in pairs.itertuples(index=False):
-        ra, rb = a.loc[getattr(row, id_a)], b.loc[getattr(row, id_b)]
-        if isinstance(ra, pd.DataFrame):
-            ra = ra.iloc[0]
-        if isinstance(rb, pd.DataFrame):
-            rb = rb.iloc[0]
-        ea, eb = ra.get("email"), rb.get("email")
-        if isinstance(ea, str) and ea == eb:
-            keep.append(True)
-            continue
-        keep.append(any_name_similar(_name_set(ra), _name_set(rb), threshold))
-    return pairs[pd.Series(keep, index=pairs.index)].reset_index(drop=True)
-
-
-def source_matches(cleaned_dfs: dict[str, pd.DataFrame], threshold: float = 0.95) -> pd.DataFrame:
-    """Pairwise blocking joins + fuzzy confirm + 3-way consolidation
-    (int_customer360__source_matches.sql). Returns one row per matched entity
-    tuple: (lead_id, customer_id, user_id, updated_at, created_at)."""
-    m = match_candidates(cleaned_dfs["marketo"], "marketo")
-    s = match_candidates(cleaned_dfs["stripe"], "stripe")
-    z = match_candidates(cleaned_dfs["zendesk"], "zendesk")
-    mk, sk, zk = match_keys(m, "marketo"), match_keys(s, "stripe"), match_keys(z, "zendesk")
-    # marketo×stripe uses every arm; m×z drops address arms; s×z email+phone
-    # (source_matches.sql:56-117,184-199,266-282)
-    zk_np = zk[~zk["key"].str.startswith("addr")]
-    sk_np = sk[~sk["key"].str.startswith("addr")]
-    ms = _confirm_pairs(
-        _pair_candidates(mk, sk, "lead_id", "customer_id"), m, s, "lead_id", "customer_id", threshold
+    """Narrow per-row projection feeding the fuzzy confirmation: lowercased
+    FULL names of the grain-selected set (source_matches.sql:143-151), email,
+    match ids, and the row's timestamps (carried through the pair CTEs like
+    marketo_updated_at, source_matches.sql:41-44)."""
+    sid = ID_COLS[source]
+    ncols = CONFIRM_NAME_COLS[(source, grain)]
+    out = pd.DataFrame({sid: df[sid]})
+    # pandas "string" dtype keeps Arrow string type even for all-null blocks
+    # (Arrow's hash join rejects null-typed non-key fields)
+    out["email"] = df["email"].astype("string")
+    out["name0"] = (
+        df[ncols[0]].str.lower().astype("string")
+        if ncols[0] in df
+        else pd.Series([None] * len(df), dtype="string")
     )
-    mz = _confirm_pairs(
-        _pair_candidates(mk[~mk["key"].str.startswith("addr")], zk_np, "lead_id", "user_id"),
-        m, z, "lead_id", "user_id", threshold,
-    )
-    sz = _confirm_pairs(
-        _pair_candidates(sk_np, zk_np, "customer_id", "user_id"), s, z, "customer_id", "user_id", threshold
-    )
-
-    # 3-way consolidation (source_matches.sql:319-354): full outer joins on the
-    # shared ids, then group by the id triple with max timestamps
-    tri = ms.merge(mz, on="lead_id", how="outer")
-    tri = tri.merge(sz, on="customer_id", how="outer", suffixes=("", "_sz"))
-    if "user_id_sz" in tri:
-        tri["user_id"] = tri["user_id"].fillna(tri["user_id_sz"])
-        tri = tri.drop(columns=["user_id_sz"])
-    tri = tri.drop_duplicates(["lead_id", "customer_id", "user_id"]).reset_index(drop=True)
-
-    ts = {}
-    for src, df, idc in (("marketo", cleaned_dfs["marketo"], "lead_id"),
-                         ("stripe", cleaned_dfs["stripe"], "customer_id"),
-                         ("zendesk", cleaned_dfs["zendesk"], "user_id")):
-        t = df.set_index(idc)
-        ts[src] = (
-            _coalesce_ts(t["updated_at"], t["created_at"]),
-            t["created_at"],
+    if len(ncols) > 1 and ncols[1] in df:
+        out["name1"] = df[ncols[1]].str.lower().astype("string")
+    else:
+        out["name1"] = pd.Series([None] * len(df), dtype="string")
+    for m in mid_names:
+        # match ids compare as strings (prep/..._for_matching.sql:103 casts)
+        out[f"mid_{m}"] = (
+            df[m].astype("string") if m in df else pd.Series([None] * len(df), dtype="string")
         )
-    upd = []
-    for row in tri.itertuples(index=False):
-        us = [ts["marketo"][0].get(row.lead_id), ts["stripe"][0].get(row.customer_id),
-              ts["zendesk"][0].get(row.user_id)]
-        cs = [ts["marketo"][1].get(row.lead_id), ts["stripe"][1].get(row.customer_id),
-              ts["zendesk"][1].get(row.user_id)]
-        us = [u for u in us if pd.notna(u)]
-        cs = [c for c in cs if pd.notna(c)]
-        upd.append((max(us) if us else pd.NaT, min(cs) if cs else pd.NaT))
-    tri["updated_at"] = [u for u, _ in upd]
-    tri["created_at"] = [c for _, c in upd]
-    return tri
+    out["upd"] = _coalesce_ts(df["updated_at"], df["created_at"])
+    out["cre"] = df["created_at"]
+    return _to_arrow(out, _attrs_schema(source, mid_names))
+
+
+# ---------------------------------------------------------------------------
+# pairwise matching + fuzzy confirmation (Ray joins + vectorized kernel)
+# ---------------------------------------------------------------------------
+
+
+def _suffixed(ds, sid: str, suffix: str):
+    def rn(t: pa.Table) -> pa.Table:
+        return t.rename_columns([c if c == sid else c + suffix for c in t.schema.names])
+
+    return ds.map_batches(rn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _confirm_kernel_factory(
+    id_a: str, id_b: str, mids_applicable: tuple[str, ...], threshold: float, similarity_fn=None
+):
+    out_cols = [id_a, id_b, "upd_a", "cre_a", "upd_b", "cre_b"]
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
+        ok = df["email_a"].notna() & (df["email_a"] == df["email_b"])
+        for m in mids_applicable:
+            ok |= df[f"mid_{m}_a"].notna() & (df[f"mid_{m}_a"] == df[f"mid_{m}_b"])
+        okv = ok.to_numpy(copy=True)
+        for ca in ("name0_a", "name1_a"):
+            for cb in ("name0_b", "name1_b"):
+                pend = np.nonzero(~okv)[0]
+                if not len(pend):
+                    break
+                a = df[ca].to_numpy(dtype=object)[pend]
+                b = df[cb].to_numpy(dtype=object)[pend]
+                if similarity_fn is None:
+                    okv[pend] |= similar_mask(a, b, threshold)
+                else:
+                    okv[pend] |= np.array(
+                        [similarity_fn(x, y) >= threshold for x, y in zip(a, b)], dtype=bool
+                    )
+        return df.loc[okv, out_cols]
+
+    return kernel
+
+
+def _confirmed_pairs_ds(
+    keys_a, keys_b, attrs_a, attrs_b, id_a: str, id_b: str,
+    mids_applicable: tuple[str, ...], threshold: float, similarity_fn=None,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+):
+    """Blocking join on 'key' → per-batch pair dedup → two attr joins → the
+    vectorized confirm kernel. Three bucketed shuffles; the final global pair
+    dedup happens in the (small) driver-side consolidation."""
+    from ..stages.joins import bucketed_hash_join
+
+    pairs = bucketed_hash_join(keys_a, keys_b, on="key", num_buckets=num_buckets)
+    pairs = pairs.map_batches(
+        lambda t: t.select([id_a, id_b]).group_by([id_a, id_b]).aggregate([]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pa_join = bucketed_hash_join(
+        pairs, _suffixed(attrs_a, id_a, "_a"), on=id_a, num_buckets=num_buckets
+    )
+    pab = bucketed_hash_join(
+        pa_join, _suffixed(attrs_b, id_b, "_b"), on=id_b, num_buckets=num_buckets
+    )
+    return pab.map_batches(
+        _confirm_kernel_factory(id_a, id_b, mids_applicable, threshold, similarity_fn),
+        batch_format="pandas",
+    )
+
+
+def _pair_frame(ds, id_a: str, id_b: str, tag_a: str, tag_b: str) -> pd.DataFrame:
+    """Materialize a confirmed-pair Dataset (O(matched entities)) and conform
+    column names/dtypes for consolidation."""
+    df = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
+    cols = [id_a, id_b, f"{tag_a}_upd", f"{tag_a}_cre", f"{tag_b}_upd", f"{tag_b}_cre"]
+    if df.empty:
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+    df = df.rename(
+        columns={
+            "upd_a": f"{tag_a}_upd", "cre_a": f"{tag_a}_cre",
+            "upd_b": f"{tag_b}_upd", "cre_b": f"{tag_b}_cre",
+        }
+    )[cols]
+    return df.drop_duplicates([id_a, id_b]).reset_index(drop=True)
+
+
+def _mids_applicable(config: PipelineConfig, src_a: str, src_b: str) -> tuple[str, ...]:
+    """A match-id arm participates in the confirmation filter iff its grain is
+    individual OR either side runs at organization grain
+    (source_matches.sql:133-140)."""
+    out = []
+    for spec in config.internal_match_ids:
+        if (
+            spec.customer_grain == "individual"
+            or config.grains.get(src_a) == "organization"
+            or config.grains.get(src_b) == "organization"
+        ):
+            out.append(spec.name)
+    return tuple(out)
+
+
+def source_matches(cleaned: dict, config: PipelineConfig | None = None) -> pd.DataFrame:
+    """Pairwise blocking joins + fuzzy confirm + 3-way consolidation
+    (int_customer360__source_matches.sql). ``cleaned`` maps source → cleaned
+    Dataset (pandas frames also accepted, for unit tests). Returns one row per
+    matched entity tuple: (lead_id, customer_id, user_id, updated_at,
+    created_at)."""
+    import ray.data
+
+    cfg = config or PipelineConfig()
+    mids = tuple(s.name for s in cfg.internal_match_ids)
+    thr = cfg.similarity_threshold
+    sim_fn = cfg.similarity_fn
+
+    present = [s for s in ("marketo", "stripe", "zendesk") if s in cleaned]
+    ds = {}
+    for s in present:
+        d = cleaned[s]
+        if isinstance(d, pd.DataFrame):
+            d = ray.data.from_pandas(d) if len(d) else None
+        ds[s] = d
+
+    keys, attrs = {}, {}
+    for s in present:
+        if ds[s] is None:
+            continue
+        grain = cfg.grains.get(s, "individual")
+        cand = ds[s].map_batches(
+            lambda df, _s=s, _g=grain: match_candidates(df, _s, _g), batch_format="pandas"
+        )
+        keys[s] = cand.map_batches(
+            lambda df, _s=s: _to_arrow(match_keys(df, _s, mids), _keys_schema(_s)),
+            batch_format="pandas",
+        )
+        attrs[s] = cand.map_batches(
+            lambda df, _s=s, _g=grain: _confirm_attrs(df, _s, _g, mids),
+            batch_format="pandas",
+        )
+
+    def _drop_addr(k):
+        import pyarrow.compute as pc
+
+        return k.map_batches(
+            lambda t: t.filter(pc.invert(pc.starts_with(t.column("key"), "addr"))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    def _pairs(sa, sb, drop_addr=False):
+        if sa not in keys or sb not in keys:
+            return _pair_frame(
+                pd.DataFrame(), ID_COLS[sa], ID_COLS[sb], sa[0], sb[0]
+            )
+        ka = _drop_addr(keys[sa]) if drop_addr else keys[sa]
+        kb = _drop_addr(keys[sb]) if drop_addr else keys[sb]
+        conf = _confirmed_pairs_ds(
+            ka, kb, attrs[sa], attrs[sb], ID_COLS[sa], ID_COLS[sb],
+            _mids_applicable(cfg, sa, sb), thr, sim_fn,
+        )
+        return _pair_frame(conf, ID_COLS[sa], ID_COLS[sb], sa[0], sb[0])
+
+    # marketo×stripe uses every arm; m×z and s×z have no address arms (zendesk
+    # emits no address keys) — drop the marketo/stripe side's address keys
+    # before those joins to cut shuffle volume (source_matches.sql:184-199,266-282)
+    ms = _pairs("marketo", "stripe")
+    mz = _pairs("marketo", "zendesk", drop_addr=True)
+    sz = _pairs("stripe", "zendesk", drop_addr=True)
+    return _consolidate(ms, mz, sz)
+
+
+def _as_int64(s: pd.Series) -> pd.Series:
+    return pd.Series(s).astype("Int64") if len(s) else pd.Series(s, dtype="Int64")
+
+
+def _consolidate(ms: pd.DataFrame, mz: pd.DataFrame, sz: pd.DataFrame) -> pd.DataFrame:
+    """3-way consolidation (source_matches.sql:319-354): full outer joins on
+    the shared ids, then group by the id triple with max/min timestamps —
+    fully vectorized."""
+    for df in (ms, mz):
+        if "lead_id" in df:
+            df["lead_id"] = _as_int64(df["lead_id"])
+    for df in (mz, sz):
+        if "user_id" in df:
+            df["user_id"] = _as_int64(df["user_id"])
+    for df in (ms, sz):
+        if "customer_id" in df:
+            df["customer_id"] = df["customer_id"].astype(object)
+
+    tri = ms.merge(mz, on="lead_id", how="outer", suffixes=("", "_mzj"))
+    tri = tri.merge(sz, on="customer_id", how="outer", suffixes=("", "_szj"))
+    if "user_id_szj" in tri:
+        tri["user_id"] = tri["user_id"].combine_first(tri["user_id_szj"])
+    for c in ("lead_id", "user_id"):
+        if c in tri:
+            tri[c] = _as_int64(tri[c])
+
+    upd_cols = [c for c in tri.columns if "_upd" in c]
+    cre_cols = [c for c in tri.columns if "_cre" in c]
+    tri["updated_at"] = (
+        tri[upd_cols].max(axis=1) if upd_cols else pd.Series(pd.NaT, index=tri.index)
+    )
+    tri["created_at"] = (
+        tri[cre_cols].min(axis=1) if cre_cols else pd.Series(pd.NaT, index=tri.index)
+    )
+    out = (
+        tri.groupby(["lead_id", "customer_id", "user_id"], dropna=False)
+        .agg(updated_at=("updated_at", "max"), created_at=("created_at", "min"))
+        .reset_index()
+    )
+    out["lead_id"] = _as_int64(out["lead_id"])
+    out["user_id"] = _as_int64(out["user_id"])
+    out["customer_id"] = out["customer_id"].astype(object).where(out["customer_id"].notna(), None)
+    return out
 
 
 # ---------------------------------------------------------------------------
 # mapping: golden-record spine (customer360__mapping.sql)
 # ---------------------------------------------------------------------------
 
+_FRAG_COLS = [
+    "spine_key", "src_rank", "lead_id", "customer_id", "user_id", "upd", "cre",
+    "m_org", "m_inferred_org", "s_org", "s_ship_org", "z_org_id", "org_display",
+]
 
-def build_mapping(matches: pd.DataFrame, cleaned_dfs: dict[str, pd.DataFrame]) -> pd.DataFrame:
-    """Full-outer join matches with every cleaned source (keeps never-matched
-    rows, :83-100), mint customer360_organization_id (:107) and customer360_id
-    (:205), append org-header rows (:147-199), build JSON source_ids
-    (:122-126,169-179)."""
-    spine = matches.copy()
+
+def _fragment_kernel(
+    df: pd.DataFrame, source: str, pos_map: dict, mid_names: tuple[str, ...]
+) -> pd.DataFrame:
+    """Every cleaned row emits one spine fragment per match-tuple position it
+    belongs to (the full-outer join of mapping.sql:83-100, as a shuffle key),
+    or a singleton fragment keyed by its own id when never matched."""
+    sid = ID_COLS[source]
+    pos = df[sid].map(pos_map)
+    matched = pos.notna()
+
+    def _mk(sub: pd.DataFrame, spine_key: pd.Series) -> pd.DataFrame:
+        n = len(sub)
+        nstr = pd.Series([None] * n, index=sub.index, dtype="string")
+        none = pd.Series([None] * n, index=sub.index, dtype=object)
+        out = pd.DataFrame(index=sub.index)
+        out["spine_key"] = spine_key
+        out["src_rank"] = SRC_RANK[source]
+        out["lead_id"] = _as_int64(sub[sid]) if sid == "lead_id" else _as_int64(none)
+        out["customer_id"] = sub[sid].astype("string") if sid == "customer_id" else nstr
+        out["user_id"] = _as_int64(sub[sid]) if sid == "user_id" else _as_int64(none)
+        out["upd"] = _coalesce_ts(sub["updated_at"], sub["created_at"])
+        out["cre"] = sub["created_at"]
+        if source == "marketo":
+            out["m_org"] = sub["company"].astype("string")
+            out["m_inferred_org"] = sub["inferred_company"].astype("string")
+            out["s_org"] = out["s_ship_org"] = nstr
+            out["z_org_id"] = _as_int64(none)
+            out["org_display"] = sub["company"].fillna(sub["inferred_company"]).astype("string")
+        elif source == "stripe":
+            out["m_org"] = out["m_inferred_org"] = nstr
+            out["s_org"] = sub["organization"].astype("string")
+            out["s_ship_org"] = sub["shipping_organization"].astype("string")
+            out["z_org_id"] = _as_int64(none)
+            out["org_display"] = (
+                sub["organization"].fillna(sub["shipping_organization"]).astype("string")
+            )
+        else:
+            out["m_org"] = out["m_inferred_org"] = out["s_org"] = out["s_ship_org"] = nstr
+            out["z_org_id"] = _as_int64(sub["organization_id"])
+            out["org_display"] = sub["organization"].astype("string")
+        for m in mid_names:
+            out[f"mid_{m}"] = sub[m].astype("string") if m in sub else nstr
+        return out
+
+    frames = []
+    um = df[~matched]
+    if len(um):
+        frames.append(_mk(um, source + ":" + um[sid].astype(str)))
+    mt = df[matched].copy()
+    if len(mt):
+        mt["_pos"] = pos[matched]
+        mt = mt.explode("_pos")
+        frames.append(_mk(mt, "t" + mt["_pos"].astype(str)))
+    schema = _frag_schema(mid_names)
+    if not frames:
+        return schema.empty_table()
+    return _to_arrow(pd.concat(frames, ignore_index=True), schema)
+
+
+def _json_str(rendered: np.ndarray) -> np.ndarray:
+    """coalesce(cast(id as string), '') — the reference's individual-row JSON
+    value (mapping.sql:122-126)."""
+    return np.where(pd.isna(rendered), "", rendered).astype(object)
+
+
+def build_mapping(
+    matches: pd.DataFrame, cleaned: dict, config: PipelineConfig | None = None
+) -> pd.DataFrame:
+    """The golden-record spine. Distributed fragment pass (one Ray groupby
+    keyed on the spine key) combines per-source rows into spine rows; the
+    combined result (O(entities)) lands on the driver, where surrogate keys,
+    JSON source_ids and org-header rows are minted vectorized.
+
+    Key recipes mirror customer360__mapping.sql:
+    - customer360_organization_id = surrogate(5 org components), computed
+      unconditionally (:107) — rows with no org data share the sentinel hash
+      and therefore one header row (reference quirk, reproduced).
+    - customer360_id = surrogate(lead, customer, user, is_header, org_id,
+      *match_ids) (:205).
+    - source_ids: individual rows '{"marketo":"<id-or-empty>",...}'
+      (:122-126); header rows JSON arrays of distinct member ids, pinned to
+      sorted order (:169-179; warehouse string_agg order is unspecified —
+      SURVEY.md §2.5 caveat)."""
+    import ray.data
+
+    cfg = config or PipelineConfig()
+    mids = tuple(s.name for s in cfg.internal_match_ids)
+    tri = matches.reset_index(drop=True)
+
+    pos_maps: dict[str, dict] = {s: {} for s in ID_COLS}
     for src, idc in (("marketo", "lead_id"), ("stripe", "customer_id"), ("zendesk", "user_id")):
-        all_ids = cleaned_dfs[src][[idc, "updated_at", "created_at"]].copy()
-        unmatched = all_ids[~all_ids[idc].isin(spine[idc].dropna())]
-        if len(unmatched):
-            add = pd.DataFrame({idc: unmatched[idc]})
-            add["updated_at"] = _coalesce_ts(unmatched["updated_at"], unmatched["created_at"]).values
-            add["created_at"] = unmatched["created_at"].values
-            spine = pd.concat([spine, add], ignore_index=True)
+        if idc not in tri:
+            continue
+        for p, v in zip(tri.index, tri[idc]):
+            if pd.notna(v):
+                pos_maps[src].setdefault(v, []).append(p)
 
-    # organization name per row: first non-null of marketo company / stripe org / zendesk org
-    org_by = {
-        "marketo": cleaned_dfs["marketo"].set_index("lead_id")["company"],
-        "stripe": cleaned_dfs["stripe"].set_index("customer_id")["organization"],
-        "zendesk": cleaned_dfs["zendesk"].set_index("user_id")["organization"],
+    import ray
+
+    refs = {s: ray.put(pos_maps[s]) for s in pos_maps}
+
+    frag_sets = []
+    for s, ds in cleaned.items():
+        if isinstance(ds, pd.DataFrame):
+            ds = ray.data.from_pandas(ds) if len(ds) else None
+        if ds is None:
+            continue
+        ref = refs[s]
+        frag_sets.append(
+            ds.map_batches(
+                lambda df, _s=s, _r=ref: _fragment_kernel(df, _s, ray.get(_r), mids),
+                batch_format="pandas",
+            )
+        )
+    if not frag_sets:
+        raise ValueError("no cleaned sources to map")
+    frags = frag_sets[0]
+    for f in frag_sets[1:]:
+        frags = frags.union(f)
+
+    from ..hashing import stable_hash
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (stable_hash(df["spine_key"]) % np.uint64(DEFAULT_NUM_BUCKETS)).astype(np.int64)
+        return df
+
+    agg_spec = {
+        "lead_id": ("lead_id", "first"), "customer_id": ("customer_id", "first"),
+        "user_id": ("user_id", "first"),
+        "updated_at": ("upd", "max"), "created_at": ("cre", "min"),
+        "m_org": ("m_org", "first"), "m_inferred_org": ("m_inferred_org", "first"),
+        "s_org": ("s_org", "first"), "s_ship_org": ("s_ship_org", "first"),
+        "z_org_id": ("z_org_id", "first"), "organization_name": ("org_display", "first"),
     }
-    orgs = []
-    for row in spine.itertuples(index=False):
-        v = None
-        for src, idc in (("marketo", "lead_id"), ("stripe", "customer_id"), ("zendesk", "user_id")):
-            i = getattr(row, idc)
-            if pd.notna(i):
-                cand = org_by[src].get(i)
-                if isinstance(cand, str):
-                    v = cand
-                    break
-        orgs.append(v)
-    spine["organization_name"] = orgs
+    for m in mids:
+        agg_spec[f"mid_{m}"] = (f"mid_{m}", "first")
+
+    def _combine(g: pd.DataFrame) -> pd.DataFrame:
+        # sort by source rank so groupby.first (first NON-NULL) realizes the
+        # marketo → stripe → zendesk coalesce priority of the reference
+        g = g.sort_values(["spine_key", "src_rank"], kind="stable")
+        out = g.groupby("spine_key", sort=False).agg(**agg_spec).reset_index()
+        return out.drop(columns=["spine_key"])
+
+    spine = frags.map_batches(_bucket, batch_format="pandas").groupby("_b").map_groups(
+        _combine, batch_format="pandas"
+    ).to_pandas()
+    if spine.empty:
+        spine = pd.DataFrame({c: pd.Series(dtype=object) for c in agg_spec})
+    spine = spine.reset_index(drop=True)
+    spine["lead_id"] = _as_int64(spine["lead_id"])
+    spine["user_id"] = _as_int64(spine["user_id"])
     spine["is_organization_header"] = False
 
-    spine["customer360_organization_id"] = pd.Series(
-        surrogate_key(spine["organization_name"]).to_pylist(), index=spine.index
-    ).where(spine["organization_name"].notna())
+    # org id: 5-component surrogate, unconditional (mapping.sql:107)
+    spine["customer360_organization_id"] = surrogate_key(
+        spine["m_org"], spine["m_inferred_org"], spine["s_org"], spine["s_ship_org"],
+        spine["z_org_id"],
+    ).to_pylist()
 
-    def _render_id(v):
-        if pd.isna(v):
-            return None
-        if isinstance(v, float) and v.is_integer():
-            return str(int(v))
-        return str(v)
+    r_lead = _json_str(render_sql_string(spine["lead_id"]))
+    r_cust = _json_str(render_sql_string(spine["customer_id"]))
+    r_user = _json_str(render_sql_string(spine["user_id"]))
+    spine["source_ids"] = (
+        '{"marketo":"' + r_lead + '","stripe":"' + r_cust + '","zendesk":"' + r_user + '"}'
+    )
 
-    spine["source_ids"] = [
-        json.dumps(
-            {
-                "marketo": _render_id(r.lead_id),
-                "stripe": _render_id(r.customer_id),
-                "zendesk": _render_id(r.user_id),
-            },
-            separators=(",", ":"),
-        )
-        for r in spine.itertuples(index=False)
-    ]
+    # org-header aggregate rows (mapping.sql:147-199)
+    def _arr(s: pd.Series) -> str:
+        vals = sorted({'""' if pd.isna(v) else f'"{v}"' for v in s})
+        return "[" + ",".join(vals) + "]"
 
-    # org-header aggregate rows (:147-199): per org, JSON arrays of member ids
-    # (string_agg distinct — order pinned to sorted, SURVEY.md §2.5 caveat)
-    headers = []
-    for org_id, grp in spine[spine["customer360_organization_id"].notna()].groupby(
-        "customer360_organization_id"
-    ):
-        def _agg(col):
-            vals = sorted({ _render_id(v) for v in grp[col] if pd.notna(v) })
-            return json.dumps(vals, separators=(",", ":"))
-
-        headers.append(
-            {
-                "lead_id": None,
-                "customer_id": None,
-                "user_id": None,
-                "updated_at": grp["updated_at"].max(),
-                "created_at": grp["created_at"].min(),
-                "organization_name": grp["organization_name"].iloc[0],
-                "is_organization_header": True,
-                "customer360_organization_id": org_id,
-                "source_ids": json.dumps(
-                    {
-                        "marketo": _agg("lead_id"),
-                        "stripe": _agg("customer_id"),
-                        "zendesk": _agg("user_id"),
-                    },
-                    separators=(",", ":"),
-                ),
-            }
-        )
-    if headers:
-        spine = pd.concat([spine, pd.DataFrame(headers)], ignore_index=True)
+    grp = spine.assign(
+        _rl=render_sql_string(spine["lead_id"]),
+        _rc=render_sql_string(spine["customer_id"]),
+        _ru=render_sql_string(spine["user_id"]),
+    ).groupby("customer360_organization_id", sort=False)
+    headers = grp.agg(
+        lead_arr=("_rl", _arr), cust_arr=("_rc", _arr), user_arr=("_ru", _arr),
+        updated_at=("updated_at", "max"), created_at=("created_at", "min"),
+        organization_name=("organization_name", "first"),
+    ).reset_index()
+    for m in mids:
+        spec = next(s for s in cfg.internal_match_ids if s.name == m)
+        col = grp[f"mid_{m}"]
+        if spec.customer_grain == "organization":
+            headers[f"mid_{m}"] = col.first().to_numpy()
+        else:
+            # individual-grain mids aggregate to JSON arrays on header rows
+            # (mapping.sql:163-167)
+            headers[f"mid_{m}"] = col.agg(
+                lambda s: "[" + ",".join(sorted({f'"{v}"' for v in s if pd.notna(v)})) + "]"
+            ).to_numpy()
+    headers["source_ids"] = (
+        '{"marketo":' + headers["lead_arr"] + ',"stripe":' + headers["cust_arr"]
+        + ',"zendesk":' + headers["user_arr"] + "}"
+    )
+    headers["is_organization_header"] = True
+    n_h = len(headers)
+    headers["lead_id"] = _as_int64(pd.Series([None] * n_h, dtype=object))
+    headers["user_id"] = _as_int64(pd.Series([None] * n_h, dtype=object))
+    headers["customer_id"] = pd.Series([None] * n_h, dtype=object)
+    keep = [
+        "lead_id", "customer_id", "user_id", "updated_at", "created_at",
+        "organization_name", "is_organization_header", "customer360_organization_id",
+        "source_ids",
+    ] + [f"mid_{m}" for m in mids]
+    spine = pd.concat([spine[keep], headers[keep]], ignore_index=True)
 
     spine["customer360_id"] = surrogate_key(
-        spine["lead_id"],
-        spine["customer_id"],
-        spine["user_id"],
-        spine["is_organization_header"],
-        spine["customer360_organization_id"],
+        spine["lead_id"], spine["customer_id"], spine["user_id"],
+        spine["is_organization_header"], spine["customer360_organization_id"],
+        *[spine[f"mid_{m}"] for m in mids],
     ).to_pylist()
     return spine
 
@@ -553,170 +1031,222 @@ ATTRIBUTE_SPECS = {
     ],
     "organization": [
         ("marketo", "company", "primary"),
+        ("marketo", "inferred_company", "inferred"),
         ("stripe", "organization", "primary"),
+        ("stripe", "shipping_organization", "shipping"),
         ("zendesk", "organization", "primary"),
     ],
 }
 
 PLACEHOLDER_NAMES = {"permanently deleted", "placeholder contact", "not available"}
-
-
-def attribute_table(
-    attr: str, mapping: pd.DataFrame, cleaned_dfs: dict[str, pd.DataFrame]
-) -> pd.DataFrame:
-    """Unpivot per-source values (UNION ALL, customer360__phone.sql:29-95),
-    join to the spine on source ids (inner — org headers have null source ids
-    and are correctly excluded, SURVEY.md §2.4), then the windowed confidence
-    rank: count(*)/max(ts) over (customer360_id, value) → dense_rank +
-    row_number (customer360__email.sql:95-110)."""
-    id_to_c360 = {}
-    individual = mapping[~mapping["is_organization_header"]]
-    for src, idc in (("marketo", "lead_id"), ("stripe", "customer_id"), ("zendesk", "user_id")):
-        for i, cid in zip(individual[idc], individual["customer360_id"]):
-            if pd.notna(i):
-                id_to_c360[(src, i)] = cid
-
-    rows = []
-    for src, col, type_label in ATTRIBUTE_SPECS[attr]:
-        df = cleaned_dfs[src]
-        if col not in df:
-            continue
-        sid = ID_COLS[src]
-        sub = df[df[col].notna()][[sid, col, "updated_at", "created_at"]]
-        for r in sub.itertuples(index=False):
-            cid = id_to_c360.get((src, getattr(r, sid)))
-            if cid is None:
-                continue
-            rows.append(
-                {
-                    "customer360_id": cid,
-                    "value": getattr(r, col),
-                    "type": type_label,
-                    "source": src,
-                    "last_updated": r.updated_at if pd.notna(r.updated_at) else r.created_at,
-                }
-            )
-    if not rows:
-        return pd.DataFrame(
-            columns=["customer360_id", "value", "type", "source", "value_count",
-                     "last_updated", "confidence_rank", "index"]
-        )
-    long = pd.DataFrame(rows)
-
-    # windowed counts + recency per (entity, value)
-    grp = long.groupby(["customer360_id", "value"])
-    long["value_count"] = grp["value"].transform("size")
-    long["last_updated"] = grp["last_updated"].transform("max")
-
-    epoch = pd.Timestamp("1970-01-01")
-    long["_ts"] = long["last_updated"].fillna(epoch)
-    if attr == "name":
-        long["_placeholder"] = long["value"].str.lower().isin(PLACEHOLDER_NAMES)
-    else:
-        long["_placeholder"] = False
-
-    long = long.sort_values(
-        ["customer360_id", "_placeholder", "value_count", "_ts", "value", "source", "type"],
-        ascending=[True, True, False, False, True, True, True],
-        kind="stable",
-    ).reset_index(drop=True)
-    long["index"] = long.groupby("customer360_id").cumcount() + 1
-    # dense confidence rank over (placeholder, count, ts) triples
-    key = list(zip(long["customer360_id"], long["_placeholder"], long["value_count"], long["_ts"]))
-    ranks, cur_ent, cur_key, r = [], None, None, 0
-    for ent, k in zip(long["customer360_id"], key):
-        if ent != cur_ent:
-            cur_ent, cur_key, r = ent, k, 1
-        elif k != cur_key:
-            cur_key = k
-            r += 1
-        ranks.append(r)
-    long["confidence_rank"] = ranks
-    return long.drop(columns=["_ts", "_placeholder"])
-
-
 DEMOTED_TYPES = {"inferred"}  # ranked last (customer360__address.sql:211-212)
 
 
-def _id_to_c360(mapping: pd.DataFrame) -> dict:
-    out = {}
+def _cid_lookup(mapping: pd.DataFrame) -> dict[str, dict]:
+    out: dict[str, dict] = {}
     individual = mapping[~mapping["is_organization_header"]]
     for src, idc in (("marketo", "lead_id"), ("stripe", "customer_id"), ("zendesk", "user_id")):
-        for i, cid in zip(individual[idc], individual["customer360_id"]):
-            if pd.notna(i):
-                out[(src, i)] = cid
+        out[src] = {
+            i: c
+            for i, c in zip(individual[idc], individual["customer360_id"])
+            if pd.notna(i)
+        }
     return out
 
 
-def address_attribute(mapping: pd.DataFrame, cleaned_dfs: dict[str, pd.DataFrame]) -> pd.DataFrame:
+def _rank_kernel(
+    g: pd.DataFrame, demote_placeholder: bool, demote_types: bool, extra_cols: list[str]
+) -> pd.DataFrame:
+    """Vectorized confidence ranking (customer360__email.sql:95-110):
+    count(*)/max(ts) over (customer360_id, value), then dense_rank over
+    (demotion, value_count desc, recency desc) + row_number; tie order pinned
+    to (value, source, type) for byte-stable output."""
+    out_cols = (
+        ["customer360_id", "value"] + extra_cols
+        + ["type", "source", "value_count", "last_updated", "confidence_rank", "index"]
+    )
+    if g.empty:
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
+    g = g.copy()
+    grp = g.groupby(["customer360_id", "value"], sort=False)
+    g["value_count"] = grp["value"].transform("size").astype("int64")
+    g["last_updated"] = grp["last_updated"].transform("max")
+    g["_ts"] = g["last_updated"].fillna(EPOCH)
+    if demote_placeholder:
+        g["_dem"] = g["value"].str.lower().isin(PLACEHOLDER_NAMES)
+    elif demote_types:
+        g["_dem"] = g["type"].isin(DEMOTED_TYPES)
+    else:
+        g["_dem"] = False
+    g = g.sort_values(
+        ["customer360_id", "_dem", "value_count", "_ts", "value", "source", "type"],
+        ascending=[True, True, False, False, True, True, True],
+        kind="stable",
+    ).reset_index(drop=True)
+    g["index"] = g.groupby("customer360_id", sort=False).cumcount() + 1
+    chg = (
+        g["customer360_id"].ne(g["customer360_id"].shift())
+        | g["_dem"].ne(g["_dem"].shift())
+        | g["value_count"].ne(g["value_count"].shift())
+        | g["_ts"].ne(g["_ts"].shift())
+    )
+    gid = chg.cumsum()
+    g["confidence_rank"] = (
+        gid - g.assign(_gid=gid).groupby("customer360_id", sort=False)["_gid"].transform("min") + 1
+    )
+    return g[out_cols]
+
+
+def _ranked_union(frag_sets: list, demote_placeholder: bool, demote_types: bool,
+                  extra_cols: list[str]) -> pd.DataFrame:
+    """Union per-source fragment Datasets, shuffle once on hash(customer360_id)
+    and run the vectorized rank kernel per bucket."""
+    from ..hashing import stable_hash
+
+    out_cols = (
+        ["customer360_id", "value"] + extra_cols
+        + ["type", "source", "value_count", "last_updated", "confidence_rank", "index"]
+    )
+    frag_sets = [f for f in frag_sets if f is not None]
+    if not frag_sets:
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
+    ds = frag_sets[0]
+    for f in frag_sets[1:]:
+        ds = ds.union(f)
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (stable_hash(df["customer360_id"]) % np.uint64(DEFAULT_NUM_BUCKETS)).astype(
+            np.int64
+        )
+        return df
+
+    ranked = (
+        ds.map_batches(_bucket, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(
+            lambda g: _rank_kernel(
+                g.drop(columns=["_b"]), demote_placeholder, demote_types, extra_cols
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    if ranked.empty:
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
+    return ranked[out_cols].reset_index(drop=True)
+
+
+def attribute_table(
+    attr: str, mapping: pd.DataFrame, cleaned: dict, config: PipelineConfig | None = None
+) -> pd.DataFrame:
+    """Unpivot per-source values (UNION ALL, customer360__phone.sql:29-95),
+    attach customer360_id via a broadcast lookup inside map_batches (inner —
+    org headers have null source ids and are correctly excluded, SURVEY.md
+    §2.4), then the distributed windowed confidence rank."""
+    import ray
+    import ray.data
+
+    lk_ref = ray.put(_cid_lookup(mapping))
+
+    def _frag(df: pd.DataFrame, source: str, col: str, type_label: str) -> pd.DataFrame:
+        lk = ray.get(lk_ref)[source]
+        sid = ID_COLS[source]
+        sub = df[df[col].notna()]
+        cid = sub[sid].map(lk)
+        keep = cid.notna()
+        sub = sub[keep]
+        out = pd.DataFrame(
+            {
+                "customer360_id": cid[keep].astype(object),
+                "value": sub[col].astype(object),
+                "type": type_label,
+                "source": source,
+                "last_updated": _coalesce_ts(sub["updated_at"], sub["created_at"]),
+            }
+        )
+        return _to_arrow(out, _attr_frag_schema([]))
+
+    frag_sets = []
+    for source, col, type_label in ATTRIBUTE_SPECS[attr]:
+        ds = cleaned.get(source)
+        if ds is None:
+            continue
+        if isinstance(ds, pd.DataFrame):
+            if not len(ds):
+                continue
+            ds = ray.data.from_pandas(ds)
+        if col not in ds.schema().names:
+            continue
+        frag_sets.append(
+            ds.map_batches(
+                lambda df, _s=source, _c=col, _t=type_label: _frag(df, _s, _c, _t),
+                batch_format="pandas",
+            )
+        )
+    return _ranked_union(
+        frag_sets,
+        demote_placeholder=(attr == "name"),
+        demote_types=(attr == "organization"),
+        extra_cols=[],
+    )
+
+
+def address_attribute(
+    mapping: pd.DataFrame, cleaned: dict, config: PipelineConfig | None = None
+) -> pd.DataFrame:
     """customer360__address.sql:24-116,140-212: unpivot per-source address rows
     (line_1/line_2/city/state/zip/country + type), rank per entity by
     (non-inferred first, frequency, recency) on the line_1 value."""
-    lk = _id_to_c360(mapping)
-    rows = []
-    specs = [("marketo", "primary"), ("stripe", "customer")]
-    for src, type_label in specs:
-        df = cleaned_dfs[src]
-        if "address_line_1" not in df:
-            continue
-        sid = ID_COLS[src]
+    import ray
+    import ray.data
+
+    lk_ref = ray.put(_cid_lookup(mapping))
+    extra = ["address_line_2", "city", "state_code", "postal_code", "country_code"]
+
+    def _frag(df: pd.DataFrame, source: str, type_label: str) -> pd.DataFrame:
+        lk = ray.get(lk_ref)[source]
+        sid = ID_COLS[source]
         sub = df[df["address_line_1"].notna()]
-        for r in sub.itertuples(index=False):
-            cid = lk.get((src, getattr(r, sid)))
-            if cid is None:
-                continue
-            rows.append(
-                {
-                    "customer360_id": cid,
-                    "value": r.address_line_1,
-                    "address_line_2": r.address_line_2,
-                    "city": r.city,
-                    "state_code": r.state_code,
-                    "postal_code": r.postal_code,
-                    "country_code": r.country_code,
-                    "type": type_label,
-                    "source": src,
-                    "last_updated": r.updated_at if pd.notna(r.updated_at) else r.created_at,
-                }
-            )
-    if not rows:
-        return pd.DataFrame(
-            columns=["customer360_id", "value", "address_line_2", "city", "state_code",
-                     "postal_code", "country_code", "type", "source", "value_count",
-                     "last_updated", "confidence_rank", "index"]
+        cid = sub[sid].map(lk)
+        keep = cid.notna()
+        sub = sub[keep]
+        out = pd.DataFrame(
+            {
+                "customer360_id": cid[keep].astype(object),
+                "value": sub["address_line_1"].astype(object),
+            }
         )
-    long = pd.DataFrame(rows)
-    grp = long.groupby(["customer360_id", "value"])
-    long["value_count"] = grp["value"].transform("size")
-    long["last_updated"] = grp["last_updated"].transform("max")
-    epoch = pd.Timestamp("1970-01-01")
-    long["_ts"] = long["last_updated"].fillna(epoch)
-    long["_demoted"] = long["type"].isin(DEMOTED_TYPES)
-    long = long.sort_values(
-        ["customer360_id", "_demoted", "value_count", "_ts", "value", "source"],
-        ascending=[True, True, False, False, True, True],
-        kind="stable",
-    ).reset_index(drop=True)
-    long["index"] = long.groupby("customer360_id").cumcount() + 1
-    long["confidence_rank"] = long["index"]  # dense==row here (ties broken by value)
-    return long.drop(columns=["_ts", "_demoted"])
+        for c in extra:
+            out[c] = sub[c].astype(object).to_numpy()
+        out["type"] = type_label
+        out["source"] = source
+        out["last_updated"] = _coalesce_ts(sub["updated_at"], sub["created_at"]).to_numpy()
+        return _to_arrow(out, _attr_frag_schema(extra))
+
+    frag_sets = []
+    for source, type_label in (("marketo", "primary"), ("stripe", "customer")):
+        ds = cleaned.get(source)
+        if ds is None:
+            continue
+        if isinstance(ds, pd.DataFrame):
+            if not len(ds):
+                continue
+            ds = ray.data.from_pandas(ds)
+        if "address_line_1" not in ds.schema().names:
+            continue
+        frag_sets.append(
+            ds.map_batches(
+                lambda df, _s=source, _t=type_label: _frag(df, _s, _t),
+                batch_format="pandas",
+            )
+        )
+    return _ranked_union(frag_sets, demote_placeholder=False, demote_types=True, extra_cols=extra)
 
 
-def ip_address_table(mapping: pd.DataFrame, cleaned_dfs: dict[str, pd.DataFrame]) -> pd.DataFrame:
-    """customer360__ip_address.sql:23-29: marketo IPs joined to the spine with
-    ipv4/ipv6 classification."""
-    lk = _id_to_c360(mapping)
-    m = cleaned_dfs["marketo"]
-    sub = m[m["anonymous_ip"].notna()]
-    return pd.DataFrame(
-        {
-            "customer360_id": [lk.get(("marketo", i)) for i in sub["lead_id"]],
-            "ip_address": sub["anonymous_ip"].to_numpy(),
-            "type": sub["ip_type"].to_numpy(),
-            "source": "marketo",
-        }
-    ).dropna(subset=["customer360_id"]).reset_index(drop=True)
-
+# ---------------------------------------------------------------------------
+# ip / status / updates tables (customer360__{ip_address,status,updates}.sql)
+# ---------------------------------------------------------------------------
 
 STATUS_SPECS = [
     ("marketo", "is_unsubscribed"), ("marketo", "is_email_invalid"),
@@ -725,48 +1255,130 @@ STATUS_SPECS = [
 ]
 
 
-def status_table(mapping: pd.DataFrame, cleaned_dfs: dict[str, pd.DataFrame]) -> pd.DataFrame:
-    """customer360__status.sql:39-176: per-source status flags unpivoted to
-    (customer360_id, status, value, source) rows."""
-    lk = _id_to_c360(mapping)
-    rows = []
-    for src, col in STATUS_SPECS:
-        df = cleaned_dfs[src]
-        if col not in df:
+def _mapped_union(cleaned: dict, mapping: pd.DataFrame, kernels: dict) -> pd.DataFrame:
+    """Run one vectorized kernel per source over its cleaned Dataset (broadcast
+    id→customer360_id lookup attached), union the results on the driver."""
+    import ray
+    import ray.data
+
+    lk_ref = ray.put(_cid_lookup(mapping))
+    frames = []
+    for source, kernel in kernels.items():
+        ds = cleaned.get(source)
+        if ds is None:
             continue
-        sid = ID_COLS[src]
-        sub = df[df[col].notna()]
-        for i, v in zip(sub[sid], sub[col]):
-            cid = lk.get((src, i))
-            if cid is not None:
-                rows.append(
-                    {"customer360_id": cid, "status": col, "value": bool(v), "source": src}
-                )
-    return pd.DataFrame(rows, columns=["customer360_id", "status", "value", "source"])
+        if isinstance(ds, pd.DataFrame):
+            if not len(ds):
+                continue
+            ds = ray.data.from_pandas(ds)
+        out = ds.map_batches(
+            lambda df, _s=source, _k=kernel: _k(df, ray.get(lk_ref)[_s]),
+            batch_format="pandas",
+        ).to_pandas()
+        if len(out):
+            frames.append(out)
+    return frames
 
 
-def updates_table(mapping: pd.DataFrame, cleaned_dfs: dict[str, pd.DataFrame]) -> pd.DataFrame:
+def ip_address_table(
+    mapping: pd.DataFrame, cleaned: dict, config: PipelineConfig | None = None
+) -> pd.DataFrame:
+    """customer360__ip_address.sql:23-29: marketo IPs joined to the spine with
+    ipv4/ipv6 classification."""
+    cols = ["customer360_id", "ip_address", "type", "source"]
+
+    def marketo(df: pd.DataFrame, lk: dict) -> pd.DataFrame:
+        sub = df[df["anonymous_ip"].notna()]
+        cid = sub["lead_id"].map(lk)
+        keep = cid.notna()
+        sub = sub[keep]
+        return pd.DataFrame(
+            {
+                "customer360_id": cid[keep].astype(object),
+                "ip_address": sub["anonymous_ip"].to_numpy(),
+                "type": sub["ip_type"].to_numpy(),
+                "source": "marketo",
+            }
+        )
+
+    frames = _mapped_union(cleaned, mapping, {"marketo": marketo})
+    if not frames:
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+    return pd.concat(frames, ignore_index=True)[cols]
+
+
+def status_table(
+    mapping: pd.DataFrame, cleaned: dict, config: PipelineConfig | None = None
+) -> pd.DataFrame:
+    """customer360__status.sql:39-176: per-source status flags unpivoted to
+    (customer360_id, status, value, source) rows — vectorized melt per batch."""
+    cols = ["customer360_id", "status", "value", "source"]
+    flags = {}
+    for src, col in STATUS_SPECS:
+        flags.setdefault(src, []).append(col)
+
+    def make_kernel(source: str, src_flags: list[str]):
+        def kernel(df: pd.DataFrame, lk: dict) -> pd.DataFrame:
+            sid = ID_COLS[source]
+            present = [c for c in src_flags if c in df.columns]
+            if not present:
+                return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+            cid = df[sid].map(lk)
+            sub = df[present][cid.notna()]
+            sub.insert(0, "customer360_id", cid[cid.notna()].astype(object))
+            long = sub.melt(
+                id_vars=["customer360_id"], var_name="status", value_name="value"
+            )
+            long = long[long["value"].notna()]
+            long["value"] = long["value"].astype(bool)
+            long["source"] = source
+            return long[cols]
+
+        return kernel
+
+    frames = _mapped_union(
+        cleaned, mapping, {s: make_kernel(s, f) for s, f in flags.items()}
+    )
+    if not frames:
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+    return pd.concat(frames, ignore_index=True)[cols].reset_index(drop=True)
+
+
+def updates_table(
+    mapping: pd.DataFrame, cleaned: dict, config: PipelineConfig | None = None
+) -> pd.DataFrame:
     """customer360__updates.sql:7-68: per-source recency rows
     (customer360_id, source, last_updated, created_at)."""
-    lk = _id_to_c360(mapping)
-    rows = []
-    for src, idc in (("marketo", "lead_id"), ("stripe", "customer_id"), ("zendesk", "user_id")):
-        df = cleaned_dfs[src]
-        for r in df.itertuples(index=False):
-            cid = lk.get((src, getattr(r, idc)))
-            if cid is None:
-                continue
-            rows.append(
+    cols = ["customer360_id", "source", "last_updated", "created_at"]
+
+    def make_kernel(source: str):
+        def kernel(df: pd.DataFrame, lk: dict) -> pd.DataFrame:
+            sid = ID_COLS[source]
+            cid = df[sid].map(lk)
+            keep = cid.notna()
+            sub = df[keep]
+            return pd.DataFrame(
                 {
-                    "customer360_id": cid,
-                    "source": src,
-                    "last_updated": r.updated_at if pd.notna(r.updated_at) else r.created_at,
-                    "created_at": r.created_at,
+                    "customer360_id": cid[keep].astype(object),
+                    "source": source,
+                    "last_updated": _coalesce_ts(sub["updated_at"], sub["created_at"]).to_numpy(),
+                    "created_at": sub["created_at"].to_numpy(),
                 }
             )
-    return pd.DataFrame(
-        rows, columns=["customer360_id", "source", "last_updated", "created_at"]
+
+        return kernel
+
+    frames = _mapped_union(
+        cleaned, mapping, {s: make_kernel(s) for s in ("marketo", "stripe", "zendesk")}
     )
+    if not frames:
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+    return pd.concat(frames, ignore_index=True)[cols].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# summary (customer360__summary.sql)
+# ---------------------------------------------------------------------------
 
 
 def summary(mapping: pd.DataFrame, attrs: dict[str, pd.DataFrame]) -> pd.DataFrame:
@@ -829,7 +1441,7 @@ def customer_rollup(
         table = metric_tables.get(f"{src}_metrics")
         if table is None or table.num_rows == 0:
             for c in METRIC_SUM_COLS[src]:
-                out[f"total_{c}" if not c.startswith(("count_", "total_")) else c] = 0
+                out[c] = 0
             continue
         ref = ray.put(lookups[src])
 
@@ -898,7 +1510,6 @@ def analysis_email_campaign_list(res: dict[str, pd.DataFrame]) -> pd.DataFrame:
         spend, bins=[-0.01, 0, 250, 1000, float("inf")],
         labels=["none", "low", "mid", "high"],
     ).astype(str)
-    tickets = ind.get("count_tickets", pd.Series(0, index=ind.index)).fillna(0)
     ind["has_open_tickets"] = ind.get(
         "count_open_tickets", pd.Series(0, index=ind.index)
     ).fillna(0) > 0
@@ -951,32 +1562,41 @@ def analysis_monthly_metrics(res: dict[str, pd.DataFrame]) -> pd.DataFrame:
     return out
 
 
-def run_customer360(tables: dict[str, pa.Table]) -> dict[str, pd.DataFrame]:
-    """End-to-end DAG: clean (Ray actor pools) → match → map → attributes →
-    summary. Cleaned outputs come back to the driver as pandas for the spine
-    stages (narrow tables; the 100 TB path swaps the pandas merges for
-    Dataset.join / groupby on the same keys — stage semantics unchanged)."""
-    cleaned = clean_sources(tables)
-    cleaned_dfs = {
-        k: _conform_cleaned(ds.to_pandas(), k) for k, ds in cleaned.items()
-    }
-    matches = source_matches(cleaned_dfs)
-    mapping = build_mapping(matches, cleaned_dfs)
+# ---------------------------------------------------------------------------
+# end-to-end DAG
+# ---------------------------------------------------------------------------
+
+
+def run_customer360(
+    tables: dict[str, pa.Table], config: PipelineConfig | None = None
+) -> dict[str, pd.DataFrame]:
+    """End-to-end DAG: clean (Ray actor pools) → match (Ray bucketed joins +
+    vectorized confirm) → map (Ray fragment groupby) → attributes (Ray unpivot
+    + distributed rank) → summary. Only O(resolved-entity) tables (pairs,
+    spine) are driver-held; outputs are returned as pandas for the driver
+    gate (callers wanting streams use clean_sources/attribute_table directly)."""
+    cfg = config or PipelineConfig()
+    cleaned = clean_sources(tables, cfg)
+    matches = source_matches(cleaned, cfg)
+    mapping = build_mapping(matches, cleaned, cfg)
     attrs = {
-        attr: attribute_table(attr, mapping, cleaned_dfs) for attr in ATTRIBUTE_SPECS
+        attr: attribute_table(attr, mapping, cleaned, cfg) for attr in ATTRIBUTE_SPECS
     }
-    attrs["address"] = address_attribute(mapping, cleaned_dfs)
+    attrs["address"] = address_attribute(mapping, cleaned, cfg)
     summary_df = summary(mapping, attrs)
     out = {
         "mapping": mapping,
         "summary": summary_df,
         "matches": matches,
-        "ip_address": ip_address_table(mapping, cleaned_dfs),
-        "status": status_table(mapping, cleaned_dfs),
-        "updates": updates_table(mapping, cleaned_dfs),
+        "ip_address": ip_address_table(mapping, cleaned, cfg),
+        "status": status_table(mapping, cleaned, cfg),
+        "updates": updates_table(mapping, cleaned, cfg),
         **{f"attr_{k}": v for k, v in attrs.items()},
-        **{f"cleaned_{k}": v for k, v in cleaned_dfs.items()},
     }
+    for src in ("marketo", "stripe", "zendesk"):
+        out[f"cleaned_{src}"] = (
+            cleaned[src].to_pandas() if src in cleaned else _empty_cleaned(src, cfg)
+        )
     if any(k.endswith("_metrics") for k in tables):
         out["customer"] = customer_rollup(mapping, summary_df, tables)
     return out

@@ -66,24 +66,36 @@ def bucketed_hash_join(
     how: str = "inner",
     num_buckets: int = 16,
 ):
-    """Partitioned hash join of two Datasets: one shuffle on the bucket column,
-    pandas merge per bucket. Assumes no single key's rows exceed a worker's
-    heap (salt hot keys into sub-buckets otherwise)."""
+    """Partitioned hash join of two Datasets — a thin wrapper over the native
+    hash-shuffle ``Dataset.join`` (both sides repartitioned on the key hash,
+    merged per partition). ``num_buckets`` maps to ``num_partitions``; salt hot
+    keys into sub-buckets upstream if one key's rows exceed a worker's heap.
+
+    (The previous union+groupby formulation broke on heterogeneous block
+    schemas — Ray's sort shuffle does not null-pad differing columns — so the
+    native operator is both the faster and the correct path.)
+    """
+    import ray
+
     r_on = right_on or on
-    left_cols = list(left.schema().names)
-    right_cols = list(right.schema().names)
-    lt = _with_bucket(left, on, num_buckets, "l")
-    rt = _with_bucket(right, r_on, num_buckets, "r")
-
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # the union pads each side with the other's columns as nulls — slice
-        # back to the original column sets before merging
-        l = g[g["_side"] == "l"][left_cols]  # noqa: E741
-        r = g[g["_side"] == "r"][right_cols]
-        out = l.merge(r, how=how, left_on=on, right_on=r_on, suffixes=("", "_r"))
-        return out
-
-    return lt.union(rt).groupby("_bucket").map_groups(merge_bucket, batch_format="pandas")
+    join_type = {"inner": "inner", "left": "left_outer", "outer": "full_outer"}[how]
+    # Aggregator actors default to 1 CPU each; a join would then need
+    # num_partitions free CPU slots before any data moves, which starves (or
+    # deadlocks) small sessions and stacks up across a multi-join DAG.
+    # Fractional CPUs keep scheduling fluid; cap partitions at the session's
+    # CPU count (raise num_buckets explicitly for multi-node runs).
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    nparts = max(2, min(num_buckets, cpus))
+    joined = left.join(
+        right,
+        join_type=join_type,
+        num_partitions=nparts,
+        on=(on,),
+        right_on=(r_on,) if r_on != on else None,
+        right_suffix="_r",
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+    return joined
 
 
 def semi_join(ds, keys, on: str, anti: bool = False):

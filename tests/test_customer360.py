@@ -6,7 +6,7 @@ import json
 import pandas as pd
 import pytest
 
-from dbt_customer360_ray.pipelines.c360_fixtures import gen_c360_sources
+from dbt_customer360_ray.pipelines.c360_fixtures import fixture_config, gen_c360_sources
 from dbt_customer360_ray.pipelines.customer360 import run_customer360
 
 pytestmark = pytest.mark.usefixtures("ray_session")
@@ -15,7 +15,7 @@ pytestmark = pytest.mark.usefixtures("ray_session")
 @pytest.fixture(scope="module")
 def result():
     tables, truth = gen_c360_sources(150, seed=42)
-    return run_customer360(tables), truth
+    return run_customer360(tables, fixture_config()), truth
 
 
 def _cluster_of(mapping: pd.DataFrame, col, val):
@@ -97,13 +97,15 @@ def test_org_headers_and_source_id_arrays(result):
         ids = json.loads(r.source_ids)
         assert sorted(ids) == ["marketo", "stripe", "zendesk"]
         for v in ids.values():
-            json.loads(v)  # JSON arrays of member ids
+            # JSON arrays of distinct member ids (mapping.sql:169-179), pinned
+            # to sorted order; '' entries stand for null ids (coalesce quirk)
+            assert isinstance(v, list) and v == sorted(v)
 
 
 def test_surrogate_keys_deterministic(result):
     res, truth = result
     tables, _ = gen_c360_sources(150, seed=42)
-    res2 = run_customer360(tables)
+    res2 = run_customer360(tables, fixture_config())
     a = res["mapping"].sort_values("customer360_id").reset_index(drop=True)
     b = res2["mapping"].sort_values("customer360_id").reset_index(drop=True)
     pd.testing.assert_series_equal(a["customer360_id"], b["customer360_id"])
