@@ -189,4 +189,14 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_bench()))
+        result = run_bench()
+        # Fold the two-parallelism-level scaling evidence into the default
+        # line so every BENCH_r{N}.json carries it (subprocess pair at N and
+        # 4N cpus on the same fixture; skipped inside those subprocesses via
+        # GRAFT_CDC_ONLY, and skippable explicitly with GRAFT_SKIP_SCALING).
+        if not CDC_ONLY and os.environ.get("GRAFT_SKIP_SCALING") != "1":
+            try:
+                result["scaling"] = run_scaling()
+            except Exception as exc:  # never fail the bench line on noise
+                result["scaling"] = {"error": str(exc)[:500]}
+        print(json.dumps(result))

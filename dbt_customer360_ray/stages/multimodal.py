@@ -139,9 +139,21 @@ def gen_media_table(n: int = 64, seed: int = 5) -> pa.Table:
     )
 
 
+def _kind_filter(ds, kind: str):
+    """Vectorized row filter on the ``kind`` column (Arrow compute inside the
+    read task — no per-row Python lambda)."""
+    import pyarrow.compute as pc
+
+    return ds.map_batches(
+        lambda t, _k=kind: t.filter(pc.equal(t.column("kind"), _k)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def image_features(ds, concurrency: int = 2, batch_size: int = 32, backend=None):
     """media Dataset → image feature Dataset (actor pool, small batches)."""
-    return ds.filter(lambda r: r["kind"] == "image").map_batches(
+    return _kind_filter(ds, "image").map_batches(
         ImageFeatures,
         fn_constructor_kwargs={"backend": backend},
         batch_format="pyarrow",
@@ -151,7 +163,7 @@ def image_features(ds, concurrency: int = 2, batch_size: int = 32, backend=None)
 
 
 def audio_features(ds, concurrency: int = 2, batch_size: int = 32, backend=None):
-    return ds.filter(lambda r: r["kind"] == "audio").map_batches(
+    return _kind_filter(ds, "audio").map_batches(
         AudioFeatures,
         fn_constructor_kwargs={"backend": backend},
         batch_format="pyarrow",

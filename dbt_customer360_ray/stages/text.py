@@ -57,49 +57,60 @@ def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
 class TextQuality:
     """Actor-pool stage: language ID + quality scores per document.
 
-    __init__ compiles token regex + marker tables once per actor; __call__ is
-    vectorized pandas/numpy per batch.
+    __init__ builds the per-language RE2 alternations once per actor; __call__
+    is fully vectorized (pyarrow.compute count_substring_regex scans + numpy) —
+    no per-row token lists.
     Outputs: lang_pred (argmax marker-hit rate, 'und' if no hits), stopword_ratio,
     mean_word_len, punct_ratio, quality_score in [0,1].
     """
 
     def __init__(self):
-        import re
-
-        self.word_re = re.compile(TOKEN_RE)
         self.langs = sorted(LANG_MARKERS)
-        self.marker_sets = [LANG_MARKERS[lang] for lang in self.langs]
+        # one RE2 word-boundary alternation per language: \b(w1|w2|...)\b
+        # counts exactly the \w+ tokens that are marker words (markers are
+        # \w-only, so \b aligns with token boundaries)
+        self.patterns = [
+            r"\b(" + "|".join(sorted(LANG_MARKERS[lang])) + r")\b"
+            for lang in self.langs
+        ]
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"].fillna("")
-        tokens = text.str.lower().str.findall(self.word_re)
-        n_tok = tokens.str.len().to_numpy(dtype=np.int64)
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text"), "")
+        low = pc.utf8_lower(text)
+        n_tok = pc.count_substring_regex(text, TOKEN_RE).to_numpy(zero_copy_only=False)
         safe_n = np.maximum(n_tok, 1)
 
-        hit_counts = np.zeros((len(batch), len(self.langs)), dtype=np.int64)
-        for j, markers in enumerate(self.marker_sets):
-            hit_counts[:, j] = tokens.map(
-                lambda ws, m=markers: sum(1 for w in ws if w in m)
-            ).to_numpy()
+        hit_counts = np.stack(
+            [
+                pc.count_substring_regex(low, pat).to_numpy(zero_copy_only=False)
+                for pat in self.patterns
+            ],
+            axis=1,
+        )  # (n, n_langs)
         best = hit_counts.argmax(axis=1)
         any_hit = hit_counts.max(axis=1) > 0
-        batch["lang_pred"] = np.where(
-            any_hit, np.array(self.langs, dtype=object)[best], "und"
-        )
-        batch["stopword_ratio"] = hit_counts.max(axis=1) / safe_n
+        lang = np.where(any_hit, np.array(self.langs, dtype=object)[best], "und")
+        stopword_ratio = hit_counts.max(axis=1) / safe_n
 
-        n_chars = text.str.len().to_numpy(dtype=np.int64)
-        word_chars = tokens.map(lambda ws: sum(len(w) for w in ws)).to_numpy()
-        batch["mean_word_len"] = word_chars / safe_n
-        punct = text.str.count(r"[^\w\s]").to_numpy(dtype=np.int64)
-        batch["punct_ratio"] = punct / np.maximum(n_chars, 1)
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        # total word chars == count of \w characters
+        word_chars = pc.count_substring_regex(text, r"\w").to_numpy(zero_copy_only=False)
+        mean_word_len = word_chars / safe_n
+        punct = pc.count_substring_regex(text, r"[^\w\s]").to_numpy(zero_copy_only=False)
+        punct_ratio = punct / np.maximum(n_chars, 1)
 
         # simple composite: long-enough, word-like, not punctuation soup
         length_ok = np.clip(n_tok / 20.0, 0, 1)
-        word_ok = np.clip(batch["mean_word_len"].to_numpy() / 4.0, 0, 1)
-        punct_ok = 1.0 - np.clip(batch["punct_ratio"].to_numpy() * 4.0, 0, 1)
-        batch["quality_score"] = (length_ok + word_ok + punct_ok) / 3.0
-        return batch
+        word_ok = np.clip(mean_word_len / 4.0, 0, 1)
+        punct_ok = 1.0 - np.clip(punct_ratio * 4.0, 0, 1)
+        quality = (length_ok + word_ok + punct_ok) / 3.0
+        return (
+            batch.append_column("lang_pred", pa.array(lang, pa.string()))
+            .append_column("stopword_ratio", pa.array(stopword_ratio, pa.float64()))
+            .append_column("mean_word_len", pa.array(mean_word_len, pa.float64()))
+            .append_column("punct_ratio", pa.array(punct_ratio, pa.float64()))
+            .append_column("quality_score", pa.array(quality, pa.float64()))
+        )
 
 
 ENRICH_SCHEMA = pa.schema(
@@ -167,7 +178,8 @@ def analyze_text(ds, concurrency: int = 4, batch_size: int = 4096):
     quality_score columns, via a TextQuality actor pool."""
     return ds.map_batches(
         TextQuality,
-        batch_format="pandas",
+        batch_format="pyarrow",
+        zero_copy_batch=True,
         batch_size=batch_size,
         concurrency=concurrency,
     )

@@ -283,6 +283,13 @@ class CdcLake:
                 enrich=enrich,
             )
         else:
+            # enrich BEFORE conform, mirroring the exchange path's fused
+            # _route_and_slice ordering (enrich columns are part of the
+            # evolved event schema; conforming first would null-backfill them)
+            if enrich is not None:
+                ds = ds.map_batches(
+                    enrich, batch_format="pyarrow", zero_copy_batch=True
+                )
             routed = ds.map_batches(
                 lambda t, s=event_only: conform_batch(t, s),
                 batch_format="pyarrow",

@@ -141,3 +141,34 @@ def test_ray_read_path_matches_local(tmp_path):
     )
     local = lake.read_local_table().to_pandas()
     pd.testing.assert_frame_equal(via_ray[local.columns.tolist()], local, check_dtype=False)
+
+
+def test_enrich_applies_on_both_exchange_modes(tmp_path):
+    """enrich columns must carry computed values (not null backfill) on the
+    groupby path too — exchange=True and exchange=False lakes must converge to
+    identical enriched state."""
+    from dbt_customer360_ray.stages.text import ENRICH_SCHEMA, TranscriptEnricher
+
+    changes = gen_changes(3_000, 200, seed=43)
+    epochs = split_epochs(changes, 2)
+    lakes = {}
+    for mode in (True, False):
+        lakes[mode] = _replay(
+            tmp_path / f"ex{mode}",
+            epochs,
+            lake_kwargs={"num_partitions": 8, "exchange": mode},
+            enrich=TranscriptEnricher(),
+            enrich_schema=ENRICH_SCHEMA,
+        )
+    frames = {}
+    for mode, lake in lakes.items():
+        df = lake.read_local_table().to_pandas()
+        assert {"n_tokens", "lang_pred", "quality_score"} <= set(df.columns)
+        assert df["n_tokens"].notna().all()
+        frames[mode] = (
+            df.sort_values(["conv_id", "turn_idx"], kind="stable")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(
+        frames[True][frames[False].columns.tolist()], frames[False], check_dtype=False
+    )
