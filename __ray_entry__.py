@@ -40,12 +40,14 @@ def _lang_quality_documents(sf_dir: str):
 
 
 def _minhash_near_dups(sf_dir: str):
+    """Near-dup groups: MinHash+LSH candidates → exact shingle-Jaccard verify
+    → connected components (driver union-find under 100k pairs, distributed
+    min-label propagation above). Oracled by an all-pairs SQL equivalent."""
     from dbt_customer360_ray.sources.readers import read_table
-    from dbt_customer360_ray.stages.dedup import connected_groups, minhash_candidates
+    from dbt_customer360_ray.stages.dedup import dup_groups, verified_near_dup_pairs
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = minhash_candidates(ds, threshold=0.7).to_pandas()
-    return connected_groups(pairs)
+    return dup_groups(verified_near_dup_pairs(ds, jaccard_threshold=0.8))
 
 
 def _simhash_documents(sf_dir: str):
@@ -57,11 +59,14 @@ def _simhash_documents(sf_dir: str):
 
 
 def _embedding_near_dups(sf_dir: str):
+    """Exact cosine pairs via distributed block-pair tiles; the cosine value
+    itself is float-representation-dependent, so only pair ids are emitted
+    (and oracle-compared)."""
     from dbt_customer360_ray.sources.readers import read_table
     from dbt_customer360_ray.stages.dedup import embedding_near_dups
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return embedding_near_dups(ds, threshold=0.3)
+    return embedding_near_dups(ds, threshold=0.3).select_columns(["id_a", "id_b"])
 
 
 def _lsh_topk_embeddings(sf_dir: str):

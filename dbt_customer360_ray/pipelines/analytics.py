@@ -494,6 +494,127 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+def _lang_quality_sql() -> str:
+    """DuckDB mirror of stages.text.TextQuality — built from the SAME
+    LANG_MARKERS tables and RE2 patterns (DuckDB regexp is RE2 too), so the
+    marker counts, argmax tie-break (sorted lang order) and float arithmetic
+    (identical IEEE op order) reproduce the engine bit-for-bit."""
+    from ..stages.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    hit_cols = ",\n               ".join(
+        "length(regexp_extract_all(lower(t), '\\b("
+        + "|".join(sorted(LANG_MARKERS[lang]))
+        + ")\\b')) AS h_" + lang
+        for lang in langs
+    )
+    mx = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    pick = " ".join(f"WHEN h_{lang} = mx THEN '{lang}'" for lang in langs)
+    return f"""
+        WITH base AS (
+            SELECT doc_id, coalesce(text, '') AS t FROM documents
+        ), c AS (
+            SELECT doc_id,
+               length(regexp_extract_all(t, '\\w+')) AS n_tok,
+               length(regexp_extract_all(t, '\\w')) AS word_chars,
+               length(regexp_extract_all(t, '[^\\w\\s]')) AS punct,
+               length(t) AS n_chars,
+               {hit_cols}
+            FROM base
+        ), m AS (
+            SELECT *, {mx} AS mx,
+                   greatest(n_tok, 1) AS safe_n, greatest(n_chars, 1) AS safe_c
+            FROM c
+        )
+        SELECT doc_id,
+               CASE WHEN mx = 0 THEN 'und' {pick} END AS lang_pred,
+               CAST(mx AS DOUBLE) / safe_n AS stopword_ratio,
+               CAST(word_chars AS DOUBLE) / safe_n AS mean_word_len,
+               CAST(punct AS DOUBLE) / safe_c AS punct_ratio,
+               (least(greatest(CAST(n_tok AS DOUBLE) / 20.0, 0), 1)
+                + least(greatest((CAST(word_chars AS DOUBLE) / safe_n) / 4.0, 0), 1)
+                + (1.0 - least(greatest((CAST(punct AS DOUBLE) / safe_c) * 4.0, 0), 1))
+               ) / 3.0 AS quality_score
+        FROM m
+    """
+
+
+ORACLE_SQL["lang_quality_documents"] = _lang_quality_sql()
+
+# SimHash mirror: token hash = md5_number_lower (same bytes the engine reads),
+# bit-majority per doc, bit 63 contributes the int64 sign term (two's
+# complement wrap, matching the engine's uint64→int64 view).
+ORACLE_SQL["simhash_documents"] = """
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '\\w+')) AS tok
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, j.j AS j,
+               SUM(CASE WHEN (md5_number_lower(tok) >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS score
+        FROM toks, (SELECT unnest(generate_series(0, 63)) AS j) j
+        GROUP BY doc_id, j.j
+    ), sims AS (
+        SELECT doc_id,
+               SUM(CASE WHEN score > 0 THEN
+                     CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+                          ELSE CAST(CAST(1 AS BIGINT) << j AS HUGEINT) END
+                   ELSE 0 END) AS simhash
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash
+    FROM documents d LEFT JOIN sims s ON d.doc_id = s.doc_id
+"""
+
+# Near-dup groups: exact trigram-shingle Jaccard ≥ 0.8 all-pairs, connected
+# components via recursive closure — the all-pairs truth the engine's
+# MinHash-candidates → exact-verify → label-propagation path must reproduce.
+ORACLE_SQL["minhash_near_dups"] = """
+    WITH RECURSIVE d AS (
+        SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\\w+') AS toks
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+          list_distinct(CASE WHEN len(toks) >= 3
+            THEN list_transform(generate_series(1, len(toks) - 2),
+                                i -> array_to_string(toks[i:i+2], ' '))
+            ELSE [array_to_string(toks, ' ')] END) AS shingles
+        FROM d
+    ), e AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), inter AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_int
+        FROM e x JOIN e y ON x.s = y.s AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    ), sizes AS (
+        SELECT doc_id, len(shingles) AS n FROM sh
+    ), pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_int AS DOUBLE) / (sa.n + sb.n - n_int) >= 0.8
+    ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), reach(node, x) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.node, e2.b FROM reach r JOIN edges e2 ON e2.a = r.x
+    )
+    SELECT node AS doc_id, least(node, min(x)) AS dup_group
+    FROM reach GROUP BY node
+"""
+
+# Exact cosine near-dup pairs; the float32 list_cosine_similarity vs the
+# engine's float64 matmul agree on membership (fixture margin ≥ 7e-5 at the
+# 0.3 threshold), so only the pair ids are compared.
+ORACLE_SQL["embedding_near_dups"] = """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+"""
+
+
 QUERIES = {
     "events_daily": q_events_daily,
     "parts_by_type": q_parts_by_type,

@@ -12,6 +12,8 @@ Scale shapes (ray_guide.md "Aggregation at scale"):
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -231,11 +233,104 @@ def connected_groups(pairs_df: pd.DataFrame) -> pa.Table:
     )
 
 
+def connected_groups_ds(pairs_ds, num_partitions: int = 16, max_rounds: int = 64):
+    """Distributed connected components by min-label propagation — the 100 TB
+    path: the pair graph never leaves the cluster.
+
+    Each round: propagate every node's current label across edges (one hash
+    join), take the per-node min (one groupby). Labels are monotonically
+    non-increasing, so the global label sum strictly decreases until the
+    component minima have propagated everywhere (O(diameter) rounds) — sum
+    equality is the convergence test, no extra comparison join. Returns a
+    Dataset (doc_id, dup_group=min doc id of component) over all nodes that
+    appear in ``pairs_ds`` (doc_a, doc_b).
+    """
+    from ray.data.aggregate import Min
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").combine_chunks()
+        b = t.column("doc_b").combine_chunks()
+        return pa.table(
+            {
+                "src": pa.chunked_array([a, b]).combine_chunks().cast(pa.int64()),
+                "dst": pa.chunked_array([b, a]).combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    edges = (
+        pairs_ds.select_columns(["doc_a", "doc_b"])
+        .map_batches(symmetrize, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+
+    def seed_labels(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("src"),
+                "label": pc.min_element_wise(t.column("src"), t.column("label")),
+            }
+        )
+
+    labels = (
+        edges.groupby("src")
+        .aggregate(Min("dst", alias_name="label"))
+        .map_batches(seed_labels, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    prev_sum = labels.sum("label")
+    for _ in range(max_rounds):
+        prop = edges.join(
+            labels,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("node",),
+            aggregator_ray_remote_args={"num_cpus": 0.1},
+        ).map_batches(
+            lambda t: pa.table({"node": t.column("dst"), "label": t.column("label")}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        labels = (
+            labels.union(prop)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t.column("node"), "dup_group": t.column("label")}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).sort("doc_id")
+
+
+def dup_groups(pairs_ds, driver_threshold: int = 100_000):
+    """Connected components over a candidate-pair Dataset: driver union-find
+    when the pair set is provably small, min-label propagation otherwise."""
+    n = pairs_ds.count()
+    if n <= driver_threshold:
+        return connected_groups(pairs_ds.to_pandas())
+    return connected_groups_ds(pairs_ds)
+
+
 # -- SimHash ----------------------------------------------------------------
 
 
 class SimHasher:
-    """Actor-pool stage: 64-bit SimHash per doc (token-hash bit majority)."""
+    """Actor-pool stage: 64-bit SimHash per doc (token-hash bit majority).
+
+    Token hash = lower 8 bytes (little-endian) of md5, bit-identical to
+    DuckDB's ``md5_number_lower`` — so the whole stage is oracle-checkable in
+    SQL. Hashing is batch-vectorized: ONE md5 pass over the batch's UNIQUE
+    tokens, then per-doc bit-majority via segmented reduction (np.add.reduceat)
+    — no per-doc hash calls. A token occurring k times in a doc contributes
+    ±k to each bit score, so summing over occurrences equals the classic
+    unique-token × count formulation.
+    """
 
     def __init__(self):
         import re
@@ -243,27 +338,43 @@ class SimHasher:
         self.word_re = re.compile(r"\w+")
         self.bit_idx = np.arange(64, dtype=np.uint64)
 
-    def simhash(self, text: str) -> np.uint64:
-        toks = self.word_re.findall((text or "").lower())
-        if not toks:
-            return np.uint64(0)
-        uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-        h = stable_hash(uniq).astype(np.uint64)
-        bits = ((h[:, None] >> self.bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
-        score = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-        out = np.uint64(0)
-        for i in np.nonzero(score > 0)[0]:
-            out |= np.uint64(1) << np.uint64(i)
+    @staticmethod
+    def _md5_u64(uniq: np.ndarray) -> np.ndarray:
+        out = np.empty(len(uniq), dtype=np.uint64)
+        for i, s in enumerate(uniq):
+            out[i] = np.frombuffer(hashlib.md5(s.encode("utf-8")).digest()[8:16], "<u8")[0]
         return out
 
+    def simhash(self, text: str) -> np.uint64:
+        """Single-doc reference path (tests); the batch path is __call__."""
+        df = self(pd.DataFrame({"doc_id": [0], "text": [text]}))
+        return np.uint64(df["simhash"].to_numpy().astype(np.uint64)[0])
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].tolist()
+        tok_lists = [self.word_re.findall((t or "").lower()) for t in texts]
+        lengths = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        n = len(texts)
+        sims = np.zeros(n, dtype=np.int64)
+        if n and lengths.sum():
+            flat = np.concatenate(
+                [np.array(t, dtype=object) for t in tok_lists if t]
+            )
+            uniq, inv = np.unique(flat, return_inverse=True)
+            hu = self._md5_u64(uniq)
+            bits = ((hu[:, None] >> self.bit_idx[None, :]) & np.uint64(1)).astype(np.int8)
+            tok_pm = bits[inv] * np.int8(2) - np.int8(1)  # (n_flat, 64) of ±1
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(lengths[:-1], out=starts[1:])
+            nz = np.nonzero(lengths > 0)[0]
+            scores = np.add.reduceat(
+                tok_pm.astype(np.int64), starts[nz], axis=0
+            )  # (n_nonempty, 64)
+            sh = (scores > 0).astype(np.uint64)
+            vals = (sh << self.bit_idx[None, :]).sum(axis=1, dtype=np.uint64)
+            sims[nz] = vals.view(np.int64)
         return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"].to_numpy(),
-                "simhash": np.array(
-                    [self.simhash(t) for t in batch["text"].tolist()], dtype=np.uint64
-                ).astype(np.int64),
-            }
+            {"doc_id": batch["doc_id"].to_numpy(), "simhash": sims}
         )
 
 
@@ -289,41 +400,135 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return len(sa & sb) / max(len(sa | sb), 1)
 
 
+def verified_near_dup_pairs(
+    ds,
+    jaccard_threshold: float = 0.8,
+    est_threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+):
+    """MinHash+LSH candidates verified by EXACT shingle Jaccard — the
+    oracle-checkable near-dup operator: candidates are recalled loosely
+    (est ≥ est_threshold, generous banding) and only exact-Jaccard ≥
+    jaccard_threshold pairs survive, so the output equals the all-pairs SQL
+    answer up to banding recall (≥ 0.999 at the default margin).
+
+    Texts are joined back per side (two bucketed hash joins); the exact
+    Jaccard kernel runs per candidate pair — the candidate set is the small,
+    post-banding table.
+    """
+    from .joins import bucketed_hash_join
+
+    docs = ds.select_columns(["doc_id", "text"])
+    cands = minhash_candidates(
+        ds, num_perm=num_perm, bands=bands, shingle_n=shingle_n,
+        threshold=est_threshold,
+    ).map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def _side(name: str):
+        return docs.map_batches(
+            lambda t, _n=name: t.rename_columns([f"doc_{_n}", f"text_{_n}"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+    j1 = bucketed_hash_join(cands, _side("a"), on="doc_a")
+    j2 = bucketed_hash_join(j1, _side("b"), on="doc_b")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+                 "jaccard": pd.Series(dtype="float64")}
+            )
+        jac = np.array(
+            [
+                ngram_jaccard(a, b, shingle_n)
+                for a, b in zip(df["text_a"].to_numpy(), df["text_b"].to_numpy())
+            ]
+        )
+        keep = jac >= jaccard_threshold
+        out = df.loc[keep, ["doc_a", "doc_b"]].copy()
+        out["jaccard"] = jac[keep]
+        return out
+
+    return j2.map_batches(verify, batch_format="pandas")
+
+
 # -- embedding cosine near-dup ----------------------------------------------
 
 
-def embedding_near_dups(ds, threshold: float = 0.95, id_col: str = "vec_id"):
-    """Pairs of rows with cosine ≥ threshold.
+def _list_matrix(tbl: pa.Table, col: str) -> np.ndarray:
+    """Zero-copy-ish list<float> column → (n, dim) float64 matrix."""
+    c = tbl.column(col).combine_chunks()
+    flat = c.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(c), -1) if len(c) else flat.reshape(0, 0)
 
-    Sandbox path: broadcast the full normalized matrix (ray.put once), each batch
-    matmuls against it — O(N·B) per batch, vectorized. 100 TB path: LSH-bucket
-    by random-hyperplane signature first (see similarity.lsh_bucket_topk), then
-    run this within buckets.
+
+def _pair_tile(
+    ta: pa.Table, tb: pa.Table, same: bool, thr: float, idc: str
+) -> pa.Table:
+    """One matmul tile of the all-pairs cosine comparison (runs as a Ray task;
+    blocks arrive zero-copy from the object store)."""
+    empty = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+         "cosine": pa.array([], pa.float64())}
+    )
+    if ta.num_rows == 0 or tb.num_rows == 0:
+        return empty
+    ia = ta.column(idc).to_numpy(zero_copy_only=False).astype(np.int64)
+    ib = tb.column(idc).to_numpy(zero_copy_only=False).astype(np.int64)
+    ma = _list_matrix(ta, "embedding")
+    mb = _list_matrix(tb, "embedding")
+    na = np.maximum(np.linalg.norm(ma, axis=1), 1e-300)
+    nb = np.maximum(np.linalg.norm(mb, axis=1), 1e-300)
+    sims = (ma @ mb.T) / (na[:, None] * nb[None, :])
+    mask = sims >= thr
+    if same:
+        mask &= ia[:, None] < ib[None, :]  # each unordered pair once, no self
+    ii, jj = np.nonzero(mask)
+    if not len(ii):
+        return empty
+    a, b, v = ia[ii], ib[jj], sims[ii, jj]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    order = np.lexsort((hi, lo))
+    return pa.table(
+        {"id_a": pa.array(lo[order]), "id_b": pa.array(hi[order]),
+         "cosine": pa.array(v[order], pa.float64())}
+    )
+
+
+def embedding_near_dups(
+    ds, threshold: float = 0.95, id_col: str = "vec_id", num_blocks: int | None = None
+):
+    """Exact cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
+
+    Distributed block-pair tiling: the table is packed into B blocks pinned in
+    the object store; one Ray task per block pair (B·(B+1)/2 tiles) matmuls its
+    tile and emits qualifying pairs. The driver holds only block refs — no
+    whole-table materialization. Cosine is dot/(‖a‖·‖b‖) in float64, the same
+    formulation as DuckDB's list_cosine_similarity, so the stage is
+    oracle-checkable. O(N²) compute is inherent to EXACT all-pairs; the
+    approximate 100 TB path buckets by HyperplaneLsh signature
+    (stages/similarity.py) and runs these tiles within buckets.
     """
     import ray
+    import ray.data
 
-    all_rows = ds.select_columns([id_col, "embedding"]).to_pandas()
-    ids = all_rows[id_col].to_numpy()
-    mat = np.stack(all_rows["embedding"].to_numpy()).astype(np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((ids, mat))
-
-    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        g_ids, g_mat = ray.get(ref)
-        q = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-        sims = q @ g_mat.T
-        qa_ids = batch[id_col].to_numpy()
-        rows_a, rows_b, vals = [], [], []
-        for i in range(len(qa_ids)):
-            hits = np.nonzero((sims[i] >= threshold) & (g_ids > qa_ids[i]))[0]
-            rows_a.extend([qa_ids[i]] * len(hits))
-            rows_b.extend(g_ids[hits])
-            vals.extend(sims[i][hits])
-        return pd.DataFrame(
-            {"id_a": np.array(rows_a, dtype=np.int64),
-             "id_b": np.array(rows_b, dtype=np.int64),
-             "cosine": np.array(vals, dtype=np.float64)}
-        )
-
-    return ds.map_batches(per_batch, batch_format="pandas", batch_size=1024)
+    if num_blocks is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_blocks = max(2, min(16, cpus))
+    packed = (
+        ds.select_columns([id_col, "embedding"]).repartition(num_blocks).materialize()
+    )
+    refs = packed.to_arrow_refs()
+    tile = ray.remote(_pair_tile)
+    out = [
+        tile.remote(refs[i], refs[j], i == j, threshold, id_col)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    return ray.data.from_arrow_refs(out)

@@ -81,11 +81,13 @@ def bucketed_hash_join(
     join_type = {"inner": "inner", "left": "left_outer", "outer": "full_outer"}[how]
     # Aggregator actors default to 1 CPU each; a join would then need
     # num_partitions free CPU slots before any data moves, which starves (or
-    # deadlocks) small sessions and stacks up across a multi-join DAG.
-    # Fractional CPUs keep scheduling fluid; cap partitions at the session's
-    # CPU count (raise num_buckets explicitly for multi-node runs).
+    # DEADLOCKS) small sessions — measured: TWO chained joins at 8 cpus with
+    # 8×0.25-cpu aggregators each, alongside one 4-actor map pool, wedge the
+    # whole DAG. 0.1-cpu aggregators and partitions capped at cpus/2 keep a
+    # multi-join pipeline fluid; raise num_buckets explicitly for multi-node
+    # runs where partition count should track the cluster, not one node.
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    nparts = max(2, min(num_buckets, cpus))
+    nparts = max(2, min(num_buckets, cpus // 2))
     joined = left.join(
         right,
         join_type=join_type,
@@ -93,7 +95,7 @@ def bucketed_hash_join(
         on=(on,),
         right_on=(r_on,) if r_on != on else None,
         right_suffix="_r",
-        aggregator_ray_remote_args={"num_cpus": 0.25},
+        aggregator_ray_remote_args={"num_cpus": 0.1},
     )
     return joined
 

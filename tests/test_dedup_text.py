@@ -149,3 +149,70 @@ def test_multimodal_plumbing(ray_session):
     # the real backend is an explicit stub
     with pytest.raises(NotImplementedError):
         M.DecodeBackend().decode_image(b"x")
+
+
+def test_connected_groups_ds_matches_union_find(ray_session):
+    import ray.data
+
+    # planted components: chains, a clique, singleton pair — long chain needs
+    # several propagation rounds
+    rng = np.random.default_rng(9)
+    edges = []
+    for base in range(0, 500, 50):  # 10 chains of length 10
+        for i in range(9):
+            edges.append((base + i, base + i + 1))
+    clique = list(range(1000, 1008))
+    edges += [(a, b) for a in clique for b in clique if a < b]
+    edges.append((2000, 2001))
+    rng.shuffle(edges)
+    pairs = pd.DataFrame(edges, columns=["doc_a", "doc_b"])
+    want = D.connected_groups(pairs).to_pandas()
+    got = (
+        D.connected_groups_ds(ray.data.from_pandas(pairs), num_partitions=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_verified_near_dup_pairs_match_exact_jaccard(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_docs())
+    got = D.verified_near_dup_pairs(ds, jaccard_threshold=0.5).to_pandas()
+    got_pairs = {tuple(sorted((a, b))) for a, b in zip(got["doc_a"], got["doc_b"])}
+    # ground truth: all-pairs exact jaccard over the 5 fixture docs
+    texts = _docs().column("text").to_pylist()
+    want_pairs = {
+        (i, j)
+        for i in range(5)
+        for j in range(i + 1, 5)
+        if D.ngram_jaccard(texts[i], texts[j]) >= 0.5
+    }
+    assert got_pairs == want_pairs
+    for _, r in got.iterrows():
+        assert r["jaccard"] == D.ngram_jaccard(texts[int(r["doc_a"])], texts[int(r["doc_b"])])
+
+
+def test_embedding_block_pair_matches_all_pairs(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((80, 12))
+    tbl = pa.table(
+        {"vec_id": pa.array(np.arange(80, dtype=np.int64)),
+         "embedding": pa.array([r.tolist() for r in mat], pa.list_(pa.float32()))}
+    )
+    got = (
+        D.embedding_near_dups(ray.data.from_arrow(tbl), threshold=0.5, num_blocks=5)
+        .to_pandas()
+    )
+    m = mat.astype(np.float64)
+    # float32 storage round-trips through the table; mirror it
+    m = np.array([np.asarray(r, dtype=np.float32) for r in mat]).astype(np.float64)
+    n = np.linalg.norm(m, axis=1)
+    sims = (m @ m.T) / (n[:, None] * n[None, :])
+    iu, ju = np.triu_indices(80, 1)
+    want = {(int(a), int(b)) for a, b in zip(iu[sims[iu, ju] >= 0.5], ju[sims[iu, ju] >= 0.5])}
+    assert {tuple(p) for p in got[["id_a", "id_b"]].to_numpy()} == want
