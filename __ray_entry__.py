@@ -88,17 +88,55 @@ def _lsh_topk_embeddings(sf_dir: str):
 _C360_CACHE: dict = {}
 
 
-def _c360(sf_dir: str, key: str):
-    """customer360 DAG over the deterministic synthetic source fixtures
-    (rows-only check: marketo/stripe/zendesk tables are not driver views).
-    The DAG runs once per process; each output table is served from cache."""
-    if "res" not in _C360_CACHE:
-        from dbt_customer360_ray.pipelines.c360_fixtures import gen_c360_sources
-        from dbt_customer360_ray.pipelines.customer360 import run_customer360
+def _c360_n(sf_dir: str) -> int:
+    """Fixture rows ∝ sf (sf0.01 → 300, matching the oracle SQL's pinned
+    fixture path)."""
+    from dbt_customer360_ray.pipelines.cdc_replay import sf_from_dir
 
-        tables, _truth = gen_c360_sources(300, seed=42)
-        _C360_CACHE["res"] = run_customer360(tables)
-    return _C360_CACHE["res"][key]
+    return max(60, int(round(30_000 * sf_from_dir(sf_dir, default=0.01))))
+
+
+def _conform_c360(df):
+    """Output-boundary dtype alignment with the DuckDB oracle: nullable Int64
+    ids hash as float64 (DuckDB NULL-able BIGINT → float64 in pandas), and all
+    timestamps as microseconds."""
+    df = df.copy()
+    for c in df.columns:
+        dt = str(df[c].dtype)
+        if dt in ("Int64", "Int32"):
+            df[c] = df[c].astype("float64")
+        elif dt.startswith("datetime64") and dt != "datetime64[us]":
+            df[c] = df[c].astype("datetime64[us]")
+    return df
+
+
+def _c360(sf_dir: str, key: str):
+    """customer360 DAG over the deterministic synthetic source fixture —
+    engine and DuckDB oracle read the SAME parquet bytes
+    (pipelines/c360_oracle.ensure_fixture). The DAG runs once per fixture
+    size; each output table is served from cache."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dbt_customer360_ray.pipelines.c360_fixtures import fixture_config
+    from dbt_customer360_ray.pipelines.c360_oracle import ensure_fixture
+    from dbt_customer360_ray.pipelines.customer360 import run_customer360
+
+    n = _c360_n(sf_dir)
+    if _C360_CACHE.get("n") != n:
+        d = ensure_fixture(n)
+        tables = {
+            name: pq.read_table(os.path.join(d, f"{name}.parquet"))
+            for name in (
+                "marketo_leads", "stripe_customer_overview", "zendesk_users",
+                "zendesk_organizations", "marketo_metrics", "stripe_metrics",
+                "zendesk_metrics",
+            )
+        }
+        _C360_CACHE["res"] = run_customer360(tables, fixture_config())
+        _C360_CACHE["n"] = n
+    return _conform_c360(_C360_CACHE["res"][key])
 
 
 def _stream_replay_lake(sf_dir: str):
@@ -166,5 +204,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from dbt_customer360_ray.pipelines.analytics import ORACLE_SQL
+    from dbt_customer360_ray.pipelines.c360_oracle import oracle_entries
 
-    return dict(ORACLE_SQL)
+    out = dict(ORACLE_SQL)
+    # c360 oracles read fixture parquet at the sf0.01 scale the driver uses;
+    # oracle_entries() writes that fixture as a side effect
+    out.update(oracle_entries())
+    return out

@@ -351,7 +351,7 @@ def clean_sources(
             CleanMarketo,
             fn_constructor_kwargs={"match_id_cols": cols, "match_id_maps": maps},
             batch_format="pandas",
-            concurrency=concurrency,
+            concurrency=(1, concurrency),
         )
     if "stripe" in cfg.enabled_sources:
         cols, maps = _match_id_kwargs("stripe", cfg)
@@ -363,7 +363,7 @@ def clean_sources(
                 "match_id_maps": maps,
             },
             batch_format="pandas",
-            concurrency=concurrency,
+            concurrency=(1, concurrency),
         )
     if "zendesk" in cfg.enabled_sources:
         orgs = tables["zendesk_organizations"].to_pandas()
@@ -377,7 +377,7 @@ def clean_sources(
                 "match_id_maps": maps,
             },
             batch_format="pandas",
-            concurrency=concurrency,
+            concurrency=(1, concurrency),
         )
     return {k: ds.materialize() for k, ds in out.items()}
 
@@ -1043,14 +1043,17 @@ DEMOTED_TYPES = {"inferred"}  # ranked last (customer360__address.sql:211-212)
 
 
 def _cid_lookup(mapping: pd.DataFrame) -> dict[str, dict]:
+    """source id → customer360_id. A source id can appear in several spine
+    rows (one row matched into two tuples); the MIN customer360_id wins —
+    pinned so the assignment is deterministic regardless of spine row order
+    (and mirrorable in SQL as min())."""
     out: dict[str, dict] = {}
     individual = mapping[~mapping["is_organization_header"]]
     for src, idc in (("marketo", "lead_id"), ("stripe", "customer_id"), ("zendesk", "user_id")):
-        out[src] = {
-            i: c
-            for i, c in zip(individual[idc], individual["customer360_id"])
-            if pd.notna(i)
-        }
+        sub = individual[[idc, "customer360_id"]].dropna(subset=[idc])
+        # descending sort + dict overwrite → smallest customer360_id survives
+        sub = sub.sort_values("customer360_id", ascending=False, kind="stable")
+        out[src] = dict(zip(sub[idc], sub["customer360_id"]))
     return out
 
 
@@ -1429,12 +1432,7 @@ def customer_rollup(
     import ray.data
     from ray.data.aggregate import Max, Min, Sum
 
-    individual = mapping[~mapping["is_organization_header"]]
-    lookups = {}
-    for src, idc in (("marketo", "lead_id"), ("stripe", "customer_id"), ("zendesk", "user_id")):
-        lookups[src] = {
-            i: c for i, c in zip(individual[idc], individual["customer360_id"]) if pd.notna(i)
-        }
+    lookups = _cid_lookup(mapping)
 
     out = summary_df.copy()
     for src, idc in (("marketo", "lead_id"), ("stripe", "customer_id"), ("zendesk", "user_id")):

@@ -185,7 +185,7 @@ def minhash_candidates(
         fn_constructor_kwargs={"num_perm": num_perm, "shingle_n": shingle_n},
         batch_format="pandas",
         batch_size=2048,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
     exploded = sigs.map_batches(explode, batch_format="pandas")
     pairs = exploded.groupby("bucket").map_groups(
@@ -380,7 +380,7 @@ class SimHasher:
 
 def simhash_signatures(ds, concurrency: int = 4):
     return ds.map_batches(
-        SimHasher, batch_format="pandas", batch_size=2048, concurrency=concurrency
+        SimHasher, batch_format="pandas", batch_size=2048, concurrency=(1, concurrency)
     )
 
 

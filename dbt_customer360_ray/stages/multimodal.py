@@ -158,7 +158,7 @@ def image_features(ds, concurrency: int = 2, batch_size: int = 32, backend=None)
         fn_constructor_kwargs={"backend": backend},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
 
@@ -168,5 +168,5 @@ def audio_features(ds, concurrency: int = 2, batch_size: int = 32, backend=None)
         fn_constructor_kwargs={"backend": backend},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )

@@ -181,5 +181,5 @@ def analyze_text(ds, concurrency: int = 4, batch_size: int = 4096):
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )

@@ -6,7 +6,13 @@ import duckdb
 import pandas as pd
 import pytest
 
-from dbt_customer360_ray.pipelines.analytics import ORACLE_SQL, QUERIES
+import __ray_entry__ as _entry
+
+QUERIES = _entry.queries()
+# c360_* entries run the whole identity DAG — covered by tests/test_c360_oracle.py
+ORACLE_SQL = {
+    k: v for k, v in _entry.oracle_sql().items() if not k.startswith("c360_")
+}
 
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = [
