@@ -759,6 +759,10 @@ def _consolidate(ms: pd.DataFrame, mz: pd.DataFrame, sz: pd.DataFrame) -> pd.Dat
 
     upd_cols = [c for c in tri.columns if "_upd" in c]
     cre_cols = [c for c in tri.columns if "_cre" in c]
+    for c in upd_cols + cre_cols:
+        # empty pair frames contribute object-dtype ts columns; rowwise
+        # max/min needs uniform datetime64
+        tri[c] = pd.to_datetime(tri[c])
     tri["updated_at"] = (
         tri[upd_cols].max(axis=1) if upd_cols else pd.Series(pd.NaT, index=tri.index)
     )

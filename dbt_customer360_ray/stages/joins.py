@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ..hashing import stable_hash
 
@@ -88,6 +89,61 @@ def bucketed_hash_join(
     # runs where partition count should track the cluster, not one node.
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     nparts = max(2, min(num_buckets, cpus // 2))
+
+    # Ray's hash-shuffle join crashes when one input is EMPTY (the aggregator
+    # finalizes a schemaless partition: "No match ... FieldRef.Name(...)").
+    # A join is a full barrier anyway, so materializing both sides costs one
+    # extra object-store hop and makes the emptiness check free; degenerate
+    # cases are then constructed directly.
+    import ray.data
+
+    left = left.materialize()
+    right = right.materialize()
+    n_left, n_right = left.count(), right.count()
+    if n_left == 0 or n_right == 0:
+        def _fields(ds) -> list:
+            s = ds.schema(fetch_if_missing=True)
+            if s is None:  # an empty dataset can lose its schema entirely
+                return []
+            return [(n, s.base_schema.field(n).type) for n in s.names]
+
+        l_fields = _fields(left)
+        l_names = {n for n, _ in l_fields}
+        merged = pa.schema(
+            l_fields
+            + [
+                (n + "_r" if n in l_names else n, t)
+                for n, t in _fields(right)
+                if n != r_on
+            ]
+        )
+        if how == "inner" or (how == "left" and n_left == 0):
+            return ray.data.from_arrow(merged.empty_table())
+
+        def pad_left(t: pa.Table) -> pa.Table:
+            for f in merged:
+                if f.name not in t.schema.names:
+                    t = t.append_column(f.name, pa.nulls(t.num_rows, f.type))
+            return t.select(merged.names)
+
+        if how == "left" or (how == "outer" and n_right == 0):
+            return left.map_batches(pad_left, batch_format="pyarrow", zero_copy_batch=True)
+        # outer with empty left: pad the right side into the merged layout
+        ren = {
+            n: (n + "_r" if n in l_names and n != r_on else n)
+            for n, _ in _fields(right)
+        }
+        ren[r_on] = on
+
+        def pad_right(t: pa.Table) -> pa.Table:
+            t = t.rename_columns([ren[n] for n in t.schema.names])
+            for f in merged:
+                if f.name not in t.schema.names:
+                    t = t.append_column(f.name, pa.nulls(t.num_rows, f.type))
+            return t.select(merged.names)
+
+        return right.map_batches(pad_right, batch_format="pyarrow", zero_copy_batch=True)
+
     joined = left.join(
         right,
         join_type=join_type,

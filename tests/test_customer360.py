@@ -150,3 +150,142 @@ def test_customer_metrics_rollup(result):
     # weighted csat within [1,5] where tickets exist
     with_t = ind[ind["count_tickets"] > 0]
     assert with_t["avg_csat"].dropna().between(1, 5).all()
+
+
+# ---------------------------------------------------------------------------
+# config surface: grain switch, internal match ids, external map tables
+# ---------------------------------------------------------------------------
+
+import numpy as np  # noqa: E402
+import pyarrow as pa  # noqa: E402
+
+from dbt_customer360_ray.config import MapTableSpec, MatchIdSpec, PipelineConfig  # noqa: E402
+from dbt_customer360_ray.pipelines.c360_fixtures import fixture_stripe_extractors  # noqa: E402
+
+_TS = pd.Timestamp("2024-06-01")
+
+
+def _mini_tables(crm_marketo=None, crm_stripe=None):
+    """Two-person fixture: same org, dissimilar person names, shared phone
+    (blocking arm fires; individual-grain fuzzy confirm must reject)."""
+    marketo = pd.DataFrame(
+        {
+            "lead_id": [1], "email": [None], "first_name": ["Alice"],
+            "last_name": ["Jones"], "company": ["Acme Inc"], "inferred_company": [""],
+            "phone": ["(415) 555-0101"], "main_phone": [None], "mobile_phone": [None],
+            "address": ["1 Oak St, Austin"], "city": ["Austin"], "state_code": ["TX"],
+            "state": [""], "country": ["US"], "postal_code": ["78701"],
+            "anonymous_ip": [None], "is_unsubscribed": [False],
+            "is_email_invalid": [False], "do_not_call": [False],
+            "updated_timestamp": [_TS], "created_timestamp": [_TS],
+        }
+    )
+    if crm_marketo is not None:
+        marketo["crm_id"] = crm_marketo
+    stripe = pd.DataFrame(
+        {
+            "customer_id": ["cus_1"], "email": [None],
+            "customer_name": ["Acme Corp (Bob Stone)"], "shipping_name": ["Bob Stone"],
+            "phone": ["415.555.0101"], "shipping_phone": [None],
+            "customer_address_line_1": ["9 Elm Rd"], "customer_address_line_2": [""],
+            "customer_address_city": ["Austin"], "customer_address_state": ["TX"],
+            "customer_address_country": ["US"], "customer_address_postal_code": ["78701"],
+            "is_delinquent": [False], "is_deleted": [False],
+            "customer_created_at": [_TS],
+        }
+    )
+    if crm_stripe is not None:
+        stripe["crm_id"] = crm_stripe
+    zusers = pd.DataFrame(
+        {
+            "user_id": [7], "organization_id": [100], "email": [None],
+            "name": ["Cara Voss"], "phone": ["NA"], "role": ["end-user"],
+            "is_active": [True], "is_suspended": [False],
+            "updated_at": [_TS], "created_at": [_TS],
+        }
+    )
+    zorgs = pd.DataFrame(
+        {"organization_id": [100], "name": ["Acme Inc"],
+         "updated_at": [_TS], "created_at": [_TS]}
+    )
+    return {
+        "marketo_leads": pa.Table.from_pandas(marketo, preserve_index=False),
+        "stripe_customer_overview": pa.Table.from_pandas(stripe, preserve_index=False),
+        "zendesk_users": pa.Table.from_pandas(zusers, preserve_index=False),
+        "zendesk_organizations": pa.Table.from_pandas(zorgs, preserve_index=False),
+    }
+
+
+def _n_matches(res):
+    m = res["matches"]
+    return len(m[m["lead_id"].notna() & m["customer_id"].notna()])
+
+
+def test_org_grain_switches_fuzzy_name_set(ray_session):
+    """source_matches.sql:143-153: at organization grain the confirm compares
+    org names; distinct people at the same org MATCH at org grain and must NOT
+    at individual grain."""
+    ext = fixture_stripe_extractors()
+    ind = run_customer360(
+        _mini_tables(), PipelineConfig(stripe_extractors=ext)
+    )
+    assert _n_matches(ind) == 0
+    org = run_customer360(
+        _mini_tables(),
+        PipelineConfig(
+            stripe_extractors=ext,
+            grains={"marketo": "organization", "stripe": "organization",
+                    "zendesk": "organization"},
+        ),
+    )
+    assert _n_matches(org) == 1  # 'Acme' == 'Acme' confirms the pair
+
+
+def test_internal_match_id_exact_arm(ray_session):
+    """README.md:85-120: a shared internal match id both blocks AND confirms,
+    with no email/name/phone agreement at all."""
+    tables = _mini_tables(crm_marketo=["X9"], crm_stripe=["X9"])
+    # break the shared phone so ONLY the mid arm can block
+    t = tables["marketo_leads"].to_pandas()
+    t["phone"] = ["(212) 999-0000"]
+    tables["marketo_leads"] = pa.Table.from_pandas(t, preserve_index=False)
+    cfg = PipelineConfig(
+        stripe_extractors=fixture_stripe_extractors(),
+        internal_match_ids=(
+            MatchIdSpec(name="crm", source_columns={"marketo": "crm_id", "stripe": "crm_id"}),
+        ),
+    )
+    res = run_customer360(tables, cfg)
+    assert _n_matches(res) == 1
+    # without the mid config the same tables produce no match
+    base = run_customer360(
+        tables, PipelineConfig(stripe_extractors=fixture_stripe_extractors())
+    )
+    assert _n_matches(base) == 0
+
+
+def test_external_map_table_supplies_match_id(ray_session):
+    """int_customer360__marketo.sql:26-37: the match id can come from an
+    external map table joined on the source id."""
+    tables = _mini_tables(crm_stripe=["K7"])
+    map_tbl = pa.table({"lead_id": pa.array([1], pa.int64()),
+                        "crm_key": pa.array(["K7"], pa.string())})
+    cfg = PipelineConfig(
+        stripe_extractors=fixture_stripe_extractors(),
+        internal_match_ids=(
+            MatchIdSpec(
+                name="crm",
+                source_columns={"marketo": "crm_key", "stripe": "crm_id"},
+                map_tables={
+                    "marketo": MapTableSpec(
+                        table=map_tbl, join_with_map_on="lead_id",
+                        map_table_join_on="lead_id",
+                    )
+                },
+            ),
+        ),
+    )
+    res = run_customer360(tables, cfg)
+    assert _n_matches(res) == 1
+    # mapping carries the mid column for spine rows
+    assert "mid_crm" in res["mapping"].columns
