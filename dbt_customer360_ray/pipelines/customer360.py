@@ -1434,7 +1434,6 @@ def customer_rollup(
     """
     import ray
     import ray.data
-    from ray.data.aggregate import Max, Min, Sum
 
     lookups = _cid_lookup(mapping)
 
@@ -1446,32 +1445,48 @@ def customer_rollup(
                 out[c] = 0
             continue
         ref = ray.put(lookups[src])
+        sum_cols = list(METRIC_SUM_COLS[src])
+        if src == "zendesk":
+            sum_cols.append("_csat_weighted")
 
-        def attach(df: pd.DataFrame, _idc=idc, _ref=ref) -> pd.DataFrame:
+        # partial aggregation inside map_batches (combine-before-shuffle): the
+        # per-batch rollup makes the driver-side final combine O(entities ×
+        # batches), not a distributed string-key groupby per source — the
+        # result table is the O(entities) broadcast side by design (it merges
+        # into the driver-held summary).
+        def partial(df: pd.DataFrame, _idc=idc, _ref=ref, _src=src,
+                    _sum=tuple(sum_cols)) -> pd.DataFrame:
             lk = ray.get(_ref)
             df = df.copy()
             df["customer360_id"] = df[_idc].map(lk)
-            return df[df["customer360_id"].notna()]
+            df = df[df["customer360_id"].notna()]
+            if _src == "zendesk":
+                df["_csat_weighted"] = (
+                    df["avg_csat"].fillna(0) * df["count_tickets"].fillna(0)
+                )
+            g = df.groupby("customer360_id", sort=False)
+            agg = g[list(_sum)].sum()
+            if _src == "stripe":
+                agg["first_charge_at"] = g["first_charge_at"].min()
+                agg["most_recent_charge_at"] = g["most_recent_charge_at"].max()
+            return agg.reset_index()
 
-        ds = ray.data.from_arrow(table).map_batches(attach, batch_format="pandas")
-        aggs = [Sum(c, alias_name=c) for c in METRIC_SUM_COLS[src]]
+        parts = (
+            ray.data.from_arrow(table)
+            .map_batches(partial, batch_format="pandas")
+            .to_pandas()
+        )
+        if parts.empty:
+            for c in METRIC_SUM_COLS[src]:
+                out[c] = 0
+            continue
+        g = parts.groupby("customer360_id", sort=False)
+        agg_df = g[sum_cols].sum()
         if src == "stripe":
-            aggs += [
-                Min("first_charge_at", alias_name="first_charge_at"),
-                Max("most_recent_charge_at", alias_name="most_recent_charge_at"),
-            ]
+            agg_df["first_charge_at"] = g["first_charge_at"].min()
+            agg_df["most_recent_charge_at"] = g["most_recent_charge_at"].max()
+        agg_df = agg_df.reset_index()
         if src == "zendesk":
-            # weighted average: safe_divide(sum(avg*count), sum(count))
-            # (customer360__customer.sql:92-102)
-            def weight(df: pd.DataFrame) -> pd.DataFrame:
-                df = df.copy()
-                df["_csat_weighted"] = df["avg_csat"].fillna(0) * df["count_tickets"].fillna(0)
-                return df
-
-            ds = ds.map_batches(weight, batch_format="pandas")
-            aggs += [Sum("_csat_weighted", alias_name="_csat_weighted")]
-        agg_df = ds.groupby("customer360_id").aggregate(*aggs).to_pandas()
-        if src == "zendesk" and not agg_df.empty:
             denom = agg_df["count_tickets"].replace(0, np.nan)
             agg_df["avg_csat"] = (agg_df["_csat_weighted"] / denom).round(6)
             agg_df = agg_df.drop(columns=["_csat_weighted"])
