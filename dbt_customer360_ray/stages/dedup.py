@@ -407,6 +407,7 @@ def verified_near_dup_pairs(
     num_perm: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    driver_threshold: int = 200_000,
 ):
     """MinHash+LSH candidates verified by EXACT shingle Jaccard — the
     oracle-checkable near-dup operator: candidates are recalled loosely
@@ -414,11 +415,20 @@ def verified_near_dup_pairs(
     jaccard_threshold pairs survive, so the output equals the all-pairs SQL
     answer up to banding recall (≥ 0.999 at the default margin).
 
-    Texts are joined back per side (two bucketed hash joins); the exact
-    Jaccard kernel runs per candidate pair — the candidate set is the small,
-    post-banding table.
+    The candidate set is the small, post-banding table by design: it lands on
+    the driver (same assumption as the union-find grouping path), the texts of
+    ONLY the candidate docs come back through a broadcast semi-join filter
+    (map-only — no shuffle), and the exact Jaccard kernel runs per pair.
+    Above ``driver_threshold`` pairs the path switches to two bucketed hash
+    joins + a distributed verify kernel.
     """
-    from .joins import bucketed_hash_join
+    import ray
+    import ray.data
+
+    empty = pd.DataFrame(
+        {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+         "jaccard": pd.Series(dtype="float64")}
+    )
 
     docs = ds.select_columns(["doc_id", "text"])
     cands = minhash_candidates(
@@ -428,6 +438,33 @@ def verified_near_dup_pairs(
         lambda t: t.select(["doc_a", "doc_b"]),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+    pairs = cands.to_pandas()
+    if pairs.empty:
+        return ray.data.from_pandas(empty)
+    if len(pairs) > driver_threshold:
+        return _verified_pairs_joined(docs, cands, jaccard_threshold, shingle_n)
+
+    from .joins import semi_join
+
+    wanted = pd.unique(pd.concat([pairs["doc_a"], pairs["doc_b"]]))
+    texts = semi_join(docs, wanted, on="doc_id").to_pandas()
+    lut = dict(zip(texts["doc_id"], texts["text"]))
+    jac = np.array(
+        [
+            ngram_jaccard(lut.get(a), lut.get(b), shingle_n)
+            for a, b in zip(pairs["doc_a"], pairs["doc_b"])
+        ]
+    )
+    keep = jac >= jaccard_threshold
+    out = pairs.loc[keep, ["doc_a", "doc_b"]].copy()
+    out["jaccard"] = jac[keep]
+    return ray.data.from_pandas(out.reset_index(drop=True) if len(out) else empty)
+
+
+def _verified_pairs_joined(docs, cands, jaccard_threshold: float, shingle_n: int):
+    """Distributed verify for huge candidate sets: two bucketed hash joins to
+    attach both texts, exact-Jaccard kernel per batch."""
+    from .joins import bucketed_hash_join
 
     def _side(name: str):
         return docs.map_batches(
