@@ -606,12 +606,17 @@ def _confirm_kernel_factory(
 def _confirmed_pairs_ds(
     keys_a, keys_b, attrs_a, attrs_b, id_a: str, id_b: str,
     mids_applicable: tuple[str, ...], threshold: float, similarity_fn=None,
-    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    num_buckets: int = DEFAULT_NUM_BUCKETS, driver_threshold: int = 500_000,
 ):
-    """Blocking join on 'key' → per-batch pair dedup → two attr joins → the
-    vectorized confirm kernel. Three bucketed shuffles; the final global pair
-    dedup happens in the (small) driver-side consolidation."""
-    from ..stages.joins import bucketed_hash_join
+    """Blocking join on 'key' (the one unavoidable shuffle: both sides are
+    O(input)) → per-batch pair dedup → confirm.
+
+    The post-blocking pair set is O(candidate matches) — the designed small
+    side — so below ``driver_threshold`` the confirm attrs of ONLY the
+    candidate ids come back through map-only broadcast semi-join filters and
+    the vectorized confirm kernel runs on the driver. Above it, two more
+    bucketed hash joins attach the attrs and the kernel runs distributed."""
+    from ..stages.joins import bucketed_hash_join, semi_join
 
     pairs = bucketed_hash_join(keys_a, keys_b, on="key", num_buckets=num_buckets)
     pairs = pairs.map_batches(
@@ -619,16 +624,29 @@ def _confirmed_pairs_ds(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    pa_join = bucketed_hash_join(
-        pairs, _suffixed(attrs_a, id_a, "_a"), on=id_a, num_buckets=num_buckets
-    )
-    pab = bucketed_hash_join(
-        pa_join, _suffixed(attrs_b, id_b, "_b"), on=id_b, num_buckets=num_buckets
-    )
-    return pab.map_batches(
-        _confirm_kernel_factory(id_a, id_b, mids_applicable, threshold, similarity_fn),
-        batch_format="pandas",
-    )
+    kernel = _confirm_kernel_factory(id_a, id_b, mids_applicable, threshold, similarity_fn)
+
+    pairs = pairs.materialize()  # the blocking join must not re-execute below
+    pairs_df = pairs.to_pandas().drop_duplicates([id_a, id_b])
+    if len(pairs_df) > driver_threshold:
+        pa_join = bucketed_hash_join(
+            pairs, _suffixed(attrs_a, id_a, "_a"), on=id_a, num_buckets=num_buckets
+        )
+        pab = bucketed_hash_join(
+            pa_join, _suffixed(attrs_b, id_b, "_b"), on=id_b, num_buckets=num_buckets
+        )
+        return pab.map_batches(kernel, batch_format="pandas")
+
+    if pairs_df.empty:
+        return kernel(pd.DataFrame())
+    aa = semi_join(
+        _suffixed(attrs_a, id_a, "_a"), pairs_df[id_a].tolist(), on=id_a
+    ).to_pandas()
+    ab = semi_join(
+        _suffixed(attrs_b, id_b, "_b"), pairs_df[id_b].tolist(), on=id_b
+    ).to_pandas()
+    merged = pairs_df.merge(aa, on=id_a).merge(ab, on=id_b)
+    return kernel(merged)
 
 
 def _pair_frame(ds, id_a: str, id_b: str, tag_a: str, tag_b: str) -> pd.DataFrame:
