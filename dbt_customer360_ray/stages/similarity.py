@@ -91,53 +91,61 @@ def lsh_bucket_topk(
     dim: int,
     k: int = 10,
     num_bits: int = 8,
+    num_tables: int = 4,
     id_col: str = "vec_id",
 ):
-    """Approximate top-k: only vectors sharing the query's hyperplane bucket are
-    scanned. One table; recall < 1 by construction (documented trade-off)."""
+    """Approximate top-k: a vector is scanned for a query iff they share a
+    bucket in ANY of ``num_tables`` independent hyperplane tables — the
+    standard multi-table LSH recall lever (miss prob ≈ (1-p^bits)^tables).
+    Still approximate: recall < 1 by construction, documented trade-off vs
+    ``brute_force_topk``."""
     import ray
 
-    hasher = HyperplaneLsh(dim, num_bits)
+    hashers = [HyperplaneLsh(dim, num_bits, seed=11 + 7 * t) for t in range(num_tables)]
     qm = _normalize(np.asarray(queries, dtype=np.float64))
-    q_buckets = ((qm @ hasher.planes.T) > 0) @ hasher.weights
-    by_bucket: dict[int, list[int]] = {}
-    for qi, b in zip(np.asarray(query_ids, dtype=np.int64), q_buckets.astype(np.int64)):
-        by_bucket.setdefault(int(b), []).append(int(qi))
-    ref = ray.put((by_bucket, {int(q): qm[i] for i, q in enumerate(np.asarray(query_ids))}))
+    # (Q, T) query bucket per table
+    q_buckets = np.stack(
+        [((qm @ h.planes.T) > 0) @ h.weights for h in hashers], axis=1
+    ).astype(np.int64)
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), qm, q_buckets))
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        buckets_map, qvecs = ray.get(ref)
-        frames = []
-        for b, grp in batch.groupby("bucket"):
-            q_ids = buckets_map.get(int(b))
-            if not q_ids:
+        q_ids, qvecs, qb = ray.get(ref)
+        emb_raw = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        emb = _normalize(emb_raw)
+        ids = batch[id_col].to_numpy()
+        # (B, T) row bucket per table
+        rb = np.stack(
+            [((emb_raw @ h.planes.T) > 0) @ h.weights for h in hashers], axis=1
+        ).astype(np.int64)
+        out_q, out_i, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            mask = (rb == qb[qi][None, :]).any(axis=1)
+            if not mask.any():
                 continue
-            emb = _normalize(np.stack(grp["embedding"].to_numpy()).astype(np.float64))
-            ids = grp[id_col].to_numpy()
-            for qid in q_ids:
-                sims = emb @ qvecs[qid]
-                kk = min(k, len(sims))
-                top = np.argpartition(-sims, kk - 1)[:kk]
-                frames.append(
-                    pd.DataFrame(
-                        {"query_id": qid, id_col: ids[top], "cosine": sims[top]}
-                    )
-                )
-        if not frames:
+            cand = np.nonzero(mask)[0]
+            sims = emb[cand] @ qvecs[qi]
+            kk = min(k, len(sims))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.append(np.full(kk, q_ids[qi], dtype=np.int64))
+            out_i.append(ids[cand[top]])
+            out_s.append(sims[top])
+        if not out_q:
             return pd.DataFrame(
                 {"query_id": pd.Series([], dtype="int64"),
                  id_col: pd.Series([], dtype="int64"),
                  "cosine": pd.Series([], dtype="float64")}
             )
-        return pd.concat(frames, ignore_index=True)
+        return pd.DataFrame(
+            {"query_id": np.concatenate(out_q),
+             id_col: np.concatenate(out_i),
+             "cosine": np.concatenate(out_s)}
+        )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", id_col], ascending=[False, True], kind="stable").head(k)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g
 
-    bucketed = ds.map_batches(
-        lambda b: hasher(b), batch_format="pandas", batch_size=4096
-    )
-    partials = bucketed.map_batches(partial, batch_format="pandas", batch_size=4096)
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=4096)
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")

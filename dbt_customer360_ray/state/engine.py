@@ -97,12 +97,33 @@ def _split_block(table: pa.Table, event_schema, assigner, slot_of_skey, nslots: 
     return _route_and_slice(table, event_schema, assigner, slot_of_skey, nslots, enrich)
 
 
-def _split_file_unit(path: str, row_groups: list[int], event_schema, assigner, slot_of_skey, nslots: int, enrich=None):
+def _split_file_unit(
+    path: str, row_groups: list[int], event_schema, assigner, slot_of_skey,
+    nslots: int, enrich=None, offset: int = 0, length: int | None = None,
+):
     """Shuffle-map that reads its parquet row-groups straight from storage —
     raw bytes never round-trip through the object store (the only in-store
-    intermediate is the routed slices the appliers consume)."""
+    intermediate is the routed slices the appliers consume). ``offset``/
+    ``length`` select a row range within the row groups (sub-row-group
+    parallelism for fused enrichment)."""
     table = pq.ParquetFile(path).read_row_groups(row_groups)
+    if length is not None:
+        table = table.slice(offset, length)
     return _route_and_slice(table, event_schema, assigner, slot_of_skey, nslots, enrich)
+
+
+def _read_unit_slices(path: str, row_groups: list[int], bounds: list[tuple]):
+    """Stage-A reader for fused-enrichment applies: decode the row groups ONCE
+    and return zero-copy row-range slices (one object-store block per range).
+    Stage B (_split_block) then enriches + routes each slice independently, so
+    enrich parallelism is bounded by row ranges, not the file's row-group
+    count — without re-decoding a shared row group per range."""
+    table = pq.ParquetFile(path).read_row_groups(row_groups)
+    slices = [
+        table.slice(off, ln) if ln is not None else table.slice(off)
+        for off, ln in bounds
+    ]
+    return slices[0] if len(slices) == 1 else tuple(slices)
 
 
 def _apply_slot(applier: EpochApplier, *chunks):
@@ -121,25 +142,48 @@ def _dataset_schema(ds) -> pa.Schema:
     return pa.schema(list(zip(s.names, s.types)))
 
 
-def _plan_file_units(paths: list[str], target_bytes: int = 32 << 20):
+def _plan_file_units(
+    paths: list[str], target_bytes: int = 32 << 20, max_rows: int | None = None
+):
     """Group parquet row-groups into ~target_bytes read units; returns
-    ([(path, [row_group_idx...])], unified arrow schema)."""
-    units: list[tuple[str, list[int]]] = []
+    ([(path, [row_group_idx...], offset, length)], unified arrow schema).
+
+    ``max_rows`` further subdivides a unit into row ranges (the task reads its
+    row groups and slices before processing). Used for fused-enrichment
+    applies, where split-stage parallelism would otherwise be capped at the
+    file's ROW GROUP count — a 2-row-group epoch pinned the whole compute-
+    bound enrich stage to 2 tasks regardless of cluster size (measured: the
+    1→4 cpu scaling wall). The extra cost is re-decoding a shared row group
+    per range, which the fused per-event compute dwarfs."""
+    units: list[tuple[str, list[int], int, int | None]] = []
     schemas = []
     for path in paths:
         f = pq.ParquetFile(path)
         schemas.append(f.schema_arrow)
         cur: list[int] = []
         cur_bytes = 0
+        cur_rows = 0
+
+        def emit(rgs: list[int], n_rows: int):
+            if max_rows is None or n_rows <= max_rows:
+                units.append((path, rgs, 0, None))
+                return
+            off = 0
+            while off < n_rows:
+                ln = min(max_rows, n_rows - off)
+                units.append((path, rgs, off, ln))
+                off += ln
+
         for rg in range(f.metadata.num_row_groups):
-            size = f.metadata.row_group(rg).total_byte_size
+            meta = f.metadata.row_group(rg)
             cur.append(rg)
-            cur_bytes += size
+            cur_bytes += meta.total_byte_size
+            cur_rows += meta.num_rows
             if cur_bytes >= target_bytes:
-                units.append((path, cur))
-                cur, cur_bytes = [], 0
+                emit(cur, cur_rows)
+                cur, cur_bytes, cur_rows = [], 0, 0
         if cur:
-            units.append((path, cur))
+            emit(cur, cur_rows)
     schema = schemas[0]
     for sc in schemas[1:]:
         schema = pa.unify_schemas([schema, sc])
@@ -222,8 +266,12 @@ class CdcLake:
             if self.exchange:
                 # plan (path, row-group) read units from the footers: split
                 # tasks read their row groups straight from storage, so raw
-                # bytes never double-buffer through the object store
-                file_units, incoming = _plan_file_units(paths)
+                # bytes never double-buffer through the object store. With
+                # fused enrichment the split stage carries the per-event
+                # compute, so units subdivide below row-group granularity.
+                file_units, incoming = _plan_file_units(
+                    paths, max_rows=250_000 if enrich is not None else None
+                )
             else:
                 # groupby mode: apply parallelism tracks blocks — up to #cpus
                 # blocks (≥2 MB each), ~32 MB blocks for large epochs
@@ -391,14 +439,43 @@ class CdcLake:
             units = source
             if not units:
                 return pd.DataFrame()
-            split = ray.remote(_split_file_unit)
-            split_refs = [
-                split.options(num_returns=nslots).remote(
-                    path, rgs, schema_ref, assigner_ref, slot_lookup_ref, nslots, enrich
-                )
-                for path, rgs in units
-            ]
-            n_inputs = len(units)
+            if enrich is None:
+                # one fused read→route task per row-group unit
+                split = ray.remote(_split_file_unit)
+                split_refs = [
+                    split.options(num_returns=nslots).remote(
+                        path, rgs, schema_ref, assigner_ref, slot_lookup_ref,
+                        nslots, None, off, ln
+                    )
+                    for path, rgs, off, ln in units
+                ]
+                n_inputs = len(units)
+            else:
+                # fused enrichment: decode each row-group unit once (stage A),
+                # enrich+route per row-range slice (stage B) — compute
+                # parallelism tracks the row ranges, decode stays single-pass
+                groups: dict[tuple, list[tuple]] = {}
+                for path, rgs, off, ln in units:
+                    groups.setdefault((path, tuple(rgs)), []).append((off, ln))
+                read = ray.remote(_read_unit_slices)
+                block_refs = []
+                for (path, rgs), bounds in groups.items():
+                    if len(bounds) == 1:
+                        block_refs.append(read.remote(path, list(rgs), bounds))
+                    else:
+                        block_refs.extend(
+                            read.options(num_returns=len(bounds)).remote(
+                                path, list(rgs), bounds
+                            )
+                        )
+                split = ray.remote(_split_block)
+                split_refs = [
+                    split.options(num_returns=nslots).remote(
+                        r, schema_ref, assigner_ref, slot_lookup_ref, nslots, enrich
+                    )
+                    for r in block_refs
+                ]
+                n_inputs = len(block_refs)
         else:
             refs = source.to_arrow_refs()
             if not refs:

@@ -172,3 +172,33 @@ def test_enrich_applies_on_both_exchange_modes(tmp_path):
     pd.testing.assert_frame_equal(
         frames[True][frames[False].columns.tolist()], frames[False], check_dtype=False
     )
+
+
+def test_enriched_file_apply_matches_dataset_apply(tmp_path):
+    """The two-stage file path (decode-once → per-slice enrich+route) must
+    produce the same enriched lake as applying the same events as a Dataset."""
+    import pyarrow.parquet as pq
+
+    from dbt_customer360_ray.gen import write_fixture
+    from dbt_customer360_ray.stages.text import ENRICH_SCHEMA, TranscriptEnricher
+
+    fx = write_fixture(str(tmp_path / "changes"), sf=0.001, num_epochs=2)
+    frames = {}
+    for mode in ("files", "dataset"):
+        import ray.data
+
+        lake = CdcLake(str(tmp_path / f"lake-{mode}"), num_partitions=8)
+        for p in fx["paths"]:
+            src = p if mode == "files" else ray.data.from_arrow(pq.read_table(p))
+            lake.apply(src, enrich=TranscriptEnricher(), enrich_schema=ENRICH_SCHEMA)
+        frames[mode] = (
+            lake.read_local_table()
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"], kind="stable")
+            .reset_index(drop=True)
+        )
+    assert frames["files"]["n_tokens"].notna().all()
+    pd.testing.assert_frame_equal(
+        frames["files"][frames["dataset"].columns.tolist()], frames["dataset"],
+        check_dtype=False,
+    )
