@@ -33,6 +33,7 @@ SF_SIZES = {
     # scaling-bench sizes: epochs large enough that per-epoch compute dominates
     # the fixed micro-batch pipeline floor (~1-2 s) — smaller fixtures make the
     # two-cluster-size comparison measure only that floor
+    0.25: (200_000, 4_000_000),
     0.5: (300_000, 8_000_000),
     1.5: (600_000, 20_000_000),
 }
