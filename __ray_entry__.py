@@ -22,11 +22,14 @@ def entry() -> Any:
 
 
 def _cdc_replay_lake(sf_dir: str):
-    """Non-SQL pipeline: full CDC replay scaled to the driver's sf (exactly-once
-    manifest sink, schema evolution, tombstones); rows-only check."""
-    from dbt_customer360_ray.pipelines.cdc_replay import flagship, sf_from_dir
+    """Flagship pipeline: full CDC replay (exactly-once manifest sink, schema
+    evolution, tombstones). Oracled — replay_oracle_sql re-derives the
+    converged lake state from the same fixture parquet with window functions.
+    Pinned to sf0.01 (the driver's correctness scale) so the oracle reads the
+    same fixture regardless of sf_dir."""
+    from dbt_customer360_ray.pipelines.cdc_replay import flagship
 
-    return flagship(sf=min(sf_from_dir(sf_dir), 0.01))
+    return flagship(sf=0.01)
 
 
 def _lang_quality_documents(sf_dir: str):
@@ -141,16 +144,18 @@ def _c360(sf_dir: str, key: str):
 
 def _stream_replay_lake(sf_dir: str):
     """Streaming actor-pool ingest (micro-batch tail + checkpoints) of the
-    CDC fixture; returns the converged lake."""
+    stream fixture; returns the converged lake. Oracled — stream_oracle_sql
+    reads the same fixture parquet (stream_fixture_path writes it once)."""
     import tempfile
 
     import numpy as np
+    import pyarrow.parquet as pq
 
-    from dbt_customer360_ray.gen import gen_changes
+    from dbt_customer360_ray.pipelines.cdc_replay import stream_fixture_path
     from dbt_customer360_ray.state.engine import CdcLake
     from dbt_customer360_ray.state.streaming import StreamingSession
 
-    changes = gen_changes(20_000, 1_000, seed=42)
+    changes = pq.read_table(stream_fixture_path())
     lake = CdcLake(tempfile.mkdtemp(prefix="stream-lake-"), num_partitions=16)
     sess = StreamingSession(lake, pool_size=4)
     bounds = np.linspace(0, changes.num_rows, 9).astype(int)
@@ -205,9 +210,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from dbt_customer360_ray.pipelines.analytics import ORACLE_SQL
     from dbt_customer360_ray.pipelines.c360_oracle import oracle_entries
+    from dbt_customer360_ray.pipelines.cdc_replay import (
+        replay_oracle_sql,
+        stream_oracle_sql,
+    )
 
     out = dict(ORACLE_SQL)
     # c360 oracles read fixture parquet at the sf0.01 scale the driver uses;
-    # oracle_entries() writes that fixture as a side effect
+    # oracle_entries() writes that fixture as a side effect — same pattern for
+    # the two replay-lake oracles below
     out.update(oracle_entries())
+    out["cdc_replay_lake"] = replay_oracle_sql(sf=0.01)
+    out["stream_replay_lake"] = stream_oracle_sql()
     return out

@@ -59,3 +59,74 @@ def flagship(sf: float = 0.001):
     """entry() surface: replay and return the converged lake as a Dataset."""
     lake, _metrics = replay(sf=sf)
     return lake.read()
+
+
+def stream_fixture_path(num_events: int = 20_000, num_convs: int = 1_000, seed: int = 42) -> str:
+    """Write (once) the streaming-ingest fixture change table to parquet so the
+    engine and the DuckDB oracle read the SAME bytes; returns the path."""
+    import pyarrow.parquet as pq
+
+    from ..gen import gen_changes
+
+    out_dir = os.path.join(FIXTURE_ROOT, "stream")
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"changes-{num_events}-{num_convs}-s{seed}.parquet")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        pq.write_table(gen_changes(num_events, num_convs, seed=seed), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def _lww_sql(select_epochs: list[str]) -> str:
+    """Shared oracle shape for a replayed lake: exactly-once on ``offset``
+    (first delivery in file order wins — a redelivered duplicate, even one
+    re-encoded under an evolved schema, is a no-op), then LWW per
+    (conv_id, turn_idx) on (ts, offset) with delete winners dropped — the
+    semantics of gen.oracle_lake expressed in SQL."""
+    union = "\n            UNION ALL\n            ".join(select_epochs)
+    return f"""
+        WITH all_ev AS (
+            {union}
+        ), first_seen AS (
+            SELECT * FROM all_ev
+            QUALIFY row_number() OVER (
+                PARTITION BY "offset" ORDER BY epoch, file_rn) = 1
+        ), winners AS (
+            SELECT * FROM first_seen
+            QUALIFY row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, "offset" DESC) = 1
+        )
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM winners WHERE op <> 'D'
+    """
+
+
+def replay_oracle_sql(sf: float = 0.01) -> str:
+    """DuckDB oracle for ``flagship(sf)``: reads the SAME fixture parquet
+    (written as a side effect) and re-derives the converged lake state with
+    window functions. Epoch 0 is schema v0 (no ``tool``) — null-injected here
+    exactly as the engine's additive evolution backfills it."""
+    fx = changes_fixture(sf)
+    selects = []
+    for i, p in enumerate(fx["paths"]):
+        tool = "CAST(NULL AS VARCHAR) AS tool" if i == 0 else "tool"
+        selects.append(
+            f'SELECT "offset", op, conv_id, turn_idx, role, text, {tool}, ts, '
+            f"{i} AS epoch, file_row_number AS file_rn "
+            f"FROM read_parquet('{p}', file_row_number=true)"
+        )
+    return _lww_sql(selects)
+
+
+def stream_oracle_sql() -> str:
+    """DuckDB oracle for the streaming actor-pool ingest of the stream fixture
+    (single full-schema file; same LWW/exactly-once rules)."""
+    p = stream_fixture_path()
+    return _lww_sql(
+        [
+            f'SELECT "offset", op, conv_id, turn_idx, role, text, tool, ts, '
+            f"0 AS epoch, file_row_number AS file_rn "
+            f"FROM read_parquet('{p}', file_row_number=true)"
+        ]
+    )
