@@ -5,7 +5,8 @@ Headline: CDC replay throughput — the sf fixture's deterministic change stream
 battery over $GRAFT_SF_DIR.
 
     python bench.py               # one JSON line (sf from GRAFT_SF_DIR, cpus from RAY_GRAFT_CPUS)
-    python bench.py --scaling     # fresh processes at 8 and 32 CPUs + efficiency line
+    python bench.py --scaling     # fresh processes at N and 4N CPUs (default 1 vs 4,
+                                  # override GRAFT_SCALING_LO/HI) + efficiency line
 """
 
 from __future__ import annotations

@@ -202,3 +202,28 @@ def test_enriched_file_apply_matches_dataset_apply(tmp_path):
         frames["files"][frames["dataset"].columns.tolist()], frames["dataset"],
         check_dtype=False,
     )
+
+
+def test_replay_oracle_sql_matches_engine(tmp_path, monkeypatch):
+    """The driver-gate SQL oracle (exactly-once on offset + LWW window
+    functions over the fixture parquet) re-derives exactly the engine's
+    converged lake state, including the v0 epoch's evolved ``tool`` column."""
+    import duckdb
+
+    from dbt_customer360_ray.pipelines import cdc_replay
+
+    monkeypatch.setattr(cdc_replay, "FIXTURE_ROOT", str(tmp_path / "fx"))
+    lake, _metrics = cdc_replay.replay(sf=0.001, lake_dir=str(tmp_path / "lk"))
+    got = (
+        lake.read_local_table()
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(cdc_replay.replay_oracle_sql(sf=0.001))
+        .df()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)

@@ -99,3 +99,42 @@ def test_stream_metrics_not_double_counted(tmp_path):
     assert m2["events_in"] == b2.num_rows
     total = lake.metrics()
     assert total["events_in"] == changes.num_rows
+
+
+def test_stream_oracle_sql_matches_session(tmp_path, monkeypatch):
+    """stream_oracle_sql over the written stream fixture equals the
+    actor-pool streaming session's converged lake."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from dbt_customer360_ray.pipelines import cdc_replay
+    from dbt_customer360_ray.state.engine import CdcLake
+    from dbt_customer360_ray.state.streaming import StreamingSession
+
+    monkeypatch.setattr(cdc_replay, "FIXTURE_ROOT", str(tmp_path / "fx"))
+    changes = pq.read_table(cdc_replay.stream_fixture_path(5_000, 400, seed=9))
+    lake = CdcLake(str(tmp_path / "lake"), num_partitions=8)
+    sess = StreamingSession(lake, pool_size=2)
+    sess.ingest(changes.slice(0, 2_500))
+    sess.ingest(changes.slice(2_500))
+    sess.checkpoint()
+    sess.close()
+    got = (
+        lake.read_local_table()
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    sql = cdc_replay._lww_sql(
+        [
+            'SELECT "offset", op, conv_id, turn_idx, role, text, tool, ts, '
+            "0 AS epoch, file_row_number AS file_rn "
+            f"FROM read_parquet('{cdc_replay.stream_fixture_path(5_000, 400, seed=9)}', file_row_number=true)"
+        ]
+    )
+    want = (
+        duckdb.sql(sql).df()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
