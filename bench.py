@@ -19,6 +19,11 @@ import os
 # oversubscribe the box and cost 2-3x wall time (measured: 140k -> 460k
 # events/s at 8 cpus). Ray pins workers; this pins the driver too.
 os.environ.setdefault("OMP_NUM_THREADS", "1")
+# quiet cosmetic per-block ray.data console warnings (workers inherit the env)
+os.environ.setdefault(
+    "RAY_DATA_LOGGING_CONFIG",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts", "ray_data_logging.yaml"),
+)
 import shutil
 import subprocess
 import sys

@@ -15,6 +15,12 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None, **kwargs):
+    # NOTE: blocks read from pandas-written parquet carry a `pandas` schema
+    # metadata blob, which makes their pyarrow schema unhashable and triggers
+    # Ray Data's (cosmetic) "Failed to hash the schemas" warning on block
+    # merges. Stripping it here would need an extra map_batches stage — a
+    # measured ~2s/query regression on groupby paths — so the warning is
+    # silenced via logging config instead (scripts/ray_data_logging.yaml).
     import ray.data
 
     return ray.data.read_parquet(table_path(sf_dir, name), columns=columns, **kwargs)

@@ -16,6 +16,10 @@ import os
 import sys
 
 os.environ.setdefault("OMP_NUM_THREADS", "1")
+os.environ.setdefault(
+    "RAY_DATA_LOGGING_CONFIG",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "ray_data_logging.yaml"),
+)
 
 import duckdb
 import pandas as pd

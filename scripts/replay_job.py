@@ -1,0 +1,115 @@
+"""CDC replay as a submittable Ray job — the cluster entry point the north
+rule runs on fixed N / 4N-node clusters:
+
+    ray job submit --working-dir . -- python scripts/replay_job.py \
+        --input /data/changes --lake /data/lake --num-partitions 256
+
+Locally (this sandbox) the same script runs against a generated fixture:
+
+    python scripts/replay_job.py --sf 0.01 --lake /tmp/lake-sf001
+
+Resumable by construction: each epoch file commits through the exactly-once
+manifest sink, so re-submitting the same job after a crash skips completed
+epochs (redelivered offsets are no-ops) and continues from the per-partition
+checkpoint offsets. Prints one JSON line per epoch and a final summary line
+(events/sec, checkpoints, lineage length).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+os.environ.setdefault(
+    "RAY_DATA_LOGGING_CONFIG",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "ray_data_logging.yaml"),
+)
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", help="directory (or glob) of changes-*.parquet epoch files")
+    ap.add_argument("--sf", type=float, help="generate + use the deterministic fixture at this scale factor")
+    ap.add_argument("--lake", required=True, help="lake output directory")
+    ap.add_argument("--num-partitions", type=int, default=64)
+    ap.add_argument("--enrich", action="store_true", help="fuse per-event transcript analysis into ingest")
+    ap.add_argument("--compact", action="store_true", help="compact partitions above the run threshold at the end")
+    ap.add_argument("--vacuum", action="store_true", help="delete unreferenced data files at the end")
+    ap.add_argument("--num-cpus", type=int, default=None, help="local-mode CPU cap (cluster mode: omit)")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        # under `ray job submit` RAY_ADDRESS points at the cluster; standalone
+        # runs get a local session
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), **kwargs)
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from dbt_customer360_ray.state.engine import CdcLake
+
+    if args.sf is not None:
+        from dbt_customer360_ray.pipelines.cdc_replay import changes_fixture
+
+        paths = changes_fixture(args.sf)["paths"]
+    elif args.input:
+        pattern = args.input if any(c in args.input for c in "*?[") else os.path.join(args.input, "*.parquet")
+        paths = sorted(glob.glob(pattern))
+        if not paths:
+            ap.error(f"no parquet files match {pattern!r}")
+    else:
+        ap.error("one of --input / --sf is required")
+
+    enrich = enrich_schema = None
+    if args.enrich:
+        from dbt_customer360_ray.stages.text import ENRICH_SCHEMA, TranscriptEnricher
+
+        enrich, enrich_schema = TranscriptEnricher(), ENRICH_SCHEMA
+
+    lake = CdcLake(args.lake, num_partitions=args.num_partitions)
+    t0 = time.perf_counter()
+    events = 0
+    for i, p in enumerate(paths):
+        # epoch identity = position in the binlog: a re-submitted job skips
+        # epochs the manifest has already committed (true resume, no re-read)
+        m = lake.apply(p, epoch=i, enrich=enrich, enrich_schema=enrich_schema)
+        events += m.get("events_in", 0)
+        print(json.dumps({"epoch_file": os.path.basename(p), **m}), flush=True)
+    wall = time.perf_counter() - t0
+    if args.compact:
+        print(json.dumps({"compacted_partitions": lake.compact(force=True)}), flush=True)
+    if args.vacuum:
+        print(json.dumps({"vacuumed_files": lake.vacuum()}), flush=True)
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_replay_job",
+                "events_in": events,
+                "events_per_sec": round(events / wall, 1),
+                "wall_sec": round(wall, 3),
+                "num_partitions": lake.P,
+                "epochs_applied": len(lake.lineage()),
+                "checkpoints": {str(k): v for k, v in sorted(lake.checkpoints().items())[:4]},
+                "totals": lake.metrics(),
+            }
+        ),
+        flush=True,
+    )
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
