@@ -165,20 +165,20 @@ def q_survivorship_events(sf_dir: str):
     (customer360__email.sql:109-110) re-keyed to the events table."""
     from ray.data.aggregate import Count, Max
 
+    from ..stages.windows import rank_survivors
+
     ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"])
     counted = ds.groupby(["user_id", "event_type"]).aggregate(
         Count(alias_name="value_count"), Max("ts", alias_name="last_seen")
     )
-
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["value_count", "last_seen", "event_type"],
-            ascending=[False, False, True],
-            kind="stable",
-        ).head(1)
-        return g.rename(columns={"event_type": "best_event_type"})
-
-    return counted.groupby("user_id").map_groups(pick, batch_format="pandas")
+    best = rank_survivors(
+        counted, entity_key="user_id", value_col="event_type",
+        count_col="value_count", recency_col="last_seen",
+    )
+    return best.map_batches(
+        lambda df: df.rename(columns={"event_type": "best_event_type"}),
+        batch_format="pandas",
+    )
 
 
 # -- 5. sessionization -------------------------------------------------------

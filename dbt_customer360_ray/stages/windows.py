@@ -4,8 +4,11 @@ The reference's only windowing is the per-entity confidence ranking
 (``count(*) over (partition by customer360_id, value)`` +
 ``max(...) over (...)`` then dense_rank/row_number —
 /root/reference/models/output/customer360__email.sql:95-110). Ray Data has no
-window functions; we express them as ``groupby(key).map_groups`` over sorted
-groups — a per-group sort, never a global one (SURVEY.md §2.6).
+window functions; we express them as COARSE-bucket shuffles with fully
+vectorized per-bucket kernels: per-key ``map_groups`` pays pandas overhead per
+tiny group (measured 3-9 s for ~30k single-row groups at sf0.1), while 64
+hash buckets amortize it to one sort + one C-level groupby per bucket. The
+per-key semantics are identical because every key's rows share a bucket.
 
 Sessionization is the stream-shaped extension a transcript/event pipeline needs
 (gap-based sessions per user); same primitive.
@@ -17,34 +20,55 @@ import numpy as np
 import pandas as pd
 
 
+def _bucket_of(values, num_buckets: int) -> np.ndarray:
+    from ..hashing import stable_hash
+
+    return (stable_hash(values) % np.uint64(num_buckets)).astype(np.int64)
+
+
 def sessionize(
     ds,
     key: str = "user_id",
     ts_col: str = "ts",
     tie_col: str = "event_id",
     gap_seconds: int = 1800,
+    num_buckets: int = 64,
 ):
     """Per key: count gap-based sessions and events.
 
     Returns a Dataset with (key, n_events:int64, n_sessions:int64).
-    Partitioning assumption: one group per key fits in a worker's heap (bounded
-    per-user event counts); for 100 TB, pre-bucket keys and sessionize inside
-    buckets the same way.
+    Partitioning assumption: one BUCKET of keys fits in a worker's heap
+    (raise ``num_buckets`` with data size); all rows of a key land in one
+    bucket, so per-key results are exact.
     """
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, tie_col], kind="stable")
-        gaps = g[ts_col].diff().dt.total_seconds()
-        new_session = gaps.isna() | (gaps > gap_seconds)
-        return pd.DataFrame(
-            {
-                key: [g[key].iloc[0]],
-                "n_events": np.array([len(g)], dtype=np.int64),
-                "n_sessions": np.array([int(new_session.sum())], dtype=np.int64),
-            }
-        )
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df["_b"] = _bucket_of(df[key], num_buckets)
+        return df
 
-    return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one stable sort, then vectorized session-boundary detection: a row
+        # starts a session iff it's the key's first row or follows a gap
+        g = g.sort_values([key, ts_col, tie_col], kind="stable")
+        first_of_key = g[key].ne(g[key].shift()).to_numpy()
+        gaps = g[ts_col].diff().dt.total_seconds().to_numpy()
+        with np.errstate(invalid="ignore"):
+            new_session = first_of_key | (gaps > gap_seconds)
+        agg = (
+            pd.DataFrame({key: g[key].to_numpy(), "_new": new_session})
+            .groupby(key, sort=False)
+            .agg(n_events=("_new", "size"), n_sessions=("_new", "sum"))
+            .reset_index()
+        )
+        agg["n_events"] = agg["n_events"].astype(np.int64)
+        agg["n_sessions"] = agg["n_sessions"].astype(np.int64)
+        return agg
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 def rank_survivors(
@@ -53,19 +77,37 @@ def rank_survivors(
     value_col: str,
     count_col: str = "value_count",
     recency_col: str = "last_seen",
+    num_buckets: int = 64,
 ):
     """customer360-style survivorship: per entity keep the value with the
     highest (frequency, recency) — 'recency and frequency'
     (/root/reference/README.md:48; customer360__email.sql:109-110). Expects a
     pre-aggregated Dataset of (entity_key, value_col, count_col, recency_col);
-    emits the index=1 row per entity with deterministic tie-break on value."""
+    emits the index=1 row per entity with deterministic tie-break on value.
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            [count_col, recency_col, value_col],
-            ascending=[False, False, True],
+    Two-stage argmax under one total order (best-per-entity is associative):
+    a per-batch vectorized partial prunes to one candidate row per entity
+    before the coarse bucket shuffle; the per-bucket final applies the same
+    rule, so the distributed result equals a single global pass."""
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            [entity_key, count_col, recency_col, value_col],
+            ascending=[True, False, False, True],
             kind="stable",
         )
-        return g.head(1)
+        return df.drop_duplicates(entity_key, keep="first")
 
-    return ds.groupby(entity_key).map_groups(pick, batch_format="pandas")
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = best(df)
+        df["_b"] = _bucket_of(df[entity_key], num_buckets)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return best(g).drop(columns="_b")
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(final, batch_format="pandas")
+    )
