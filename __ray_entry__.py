@@ -169,19 +169,24 @@ def _stream_replay_lake(sf_dir: str):
 
 
 def _multimodal_image_features(sf_dir: str):
+    """Actor-pool image decode+feature stage over the parquet media fixture —
+    engine and DuckDB oracle read the SAME payload bytes (the md5-chain fake
+    codec is reproduced in SQL). The list<float> histogram column stays a
+    library-level output; the driver entry compares the scalar features."""
     import ray.data
 
-    from dbt_customer360_ray.stages.multimodal import gen_media_table, image_features
+    from dbt_customer360_ray.stages.multimodal import image_features, media_fixture_path
 
-    return image_features(ray.data.from_arrow(gen_media_table(128, seed=5)))
+    ds = ray.data.read_parquet(media_fixture_path(128, seed=5))
+    return image_features(ds).select_columns(["media_id", "mean_r", "mean_g", "mean_b"])
 
 
 def _multimodal_audio_features(sf_dir: str):
     import ray.data
 
-    from dbt_customer360_ray.stages.multimodal import audio_features, gen_media_table
+    from dbt_customer360_ray.stages.multimodal import audio_features, media_fixture_path
 
-    return audio_features(ray.data.from_arrow(gen_media_table(128, seed=5)))
+    return audio_features(ray.data.read_parquet(media_fixture_path(128, seed=5)))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -215,11 +220,20 @@ def oracle_sql() -> dict[str, str]:
         stream_oracle_sql,
     )
 
+    from dbt_customer360_ray.stages.multimodal import (
+        audio_oracle_sql,
+        image_oracle_sql,
+        media_fixture_path,
+    )
+
     out = dict(ORACLE_SQL)
     # c360 oracles read fixture parquet at the sf0.01 scale the driver uses;
     # oracle_entries() writes that fixture as a side effect — same pattern for
-    # the two replay-lake oracles below
+    # the two replay-lake oracles below and the media fixture
     out.update(oracle_entries())
     out["cdc_replay_lake"] = replay_oracle_sql(sf=0.01)
     out["stream_replay_lake"] = stream_oracle_sql()
+    media = media_fixture_path(128, seed=5)
+    out["multimodal_image_features"] = image_oracle_sql(media)
+    out["multimodal_audio_features"] = audio_oracle_sql(media)
     return out

@@ -47,18 +47,31 @@ class DecodeBackend:
         )
 
 
+def _md5_expand(payload: bytes, n_bytes: int) -> np.ndarray:
+    """Deterministically expand a payload to ``n_bytes`` pseudo-random bytes by
+    chaining md5 over ``HEX(payload) + '-' + i`` — chosen over numpy RNG so a
+    SQL oracle (DuckDB ``md5(hex(payload) || '-' || i)``) can reproduce the
+    decoded bytes exactly (see image_oracle_sql/audio_oracle_sql)."""
+    hp = payload.hex().upper()
+    out = b"".join(
+        hashlib.md5(f"{hp}-{i}".encode()).digest() for i in range((n_bytes + 15) // 16)
+    )
+    return np.frombuffer(out[:n_bytes], dtype=np.uint8)
+
+
 class FakeDecodeBackend(DecodeBackend):
-    """Deterministic fake: bytes → seeded arrays (for tests/benchmarks)."""
+    """Deterministic fake: bytes → md5-chain-expanded arrays (for tests and
+    benchmarks; exactly reproducible in SQL, so the distributed feature
+    pipeline can be oracle-checked end to end)."""
 
     def decode_image(self, payload: bytes) -> np.ndarray:
-        seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "little")
-        rng = np.random.default_rng(seed)
-        return rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        return _md5_expand(payload, 16 * 16 * 3).reshape(16, 16, 3)
 
     def decode_audio(self, payload: bytes) -> np.ndarray:
-        seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "little")
-        rng = np.random.default_rng(seed)
-        return rng.standard_normal(1600).astype(np.float32)
+        # samples are exact multiples of 2**-7 in [-1, 1) so that downstream
+        # float sums stay exact (bit-identical to the SQL oracle)
+        b = _md5_expand(payload, 1600)
+        return ((b.astype(np.float32) - 128.0) / 128.0).astype(np.float32)
 
 
 class ImageFeatures:
@@ -105,7 +118,9 @@ class AudioFeatures:
         ):
             wav = self.backend.decode_audio(payload)
             ids.append(mid)
-            rms.append(float(np.sqrt((wav**2).mean())))
+            # square/sum in float64: fake-decoded samples are multiples of
+            # 2**-7, so the sum is exact and bit-identical to the SQL oracle
+            rms.append(float(np.sqrt(np.square(wav, dtype=np.float64).mean())))
             zcr.append(float((np.diff(np.signbit(wav)) != 0).mean()))
         return pa.table(
             {
@@ -170,3 +185,75 @@ def audio_features(ds, concurrency: int = 2, batch_size: int = 32, backend=None)
         batch_size=batch_size,
         concurrency=(1, concurrency),
     )
+
+
+def media_fixture_path(n: int = 128, seed: int = 5) -> str:
+    """Write (once) the synthetic media table to parquet so the engine and the
+    DuckDB oracle read the SAME payload bytes; returns the path."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..pipelines.cdc_replay import FIXTURE_ROOT
+
+    out_dir = os.path.join(FIXTURE_ROOT, "media")
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"media-{n}-s{seed}.parquet")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        pq.write_table(gen_media_table(n, seed=seed), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def _expand_sql(path: str, kind: str, n_bytes: int) -> str:
+    """Rows (media_id, pos, byte) re-deriving _md5_expand in DuckDB."""
+    n_digests = (n_bytes + 15) // 16
+    return f"""
+        WITH m AS (
+            SELECT media_id, hex(payload) AS hp
+            FROM read_parquet('{path}') WHERE kind = '{kind}'
+        ),
+        d AS (
+            SELECT media_id, i, md5(hp || '-' || CAST(i AS VARCHAR)) AS h
+            FROM m, range({n_digests}) t(i)
+        ),
+        b AS (
+            SELECT media_id, i * 16 + j AS pos,
+                   ('0x' || substr(h, CAST(j AS INT) * 2 + 1, 2))::INT AS byte
+            FROM d, range(16) u(j)
+            WHERE i * 16 + j < {n_bytes}
+        )
+    """
+
+
+def image_oracle_sql(path: str) -> str:
+    """Per-channel pixel means of the md5-chain-decoded 16x16x3 image —
+    bit-identical to ImageFeatures over FakeDecodeBackend (integer sums,
+    power-of-two division)."""
+    return _expand_sql(path, "image", 16 * 16 * 3) + """
+        SELECT media_id,
+               avg(CASE WHEN pos % 3 = 0 THEN byte END) AS mean_r,
+               avg(CASE WHEN pos % 3 = 1 THEN byte END) AS mean_g,
+               avg(CASE WHEN pos % 3 = 2 THEN byte END) AS mean_b
+        FROM b GROUP BY media_id
+    """
+
+
+def audio_oracle_sql(path: str) -> str:
+    """rms/zero-crossing of the md5-chain-decoded waveform — bit-identical to
+    AudioFeatures (samples are multiples of 2**-7, sums stay exact)."""
+    return _expand_sql(path, "audio", 1600) + """
+        , s AS (
+            SELECT media_id, pos, ((byte - 128) / 128.0) AS sample,
+                   (byte >= 128) AS nonneg,
+                   lag(byte >= 128) OVER (PARTITION BY media_id ORDER BY pos)
+                       AS prev_nonneg
+            FROM b
+        )
+        SELECT media_id,
+               sqrt(avg(sample * sample)) AS rms,
+               sum(CASE WHEN prev_nonneg IS NOT NULL AND nonneg != prev_nonneg
+                        THEN 1 ELSE 0 END)::DOUBLE / 1599 AS zero_crossing_rate
+        FROM s GROUP BY media_id
+    """
