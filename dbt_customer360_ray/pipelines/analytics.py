@@ -605,6 +605,47 @@ ORACLE_SQL["minhash_near_dups"] = """
     FROM reach GROUP BY node
 """
 
+def q_ngram_jaccard_docs(sf_dir: str):
+    """Exact all-pairs n-gram Jaccard dedup (distributed shingle inverted
+    index) — the exact baseline the MinHash+LSH path approximates."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold=0.8)
+
+
+# Same shingle CTEs as the minhash oracle, but emitting the qualifying pairs
+# with their exact Jaccard (int/int division in DOUBLE — identical operands,
+# identical IEEE result as the engine's numpy division).
+ORACLE_SQL["ngram_jaccard_docs"] = """
+    WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\\w+') AS toks
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+          list_distinct(CASE WHEN len(toks) >= 3
+            THEN list_transform(generate_series(1, len(toks) - 2),
+                                i -> array_to_string(toks[i:i+2], ' '))
+            ELSE [array_to_string(toks, ' ')] END) AS shingles
+        FROM d
+    ), e AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), inter AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_int
+        FROM e x JOIN e y ON x.s = y.s AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    ), sizes AS (
+        SELECT doc_id, len(shingles) AS n FROM sh
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_int AS DOUBLE) / (sa.n + sb.n - n_int) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_int AS DOUBLE) / (sa.n + sb.n - n_int) >= 0.8
+"""
+
+
 # Exact cosine near-dup pairs; the float32 list_cosine_similarity vs the
 # engine's float64 matmul agree on membership (fixture margin ≥ 7e-5 at the
 # 0.3 threshold), so only the pair ids are compared.
@@ -637,6 +678,7 @@ QUERIES = {
     "survivorship_events": q_survivorship_events,
     "sessionize_events": q_sessionize_events,
     "dedup_exact_documents": q_dedup_exact_documents,
+    "ngram_jaccard_docs": q_ngram_jaccard_docs,
     "token_stats_documents": q_token_stats_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "top_spenders": q_top_spenders,

@@ -195,6 +195,29 @@ def test_verified_near_dup_pairs_match_exact_jaccard(ray_session):
         assert r["jaccard"] == D.ngram_jaccard(texts[int(r["doc_a"])], texts[int(r["doc_b"])])
 
 
+def test_ngram_jaccard_pairs_exact_both_paths(ray_session):
+    """Prefix-filtered exact all-pairs Jaccard equals brute-force ground
+    truth, on both the driver-verify and distributed-verify paths."""
+    import ray.data
+
+    texts = _docs().column("text").to_pylist()
+    want = {
+        (i, j): D.ngram_jaccard(texts[i], texts[j])
+        for i in range(5)
+        for j in range(i + 1, 5)
+        if D.ngram_jaccard(texts[i], texts[j]) >= 0.5
+    }
+    for thr in (200_000, 0):  # 0 forces the distributed dedupe+join path
+        got = D.ngram_jaccard_pairs(
+            ray.data.from_arrow(_docs()), threshold=0.5, driver_threshold=thr
+        ).to_pandas()
+        got_pairs = {
+            (int(a), int(b)): j
+            for a, b, j in zip(got["doc_a"], got["doc_b"], got["jaccard"])
+        }
+        assert got_pairs == want, f"driver_threshold={thr}"
+
+
 def test_embedding_block_pair_matches_all_pairs(ray_session):
     import ray.data
 
