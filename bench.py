@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "fingerprint_documents",
     "top_spenders",
     "ann_topk_embeddings",
+    "ivf_topk_embeddings",
+    "ngram_jaccard_docs",
     "minhash_near_dups",
     "lang_quality_documents",
 ]

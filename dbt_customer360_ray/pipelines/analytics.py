@@ -668,6 +668,34 @@ def _lsh_topk_sql() -> str:
 ORACLE_SQL["lsh_topk_embeddings"] = _lsh_topk_sql()
 
 
+def q_ivf_topk_embeddings(sf_dir: str, k: int = 10, num_queries: int = 5):
+    """IVF (inverted-file) ANN top-k — the similarity scale path: each query
+    probes only its ``nprobe`` nearest coarse-centroid lists. The quantizer
+    here is the seeded pretrained one (``ivf_seeded_centroids``) so the same
+    inlined-centroid oracle SQL holds at every sf; the trained path
+    (``ivf_train_centroids``) is exercised by tests/test_dedup_text.py."""
+    from ..stages.similarity import ivf_seeded_centroids, ivf_topk
+
+    emb = read_table_arrow(sf_dir, "embeddings", ["vec_id", "embedding"])
+    order = pc.sort_indices(emb, sort_keys=[("vec_id", "ascending")])
+    head = emb.take(order).slice(0, num_queries)
+    q_ids = head.column("vec_id").to_numpy()
+    q_mat = np.stack(head.column("embedding").to_pylist())
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = ivf_seeded_centroids(dim=q_mat.shape[1], num_clusters=16)
+    return ivf_topk(ds, q_mat, q_ids, k=k, nprobe=4, centroids=cent)
+
+
+def _ivf_topk_sql() -> str:
+    from ..stages.similarity import ivf_seeded_centroids, ivf_topk_oracle_sql
+
+    cent = ivf_seeded_centroids(dim=64, num_clusters=16)
+    return ivf_topk_oracle_sql(cent, k=10, num_queries=5, nprobe=4)
+
+
+ORACLE_SQL["ivf_topk_embeddings"] = _ivf_topk_sql()
+
+
 QUERIES = {
     "events_daily": q_events_daily,
     "parts_by_type": q_parts_by_type,
@@ -683,4 +711,5 @@ QUERIES = {
     "fingerprint_documents": q_fingerprint_documents,
     "top_spenders": q_top_spenders,
     "ann_topk_embeddings": q_ann_topk_embeddings,
+    "ivf_topk_embeddings": q_ivf_topk_embeddings,
 }

@@ -164,6 +164,210 @@ def lsh_bucket_topk(
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def ivf_seeded_centroids(dim: int, num_clusters: int = 16, seed: int = 23) -> np.ndarray:
+    """Pretrained coarse quantizer stand-in: seeded random unit vectors.
+
+    At lake scale the quantizer is trained ONCE offline (``ivf_train_centroids``)
+    and broadcast; the oracled query entry pins this seeded variant instead so a
+    single SQL string (centroids inlined as literals) is valid at every scale
+    factor the driver runs."""
+    rng = np.random.default_rng(seed)
+    return _normalize(rng.standard_normal((num_clusters, dim)))
+
+
+def _ivf_fit(sample: pd.DataFrame, num_clusters: int, iters: int, id_col: str) -> np.ndarray:
+    """Deterministic Lloyd's k-means core shared by the Ray training path and
+    the no-Ray oracle builder: sample sorted by id (unique ids → one total
+    order regardless of block arrival order), init = first ``num_clusters``
+    sampled vectors, argmax assignment (first-wins on ties), empty clusters
+    keep their previous centroid."""
+    sample = sample.sort_values(id_col, kind="stable")
+    x = _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
+    c = min(num_clusters, len(x))
+    centroids = x[:c].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ centroids.T, axis=1)
+        for j in range(c):
+            members = x[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                centroids[j] = m / max(np.linalg.norm(m), 1e-12)
+    return centroids
+
+
+def ivf_train_centroids(
+    ds,
+    num_clusters: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: Lloyd's k-means over a stable
+    hash-mod sample of the (normalized) vectors.
+
+    The sample filter is map-only (``stable_hash(id) % mod == 0`` — no
+    sort/shuffle, deterministic across runs and cluster sizes); only
+    ``~sample_size`` sampled vectors reach the driver. Every step is
+    deterministic, so the trained centroids can be inlined into a SQL oracle
+    (``ivf_topk_oracle_sql``) — ``ivf_train_centroids_table`` reproduces them
+    from the same parquet without a Ray session."""
+    from ..hashing import stable_hash
+
+    n = ds.count()
+    mod = max(1, n // sample_size)
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = (stable_hash(batch[id_col]) % np.uint64(mod)) == 0
+        return batch.loc[keep, [id_col, "embedding"]]
+
+    sample = ds.map_batches(pick, batch_format="pandas").to_pandas()
+    return _ivf_fit(sample, num_clusters, iters, id_col)
+
+
+def ivf_train_centroids_table(
+    table,
+    num_clusters: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """No-Ray twin of ``ivf_train_centroids`` over an in-memory pyarrow Table
+    (same hash-mod sample rule, same fit) — used to inline the identical
+    centroids into the DuckDB oracle."""
+    from ..hashing import stable_hash
+
+    df = table.select([id_col, "embedding"]).to_pandas()
+    mod = max(1, len(df) // sample_size)
+    keep = (stable_hash(df[id_col]) % np.uint64(mod)) == 0
+    return _ivf_fit(df.loc[keep], num_clusters, iters, id_col)
+
+
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    num_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    round_to: int | None = 2,
+    centroids: np.ndarray | None = None,
+):
+    """IVF (inverted-file) approximate top-k — the classic ANN scale path:
+    vectors are assigned to their nearest coarse centroid, and each query
+    scans only its ``nprobe`` nearest centroids' lists (here: a vectorized
+    per-batch mask — at lake scale the assignment becomes the partition key
+    so probes read only ``nprobe`` partitions). ``nprobe == num_clusters``
+    degenerates to exact brute force. Deterministic end to end (trained
+    centroids + argmax assignment), so the approximate answer itself is
+    oracle-checkable via ``ivf_topk_oracle_sql`` with the centroids inlined.
+    """
+    import ray
+
+    if centroids is None:
+        centroids = ivf_train_centroids(ds, num_clusters=num_clusters, id_col=id_col)
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    nprobe = min(nprobe, len(centroids))
+    # (Q, nprobe) probed cluster ids: centroid-similarity desc, cluster id asc
+    order = np.lexsort((np.arange(len(centroids))[None, :].repeat(len(qm), 0),
+                        -(qm @ centroids.T)), axis=1)
+    probes = order[:, :nprobe]
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), qm, centroids, probes))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        q_ids, q, cent, prb = ray.get(ref)
+        emb = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        ids = batch[id_col].to_numpy()
+        assign = np.argmax(emb @ cent.T, axis=1)  # (B,)
+        out_q, out_i, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            mask = np.isin(assign, prb[qi])
+            if not mask.any():
+                continue
+            cand = np.nonzero(mask)[0]
+            out_q.append(np.full(len(cand), q_ids[qi], dtype=np.int64))
+            out_i.append(ids[cand])
+            out_s.append(emb[cand] @ q[qi])
+        if not out_q:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 id_col: pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        return _topk_frame(
+            np.concatenate(out_q), np.concatenate(out_i), np.concatenate(out_s),
+            k, id_col, round_to,
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = _topk_frame(
+            g["query_id"].to_numpy(), g[id_col].to_numpy(), g["cosine"].to_numpy(),
+            k, id_col, round_to,
+        )
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=4096)
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def ivf_topk_oracle_sql(
+    centroids: np.ndarray,
+    k: int = 10,
+    num_queries: int = 5,
+    nprobe: int = 4,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB mirror of ``ivf_topk``: the trained centroids are inlined as
+    float literals; cluster assignment is argmax of centroid dot products
+    (``list_position(dl, list_max(dl))`` — first occurrence on ties, matching
+    np.argmax); probes are each query's nprobe best (centroid-sim desc,
+    cluster id asc); ranking is the shared (rounded-cosine desc, id asc)."""
+    c = len(centroids)
+
+    def lit(v) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+    dots = ", ".join(
+        f"list_dot_product(ne, {lit(centroids[j])})" for j in range(c)
+    )
+    return f"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> x / sqrt(list_dot_product(
+                                      CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])))) AS ne
+            FROM {table}
+        ), a AS (
+            SELECT vec_id, ne, dl,
+                   CAST(list_position(dl, list_max(dl)) - 1 AS BIGINT) AS cluster
+            FROM (SELECT vec_id, ne, [{dots}] AS dl FROM v)
+        ), q AS (
+            SELECT vec_id AS query_id, ne AS qe, dl AS qdl
+            FROM a ORDER BY vec_id LIMIT {num_queries}
+        ), probes AS (
+            SELECT query_id, j.j AS cluster
+            FROM q, range({c}) j(j)
+            QUALIFY row_number() OVER (
+                PARTITION BY query_id ORDER BY qdl[CAST(j.j AS INT) + 1] DESC, j.j ASC
+            ) <= {nprobe}
+        ), sims AS (
+            SELECT q.query_id, a.vec_id,
+                   ROUND(list_dot_product(a.ne, q.qe), 2) AS cosine
+            FROM a
+            JOIN probes p ON p.cluster = a.cluster
+            JOIN q ON q.query_id = p.query_id
+        )
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+               ) AS BIGINT) AS rank
+        FROM sims
+        QUALIFY rank <= {k}
+    """
+
+
 def lsh_topk_oracle_sql(
     dim: int,
     k: int = 10,

@@ -105,6 +105,42 @@ def test_embedding_near_dups_and_topk(ray_session):
     assert top1[0] == 0 and top1[1] == 1
 
 
+def test_ivf_topk(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(9)
+    mat = rng.standard_normal((80, 16))
+    tbl = pa.table(
+        {"vec_id": pa.array(np.arange(80, dtype=np.int64)),
+         "embedding": pa.array([r.tolist() for r in mat], pa.list_(pa.float32()))}
+    )
+    ds = ray.data.from_arrow(tbl)
+
+    # trained quantizer: Ray path byte-matches the no-Ray arrow path
+    trained = S.ivf_train_centroids(ds, num_clusters=4, sample_size=80)
+    trained_tbl = S.ivf_train_centroids_table(tbl, num_clusters=4, sample_size=80)
+    np.testing.assert_array_equal(trained, trained_tbl)
+
+    # nprobe == num_clusters degenerates to exact brute force
+    q = mat[:2]
+    cent = S.ivf_seeded_centroids(dim=16, num_clusters=4)
+    exact = S.brute_force_topk(ds, q, np.array([0, 1]), k=5).to_pandas()
+    full = S.ivf_topk(
+        ds, q, np.array([0, 1]), k=5, nprobe=4, centroids=cent
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        exact.reset_index(drop=True), full.reset_index(drop=True)
+    )
+
+    # nprobe < num_clusters: a query still finds itself (its own list is
+    # always its best probe) and every result is a subset of some probed list
+    part = S.ivf_topk(
+        ds, q, np.array([0, 1]), k=5, nprobe=1, centroids=cent
+    ).to_pandas()
+    top1 = part[part["rank"] == 1].set_index("query_id")["vec_id"]
+    assert top1[0] == 0 and top1[1] == 1
+
+
 def test_text_quality_and_langid(ray_session):
     import ray.data
 
