@@ -72,6 +72,19 @@ def _embedding_near_dups(sf_dir: str):
     return embedding_near_dups(ds, threshold=0.3).select_columns(["id_a", "id_b"])
 
 
+def _embedding_lsh_near_dups(sf_dir: str):
+    """Approximate (bucketed-LSH) cosine near-dup pairs — the 100 TB scale path
+    for embedding dedup. Deterministic given the seeded planes, so the
+    approximate answer itself is oracled (same planes inlined in SQL)."""
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.dedup import embedding_near_dups_lsh
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_near_dups_lsh(ds, threshold=0.3, dim=64).select_columns(
+        ["id_a", "id_b"]
+    )
+
+
 def _lsh_topk_embeddings(sf_dir: str):
     import numpy as np
     import pyarrow.compute as pc
@@ -201,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["minhash_near_dups"] = _minhash_near_dups
     out["simhash_documents"] = _simhash_documents
     out["embedding_near_dups"] = _embedding_near_dups
+    out["embedding_lsh_near_dups"] = _embedding_lsh_near_dups
     out["lsh_topk_embeddings"] = _lsh_topk_embeddings
     for key in (
         "mapping", "summary", "customer", "attr_email", "attr_phone",
@@ -226,7 +240,12 @@ def oracle_sql() -> dict[str, str]:
         media_fixture_path,
     )
 
+    from dbt_customer360_ray.stages.dedup import embedding_lsh_pairs_oracle_sql
+
     out = dict(ORACLE_SQL)
+    out["embedding_lsh_near_dups"] = embedding_lsh_pairs_oracle_sql(
+        dim=64, threshold=0.3
+    )
     # c360 oracles read fixture parquet at the sf0.01 scale the driver uses;
     # oracle_entries() writes that fixture as a side effect — same pattern for
     # the two replay-lake oracles below and the media fixture

@@ -729,3 +729,131 @@ def embedding_near_dups(
         for j in range(i, len(refs))
     ]
     return ray.data.from_arrow_refs(out)
+
+
+class _LshBucketer:
+    """Actor-pool stage: each vector → ``num_tables`` rows (gkey, id, embedding)
+    where gkey = table_id·2^bits + hyperplane bucket. Carrying the embedding
+    multiplies shuffle volume by num_tables — the price of comparing only
+    within buckets instead of all-pairs (N·T·dim shipped vs N²·dim compared)."""
+
+    def __init__(self, dim: int, num_bits: int, num_tables: int, id_col: str):
+        from .similarity import HyperplaneLsh
+
+        self.hashers = [
+            HyperplaneLsh(dim, num_bits, seed=11 + 7 * t) for t in range(num_tables)
+        ]
+        self.num_bits = num_bits
+        self.id_col = id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        emb = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        ids = batch[self.id_col].to_numpy().astype(np.int64)
+        frames = []
+        for t, h in enumerate(self.hashers):
+            b = (((emb @ h.planes.T) > 0) @ h.weights).astype(np.int64)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "gkey": (t << self.num_bits) + b,
+                        self.id_col: ids,
+                        "embedding": list(emb),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+
+def embedding_near_dups_lsh(
+    ds,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    dim: int = 64,
+    num_bits: int = 8,
+    num_tables: int = 4,
+):
+    """Approximate cosine near-dup pairs — the 100 TB path ``embedding_near_dups``
+    documents: vectors are compared ONLY within shared hyperplane-LSH buckets
+    (any of ``num_tables`` seeded tables), so compute drops from O(N²) to
+    Σ|bucket|² while recall < 1 by construction (miss prob ≈ (1-p^bits)^tables
+    per pair). Bucket membership is deterministic given the seeded planes, so
+    the approximate answer is oracle-checkable via
+    ``embedding_lsh_pairs_oracle_sql`` (same planes inlined as SQL literals).
+
+    Pipeline: bucket fan-out (actor pool) → groupby(gkey) all-pairs within
+    bucket (vectorized matmul per group) → groupby(pair) dedup across tables.
+    Jumbo buckets are the skew hazard at scale: split them into block-pair
+    tiles (``_pair_tile``) keyed by (gkey, tile) before the group compare."""
+    from ray.data.aggregate import Max
+
+    bucketed = ds.map_batches(
+        _LshBucketer,
+        fn_constructor_kwargs={
+            "dim": dim, "num_bits": num_bits,
+            "num_tables": num_tables, "id_col": id_col,
+        },
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(g["embedding"].to_numpy())
+        ids = g[id_col].to_numpy().astype(np.int64)
+        n = np.maximum(np.linalg.norm(m, axis=1), 1e-300)
+        sims = (m @ m.T) / (n[:, None] * n[None, :])
+        mask = (sims >= threshold) & (ids[:, None] < ids[None, :])
+        ii, jj = np.nonzero(mask)
+        return pd.DataFrame(
+            {
+                "id_a": ids[ii],
+                "id_b": ids[jj],
+                "cosine": sims[ii, jj].astype(np.float64),
+            }
+        )
+
+    pairs = bucketed.groupby("gkey").map_groups(pairs_in_bucket, batch_format="pandas")
+    # a pair found in several tables appears once per table; cosine is the
+    # same value each time, so max == the value
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("cosine", alias_name="cosine"))
+
+
+def embedding_lsh_pairs_oracle_sql(
+    dim: int = 64,
+    threshold: float = 0.95,
+    num_bits: int = 8,
+    num_tables: int = 4,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB mirror of ``embedding_near_dups_lsh``: the SAME seeded planes are
+    inlined as literals, candidate membership is shared-bucket-in-any-table,
+    and cosine is the same float64 dot/(‖a‖·‖b‖) formulation."""
+    from .similarity import HyperplaneLsh
+
+    hashers = [HyperplaneLsh(dim, num_bits, seed=11 + 7 * t) for t in range(num_tables)]
+
+    def bucket_expr(t: int) -> str:
+        terms = []
+        for j in range(num_bits):
+            vec = ", ".join(repr(float(x)) for x in hashers[t].planes[j])
+            terms.append(
+                f"(CASE WHEN list_dot_product(de, [{vec}]) > 0 THEN {1 << j} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    buckets = ",\n               ".join(
+        f"({bucket_expr(t)}) AS b{t}" for t in range(num_tables)
+    )
+    on = " OR ".join(f"x.b{t} = y.b{t}" for t in range(num_tables))
+    return f"""
+        WITH b AS (
+            SELECT vec_id, de,
+               {buckets}
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM {table})
+        )
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM b x JOIN b y ON x.vec_id < y.vec_id AND ({on})
+        WHERE list_dot_product(x.de, y.de)
+              / (sqrt(list_dot_product(x.de, x.de))
+                 * sqrt(list_dot_product(y.de, y.de))) >= {threshold}
+    """

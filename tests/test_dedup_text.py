@@ -105,6 +105,27 @@ def test_embedding_near_dups_and_topk(ray_session):
     assert top1[0] == 0 and top1[1] == 1
 
 
+def test_embedding_lsh_near_dups(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    mat = rng.standard_normal((60, 16))
+    mat[11] = mat[4] * 1.002 + 1e-4  # planted near-identical pair (4, 11)
+    tbl = pa.table(
+        {"vec_id": pa.array(np.arange(60, dtype=np.int64)),
+         "embedding": pa.array([r.tolist() for r in mat], pa.list_(pa.float32()))}
+    )
+    ds = ray.data.from_arrow(tbl)
+    approx = D.embedding_near_dups_lsh(ds, threshold=0.9, dim=16).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(approx["id_a"], approx["id_b"])}
+    # near-identical vectors share every bucket → the planted pair is found
+    assert (4, 11) in got
+    # approximate result is a subset of the exact all-pairs result
+    exact = D.embedding_near_dups(ds, threshold=0.9).to_pandas()
+    want = {tuple(sorted((a, b))) for a, b in zip(exact["id_a"], exact["id_b"])}
+    assert got <= want
+
+
 def test_ivf_topk(ray_session):
     import ray.data
 
