@@ -696,6 +696,24 @@ def _ivf_topk_sql() -> str:
 ORACLE_SQL["ivf_topk_embeddings"] = _ivf_topk_sql()
 
 
+def q_approx_distinct_texts(sf_dir: str, k: int = 128):
+    """KMV bottom-k cardinality sketch over document texts — deterministic
+    (md5), so the approximate estimate itself is oracle-checked."""
+    from ..stages.sketches import kmv_distinct
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    return kmv_distinct(ds, "text", k=k)
+
+
+def _approx_distinct_sql() -> str:
+    from ..stages.sketches import kmv_oracle_sql
+
+    return kmv_oracle_sql("text", "documents", k=128)
+
+
+ORACLE_SQL["approx_distinct_texts"] = _approx_distinct_sql()
+
+
 QUERIES = {
     "events_daily": q_events_daily,
     "parts_by_type": q_parts_by_type,
@@ -712,4 +730,5 @@ QUERIES = {
     "top_spenders": q_top_spenders,
     "ann_topk_embeddings": q_ann_topk_embeddings,
     "ivf_topk_embeddings": q_ivf_topk_embeddings,
+    "approx_distinct_texts": q_approx_distinct_texts,
 }

@@ -162,6 +162,26 @@ def test_ivf_topk(ray_session):
     assert top1[0] == 0 and top1[1] == 1
 
 
+def test_kmv_distinct(ray_session):
+    import ray.data
+
+    from dbt_customer360_ray.stages.sketches import kmv_distinct
+
+    # n >> k: estimator branch, within standard KMV error (~1/sqrt(k))
+    n = 2000
+    df = pd.DataFrame({"text": [f"doc number {i}" for i in range(n)] * 2})
+    ds = ray.data.from_pandas(df)
+    out = kmv_distinct(ds, "text", k=256).to_pandas()
+    assert out["n_sketch"].iloc[0] == 256
+    assert abs(out["n_distinct_est"].iloc[0] - n) / n < 0.2
+
+    # n < k: exact branch
+    small = ray.data.from_pandas(pd.DataFrame({"text": ["a", "b", "c", "a", None]}))
+    out2 = kmv_distinct(small, "text", k=16).to_pandas()
+    assert out2["n_sketch"].iloc[0] == 3
+    assert out2["n_distinct_est"].iloc[0] == 3.0
+
+
 def test_text_quality_and_langid(ray_session):
     import ray.data
 
