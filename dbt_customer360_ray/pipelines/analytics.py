@@ -714,6 +714,92 @@ def _approx_distinct_sql() -> str:
 ORACLE_SQL["approx_distinct_texts"] = _approx_distinct_sql()
 
 
+_PRICE_BANDS = [
+    ("small", 0.0, 100_000.0),
+    ("mid", 100_000.0, 250_000.0),
+    ("large", 250_000.0, 1e12),
+]
+
+
+def q_orders_price_bands(sf_dir: str):
+    """Range (band) join: orders matched to price tiers by
+    lo <= o_totalprice < hi (broadcast ranges + searchsorted, map-only), then
+    a per-band rollup."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import range_join
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    bands = pd.DataFrame(_PRICE_BANDS, columns=["band", "lo", "hi"])
+    joined = range_join(ds, bands, "o_totalprice")
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table(
+            {
+                "band": t.column("band"),
+                "price_cents": _cents(t.column("o_totalprice")),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+        return t2.group_by(["band"]).aggregate(
+            [("price_cents", "sum"), ("one", "sum")]
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(
+            Sum("price_cents_sum", alias_name="total_cents"),
+            Sum("one_sum", alias_name="n_orders"),
+        )
+    )
+
+
+ORACLE_SQL["orders_price_bands"] = """
+    WITH bands(band, lo, hi) AS (VALUES
+        ('small', 0.0, 100000.0),
+        ('mid', 100000.0, 250000.0),
+        ('large', 250000.0, 1e12)
+    )
+    SELECT band,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+"""
+
+
+def q_rolling_events(sf_dir: str):
+    """Sliding event-time window per user: every event's trailing-1-hour count
+    and value-cents sum (RANGE ... PRECEDING semantics, peers included)."""
+    from ..stages.windows import rolling_window
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return t.append_column("value_cents", _cents(t.column("value"))).drop_columns(
+            ["value"]
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return rolling_window(prepped, keep_cols=("event_id",), window_seconds=3600)
+
+
+ORACLE_SQL["rolling_events"] = """
+    SELECT user_id, ts, event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+               AS cents_window
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+    )
+"""
+
+
 QUERIES = {
     "events_daily": q_events_daily,
     "parts_by_type": q_parts_by_type,
@@ -731,4 +817,6 @@ QUERIES = {
     "ann_topk_embeddings": q_ann_topk_embeddings,
     "ivf_topk_embeddings": q_ivf_topk_embeddings,
     "approx_distinct_texts": q_approx_distinct_texts,
+    "rolling_events": q_rolling_events,
+    "orders_price_bands": q_orders_price_bands,
 }

@@ -205,3 +205,48 @@ def asof_join(
         )
 
     return lt.union(rt).groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def range_join(
+    ds,
+    ranges: pd.DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    how: str = "inner",
+):
+    """Broadcast range (band) join: each row matched to the range with
+    ``lo <= value < hi``. The range table must be small, non-overlapping and
+    is broadcast once via ``ray.put``; matching is ONE ``np.searchsorted`` per
+    batch — a map-only stage, no shuffle. ``how='left'`` keeps unmatched rows
+    with null band columns. The big×big interval-overlap case instead maps
+    each side onto a coarse grid key and composes ``bucketed_hash_join``.
+    """
+    import ray
+
+    r = ranges.sort_values(lo_col, kind="stable").reset_index(drop=True)
+    los = r[lo_col].to_numpy(dtype=np.float64)
+    his = r[hi_col].to_numpy(dtype=np.float64)
+    if (los[1:] < his[:-1]).any():
+        raise ValueError("range_join: ranges overlap")
+    label_cols = [c for c in r.columns if c not in (lo_col, hi_col)]
+    ref = ray.put((los, his, {c: r[c].to_numpy() for c in label_cols}))
+
+    def lookup(batch: pd.DataFrame) -> pd.DataFrame:
+        lo_arr, hi_arr, labels = ray.get(ref)
+        v = batch[value_col].to_numpy(dtype=np.float64)
+        idx = np.searchsorted(lo_arr, v, side="right") - 1
+        ok = (idx >= 0) & (v < hi_arr[np.clip(idx, 0, None)])
+        out = batch if how == "left" else batch.loc[ok]
+        out = out.copy()
+        sel = idx[ok] if how != "left" else idx
+        for c, vals in labels.items():
+            if how == "left":
+                col = pd.Series(vals[np.clip(idx, 0, None)], index=out.index)
+                col[~ok] = None
+                out[c] = col
+            else:
+                out[c] = vals[sel]
+        return out
+
+    return ds.map_batches(lookup, batch_format="pandas")

@@ -71,6 +71,59 @@ def sessionize(
     )
 
 
+def rolling_window(
+    ds,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_cents_col: str = "value_cents",
+    out_cols: tuple[str, str] = ("n_window", "cents_window"),
+    window_seconds: int = 3600,
+    num_buckets: int = 64,
+    keep_cols: tuple[str, ...] = (),
+):
+    """Sliding event-time windowed aggregate: for EVERY row, the count and
+    value sum of the key's rows in the trailing window [ts−W, ts] — SQL
+    ``RANGE BETWEEN INTERVAL W PRECEDING AND CURRENT ROW`` semantics
+    (equal-timestamp rows are peers: all included regardless of order, so the
+    result is deterministic under ties).
+
+    Same coarse-bucket shape as ``sessionize``; within a bucket the window is
+    ONE vectorized pass, not a per-key loop: keys are spread along a synthetic
+    int64 axis (factorized key code × stride, stride > ts range + W) so a
+    single pair of ``np.searchsorted`` calls yields every row's window
+    [lo, hi) without windows ever crossing a key boundary. Sums are int64
+    cents via prefix sums — exact, no float drift vs the SQL oracle.
+    """
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df["_b"] = _bucket_of(df[key], num_buckets)
+        return df
+
+    w_us = np.int64(window_seconds) * 1_000_000
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col], kind="stable")
+        ts = g[ts_col].astype("datetime64[us]").to_numpy().view(np.int64)
+        codes = pd.factorize(g[key], sort=False)[0].astype(np.int64)
+        stride = (ts.max() - ts.min()) + w_us + np.int64(2) if len(ts) else np.int64(1)
+        axis = ts + codes * stride
+        lo = np.searchsorted(axis, axis - w_us, side="left")
+        hi = np.searchsorted(axis, axis, side="right")
+        cum = np.concatenate(
+            [[0], np.cumsum(g[value_cents_col].to_numpy(dtype=np.int64))]
+        )
+        out = g[[key, ts_col, *keep_cols]].copy()
+        out[out_cols[0]] = (hi - lo).astype(np.int64)
+        out[out_cols[1]] = cum[hi] - cum[lo]
+        return out.drop(columns=[c for c in ("_b",) if c in out.columns])
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 def rank_survivors(
     ds,
     entity_key: str,

@@ -117,3 +117,62 @@ def test_analyses_layer():
     monthly = analysis_monthly_metrics(res)
     assert monthly["new_customers"].sum() > 0
     assert monthly["month"].is_monotonic_increasing
+
+
+def test_rolling_window_semantics():
+    from dbt_customer360_ray.stages.windows import rolling_window
+
+    # user 1: ts 0s, 30m, 30m (peers), 90m; user 2: ts 0s
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 2],
+            "ts": [
+                base,
+                base + pd.Timedelta(minutes=30),
+                base + pd.Timedelta(minutes=30),
+                base + pd.Timedelta(minutes=90),
+                base,
+            ],
+            "event_id": [10, 11, 12, 13, 20],
+            "value_cents": [100, 200, 400, 800, 50],
+        }
+    )
+    out = (
+        rolling_window(_ds(df), keep_cols=("event_id",), window_seconds=3600)
+        .to_pandas()
+        .sort_values("event_id")
+        .set_index("event_id")
+    )
+    # RANGE semantics: equal-ts rows are peers — both 30m rows see each other
+    assert out.loc[10, "n_window"] == 1 and out.loc[10, "cents_window"] == 100
+    assert out.loc[11, "n_window"] == 3 and out.loc[11, "cents_window"] == 700
+    assert out.loc[12, "n_window"] == 3 and out.loc[12, "cents_window"] == 700
+    # 90m row: 0s row fell out of the 1h window, the 30m peers remain
+    assert out.loc[13, "n_window"] == 3 and out.loc[13, "cents_window"] == 1400
+    # other user unaffected
+    assert out.loc[20, "n_window"] == 1 and out.loc[20, "cents_window"] == 50
+
+
+def test_range_join():
+    df = pd.DataFrame({"id": [1, 2, 3, 4], "v": [5.0, 10.0, 25.0, 99.0]})
+    bands = pd.DataFrame(
+        {"band": ["lo", "hi"], "lo": [0.0, 10.0], "hi": [10.0, 50.0]}
+    )
+    inner = (
+        J.range_join(_ds(df), bands, "v").to_pandas().sort_values("id")
+    )
+    # 5 -> lo; 10 (boundary: lo-inclusive, hi-exclusive) -> hi; 25 -> hi; 99 dropped
+    assert inner["id"].tolist() == [1, 2, 3]
+    assert inner["band"].tolist() == ["lo", "hi", "hi"]
+
+    left = J.range_join(_ds(df), bands, "v", how="left").to_pandas().sort_values("id")
+    assert left["id"].tolist() == [1, 2, 3, 4]
+    assert left["band"].isna().tolist() == [False, False, False, True]
+
+    with pytest.raises(ValueError):
+        J.range_join(
+            _ds(df),
+            pd.DataFrame({"band": ["a", "b"], "lo": [0.0, 5.0], "hi": [10.0, 20.0]}),
+            "v",
+        )
