@@ -202,6 +202,17 @@ def _multimodal_audio_features(sf_dir: str):
     return audio_features(ray.data.read_parquet(media_fixture_path(128, seed=5)))
 
 
+def _multimodal_video_features(sf_dir: str):
+    """Actor-pool video decode + frame-sample (every 3rd frame) + feature
+    stage over the parquet video fixture — same md5-chain fake codec pattern
+    as image/audio, reproduced bit-exactly in SQL."""
+    import ray.data
+
+    from dbt_customer360_ray.stages.multimodal import video_features, video_fixture_path
+
+    return video_features(ray.data.read_parquet(video_fixture_path(64, seed=7)))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     import functools
 
@@ -223,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out[f"c360_{key}"] = functools.partial(_c360, key=key)
     out["multimodal_image_features"] = _multimodal_image_features
     out["multimodal_audio_features"] = _multimodal_audio_features
+    out["multimodal_video_features"] = _multimodal_video_features
     return out
 
 
@@ -238,6 +250,8 @@ def oracle_sql() -> dict[str, str]:
         audio_oracle_sql,
         image_oracle_sql,
         media_fixture_path,
+        video_fixture_path,
+        video_oracle_sql,
     )
 
     from dbt_customer360_ray.stages.dedup import embedding_lsh_pairs_oracle_sql
@@ -255,4 +269,5 @@ def oracle_sql() -> dict[str, str]:
     media = media_fixture_path(128, seed=5)
     out["multimodal_image_features"] = image_oracle_sql(media)
     out["multimodal_audio_features"] = audio_oracle_sql(media)
+    out["multimodal_video_features"] = video_oracle_sql(video_fixture_path(64, seed=7))
     return out

@@ -218,9 +218,13 @@ if __name__ == "__main__":
         # line so every BENCH_r{N}.json carries it (subprocess pair at N and
         # 4N cpus on the same fixture; skipped inside those subprocesses via
         # GRAFT_CDC_ONLY, and skippable explicitly with GRAFT_SKIP_SCALING).
+        # The battery line is printed FIRST so a caller that kills the
+        # (minutes-long) scaling pair still gets one complete JSON line —
+        # consumers read the LAST line, which carries scaling when it ran.
+        print(json.dumps(result), flush=True)
         if not CDC_ONLY and os.environ.get("GRAFT_SKIP_SCALING") != "1":
             try:
                 result["scaling"] = run_scaling()
             except Exception as exc:  # never fail the bench line on noise
                 result["scaling"] = {"error": str(exc)[:500]}
-        print(json.dumps(result))
+            print(json.dumps(result), flush=True)

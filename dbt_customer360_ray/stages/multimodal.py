@@ -46,6 +46,11 @@ class DecodeBackend:
             "no audio codec in this environment — plug in an ffmpeg backend"
         )
 
+    def decode_video(self, payload: bytes) -> np.ndarray:  # (F, H, W, 3) uint8
+        raise NotImplementedError(
+            "no video codec in this environment — plug in an ffmpeg backend"
+        )
+
 
 def _md5_expand(payload: bytes, n_bytes: int) -> np.ndarray:
     """Deterministically expand a payload to ``n_bytes`` pseudo-random bytes by
@@ -72,6 +77,13 @@ class FakeDecodeBackend(DecodeBackend):
         # float sums stay exact (bit-identical to the SQL oracle)
         b = _md5_expand(payload, 1600)
         return ((b.astype(np.float32) - 128.0) / 128.0).astype(np.float32)
+
+    VIDEO_FRAMES = 12
+    VIDEO_HW = 8
+
+    def decode_video(self, payload: bytes) -> np.ndarray:
+        f, hw = self.VIDEO_FRAMES, self.VIDEO_HW
+        return _md5_expand(payload, f * hw * hw * 3).reshape(f, hw, hw, 3)
 
 
 class ImageFeatures:
@@ -127,6 +139,45 @@ class AudioFeatures:
                 "media_id": pa.array(ids, pa.int64()),
                 "rms": pa.array(rms, pa.float64()),
                 "zero_crossing_rate": pa.array(zcr, pa.float64()),
+            }
+        )
+
+
+class VideoFeatures:
+    """Actor-pool stage: decode video payloads, SAMPLE every ``stride``-th
+    frame (the standard cost lever — decode once, featurize a subset), and
+    emit per-video stats: sampled-frame count, per-channel means over sampled
+    frames, and 'motion' = mean |Δbyte| between consecutive sampled frames.
+    All sums are integer (exact in float64), so the fake-codec pipeline is
+    bit-identical to ``video_oracle_sql``."""
+
+    def __init__(self, backend: DecodeBackend | None = None, stride: int = 3):
+        self.backend = backend or FakeDecodeBackend()
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, n_sampled, means, motion = [], [], [], []
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            frames = self.backend.decode_video(payload)[:: self.stride]
+            ids.append(mid)
+            n_sampled.append(len(frames))
+            means.append(frames.reshape(-1, 3).mean(axis=0))
+            if len(frames) > 1:
+                d = np.abs(np.diff(frames.astype(np.int64), axis=0))
+                motion.append(float(d.mean()))
+            else:
+                motion.append(0.0)
+        means = np.array(means) if means else np.zeros((0, 3))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "n_frames_sampled": pa.array(n_sampled, pa.int64()),
+                "mean_r": pa.array(means[:, 0] if len(ids) else [], pa.float64()),
+                "mean_g": pa.array(means[:, 1] if len(ids) else [], pa.float64()),
+                "mean_b": pa.array(means[:, 2] if len(ids) else [], pa.float64()),
+                "motion": pa.array(motion, pa.float64()),
             }
         )
 
@@ -187,6 +238,38 @@ def audio_features(ds, concurrency: int = 2, batch_size: int = 32, backend=None)
     )
 
 
+def video_features(ds, concurrency: int = 2, batch_size: int = 32, backend=None, stride: int = 3):
+    """media Dataset → per-video frame-sampled feature Dataset (actor pool)."""
+    return _kind_filter(ds, "video").map_batches(
+        VideoFeatures,
+        fn_constructor_kwargs={"backend": backend, "stride": stride},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+    )
+
+
+def gen_video_table(n: int = 64, seed: int = 7) -> pa.Table:
+    """Deterministic synthetic video table (separate from gen_media_table so
+    the cached image/audio fixture parquet stays byte-stable)."""
+    rng = np.random.default_rng(seed)
+    hw = FakeDecodeBackend.VIDEO_HW
+    frames = FakeDecodeBackend.VIDEO_FRAMES
+    payloads = [rng.integers(0, 256, 256, dtype=np.uint8).tobytes() for _ in range(n)]
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array(["video"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["video/mp4"] * n, pa.string()),
+            "width": pa.array([hw] * n, pa.int32()),
+            "height": pa.array([hw] * n, pa.int32()),
+            "duration_ms": pa.array([frames * 40] * n, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
 def media_fixture_path(n: int = 128, seed: int = 5) -> str:
     """Write (once) the synthetic media table to parquet so the engine and the
     DuckDB oracle read the SAME payload bytes; returns the path."""
@@ -202,6 +285,23 @@ def media_fixture_path(n: int = 128, seed: int = 5) -> str:
     if not os.path.exists(path):
         tmp = path + ".tmp"
         pq.write_table(gen_media_table(n, seed=seed), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def video_fixture_path(n: int = 64, seed: int = 7) -> str:
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..pipelines.cdc_replay import FIXTURE_ROOT
+
+    out_dir = os.path.join(FIXTURE_ROOT, "media")
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"video-{n}-s{seed}.parquet")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        pq.write_table(gen_video_table(n, seed=seed), tmp)
         os.replace(tmp, path)
     return path
 
@@ -237,6 +337,42 @@ def image_oracle_sql(path: str) -> str:
                avg(CASE WHEN pos % 3 = 1 THEN byte END) AS mean_g,
                avg(CASE WHEN pos % 3 = 2 THEN byte END) AS mean_b
         FROM b GROUP BY media_id
+    """
+
+
+def video_oracle_sql(path: str, stride: int = 3) -> str:
+    """Frame-sampled video features of the md5-chain-decoded (F, 8, 8, 3)
+    array — bit-identical to VideoFeatures (integer sums; identical float64
+    divisions). Frame index = pos // bytes_per_frame; sampled frames are
+    frame % stride == 0; motion pairs byte pos with the same offset
+    stride·frame_bytes later."""
+    f = FakeDecodeBackend.VIDEO_FRAMES
+    hw = FakeDecodeBackend.VIDEO_HW
+    fb = hw * hw * 3  # bytes per frame
+    n_bytes = f * fb
+    last_sampled = ((f - 1) // stride) * stride
+    return _expand_sql(path, "video", n_bytes) + f"""
+        , sampled AS (
+            SELECT media_id, pos, byte, (pos // {fb}) AS frame
+            FROM b WHERE (pos // {fb}) % {stride} = 0
+        ), chan AS (
+            SELECT media_id,
+                   CAST(count(DISTINCT frame) AS BIGINT) AS n_frames_sampled,
+                   avg(CASE WHEN pos % 3 = 0 THEN byte END) AS mean_r,
+                   avg(CASE WHEN pos % 3 = 1 THEN byte END) AS mean_g,
+                   avg(CASE WHEN pos % 3 = 2 THEN byte END) AS mean_b
+            FROM sampled GROUP BY media_id
+        ), mot AS (
+            SELECT x.media_id, avg(abs(x.byte - y.byte)) AS motion
+            FROM sampled x
+            JOIN sampled y
+              ON y.media_id = x.media_id AND y.pos = x.pos + {stride * fb}
+            WHERE x.frame < {last_sampled}
+            GROUP BY x.media_id
+        )
+        SELECT c.media_id, c.n_frames_sampled, c.mean_r, c.mean_g, c.mean_b,
+               coalesce(m.motion, 0.0) AS motion
+        FROM chan c LEFT JOIN mot m ON m.media_id = c.media_id
     """
 
 

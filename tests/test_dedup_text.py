@@ -223,9 +223,24 @@ def test_multimodal_plumbing(ray_session):
         img.sort_values("media_id").reset_index(drop=True),
         img2.sort_values("media_id").reset_index(drop=True),
     )
+    # video: frame-sampled features over the dedicated video fixture shape
+    vids = M.gen_video_table(10, seed=7)
+    vid = M.video_features(ray.data.from_arrow(vids)).to_pandas()
+    assert len(vid) == 10
+    assert (vid["n_frames_sampled"] == 4).all()  # 12 frames, stride 3
+    assert vid["mean_g"].between(0, 255).all()
+    assert vid["motion"].gt(0).all()  # md5 noise frames always differ
+    # hand-check one video against the backend directly
+    frames = M.FakeDecodeBackend().decode_video(
+        vids.column("payload")[0].as_py()
+    )[::3]
+    assert vid.set_index("media_id").loc[0, "mean_r"] == frames[..., 0].mean()
+
     # the real backend is an explicit stub
     with pytest.raises(NotImplementedError):
         M.DecodeBackend().decode_image(b"x")
+    with pytest.raises(NotImplementedError):
+        M.DecodeBackend().decode_video(b"x")
 
 
 def test_connected_groups_ds_matches_union_find(ray_session):
