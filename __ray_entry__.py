@@ -36,7 +36,7 @@ def _lang_quality_documents(sf_dir: str):
     from dbt_customer360_ray.sources.readers import read_table
     from dbt_customer360_ray.stages.text import analyze_text
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], rows_per_block=2_048)
     return analyze_text(ds).select_columns(
         ["doc_id", "lang_pred", "stopword_ratio", "mean_word_len", "punct_ratio", "quality_score"]
     )
@@ -49,7 +49,7 @@ def _minhash_near_dups(sf_dir: str):
     from dbt_customer360_ray.sources.readers import read_table
     from dbt_customer360_ray.stages.dedup import dup_groups, verified_near_dup_pairs
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], rows_per_block=2_048)
     return dup_groups(verified_near_dup_pairs(ds, jaccard_threshold=0.8))
 
 
@@ -57,7 +57,7 @@ def _simhash_documents(sf_dir: str):
     from dbt_customer360_ray.sources.readers import read_table
     from dbt_customer360_ray.stages.dedup import simhash_signatures
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], rows_per_block=2_048)
     return simhash_signatures(ds)
 
 

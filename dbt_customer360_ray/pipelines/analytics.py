@@ -37,7 +37,7 @@ def q_cdc_lww_events(sf_dir: str):
     LWW resolves across batches."""
     from ..hashing import stable_hash
 
-    ds = read_table(sf_dir, "events")
+    ds = read_table(sf_dir, "events", rows_per_block=50_000)
     keys = ["user_id", "event_type"]
     coarse = 64  # shuffle granularity: per-key groups would be overhead-bound
 
@@ -62,14 +62,15 @@ def q_cdc_lww_events(sf_dir: str):
 
 def q_pricing_summary(sf_dir: str):
     """lineitem rollup by (returnflag, linestatus): partial aggregation inside
-    map_batches (pyarrow group_by per batch), then a tiny groupby over partials
-    — the pre-aggregate-before-shuffle pattern (SURVEY.md §2.5)."""
-    from ray.data.aggregate import Sum
-
+    map_batches (pyarrow group_by per batch), then a shuffle-free coalesced
+    combine — group cardinality is CONSTANT (≤6), so the final's input is
+    blocks×groups tiny rows and repartition(1) is the tree-reduce root, the
+    right shape at any data size (SURVEY.md §2.5)."""
     ds = read_table(
         sf_dir,
         "lineitem",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+        rows_per_block=50_000,
     )
 
     def partial(t: pa.Table) -> pa.Table:
@@ -86,16 +87,25 @@ def q_pricing_summary(sf_dir: str):
             [("l_quantity", "sum"), ("price_cents", "sum"), ("one", "sum")]
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity_sum", alias_name="sum_qty"),
-            Sum("price_cents_sum", alias_name="sum_base_price_cents"),
-            Sum("one_sum", alias_name="count_order"),
+    def final(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity_sum", "sum"), ("price_cents_sum", "sum"), ("one_sum", "sum")]
         )
+        return pa.table(
+            {
+                "l_returnflag": g.column("l_returnflag"),
+                "l_linestatus": g.column("l_linestatus"),
+                "sum_qty": g.column("l_quantity_sum_sum"),
+                "sum_base_price_cents": g.column("price_cents_sum_sum"),
+                "count_order": g.column("one_sum_sum"),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
-    return agg
 
 
 # -- 3. broadcast dimension join + rollup -----------------------------------
@@ -105,7 +115,6 @@ def q_revenue_by_nation(sf_dir: str):
     (the reference's seed-join pattern, int_customer360__marketo.sql:177-207),
     then grouped cents sums."""
     import ray
-    from ray.data.aggregate import Sum
 
     cust = read_table_arrow(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     nation = read_table_arrow(sf_dir, "nation", ["n_nationkey", "n_name"])
@@ -138,22 +147,26 @@ def q_revenue_by_nation(sf_dir: str):
             [("revenue_cents", "sum"), ("one", "sum")]
         )
 
-    agg = (
-        read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-        .map_batches(join_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("n_nationkey")
-        .aggregate(
-            Sum("revenue_cents_sum", alias_name="revenue_cents"),
-            Sum("one_sum", alias_name="n_orders"),
+    def final(t: pa.Table) -> pa.Table:
+        # constant group cardinality (25 nations) → shuffle-free coalesced
+        # combine; fold the dim-name decode into the same task
+        g = t.group_by(["n_nationkey"]).aggregate(
+            [("revenue_cents_sum", "sum"), ("one_sum", "sum")]
         )
-    )
+        names = [nation_names.get(k, None) for k in g.column("n_nationkey").to_pylist()]
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "revenue_cents": g.column("revenue_cents_sum_sum"),
+                "n_orders": g.column("one_sum_sum"),
+            }
+        )
 
-    def add_name(t: pa.Table) -> pa.Table:
-        names = [nation_names.get(k, None) for k in t.column("n_nationkey").to_pylist()]
-        return t.append_column("n_name", pa.array(names, pa.string()))
-
-    return agg.map_batches(add_name, batch_format="pyarrow").select_columns(
-        ["n_name", "revenue_cents", "n_orders"]
+    return (
+        read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"], rows_per_block=50_000)
+        .map_batches(join_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
 
 
@@ -163,28 +176,48 @@ def q_survivorship_events(sf_dir: str):
     """Per user, the 'best' event_type by (frequency desc, recency desc, value
     asc) — exactly the reference's confidence ranking
     (customer360__email.sql:109-110) re-keyed to the events table."""
-    from ray.data.aggregate import Count, Max
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"], rows_per_block=50_000)
 
-    from ..stages.windows import rank_survivors
+    def partial(t: pa.Table) -> pa.Table:
+        # pre-aggregate per block: one (count, max-ts) row per (user, type)
+        t = t.append_column("one", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+        return t.group_by(["user_id", "event_type"]).aggregate(
+            [("one", "sum"), ("ts", "max")]
+        )
 
-    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"])
-    counted = ds.groupby(["user_id", "event_type"]).aggregate(
-        Count(alias_name="value_count"), Max("ts", alias_name="last_seen")
-    )
-    best = rank_survivors(
-        counted, entity_key="user_id", value_col="event_type",
-        count_col="value_count", recency_col="last_seen",
-    )
-    return best.map_batches(
-        lambda df: df.rename(columns={"event_type": "best_event_type"}),
-        batch_format="pandas",
+    def final(t: pa.Table) -> pa.Table:
+        # count-sum / ts-max / best-argmax are all associative, so after the
+        # per-block partial the remainder runs shuffle-free in ONE coalesced
+        # task over ~|users|x|types| rows (tiny). At lake scale — entity
+        # cardinality too big for one worker — swap this stage for
+        # stages/windows.rank_survivors (coarse-bucket shuffle, same rule).
+        g = t.group_by(["user_id", "event_type"]).aggregate(
+            [("one_sum", "sum"), ("ts_max", "max")]
+        )
+        df = g.to_pandas().rename(
+            columns={"one_sum_sum": "value_count", "ts_max_max": "last_seen"}
+        )
+        df = df.sort_values(
+            ["user_id", "value_count", "last_seen", "event_type"],
+            ascending=[True, False, False, True],
+            kind="stable",
+        ).drop_duplicates("user_id", keep="first")
+        df["value_count"] = df["value_count"].astype(np.int64)
+        return pa.Table.from_pandas(
+            df.rename(columns={"event_type": "best_event_type"}), preserve_index=False
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
 
 
 # -- 5. sessionization -------------------------------------------------------
 
 def q_sessionize_events(sf_dir: str):
-    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"], rows_per_block=50_000)
     return sessionize(ds, key="user_id", ts_col="ts", tie_col="event_id", gap_seconds=1800)
 
 
@@ -195,7 +228,7 @@ def q_dedup_exact_documents(sf_dir: str):
     from ray.data.aggregate import Count, Min
     import hashlib
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], rows_per_block=8_000)
 
     def fp(t: pa.Table) -> pa.Table:
         hashes = [
@@ -212,7 +245,7 @@ def q_dedup_exact_documents(sf_dir: str):
 # -- 7. token stats ----------------------------------------------------------
 
 def q_token_stats_documents(sf_dir: str):
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], rows_per_block=8_000)
     return ds.map_batches(
         text_stage.token_stats, batch_format="pyarrow", zero_copy_batch=True
     ).select_columns(["doc_id", "n_tokens", "n_chars_calc"])
@@ -221,7 +254,7 @@ def q_token_stats_documents(sf_dir: str):
 # -- 8. fingerprint ----------------------------------------------------------
 
 def q_fingerprint_documents(sf_dir: str):
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], rows_per_block=8_000)
     return ds.map_batches(text_stage.fingerprint, batch_format="pyarrow").select_columns(
         ["doc_id", "fp"]
     )
@@ -231,10 +264,13 @@ def q_fingerprint_documents(sf_dir: str):
 
 def q_top_spenders(sf_dir: str):
     """Top 100 customers by order revenue (cents), deterministic tie-break on
-    custkey; partial per-batch rollup → small groupby → global sort+limit."""
-    from ray.data.aggregate import Sum
+    custkey; per-block partial rollup → coalesced shuffle-free final (sums and
+    top-k are associative). At lake scale — custkey cardinality too big for
+    one worker — insert a hash groupby before the final and keep the same
+    (revenue desc, custkey asc) rule; top-k of per-block top-k stays exact
+    only AFTER per-key sums are complete, hence the combine-then-rank order."""
 
-    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"], rows_per_block=50_000)
 
     def partial(t: pa.Table) -> pa.Table:
         t2 = pa.table(
@@ -245,13 +281,20 @@ def q_top_spenders(sf_dir: str):
         )
         return t2.group_by(["o_custkey"]).aggregate([("revenue_cents", "sum")])
 
-    agg = (
+    def final(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_custkey"]).aggregate([("revenue_cents_sum", "sum")])
+        g = g.rename_columns(["o_custkey", "revenue_cents"])
+        order = pc.sort_indices(
+            g,
+            sort_keys=[("revenue_cents", "descending"), ("o_custkey", "ascending")],
+        )
+        return g.take(order.slice(0, 100))
+
+    return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("o_custkey")
-        .aggregate(Sum("revenue_cents_sum", alias_name="revenue_cents"))
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
-    top = agg.sort(["revenue_cents", "o_custkey"], descending=[True, False]).limit(100)
-    return top
 
 
 # -- 10. similarity search ---------------------------------------------------
@@ -275,14 +318,13 @@ def q_ann_topk_embeddings(sf_dir: str, k: int = 10, num_queries: int = 5):
 # -- 11. date_trunc rollup ---------------------------------------------------
 
 def q_events_daily(sf_dir: str):
-    """Per-day event counts + value cents (date_trunc semantics, §2.8)."""
-    from ray.data.aggregate import Sum
-
-    ds = read_table(sf_dir, "events", columns=["ts", "value"])
+    """Per-day event counts + value cents (date_trunc semantics, §2.8).
+    Day cardinality is bounded (days elapsed, not data size), so the combine
+    is a shuffle-free coalesced final over blocks×days partial rows."""
+    ds = read_table(sf_dir, "events", columns=["ts", "value"], rows_per_block=50_000)
 
     def partial(t: pa.Table) -> pa.Table:
-        # group on int64 epoch-us (Ray's hash aggregate downgrades timestamp
-        # keys to [s] via numpy); cast back to timestamp[us] post-aggregate so
+        # group on int64 epoch-us; cast back to timestamp[us] in the final so
         # the dtype matches DuckDB's CAST(date_trunc(...) AS TIMESTAMP)
         day = pc.floor_temporal(t.column("ts"), unit="day").cast(pa.int64())
         t2 = pa.table(
@@ -294,23 +336,22 @@ def q_events_daily(sf_dir: str):
         )
         return t2.group_by(["day_us"]).aggregate([("value_cents", "sum"), ("one", "sum")])
 
-    def finish(t: pa.Table) -> pa.Table:
+    def final(t: pa.Table) -> pa.Table:
+        g = t.group_by(["day_us"]).aggregate(
+            [("value_cents_sum", "sum"), ("one_sum", "sum")]
+        )
         return pa.table(
             {
-                "day": t.column("day_us").cast(pa.timestamp("us")),
-                "value_cents": t.column("value_cents"),
-                "n_events": t.column("n_events"),
+                "day": g.column("day_us").cast(pa.timestamp("us")),
+                "value_cents": g.column("value_cents_sum_sum"),
+                "n_events": g.column("one_sum_sum"),
             }
         )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("day_us")
-        .aggregate(
-            Sum("value_cents_sum", alias_name="value_cents"),
-            Sum("one_sum", alias_name="n_events"),
-        )
-        .map_batches(finish, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
 
 
@@ -319,7 +360,6 @@ def q_events_daily(sf_dir: str):
 def q_parts_by_type(sf_dir: str):
     """lineitem ⋈ part (broadcast) → per-type quantity and revenue cents."""
     import ray
-    from ray.data.aggregate import Sum
 
     part = read_table_arrow(sf_dir, "part", ["p_partkey", "p_type"])
     keys = part.column("p_partkey").to_numpy()
@@ -347,52 +387,73 @@ def q_parts_by_type(sf_dir: str):
             [("sum_qty", "sum"), ("revenue_cents", "sum")]
         )
 
-    agg = (
-        read_table(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("type_code")
-        .aggregate(
-            Sum("sum_qty_sum", alias_name="sum_qty"),
-            Sum("revenue_cents_sum", alias_name="revenue_cents"),
+    def final(t: pa.Table) -> pa.Table:
+        # constant group cardinality (6 part types) → coalesced combine with
+        # the dim-name decode folded in
+        g = t.group_by(["type_code"]).aggregate(
+            [("sum_qty_sum", "sum"), ("revenue_cents_sum", "sum")]
         )
-    )
-
-    def decode(t: pa.Table) -> pa.Table:
         names = [
-            uniq_types[c] if c >= 0 else None for c in t.column("type_code").to_pylist()
+            uniq_types[c] if c >= 0 else None for c in g.column("type_code").to_pylist()
         ]
-        return t.append_column("p_type", pa.array(names, pa.string()))
+        return pa.table(
+            {
+                "p_type": pa.array(names, pa.string()),
+                "sum_qty": g.column("sum_qty_sum_sum"),
+                "revenue_cents": g.column("revenue_cents_sum_sum"),
+            }
+        )
 
-    return agg.map_batches(decode, batch_format="pyarrow").select_columns(
-        ["p_type", "sum_qty", "revenue_cents"]
+    return (
+        read_table(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"], rows_per_block=50_000)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
 
 
 # -- 13. segment stats -------------------------------------------------------
 
 def q_segment_stats(sf_dir: str):
-    """customer per market segment: count + balance cents (min/max/sum)."""
-    from ray.data.aggregate import Count, Max, Min, Sum
+    """customer per market segment: count + balance cents (min/max/sum) —
+    per-block partials, coalesced combine (5 segments, constant)."""
+    ds = read_table(sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"], rows_per_block=50_000)
 
-    ds = read_table(sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"])
-
-    def prep(t: pa.Table) -> pa.Table:
-        return pa.table(
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table(
             {
                 "c_mktsegment": t.column("c_mktsegment"),
                 "bal_cents": _cents(t.column("c_acctbal")),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+        return t2.group_by(["c_mktsegment"]).aggregate(
+            [("one", "sum"), ("bal_cents", "sum"), ("bal_cents", "min"), ("bal_cents", "max")]
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.group_by(["c_mktsegment"]).aggregate(
+            [
+                ("one_sum", "sum"),
+                ("bal_cents_sum", "sum"),
+                ("bal_cents_min", "min"),
+                ("bal_cents_max", "max"),
+            ]
+        )
+        return pa.table(
+            {
+                "c_mktsegment": g.column("c_mktsegment"),
+                "n_customers": g.column("one_sum_sum"),
+                "sum_bal_cents": g.column("bal_cents_sum_sum"),
+                "min_bal_cents": g.column("bal_cents_min_min"),
+                "max_bal_cents": g.column("bal_cents_max_max"),
             }
         )
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("c_mktsegment")
-        .aggregate(
-            Count(alias_name="n_customers"),
-            Sum("bal_cents", alias_name="sum_bal_cents"),
-            Min("bal_cents", alias_name="min_bal_cents"),
-            Max("bal_cents", alias_name="max_bal_cents"),
-        )
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
 
 
@@ -610,7 +671,7 @@ def q_ngram_jaccard_docs(sf_dir: str):
     index) — the exact baseline the MinHash+LSH path approximates."""
     from ..stages.dedup import ngram_jaccard_pairs
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], rows_per_block=2_048)
     return ngram_jaccard_pairs(ds, threshold=0.8)
 
 
@@ -724,13 +785,12 @@ _PRICE_BANDS = [
 def q_orders_price_bands(sf_dir: str):
     """Range (band) join: orders matched to price tiers by
     lo <= o_totalprice < hi (broadcast ranges + searchsorted, map-only), then
-    a per-band rollup."""
+    a per-band rollup (3 bands, constant → coalesced combine)."""
     import pandas as pd
-    from ray.data.aggregate import Sum
 
     from ..stages.joins import range_join
 
-    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"], rows_per_block=50_000)
     bands = pd.DataFrame(_PRICE_BANDS, columns=["band", "lo", "hi"])
     joined = range_join(ds, bands, "o_totalprice")
 
@@ -746,13 +806,22 @@ def q_orders_price_bands(sf_dir: str):
             [("price_cents", "sum"), ("one", "sum")]
         )
 
+    def final(t: pa.Table) -> pa.Table:
+        g = t.group_by(["band"]).aggregate(
+            [("price_cents_sum", "sum"), ("one_sum", "sum")]
+        )
+        return pa.table(
+            {
+                "band": g.column("band"),
+                "total_cents": g.column("price_cents_sum_sum"),
+                "n_orders": g.column("one_sum_sum"),
+            }
+        )
+
     return (
         joined.map_batches(partial, batch_format="pyarrow")
-        .groupby("band")
-        .aggregate(
-            Sum("price_cents_sum", alias_name="total_cents"),
-            Sum("one_sum", alias_name="n_orders"),
-        )
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
 
 
@@ -776,7 +845,7 @@ def q_rolling_events(sf_dir: str):
     and value-cents sum (RANGE ... PRECEDING semantics, peers included)."""
     from ..stages.windows import rolling_window
 
-    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"], rows_per_block=50_000)
 
     def prep(t: pa.Table) -> pa.Table:
         return t.append_column("value_cents", _cents(t.column("value"))).drop_columns(

@@ -118,16 +118,26 @@ def minhash_candidates(
 ):
     """documents → candidate near-dup pairs (doc_a, doc_b, est_jaccard ≥ threshold).
 
-    Pipeline: MinHasher actor pool → explode signatures to (band, band_hash,
-    doc_id, sig) → groupby band buckets → pairs within bucket verified by
-    signature-estimated Jaccard.
+    Pipeline: MinHasher actor pool → explode signatures to LEAN
+    (band_hash, doc_id) rows — signatures themselves never enter the shuffle
+    (they multiplied exchange volume by num_perm×bands; measured ~2x on the
+    whole operator) → groupby band buckets → within-bucket candidate pairs →
+    pair dedup → est-Jaccard filter against the signature matrix broadcast
+    once via ray.put (n_docs × num_perm ints — the small side by
+    construction; at a scale where it no longer fits, carry sigs through the
+    shuffle as before instead).
     """
+    import ray
+    import ray.data
+
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
 
-    coarse_buckets = 1024  # shuffle granularity: thousands of groups, not one
-    # map_groups invocation per LSH bucket (hundreds of thousands of tiny
-    # groups made the shuffle overhead-dominated)
+    coarse_buckets = 128  # shuffle granularity: map_groups invokes the UDF
+    # once per GROUP, so per-group overhead (~1 ms of pandas frame setup)
+    # argues for hundreds of fat groups, not hundreds of thousands of tiny
+    # ones (measured: 1024 buckets ≈ +1 s per shuffle vs 128 at sf0.1; the
+    # within-group kernels are segment-vectorized so group size is cheap)
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         sigs = np.stack(batch["sig"].to_numpy())  # (n, num_perm)
@@ -146,7 +156,6 @@ def minhash_candidates(
             }
         )
         out["bucket"] = (out["band_hash"].to_numpy().astype(np.uint64) % np.uint64(coarse_buckets)).astype(np.int32)
-        out["sig"] = list(np.tile(sigs, (bands, 1)))
         return out
 
     def _empty_pairs() -> pd.DataFrame:
@@ -156,23 +165,39 @@ def minhash_candidates(
              "est_jaccard": pd.Series([], dtype="float64")}
         )
 
+    def _empty_cand() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64")}
+        )
+
     def coarse_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        """One shuffle group = many LSH buckets; pandas groupby inside."""
-        rows = []
-        for _bh, grp in g.groupby("band_hash", sort=False):
-            if len(grp) < 2:
+        """One shuffle group = many LSH buckets. Fully vectorized: one sort
+        finds the band_hash segments, within-segment (i<j) pair indices are
+        built per segment (index arithmetic only) — no per-group pandas loop
+        and no signature work here (est filtering happens after pair dedup,
+        against the broadcast signature matrix)."""
+        g = g.sort_values(["band_hash", "doc_id"], kind="stable").drop_duplicates(
+            ["band_hash", "doc_id"]
+        )
+        bh = g["band_hash"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        if len(bh) < 2:
+            return _empty_cand()
+        starts = np.flatnonzero(np.r_[True, bh[1:] != bh[:-1]])
+        lens = np.diff(np.r_[starts, len(bh)])
+        ia_parts, ib_parts = [], []
+        for s, ln in zip(starts, lens):
+            if ln < 2:
                 continue
-            grp = grp.sort_values("doc_id").drop_duplicates("doc_id")
-            ids = grp["doc_id"].to_numpy()
-            sigs = np.stack(grp["sig"].to_numpy())
-            for i in range(len(ids)):
-                eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-                hits = np.nonzero(eq >= threshold)[0]
-                for j in hits:
-                    rows.append((ids[i], ids[i + 1 + j], float(eq[j])))
-        if not rows:
-            return _empty_pairs()
-        out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "est_jaccard"])
+            iu, ju = np.triu_indices(ln, k=1)
+            ia_parts.append(s + iu)
+            ib_parts.append(s + ju)
+        if not ia_parts:
+            return _empty_cand()
+        ia = np.concatenate(ia_parts)
+        ib = np.concatenate(ib_parts)
+        out = pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
         # dedupe within the group; cross-band duplicates of the same pair land
         # in different groups and are deduped in the final stage
         return out.drop_duplicates(["doc_a", "doc_b"])
@@ -186,7 +211,7 @@ def minhash_candidates(
         batch_format="pandas",
         batch_size=2048,
         concurrency=(1, concurrency),
-    )
+    ).materialize()  # consumed twice: banding shuffle + est broadcast
     exploded = sigs.map_batches(explode, batch_format="pandas")
     pairs = exploded.groupby("bucket").map_groups(
         coarse_bucket_pairs, batch_format="pandas"
@@ -201,12 +226,31 @@ def minhash_candidates(
         ).astype(np.int32)
         return batch
 
-    return (
+    deduped = (
         pairs.map_batches(add_pair_bucket, batch_format="pandas")
         .groupby("pbucket")
         .map_groups(dedupe_pairs, batch_format="pandas")
         .drop_columns(["pbucket"])
     )
+
+    sig_pdf = sigs.to_pandas().sort_values("doc_id", kind="stable")
+    sig_ref = ray.put(
+        (sig_pdf["doc_id"].to_numpy(), np.stack(sig_pdf["sig"].to_numpy()))
+    )
+
+    def est_filter(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return _empty_pairs()
+        ids_sorted, mat = ray.get(sig_ref)
+        ia = np.searchsorted(ids_sorted, b["doc_a"].to_numpy())
+        ib = np.searchsorted(ids_sorted, b["doc_b"].to_numpy())
+        est = (mat[ia] == mat[ib]).mean(axis=1)
+        keep = est >= threshold
+        out = b.loc[keep, ["doc_a", "doc_b"]].copy()
+        out["est_jaccard"] = est[keep].astype(np.float64)
+        return out if len(out) else _empty_pairs()
+
+    return deduped.map_batches(est_filter, batch_format="pandas")
 
 
 def connected_groups(pairs_df: pd.DataFrame) -> pa.Table:
@@ -416,7 +460,7 @@ class _PrefixShingleExploder:
     inverted-index join volume; the survivors are re-verified exactly, so a
     too-short prefix could only lose pairs, never invent them."""
 
-    BUCKETS = 1024
+    BUCKETS = 128
 
     def __init__(self, threshold: float, shingle_n: int = 3):
         import re
@@ -521,8 +565,13 @@ def ngram_jaccard_pairs(
     if n_cands == 0:
         return ray.data.from_pandas(empty)
     if n_cands > driver_threshold:
-        # distributed: pair-hash-bucketed global dedup, then the shared
-        # two-join exact verify
+        # distributed: pair-hash-bucketed global dedup, then distributed
+        # verify. Verification needs each pair's two texts: when the doc
+        # table fits a broadcast (ray.put once, read per task — the
+        # small-side rule), verify is a map over pair batches with zero
+        # joins; above that, fall back to the shared two-shuffle-join verify
+        # (its cost is two hash-join barriers — measured 9.5 s of an 18 s
+        # sf0.1 run — so the broadcast path is the default whenever it fits).
         def add_pair_bucket(batch: pd.DataFrame) -> pd.DataFrame:
             h = (
                 batch["doc_a"].to_numpy().astype(np.uint64)
@@ -540,7 +589,34 @@ def ngram_jaccard_pairs(
                 batch_format="pandas",
             )
         )
-        return _verified_pairs_joined(docs, deduped, threshold, shingle_n)
+        if (docs.size_bytes() or 0) > 256 << 20:
+            return _verified_pairs_joined(docs, deduped, threshold, shingle_n)
+
+        texts_df = docs.to_pandas()
+        lut_ref = ray.put(dict(zip(texts_df["doc_id"], texts_df["text"])))
+        # map tasks are per-block: spread the candidate pairs so the
+        # per-pair verify kernel uses the whole pool (measured 3 blocks →
+        # 3 tasks → 7 s serial tail without this)
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        deduped = deduped.repartition(2 * cpus)
+
+        def verify_batch(b: pd.DataFrame) -> pd.DataFrame:
+            lut = ray.get(lut_ref)
+            jac = np.array(
+                [
+                    ngram_jaccard(lut.get(a), lut.get(bb), shingle_n)
+                    for a, bb in zip(b["doc_a"], b["doc_b"])
+                ],
+                dtype=np.float64,
+            )
+            keep = jac >= threshold
+            out = b.loc[keep, ["doc_a", "doc_b"]].copy()
+            out["jaccard"] = jac[keep]
+            return out
+
+        return deduped.map_batches(
+            verify_batch, batch_format="pandas", batch_size=8192
+        )
 
     pairs = cands.to_pandas().drop_duplicates(["doc_a", "doc_b"])
     from .joins import semi_join
