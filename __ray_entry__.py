@@ -42,6 +42,17 @@ def _lang_quality_documents(sf_dir: str):
     )
 
 
+def _curated_documents(sf_dir: str):
+    """Flagship composed training-data pipeline: language filter → quality
+    filter → exact-dup keeper, oracle-checked end to end (the resumable
+    sharded sink side is exercised by tests/test_curate.py)."""
+    from dbt_customer360_ray.pipelines.curate import curate_documents
+    from dbt_customer360_ray.sources.readers import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], rows_per_block=2_048)
+    return curate_documents(ds)
+
+
 def _minhash_near_dups(sf_dir: str):
     """Near-dup groups: MinHash+LSH candidates → exact shingle-Jaccard verify
     → connected components (driver union-find under 100k pairs, distributed
@@ -222,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_replay_lake"] = _cdc_replay_lake
     out["stream_replay_lake"] = _stream_replay_lake
     out["lang_quality_documents"] = _lang_quality_documents
+    out["curated_documents"] = _curated_documents
     out["minhash_near_dups"] = _minhash_near_dups
     out["simhash_documents"] = _simhash_documents
     out["embedding_near_dups"] = _embedding_near_dups
@@ -254,9 +266,11 @@ def oracle_sql() -> dict[str, str]:
         video_oracle_sql,
     )
 
+    from dbt_customer360_ray.pipelines.curate import curate_oracle_sql
     from dbt_customer360_ray.stages.dedup import embedding_lsh_pairs_oracle_sql
 
     out = dict(ORACLE_SQL)
+    out["curated_documents"] = curate_oracle_sql()
     out["embedding_lsh_near_dups"] = embedding_lsh_pairs_oracle_sql(
         dim=64, threshold=0.3
     )
