@@ -108,7 +108,7 @@ def _lsh_topk_embeddings(sf_dir: str):
     head = emb.take(order).slice(0, 5)
     q_ids = head.column("vec_id").to_numpy()
     q_mat = np.stack(head.column("embedding").to_pylist())
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], rows_per_block=2_048)
     return lsh_bucket_topk(ds, q_mat, q_ids, dim=q_mat.shape[1], k=10)
 
 

@@ -310,7 +310,7 @@ def q_ann_topk_embeddings(sf_dir: str, k: int = 10, num_queries: int = 5):
     q_ids = emb_sorted.column("vec_id").to_numpy()
     q_mat = np.stack(emb_sorted.column("embedding").to_pylist())
 
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], rows_per_block=2_048)
     out = brute_force_topk(ds, q_mat, q_ids, k=k)
     return out.select_columns(["query_id", "vec_id", "cosine", "rank"])
 
@@ -742,7 +742,7 @@ def q_ivf_topk_embeddings(sf_dir: str, k: int = 10, num_queries: int = 5):
     head = emb.take(order).slice(0, num_queries)
     q_ids = head.column("vec_id").to_numpy()
     q_mat = np.stack(head.column("embedding").to_pylist())
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], rows_per_block=2_048)
     cent = ivf_seeded_centroids(dim=q_mat.shape[1], num_clusters=16)
     return ivf_topk(ds, q_mat, q_ids, k=k, nprobe=4, centroids=cent)
 
