@@ -80,6 +80,7 @@ def rolling_window(
     window_seconds: int = 3600,
     num_buckets: int = 64,
     keep_cols: tuple[str, ...] = (),
+    axis_limit: int = 2**62,
 ):
     """Sliding event-time windowed aggregate: for EVERY row, the count and
     value sum of the key's rows in the trailing window [ts−W, ts] — SQL
@@ -104,11 +105,26 @@ def rolling_window(
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key, ts_col], kind="stable")
         ts = g[ts_col].astype("datetime64[us]").to_numpy().view(np.int64)
+        ts = ts - (ts.min() if len(ts) else 0)  # shrink the stride base
         codes = pd.factorize(g[key], sort=False)[0].astype(np.int64)
-        stride = (ts.max() - ts.min()) + w_us + np.int64(2) if len(ts) else np.int64(1)
-        axis = ts + codes * stride
-        lo = np.searchsorted(axis, axis - w_us, side="left")
-        hi = np.searchsorted(axis, axis, side="right")
+        stride = (ts.max() + w_us + np.int64(2)) if len(ts) else np.int64(1)
+        n_keys = int(codes[-1]) + 1 if len(codes) else 0
+        if n_keys * int(stride) < axis_limit:
+            axis = ts + codes * stride
+            lo = np.searchsorted(axis, axis - w_us, side="left")
+            hi = np.searchsorted(axis, axis, side="right")
+        else:
+            # strided-axis product would overflow int64 (extreme key
+            # cardinality × time range in one bucket): per-key-segment
+            # searchsorted — same semantics, one pair of calls per key
+            lo = np.empty(len(ts), dtype=np.int64)
+            hi = np.empty(len(ts), dtype=np.int64)
+            starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+            ends = np.r_[starts[1:], len(codes)]
+            for s, e in zip(starts, ends):
+                seg = ts[s:e]
+                lo[s:e] = s + np.searchsorted(seg, seg - w_us, side="left")
+                hi[s:e] = s + np.searchsorted(seg, seg, side="right")
         cum = np.concatenate(
             [[0], np.cumsum(g[value_cents_col].to_numpy(dtype=np.int64))]
         )

@@ -153,6 +153,18 @@ def test_rolling_window_semantics():
     # other user unaffected
     assert out.loc[20, "n_window"] == 1 and out.loc[20, "cents_window"] == 50
 
+    # segmented fallback (int64-overflow guard for extreme key-cardinality ×
+    # time-range buckets) computes the identical result
+    seg = (
+        rolling_window(
+            _ds(df), keep_cols=("event_id",), window_seconds=3600, axis_limit=0
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .set_index("event_id")
+    )
+    pd.testing.assert_frame_equal(out, seg)
+
 
 def test_range_join():
     df = pd.DataFrame({"id": [1, 2, 3, 4], "v": [5.0, 10.0, 25.0, 99.0]})
