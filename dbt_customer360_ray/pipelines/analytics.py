@@ -840,6 +840,37 @@ ORACLE_SQL["orders_price_bands"] = """
 """
 
 
+def q_split_documents(sf_dir: str):
+    """Deterministic hash train/test split (id-stable across reruns and
+    cluster sizes; map-only)."""
+    from ..stages.sampling import hash_split
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"], rows_per_block=8_000)
+    return hash_split(ds, "doc_id", test_permille=100)
+
+
+def q_sample_documents(sf_dir: str):
+    """Deterministic 25% sample — same rows kept on every rerun."""
+    from ..stages.sampling import hash_sample
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"], rows_per_block=8_000)
+    return hash_sample(ds, "doc_id", keep_permille=250)
+
+
+def _sampling_sql():
+    from ..stages.sampling import hash_sample_oracle_sql, hash_split_oracle_sql
+
+    ORACLE_SQL["split_documents"] = hash_split_oracle_sql(
+        "documents", "doc_id", test_permille=100
+    )
+    ORACLE_SQL["sample_documents"] = hash_sample_oracle_sql(
+        "documents", "doc_id", keep_permille=250
+    )
+
+
+_sampling_sql()
+
+
 def q_rolling_events(sf_dir: str):
     """Sliding event-time window per user: every event's trailing-1-hour count
     and value-cents sum (RANGE ... PRECEDING semantics, peers included)."""
@@ -888,4 +919,6 @@ QUERIES = {
     "approx_distinct_texts": q_approx_distinct_texts,
     "rolling_events": q_rolling_events,
     "orders_price_bands": q_orders_price_bands,
+    "split_documents": q_split_documents,
+    "sample_documents": q_sample_documents,
 }

@@ -1,0 +1,87 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+A train/test split must be a pure function of the row id — stable across
+reruns, cluster sizes, and partition layouts — so it is computed from
+md5(salt || id), not an RNG. Map-only (no shuffle), and reproducible in SQL
+(``hash_split_oracle_sql``) because DuckDB's md5() is the same function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+_FRAC_BITS = 13  # 52 bits — exact in a float64, same parse as stages/sketches
+
+
+def _bucket_of(values, salt: str) -> np.ndarray:
+    """md5(salt || str(id)) first 13 hex chars as int, mod 1000 (permille)."""
+    return np.array(
+        [
+            int(hashlib.md5(f"{salt}{v}".encode("utf-8")).hexdigest()[:_FRAC_BITS], 16)
+            % 1000
+            for v in values
+        ],
+        dtype=np.int64,
+    )
+
+
+def hash_split(ds, id_col: str, test_permille: int = 100, salt: str = "split"):
+    """Adds a ``split`` column: 'test' iff the id's hash permille falls below
+    ``test_permille``, else 'train'. Changing ``salt`` yields an independent
+    split; the same (salt, id) always lands on the same side."""
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        pm = _bucket_of(batch[id_col].to_numpy(), salt)
+        batch = batch.copy()
+        batch["split"] = np.where(pm < test_permille, "test", "train")
+        return batch
+
+    return ds.map_batches(tag, batch_format="pandas")
+
+
+def hash_sample(ds, id_col: str, keep_permille: int, salt: str = "sample"):
+    """Deterministic fractional sample: keep rows whose hash permille falls
+    below ``keep_permille`` — the id-stable cousin of ``Dataset.random_sample``
+    (resumable pipelines need the same rows kept on every rerun)."""
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        pm = _bucket_of(batch[id_col].to_numpy(), salt)
+        return batch.loc[pm < keep_permille]
+
+    return ds.map_batches(pick, batch_format="pandas")
+
+
+def _permille_sql(id_col: str, salt: str) -> str:
+    parse = (
+        f"list_reduce(list_transform(range(1, {_FRAC_BITS + 1}), "
+        f"i -> CAST(strpos('0123456789abcdef', substr(md5('{salt}' || "
+        f"CAST({id_col} AS VARCHAR)), CAST(i AS INT), 1)) AS BIGINT) - 1), "
+        f"(a, b) -> a * 16 + b)"
+    )
+    return f"({parse}) % 1000"
+
+
+def hash_split_oracle_sql(
+    table: str, id_col: str, test_permille: int = 100, salt: str = "split"
+) -> str:
+    """DuckDB mirror of ``hash_split`` (same md5, same 52-bit hex parse)."""
+    return f"""
+        SELECT {id_col},
+               CASE WHEN {_permille_sql(id_col, salt)} < {test_permille}
+                    THEN 'test' ELSE 'train' END AS split
+        FROM {table}
+    """
+
+
+def hash_sample_oracle_sql(
+    table: str, id_col: str, keep_permille: int, salt: str = "sample"
+) -> str:
+    """DuckDB mirror of ``hash_sample``."""
+    return f"""
+        SELECT {id_col}
+        FROM {table}
+        WHERE {_permille_sql(id_col, salt)} < {keep_permille}
+    """

@@ -331,3 +331,32 @@ def test_embedding_block_pair_matches_all_pairs(ray_session):
     iu, ju = np.triu_indices(80, 1)
     want = {(int(a), int(b)) for a, b in zip(iu[sims[iu, ju] >= 0.5], ju[sims[iu, ju] >= 0.5])}
     assert {tuple(p) for p in got[["id_a", "id_b"]].to_numpy()} == want
+
+
+def test_hash_split_and_sample(ray_session):
+    import ray.data
+
+    from dbt_customer360_ray.stages import sampling as SP
+
+    df = pd.DataFrame({"doc_id": np.arange(5000, dtype=np.int64)})
+    split = SP.hash_split(ray.data.from_pandas(df), "doc_id").to_pandas()
+    # deterministic: identical on rerun
+    split2 = SP.hash_split(ray.data.from_pandas(df), "doc_id").to_pandas()
+    pd.testing.assert_frame_equal(
+        split.sort_values("doc_id").reset_index(drop=True),
+        split2.sort_values("doc_id").reset_index(drop=True),
+    )
+    # ~10% test at permille 100 (binomial tolerance)
+    frac = (split["split"] == "test").mean()
+    assert 0.07 < frac < 0.13
+    # a different salt gives an independent assignment
+    other = SP.hash_split(ray.data.from_pandas(df), "doc_id", salt="v2").to_pandas()
+    both = split.merge(other, on="doc_id")
+    assert (both["split_x"] != both["split_y"]).any()
+
+    # sample keeps a stable subset equal to the split-style rule
+    samp = SP.hash_sample(ray.data.from_pandas(df), "doc_id", keep_permille=250)
+    ids = set(samp.to_pandas()["doc_id"])
+    assert 0.2 < len(ids) / 5000 < 0.3
+    samp2 = SP.hash_sample(ray.data.from_pandas(df), "doc_id", keep_permille=250)
+    assert set(samp2.to_pandas()["doc_id"]) == ids
