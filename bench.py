@@ -56,6 +56,10 @@ BENCH_QUERIES = [
     "ngram_jaccard_docs",
     "minhash_near_dups",
     "lang_quality_documents",
+    "rolling_events",
+    "orders_price_bands",
+    "approx_distinct_texts",
+    "curated_documents",
 ]
 
 
