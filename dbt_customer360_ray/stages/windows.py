@@ -96,48 +96,70 @@ def rolling_window(
     cents via prefix sums — exact, no float drift vs the SQL oracle.
     """
 
+    import functools
+
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
         df["_b"] = _bucket_of(df[key], num_buckets)
         return df
 
-    w_us = np.int64(window_seconds) * 1_000_000
-
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key, ts_col], kind="stable")
-        ts = g[ts_col].astype("datetime64[us]").to_numpy().view(np.int64)
-        ts = ts - (ts.min() if len(ts) else 0)  # shrink the stride base
-        codes = pd.factorize(g[key], sort=False)[0].astype(np.int64)
-        stride = (ts.max() + w_us + np.int64(2)) if len(ts) else np.int64(1)
-        n_keys = int(codes[-1]) + 1 if len(codes) else 0
-        if n_keys * int(stride) < axis_limit:
-            axis = ts + codes * stride
-            lo = np.searchsorted(axis, axis - w_us, side="left")
-            hi = np.searchsorted(axis, axis, side="right")
-        else:
-            # strided-axis product would overflow int64 (extreme key
-            # cardinality × time range in one bucket): per-key-segment
-            # searchsorted — same semantics, one pair of calls per key
-            lo = np.empty(len(ts), dtype=np.int64)
-            hi = np.empty(len(ts), dtype=np.int64)
-            starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
-            ends = np.r_[starts[1:], len(codes)]
-            for s, e in zip(starts, ends):
-                seg = ts[s:e]
-                lo[s:e] = s + np.searchsorted(seg, seg - w_us, side="left")
-                hi[s:e] = s + np.searchsorted(seg, seg, side="right")
-        cum = np.concatenate(
-            [[0], np.cumsum(g[value_cents_col].to_numpy(dtype=np.int64))]
-        )
-        out = g[[key, ts_col, *keep_cols]].copy()
-        out[out_cols[0]] = (hi - lo).astype(np.int64)
-        out[out_cols[1]] = cum[hi] - cum[lo]
-        return out.drop(columns=[c for c in ("_b",) if c in out.columns])
-
+    kernel = functools.partial(
+        rolling_kernel,
+        key=key,
+        ts_col=ts_col,
+        value_cents_col=value_cents_col,
+        out_cols=out_cols,
+        w_us=np.int64(window_seconds) * 1_000_000,
+        keep_cols=keep_cols,
+        axis_limit=axis_limit,
+    )
     return (
         ds.map_batches(bucketize, batch_format="pandas")
         .groupby("_b")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(kernel, batch_format="pandas")
     )
+
+
+def rolling_kernel(
+    g: pd.DataFrame,
+    key: str,
+    ts_col: str,
+    value_cents_col: str,
+    out_cols: tuple[str, str],
+    w_us: np.int64,
+    keep_cols: tuple[str, ...],
+    axis_limit: int,
+) -> pd.DataFrame:
+    """Per-bucket trailing-window kernel (module-level so property tests can
+    drive it directly; all keys of a row's group must be in ``g``)."""
+    g = g.sort_values([key, ts_col], kind="stable")
+    ts = g[ts_col].astype("datetime64[us]").to_numpy().view(np.int64)
+    ts = ts - (ts.min() if len(ts) else 0)  # shrink the stride base
+    codes = pd.factorize(g[key], sort=False)[0].astype(np.int64)
+    stride = (ts.max() + w_us + np.int64(2)) if len(ts) else np.int64(1)
+    n_keys = int(codes[-1]) + 1 if len(codes) else 0
+    if n_keys * int(stride) < axis_limit:
+        axis = ts + codes * stride
+        lo = np.searchsorted(axis, axis - w_us, side="left")
+        hi = np.searchsorted(axis, axis, side="right")
+    else:
+        # strided-axis product would overflow int64 (extreme key
+        # cardinality × time range in one bucket): per-key-segment
+        # searchsorted — same semantics, one pair of calls per key
+        lo = np.empty(len(ts), dtype=np.int64)
+        hi = np.empty(len(ts), dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        ends = np.r_[starts[1:], len(codes)]
+        for s, e in zip(starts, ends):
+            seg = ts[s:e]
+            lo[s:e] = s + np.searchsorted(seg, seg - w_us, side="left")
+            hi[s:e] = s + np.searchsorted(seg, seg, side="right")
+    cum = np.concatenate(
+        [[0], np.cumsum(g[value_cents_col].to_numpy(dtype=np.int64))]
+    )
+    out = g[[key, ts_col, *keep_cols]].copy()
+    out[out_cols[0]] = (hi - lo).astype(np.int64)
+    out[out_cols[1]] = cum[hi] - cum[lo]
+    return out.drop(columns=[c for c in ("_b",) if c in out.columns])
 
 
 def rank_survivors(

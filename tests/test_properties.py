@@ -74,3 +74,49 @@ def test_generator_oracle_idempotent_under_duplication():
     once = oracle_lake(changes)
     twice = oracle_lake(changes, changes)
     pd.testing.assert_frame_equal(once, twice)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),      # key
+            st.integers(0, 7200),   # ts seconds (spans several windows)
+            st.integers(-50, 50),   # cents
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_rolling_kernel_matches_bruteforce(rows):
+    """The searchsorted trailing-window kernel equals the O(n^2) definition
+    (RANGE semantics: same-key rows with ts in [t-W, t], peers included) on
+    both the strided-axis and the segmented-fallback paths."""
+    from dbt_customer360_ray.stages.windows import rolling_kernel
+
+    w = 1800
+    t0 = np.datetime64("2025-01-01T00:00:00", "us")
+    df = pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "ts": [t0 + np.timedelta64(r[1], "s") for r in rows],
+            "event_id": np.arange(len(rows), dtype=np.int64),
+            "value_cents": np.array([r[2] for r in rows], dtype=np.int64),
+        }
+    )
+    kw = dict(
+        key="user_id", ts_col="ts", value_cents_col="value_cents",
+        out_cols=("n_window", "cents_window"), w_us=np.int64(w) * 1_000_000,
+        keep_cols=("event_id",),
+    )
+    fast = rolling_kernel(df.copy(), axis_limit=2**62, **kw).set_index("event_id")
+    seg = rolling_kernel(df.copy(), axis_limit=0, **kw).set_index("event_id")
+
+    for i, (k, tsec, _c) in enumerate(rows):
+        in_win = [
+            j for j, (k2, t2, _c2) in enumerate(rows)
+            if k2 == k and tsec - w <= t2 <= tsec
+        ]
+        assert fast.loc[i, "n_window"] == len(in_win)
+        assert fast.loc[i, "cents_window"] == sum(rows[j][2] for j in in_win)
+    pd.testing.assert_frame_equal(fast.sort_index(), seg.sort_index())
