@@ -116,11 +116,13 @@ _C360_CACHE: dict = {}
 
 
 def _c360_n(sf_dir: str) -> int:
-    """Fixture rows ∝ sf (sf0.01 → 300, matching the oracle SQL's pinned
-    fixture path)."""
-    from dbt_customer360_ray.pipelines.cdc_replay import sf_from_dir
+    """Pinned to the oracle fixture scale (c360_oracle.ORACLE_N) so the engine
+    query and the oracle SQL read the SAME fixture parquet at every sf_dir —
+    the same pattern as _cdc_replay_lake pinning sf=0.01. (Scale coverage of
+    the DAG itself lives in bench.py / tests, not the correctness gate.)"""
+    from dbt_customer360_ray.pipelines.c360_oracle import ORACLE_N
 
-    return max(60, int(round(30_000 * sf_from_dir(sf_dir, default=0.01))))
+    return ORACLE_N
 
 
 def _conform_c360(df):
@@ -241,7 +243,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["lsh_topk_embeddings"] = _lsh_topk_embeddings
     for key in (
         "mapping", "summary", "customer", "attr_email", "attr_phone",
-        "attr_name", "attr_address", "ip_address", "status", "updates",
+        "attr_name", "attr_organization", "attr_address", "ip_address",
+        "status", "updates",
     ):
         out[f"c360_{key}"] = functools.partial(_c360, key=key)
     out["multimodal_image_features"] = _multimodal_image_features

@@ -54,12 +54,19 @@ def ensure_fixture(num_people: int = ORACLE_N, seed: int = ORACLE_SEED) -> str:
     d = fixture_dir(num_people, seed)
     done = os.path.join(d, "_DONE")
     if not os.path.exists(done):
+        # tmp → os.replace per file, _DONE last: concurrent writers (pytest +
+        # driver check) race benignly — readers never observe torn parquet
+        # (same protocol as stream_fixture_path / media_fixture_path).
         tables, _ = gen_c360_sources(num_people, seed=seed)
         os.makedirs(d, exist_ok=True)
         for name, tbl in tables.items():
-            pq.write_table(tbl, os.path.join(d, f"{name}.parquet"))
-        with open(done, "w") as f:
+            tmp = os.path.join(d, f".{name}.parquet.tmp.{os.getpid()}")
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, os.path.join(d, f"{name}.parquet"))
+        tmp_done = f"{done}.tmp.{os.getpid()}"
+        with open(tmp_done, "w") as f:
             f.write("ok")
+        os.replace(tmp_done, done)
     return d
 
 
@@ -828,6 +835,7 @@ def oracle_entries(num_people: int = ORACLE_N, seed: int = ORACLE_SEED) -> dict[
         "c360_attr_email": 'SELECT * FROM att_email',
         "c360_attr_phone": 'SELECT * FROM att_phone',
         "c360_attr_name": 'SELECT * FROM att_name',
+        "c360_attr_organization": 'SELECT * FROM att_organization',
         "c360_attr_address": 'SELECT * FROM att_address',
         "c360_ip_address": """
         SELECT k.cid AS customer360_id, c.anonymous_ip AS ip_address,

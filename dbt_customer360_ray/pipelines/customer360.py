@@ -43,10 +43,17 @@ Stage map (reference file → here):
 - summary (output/customer360__summary.sql) → index=1 star join on the
   (O(entities), driver-held) spine.
 
-Scale notes: the only driver-materialized tables are the pair tables and the
-mapping spine — both O(resolved entities), the designed broadcast side. All
-O(input-row) stages (cleaning, key extraction, confirmation, spine fragments,
-attribute unpivots) run as Ray map_batches / bucketed joins / groupbys.
+Scale notes: the DAG is Dataset-in/Dataset-out. Raw sources may be parquet
+paths (streamed via read_parquet), the spine is minted inside the combine
+groupby tasks, attribute/status/updates/ip tables and the summary/customer
+star joins stay Datasets, and the source-id→customer360_id map attaches via a
+size-gated CidContext (broadcast ray.put map below ~2M entities, bucketed hash
+join above). The only driver-held state is the matched-pair tables + pos_maps
+broadcast — O(matches), the designed small side (a distributed pair
+consolidation is the noted extension if matches ever rival input size).
+Shuffle bucket counts scale with input rows (``_adaptive_buckets``). pandas
+conversion happens only at the run_customer360(output='pandas') boundary for
+the driver correctness gate.
 """
 
 from __future__ import annotations
@@ -344,21 +351,66 @@ def _from_arrow_split(table: pa.Table, rows_per_block: int = 8_192):
     return ds.repartition(n) if n > 1 else ds
 
 
+def _as_dataset(obj, rows_per_block: int = 8_192):
+    """Raw-source input surface: pa.Table | pandas.DataFrame | parquet path |
+    ray.data.Dataset — the engine analogue of the reference reading warehouse
+    tables (int_customer360__marketo.sql:24 ``ref('marketo__leads')``). Paths
+    stream through ``read_parquet`` (never driver-materialized)."""
+    import os
+
+    import ray.data
+
+    if isinstance(obj, (str, os.PathLike)):
+        return ray.data.read_parquet(str(obj))
+    if isinstance(obj, pd.DataFrame):
+        obj = pa.Table.from_pandas(obj, preserve_index=False)
+    if isinstance(obj, pa.Table):
+        return _from_arrow_split(obj, rows_per_block)
+    return obj
+
+
+def _as_local_table(obj) -> pa.Table:
+    """Driver-side Arrow read for DIMENSION inputs only (zendesk orgs, map
+    tables) — the designed broadcast side."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if isinstance(obj, (str, os.PathLike)):
+        return pq.read_table(str(obj))
+    if isinstance(obj, pd.DataFrame):
+        return pa.Table.from_pandas(obj, preserve_index=False)
+    if isinstance(obj, pa.Table):
+        return obj
+    return pa.Table.from_pandas(obj.to_pandas(), preserve_index=False)
+
+
+def _adaptive_buckets(
+    total_rows: int, rows_per_bucket: int = 250_000,
+    lo: int = DEFAULT_NUM_BUCKETS, hi: int = 4096,
+) -> int:
+    """Shuffle bucket count scaled with input size so the 'one bucket fits a
+    worker's heap' invariant keeps holding as the input grows — the same
+    footer-driven recipe as ``read_table(rows_per_block=…)``. At fixture scale
+    this floors at DEFAULT_NUM_BUCKETS; at 100× the count grows linearly."""
+    return int(max(lo, min(hi, -(-max(int(total_rows), 1) // rows_per_bucket))))
+
+
 def clean_sources(
-    tables: dict[str, pa.Table],
+    tables: dict,
     config: PipelineConfig | None = None,
     concurrency: int = 8,
 ) -> dict:
-    """dict of raw Arrow tables → dict of cleaned, MATERIALIZED Datasets
-    (actor pools). Materialize is deliberate: the cleaned tables feed 4+
-    downstream consumers (keys, confirm attrs, spine fragments, attribute
-    unpivots) — caching the blocks in the object store beats re-running the
-    cleaning actors per consumer."""
+    """dict of raw sources (pa.Table | Dataset | parquet path) → dict of
+    cleaned, MATERIALIZED Datasets (actor pools). Materialize is deliberate:
+    the cleaned tables feed 4+ downstream consumers (keys, confirm attrs,
+    spine fragments, attribute unpivots) — caching the blocks in the object
+    store beats re-running the cleaning actors per consumer."""
     cfg = config or PipelineConfig()
     out = {}
     if "marketo" in cfg.enabled_sources:
         cols, maps = _match_id_kwargs("marketo", cfg)
-        out["marketo"] = _from_arrow_split(tables["marketo_leads"]).map_batches(
+        out["marketo"] = _as_dataset(tables["marketo_leads"]).map_batches(
             CleanMarketo,
             fn_constructor_kwargs={"match_id_cols": cols, "match_id_maps": maps},
             batch_format="pandas",
@@ -366,7 +418,7 @@ def clean_sources(
         )
     if "stripe" in cfg.enabled_sources:
         cols, maps = _match_id_kwargs("stripe", cfg)
-        out["stripe"] = _from_arrow_split(tables["stripe_customer_overview"]).map_batches(
+        out["stripe"] = _as_dataset(tables["stripe_customer_overview"]).map_batches(
             CleanStripe,
             fn_constructor_kwargs={
                 "extractors": cfg.stripe_extractors or None,
@@ -377,10 +429,10 @@ def clean_sources(
             concurrency=(1, concurrency),
         )
     if "zendesk" in cfg.enabled_sources:
-        orgs = tables["zendesk_organizations"].to_pandas()
+        orgs = _as_local_table(tables["zendesk_organizations"]).to_pandas()
         org_lookup = dict(zip(orgs["organization_id"], orgs["name"]))
         cols, maps = _match_id_kwargs("zendesk", cfg)
-        out["zendesk"] = _from_arrow_split(tables["zendesk_users"]).map_batches(
+        out["zendesk"] = _as_dataset(tables["zendesk_users"]).map_batches(
             CleanZendesk,
             fn_constructor_kwargs={
                 "org_lookup": org_lookup,
@@ -638,8 +690,10 @@ def _confirmed_pairs_ds(
     kernel = _confirm_kernel_factory(id_a, id_b, mids_applicable, threshold, similarity_fn)
 
     pairs = pairs.materialize()  # the blocking join must not re-execute below
-    pairs_df = pairs.to_pandas().drop_duplicates([id_a, id_b])
-    if len(pairs_df) > driver_threshold:
+    # Decide the path from count() — the per-batch dedup above makes this a
+    # slight overcount across batch boundaries, fine for a threshold — so the
+    # O(candidate-pairs) collection only ever happens on the small path.
+    if pairs.count() > driver_threshold:
         pa_join = bucketed_hash_join(
             pairs, _suffixed(attrs_a, id_a, "_a"), on=id_a, num_buckets=num_buckets
         )
@@ -648,6 +702,7 @@ def _confirmed_pairs_ds(
         )
         return pab.map_batches(kernel, batch_format="pandas")
 
+    pairs_df = pairs.to_pandas().drop_duplicates([id_a, id_b])
     if pairs_df.empty:
         return kernel(pd.DataFrame())
     aa = semi_join(
@@ -884,28 +939,152 @@ def _json_str(rendered: np.ndarray) -> np.ndarray:
     return np.where(pd.isna(rendered), "", rendered).astype(object)
 
 
-def build_mapping(
-    matches: pd.DataFrame, cleaned: dict, config: PipelineConfig | None = None
-) -> pd.DataFrame:
-    """The golden-record spine. Distributed fragment pass (one Ray groupby
-    keyed on the spine key) combines per-source rows into spine rows; the
-    combined result (O(entities)) lands on the driver, where surrogate keys,
-    JSON source_ids and org-header rows are minted vectorized.
+def _arr(s: pd.Series) -> str:
+    """Sorted distinct '"<v>"' JSON array string, '""' for null member ids
+    (mapping.sql:169-179; order pinned — SURVEY.md §2.5 caveat)."""
+    vals = sorted({'""' if pd.isna(v) else f'"{v}"' for v in s})
+    return "[" + ",".join(vals) + "]"
 
-    Key recipes mirror customer360__mapping.sql:
+
+def _max_nn(s: pd.Series):
+    """max over non-null values (SQL max semantics for object columns)."""
+    vals = [v for v in s if pd.notna(v)]
+    return max(vals) if vals else None
+
+
+def _mapping_keep(mids: tuple[str, ...]) -> list[str]:
+    return [
+        "lead_id", "customer_id", "user_id", "updated_at", "created_at",
+        "organization_name", "is_organization_header",
+        "customer360_organization_id", "source_ids",
+    ] + [f"mid_{m}" for m in mids] + ["customer360_id"]
+
+
+def _mapping_schema(mids: tuple[str, ...]) -> pa.Schema:
+    fields = [
+        ("lead_id", pa.int64()), ("customer_id", pa.string()),
+        ("user_id", pa.int64()), ("updated_at", pa.timestamp("us")),
+        ("created_at", pa.timestamp("us")), ("organization_name", pa.string()),
+        ("is_organization_header", pa.bool_()),
+        ("customer360_organization_id", pa.string()), ("source_ids", pa.string()),
+    ]
+    fields += [(f"mid_{m}", pa.string()) for m in mids]
+    fields += [("customer360_id", pa.string())]
+    return pa.schema(fields)
+
+
+def _bucket_on(col: str, num_buckets: int):
+    """Batch kernel adding the shuffle bucket column ``_b = hash(col) % B``."""
+    from ..hashing import stable_hash
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (stable_hash(df[col]) % np.uint64(num_buckets)).astype(np.int64)
+        return df
+
+    return kernel
+
+
+def _mint_individuals(spine: pd.DataFrame, mids: tuple[str, ...]) -> pd.DataFrame:
+    """Per-row spine minting (fully vectorized, runs INSIDE the spine-combine
+    map_groups task — never on the driver):
     - customer360_organization_id = surrogate(5 org components), computed
-      unconditionally (:107) — rows with no org data share the sentinel hash
-      and therefore one header row (reference quirk, reproduced).
+      unconditionally (mapping.sql:107) — rows with no org data share the
+      sentinel hash and therefore one header row (reference quirk, reproduced)
+    - individual-row source_ids JSON (:122-126)
     - customer360_id = surrogate(lead, customer, user, is_header, org_id,
-      *match_ids) (:205).
-    - source_ids: individual rows '{"marketo":"<id-or-empty>",...}'
-      (:122-126); header rows JSON arrays of distinct member ids, pinned to
-      sorted order (:169-179; warehouse string_agg order is unspecified —
-      SURVEY.md §2.5 caveat)."""
+      *match_ids) (:205)."""
+    spine = spine.reset_index(drop=True)
+    spine["lead_id"] = _as_int64(spine["lead_id"])
+    spine["user_id"] = _as_int64(spine["user_id"])
+    spine["is_organization_header"] = False
+    spine["customer360_organization_id"] = surrogate_key(
+        spine["m_org"], spine["m_inferred_org"], spine["s_org"],
+        spine["s_ship_org"], spine["z_org_id"],
+    ).to_pylist()
+    r_lead = _json_str(render_sql_string(spine["lead_id"]))
+    r_cust = _json_str(render_sql_string(spine["customer_id"]))
+    r_user = _json_str(render_sql_string(spine["user_id"]))
+    spine["source_ids"] = (
+        '{"marketo":"' + r_lead + '","stripe":"' + r_cust + '","zendesk":"' + r_user + '"}'
+    )
+    spine["customer360_id"] = surrogate_key(
+        spine["lead_id"], spine["customer_id"], spine["user_id"],
+        spine["is_organization_header"], spine["customer360_organization_id"],
+        *[spine[f"mid_{m}"] for m in mids],
+    ).to_pylist()
+    return spine
+
+
+def _header_kernel(
+    df: pd.DataFrame, mids: tuple[str, ...], org_grain_mids: frozenset
+) -> pa.Table:
+    """Org-header aggregate rows (mapping.sql:147-199) for one hash bucket of
+    individual spine rows (bucket = hash(customer360_organization_id), so every
+    member of an org group is co-located). organization_name aggregates as
+    max-over-non-null — the oracle's ``max(organization_name)``; constant per
+    group in practice since the group key is the surrogate of the very org
+    columns the display name coalesces from."""
+    schema = _mapping_schema(mids)
+    if df.empty:
+        return schema.empty_table()
+    grp = df.assign(
+        _rl=render_sql_string(df["lead_id"]),
+        _rc=render_sql_string(df["customer_id"]),
+        _ru=render_sql_string(df["user_id"]),
+    ).groupby("customer360_organization_id", sort=False)
+    headers = grp.agg(
+        lead_arr=("_rl", _arr), cust_arr=("_rc", _arr), user_arr=("_ru", _arr),
+        updated_at=("updated_at", "max"), created_at=("created_at", "min"),
+        organization_name=("organization_name", _max_nn),
+    ).reset_index()
+    for m in mids:
+        col = grp[f"mid_{m}"]
+        if m in org_grain_mids:
+            headers[f"mid_{m}"] = col.agg(_max_nn).to_numpy()
+        else:
+            # individual-grain mids aggregate to JSON arrays on header rows
+            # (mapping.sql:163-167)
+            headers[f"mid_{m}"] = col.agg(
+                lambda s: "[" + ",".join(sorted({f'"{v}"' for v in s if pd.notna(v)})) + "]"
+            ).to_numpy()
+    headers["source_ids"] = (
+        '{"marketo":' + headers["lead_arr"] + ',"stripe":' + headers["cust_arr"]
+        + ',"zendesk":' + headers["user_arr"] + "}"
+    )
+    headers["is_organization_header"] = True
+    n_h = len(headers)
+    headers["lead_id"] = _as_int64(pd.Series([None] * n_h, dtype=object))
+    headers["user_id"] = _as_int64(pd.Series([None] * n_h, dtype=object))
+    headers["customer_id"] = pd.Series([None] * n_h, dtype=object)
+    headers["customer360_id"] = surrogate_key(
+        headers["lead_id"], headers["customer_id"], headers["user_id"],
+        headers["is_organization_header"], headers["customer360_organization_id"],
+        *[headers[f"mid_{m}"] for m in mids],
+    ).to_pylist()
+    return _to_arrow(headers[_mapping_keep(mids)], schema)
+
+
+def build_mapping(
+    matches: pd.DataFrame, cleaned: dict, config: PipelineConfig | None = None,
+    num_buckets: int | None = None,
+):
+    """The golden-record spine as a ray.data.Dataset — NO O(entities) table
+    lands on the driver. Every cleaned row emits a spine fragment; one Ray
+    groupby (hash of the spine key) combines fragments into spine rows and
+    mints surrogate keys / source_ids INSIDE the combine task; a second
+    groupby (hash of the org surrogate) emits the org-header aggregate rows.
+    Only the pos_maps broadcast (O(matched pairs) — the designed small side,
+    like the pair tables themselves) touches the driver."""
+    import ray
     import ray.data
 
     cfg = config or PipelineConfig()
     mids = tuple(s.name for s in cfg.internal_match_ids)
+    org_grain_mids = frozenset(
+        s.name for s in cfg.internal_match_ids if s.customer_grain == "organization"
+    )
+    schema = _mapping_schema(mids)
     tri = matches.reset_index(drop=True)
 
     pos_maps: dict[str, dict] = {s: {} for s in ID_COLS}
@@ -915,8 +1094,6 @@ def build_mapping(
         for p, v in zip(tri.index, tri[idc]):
             if pd.notna(v):
                 pos_maps[src].setdefault(v, []).append(p)
-
-    import ray
 
     refs = {s: ray.put(pos_maps[s]) for s in pos_maps}
 
@@ -939,12 +1116,7 @@ def build_mapping(
     for f in frag_sets[1:]:
         frags = frags.union(f)
 
-    from ..hashing import stable_hash
-
-    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_b"] = (stable_hash(df["spine_key"]) % np.uint64(DEFAULT_NUM_BUCKETS)).astype(np.int64)
-        return df
+    nb = num_buckets or DEFAULT_NUM_BUCKETS
 
     agg_spec = {
         "lead_id": ("lead_id", "first"), "customer_id": ("customer_id", "first"),
@@ -957,84 +1129,33 @@ def build_mapping(
     for m in mids:
         agg_spec[f"mid_{m}"] = (f"mid_{m}", "first")
 
-    def _combine(g: pd.DataFrame) -> pd.DataFrame:
+    def _combine(g: pd.DataFrame) -> pa.Table:
         # sort by source rank so groupby.first (first NON-NULL) realizes the
         # marketo → stripe → zendesk coalesce priority of the reference
         g = g.sort_values(["spine_key", "src_rank"], kind="stable")
         out = g.groupby("spine_key", sort=False).agg(**agg_spec).reset_index()
-        return out.drop(columns=["spine_key"])
+        if out.empty:
+            return schema.empty_table()
+        return _to_arrow(_mint_individuals(out, mids), schema)
 
-    spine = frags.map_batches(_bucket, batch_format="pandas").groupby("_b").map_groups(
-        _combine, batch_format="pandas"
-    ).to_pandas()
-    if spine.empty:
-        spine = pd.DataFrame({c: pd.Series(dtype=object) for c in agg_spec})
-    spine = spine.reset_index(drop=True)
-    spine["lead_id"] = _as_int64(spine["lead_id"])
-    spine["user_id"] = _as_int64(spine["user_id"])
-    spine["is_organization_header"] = False
-
-    # org id: 5-component surrogate, unconditional (mapping.sql:107)
-    spine["customer360_organization_id"] = surrogate_key(
-        spine["m_org"], spine["m_inferred_org"], spine["s_org"], spine["s_ship_org"],
-        spine["z_org_id"],
-    ).to_pylist()
-
-    r_lead = _json_str(render_sql_string(spine["lead_id"]))
-    r_cust = _json_str(render_sql_string(spine["customer_id"]))
-    r_user = _json_str(render_sql_string(spine["user_id"]))
-    spine["source_ids"] = (
-        '{"marketo":"' + r_lead + '","stripe":"' + r_cust + '","zendesk":"' + r_user + '"}'
+    spine_ind = (
+        frags.map_batches(_bucket_on("spine_key", nb), batch_format="pandas")
+        .groupby("_b")
+        .map_groups(_combine, batch_format="pandas")
+        .materialize()  # feeds both the header groupby and the final union
     )
-
-    # org-header aggregate rows (mapping.sql:147-199)
-    def _arr(s: pd.Series) -> str:
-        vals = sorted({'""' if pd.isna(v) else f'"{v}"' for v in s})
-        return "[" + ",".join(vals) + "]"
-
-    grp = spine.assign(
-        _rl=render_sql_string(spine["lead_id"]),
-        _rc=render_sql_string(spine["customer_id"]),
-        _ru=render_sql_string(spine["user_id"]),
-    ).groupby("customer360_organization_id", sort=False)
-    headers = grp.agg(
-        lead_arr=("_rl", _arr), cust_arr=("_rc", _arr), user_arr=("_ru", _arr),
-        updated_at=("updated_at", "max"), created_at=("created_at", "min"),
-        organization_name=("organization_name", "first"),
-    ).reset_index()
-    for m in mids:
-        spec = next(s for s in cfg.internal_match_ids if s.name == m)
-        col = grp[f"mid_{m}"]
-        if spec.customer_grain == "organization":
-            headers[f"mid_{m}"] = col.first().to_numpy()
-        else:
-            # individual-grain mids aggregate to JSON arrays on header rows
-            # (mapping.sql:163-167)
-            headers[f"mid_{m}"] = col.agg(
-                lambda s: "[" + ",".join(sorted({f'"{v}"' for v in s if pd.notna(v)})) + "]"
-            ).to_numpy()
-    headers["source_ids"] = (
-        '{"marketo":' + headers["lead_arr"] + ',"stripe":' + headers["cust_arr"]
-        + ',"zendesk":' + headers["user_arr"] + "}"
+    if spine_ind.count() == 0:
+        return ray.data.from_arrow(schema.empty_table())
+    headers = (
+        spine_ind.map_batches(
+            _bucket_on("customer360_organization_id", nb), batch_format="pandas"
+        )
+        .groupby("_b")
+        .map_groups(
+            lambda g: _header_kernel(g, mids, org_grain_mids), batch_format="pandas"
+        )
     )
-    headers["is_organization_header"] = True
-    n_h = len(headers)
-    headers["lead_id"] = _as_int64(pd.Series([None] * n_h, dtype=object))
-    headers["user_id"] = _as_int64(pd.Series([None] * n_h, dtype=object))
-    headers["customer_id"] = pd.Series([None] * n_h, dtype=object)
-    keep = [
-        "lead_id", "customer_id", "user_id", "updated_at", "created_at",
-        "organization_name", "is_organization_header", "customer360_organization_id",
-        "source_ids",
-    ] + [f"mid_{m}" for m in mids]
-    spine = pd.concat([spine[keep], headers[keep]], ignore_index=True)
-
-    spine["customer360_id"] = surrogate_key(
-        spine["lead_id"], spine["customer_id"], spine["user_id"],
-        spine["is_organization_header"], spine["customer360_organization_id"],
-        *[spine[f"mid_{m}"] for m in mids],
-    ).to_pylist()
-    return spine
+    return spine_ind.union(headers)
 
 
 # ---------------------------------------------------------------------------
@@ -1075,19 +1196,111 @@ PLACEHOLDER_NAMES = {"permanently deleted", "placeholder contact", "not availabl
 DEMOTED_TYPES = {"inferred"}  # ranked last (customer360__address.sql:211-212)
 
 
-def _cid_lookup(mapping: pd.DataFrame) -> dict[str, dict]:
-    """source id → customer360_id. A source id can appear in several spine
-    rows (one row matched into two tuples); the MIN customer360_id wins —
-    pinned so the assignment is deterministic regardless of spine row order
-    (and mirrorable in SQL as min())."""
-    out: dict[str, dict] = {}
-    individual = mapping[~mapping["is_organization_header"]]
-    for src, idc in (("marketo", "lead_id"), ("stripe", "customer_id"), ("zendesk", "user_id")):
-        sub = individual[[idc, "customer360_id"]].dropna(subset=[idc])
-        # descending sort + dict overwrite → smallest customer360_id survives
-        sub = sub.sort_values("customer360_id", ascending=False, kind="stable")
-        out[src] = dict(zip(sub[idc], sub["customer360_id"]))
-    return out
+def _cid_map(mapping_ds):
+    """Distributed source-id → customer360_id map: unpivot the individual
+    spine rows to ('<source>:<id>', cid) and reduce min(cid) per key — a
+    source id can appear in several spine rows (one row matched into two
+    tuples) and the MIN customer360_id wins, pinned so the assignment is
+    deterministic regardless of spine row order (mirrored by the oracle's
+    cid_* CTEs: ``min(customer360_id) GROUP BY id``)."""
+    import pyarrow.compute as pc
+
+    empty = pa.schema([("src_key", pa.string()), ("cid", pa.string())]).empty_table()
+
+    def unpivot(t: pa.Table) -> pa.Table:
+        ind = t.filter(pc.invert(t.column("is_organization_header")))
+        parts = []
+        for src, idc in (
+            ("marketo", "lead_id"), ("stripe", "customer_id"), ("zendesk", "user_id")
+        ):
+            sub = ind.filter(pc.is_valid(ind.column(idc)))
+            if sub.num_rows == 0:
+                continue
+            key = pc.binary_join_element_wise(
+                pa.array([src + ":"] * sub.num_rows, pa.string()),
+                pc.cast(sub.column(idc), pa.string()),
+                "",
+            )
+            parts.append(pa.table({"src_key": key, "cid": sub.column("customer360_id")}))
+        return pa.concat_tables(parts) if parts else empty
+
+    agg = (
+        mapping_ds.map_batches(unpivot, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("src_key")
+        .min("cid")
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["src_key", "cid"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+class CidContext:
+    """Source-id → customer360_id attachment strategy for every downstream
+    table (the reference joins each unpivot to the mapping on the source id,
+    customer360__email.sql:29-44).
+
+    The map itself is ALWAYS computed distributed (``_cid_map``). Below
+    ``broadcast_threshold`` ids the narrow (id, cid) pairs are collected once
+    and broadcast via ray.put — a map-only attach, the fast path at fixture
+    scale. Above it, attach is a bucketed hash join on ``src_key``
+    (stages/joins.py) — the 100 TB path where no O(entities) dict may exist on
+    the driver or inside actor heaps."""
+
+    def __init__(
+        self, mapping_ds, num_buckets: int, broadcast_threshold: int = 2_000_000
+    ):
+        import ray
+
+        self.num_buckets = num_buckets
+        self.map_ds = _cid_map(mapping_ds).materialize()
+        self.n_ids = self.map_ds.count()
+        self.broadcast = self.n_ids <= broadcast_threshold
+        self.ref = None
+        if self.broadcast:
+            df = self.map_ds.to_pandas()
+            self.ref = ray.put(dict(zip(df["src_key"], df["cid"])))
+
+    def attach(self, ds, schema: pa.Schema):
+        """``ds`` carries a ``src_key`` column; returns it with
+        ``customer360_id`` attached (inner semantics — org headers have null
+        source ids and are correctly excluded, SURVEY.md §2.4)."""
+        import ray
+
+        if self.broadcast:
+            ref = self.ref
+
+            def kernel(df: pd.DataFrame) -> pa.Table:
+                lk = ray.get(ref)
+                cid = df["src_key"].map(lk)
+                keep = cid.notna()
+                out = df[keep].drop(columns=["src_key"])
+                out.insert(0, "customer360_id", cid[keep].astype(object))
+                return _to_arrow(out, schema)
+
+            return ds.map_batches(kernel, batch_format="pandas")
+
+        from ..stages.joins import bucketed_hash_join
+
+        joined = bucketed_hash_join(
+            ds, self.map_ds, on="src_key", num_buckets=self.num_buckets
+        )
+
+        def fix(df: pd.DataFrame) -> pa.Table:
+            out = df.drop(columns=["src_key"]).rename(columns={"cid": "customer360_id"})
+            return _to_arrow(out, schema)
+
+        return joined.map_batches(fix, batch_format="pandas")
+
+
+def _pre_attach_schema(schema: pa.Schema) -> pa.Schema:
+    """The fragment schema before cid attachment: src_key replaces
+    customer360_id."""
+    return pa.schema(
+        [("src_key", pa.string())]
+        + [(n, schema.field(n).type) for n in schema.names if n != "customer360_id"]
+    )
 
 
 def _rank_kernel(
@@ -1133,75 +1346,74 @@ def _rank_kernel(
     return g[out_cols]
 
 
-def _ranked_union(frag_sets: list, demote_placeholder: bool, demote_types: bool,
-                  extra_cols: list[str]) -> pd.DataFrame:
-    """Union per-source fragment Datasets, shuffle once on hash(customer360_id)
-    and run the vectorized rank kernel per bucket."""
-    from ..hashing import stable_hash
+def _ranked_schema(extra_cols: list[str]) -> pa.Schema:
+    fields = [("customer360_id", pa.string()), ("value", pa.string())]
+    fields += [(c, pa.string()) for c in extra_cols]
+    fields += [
+        ("type", pa.string()), ("source", pa.string()),
+        ("value_count", pa.int64()), ("last_updated", pa.timestamp("us")),
+        ("confidence_rank", pa.int64()), ("index", pa.int64()),
+    ]
+    return pa.schema(fields)
 
-    out_cols = (
-        ["customer360_id", "value"] + extra_cols
-        + ["type", "source", "value_count", "last_updated", "confidence_rank", "index"]
-    )
+
+def _ranked_union(
+    frag_sets: list, demote_placeholder: bool, demote_types: bool,
+    extra_cols: list[str], num_buckets: int | None = None,
+):
+    """Union fragment Datasets, shuffle once on hash(customer360_id) and run
+    the vectorized rank kernel per bucket. Dataset-out — attribute tables are
+    O(input rows) and never land on the driver."""
+    import ray.data
+
+    schema = _ranked_schema(extra_cols)
     frag_sets = [f for f in frag_sets if f is not None]
     if not frag_sets:
-        return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
+        return ray.data.from_arrow(schema.empty_table())
     ds = frag_sets[0]
     for f in frag_sets[1:]:
         ds = ds.union(f)
+    nb = num_buckets or DEFAULT_NUM_BUCKETS
 
-    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_b"] = (stable_hash(df["customer360_id"]) % np.uint64(DEFAULT_NUM_BUCKETS)).astype(
-            np.int64
-        )
-        return df
+    def kern(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return schema.empty_table()
+        out = _rank_kernel(g, demote_placeholder, demote_types, extra_cols)
+        return _to_arrow(out, schema) if len(out) else schema.empty_table()
 
-    ranked = (
-        ds.map_batches(_bucket, batch_format="pandas")
+    return (
+        ds.map_batches(_bucket_on("customer360_id", nb), batch_format="pandas")
         .groupby("_b")
-        .map_groups(
-            lambda g: _rank_kernel(
-                g.drop(columns=["_b"]), demote_placeholder, demote_types, extra_cols
-            ),
-            batch_format="pandas",
-        )
-        .to_pandas()
+        .map_groups(kern, batch_format="pandas")
     )
-    if ranked.empty:
-        return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
-    return ranked[out_cols].reset_index(drop=True)
 
 
 def attribute_table(
-    attr: str, mapping: pd.DataFrame, cleaned: dict, config: PipelineConfig | None = None
-) -> pd.DataFrame:
-    """Unpivot per-source values (UNION ALL, customer360__phone.sql:29-95),
-    attach customer360_id via a broadcast lookup inside map_batches (inner —
-    org headers have null source ids and are correctly excluded, SURVEY.md
-    §2.4), then the distributed windowed confidence rank."""
-    import ray
+    attr: str, cid_ctx: CidContext, cleaned: dict,
+    config: PipelineConfig | None = None, num_buckets: int | None = None,
+):
+    """Unpivot per-source values (UNION ALL, customer360__phone.sql:29-95) to
+    (src_key, value, …) fragments, attach customer360_id once over the union
+    via CidContext (broadcast map below the entity gate, ONE bucketed hash
+    join above), then the distributed windowed confidence rank. Dataset-out."""
     import ray.data
 
-    lk_ref = ray.put(_cid_lookup(mapping))
+    schema = _attr_frag_schema([])
+    pre = _pre_attach_schema(schema)
 
-    def _frag(df: pd.DataFrame, source: str, col: str, type_label: str) -> pd.DataFrame:
-        lk = ray.get(lk_ref)[source]
+    def _frag(df: pd.DataFrame, source: str, col: str, type_label: str) -> pa.Table:
         sid = ID_COLS[source]
         sub = df[df[col].notna()]
-        cid = sub[sid].map(lk)
-        keep = cid.notna()
-        sub = sub[keep]
         out = pd.DataFrame(
             {
-                "customer360_id": cid[keep].astype(object),
+                "src_key": source + ":" + sub[sid].astype(str),
                 "value": sub[col].astype(object),
                 "type": type_label,
                 "source": source,
                 "last_updated": _coalesce_ts(sub["updated_at"], sub["created_at"]),
             }
         )
-        return _to_arrow(out, _attr_frag_schema([]))
+        return _to_arrow(out, pre)
 
     frag_sets = []
     for source, col, type_label in ATTRIBUTE_SPECS[attr]:
@@ -1220,36 +1432,40 @@ def attribute_table(
                 batch_format="pandas",
             )
         )
+    if not frag_sets:
+        return ray.data.from_arrow(_ranked_schema([]).empty_table())
+    frags = frag_sets[0]
+    for f in frag_sets[1:]:
+        frags = frags.union(f)
+    attached = cid_ctx.attach(frags, schema)
     return _ranked_union(
-        frag_sets,
+        [attached],
         demote_placeholder=(attr == "name"),
         demote_types=(attr == "organization"),
         extra_cols=[],
+        num_buckets=num_buckets,
     )
 
 
 def address_attribute(
-    mapping: pd.DataFrame, cleaned: dict, config: PipelineConfig | None = None
-) -> pd.DataFrame:
+    cid_ctx: CidContext, cleaned: dict, config: PipelineConfig | None = None,
+    num_buckets: int | None = None,
+):
     """customer360__address.sql:24-116,140-212: unpivot per-source address rows
     (line_1/line_2/city/state/zip/country + type), rank per entity by
-    (non-inferred first, frequency, recency) on the line_1 value."""
-    import ray
+    (non-inferred first, frequency, recency) on the line_1 value. Dataset-out."""
     import ray.data
 
-    lk_ref = ray.put(_cid_lookup(mapping))
     extra = ["address_line_2", "city", "state_code", "postal_code", "country_code"]
+    schema = _attr_frag_schema(extra)
+    pre = _pre_attach_schema(schema)
 
-    def _frag(df: pd.DataFrame, source: str, type_label: str) -> pd.DataFrame:
-        lk = ray.get(lk_ref)[source]
+    def _frag(df: pd.DataFrame, source: str, type_label: str) -> pa.Table:
         sid = ID_COLS[source]
         sub = df[df["address_line_1"].notna()]
-        cid = sub[sid].map(lk)
-        keep = cid.notna()
-        sub = sub[keep]
         out = pd.DataFrame(
             {
-                "customer360_id": cid[keep].astype(object),
+                "src_key": source + ":" + sub[sid].astype(str),
                 "value": sub["address_line_1"].astype(object),
             }
         )
@@ -1258,7 +1474,7 @@ def address_attribute(
         out["type"] = type_label
         out["source"] = source
         out["last_updated"] = _coalesce_ts(sub["updated_at"], sub["created_at"]).to_numpy()
-        return _to_arrow(out, _attr_frag_schema(extra))
+        return _to_arrow(out, pre)
 
     frag_sets = []
     for source, type_label in (("marketo", "primary"), ("stripe", "customer")):
@@ -1277,7 +1493,16 @@ def address_attribute(
                 batch_format="pandas",
             )
         )
-    return _ranked_union(frag_sets, demote_placeholder=False, demote_types=True, extra_cols=extra)
+    if not frag_sets:
+        return ray.data.from_arrow(_ranked_schema(extra).empty_table())
+    frags = frag_sets[0]
+    for f in frag_sets[1:]:
+        frags = frags.union(f)
+    attached = cid_ctx.attach(frags, schema)
+    return _ranked_union(
+        [attached], demote_placeholder=False, demote_types=True,
+        extra_cols=extra, num_buckets=num_buckets,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1291,14 +1516,13 @@ STATUS_SPECS = [
 ]
 
 
-def _mapped_union(cleaned: dict, mapping: pd.DataFrame, kernels: dict) -> pd.DataFrame:
-    """Run one vectorized kernel per source over its cleaned Dataset (broadcast
-    id→customer360_id lookup attached), union the results on the driver."""
-    import ray
+def _fragment_union(cleaned: dict, kernels: dict, cid_ctx: CidContext, schema: pa.Schema):
+    """Run one vectorized (src_key-emitting) kernel per source over its
+    cleaned Dataset, union, attach customer360_id once via CidContext.
+    Dataset-out — these tables are O(input rows)."""
     import ray.data
 
-    lk_ref = ray.put(_cid_lookup(mapping))
-    frames = []
+    frag_sets = []
     for source, kernel in kernels.items():
         ds = cleaned.get(source)
         if ds is None:
@@ -1307,109 +1531,113 @@ def _mapped_union(cleaned: dict, mapping: pd.DataFrame, kernels: dict) -> pd.Dat
             if not len(ds):
                 continue
             ds = ray.data.from_pandas(ds)
-        out = ds.map_batches(
-            lambda df, _s=source, _k=kernel: _k(df, ray.get(lk_ref)[_s]),
-            batch_format="pandas",
-        ).to_pandas()
-        if len(out):
-            frames.append(out)
-    return frames
+        frag_sets.append(
+            ds.map_batches(lambda df, _k=kernel: _k(df), batch_format="pandas")
+        )
+    if not frag_sets:
+        return ray.data.from_arrow(schema.empty_table())
+    frags = frag_sets[0]
+    for f in frag_sets[1:]:
+        frags = frags.union(f)
+    return cid_ctx.attach(frags, schema)
 
 
 def ip_address_table(
-    mapping: pd.DataFrame, cleaned: dict, config: PipelineConfig | None = None
-) -> pd.DataFrame:
+    cid_ctx: CidContext, cleaned: dict, config: PipelineConfig | None = None
+):
     """customer360__ip_address.sql:23-29: marketo IPs joined to the spine with
-    ipv4/ipv6 classification."""
-    cols = ["customer360_id", "ip_address", "type", "source"]
+    ipv4/ipv6 classification. Dataset-out."""
+    schema = pa.schema(
+        [("customer360_id", pa.string()), ("ip_address", pa.string()),
+         ("type", pa.string()), ("source", pa.string())]
+    )
+    pre = _pre_attach_schema(schema)
 
-    def marketo(df: pd.DataFrame, lk: dict) -> pd.DataFrame:
+    def marketo(df: pd.DataFrame) -> pa.Table:
         sub = df[df["anonymous_ip"].notna()]
-        cid = sub["lead_id"].map(lk)
-        keep = cid.notna()
-        sub = sub[keep]
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
-                "customer360_id": cid[keep].astype(object),
-                "ip_address": sub["anonymous_ip"].to_numpy(),
-                "type": sub["ip_type"].to_numpy(),
+                "src_key": "marketo:" + sub["lead_id"].astype(str),
+                "ip_address": sub["anonymous_ip"].astype(object),
+                "type": sub["ip_type"].astype(object),
                 "source": "marketo",
             }
         )
+        return _to_arrow(out, pre)
 
-    frames = _mapped_union(cleaned, mapping, {"marketo": marketo})
-    if not frames:
-        return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
-    return pd.concat(frames, ignore_index=True)[cols]
+    return _fragment_union(cleaned, {"marketo": marketo}, cid_ctx, schema)
 
 
 def status_table(
-    mapping: pd.DataFrame, cleaned: dict, config: PipelineConfig | None = None
-) -> pd.DataFrame:
+    cid_ctx: CidContext, cleaned: dict, config: PipelineConfig | None = None
+):
     """customer360__status.sql:39-176: per-source status flags unpivoted to
-    (customer360_id, status, value, source) rows — vectorized melt per batch."""
-    cols = ["customer360_id", "status", "value", "source"]
-    flags = {}
+    (customer360_id, status, value, source) rows — vectorized melt per batch.
+    Dataset-out."""
+    schema = pa.schema(
+        [("customer360_id", pa.string()), ("status", pa.string()),
+         ("value", pa.bool_()), ("source", pa.string())]
+    )
+    pre = _pre_attach_schema(schema)
+    flags: dict[str, list[str]] = {}
     for src, col in STATUS_SPECS:
         flags.setdefault(src, []).append(col)
 
     def make_kernel(source: str, src_flags: list[str]):
-        def kernel(df: pd.DataFrame, lk: dict) -> pd.DataFrame:
-            sid = ID_COLS[source]
+        sid = ID_COLS[source]
+
+        def kernel(df: pd.DataFrame) -> pa.Table:
             present = [c for c in src_flags if c in df.columns]
             if not present:
-                return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
-            cid = df[sid].map(lk)
-            sub = df[present][cid.notna()]
-            sub.insert(0, "customer360_id", cid[cid.notna()].astype(object))
-            long = sub.melt(
-                id_vars=["customer360_id"], var_name="status", value_name="value"
-            )
+                return pre.empty_table()
+            sub = df[present].copy()
+            sub.insert(0, "src_key", source + ":" + df[sid].astype(str))
+            long = sub.melt(id_vars=["src_key"], var_name="status", value_name="value")
             long = long[long["value"].notna()]
             long["value"] = long["value"].astype(bool)
             long["source"] = source
-            return long[cols]
+            return _to_arrow(long, pre)
 
         return kernel
 
-    frames = _mapped_union(
-        cleaned, mapping, {s: make_kernel(s, f) for s, f in flags.items()}
+    return _fragment_union(
+        cleaned, {s: make_kernel(s, f) for s, f in flags.items()}, cid_ctx, schema
     )
-    if not frames:
-        return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
-    return pd.concat(frames, ignore_index=True)[cols].reset_index(drop=True)
 
 
 def updates_table(
-    mapping: pd.DataFrame, cleaned: dict, config: PipelineConfig | None = None
-) -> pd.DataFrame:
+    cid_ctx: CidContext, cleaned: dict, config: PipelineConfig | None = None
+):
     """customer360__updates.sql:7-68: per-source recency rows
-    (customer360_id, source, last_updated, created_at)."""
-    cols = ["customer360_id", "source", "last_updated", "created_at"]
+    (customer360_id, source, last_updated, created_at). Dataset-out."""
+    schema = pa.schema(
+        [("customer360_id", pa.string()), ("source", pa.string()),
+         ("last_updated", pa.timestamp("us")), ("created_at", pa.timestamp("us"))]
+    )
+    pre = _pre_attach_schema(schema)
 
     def make_kernel(source: str):
-        def kernel(df: pd.DataFrame, lk: dict) -> pd.DataFrame:
-            sid = ID_COLS[source]
-            cid = df[sid].map(lk)
-            keep = cid.notna()
-            sub = df[keep]
-            return pd.DataFrame(
+        sid = ID_COLS[source]
+
+        def kernel(df: pd.DataFrame) -> pa.Table:
+            out = pd.DataFrame(
                 {
-                    "customer360_id": cid[keep].astype(object),
+                    "src_key": source + ":" + df[sid].astype(str),
                     "source": source,
-                    "last_updated": _coalesce_ts(sub["updated_at"], sub["created_at"]).to_numpy(),
-                    "created_at": sub["created_at"].to_numpy(),
+                    "last_updated": _coalesce_ts(df["updated_at"], df["created_at"]).to_numpy(),
+                    "created_at": df["created_at"].to_numpy(),
                 }
             )
+            return _to_arrow(out, pre)
 
         return kernel
 
-    frames = _mapped_union(
-        cleaned, mapping, {s: make_kernel(s) for s in ("marketo", "stripe", "zendesk")}
+    return _fragment_union(
+        cleaned,
+        {s: make_kernel(s) for s in ("marketo", "stripe", "zendesk")},
+        cid_ctx,
+        schema,
     )
-    if not frames:
-        return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
-    return pd.concat(frames, ignore_index=True)[cols].reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1417,14 +1645,19 @@ def updates_table(
 # ---------------------------------------------------------------------------
 
 
+_SUMMARY_BASE_COLS = [
+    "customer360_id", "customer360_organization_id", "organization_name",
+    "is_organization_header", "lead_id", "customer_id", "user_id",
+    "updated_at", "created_at",
+]
+
+
 def summary(mapping: pd.DataFrame, attrs: dict[str, pd.DataFrame]) -> pd.DataFrame:
     """customer360__summary.sql:46-157: best (index=1) value per attribute
-    star-joined onto the spine."""
-    out = mapping[
-        ["customer360_id", "customer360_organization_id", "organization_name",
-         "is_organization_header", "lead_id", "customer_id", "user_id",
-         "updated_at", "created_at"]
-    ].copy()
+    star-joined onto the spine — the driver-boundary (pandas) variant used
+    below the entity gate, where mapping/attrs already sit on the driver for
+    the correctness compare anyway."""
+    out = mapping[_SUMMARY_BASE_COLS].copy()
     for attr, table in attrs.items():
         if table.empty:
             out[f"best_{attr}"] = None
@@ -1433,6 +1666,33 @@ def summary(mapping: pd.DataFrame, attrs: dict[str, pd.DataFrame]) -> pd.DataFra
             columns={"value": f"best_{attr}"}
         )
         out = out.merge(best, on="customer360_id", how="left")
+    return out
+
+
+def summary_ds(mapping_ds, attrs: dict, num_buckets: int | None = None):
+    """Distributed summary star join (customer360__summary.sql:46-157): the
+    index=1 row of each attribute Dataset left-joined onto the spine Dataset
+    via bucketed hash joins on customer360_id — the scale path; both sides are
+    O(entities) but neither touches the driver."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import bucketed_hash_join
+
+    nb = num_buckets or DEFAULT_NUM_BUCKETS
+    out = mapping_ds.map_batches(
+        lambda t: t.select(_SUMMARY_BASE_COLS),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    for attr, table in attrs.items():
+        best = table.map_batches(
+            lambda t, _a=attr: t.filter(pc.equal(t.column("index"), 1))
+            .select(["customer360_id", "value"])
+            .rename_columns(["customer360_id", f"best_{_a}"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        out = bucketed_hash_join(
+            out, best, on="customer360_id", how="left", num_buckets=nb
+        )
     return out
 
 
@@ -1447,98 +1707,164 @@ METRIC_SUM_COLS = {
 }
 
 
+def _metric_partial_kernel(src: str, idc: str, sum_cols: tuple[str, ...]):
+    """Per-batch metric partial aggregation (combine-before-shuffle): one
+    (customer360_id, partial sums) row per entity per batch."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["customer360_id"].notna()].copy()
+        if src == "zendesk":
+            df["_csat_weighted"] = df["avg_csat"].fillna(0) * df["count_tickets"].fillna(0)
+        g = df.groupby("customer360_id", sort=False)
+        agg = g[list(sum_cols)].sum()
+        if src == "stripe":
+            agg["first_charge_at"] = g["first_charge_at"].min()
+            agg["most_recent_charge_at"] = g["most_recent_charge_at"].max()
+        return agg.reset_index()
+
+    return partial
+
+
+def _metric_combine(src: str, sum_cols: list[str], parts: pd.DataFrame) -> pd.DataFrame:
+    """Final combine of metric partials for one source (runs on the driver
+    below the gate, inside a map_groups bucket task above it)."""
+    g = parts.groupby("customer360_id", sort=False)
+    agg_df = g[sum_cols].sum()
+    if src == "stripe":
+        agg_df["first_charge_at"] = g["first_charge_at"].min()
+        agg_df["most_recent_charge_at"] = g["most_recent_charge_at"].max()
+    agg_df = agg_df.reset_index()
+    if src == "zendesk":
+        denom = agg_df["count_tickets"].replace(0, np.nan)
+        agg_df["avg_csat"] = (agg_df["_csat_weighted"] / denom).round(6)
+        agg_df = agg_df.drop(columns=["_csat_weighted"])
+    return agg_df
+
+
+_METRIC_IDS = (
+    ("marketo", "lead_id"), ("stripe", "customer_id"), ("zendesk", "user_id")
+)
+
+
+def _metric_attached(src: str, idc: str, table, cid_ctx: CidContext):
+    """Metric source (pa.Table | Dataset | path) → Dataset with
+    customer360_id attached (metrics of unmatched ids drop, as in the
+    reference's inner cid join)."""
+    sum_cols = list(METRIC_SUM_COLS[src])
+    if src == "zendesk":
+        sum_cols = sum_cols + ["avg_csat"]
+    fields = [("src_key", pa.string())]
+    fields += [(c, pa.float64()) for c in sum_cols]
+    if src == "stripe":
+        fields += [("first_charge_at", pa.timestamp("us")),
+                   ("most_recent_charge_at", pa.timestamp("us"))]
+    pre = pa.schema(fields)
+    schema = pa.schema(
+        [("customer360_id", pa.string())] + [(n, pre.field(n).type) for n in pre.names[1:]]
+    )
+
+    def frag(df: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({"src_key": src + ":" + df[idc].astype(str)})
+        for c in sum_cols:
+            out[c] = df[c].astype("float64")
+        if src == "stripe":
+            out["first_charge_at"] = df["first_charge_at"]
+            out["most_recent_charge_at"] = df["most_recent_charge_at"]
+        return _to_arrow(out, pre)
+
+    frags = _as_dataset(table).map_batches(frag, batch_format="pandas")
+    return cid_ctx.attach(frags, schema)
+
+
 def customer_rollup(
-    mapping: pd.DataFrame,
     summary_df: pd.DataFrame,
-    metric_tables: dict[str, pa.Table],
+    metric_tables: dict,
+    cid_ctx: CidContext,
 ) -> pd.DataFrame:
-    """Per-source metric aggregation joined to the summary dims, plus the org
-    re-aggregation (customer360__customer.sql:238-324). Aggregations run as Ray
-    ``groupby(customer360_id)`` sums after a broadcast id→customer360_id lookup
-    in map_batches (hash join + groupby, SURVEY.md §2.4 'Metrics joins').
+    """Per-source metric aggregation joined to the summary dims
+    (customer360__customer.sql:238-324) — driver-boundary variant: Ray
+    per-batch partials, O(entities × batches) driver combine, pandas merge
+    onto the driver-held summary. Used below the entity gate; the scale path
+    is ``customer_rollup_ds``.
 
-    Reproduces the reference quirk (:321): the org rollup reads only
-    ``is_organization_header`` rows whose source ids are NULL, so their joined
-    metrics are NULL and the rolled-up sums are 0 — as-is, by design.
-    """
-    import ray
-    import ray.data
-
-    lookups = _cid_lookup(mapping)
-
+    Reproduces the reference quirk (:321): org-header rows have NULL source
+    ids, so their joined metrics are NULL and the rolled-up sums are 0."""
     out = summary_df.copy()
-    for src, idc in (("marketo", "lead_id"), ("stripe", "customer_id"), ("zendesk", "user_id")):
+    for src, idc in _METRIC_IDS:
         table = metric_tables.get(f"{src}_metrics")
-        if table is None or table.num_rows == 0:
+        if table is None:
             for c in METRIC_SUM_COLS[src]:
                 out[c] = 0
             continue
-        ref = ray.put(lookups[src])
         sum_cols = list(METRIC_SUM_COLS[src])
         if src == "zendesk":
             sum_cols.append("_csat_weighted")
-
-        # partial aggregation inside map_batches (combine-before-shuffle): the
-        # per-batch rollup makes the driver-side final combine O(entities ×
-        # batches), not a distributed string-key groupby per source — the
-        # result table is the O(entities) broadcast side by design (it merges
-        # into the driver-held summary).
-        def partial(df: pd.DataFrame, _idc=idc, _ref=ref, _src=src,
-                    _sum=tuple(sum_cols)) -> pd.DataFrame:
-            lk = ray.get(_ref)
-            df = df.copy()
-            df["customer360_id"] = df[_idc].map(lk)
-            df = df[df["customer360_id"].notna()]
-            if _src == "zendesk":
-                df["_csat_weighted"] = (
-                    df["avg_csat"].fillna(0) * df["count_tickets"].fillna(0)
-                )
-            g = df.groupby("customer360_id", sort=False)
-            agg = g[list(_sum)].sum()
-            if _src == "stripe":
-                agg["first_charge_at"] = g["first_charge_at"].min()
-                agg["most_recent_charge_at"] = g["most_recent_charge_at"].max()
-            return agg.reset_index()
-
         parts = (
-            ray.data.from_arrow(table)
-            .map_batches(partial, batch_format="pandas")
+            _metric_attached(src, idc, table, cid_ctx)
+            .map_batches(
+                _metric_partial_kernel(src, idc, tuple(sum_cols)),
+                batch_format="pandas",
+            )
             .to_pandas()
         )
         if parts.empty:
             for c in METRIC_SUM_COLS[src]:
                 out[c] = 0
             continue
-        g = parts.groupby("customer360_id", sort=False)
-        agg_df = g[sum_cols].sum()
-        if src == "stripe":
-            agg_df["first_charge_at"] = g["first_charge_at"].min()
-            agg_df["most_recent_charge_at"] = g["most_recent_charge_at"].max()
-        agg_df = agg_df.reset_index()
-        if src == "zendesk":
-            denom = agg_df["count_tickets"].replace(0, np.nan)
-            agg_df["avg_csat"] = (agg_df["_csat_weighted"] / denom).round(6)
-            agg_df = agg_df.drop(columns=["_csat_weighted"])
-        out = out.merge(agg_df, on="customer360_id", how="left")
+        out = out.merge(_metric_combine(src, sum_cols, parts), on="customer360_id", how="left")
 
     for src in METRIC_SUM_COLS:
         for c in METRIC_SUM_COLS[src]:
             if c in out.columns:
-                # sum(coalesce(x,0)) semantics for individual rows
+                # sum(coalesce(x,0)) semantics; header rows never join → 0
                 out[c] = out[c].fillna(0)
-
-    # org rollup over header rows only (quirk: metrics are all NULL→0 there)
-    headers = out[out["is_organization_header"]]
-    if len(headers):
-        roll_cols = [c for src in METRIC_SUM_COLS for c in METRIC_SUM_COLS[src]]
-        rolled = headers.groupby("customer360_organization_id", dropna=False)[roll_cols].sum()
-        for c in roll_cols:
-            out.loc[out["is_organization_header"], c] = (
-                out.loc[out["is_organization_header"], "customer360_organization_id"]
-                .map(rolled[c])
-                .values
-            )
     return out
+
+
+def customer_rollup_ds(
+    summary_d, metric_tables: dict, cid_ctx: CidContext, num_buckets: int | None = None
+):
+    """Distributed customer metrics rollup: per-batch partials → one bucketed
+    groupby(customer360_id) combine per source → bucketed left joins onto the
+    summary Dataset. No driver materialization at any size."""
+    from ..stages.joins import bucketed_hash_join
+
+    nb = num_buckets or DEFAULT_NUM_BUCKETS
+    out = summary_d
+    fill_zero: list[str] = []
+    for src, idc in _METRIC_IDS:
+        fill_zero += METRIC_SUM_COLS[src]
+        table = metric_tables.get(f"{src}_metrics")
+        if table is None:
+            continue
+        sum_cols = list(METRIC_SUM_COLS[src])
+        if src == "zendesk":
+            sum_cols.append("_csat_weighted")
+
+        def combine(g: pd.DataFrame, _src=src, _sum=tuple(sum_cols)) -> pd.DataFrame:
+            if g.empty:
+                return g.iloc[0:0].drop(columns=["_b"], errors="ignore")
+            return _metric_combine(_src, list(_sum), g.drop(columns=["_b"]))
+
+        agg = (
+            _metric_attached(src, idc, table, cid_ctx)
+            .map_batches(
+                _metric_partial_kernel(src, idc, tuple(sum_cols)),
+                batch_format="pandas",
+            )
+            .map_batches(_bucket_on("customer360_id", nb), batch_format="pandas")
+            .groupby("_b")
+            .map_groups(combine, batch_format="pandas")
+        )
+        out = bucketed_hash_join(out, agg, on="customer360_id", how="left", num_buckets=nb)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        for c in fill_zero:
+            if c in df.columns:
+                df[c] = df[c].astype("float64").fillna(0)
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -1613,36 +1939,103 @@ def analysis_monthly_metrics(res: dict[str, pd.DataFrame]) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _boundary_pandas(ds) -> pd.DataFrame:
+    """THE pandas conversion site: Dataset → driver pandas, used only at the
+    driver-gate/test boundary (output='pandas'). Nullable int64 columns come
+    back as pandas Int64 (matching the pre-Dataset-native dtypes)."""
+    df = ds.to_pandas()
+    for c in ("lead_id", "user_id", "z_org_id"):
+        if c in df.columns:
+            df[c] = _as_int64(df[c])
+    return df
+
+
 def run_customer360(
-    tables: dict[str, pa.Table], config: PipelineConfig | None = None
-) -> dict[str, pd.DataFrame]:
+    tables: dict,
+    config: PipelineConfig | None = None,
+    output: str = "pandas",
+    cid_broadcast_threshold: int = 2_000_000,
+    num_buckets: int | None = None,
+) -> dict:
     """End-to-end DAG: clean (Ray actor pools) → match (Ray bucketed joins +
-    vectorized confirm) → map (Ray fragment groupby) → attributes (Ray unpivot
-    + distributed rank) → summary. Only O(resolved-entity) tables (pairs,
-    spine) are driver-held; outputs are returned as pandas for the driver
-    gate (callers wanting streams use clean_sources/attribute_table directly)."""
+    vectorized confirm) → map (Ray fragment groupbys, spine minted in-task) →
+    attributes (Ray unpivot + cid attach + distributed rank) → summary.
+
+    Inputs may be pa.Tables, Datasets or parquet paths (``_as_dataset``) — the
+    engine analogue of the reference reading warehouse tables. Internally the
+    DAG is Dataset-in/Dataset-out: no O(input-rows) or O(entities) table lands
+    on the driver; the only driver-held state is the matched-pair tables and
+    the pos_maps broadcast (O(matches) — the designed small side).
+
+    output='datasets' returns the outputs as streaming Datasets (write them
+    with write_parquet). output='pandas' (default) converts every output at
+    THIS boundary for the driver correctness gate and tests; below the cid
+    broadcast gate the summary/customer star joins run on those already-
+    collected frames, above it the distributed join path runs first.
+    Shuffle bucket counts scale with input size (``_adaptive_buckets``)."""
+    import ray.data
+
+    if output not in ("pandas", "datasets"):
+        raise ValueError(f"unknown output mode {output!r}")
     cfg = config or PipelineConfig()
     cleaned = clean_sources(tables, cfg)
+    total_rows = sum(ds.count() for ds in cleaned.values())
+    nb = num_buckets or _adaptive_buckets(total_rows)
     matches = source_matches(cleaned, cfg)
-    mapping = build_mapping(matches, cleaned, cfg)
+    mapping_ds = build_mapping(matches, cleaned, cfg, num_buckets=nb).materialize()
+    cid_ctx = CidContext(mapping_ds, nb, cid_broadcast_threshold)
     attrs = {
-        attr: attribute_table(attr, mapping, cleaned, cfg) for attr in ATTRIBUTE_SPECS
+        attr: attribute_table(attr, cid_ctx, cleaned, cfg, num_buckets=nb)
+        for attr in ATTRIBUTE_SPECS
     }
-    attrs["address"] = address_attribute(mapping, cleaned, cfg)
-    summary_df = summary(mapping, attrs)
+    attrs["address"] = address_attribute(cid_ctx, cleaned, cfg, num_buckets=nb)
+    ip_ds = ip_address_table(cid_ctx, cleaned, cfg)
+    status_ds = status_table(cid_ctx, cleaned, cfg)
+    updates_ds = updates_table(cid_ctx, cleaned, cfg)
+    has_metrics = any(k.endswith("_metrics") for k in tables)
+
+    if output == "datasets":
+        summary_d = summary_ds(mapping_ds, attrs, num_buckets=nb).materialize()
+        out = {
+            "mapping": mapping_ds, "summary": summary_d, "matches": matches,
+            "ip_address": ip_ds, "status": status_ds, "updates": updates_ds,
+        }
+        out.update({f"attr_{k}": v for k, v in attrs.items()})
+        for src in ("marketo", "stripe", "zendesk"):
+            out[f"cleaned_{src}"] = (
+                cleaned[src]
+                if src in cleaned
+                else ray.data.from_pandas(_empty_cleaned(src, cfg))
+            )
+        if has_metrics:
+            out["customer"] = customer_rollup_ds(summary_d, tables, cid_ctx, nb)
+        return out
+
+    # pandas boundary (driver gate / tests): one conversion site
+    mapping = _boundary_pandas(mapping_ds)
+    attrs_df = {k: _boundary_pandas(v) for k, v in attrs.items()}
     out = {
         "mapping": mapping,
-        "summary": summary_df,
         "matches": matches,
-        "ip_address": ip_address_table(mapping, cleaned, cfg),
-        "status": status_table(mapping, cleaned, cfg),
-        "updates": updates_table(mapping, cleaned, cfg),
-        **{f"attr_{k}": v for k, v in attrs.items()},
+        "ip_address": _boundary_pandas(ip_ds),
+        "status": _boundary_pandas(status_ds),
+        "updates": _boundary_pandas(updates_ds),
+        **{f"attr_{k}": v for k, v in attrs_df.items()},
     }
+    if cid_ctx.broadcast:
+        summary_df = summary(mapping, attrs_df)
+        if has_metrics:
+            out["customer"] = customer_rollup(summary_df, tables, cid_ctx)
+    else:
+        summary_d = summary_ds(mapping_ds, attrs, num_buckets=nb).materialize()
+        summary_df = _boundary_pandas(summary_d)
+        if has_metrics:
+            out["customer"] = _boundary_pandas(
+                customer_rollup_ds(summary_d, tables, cid_ctx, nb)
+            )
+    out["summary"] = summary_df
     for src in ("marketo", "stripe", "zendesk"):
         out[f"cleaned_{src}"] = (
             cleaned[src].to_pandas() if src in cleaned else _empty_cleaned(src, cfg)
         )
-    if any(k.endswith("_metrics") for k in tables):
-        out["customer"] = customer_rollup(mapping, summary_df, tables)
     return out

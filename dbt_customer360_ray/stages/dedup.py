@@ -674,11 +674,16 @@ def verified_near_dup_pairs(
         lambda t: t.select(["doc_a", "doc_b"]),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    pairs = cands.to_pandas()
-    if pairs.empty:
+    # Materialize once, decide the path from count(): the candidate Dataset
+    # never lands on the driver unless it is under the threshold, and the
+    # MinHash stage never re-executes for the joined fallback.
+    cands = cands.materialize()
+    n_cands = cands.count()
+    if n_cands == 0:
         return ray.data.from_pandas(empty)
-    if len(pairs) > driver_threshold:
+    if n_cands > driver_threshold:
         return _verified_pairs_joined(docs, cands, jaccard_threshold, shingle_n)
+    pairs = cands.to_pandas()
 
     from .joins import semi_join
 
