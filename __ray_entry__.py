@@ -168,6 +168,22 @@ def _c360(sf_dir: str, key: str):
     return _conform_c360(_C360_CACHE["res"][key])
 
 
+_C360_ANALYSES = {
+    "c360_analysis_email_campaign": "analysis_email_campaign_list",
+    "c360_analysis_all_phones": "analysis_metrics_with_all_phones",
+    "c360_analysis_monthly_metrics": "analysis_monthly_metrics",
+}
+
+
+def _c360_analysis(sf_dir: str, fn_name: str):
+    """Analyses layer (reference analyses_old/): consumption queries over the
+    cached c360 DAG outputs — O(entities) driver pandas by design."""
+    from dbt_customer360_ray.pipelines import customer360 as c3
+
+    _c360(sf_dir, key="mapping")  # populate/refresh the DAG cache
+    return _conform_c360(getattr(c3, fn_name)(_C360_CACHE["res"]))
+
+
 def _stream_replay_lake(sf_dir: str):
     """Streaming actor-pool ingest (micro-batch tail + checkpoints) of the
     stream fixture; returns the converged lake. Oracled — stream_oracle_sql
@@ -247,6 +263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "status", "updates",
     ):
         out[f"c360_{key}"] = functools.partial(_c360, key=key)
+    for name, fn_name in _C360_ANALYSES.items():
+        out[name] = functools.partial(_c360_analysis, fn_name=fn_name)
     out["multimodal_image_features"] = _multimodal_image_features
     out["multimodal_audio_features"] = _multimodal_audio_features
     out["multimodal_video_features"] = _multimodal_video_features

@@ -900,6 +900,78 @@ ORACLE_SQL["rolling_events"] = """
 """
 
 
+def q_asof_order_events(sf_dir: str):
+    """As-of join: each order matched to the customer's latest event at or
+    before the order date (hash-bucketed merge_asof per key bucket). The
+    right side is pre-aggregated to one row per (user_id, ts) — max cents —
+    so tie-breaking is deterministic on both the engine and the oracle."""
+    from ..stages.joins import asof_join
+
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        rows_per_block=50_000,
+    )
+
+    def oprep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "user_id": t.column("o_custkey"),
+                "ts": t.column("o_orderdate"),
+            }
+        )
+
+    left = orders.map_batches(oprep, batch_format="pyarrow", zero_copy_batch=True)
+
+    events = read_table(
+        sf_dir, "events", columns=["user_id", "ts", "value"], rows_per_block=50_000
+    )
+
+    def eprep(t: pa.Table) -> pa.Table:
+        t2 = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "cents": _cents(t.column("value")),
+            }
+        )
+        # batch-level partial dedup: shrinks the (user_id, ts) shuffle input
+        return t2.group_by(["user_id", "ts"]).aggregate([("cents", "max")])
+
+    agg = (
+        events.map_batches(eprep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "ts"])
+        .max("cents_max")
+    )
+
+    def rprep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "last_event_ts": t.column("ts"),
+                "last_event_cents": t.column("max(cents_max)"),
+            }
+        )
+
+    right = agg.map_batches(rprep, batch_format="pyarrow", zero_copy_batch=True)
+    return asof_join(left, right, key="user_id", ts="ts")
+
+
+ORACLE_SQL["asof_order_events"] = """
+    WITH ev AS (
+        SELECT user_id, ts, ts AS last_event_ts,
+               max(CAST(round(value * 100) AS BIGINT)) AS last_event_cents
+        FROM events GROUP BY user_id, ts
+    )
+    SELECT o.o_orderkey, o.o_custkey AS user_id, o.o_orderdate AS ts,
+           e.last_event_ts, e.last_event_cents
+    FROM orders o ASOF LEFT JOIN ev e
+      ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+"""
+
+
 QUERIES = {
     "events_daily": q_events_daily,
     "parts_by_type": q_parts_by_type,
@@ -919,6 +991,7 @@ QUERIES = {
     "approx_distinct_texts": q_approx_distinct_texts,
     "rolling_events": q_rolling_events,
     "orders_price_bands": q_orders_price_bands,
+    "asof_order_events": q_asof_order_events,
     "split_documents": q_split_documents,
     "sample_documents": q_sample_documents,
 }

@@ -877,5 +877,53 @@ def oracle_entries(num_people: int = ORACLE_N, seed: int = ORACLE_SEED) -> dict[
         UNION ALL
         SELECT k.cid, 'zendesk', coalesce(c.updated_at, c.created_at), c.created_at
         FROM cleaned_zendesk c JOIN cid_z k ON k.id = c.user_id""",
+        # analyses layer (reference analyses_old/elan/email_campaign_list_360
+        # .sql:9-75): revenue buckets x open-ticket flag over customer
+        "c360_analysis_email_campaign": """
+        SELECT customer360_id, best_email, best_name,
+               CASE WHEN coalesce(total_spend, 0) <= 0 THEN 'none'
+                    WHEN total_spend <= 250 THEN 'low'
+                    WHEN total_spend <= 1000 THEN 'mid'
+                    ELSE 'high' END AS revenue_bucket,
+               coalesce(count_open_tickets, 0) > 0 AS has_open_tickets
+        FROM customer
+        WHERE NOT is_organization_header AND best_email IS NOT NULL""",
+        # analyses_old/elan/metrics_with_all_phones_360.sql:13-135: every known
+        # phone per customer, distinct in confidence-rank order
+        "c360_analysis_all_phones": """
+        , ph AS (
+            SELECT customer360_id, value, min("index") AS first_idx
+            FROM att_phone GROUP BY customer360_id, value
+        ),
+        ph_agg AS (
+            SELECT customer360_id,
+                   string_agg(value, ', ' ORDER BY first_idx, value) AS phones
+            FROM ph GROUP BY customer360_id
+        )
+        SELECT a.customer360_id, a.phones, c.best_name, c.best_email,
+               c.total_spend, c.count_tickets
+        FROM ph_agg a LEFT JOIN customer c
+          ON c.customer360_id = a.customer360_id""",
+        # analyses_old/drafts/monthly_metrics_customer360.sql:1-56: month spine
+        # x new-customer counts (dbt_utils.date_spine equivalent)
+        "c360_analysis_monthly_metrics": """
+        , ind_created AS (
+            SELECT created_at FROM mapping
+            WHERE NOT is_organization_header AND created_at IS NOT NULL
+        ),
+        mm_spine AS (
+            SELECT unnest(generate_series(
+                date_trunc('month', min(created_at)),
+                date_trunc('month', max(created_at)), INTERVAL 1 MONTH)) AS month
+            FROM ind_created
+        ),
+        mm_counts AS (
+            SELECT date_trunc('month', created_at) AS month,
+                   count(*) AS new_customers
+            FROM ind_created GROUP BY 1
+        )
+        SELECT s.month,
+               CAST(coalesce(c.new_customers, 0) AS BIGINT) AS new_customers
+        FROM mm_spine s LEFT JOIN mm_counts c ON c.month = s.month""",
     }
     return {name: pro + "\n" + body for name, body in finals.items()}

@@ -852,6 +852,8 @@ def embedding_near_dups_lsh(
     dim: int = 64,
     num_bits: int = 8,
     num_tables: int = 4,
+    jumbo_threshold: int = 8192,
+    tile_rows: int = 4096,
 ):
     """Approximate cosine near-dup pairs — the 100 TB path ``embedding_near_dups``
     documents: vectors are compared ONLY within shared hyperplane-LSH buckets
@@ -861,10 +863,20 @@ def embedding_near_dups_lsh(
     the approximate answer is oracle-checkable via
     ``embedding_lsh_pairs_oracle_sql`` (same planes inlined as SQL literals).
 
-    Pipeline: bucket fan-out (actor pool) → groupby(gkey) all-pairs within
-    bucket (vectorized matmul per group) → groupby(pair) dedup across tables.
-    Jumbo buckets are the skew hazard at scale: split them into block-pair
-    tiles (``_pair_tile``) keyed by (gkey, tile) before the group compare."""
+    Pipeline: bucket fan-out (actor pool) → jumbo split → groupby(tile key)
+    all-pairs within tile (vectorized matmul per group) → groupby(pair) dedup
+    across tables/tiles.
+
+    Jumbo buckets (duplicate-heavy corpora produce them) are the skew hazard:
+    a bucket over ``jumbo_threshold`` rows is split into S = ceil(n/tile_rows)
+    deterministic sub-blocks, and each row is replicated into the S
+    upper-triangle tiles its sub-block touches, so no single task ever holds
+    (or matmuls) a whole hot bucket — the same block-pair shape as
+    ``embedding_near_dups``'s ``_pair_tile``. Bucket sizes come from a
+    constant-size count pre-pass (≤ num_tables·2^num_bits rows on the driver);
+    buckets at or under the threshold keep the replication-free single-tile
+    path, so at uniform scale the plan is unchanged."""
+    import ray
     from ray.data.aggregate import Max
 
     bucketed = ds.map_batches(
@@ -876,24 +888,91 @@ def embedding_near_dups_lsh(
         batch_format="pandas",
         batch_size=4096,
         concurrency=(1, 8),
-    )
+    ).materialize()  # consumed twice: count pre-pass + tile shuffle
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    # bucket-size pre-pass: per-batch partial counts → tiny driver combine
+    # (the gkey domain is num_tables * 2^num_bits, constant in N)
+    counts = (
+        bucketed.map_batches(
+            lambda df: df.groupby("gkey").size().rename("n").reset_index(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("gkey")["n"]
+        .sum()
+    )
+    splits = {
+        int(g): int(-(-n // tile_rows))
+        for g, n in counts.items()
+        if n > jumbo_threshold
+    }
+    max_tiles = max(
+        (s * (s + 1) // 2 for s in splits.values()), default=1
+    )
+    splits_ref = ray.put(splits)
+
+    def assign_tiles(df: pd.DataFrame) -> pd.DataFrame:
+        """Row → one row per upper-triangle tile its sub-block touches.
+        Non-jumbo buckets: sub=0, single tile 0 — no replication."""
+        sp = ray.get(splits_ref)
+        df = df.reset_index(drop=True)
+        if not sp:
+            out = df.copy()
+            out["tkey"] = out["gkey"].to_numpy(np.int64) * max_tiles
+            out["sub"] = np.zeros(len(out), dtype=np.int64)
+            return out
+        gk = df["gkey"].to_numpy(np.int64)
+        lut = np.ones(int(gk.max()) + 1, dtype=np.int64)
+        for g, s in sp.items():
+            if g < len(lut):
+                lut[g] = s
+        s_per_row = lut[gk]
+        idv = df[id_col].to_numpy(np.int64)
+        sub = ((idv * np.int64(0x9E3779B1)) & np.int64(0x7FFFFFFF)) % s_per_row
+        rep_idx = np.repeat(np.arange(len(df)), s_per_row)
+        sub_r = np.repeat(sub, s_per_row)
+        s_r = np.repeat(s_per_row, s_per_row)
+        # enumerate the S tiles touching sub b: (i, b) for i in [0, b] then
+        # (b, j) for j in (b, S)
+        ends = np.cumsum(s_per_row)
+        k = np.arange(int(ends[-1]), dtype=np.int64) - np.repeat(
+            ends - s_per_row, s_per_row
+        )
+        i = np.where(k <= sub_r, k, sub_r)
+        j = np.where(k <= sub_r, sub_r, k)
+        tidx = i * s_r - (i * (i - 1)) // 2 + (j - i)
+        out = df.iloc[rep_idx].reset_index(drop=True)
+        out["tkey"] = out["gkey"].to_numpy(np.int64) * max_tiles + tidx
+        out["sub"] = sub_r.astype(np.int64)
+        return out
+
+    tiled = bucketed.map_batches(assign_tiles, batch_format="pandas")
+
+    def pairs_in_tile(g: pd.DataFrame) -> pd.DataFrame:
         m = np.stack(g["embedding"].to_numpy())
         ids = g[id_col].to_numpy().astype(np.int64)
         n = np.maximum(np.linalg.norm(m, axis=1), 1e-300)
-        sims = (m @ m.T) / (n[:, None] * n[None, :])
-        mask = (sims >= threshold) & (ids[:, None] < ids[None, :])
-        ii, jj = np.nonzero(mask)
+        subs = g["sub"].to_numpy()
+        lo_sub = subs.min()
+        if subs.max() == lo_sub:  # diagonal tile (or unsplit bucket)
+            sims = (m @ m.T) / (n[:, None] * n[None, :])
+            mask = (sims >= threshold) & (ids[:, None] < ids[None, :])
+            ii, jj = np.nonzero(mask)
+            a, b, v = ids[ii], ids[jj], sims[ii, jj]
+        else:  # cross tile: sub-block i rows × sub-block j rows
+            am = subs == lo_sub
+            ma, mb_ = m[am], m[~am]
+            ia, ib = ids[am], ids[~am]
+            sims = (ma @ mb_.T) / (n[am][:, None] * n[~am][None, :])
+            mask = (sims >= threshold) & (ia[:, None] != ib[None, :])
+            ii, jj = np.nonzero(mask)
+            a0, b0, v = ia[ii], ib[jj], sims[ii, jj]
+            a, b = np.minimum(a0, b0), np.maximum(a0, b0)
         return pd.DataFrame(
-            {
-                "id_a": ids[ii],
-                "id_b": ids[jj],
-                "cosine": sims[ii, jj].astype(np.float64),
-            }
+            {"id_a": a, "id_b": b, "cosine": v.astype(np.float64)}
         )
 
-    pairs = bucketed.groupby("gkey").map_groups(pairs_in_bucket, batch_format="pandas")
+    pairs = tiled.groupby("tkey").map_groups(pairs_in_tile, batch_format="pandas")
     # a pair found in several tables appears once per table; cosine is the
     # same value each time, so max == the value
     return pairs.groupby(["id_a", "id_b"]).aggregate(Max("cosine", alias_name="cosine"))

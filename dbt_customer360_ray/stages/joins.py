@@ -190,19 +190,38 @@ def asof_join(
     bucket. Assumption: one bucket fits in a worker's heap."""
     left_cols = list(left.schema().names)
     right_cols = list(right.schema().names)
+    # fixed output schema so all-left / all-right buckets stay concatenable
+    out_cols = left_cols + [
+        (c + suffix if c in left_cols else c)
+        for c in right_cols
+        if c not in (ts, key)
+    ]
+    # the union below nulls each side's missing columns, so int64 left
+    # columns arrive in pandas as float64 — cast them back on the way out
+    # (left columns are never null in the asof output: it's a left join)
+    import pyarrow.types as pat
+
+    lschema = left.schema()
+    int_left = {
+        n: str(t)
+        for n, t in zip(lschema.names, lschema.types)
+        if pat.is_integer(t)
+    }
     lt = _with_bucket(left, key, num_buckets, "l")
     rt = _with_bucket(right, key, num_buckets, "r")
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["_side"] == "l"][left_cols].sort_values(ts)  # noqa: E741
         r = g[g["_side"] == "r"][right_cols].sort_values(ts)
-        if l.empty:
-            return l.iloc[0:0]
-        if r.empty:
-            return l
-        return pd.merge_asof(
-            l, r, on=ts, by=key, direction=direction, suffixes=("", suffix)
-        )
+        if l.empty or r.empty:
+            res = l.reindex(columns=out_cols)
+        else:
+            res = pd.merge_asof(
+                l, r, on=ts, by=key, direction=direction, suffixes=("", suffix)
+            )[out_cols]
+        for c, dt in int_left.items():
+            res[c] = res[c].astype(dt)
+        return res
 
     return lt.union(rt).groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
 

@@ -126,6 +126,40 @@ def test_embedding_lsh_near_dups(ray_session):
     assert got <= want
 
 
+def test_embedding_lsh_jumbo_bucket_tiling(ray_session):
+    """A planted hot bucket (many near-identical vectors landing in the same
+    LSH bucket in every table) is split into block-pair tiles above
+    jumbo_threshold: identical pairs to the unsplit path, and no single
+    group task holds the whole bucket."""
+    import ray.data
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal(16)
+    # 48 vectors in a tight cone around `base` → one jumbo bucket per table,
+    # plus 30 scattered vectors
+    hot = base + 0.01 * rng.standard_normal((48, 16))
+    cold = rng.standard_normal((30, 16)) * 3
+    mat = np.vstack([hot, cold])
+    tbl = pa.table(
+        {"vec_id": pa.array(np.arange(len(mat), dtype=np.int64)),
+         "embedding": pa.array([r.tolist() for r in mat], pa.list_(pa.float32()))}
+    )
+    ds = ray.data.from_arrow(tbl)
+    base_pairs = D.embedding_near_dups_lsh(ds, threshold=0.9, dim=16).to_pandas()
+    tiled = D.embedding_near_dups_lsh(
+        ds, threshold=0.9, dim=16, jumbo_threshold=16, tile_rows=12
+    ).to_pandas()
+
+    def norm(df):
+        return (
+            df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+            [["id_a", "id_b", "cosine"]]
+        )
+
+    pd.testing.assert_frame_equal(norm(base_pairs), norm(tiled))
+    assert len(base_pairs) >= 48 * 47 // 2  # the hot cone is all near-dups
+
+
 def test_ivf_topk(ray_session):
     import ray.data
 
