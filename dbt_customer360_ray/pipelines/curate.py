@@ -35,15 +35,17 @@ def _fp(t: pa.Table) -> pa.Table:
     return pa.table({"fp": pa.array(hashes, pa.string()), "doc_id": t.column("doc_id")})
 
 
-def curate_documents(ds, quality_threshold: float = 0.5):
+def curate_documents(
+    ds, quality_threshold: float = 0.5, broadcast_keeper_ids: int = 100_000_000
+):
     """documents → curated (doc_id, lang_pred, quality_score).
 
     Keeps docs that (a) get a language prediction (not 'und'), (b) clear the
     quality bar, and (c) are their exact-dup group's keeper (min doc_id per
-    md5(text)). The keeper id set is collected once and broadcast via
-    ``ray.put`` — O(#distinct texts) ids; beyond what a broadcast can hold
-    (~10^8 ids) swap the membership test for a bucketed hash semi-join
-    (stages/joins.py) on the same key.
+    md5(text)). Below ``broadcast_keeper_ids`` the keeper id set is collected
+    once and broadcast via ``ray.put`` — O(#distinct texts) ids, the map-only
+    path; above it the membership test becomes a bucketed hash semi-join on
+    doc_id (stages/joins.py) so nothing O(corpus) lands on the driver.
     """
     import ray
     from ray.data.aggregate import Min
@@ -54,23 +56,39 @@ def curate_documents(ds, quality_threshold: float = 0.5):
         ds.map_batches(_fp, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("fp")
         .aggregate(Min("doc_id", alias_name="doc_id"))
+        .materialize()
     )
-    keeper_ids = np.sort(keepers.to_pandas()["doc_id"].to_numpy())
-    ref = ray.put(keeper_ids)
 
-    def filt(t: pa.Table) -> pa.Table:
-        ids = ray.get(ref)
-        did = t.column("doc_id").to_numpy()
-        pos = np.clip(np.searchsorted(ids, did), 0, max(len(ids) - 1, 0))
-        is_keeper = (ids[pos] == did) if len(ids) else np.zeros(len(did), bool)
+    def lang_quality(t: pa.Table) -> pa.Table:
         lang = np.asarray(t.column("lang_pred").to_pylist(), dtype=object)
         q = t.column("quality_score").to_numpy()
-        mask = is_keeper & (lang != "und") & (q >= quality_threshold)
+        mask = (lang != "und") & (q >= quality_threshold)
         return t.filter(pa.array(mask)).select(
             ["doc_id", "lang_pred", "quality_score"]
         )
 
-    return analyze_text(ds).map_batches(filt, batch_format="pyarrow")
+    analyzed = analyze_text(ds).map_batches(lang_quality, batch_format="pyarrow")
+
+    if keepers.count() > broadcast_keeper_ids:
+        from ..stages.joins import bucketed_hash_join
+
+        keeper_ids_ds = keepers.map_batches(
+            lambda t: t.select(["doc_id"]), batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return bucketed_hash_join(analyzed, keeper_ids_ds, on="doc_id")
+
+    keeper_ids = np.sort(keepers.to_pandas()["doc_id"].to_numpy())
+    ref = ray.put(keeper_ids)
+
+    def keeper_filt(t: pa.Table) -> pa.Table:
+        ids = ray.get(ref)
+        did = t.column("doc_id").to_numpy()
+        pos = np.clip(np.searchsorted(ids, did), 0, max(len(ids) - 1, 0))
+        is_keeper = (ids[pos] == did) if len(ids) else np.zeros(len(did), bool)
+        return t.filter(pa.array(is_keeper))
+
+    return analyzed.map_batches(keeper_filt, batch_format="pyarrow")
 
 
 def curate_oracle_sql(quality_threshold: float = 0.5) -> str:

@@ -115,6 +115,7 @@ def minhash_candidates(
     shingle_n: int = 3,
     threshold: float = 0.7,
     concurrency: int = 4,
+    broadcast_sig_bytes: int = 256 << 20,
 ):
     """documents → candidate near-dup pairs (doc_a, doc_b, est_jaccard ≥ threshold).
 
@@ -122,10 +123,12 @@ def minhash_candidates(
     (band_hash, doc_id) rows — signatures themselves never enter the shuffle
     (they multiplied exchange volume by num_perm×bands; measured ~2x on the
     whole operator) → groupby band buckets → within-bucket candidate pairs →
-    pair dedup → est-Jaccard filter against the signature matrix broadcast
-    once via ray.put (n_docs × num_perm ints — the small side by
-    construction; at a scale where it no longer fits, carry sigs through the
-    shuffle as before instead).
+    pair dedup → est-Jaccard filter. Below ``broadcast_sig_bytes`` the filter
+    reads the signature matrix broadcast once via ray.put (n_docs × num_perm
+    ints — the small side by construction); above it, two bucketed hash joins
+    attach each side's signature to the pair rows instead, so nothing
+    O(corpus) is ever broadcast (same size-gated pattern as
+    ``ngram_jaccard_pairs``).
     """
     import ray
     import ray.data
@@ -233,6 +236,10 @@ def minhash_candidates(
         .drop_columns(["pbucket"])
     )
 
+    sig_matrix_bytes = sigs.count() * num_perm * 8
+    if sig_matrix_bytes > broadcast_sig_bytes:
+        return _est_filter_joined(deduped, sigs, threshold, _empty_pairs)
+
     sig_pdf = sigs.to_pandas().sort_values("doc_id", kind="stable")
     sig_ref = ray.put(
         (sig_pdf["doc_id"].to_numpy(), np.stack(sig_pdf["sig"].to_numpy()))
@@ -251,6 +258,48 @@ def minhash_candidates(
         return out if len(out) else _empty_pairs()
 
     return deduped.map_batches(est_filter, batch_format="pandas")
+
+
+def _est_filter_joined(pairs, sigs, threshold: float, empty_fn):
+    """Scale path for the est-Jaccard filter: attach each pair side's
+    signature via bucketed hash joins (nothing O(corpus) broadcast), then the
+    same vectorized estimate per batch. Signatures ride the join as binary
+    blobs — Acero can't carry the tensor-extension column as a join payload."""
+    from .joins import bucketed_hash_join
+
+    def _side(name: str):
+        def enc(df: pd.DataFrame) -> pa.Table:
+            m = np.ascontiguousarray(np.stack(df["sig"].to_numpy()), dtype=np.uint64)
+            width = m.shape[1] * 8
+            offsets = (np.arange(len(df) + 1, dtype=np.int32) * width)
+            blob = pa.Array.from_buffers(
+                pa.binary(), len(df),
+                [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(m.tobytes())],
+            )
+            return pa.table(
+                {f"doc_{name}": pa.array(df["doc_id"].to_numpy()),
+                 f"sig_{name}": blob}
+            )
+
+        return sigs.map_batches(enc, batch_format="pandas")
+
+    j = bucketed_hash_join(pairs, _side("a"), on="doc_a")
+    j = bucketed_hash_join(j, _side("b"), on="doc_b")
+
+    def _mat(col: pd.Series) -> np.ndarray:
+        flat = np.frombuffer(b"".join(col.to_numpy()), dtype=np.uint64)
+        return flat.reshape(len(col), -1)
+
+    def est_filter(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return empty_fn()
+        est = (_mat(b["sig_a"]) == _mat(b["sig_b"])).mean(axis=1)
+        keep = est >= threshold
+        out = b.loc[keep, ["doc_a", "doc_b"]].copy()
+        out["est_jaccard"] = est[keep].astype(np.float64)
+        return out if len(out) else empty_fn()
+
+    return j.map_batches(est_filter, batch_format="pandas")
 
 
 def connected_groups(pairs_df: pd.DataFrame) -> pa.Table:

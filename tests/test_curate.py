@@ -40,6 +40,25 @@ def test_curate_filters():
     assert (out["quality_score"] >= 0.5).all()
 
 
+def test_curate_semi_join_fallback_matches_broadcast():
+    """broadcast_keeper_ids=0 forces the bucketed-hash-semi-join keeper test
+    (the scale path): identical curated rows to the broadcast membership."""
+    import ray.data
+
+    def norm(ds):
+        return (
+            ds.to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)[["doc_id", "lang_pred", "quality_score"]]
+        )
+
+    base = norm(C.curate_documents(ray.data.from_arrow(_docs())))
+    joined = norm(
+        C.curate_documents(ray.data.from_arrow(_docs()), broadcast_keeper_ids=0)
+    )
+    pd.testing.assert_frame_equal(base, joined)
+
+
 def test_write_curated_resumes(tmp_path):
     import ray.data
 

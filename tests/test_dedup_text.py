@@ -126,6 +126,33 @@ def test_embedding_lsh_near_dups(ray_session):
     assert got <= want
 
 
+def test_minhash_est_filter_join_fallback(ray_session):
+    """broadcast_sig_bytes=0 forces the bucketed-hash-join est filter (the
+    scale path that never broadcasts the signature matrix); candidate pairs
+    must match the broadcast path exactly."""
+    import ray.data
+
+    docs = pa.table(
+        {"doc_id": pa.array(np.arange(40, dtype=np.int64)),
+         "text": pa.array(
+             [BASE if i % 4 == 0 else f"{BASE} variant {i} " + "x" * i for i in range(40)]
+         )}
+    )
+    ds = ray.data.from_arrow(docs)
+
+    def norm(d):
+        return (
+            d.to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)[["doc_a", "doc_b", "est_jaccard"]]
+        )
+
+    base = norm(D.minhash_candidates(ds, threshold=0.5))
+    joined = norm(D.minhash_candidates(ds, threshold=0.5, broadcast_sig_bytes=0))
+    pd.testing.assert_frame_equal(base, joined)
+    assert len(base) > 0  # the i%4==0 docs are exact dups of each other
+
+
 def test_embedding_lsh_jumbo_bucket_tiling(ray_session):
     """A planted hot bucket (many near-identical vectors landing in the same
     LSH bucket in every table) is split into block-pair tiles above
