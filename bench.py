@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "lang_quality_documents",
     "rolling_events",
     "orders_price_bands",
+    "asof_order_events",
     "approx_distinct_texts",
     "curated_documents",
 ]

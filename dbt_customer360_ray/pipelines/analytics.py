@@ -216,9 +216,25 @@ def q_survivorship_events(sf_dir: str):
 
 # -- 5. sessionization -------------------------------------------------------
 
+def _footer_buckets(sf_dir: str, name: str) -> int:
+    """Shuffle bucket count from the parquet footer's row count — the free
+    version of blocks.adaptive_buckets' materialize-and-count."""
+    import pyarrow.parquet as pq
+
+    from ..blocks import adaptive_buckets
+    from ..sources.readers import table_path
+
+    return adaptive_buckets(
+        pq.ParquetFile(table_path(sf_dir, name)).metadata.num_rows, lo=64
+    )
+
+
 def q_sessionize_events(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"], rows_per_block=50_000)
-    return sessionize(ds, key="user_id", ts_col="ts", tie_col="event_id", gap_seconds=1800)
+    return sessionize(
+        ds, key="user_id", ts_col="ts", tie_col="event_id", gap_seconds=1800,
+        num_buckets=_footer_buckets(sf_dir, "events"),
+    )
 
 
 # -- 6. exact dedup ----------------------------------------------------------
@@ -884,7 +900,10 @@ def q_rolling_events(sf_dir: str):
         )
 
     prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-    return rolling_window(prepped, keep_cols=("event_id",), window_seconds=3600)
+    return rolling_window(
+        prepped, keep_cols=("event_id",), window_seconds=3600,
+        num_buckets=_footer_buckets(sf_dir, "events"),
+    )
 
 
 ORACLE_SQL["rolling_events"] = """

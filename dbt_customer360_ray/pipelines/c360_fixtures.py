@@ -74,19 +74,26 @@ def fixture_config(**overrides):
     return PipelineConfig(stripe_extractors=fixture_stripe_extractors(), **overrides)
 
 
-def gen_c360_sources(num_people: int = 200, seed: int = 42):
-    """Returns (tables: dict[str, pa.Table], truth: pd.DataFrame)."""
+def gen_c360_sources(num_people: int = 200, seed: int = 42, id_offset: int = 0):
+    """Returns (tables: dict[str, pa.Table], truth: pd.DataFrame).
+
+    ``id_offset`` shifts every person-derived id so large fixtures can be
+    generated in bounded-memory chunks (scripts/c360_scale_demo.py) without
+    id collisions. The street-number space scales with num_people so the
+    address blocking key keeps a realistic collision rate instead of packing
+    600k people into 999 street numbers (unchanged for num_people ≤ 999 —
+    all test/oracle fixtures)."""
     rng = np.random.default_rng(seed)
     people = []
     for i in range(num_people):
         fn = FIRST_NAMES[rng.integers(len(FIRST_NAMES))]
         ln = LAST_NAMES[rng.integers(len(LAST_NAMES))]
         city, state, zip5, country = CITIES[rng.integers(len(CITIES))]
-        street_num = int(rng.integers(1, 999))
+        street_num = int(rng.integers(1, max(999, num_people)))
         street = STREETS[rng.integers(len(STREETS))]
         people.append(
             {
-                "person": i,
+                "person": id_offset + i,
                 "first": fn,
                 "last": ln,
                 "email": f"{fn.lower()}.{ln.lower()}{i}@example.com",

@@ -389,11 +389,12 @@ def _adaptive_buckets(
     total_rows: int, rows_per_bucket: int = 250_000,
     lo: int = DEFAULT_NUM_BUCKETS, hi: int = 4096,
 ) -> int:
-    """Shuffle bucket count scaled with input size so the 'one bucket fits a
-    worker's heap' invariant keeps holding as the input grows — the same
-    footer-driven recipe as ``read_table(rows_per_block=…)``. At fixture scale
-    this floors at DEFAULT_NUM_BUCKETS; at 100× the count grows linearly."""
-    return int(max(lo, min(hi, -(-max(int(total_rows), 1) // rows_per_bucket))))
+    """Shuffle bucket count scaled with input size (shared recipe —
+    ``blocks.adaptive_buckets``); floors at DEFAULT_NUM_BUCKETS at fixture
+    scale, grows linearly at 100×."""
+    from ..blocks import adaptive_buckets
+
+    return adaptive_buckets(total_rows, rows_per_bucket, lo=lo, hi=hi)
 
 
 def clean_sources(
@@ -1984,11 +1985,16 @@ def run_customer360(
     matches = source_matches(cleaned, cfg)
     mapping_ds = build_mapping(matches, cleaned, cfg, num_buckets=nb).materialize()
     cid_ctx = CidContext(mapping_ds, nb, cid_broadcast_threshold)
+    # materialized: every attr Dataset has (at least) two consumers — the
+    # summary star join and the caller's own collect/write — and a lazy
+    # Dataset would re-execute its whole unpivot+rank pipeline per consumer
     attrs = {
-        attr: attribute_table(attr, cid_ctx, cleaned, cfg, num_buckets=nb)
+        attr: attribute_table(attr, cid_ctx, cleaned, cfg, num_buckets=nb).materialize()
         for attr in ATTRIBUTE_SPECS
     }
-    attrs["address"] = address_attribute(cid_ctx, cleaned, cfg, num_buckets=nb)
+    attrs["address"] = address_attribute(
+        cid_ctx, cleaned, cfg, num_buckets=nb
+    ).materialize()
     ip_ds = ip_address_table(cid_ctx, cleaned, cfg)
     status_ds = status_table(cid_ctx, cleaned, cfg)
     updates_ds = updates_table(cid_ctx, cleaned, cfg)

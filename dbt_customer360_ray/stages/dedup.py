@@ -136,11 +136,14 @@ def minhash_candidates(
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
 
-    coarse_buckets = 128  # shuffle granularity: map_groups invokes the UDF
-    # once per GROUP, so per-group overhead (~1 ms of pandas frame setup)
-    # argues for hundreds of fat groups, not hundreds of thousands of tiny
-    # ones (measured: 1024 buckets ≈ +1 s per shuffle vs 128 at sf0.1; the
-    # within-group kernels are segment-vectorized so group size is cheap)
+    # shuffle granularity: map_groups invokes the UDF once per GROUP, so
+    # per-group overhead (~1 ms of pandas frame setup) argues for hundreds of
+    # fat groups, not hundreds of thousands of tiny ones (measured: 1024
+    # buckets ≈ +1 s per shuffle vs 128 at sf0.1; the within-group kernels are
+    # segment-vectorized so group size is cheap). Floor 128, grows with the
+    # exploded row count (n_docs × bands) so one bucket keeps fitting a
+    # worker's heap at 100× — assigned after the signature count below.
+    coarse_buckets = 128
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         sigs = np.stack(batch["sig"].to_numpy())  # (n, num_perm)
@@ -215,6 +218,10 @@ def minhash_candidates(
         batch_size=2048,
         concurrency=(1, concurrency),
     ).materialize()  # consumed twice: banding shuffle + est broadcast
+    from ..blocks import adaptive_buckets
+
+    n_docs = sigs.count()
+    coarse_buckets = adaptive_buckets(n_docs * bands, lo=coarse_buckets)
     exploded = sigs.map_batches(explode, batch_format="pandas")
     pairs = exploded.groupby("bucket").map_groups(
         coarse_bucket_pairs, batch_format="pandas"
@@ -236,7 +243,7 @@ def minhash_candidates(
         .drop_columns(["pbucket"])
     )
 
-    sig_matrix_bytes = sigs.count() * num_perm * 8
+    sig_matrix_bytes = n_docs * num_perm * 8
     if sig_matrix_bytes > broadcast_sig_bytes:
         return _est_filter_joined(deduped, sigs, threshold, _empty_pairs)
 

@@ -26,21 +26,38 @@ def _bucket_of(values, num_buckets: int) -> np.ndarray:
     return (stable_hash(values) % np.uint64(num_buckets)).astype(np.int64)
 
 
+def _resolve_buckets(ds, num_buckets, rows_per_bucket: int):
+    """num_buckets=None → derive from the input's row count
+    (blocks.adaptive_buckets; floor 64 — measured per-group pandas overhead
+    argues for fat groups at small scale, see module docstring). Returns
+    (ds, num_buckets); the count pass materializes so the shuffle reuses the
+    cached blocks."""
+    if num_buckets is not None:
+        return ds, num_buckets
+    from ..blocks import adaptive_buckets, counted
+
+    ds, n = counted(ds)
+    return ds, adaptive_buckets(n, rows_per_bucket, lo=64)
+
+
 def sessionize(
     ds,
     key: str = "user_id",
     ts_col: str = "ts",
     tie_col: str = "event_id",
     gap_seconds: int = 1800,
-    num_buckets: int = 64,
+    num_buckets: int | None = 64,
+    rows_per_bucket: int = 250_000,
 ):
     """Per key: count gap-based sessions and events.
 
     Returns a Dataset with (key, n_events:int64, n_sessions:int64).
     Partitioning assumption: one BUCKET of keys fits in a worker's heap
-    (raise ``num_buckets`` with data size); all rows of a key land in one
-    bucket, so per-key results are exact.
+    (``num_buckets=None`` derives the count from input rows via
+    blocks.adaptive_buckets); all rows of a key land in one bucket, so
+    per-key results are exact.
     """
+    ds, num_buckets = _resolve_buckets(ds, num_buckets, rows_per_bucket)
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
         df["_b"] = _bucket_of(df[key], num_buckets)
@@ -78,8 +95,9 @@ def rolling_window(
     value_cents_col: str = "value_cents",
     out_cols: tuple[str, str] = ("n_window", "cents_window"),
     window_seconds: int = 3600,
-    num_buckets: int = 64,
+    num_buckets: int | None = 64,
     keep_cols: tuple[str, ...] = (),
+    rows_per_bucket: int = 250_000,
     axis_limit: int = 2**62,
 ):
     """Sliding event-time windowed aggregate: for EVERY row, the count and
@@ -97,6 +115,8 @@ def rolling_window(
     """
 
     import functools
+
+    ds, num_buckets = _resolve_buckets(ds, num_buckets, rows_per_bucket)
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
         df["_b"] = _bucket_of(df[key], num_buckets)
@@ -168,7 +188,8 @@ def rank_survivors(
     value_col: str,
     count_col: str = "value_count",
     recency_col: str = "last_seen",
-    num_buckets: int = 64,
+    num_buckets: int | None = 64,
+    rows_per_bucket: int = 250_000,
 ):
     """customer360-style survivorship: per entity keep the value with the
     highest (frequency, recency) — 'recency and frequency'
@@ -180,6 +201,7 @@ def rank_survivors(
     a per-batch vectorized partial prunes to one candidate row per entity
     before the coarse bucket shuffle; the per-bucket final applies the same
     rule, so the distributed result equals a single global pass."""
+    ds, num_buckets = _resolve_buckets(ds, num_buckets, rows_per_bucket)
 
     def best(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(

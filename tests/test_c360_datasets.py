@@ -96,3 +96,38 @@ def test_adaptive_bucket_counts_grow_with_input():
     assert _adaptive_buckets(10**9) == 4000
     assert _adaptive_buckets(10**12) == 4096  # capped
     assert _adaptive_buckets(0) == 16
+
+
+def test_windows_adaptive_buckets_match_fixed():
+    """num_buckets=None derives the shuffle bucket count from the input's row
+    count (forced small rows_per_bucket → more buckets than the fixed default)
+    with identical per-key results."""
+    import numpy as np
+    import ray.data
+
+    from dbt_customer360_ray.blocks import adaptive_buckets
+    from dbt_customer360_ray.stages.windows import sessionize
+
+    assert adaptive_buckets(100, rows_per_bucket=10, lo=4) == 10  # grows
+    assert adaptive_buckets(1_000, rows_per_bucket=10, lo=4) == 100
+
+    rng = np.random.default_rng(3)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 25, n),
+            "event_id": np.arange(n),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 86_400, n), unit="s"),
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    fixed = (
+        sessionize(ds, num_buckets=8).to_pandas()
+        .sort_values("user_id").reset_index(drop=True)
+    )
+    adaptive = (
+        sessionize(ds, num_buckets=None, rows_per_bucket=16).to_pandas()
+        .sort_values("user_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fixed, adaptive)
