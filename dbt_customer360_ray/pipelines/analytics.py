@@ -955,27 +955,24 @@ def q_asof_order_events(sf_dir: str):
                 "cents": _cents(t.column("value")),
             }
         )
-        # batch-level partial dedup: shrinks the (user_id, ts) shuffle input
-        return t2.group_by(["user_id", "ts"]).aggregate([("cents", "max")])
-
-    agg = (
-        events.map_batches(eprep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "ts"])
-        .max("cents_max")
-    )
-
-    def rprep(t: pa.Table) -> pa.Table:
+        # batch-level partial dedup: shrinks the asof shuffle input; the
+        # global (user_id, ts) max runs inside the asof bucket kernel
+        # (right_dedup) — no separate groupby shuffle
+        g = t2.group_by(["user_id", "ts"]).aggregate([("cents", "max")])
         return pa.table(
             {
-                "user_id": t.column("user_id"),
-                "ts": t.column("ts"),
-                "last_event_ts": t.column("ts"),
-                "last_event_cents": t.column("max(cents_max)"),
+                "user_id": g.column("user_id"),
+                "ts": g.column("ts"),
+                "last_event_ts": g.column("ts"),
+                "last_event_cents": g.column("cents_max"),
             }
         )
 
-    right = agg.map_batches(rprep, batch_format="pyarrow", zero_copy_batch=True)
-    return asof_join(left, right, key="user_id", ts="ts")
+    right = events.map_batches(eprep, batch_format="pyarrow", zero_copy_batch=True)
+    return asof_join(
+        left, right, key="user_id", ts="ts", right_dedup=True,
+        num_buckets=_footer_buckets(sf_dir, "events"),
+    )
 
 
 ORACLE_SQL["asof_order_events"] = """

@@ -182,12 +182,19 @@ def asof_join(
     num_buckets: int = 16,
     direction: str = "backward",
     suffix: str = "_r",
+    right_dedup: bool = False,
 ):
     """As-of join: for each left row, the latest right row with
     right.ts <= left.ts for the same key (direction='backward').
 
     Buckets by key hash, sorts both sides within the bucket, pd.merge_asof per
-    bucket. Assumption: one bucket fits in a worker's heap."""
+    bucket. Assumption: one bucket fits in a worker's heap.
+
+    ``right_dedup=True`` reduces the right side to one row per (key, ts)
+    (column-wise max) INSIDE the bucket kernel — deterministic tie-breaking
+    without a separate global groupby shuffle, since the bucket shuffle
+    already co-locates every (key, ts) duplicate (measured: a Ray
+    groupby(key, ts) pre-pass cost 20s of the 23s asof bench entry)."""
     left_cols = list(left.schema().names)
     right_cols = list(right.schema().names)
     # fixed output schema so all-left / all-right buckets stay concatenable
@@ -198,7 +205,11 @@ def asof_join(
     ]
     # the union below nulls each side's missing columns, so int64 left
     # columns arrive in pandas as float64 — cast them back on the way out
-    # (left columns are never null in the asof output: it's a left join)
+    # (left columns are never null in the asof output: it's a left join).
+    # Right VALUE columns are pinned per bucket — float64 for numerics (left
+    # join ⇒ nullable; unmatched buckets would otherwise emit object/float
+    # blocks while fully-matched ones emit int64, and the concat is then
+    # dtype-unstable), datetime64[us] for timestamps.
     import pyarrow.types as pat
 
     lschema = left.schema()
@@ -207,12 +218,24 @@ def asof_join(
         for n, t in zip(lschema.names, lschema.types)
         if pat.is_integer(t)
     }
+    rschema = right.schema()
+    right_casts = {}
+    for n, t in zip(rschema.names, rschema.types):
+        if n in (ts, key):
+            continue
+        cn = n + suffix if n in left_cols else n
+        if pat.is_timestamp(t):
+            right_casts[cn] = "datetime64[us]"
+        elif pat.is_integer(t) or pat.is_floating(t):
+            right_casts[cn] = "float64"
     lt = _with_bucket(left, key, num_buckets, "l")
     rt = _with_bucket(right, key, num_buckets, "r")
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["_side"] == "l"][left_cols].sort_values(ts)  # noqa: E741
         r = g[g["_side"] == "r"][right_cols].sort_values(ts)
+        if right_dedup and not r.empty:
+            r = r.groupby([key, ts], as_index=False, sort=False).max().sort_values(ts)
         if l.empty or r.empty:
             res = l.reindex(columns=out_cols)
         else:
@@ -220,6 +243,8 @@ def asof_join(
                 l, r, on=ts, by=key, direction=direction, suffixes=("", suffix)
             )[out_cols]
         for c, dt in int_left.items():
+            res[c] = res[c].astype(dt)
+        for c, dt in right_casts.items():
             res[c] = res[c].astype(dt)
         return res
 
