@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "asof_order_events",
     "approx_distinct_texts",
     "curated_documents",
+    "redact_pii_documents",
+    "kmeans_clusters_embeddings",
 ]
 
 

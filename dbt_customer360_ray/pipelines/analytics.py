@@ -773,6 +773,25 @@ def _ivf_topk_sql() -> str:
 ORACLE_SQL["ivf_topk_embeddings"] = _ivf_topk_sql()
 
 
+def q_kmeans_clusters_embeddings(sf_dir: str):
+    """Corpus clustering: every embedding assigned to its nearest seeded
+    k-means centroid (map-only broadcast matmul) — the partition key a
+    100 TB pipeline would use for per-topic dedup / stratified sampling."""
+    from ..stages.similarity import ivf_seeded_centroids, kmeans_assign
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], rows_per_block=2_048)
+    return kmeans_assign(ds, ivf_seeded_centroids(dim=64, num_clusters=16))
+
+
+def _kmeans_sql() -> str:
+    from ..stages.similarity import ivf_seeded_centroids, kmeans_assign_oracle_sql
+
+    return kmeans_assign_oracle_sql(ivf_seeded_centroids(dim=64, num_clusters=16))
+
+
+ORACLE_SQL["kmeans_clusters_embeddings"] = _kmeans_sql()
+
+
 def q_approx_distinct_texts(sf_dir: str, k: int = 128):
     """KMV bottom-k cardinality sketch over document texts — deterministic
     (md5), so the approximate estimate itself is oracle-checked."""
@@ -988,6 +1007,38 @@ ORACLE_SQL["asof_order_events"] = """
 """
 
 
+def q_redact_pii_documents(sf_dir: str):
+    """PII scrub over the documents table: map-only RE2 redaction (emails →
+    <EMAIL>, phone runs → <PHONE>) with per-doc redaction counts."""
+    from ..stages.text import redact_pii
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], rows_per_block=2_048)
+    return ds.map_batches(redact_pii, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _redact_pii_sql() -> str:
+    from ..stages.text import PII_EMAIL_RE, PII_PHONE_RE
+
+    return f"""
+    WITH no_email AS (
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT)
+                   AS n_emails,
+               regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(t1, '{PII_PHONE_RE}', '<PHONE>', 'g') AS text_redacted,
+           n_emails,
+           CAST(length(regexp_extract_all(t1, '{PII_PHONE_RE}')) AS BIGINT)
+               AS n_phones
+    FROM no_email
+    """
+
+
+ORACLE_SQL["redact_pii_documents"] = _redact_pii_sql()
+
+
 QUERIES = {
     "events_daily": q_events_daily,
     "parts_by_type": q_parts_by_type,
@@ -1008,6 +1059,8 @@ QUERIES = {
     "rolling_events": q_rolling_events,
     "orders_price_bands": q_orders_price_bands,
     "asof_order_events": q_asof_order_events,
+    "redact_pii_documents": q_redact_pii_documents,
+    "kmeans_clusters_embeddings": q_kmeans_clusters_embeddings,
     "split_documents": q_split_documents,
     "sample_documents": q_sample_documents,
 }

@@ -417,3 +417,52 @@ def lsh_topk_oracle_sql(
         FROM sims
         QUALIFY rank <= {k}
     """
+
+
+def kmeans_assign(ds, centroids: np.ndarray, id_col: str = "vec_id"):
+    """Corpus clustering: assign every vector to its nearest (max-dot over
+    normalized vectors) centroid — map-only over a broadcast centroid matrix;
+    at lake scale the cluster id becomes the partition key for downstream
+    per-cluster work (dedup within topic, stratified sampling). Deterministic
+    (argmax, first on ties) so the assignment is oracle-checkable with the
+    centroids inlined (``kmeans_assign_oracle_sql``)."""
+    import ray
+
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        cent = ray.get(ref)
+        emb = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(),
+                "cluster": np.argmax(emb @ cent.T, axis=1).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pandas", batch_size=4096)
+
+
+def kmeans_assign_oracle_sql(centroids: np.ndarray, table: str = "embeddings") -> str:
+    """DuckDB mirror of ``kmeans_assign`` (same a-CTE shape as
+    ``ivf_topk_oracle_sql``): argmax via list_position(dl, list_max(dl)) —
+    first occurrence on ties, matching np.argmax."""
+    def lit(v) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+    dots = ", ".join(
+        f"list_dot_product(ne, {lit(c)})" for c in np.asarray(centroids)
+    )
+    return f"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> x / sqrt(list_dot_product(
+                                      CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])))) AS ne
+            FROM {table}
+        )
+        SELECT vec_id,
+               CAST(list_position(dl, list_max(dl)) - 1 AS BIGINT) AS cluster
+        FROM (SELECT vec_id, [{dots}] AS dl FROM v)
+    """

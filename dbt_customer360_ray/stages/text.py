@@ -183,3 +183,30 @@ def analyze_text(ds, concurrency: int = 4, batch_size: int = 4096):
         batch_size=batch_size,
         concurrency=(1, concurrency),
     )
+
+
+# PII patterns (RE2 syntax — the SAME engine evaluates them on both sides:
+# pyarrow's replace_substring_regex here, DuckDB's regexp_replace in the
+# oracle, so the redaction is oracle-checkable byte for byte)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?\d[\d().\- ]{7,}\d"
+
+
+def redact_pii(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Training-data PII scrub: emails → <EMAIL>, then phone-shaped digit
+    runs → <PHONE> (ordering matters — the email pass first so its digits
+    can't half-match the phone pattern). Map-only, vectorized RE2; emits the
+    redaction counts so a curation pipeline can threshold on PII density."""
+    text = batch.column(text_col)
+    n_emails = pc.count_substring_regex(text, PII_EMAIL_RE).cast(pa.int64())
+    no_email = pc.replace_substring_regex(text, PII_EMAIL_RE, "<EMAIL>")
+    n_phones = pc.count_substring_regex(no_email, PII_PHONE_RE).cast(pa.int64())
+    redacted = pc.replace_substring_regex(no_email, PII_PHONE_RE, "<PHONE>")
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "text_redacted": redacted,
+            "n_emails": n_emails,
+            "n_phones": n_phones,
+        }
+    )

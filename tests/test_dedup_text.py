@@ -266,6 +266,45 @@ def test_text_quality_and_langid(ray_session):
     assert fp["fp"].str.len().eq(32).all()
 
 
+def test_redact_pii():
+    tbl = pa.table(
+        {"doc_id": pa.array([1, 2, 3], pa.int64()),
+         "text": [
+             "write to john.doe+x@corp.example.org today",
+             "call +1 (415) 555-0199 or 020 7946 0958 now",
+             "nothing sensitive",
+         ]}
+    )
+    out = T.redact_pii(tbl).to_pandas()
+    assert out["text_redacted"].tolist() == [
+        "write to <EMAIL> today",
+        "call <PHONE> or <PHONE> now",
+        "nothing sensitive",
+    ]
+    assert out["n_emails"].tolist() == [1, 0, 0]
+    assert out["n_phones"].tolist() == [0, 2, 0]
+
+
+def test_kmeans_assign_matches_argmax(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((80, 16))
+    cent = rng.standard_normal((5, 16))
+    tbl = pa.table(
+        {"vec_id": pa.array(np.arange(80, dtype=np.int64)),
+         "embedding": pa.array([r.tolist() for r in mat], pa.list_(pa.float32()))}
+    )
+    got = (
+        S.kmeans_assign(ray.data.from_arrow(tbl), cent)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    norm = mat.astype(np.float32).astype(np.float64)
+    norm = norm / np.linalg.norm(norm, axis=1, keepdims=True)
+    want = np.argmax(norm @ cent.T, axis=1)
+    assert (got["cluster"].to_numpy() == want).all()
+
+
 def test_multimodal_plumbing(ray_session):
     import ray.data
 
