@@ -773,17 +773,20 @@ def source_matches(cleaned: dict, config: PipelineConfig | None = None) -> pd.Da
         if ds[s] is None:
             continue
         grain = cfg.grains.get(s, "individual")
+        # materialized: each source's keys/attrs feed TWO pair arms (and the
+        # attrs a semi-join fetch besides); lazy Datasets would re-run the
+        # candidate filter + projections once per consumer
         cand = ds[s].map_batches(
             lambda df, _s=s, _g=grain: match_candidates(df, _s, _g), batch_format="pandas"
-        )
+        ).materialize()
         keys[s] = cand.map_batches(
             lambda df, _s=s: _to_arrow(match_keys(df, _s, mids), _keys_schema(_s)),
             batch_format="pandas",
-        )
+        ).materialize()
         attrs[s] = cand.map_batches(
             lambda df, _s=s, _g=grain: _confirm_attrs(df, _s, _g, mids),
             batch_format="pandas",
-        )
+        ).materialize()
 
     def _drop_addr(k):
         import pyarrow.compute as pc
@@ -1197,13 +1200,16 @@ PLACEHOLDER_NAMES = {"permanently deleted", "placeholder contact", "not availabl
 DEMOTED_TYPES = {"inferred"}  # ranked last (customer360__address.sql:211-212)
 
 
-def _cid_map(mapping_ds):
-    """Distributed source-id → customer360_id map: unpivot the individual
-    spine rows to ('<source>:<id>', cid) and reduce min(cid) per key — a
-    source id can appear in several spine rows (one row matched into two
-    tuples) and the MIN customer360_id wins, pinned so the assignment is
-    deterministic regardless of spine row order (mirrored by the oracle's
-    cid_* CTEs: ``min(customer360_id) GROUP BY id``)."""
+def _cid_pairs(mapping_ds):
+    """Unpivot the individual spine rows to ('<source>:<id>', cid) pairs —
+    the raw input to the source-id → customer360_id map. A source id can
+    appear in several spine rows (one row matched into two tuples); the MIN
+    customer360_id wins, pinned so the assignment is deterministic regardless
+    of spine row order (mirrored by the oracle's cid_* CTEs:
+    ``min(customer360_id) GROUP BY id``). The min-reduce itself happens in
+    CidContext — driver-side below the broadcast gate (the pairs are already
+    the collected regime there; the groupby shuffle was pure overhead),
+    distributed groupby above it."""
     import pyarrow.compute as pc
 
     empty = pa.schema([("src_key", pa.string()), ("cid", pa.string())]).empty_table()
@@ -1225,15 +1231,8 @@ def _cid_map(mapping_ds):
             parts.append(pa.table({"src_key": key, "cid": sub.column("customer360_id")}))
         return pa.concat_tables(parts) if parts else empty
 
-    agg = (
-        mapping_ds.map_batches(unpivot, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("src_key")
-        .min("cid")
-    )
-    return agg.map_batches(
-        lambda t: t.rename_columns(["src_key", "cid"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    return mapping_ds.map_batches(
+        unpivot, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
@@ -1242,12 +1241,13 @@ class CidContext:
     table (the reference joins each unpivot to the mapping on the source id,
     customer360__email.sql:29-44).
 
-    The map itself is ALWAYS computed distributed (``_cid_map``). Below
-    ``broadcast_threshold`` ids the narrow (id, cid) pairs are collected once
-    and broadcast via ray.put — a map-only attach, the fast path at fixture
-    scale. Above it, attach is a bucketed hash join on ``src_key``
-    (stages/joins.py) — the 100 TB path where no O(entities) dict may exist on
-    the driver or inside actor heaps."""
+    The (id, cid) pairs are computed distributed (``_cid_pairs``). Below
+    ``broadcast_threshold`` the narrow pairs are collected once, min-reduced
+    in driver pandas and broadcast via ray.put — a map-only attach, the fast
+    path at fixture scale. Above it, the min-reduce is a distributed groupby
+    and attach is a bucketed hash join on ``src_key`` (stages/joins.py) — the
+    100 TB path where no O(entities) dict may exist on the driver or inside
+    actor heaps."""
 
     def __init__(
         self, mapping_ds, num_buckets: int, broadcast_threshold: int = 2_000_000
@@ -1255,13 +1255,33 @@ class CidContext:
         import ray
 
         self.num_buckets = num_buckets
-        self.map_ds = _cid_map(mapping_ds).materialize()
-        self.n_ids = self.map_ds.count()
+        pairs = _cid_pairs(mapping_ds).materialize()
+        # gate on the raw pair count (≥ distinct ids — a benign overcount for
+        # a threshold): below it the pairs are the collected regime anyway,
+        # so the min-per-key reduce runs in driver pandas and the distributed
+        # groupby shuffle is skipped entirely
+        self.n_ids = pairs.count()
         self.broadcast = self.n_ids <= broadcast_threshold
         self.ref = None
+        self.map_ds = None
         if self.broadcast:
-            df = self.map_ds.to_pandas()
+            df = (
+                pairs.to_pandas()
+                .groupby("src_key", as_index=False, sort=False)["cid"]
+                .min()
+            )
             self.ref = ray.put(dict(zip(df["src_key"], df["cid"])))
+        else:
+            self.map_ds = (
+                pairs.groupby("src_key")
+                .min("cid")
+                .map_batches(
+                    lambda t: t.rename_columns(["src_key", "cid"]),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+                .materialize()
+            )
 
     def attach(self, ds, schema: pa.Schema):
         """``ds`` carries a ``src_key`` column; returns it with

@@ -212,15 +212,17 @@ def asof_join(
     # dtype-unstable), datetime64[us] for timestamps.
     import pyarrow.types as pat
 
-    lschema = left.schema()
-    int_left = {
-        n: str(t)
-        for n, t in zip(lschema.names, lschema.types)
-        if pat.is_integer(t)
-    }
-    rschema = right.schema()
+    def _pa_types(ds) -> list:
+        # pandas-block datasets report plain Python types; only Arrow types
+        # carry the dtype-pinning contract
+        s = ds.schema()
+        return [
+            (n, t) for n, t in zip(s.names, s.types) if isinstance(t, pa.DataType)
+        ]
+
+    int_left = {n: str(t) for n, t in _pa_types(left) if pat.is_integer(t)}
     right_casts = {}
-    for n, t in zip(rschema.names, rschema.types):
+    for n, t in _pa_types(right):
         if n in (ts, key):
             continue
         cn = n + suffix if n in left_cols else n
