@@ -773,6 +773,55 @@ def _ivf_topk_sql() -> str:
 ORACLE_SQL["ivf_topk_embeddings"] = _ivf_topk_sql()
 
 
+def q_fold_accents_documents(sf_dir: str):
+    """Exercises the accent folder (stages/normalize.fold_accents — the
+    reference's macros/remove_accents.sql, unused by its models): texts are
+    first DECORATED with accents (a→á … u→ú, identically in the oracle SQL)
+    so the fold has real work on the all-ASCII fixture, then folded back via
+    the seed table."""
+    from ..stages.normalize import fold_accents
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], rows_per_block=2_048)
+    deco = str.maketrans(_DECORATE)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        decorated = df["text"].map(
+            lambda v: v.translate(deco) if isinstance(v, str) else v
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "decorated": decorated,
+                "folded": fold_accents(decorated),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pandas")
+
+
+_DECORATE = {"a": "á", "e": "é", "i": "í", "o": "ó", "u": "ú"}
+
+
+def _fold_accents_sql() -> str:
+    from ..sources.seeds import ACCENT_FOLD
+
+    one_to_one = {k: v for k, v in ACCENT_FOLD.items() if len(v) == 1}
+    frm = "".join(one_to_one)
+    to = "".join(one_to_one.values())
+    dfrm = "".join(_DECORATE)
+    dto = "".join(_DECORATE.values())
+    return f"""
+    SELECT doc_id,
+           translate(text, '{dfrm}', '{dto}') AS decorated,
+           replace(translate(translate(text, '{dfrm}', '{dto}'),
+                             '{frm}', '{to}'), 'ß', 'ss') AS folded
+    FROM documents
+    """
+
+
+ORACLE_SQL["fold_accents_documents"] = _fold_accents_sql()
+
+
 def q_kmeans_clusters_embeddings(sf_dir: str):
     """Corpus clustering: every embedding assigned to its nearest seeded
     k-means centroid (map-only broadcast matmul) — the partition key a
@@ -1061,6 +1110,7 @@ QUERIES = {
     "asof_order_events": q_asof_order_events,
     "redact_pii_documents": q_redact_pii_documents,
     "kmeans_clusters_embeddings": q_kmeans_clusters_embeddings,
+    "fold_accents_documents": q_fold_accents_documents,
     "split_documents": q_split_documents,
     "sample_documents": q_sample_documents,
 }
