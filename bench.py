@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "curated_documents",
     "redact_pii_documents",
     "kmeans_clusters_embeddings",
+    "simhash_near_dups",
+    "stratified_sample_events",
 ]
 
 

@@ -773,6 +773,35 @@ def _ivf_topk_sql() -> str:
 ORACLE_SQL["ivf_topk_embeddings"] = _ivf_topk_sql()
 
 
+def q_simhash_near_dups(sf_dir: str, max_hamming: int = 3):
+    """SimHash near-dup pairs (hamming ≤ 3) with EXACT recall via pigeonhole
+    banding — verified by popcount(xor), so the output equals the all-pairs
+    SQL answer."""
+    from ..stages.dedup import simhash_near_dups
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], rows_per_block=2_048)
+    return simhash_near_dups(ds, max_hamming=max_hamming)
+
+
+def _simhash_near_dups_sql(max_hamming: int = 3) -> str:
+    sig_cte = ORACLE_SQL["simhash_documents"].strip().rstrip()
+    # reuse the md5-bit-exact signature derivation as a CTE
+    body = sig_cte[sig_cte.index("WITH") + 4 :]
+    return f"""
+    WITH {body.replace('SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash',
+                       ', sh AS (SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS sim')
+           .replace('FROM documents d LEFT JOIN sims s ON d.doc_id = s.doc_id',
+                    'FROM documents d LEFT JOIN sims s ON d.doc_id = s.doc_id)')}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+    """
+
+
+ORACLE_SQL["simhash_near_dups"] = _simhash_near_dups_sql()
+
+
 def q_fold_accents_documents(sf_dir: str):
     """Exercises the accent folder (stages/normalize.fold_accents — the
     reference's macros/remove_accents.sql, unused by its models): texts are
@@ -955,6 +984,29 @@ def _sampling_sql():
 _sampling_sql()
 
 
+def q_stratified_sample_events(sf_dir: str, n_per_key: int = 20):
+    """Deterministic stratified sample: 20 events per event_type, picked by
+    md5 rank — id-stable across reruns and cluster sizes (two-stage top-n,
+    partial per batch then per-bucket final)."""
+    from ..stages.sampling import stratified_sample
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "event_type"], rows_per_block=50_000
+    )
+    return stratified_sample(ds, "event_type", "event_id", n_per_key)
+
+
+def _stratified_sql():
+    from ..stages.sampling import stratified_sample_oracle_sql
+
+    ORACLE_SQL["stratified_sample_events"] = stratified_sample_oracle_sql(
+        "events", "event_type", "event_id", 20
+    )
+
+
+_stratified_sql()
+
+
 def q_rolling_events(sf_dir: str):
     """Sliding event-time window per user: every event's trailing-1-hour count
     and value-cents sum (RANGE ... PRECEDING semantics, peers included)."""
@@ -1111,6 +1163,8 @@ QUERIES = {
     "redact_pii_documents": q_redact_pii_documents,
     "kmeans_clusters_embeddings": q_kmeans_clusters_embeddings,
     "fold_accents_documents": q_fold_accents_documents,
+    "simhash_near_dups": q_simhash_near_dups,
     "split_documents": q_split_documents,
     "sample_documents": q_sample_documents,
+    "stratified_sample_events": q_stratified_sample_events,
 }

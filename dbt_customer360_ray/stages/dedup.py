@@ -1073,3 +1073,166 @@ def embedding_lsh_pairs_oracle_sql(
               / (sqrt(list_dot_product(x.de, x.de))
                  * sqrt(list_dot_product(y.de, y.de))) >= {threshold}
     """
+
+
+def simhash_near_dups(
+    ds,
+    max_hamming: int = 3,
+    coarse_buckets: int | None = None,
+    broadcast_sig_bytes: int = 256 << 20,
+    concurrency: int = 4,
+):
+    """SimHash near-dup pairs with EXACT recall: (doc_a, doc_b, hamming ≤ k).
+
+    Pigeonhole banding: the 64-bit signature splits into k+1 bands, and any
+    pair within hamming k must agree EXACTLY on at least one band — so
+    candidates are one lean (band_key, doc_id) shuffle (the same
+    coarse-bucket segment pair-gen as MinHash banding) and the band pass
+    misses nothing. Candidates are then verified by exact hamming
+    (popcount of xor), so the output EQUALS the all-pairs SQL answer
+    (``simhash_near_dups_oracle_sql`` — same md5-bit-exact signature CTE as
+    the simhash oracle, bit_count(xor) filter). Verification reads the
+    signature array broadcast via ray.put below ``broadcast_sig_bytes``
+    (N × 8 B — the small side by construction); above it two bucketed hash
+    joins attach the int64 signatures instead.
+    """
+    import ray
+    import ray.data
+
+    from ..blocks import adaptive_buckets
+    from ..hashing import stable_hash
+
+    bands = max_hamming + 1
+    width = 64 // bands
+    widths = [width] * (bands - 1) + [64 - width * (bands - 1)]
+    offsets = np.cumsum([0] + widths[:-1])
+
+    sigs = simhash_signatures(ds, concurrency=concurrency).materialize()
+    n_docs = sigs.count()
+    nb = coarse_buckets or adaptive_buckets(n_docs * bands, lo=128)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["simhash"].to_numpy().view(np.uint64)
+        ids = batch["doc_id"].to_numpy()
+        frames = []
+        for b in range(bands):
+            val = (s >> np.uint64(offsets[b])) & np.uint64((1 << widths[b]) - 1)
+            # band id folded into the key so equal values in different bands
+            # never collide
+            key = (np.uint64(b) << np.uint64(58)) | val
+            frames.append(pd.DataFrame({"bkey": key.view(np.int64), "doc_id": ids}))
+        out = pd.concat(frames, ignore_index=True)
+        out["bucket"] = (
+            stable_hash(out["bkey"]) % np.uint64(nb)
+        ).astype(np.int32)
+        return out
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64"),
+             "hamming": pd.Series([], dtype="int64")}
+        )
+
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bkey", "doc_id"], kind="stable").drop_duplicates(
+            ["bkey", "doc_id"]
+        )
+        bk = g["bkey"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        if len(bk) < 2:
+            return _empty()[["doc_a", "doc_b"]]
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        lens = np.diff(np.r_[starts, len(bk)])
+        ia, ib = [], []
+        for s, ln in zip(starts, lens):
+            if ln < 2:
+                continue
+            iu, ju = np.triu_indices(ln, k=1)
+            ia.append(s + iu)
+            ib.append(s + ju)
+        if not ia:
+            return _empty()[["doc_a", "doc_b"]]
+        out = pd.DataFrame(
+            {"doc_a": ids[np.concatenate(ia)], "doc_b": ids[np.concatenate(ib)]}
+        )
+        return out.drop_duplicates(["doc_a", "doc_b"])
+
+    cands = (
+        sigs.map_batches(explode, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(band_pairs, batch_format="pandas")
+    )
+
+    def add_pbucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["pbucket"] = (
+            (batch["doc_a"].to_numpy().astype(np.uint64) * np.uint64(2654435761)
+             + batch["doc_b"].to_numpy().astype(np.uint64))
+            % np.uint64(nb)
+        ).astype(np.int32)
+        return batch
+
+    deduped = (
+        cands.map_batches(add_pbucket, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(
+            lambda g: g.drop_duplicates(["doc_a", "doc_b"]), batch_format="pandas"
+        )
+        .drop_columns(["pbucket"])
+    )
+
+    def _ham(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
+        x = sa ^ sb
+        cnt = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            cnt += (x & np.uint64(1)).astype(np.int64)
+            x = x >> np.uint64(1)
+        return cnt
+
+    if n_docs * 8 > broadcast_sig_bytes:
+        from .joins import bucketed_hash_join
+
+        def _side(name: str):
+            return sigs.map_batches(
+                lambda df, _n=name: df.rename(
+                    columns={"doc_id": f"doc_{_n}", "simhash": f"sig_{_n}"}
+                ),
+                batch_format="pandas",
+            )
+
+        j = bucketed_hash_join(deduped, _side("a"), on="doc_a")
+        j = bucketed_hash_join(j, _side("b"), on="doc_b")
+
+        def verify_joined(b: pd.DataFrame) -> pd.DataFrame:
+            if not len(b):
+                return _empty()
+            ham = _ham(
+                b["sig_a"].to_numpy().view(np.uint64),
+                b["sig_b"].to_numpy().view(np.uint64),
+            )
+            keep = ham <= max_hamming
+            out = b.loc[keep, ["doc_a", "doc_b"]].copy()
+            out["hamming"] = ham[keep]
+            return out if len(out) else _empty()
+
+        return j.map_batches(verify_joined, batch_format="pandas")
+
+    sp = sigs.to_pandas().sort_values("doc_id", kind="stable")
+    ref = ray.put(
+        (sp["doc_id"].to_numpy(), sp["simhash"].to_numpy().view(np.uint64))
+    )
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return _empty()
+        ids_sorted, mat = ray.get(ref)
+        sa = mat[np.searchsorted(ids_sorted, b["doc_a"].to_numpy())]
+        sb = mat[np.searchsorted(ids_sorted, b["doc_b"].to_numpy())]
+        ham = _ham(sa, sb)
+        keep = ham <= max_hamming
+        out = b.loc[keep, ["doc_a", "doc_b"]].copy()
+        out["hamming"] = ham[keep]
+        return out if len(out) else _empty()
+
+    return deduped.map_batches(verify, batch_format="pandas")

@@ -85,3 +85,68 @@ def hash_sample_oracle_sql(
         FROM {table}
         WHERE {_permille_sql(id_col, salt)} < {keep_permille}
     """
+
+
+def _rank_hash(values, salt: str) -> np.ndarray:
+    """Full md5 hex (lexicographic = numeric order) — the per-key rank key."""
+    return np.array(
+        [hashlib.md5(f"{salt}{v}".encode("utf-8")).hexdigest() for v in values],
+        dtype=object,
+    )
+
+
+def stratified_sample(
+    ds,
+    key_col: str,
+    id_col: str,
+    n_per_key: int,
+    salt: str = "strat",
+    num_buckets: int = 64,
+):
+    """Deterministic stratified sample: the ``n_per_key`` rows with the
+    smallest (md5(salt||id), id) per key — id-stable across reruns, cluster
+    sizes and partition layouts, like ``hash_split``.
+
+    Two-stage top-n under one total order (associative): a per-batch partial
+    prunes to ≤ n rows per key before the coarse key-bucket shuffle; the
+    per-bucket final applies the same rule, so the distributed result equals
+    a single global pass. Oracle: ``stratified_sample_oracle_sql`` (same md5,
+    same tie-break)."""
+    from ..hashing import stable_hash
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, "_h", id_col], kind="stable")
+        return df.groupby(key_col, sort=False).head(n_per_key)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(_h=_rank_hash(df[id_col].to_numpy(), salt))
+        df = best(df)
+        df["_b"] = (
+            stable_hash(df[key_col].astype(str)) % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return best(g).drop(columns=["_b", "_h"])
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def stratified_sample_oracle_sql(
+    table: str, key_col: str, id_col: str, n_per_key: int, salt: str = "strat"
+) -> str:
+    """DuckDB mirror of ``stratified_sample`` (same md5 rank, same tie-break)."""
+    return f"""
+        SELECT * EXCLUDE (rn) FROM (
+            SELECT {id_col}, {key_col},
+                   row_number() OVER (
+                       PARTITION BY {key_col}
+                       ORDER BY md5('{salt}' || CAST({id_col} AS VARCHAR)), {id_col}
+                   ) AS rn
+            FROM {table}
+        ) WHERE rn <= {n_per_key}
+    """

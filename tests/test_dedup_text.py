@@ -126,6 +126,44 @@ def test_embedding_lsh_near_dups(ray_session):
     assert got <= want
 
 
+def test_simhash_near_dups_exact_recall(ray_session):
+    """Banded candidates + hamming verify equal brute-force all-pairs; the
+    forced join fallback (broadcast_sig_bytes=0) matches the broadcast path."""
+    import itertools
+
+    import ray.data
+
+    docs = []
+    for i in range(30):
+        base = f"document number {i} about topic {i % 5} " + BASE
+        docs.append((i, base))
+    docs.append((30, docs[4][1]))          # exact dup of 4 → hamming 0
+    docs.append((31, docs[7][1] + " tail"))  # near dup of 7
+    tbl = pa.table(
+        {"doc_id": pa.array([d[0] for d in docs], pa.int64()),
+         "text": pa.array([d[1] for d in docs])}
+    )
+    ds = ray.data.from_arrow(tbl)
+    got = (
+        D.simhash_near_dups(ds, max_hamming=3)
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    # brute force over the same signatures
+    sigs = D.simhash_signatures(ds).to_pandas().set_index("doc_id")["simhash"]
+    want = []
+    for a, b in itertools.combinations(sorted(sigs.index), 2):
+        h = bin(int(np.uint64(sigs[a]) ^ np.uint64(sigs[b]))).count("1")
+        if h <= 3:
+            want.append((a, b, h))
+    assert list(map(tuple, got.to_numpy())) == want
+    assert (4, 30, 0) in want  # planted exact dup found
+    joined = (
+        D.simhash_near_dups(ds, max_hamming=3, broadcast_sig_bytes=0)
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, joined)
+
+
 def test_minhash_est_filter_join_fallback(ray_session):
     """broadcast_sig_bytes=0 forces the bucketed-hash-join est filter (the
     scale path that never broadcasts the signature matrix); candidate pairs
@@ -431,6 +469,30 @@ def test_embedding_block_pair_matches_all_pairs(ray_session):
     iu, ju = np.triu_indices(80, 1)
     want = {(int(a), int(b)) for a, b in zip(iu[sims[iu, ju] >= 0.5], ju[sims[iu, ju] >= 0.5])}
     assert {tuple(p) for p in got[["id_a", "id_b"]].to_numpy()} == want
+
+
+def test_stratified_sample_deterministic(ray_session):
+    """Same rows at every partition layout; exactly n per key (or all rows of
+    a smaller key)."""
+    import ray.data
+
+    from dbt_customer360_ray.stages.sampling import stratified_sample
+
+    df = pd.DataFrame(
+        {"event_id": np.arange(200, dtype=np.int64),
+         "event_type": ["big"] * 180 + ["small"] * 20}
+    )
+    a = (
+        stratified_sample(ray.data.from_pandas(df), "event_type", "event_id", 8)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    b = (
+        stratified_sample(
+            ray.data.from_pandas(df).repartition(13), "event_type", "event_id", 8
+        ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert a.groupby("event_type").size().to_dict() == {"big": 8, "small": 8}
 
 
 def test_hash_split_and_sample(ray_session):
