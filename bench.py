@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "kmeans_clusters_embeddings",
     "simhash_near_dups",
     "stratified_sample_events",
+    "user_value_quantiles",
 ]
 
 

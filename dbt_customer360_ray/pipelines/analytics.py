@@ -984,6 +984,35 @@ def _sampling_sql():
 _sampling_sql()
 
 
+def q_user_value_quantiles(sf_dir: str):
+    """Per-user exact value quantiles (p25/p50/p75 of event cents) — the
+    grouped_quantiles window operator; int-cents inputs + dyadic fractions
+    keep the interpolation bit-identical to DuckDB's quantile_cont."""
+    from ..stages.windows import grouped_quantiles
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "value"], rows_per_block=50_000)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": t.column("user_id"), "cents": _cents(t.column("value"))}
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_quantiles(
+        prepped, "user_id", "cents", num_buckets=_footer_buckets(sf_dir, "events")
+    )
+
+
+ORACLE_SQL["user_value_quantiles"] = """
+    SELECT user_id,
+           quantile_cont(cents, 0.25) AS p25,
+           quantile_cont(cents, 0.5) AS p50,
+           quantile_cont(cents, 0.75) AS p75
+    FROM (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+    GROUP BY user_id
+"""
+
+
 def q_stratified_sample_events(sf_dir: str, n_per_key: int = 20):
     """Deterministic stratified sample: 20 events per event_type, picked by
     md5 rank — id-stable across reruns and cluster sizes (two-stage top-n,
@@ -1167,4 +1196,5 @@ QUERIES = {
     "split_documents": q_split_documents,
     "sample_documents": q_sample_documents,
     "stratified_sample_events": q_stratified_sample_events,
+    "user_value_quantiles": q_user_value_quantiles,
 }

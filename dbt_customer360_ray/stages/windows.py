@@ -224,3 +224,51 @@ def rank_survivors(
         .groupby("_b")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def grouped_quantiles(
+    ds,
+    key: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    out_names: tuple[str, ...] = ("p25", "p50", "p75"),
+    num_buckets: int | None = 64,
+    rows_per_bucket: int = 250_000,
+):
+    """Exact per-key quantiles (SQL ``quantile_cont`` / numpy 'linear'
+    interpolation) — the coarse-bucket window shape: all rows of a key share
+    a bucket, one sort + ONE fully segmented-vectorized interpolation pass
+    per bucket (no per-key Python loop).
+
+    Exactness note: with int64 inputs (e.g. cents) and dyadic quantile
+    fractions (0.25/0.5/0.75) the interpolation arithmetic is exact in
+    float64, so the result is bit-identical to DuckDB's quantile_cont — the
+    operator is oracle-checkable without rounding."""
+    ds, num_buckets = _resolve_buckets(ds, num_buckets, rows_per_bucket)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df["_b"] = _bucket_of(df[key], num_buckets)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, value_col], kind="stable")
+        vals = g[value_col].to_numpy(dtype=np.float64)
+        keys = g[key].to_numpy()
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        lens = np.diff(np.r_[starts, len(keys)])
+        out = {key: keys[starts]}
+        for q, name in zip(qs, out_names):
+            h = (lens - 1) * q
+            lo = np.floor(h).astype(np.int64)
+            hi = np.ceil(h).astype(np.int64)
+            frac = h - lo
+            vlo = vals[starts + lo]
+            vhi = vals[starts + hi]
+            out[name] = vlo + (vhi - vlo) * frac
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
