@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "simhash_near_dups",
     "stratified_sample_events",
     "user_value_quantiles",
+    "orders_window_pairs",
 ]
 
 

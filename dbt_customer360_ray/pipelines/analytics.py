@@ -984,6 +984,64 @@ def _sampling_sql():
 _sampling_sql()
 
 
+def q_orders_window_pairs(sf_dir: str):
+    """Big×big range join (point_in_interval_join): orders landing inside
+    ANOTHER order's 7-day window for the same customer — both sides are the
+    full orders table (neither fits a broadcast at scale), composed via the
+    coarse time-grid + bucketed hash join path that range_join documents."""
+    from ..stages.joins import point_in_interval_join
+
+    week_us = 7 * 86_400 * 1_000_000
+
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"], rows_per_block=50_000,
+    )
+
+    def pprep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "order_a": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "ts": t.column("o_orderdate"),
+            }
+        )
+
+    def iprep(t: pa.Table) -> pa.Table:
+        lo = t.column("o_orderdate")
+        hi = pc.add(lo, pa.scalar(week_us, pa.duration("us")))
+        return pa.table(
+            {
+                "order_b": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "lo": lo,
+                "hi": hi,
+            }
+        )
+
+    points = orders.map_batches(pprep, batch_format="pyarrow", zero_copy_batch=True)
+    intervals = orders.map_batches(iprep, batch_format="pyarrow", zero_copy_batch=True)
+    joined = point_in_interval_join(
+        points, intervals, key="o_custkey", ts="ts", lo="lo", hi="hi",
+        grid_seconds=7 * 86_400,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.loc[df["order_a"] != df["order_b"], ["order_a", "order_b"]]
+        return out
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+ORACLE_SQL["orders_window_pairs"] = """
+    SELECT a.o_orderkey AS order_a, b.o_orderkey AS order_b
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey != b.o_orderkey
+     AND a.o_orderdate >= b.o_orderdate
+     AND a.o_orderdate < b.o_orderdate + INTERVAL 7 DAY
+"""
+
+
 def q_user_value_quantiles(sf_dir: str):
     """Per-user exact value quantiles (p25/p50/p75 of event cents) — the
     grouped_quantiles window operator; int-cents inputs + dyadic fractions
@@ -1197,4 +1255,5 @@ QUERIES = {
     "sample_documents": q_sample_documents,
     "stratified_sample_events": q_stratified_sample_events,
     "user_value_quantiles": q_user_value_quantiles,
+    "orders_window_pairs": q_orders_window_pairs,
 }

@@ -296,3 +296,77 @@ def range_join(
         return out
 
     return ds.map_batches(lookup, batch_format="pandas")
+
+
+def point_in_interval_join(
+    points,
+    intervals,
+    key: str,
+    ts: str,
+    lo: str,
+    hi: str,
+    grid_seconds: int = 86_400,
+    num_buckets: int = 16,
+):
+    """Big×big range join: each point row matched to every interval row of
+    the same ``key`` with ``lo <= ts < hi`` — the composition path
+    ``range_join`` documents for when NEITHER side fits a broadcast.
+
+    Both sides map onto a coarse time grid: an interval emits one row per
+    covered grid cell (replication factor = interval span / grid), a point
+    lands in exactly ONE cell, and a ``bucketed_hash_join`` on the composite
+    (key, cell) co-locates candidates; the exact containment predicate then
+    filters per batch. A point matches each qualifying interval exactly once
+    (its single cell meets each interval's covering row once) — no dedup
+    pass needed. Pick ``grid_seconds`` near the typical interval span: the
+    replication factor is span/grid while cell population is points/grid.
+    """
+    import pyarrow.compute as pc
+
+    grid_us = np.int64(grid_seconds) * 1_000_000
+
+    def _us(col: pa.ChunkedArray) -> np.ndarray:
+        return pc.cast(col, pa.timestamp("us")).cast(pa.int64()).to_numpy()
+
+    def _cell_key(keys: pa.ChunkedArray | pa.Array, cell: np.ndarray) -> pa.Array:
+        return pc.binary_join_element_wise(
+            pc.cast(keys, pa.string()),
+            pc.cast(pa.array(cell, pa.int64()), pa.string()),
+            "|",
+        )
+
+    def point_cells(t: pa.Table) -> pa.Table:
+        cell = _us(t.column(ts)) // grid_us
+        return t.append_column("_cell_key", _cell_key(t.column(key), cell))
+
+    def interval_cells(t: pa.Table) -> pa.Table:
+        lo_us = _us(t.column(lo))
+        hi_us = _us(t.column(hi))
+        c_lo = lo_us // grid_us
+        # hi is exclusive: the last covered cell holds hi-1
+        c_hi = np.maximum(c_lo, (hi_us - 1) // grid_us)
+        n = (c_hi - c_lo + 1).astype(np.int64)
+        idx = np.repeat(np.arange(t.num_rows), n)
+        ends = np.cumsum(n)
+        cell = np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64) - np.repeat(
+            ends - n, n
+        ) + np.repeat(c_lo, n)
+        rep = t.take(pa.array(idx))
+        return rep.append_column("_cell_key", _cell_key(rep.column(key), cell))
+
+    p = points.map_batches(point_cells, batch_format="pyarrow", zero_copy_batch=True)
+    iv = intervals.map_batches(
+        interval_cells, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # the interval side's key column would collide with the point side's —
+    # drop it (the join key carries it via _cell_key)
+    iv = iv.map_batches(
+        lambda t: t.drop_columns([key]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = bucketed_hash_join(p, iv, on="_cell_key", num_buckets=num_buckets)
+
+    def contained(df: pd.DataFrame) -> pd.DataFrame:
+        keep = (df[ts] >= df[lo]) & (df[ts] < df[hi])
+        return df.loc[keep].drop(columns=["_cell_key"])
+
+    return joined.map_batches(contained, batch_format="pandas")

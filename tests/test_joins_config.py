@@ -65,6 +65,56 @@ def test_asof_join_matches_pandas():
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
 
 
+def test_point_in_interval_join_matches_bruteforce():
+    """Grid-cell composition equals the brute-force predicate join, including
+    boundary points (ts == lo kept, ts == hi excluded) and intervals spanning
+    multiple grid cells."""
+    import pyarrow as pa
+    import ray.data
+
+    t0 = pd.Timestamp("2024-01-01")
+    pts = pd.DataFrame(
+        {
+            "pid": np.arange(8, dtype=np.int64),
+            "k": [1, 1, 1, 1, 2, 2, 3, 3],
+            "ts": [
+                t0, t0 + pd.Timedelta(hours=5), t0 + pd.Timedelta(days=2),
+                t0 + pd.Timedelta(days=3),  # == hi of iv0: excluded
+                t0 + pd.Timedelta(days=1), t0 + pd.Timedelta(days=9),
+                t0 + pd.Timedelta(days=4), t0 + pd.Timedelta(days=5),
+            ],
+        }
+    )
+    ivs = pd.DataFrame(
+        {
+            "iid": np.arange(4, dtype=np.int64),
+            "k": [1, 1, 2, 4],
+            "lo": [t0, t0 + pd.Timedelta(days=2), t0, t0],
+            "hi": [
+                t0 + pd.Timedelta(days=3),  # spans 3 one-day cells
+                t0 + pd.Timedelta(days=2, hours=1),
+                t0 + pd.Timedelta(days=10),
+                t0 + pd.Timedelta(days=10),
+            ],
+        }
+    )
+    got = (
+        J.point_in_interval_join(
+            ray.data.from_pandas(pts), ray.data.from_pandas(ivs),
+            key="k", ts="ts", lo="lo", hi="hi", grid_seconds=86_400,
+        )
+        .to_pandas()[["pid", "iid"]]
+        .sort_values(["pid", "iid"]).reset_index(drop=True)
+    )
+    want = (
+        pts.merge(ivs, on="k")
+        .query("ts >= lo and ts < hi")[["pid", "iid"]]
+        .sort_values(["pid", "iid"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(want) > 0 and 3 not in want["pid"].tolist()
+
+
 def test_pipeline_config_validation():
     PipelineConfig()  # defaults valid
     with pytest.raises(ValueError):
