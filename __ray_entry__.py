@@ -32,6 +32,26 @@ def _cdc_replay_lake(sf_dir: str):
     return flagship(sf=0.01)
 
 
+def _cdc_timetravel_lake(sf_dir: str):
+    """Time-travel read: converged lake state AS OF epoch 1 of the 4-epoch
+    sf0.01 replay, resolved through the retained manifest-version log.
+    Oracled — timetravel_oracle_sql re-derives the prefix state from only the
+    first two epoch files."""
+    from dbt_customer360_ray.pipelines.cdc_replay import replayed_lake
+
+    return replayed_lake(sf=0.01).read_as_of(epoch=1)
+
+
+def _cdc_change_feed(sf_dir: str):
+    """CDC-out change feed between the epoch-0 (schema v0) and epoch-2
+    snapshots: per-key insert/update/delete rows with post-images, computed as
+    one shuffle-free diff task per partition. Oracled — change_feed_oracle_sql
+    FULL-OUTER-JOINs the two prefix states in SQL."""
+    from dbt_customer360_ray.pipelines.cdc_replay import replayed_lake
+
+    return replayed_lake(sf=0.01).change_feed(from_epoch=0, to_epoch=2)
+
+
 def _lang_quality_documents(sf_dir: str):
     from dbt_customer360_ray.sources.readers import read_table
     from dbt_customer360_ray.stages.text import analyze_text
@@ -249,6 +269,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     out: dict[str, Callable[[str], Any]] = dict(QUERIES)
     out["cdc_replay_lake"] = _cdc_replay_lake
+    out["cdc_timetravel_lake"] = _cdc_timetravel_lake
+    out["cdc_change_feed"] = _cdc_change_feed
     out["stream_replay_lake"] = _stream_replay_lake
     out["lang_quality_documents"] = _lang_quality_documents
     out["curated_documents"] = _curated_documents
@@ -275,8 +297,10 @@ def oracle_sql() -> dict[str, str]:
     from dbt_customer360_ray.pipelines.analytics import ORACLE_SQL
     from dbt_customer360_ray.pipelines.c360_oracle import oracle_entries
     from dbt_customer360_ray.pipelines.cdc_replay import (
+        change_feed_oracle_sql,
         replay_oracle_sql,
         stream_oracle_sql,
+        timetravel_oracle_sql,
     )
 
     from dbt_customer360_ray.stages.multimodal import (
@@ -300,6 +324,8 @@ def oracle_sql() -> dict[str, str]:
     # the two replay-lake oracles below and the media fixture
     out.update(oracle_entries())
     out["cdc_replay_lake"] = replay_oracle_sql(sf=0.01)
+    out["cdc_timetravel_lake"] = timetravel_oracle_sql(sf=0.01, epoch=1)
+    out["cdc_change_feed"] = change_feed_oracle_sql(sf=0.01, from_epoch=0, to_epoch=2)
     out["stream_replay_lake"] = stream_oracle_sql()
     media = media_fixture_path(128, seed=5)
     out["multimodal_image_features"] = image_oracle_sql(media)

@@ -61,6 +61,19 @@ def flagship(sf: float = 0.001):
     return lake.read()
 
 
+_REPLAYED: dict = {}
+
+
+def replayed_lake(sf: float = 0.01):
+    """One shared replayed lake per sf (process-lifetime cache) for the
+    snapshot / change-feed queries — they read different manifest versions of
+    the SAME lake, so one replay serves all of them."""
+    if sf not in _REPLAYED:
+        lake, _metrics = replay(sf=sf)
+        _REPLAYED[sf] = lake
+    return _REPLAYED[sf]
+
+
 def stream_fixture_path(num_events: int = 20_000, num_convs: int = 1_000, seed: int = 42) -> str:
     """Write (once) the streaming-ingest fixture change table to parquet so the
     engine and the DuckDB oracle read the SAME bytes; returns the path."""
@@ -102,21 +115,58 @@ def _lww_sql(select_epochs: list[str]) -> str:
     """
 
 
-def replay_oracle_sql(sf: float = 0.01) -> str:
-    """DuckDB oracle for ``flagship(sf)``: reads the SAME fixture parquet
-    (written as a side effect) and re-derives the converged lake state with
-    window functions. Epoch 0 is schema v0 (no ``tool``) — null-injected here
-    exactly as the engine's additive evolution backfills it."""
+def _epoch_selects(sf: float, upto: int | None = None) -> list[str]:
+    """Per-epoch-file SELECTs for the LWW oracle (epoch 0 is schema v0: no
+    ``tool`` — null-injected exactly as the engine's additive evolution
+    backfills it). ``upto`` truncates to epochs ≤ upto for snapshot oracles."""
     fx = changes_fixture(sf)
+    paths = fx["paths"] if upto is None else fx["paths"][: upto + 1]
     selects = []
-    for i, p in enumerate(fx["paths"]):
+    for i, p in enumerate(paths):
         tool = "CAST(NULL AS VARCHAR) AS tool" if i == 0 else "tool"
         selects.append(
             f'SELECT "offset", op, conv_id, turn_idx, role, text, {tool}, ts, '
             f"{i} AS epoch, file_row_number AS file_rn "
             f"FROM read_parquet('{p}', file_row_number=true)"
         )
-    return _lww_sql(selects)
+    return selects
+
+
+def replay_oracle_sql(sf: float = 0.01) -> str:
+    """DuckDB oracle for ``flagship(sf)``: reads the SAME fixture parquet
+    (written as a side effect) and re-derives the converged lake state with
+    window functions."""
+    return _lww_sql(_epoch_selects(sf))
+
+
+def timetravel_oracle_sql(sf: float, epoch: int) -> str:
+    """Oracle for ``CdcLake.read_as_of(epoch=…)``: the converged state derived
+    from only the epoch files ≤ ``epoch`` — a prefix replay in SQL."""
+    return _lww_sql(_epoch_selects(sf, upto=epoch))
+
+
+def change_feed_oracle_sql(sf: float, from_epoch: int, to_epoch: int) -> str:
+    """Oracle for ``CdcLake.change_feed``: FULL OUTER JOIN of the two prefix
+    states on the key, null-safe payload comparison, post-image output
+    (deletes carry nulls) — the CDF semantics in ANSI SQL."""
+    a = _lww_sql(_epoch_selects(sf, upto=from_epoch))
+    b = _lww_sql(_epoch_selects(sf, upto=to_epoch))
+    return f"""
+        WITH state_a AS ({a}), state_b AS ({b})
+        SELECT CASE WHEN a.conv_id IS NULL THEN 'insert'
+                    WHEN b.conv_id IS NULL THEN 'delete'
+                    ELSE 'update' END AS change_type,
+               coalesce(a.conv_id, b.conv_id) AS conv_id,
+               coalesce(a.turn_idx, b.turn_idx) AS turn_idx,
+               b.role AS role, b.text AS text, b.tool AS tool, b.ts AS ts
+        FROM state_a a FULL OUTER JOIN state_b b
+          ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+        WHERE a.conv_id IS NULL OR b.conv_id IS NULL
+           OR a.role IS DISTINCT FROM b.role
+           OR a.text IS DISTINCT FROM b.text
+           OR a.tool IS DISTINCT FROM b.tool
+           OR a.ts   IS DISTINCT FROM b.ts
+    """
 
 
 def stream_oracle_sql() -> str:

@@ -74,6 +74,55 @@ def _compact_partition(
     return {"pid": pid, "rows": merged.num_rows, "tombstones": tomb, "path": path}
 
 
+def _diff_partition(
+    files_a: list[str],
+    files_b: list[str],
+    state_schema: pa.Schema,
+    public_cols: list[str],
+) -> pa.Table:
+    """change_feed kernel for one partition: LWW-merge each snapshot's runs
+    (both conformed to the TO-version schema), then classify per KEY_COLUMNS
+    key — right-only → insert, left-only → delete (null post-image payload),
+    value change (null-safe) → update with post-image. Runs as one plain Ray
+    task per partition; both snapshots use the same partitioner so no key can
+    cross partitions between versions."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 — merge kernel
+
+    def _state(files: list[str]):
+        if not files:
+            return state_schema.empty_table()
+        tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
+        return drop_tombstones(lww_latest(pa.concat_tables(tables)))
+
+    a = _state(files_a).select(public_cols).to_pandas()
+    b = _state(files_b).select(public_cols).to_pandas()
+    payload = [c for c in public_cols if c not in KEY_COLUMNS]
+    m = a.merge(b, on=KEY_COLUMNS, how="outer", suffixes=("__a", ""), indicator=True)
+    ins = (m["_merge"] == "right_only").to_numpy()
+    dele = (m["_merge"] == "left_only").to_numpy()
+    changed = np.zeros(len(m), dtype=bool)
+    for c in payload:
+        x, y = m[f"{c}__a"], m[c]
+        changed |= ((x != y) & ~(x.isna() & y.isna())).to_numpy()
+    upd = (m["_merge"] == "both").to_numpy() & changed
+    keep = ins | dele | upd
+    out = m.loc[keep, KEY_COLUMNS + payload].copy()
+    out.insert(
+        0,
+        "change_type",
+        np.where(ins[keep], "insert", np.where(upd[keep], "update", "delete")),
+    )
+    for c in payload:  # deletes carry a null post-image
+        out.loc[out["change_type"] == "delete", c] = None
+    out = out.sort_values(KEY_COLUMNS, kind="stable")
+    out_schema = pa.schema(
+        [pa.field("change_type", pa.string())]
+        + [state_schema.field(c) for c in public_cols]
+    )
+    return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+
+
 def _route_and_slice(table: pa.Table, event_schema, assigner, slot_of_skey, nslots: int, enrich=None):
     """Fused shuffle-map body: (optionally) enrich the raw rows, conform to the
     evolved schema, route (append skey), then one stable argsort by slot +
@@ -553,22 +602,42 @@ class CdcLake:
         s = self._event_schema()
         return [f.name for f in s if f.name not in INTERNAL_COLUMNS]
 
+    def _manifest_at(self, epoch: int | None = None, version: int | None = None):
+        """Resolve a pinned snapshot manifest from exactly one of epoch/version."""
+        if (epoch is None) == (version is None):
+            raise ValueError("pass exactly one of epoch= / version=")
+        if version is None:
+            version = self.manifest.version_for_epoch(epoch)
+        return self.manifest.at_version(version)
+
     def read(self):
         """Converged lake state as a streaming Dataset: one merged, tombstone-free,
         ``(conv_id, turn_idx)``-sorted group per partition."""
+        return self._read_manifest(self.manifest)
+
+    def read_as_of(self, epoch: int | None = None, version: int | None = None):
+        """Time-travel read: the converged lake AS OF a committed epoch (or a
+        raw manifest version), with the schema as of that snapshot — columns
+        added by later additive evolution are absent, exactly as a reader at
+        that point in time saw the lake. Snapshots stay readable until
+        ``vacuum()`` removes data files the current manifest no longer
+        references (vacuum is the retention horizon, the standard
+        Delta/Iceberg rule)."""
+        return self._read_manifest(self._manifest_at(epoch, version))
+
+    def _read_manifest(self, m):
         import ray.data
 
-        files = self.manifest.live_files()
-        state_schema = self.manifest.schema
+        files = m.live_files()
+        state_schema = m.schema
         if not files or state_schema is None:
             empty = pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int32())])
             return ray.data.from_arrow(empty.empty_table())
 
-        public = self._public_columns()
+        public = [f.name for f in state_schema if f.name not in INTERNAL_COLUMNS]
+        P = m.num_partitions or self.P
         ds = ray.data.read_parquet(files, schema=state_schema)
-        single_run = all(
-            len(self.manifest.partition(p)["runs"]) <= 1 for p in range(self.P)
-        )
+        single_run = all(len(m.partition(p)["runs"]) <= 1 for p in range(P))
         if single_run:
             # each file is already LWW-resolved and key-sorted: filter + project
             def finalize(t: pa.Table, cols=tuple(public)) -> pa.Table:
@@ -587,14 +656,50 @@ class CdcLake:
 
         return ds.groupby("pid").map_groups(merge, batch_format="pyarrow")
 
-    def read_local_table(self) -> pa.Table:
+    def change_feed(
+        self,
+        from_epoch: int | None = None,
+        to_epoch: int | None = None,
+        from_version: int | None = None,
+        to_version: int | None = None,
+    ):
+        """CDC-out (Delta-CDF-style change feed): per-key deltas between two
+        committed snapshots as a Dataset of
+        ``(change_type ∈ {insert,update,delete}, conv_id, turn_idx, <post-image
+        payload — null for deletes>)``.
+
+        Both snapshots share the lake's partitioner (P is pinned at creation),
+        so the diff is ONE plain Ray task per partition with NO shuffle: each
+        task LWW-merges its partition's run files at both versions (the FROM
+        side conformed to the TO schema — evolution is additive, so missing
+        columns null-backfill) and classifies keys. ``from_version=0`` diffs
+        against the empty lake (everything is an insert)."""
+        import ray
+        import ray.data
+
+        ma = self._manifest_at(from_epoch, from_version)
+        mb = self._manifest_at(to_epoch, to_version)
+        state_schema = mb.schema
+        if state_schema is None:
+            raise ValueError("change_feed: the TO snapshot is an empty lake")
+        public = [f.name for f in state_schema if f.name not in INTERNAL_COLUMNS]
+        P = mb.num_partitions or self.P
+        diff_task = ray.remote(_diff_partition)
+        schema_ref = ray.put(state_schema)
+        refs = [
+            diff_task.remote(ma.live_files(pid), mb.live_files(pid), schema_ref, public)
+            for pid in range(P)
+        ]
+        return ray.data.from_arrow_refs(refs)
+
+    def read_local_table(self, manifest: Manifest | None = None) -> pa.Table:
         """Pure-pyarrow converged state (no Ray) — for tests and small oracles."""
-        state_schema = self.manifest.schema
+        m = manifest if manifest is not None else self.manifest
+        state_schema = m.schema
         if state_schema is None:
             return pa.schema([("conv_id", pa.string())]).empty_table()
         tables = [
-            conform_batch(pq.read_table(f), state_schema)
-            for f in self.manifest.live_files()
+            conform_batch(pq.read_table(f), state_schema) for f in m.live_files()
         ]
         if not tables:
             return state_schema.empty_table()
@@ -602,7 +707,13 @@ class CdcLake:
         order = pc.sort_indices(
             merged, sort_keys=[(c, "ascending") for c in KEY_COLUMNS]
         )
-        return merged.take(order).select(self._public_columns())
+        public = [f.name for f in state_schema if f.name not in INTERNAL_COLUMNS]
+        return merged.take(order).select(public)
+
+    def read_local_table_as_of(
+        self, epoch: int | None = None, version: int | None = None
+    ) -> pa.Table:
+        return self.read_local_table(self._manifest_at(epoch, version))
 
     # -- ops ---------------------------------------------------------------
     def manifest_hot_keys(self) -> set[str]:

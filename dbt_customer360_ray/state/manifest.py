@@ -120,6 +120,41 @@ class Manifest:
     def epoch_committed(self, epoch: int) -> bool:
         return any(e["epoch"] == epoch for e in self._state["epochs"])
 
+    # -- time travel ---------------------------------------------------------
+    def version_for_epoch(self, epoch: int) -> int:
+        """Manifest version created by the commit of ``epoch`` — the time-travel
+        anchor. (A compaction that follows the epoch bumps the version WITHOUT
+        an epoch record, so this always resolves to the pre-compaction snapshot
+        whose run files are still on disk until ``vacuum``.)"""
+        for e in self._state["epochs"]:
+            if e["epoch"] == epoch:
+                return int(e["version"])
+        raise KeyError(
+            f"epoch {epoch} has no committed manifest version "
+            f"(committed epochs: {[e['epoch'] for e in self._state['epochs']]})"
+        )
+
+    def at_version(self, version: int) -> "Manifest":
+        """Read-only snapshot pinned at ``version``. Every commit retains its
+        ``MANIFEST-<version>.json`` (the Delta/Iceberg log pattern), so any
+        historical snapshot is reconstructable until ``vacuum`` removes data
+        files it references — vacuum is the retention horizon, exactly the
+        standard lake semantics. Version 0 is the empty pre-creation state."""
+        snap = Manifest.__new__(Manifest)
+        snap.lake_dir = self.lake_dir
+        snap.dir = self.dir
+        if version == 0:
+            snap._state = {
+                "version": 0, "last_epoch": -1, "schema": None,
+                "num_partitions": self._state["num_partitions"],
+                "partitions": {}, "metrics": {}, "epochs": [],
+            }
+            return snap
+        path = os.path.join(self.dir, f"MANIFEST-{version:08d}.json")
+        with open(path) as f:
+            snap._state = json.load(f)
+        return snap
+
     # -- commit ------------------------------------------------------------
     def commit_epoch(
         self,

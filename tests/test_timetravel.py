@@ -1,0 +1,137 @@
+"""Time-travel reads and the change-data-feed (CDC-out) over the manifest log.
+
+The reference has no history at all (every run overwrites its tables,
+/root/reference/dbt_project.yml:11); snapshot reads and a CDF are the lake-side
+features its users lose by full-refreshing, re-expressed here over the retained
+MANIFEST-<version>.json files (SURVEY.md §7 step 4's exactly-once log doubles
+as the Delta/Iceberg-style version log)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dbt_customer360_ray.gen import gen_changes, oracle_lake, split_epochs
+from dbt_customer360_ray.state.engine import CdcLake
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _replay(tmp_path, epochs, **lake_kwargs):
+    import ray.data
+
+    lake = CdcLake(str(tmp_path / "lake"), num_partitions=8, **lake_kwargs)
+    for part in epochs:
+        lake.apply(ray.data.from_arrow(part))
+    return lake
+
+
+def _prefix_oracle(epochs, upto):
+    return oracle_lake(*epochs[: upto + 1])
+
+
+def _assert_state(got_tbl, want_df):
+    got = got_tbl.to_pandas()
+    # epoch-0 snapshots predate the `tool` column; the oracle then carries all
+    # nulls for it — compare on the snapshot's own columns and check that
+    cols = got.columns.tolist()
+    if "tool" not in cols:
+        assert want_df["tool"].isna().all()
+    got = got[cols].sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want_df[cols], check_dtype=False)
+
+
+def test_read_as_of_every_epoch(tmp_path):
+    changes = gen_changes(8_000, 400, seed=21)
+    epochs = split_epochs(changes, 4)  # epoch 0 is schema v0 (no tool)
+    lake = _replay(tmp_path, epochs)
+    for e in range(4):
+        _assert_state(lake.read_local_table_as_of(epoch=e), _prefix_oracle(epochs, e))
+    # epoch-0 snapshot exposes the v0 schema (time travel includes the schema)
+    assert "tool" not in lake.read_local_table_as_of(epoch=0).column_names
+    # the Dataset read path agrees with the local path
+    ds = lake.read_as_of(epoch=1).to_pandas()
+    _assert_state(lake.read_local_table_as_of(epoch=1), _prefix_oracle(epochs, 1))
+    assert len(ds) == lake.read_local_table_as_of(epoch=1).num_rows
+
+
+def test_read_as_of_survives_compaction(tmp_path):
+    changes = gen_changes(6_000, 300, seed=23)
+    epochs = split_epochs(changes, 3)
+    lake = _replay(tmp_path, epochs, max_runs=1)  # compact after every epoch
+    # compaction bumped versions between epochs; old snapshots still resolve
+    for e in range(3):
+        _assert_state(lake.read_local_table_as_of(epoch=e), _prefix_oracle(epochs, e))
+
+
+def test_vacuum_is_the_retention_horizon(tmp_path):
+    changes = gen_changes(4_000, 200, seed=25)
+    epochs = split_epochs(changes, 2)
+    lake = _replay(tmp_path, epochs)
+    lake.compact(force=True)
+    lake.vacuum()
+    # current state unaffected; pre-compaction snapshot files are gone
+    _assert_state(lake.read_local_table(), _prefix_oracle(epochs, 1))
+    with pytest.raises(FileNotFoundError):
+        lake.read_local_table_as_of(epoch=0)
+
+
+def _bruteforce_feed(state_a: pd.DataFrame, state_b: pd.DataFrame) -> pd.DataFrame:
+    key = ["conv_id", "turn_idx"]
+    payload = [c for c in state_b.columns if c not in key]
+    m = state_a.merge(state_b, on=key, how="outer", suffixes=("__a", ""), indicator=True)
+    ins = (m["_merge"] == "right_only").to_numpy()
+    dele = (m["_merge"] == "left_only").to_numpy()
+    changed = np.zeros(len(m), dtype=bool)
+    for c in payload:
+        x, y = m[f"{c}__a"], m[c]
+        changed |= ((x != y) & ~(x.isna() & y.isna())).to_numpy()
+    upd = (m["_merge"] == "both").to_numpy() & changed
+    out = m.loc[ins | dele | upd, key + payload].copy()
+    out.insert(0, "change_type", np.where(ins[ins | dele | upd], "insert",
+                                          np.where(upd[ins | dele | upd], "update", "delete")))
+    for c in payload:
+        out.loc[out["change_type"] == "delete", c] = None
+    return out.sort_values(key, kind="stable").reset_index(drop=True)
+
+
+def _norm_feed(df: pd.DataFrame) -> pd.DataFrame:
+    return (
+        df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+        .astype({"turn_idx": "int64"})
+    )
+
+
+def test_change_feed_matches_bruteforce(tmp_path):
+    changes = gen_changes(8_000, 300, seed=27)  # small conv pool → many U/D hits
+    epochs = split_epochs(changes, 4)
+    lake = _replay(tmp_path, epochs)
+    # from a v0-schema epoch: the diff must null-backfill `tool` on the FROM
+    # side and classify a null→value tool transition as an update
+    got = _norm_feed(lake.change_feed(from_epoch=0, to_epoch=2).to_pandas())
+    want = _norm_feed(_bruteforce_feed(_prefix_oracle(epochs, 0), _prefix_oracle(epochs, 2)))
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+    assert set(got["change_type"]) <= {"insert", "update", "delete"}
+    assert (got["change_type"] == "update").any()
+    assert (got["change_type"] == "delete").any()
+
+
+def test_change_feed_from_empty_is_full_snapshot(tmp_path):
+    changes = gen_changes(3_000, 200, seed=29)
+    epochs = split_epochs(changes, 2)
+    lake = _replay(tmp_path, epochs)
+    feed = _norm_feed(lake.change_feed(from_version=0, to_epoch=1).to_pandas())
+    assert (feed["change_type"] == "insert").all()
+    state = _prefix_oracle(epochs, 1)
+    assert len(feed) == len(state)
+    pd.testing.assert_frame_equal(
+        feed[["conv_id", "turn_idx", "text"]],
+        _norm_feed(state)[["conv_id", "turn_idx", "text"]],
+        check_dtype=False,
+    )
+
+
+def test_change_feed_identical_snapshots_is_empty(tmp_path):
+    changes = gen_changes(2_000, 150, seed=31)
+    lake = _replay(tmp_path, [changes])
+    assert lake.change_feed(from_epoch=0, to_epoch=0).count() == 0
