@@ -984,6 +984,64 @@ def _sampling_sql():
 _sampling_sql()
 
 
+def q_shuffle_shard_documents(sf_dir: str, num_shards: int = 8):
+    """Deterministic global shuffle dealt into training shards: map-only shard
+    assignment + per-shard md5 ordering — same (shard, pos) for every id at
+    any cluster size."""
+    from ..stages.sampling import shuffle_shard
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"], rows_per_block=8_000)
+    return shuffle_shard(ds, "doc_id", num_shards=num_shards)
+
+
+def q_chunk_documents(sf_dir: str, chunk_size: int = 16):
+    """Token-budget chunking of every document into 16-token pieces —
+    map-only, vectorized per chunk index."""
+    from ..stages.text import chunk_tokens
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], rows_per_block=2_048)
+    return ds.map_batches(
+        lambda t, c=chunk_size: chunk_tokens(t, chunk_size=c),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_decontaminate_documents(sf_dir: str, n: int = 4):
+    """Benchmark decontamination: docs with doc_id % 37 == 0 form the eval
+    set; surviving train docs share no word 4-gram with it (broadcast
+    eval-gram set, one map-only pass over the corpus)."""
+    from ..stages.decontaminate import decontaminate
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], rows_per_block=2_048)
+    eval_ds = ds.map_batches(
+        lambda b: b[b["doc_id"] % 37 == 0], batch_format="pandas"
+    )
+    train_ds = ds.map_batches(
+        lambda b: b[b["doc_id"] % 37 != 0], batch_format="pandas"
+    )
+    return decontaminate(train_ds, eval_ds, n=n)
+
+
+def _training_data_sql():
+    from ..stages.decontaminate import decontaminate_oracle_sql
+    from ..stages.sampling import shuffle_shard_oracle_sql
+    from ..stages.text import chunk_tokens_oracle_sql
+
+    ORACLE_SQL["shuffle_shard_documents"] = shuffle_shard_oracle_sql(
+        "documents", "doc_id", num_shards=8
+    )
+    ORACLE_SQL["chunk_documents"] = chunk_tokens_oracle_sql(
+        "documents", chunk_size=16
+    )
+    ORACLE_SQL["decontaminate_documents"] = decontaminate_oracle_sql(
+        "documents", n=4
+    )
+
+
+_training_data_sql()
+
+
 def q_orders_window_pairs(sf_dir: str):
     """Big×big range join (point_in_interval_join): orders landing inside
     ANOTHER order's 7-day window for the same customer — both sides are the
@@ -1253,6 +1311,9 @@ QUERIES = {
     "simhash_near_dups": q_simhash_near_dups,
     "split_documents": q_split_documents,
     "sample_documents": q_sample_documents,
+    "shuffle_shard_documents": q_shuffle_shard_documents,
+    "chunk_documents": q_chunk_documents,
+    "decontaminate_documents": q_decontaminate_documents,
     "stratified_sample_events": q_stratified_sample_events,
     "user_value_quantiles": q_user_value_quantiles,
     "orders_window_pairs": q_orders_window_pairs,

@@ -87,6 +87,74 @@ def hash_sample_oracle_sql(
     """
 
 
+def _hash_int(values, salt: str) -> np.ndarray:
+    """md5(salt || str(id)) first 13 hex chars as int64 (same parse as
+    ``_bucket_of``, un-modded)."""
+    return np.array(
+        [
+            int(hashlib.md5(f"{salt}{v}".encode("utf-8")).hexdigest()[:_FRAC_BITS], 16)
+            for v in values
+        ],
+        dtype=np.int64,
+    )
+
+
+def shuffle_shard(ds, id_col: str, num_shards: int, salt: str = "shuf"):
+    """Deterministic global shuffle + shard assignment for training-data
+    writers: shard = md5(salt||id) mod ``num_shards`` (an iid deal — map-only),
+    position within the shard = rank under an independent md5 order. Together
+    that IS a seeded global permutation dealt into shards, with no global-sort
+    barrier: assignment never shuffles, and each shard orders independently
+    (one groupby group per shard). Rerunning at any cluster size reproduces
+    the identical (shard, pos) for every id — the resumability contract of
+    ``hash_split``, extended to epoch ordering."""
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        out = batch[[id_col]].copy()
+        out["shard"] = _hash_int(ids, f"shard:{salt}") % num_shards
+        out["_h"] = _rank_hash(ids, f"ord:{salt}")
+        return out
+
+    def order(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_h", id_col], kind="stable").reset_index(drop=True)
+        g["pos"] = np.arange(len(g), dtype=np.int64)
+        return g.drop(columns=["_h"])
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(order, batch_format="pandas")
+    )
+
+
+def _hash_int_sql(id_col: str, salt: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {_FRAC_BITS + 1}), "
+        f"i -> CAST(strpos('0123456789abcdef', substr(md5('{salt}' || "
+        f"CAST({id_col} AS VARCHAR)), CAST(i AS INT), 1)) AS BIGINT) - 1), "
+        f"(a, b) -> a * 16 + b)"
+    )
+
+
+def shuffle_shard_oracle_sql(
+    table: str, id_col: str, num_shards: int, salt: str = "shuf"
+) -> str:
+    """DuckDB mirror of ``shuffle_shard`` (same md5 parse, same order key)."""
+    return f"""
+        SELECT {id_col}, shard,
+               row_number() OVER (
+                   PARTITION BY shard
+                   ORDER BY md5('ord:{salt}' || CAST({id_col} AS VARCHAR)), {id_col}
+               ) - 1 AS pos
+        FROM (
+            SELECT {id_col},
+                   ({_hash_int_sql(id_col, f"shard:{salt}")}) % {num_shards} AS shard
+            FROM {table}
+        )
+    """
+
+
 def _rank_hash(values, salt: str) -> np.ndarray:
     """Full md5 hex (lexicographic = numeric order) — the per-key rank key."""
     return np.array(

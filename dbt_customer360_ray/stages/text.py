@@ -210,3 +210,75 @@ def redact_pii(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "n_phones": n_phones,
         }
     )
+
+
+def chunk_tokens(
+    batch: pa.Table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 16,
+) -> pa.Table:
+    """Token-budget chunking: each document's whitespace tokens split into
+    consecutive ``chunk_size``-token chunks (final remainder kept) — the
+    context-window packing primitive of a pretraining pipeline. Map-only and
+    vectorized per chunk INDEX, not per row: the k-th chunk of every doc in
+    the batch is one list_slice + binary_join kernel pass, so the Python loop
+    runs ceil(max_tokens/chunk_size) times regardless of batch size."""
+    toks = pc.split_pattern(batch.column(text_col), pattern=" ")
+    nt = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = batch.column(id_col)
+    parts_id, parts_idx, parts_txt, parts_n = [], [], [], []
+    max_chunks = int(np.ceil(nt.max() / chunk_size)) if len(nt) else 0
+    for k in range(max_chunks):
+        lo = k * chunk_size
+        take = np.nonzero(nt > lo)[0]
+        if not len(take):
+            break
+        idx = pa.array(take)
+        sl = pc.list_slice(toks, lo, lo + chunk_size)
+        parts_id.append(pc.take(ids, idx))
+        parts_idx.append(pa.array(np.full(len(take), k, dtype=np.int64)))
+        parts_txt.append(pc.take(pc.binary_join(sl, " "), idx))
+        parts_n.append(pa.array(np.minimum(nt[take] - lo, chunk_size)))
+    if not parts_id:
+        return pa.table(
+            {
+                id_col: pa.array([], ids.type),
+                "chunk_idx": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+            }
+        )
+    concat = lambda parts: pa.concat_arrays(
+        [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts]
+    )
+    return pa.table(
+        {
+            id_col: concat(parts_id),
+            "chunk_idx": concat(parts_idx),
+            "chunk_text": concat(parts_txt),
+            "n_tokens": concat(parts_n),
+        }
+    )
+
+
+def chunk_tokens_oracle_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text", chunk_size: int = 16
+) -> str:
+    """DuckDB mirror of ``chunk_tokens`` (same whitespace split, same
+    remainder rule). Note string_split('', ' ') = [''] on both sides: an
+    empty text yields one empty 1-token chunk, matching pyarrow."""
+    c = chunk_size
+    return f"""
+        WITH tok AS (
+            SELECT {id_col}, string_split({text_col}, ' ') AS w FROM {table}
+        ), k AS (
+            SELECT {id_col}, w,
+                   unnest(generate_series(0, CAST(ceil(len(w) / {c}.0) AS BIGINT) - 1)) AS chunk_idx
+            FROM tok
+        )
+        SELECT {id_col}, chunk_idx,
+               array_to_string(w[chunk_idx * {c} + 1 : least((chunk_idx + 1) * {c}, len(w))], ' ') AS chunk_text,
+               least((chunk_idx + 1) * {c}, len(w)) - chunk_idx * {c} AS n_tokens
+        FROM k
+    """

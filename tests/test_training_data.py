@@ -1,0 +1,103 @@
+"""Training-data operators: decontamination, shuffle-shard, token chunking."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _docs_ds(texts, start_id=0):
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(
+                np.arange(start_id, start_id + len(texts), dtype=np.int64)
+            ),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(4)
+
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def _mk_texts(rng, n, length=20):
+    return [" ".join(rng.choice(WORDS, length)) for _ in range(n)]
+
+
+def test_decontaminate_broadcast_and_join_paths_agree():
+    from dbt_customer360_ray.stages.decontaminate import decontaminate
+
+    rng = np.random.default_rng(5)
+    eval_texts = _mk_texts(rng, 6)
+    train_texts = _mk_texts(rng, 40)
+    # plant contamination: two train docs embed an eval doc's 4-gram run
+    train_texts[3] = eval_texts[0]
+    train_texts[17] = "zzz " + " ".join(eval_texts[2].split()[:8]) + " yyy"
+    train, ev = _docs_ds(train_texts), _docs_ds(eval_texts, start_id=1000)
+
+    bc = decontaminate(train, ev, n=4).to_pandas()["doc_id"].sort_values().to_numpy()
+    jn = (
+        decontaminate(train, ev, n=4, broadcast_gate=0)
+        .to_pandas()["doc_id"]
+        .sort_values()
+        .to_numpy()
+    )
+    np.testing.assert_array_equal(bc, jn)
+    assert 3 not in bc and 17 not in bc
+    assert len(bc) <= 38
+
+
+def test_decontaminate_short_docs_never_contaminate():
+    from dbt_customer360_ray.stages.decontaminate import decontaminate
+
+    # docs shorter than n tokens carry no grams on either side
+    train = _docs_ds(["alpha beta", "alpha beta gamma delta epsilon"])
+    ev = _docs_ds(["alpha beta"], start_id=100)
+    out = decontaminate(train, ev, n=4).to_pandas()["doc_id"].tolist()
+    assert sorted(out) == [0, 1]
+
+
+def test_shuffle_shard_is_deterministic_and_dense():
+    from dbt_customer360_ray.stages.sampling import shuffle_shard
+
+    ds = _docs_ds(["x"] * 500)
+    a = shuffle_shard(ds, "doc_id", num_shards=8).to_pandas()
+    b = shuffle_shard(ds.repartition(2), "doc_id", num_shards=8).to_pandas()
+    a = a.sort_values(["shard", "pos"]).reset_index(drop=True)
+    b = b.sort_values(["shard", "pos"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)  # layout-independent
+    assert len(a) == 500 and a["doc_id"].nunique() == 500
+    for _, g in a.groupby("shard"):
+        np.testing.assert_array_equal(
+            np.sort(g["pos"].to_numpy()), np.arange(len(g))
+        )  # positions dense per shard
+
+
+def test_chunk_tokens_roundtrip():
+    from dbt_customer360_ray.stages.text import chunk_tokens
+
+    rng = np.random.default_rng(9)
+    texts = _mk_texts(rng, 30, length=37) + ["single", ""]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(32, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = chunk_tokens(t, chunk_size=16).to_pandas()
+    re = (
+        out.sort_values(["doc_id", "chunk_idx"])
+        .groupby("doc_id")["chunk_text"]
+        .apply(" ".join)
+    )
+    for i, txt in enumerate(texts):
+        assert re[i] == txt  # chunks reassemble the document exactly
+    sums = out.groupby("doc_id")["n_tokens"].sum()
+    assert sums[0] == 37 and sums[30] == 1 and sums[31] == 1  # '' is one empty token
+    assert out["n_tokens"].max() <= 16
+    assert (out.groupby("doc_id")["chunk_idx"].min() == 0).all()
