@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     "stratified_sample_events",
     "user_value_quantiles",
     "orders_window_pairs",
+    "shuffle_shard_documents",
+    "chunk_documents",
+    "decontaminate_documents",
+    "pack_documents",
 ]
 
 

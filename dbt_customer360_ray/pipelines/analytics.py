@@ -1023,10 +1023,39 @@ def q_decontaminate_documents(sf_dir: str, n: int = 4):
     return decontaminate(train_ds, eval_ds, n=n)
 
 
+def q_pack_documents(sf_dir: str, seq_len: int = 64, num_shards: int = 4):
+    """Concat-then-chunk sequence packing: documents laid end to end per shard
+    in deterministic md5 order, token stream cut every 64 tokens; emits each
+    doc's (shard, pos, seq_start, seq_end, offset_in_seq)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.sampling import pack_sequences
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], rows_per_block=8_000)
+
+    def with_counts(t: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.list_value_length(pc.split_pattern(t.column("text"), pattern=" ")),
+            pa.int64(),
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "n_tokens": n})
+
+    counted = ds.map_batches(with_counts, batch_format="pyarrow", zero_copy_batch=True)
+    return pack_sequences(
+        counted, "doc_id", "n_tokens", seq_len=seq_len, num_shards=num_shards
+    )
+
+
 def _training_data_sql():
     from ..stages.decontaminate import decontaminate_oracle_sql
-    from ..stages.sampling import shuffle_shard_oracle_sql
+    from ..stages.sampling import pack_sequences_oracle_sql, shuffle_shard_oracle_sql
     from ..stages.text import chunk_tokens_oracle_sql
+
+    ORACLE_SQL["pack_documents"] = pack_sequences_oracle_sql(
+        "documents", "doc_id", "len(string_split(text, ' '))",
+        seq_len=64, num_shards=4,
+    )
 
     ORACLE_SQL["shuffle_shard_documents"] = shuffle_shard_oracle_sql(
         "documents", "doc_id", num_shards=8
@@ -1314,6 +1343,7 @@ QUERIES = {
     "shuffle_shard_documents": q_shuffle_shard_documents,
     "chunk_documents": q_chunk_documents,
     "decontaminate_documents": q_decontaminate_documents,
+    "pack_documents": q_pack_documents,
     "stratified_sample_events": q_stratified_sample_events,
     "user_value_quantiles": q_user_value_quantiles,
     "orders_window_pairs": q_orders_window_pairs,

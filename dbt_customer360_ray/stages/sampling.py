@@ -155,6 +155,78 @@ def shuffle_shard_oracle_sql(
     """
 
 
+def pack_sequences(
+    ds,
+    id_col: str,
+    n_tokens_col: str,
+    seq_len: int,
+    num_shards: int,
+    salt: str = "shuf",
+):
+    """Concat-then-chunk sequence packing (the classic pretraining layout):
+    documents are laid end to end in the deterministic ``shuffle_shard`` order
+    of their shard, and the token stream is cut every ``seq_len`` tokens. Each
+    doc row gains (shard, pos, seq_start, seq_end, offset_in_seq) — the
+    training sequences it lands in and where — all integer arithmetic over a
+    per-shard running token total, so the layout is reproducible at any
+    cluster size and resumable mid-corpus.
+
+    Shard assignment is map-only; the running total is one vectorized cumsum
+    per shard group (each shard is an independent training stream, so no
+    global prefix-sum barrier is needed)."""
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        out = batch[[id_col, n_tokens_col]].copy()
+        out["shard"] = _hash_int(ids, f"shard:{salt}") % num_shards
+        out["_h"] = _rank_hash(ids, f"ord:{salt}")
+        return out
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_h", id_col], kind="stable").reset_index(drop=True)
+        n = g[n_tokens_col].to_numpy().astype(np.int64)
+        cum_before = np.cumsum(n) - n
+        g["pos"] = np.arange(len(g), dtype=np.int64)
+        g["seq_start"] = cum_before // seq_len
+        g["seq_end"] = np.maximum(cum_before, cum_before + n - 1) // seq_len
+        g["offset_in_seq"] = cum_before % seq_len
+        return g.drop(columns=["_h"])
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(pack, batch_format="pandas")
+    )
+
+
+def pack_sequences_oracle_sql(
+    table: str,
+    id_col: str,
+    n_tokens_expr: str,
+    seq_len: int,
+    num_shards: int,
+    salt: str = "shuf",
+) -> str:
+    """DuckDB mirror of ``pack_sequences`` (same md5 order, same window sum).
+    ``n_tokens_expr`` is the SQL expression for the per-row token count."""
+    return f"""
+        SELECT {id_col}, n_tokens, shard,
+               row_number() OVER w - 1 AS pos,
+               CAST((sum(n_tokens) OVER w - n_tokens) // {seq_len} AS BIGINT) AS seq_start,
+               CAST(greatest(sum(n_tokens) OVER w - n_tokens,
+                             sum(n_tokens) OVER w - 1) // {seq_len} AS BIGINT) AS seq_end,
+               CAST((sum(n_tokens) OVER w - n_tokens) % {seq_len} AS BIGINT) AS offset_in_seq
+        FROM (
+            SELECT {id_col}, {n_tokens_expr} AS n_tokens,
+                   ({_hash_int_sql(id_col, f"shard:{salt}")}) % {num_shards} AS shard,
+                   md5('ord:{salt}' || CAST({id_col} AS VARCHAR)) AS h
+            FROM {table}
+        )
+        WINDOW w AS (PARTITION BY shard ORDER BY h, {id_col}
+                     ROWS UNBOUNDED PRECEDING)
+    """
+
+
 def _rank_hash(values, salt: str) -> np.ndarray:
     """Full md5 hex (lexicographic = numeric order) — the per-key rank key."""
     return np.array(

@@ -101,3 +101,43 @@ def test_chunk_tokens_roundtrip():
     assert sums[0] == 37 and sums[30] == 1 and sums[31] == 1  # '' is one empty token
     assert out["n_tokens"].max() <= 16
     assert (out.groupby("doc_id")["chunk_idx"].min() == 0).all()
+
+
+def test_pack_sequences_layout_invariants():
+    import ray.data
+
+    from dbt_customer360_ray.stages.sampling import pack_sequences
+
+    rng = np.random.default_rng(3)
+    n = 300
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "n_tokens": pa.array(rng.integers(1, 50, n).astype(np.int64)),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    out = (
+        pack_sequences(ds, "doc_id", "n_tokens", seq_len=64, num_shards=4)
+        .to_pandas()
+        .sort_values(["shard", "pos"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == n
+    for _, g in out.groupby("shard"):
+        cum = 0
+        for r in g.itertuples(index=False):
+            # the token stream is contiguous: each doc starts where the
+            # previous one ended
+            assert r.seq_start == cum // 64
+            assert r.offset_in_seq == cum % 64
+            cum += r.n_tokens
+            assert r.seq_end == (cum - 1) // 64
+    # layout-independent determinism
+    again = (
+        pack_sequences(ds.repartition(2), "doc_id", "n_tokens", seq_len=64, num_shards=4)
+        .to_pandas()
+        .sort_values(["shard", "pos"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, again)
