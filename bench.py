@@ -131,6 +131,7 @@ def run_bench() -> dict:
     # sandbox VM's (serialized, noisy) virtual-disk writeback
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     cdc_sec = float("inf")
+    last_lake = last_dir = None
     for _ in range(reps):
         # fresh lake per rep: the manifest sink is exactly-once, so re-applying
         # to an existing lake would be a no-op and time nothing
@@ -145,9 +146,22 @@ def run_bench() -> dict:
             m = lake.apply(p, enrich=enrich, enrich_schema=enrich_schema)
             events += m["events_in"]
         cdc_sec = min(cdc_sec, time.perf_counter() - t0)
-        shutil.rmtree(lake_dir, ignore_errors=True)
+        if last_dir is not None:
+            shutil.rmtree(last_dir, ignore_errors=True)
+        last_lake, last_dir = lake, lake_dir
     timings["cdc_replay"] = round(cdc_sec, 3)
     eps = events / cdc_sec
+
+    if not CDC_ONLY:
+        # time-travel + CDF over the just-replayed lake: per-partition
+        # snapshot diff of epochs 1 → 3 across the full event volume
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            last_lake.change_feed(from_epoch=1, to_epoch=3).count()
+            best = min(best, time.perf_counter() - t0)
+        timings["cdc_change_feed"] = round(best, 3)
+    shutil.rmtree(last_dir, ignore_errors=True)
 
     if not CDC_ONLY:
         qs = __ray_entry__.queries()
