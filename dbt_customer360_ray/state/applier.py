@@ -100,6 +100,7 @@ class EpochApplier:
         committed_offsets: dict[int, int],
         num_salts: int,
         topk_keys: int = 16,
+        quarantine_skey: int | None = None,
     ):
         self.lake_dir = lake_dir
         self.epoch = epoch
@@ -107,9 +108,43 @@ class EpochApplier:
         self.committed_offsets = committed_offsets
         self.S = max(1, num_salts)
         self.topk_keys = topk_keys
+        self.quarantine_skey = quarantine_skey
+
+    def _quarantine(self, group: pa.Table) -> pa.Table:
+        """Dead-letter branch: persist malformed rows (plus a reason column)
+        under ``deadletter/`` for lineage — never applied, never advances a
+        checkpoint. Deterministic path → idempotent on replay."""
+        from .router import quarantine_reasons
+
+        rows = group.drop_columns(["skey"])
+        rows = rows.append_column(
+            "dl_reason", pa.array(quarantine_reasons(rows), pa.string())
+        )
+        path = os.path.join("deadletter", f"epoch-{self.epoch:06d}.parquet")
+        atomic_parquet(rows, os.path.join(self.lake_dir, path))
+        return pa.table(
+            {
+                "pid": pa.array([-1], pa.int32()),
+                "salt": pa.array([0], pa.int32()),
+                "epoch": pa.array([self.epoch], pa.int64()),
+                "events_in": pa.array([rows.num_rows], pa.int64()),
+                "events_deduped": pa.array([0], pa.int64()),
+                "upserts": pa.array([0], pa.int64()),
+                "deletes": pa.array([0], pa.int64()),
+                "late_events": pa.array([0], pa.int64()),
+                "max_offset": pa.array([-1], pa.int64()),
+                "runs_json": pa.array(
+                    [json.dumps([{"path": path, "rows": rows.num_rows}])], pa.string()
+                ),
+                "top_keys_json": pa.array(["{}"], pa.string()),
+            },
+            schema=STATS_SCHEMA,
+        )
 
     def __call__(self, group: pa.Table) -> pa.Table:
         skey = int(group.column("skey")[0].as_py())
+        if self.quarantine_skey is not None and skey == self.quarantine_skey:
+            return self._quarantine(group)
         pid, salt = divmod(skey, self.S)
         group = conform_batch(group, self.state_schema).set_column(
             self.state_schema.get_field_index("pid"),

@@ -44,12 +44,15 @@ def _make_slots(P: int, S: int, hot_pids: set[int]) -> tuple[list, "np.ndarray"]
 
     Cold partitions get one slot; hot partitions get S slots (one per salt) so a
     skewed partition's apply work fans out across workers. Slot enumeration is
-    deterministic, so replays schedule identically.
+    deterministic, so replays schedule identically. The last slot is the
+    dead-letter group (skey = P*S, pid -1): malformed rows routed there are
+    written under ``deadletter/`` instead of applied (its task is a no-op on
+    clean streams — ``_apply_slot`` short-circuits empty chunk lists).
     """
     import numpy as np
 
     slots: list[tuple[int, int]] = []
-    slot_of_skey = np.zeros(P * S, dtype=np.int64)
+    slot_of_skey = np.zeros(P * S + 1, dtype=np.int64)
     for p in range(P):
         base = len(slots)
         slots.append((p, 0))
@@ -58,6 +61,8 @@ def _make_slots(P: int, S: int, hot_pids: set[int]) -> tuple[list, "np.ndarray"]
             for s in range(1, S):
                 slot_of_skey[p * S + s] = len(slots)
                 slots.append((p, s))
+    slot_of_skey[P * S] = len(slots)
+    slots.append((-1, 0))
     return slots, slot_of_skey
 
 
@@ -367,6 +372,7 @@ class CdcLake:
             state_schema,
             committed,
             num_salts=self.num_salts,
+            quarantine_skey=self.P * max(1, self.num_salts),
         )
 
         event_only = pa.schema(list(event_schema))
@@ -412,13 +418,19 @@ class CdcLake:
             self.manifest.commit_epoch(
                 epoch, {}, state_schema, self.P,
                 {"events_in": 0, "events_deduped": 0, "upserts": 0,
-                 "deletes": 0, "late_events": 0},
+                 "deletes": 0, "late_events": 0, "events_quarantined": 0},
             )
             return {"epoch": epoch, "skipped": False, "events_in": 0,
                     "events_deduped": 0, "upserts": 0, "deletes": 0,
-                    "late_events": 0}
+                    "late_events": 0, "events_quarantined": 0}
+        deadletter_runs: list[dict] = []
+        quarantined = 0
         for row in stats.itertuples(index=False):
             pid = int(row.pid)
+            if pid < 0:  # dead-letter group: lineage only, no partition state
+                quarantined += int(row.events_in)
+                deadletter_runs.extend(json.loads(row.runs_json))
+                continue
             upd = partition_updates.setdefault(
                 pid,
                 {"runs": [], "replaces": False, "max_offset": -1, "rows": 0},
@@ -441,6 +453,7 @@ class CdcLake:
             "upserts": int(stats["upserts"].sum()),
             "deletes": int(stats["deletes"].sum()),
             "late_events": int(stats["late_events"].sum()),
+            "events_quarantined": quarantined,
         }
         next_hot = sorted(
             k
@@ -454,6 +467,7 @@ class CdcLake:
             self.P,
             metrics_delta,
             hot_keys=next_hot,
+            deadletter=deadletter_runs or None,
         )
         self.compact()  # merges any partition whose run count exceeds max_runs
         return {"epoch": epoch, "skipped": False, **metrics_delta}
@@ -727,6 +741,21 @@ class CdcLake:
 
     def lineage(self) -> list[dict]:
         return list(self.manifest._state["epochs"])
+
+    def read_deadletter(self) -> pa.Table:
+        """All quarantined (malformed) events with their ``dl_reason`` — the
+        ops-side view of the dead-letter queue."""
+        files = [
+            os.path.join(self.lake_dir, r["path"])
+            for r in self.manifest._state.get("deadletter", [])
+        ]
+        if not files:
+            return pa.schema(
+                [("conv_id", pa.string()), ("dl_reason", pa.string())]
+            ).empty_table()
+        return pa.concat_tables(
+            [pq.read_table(f) for f in files], promote_options="permissive"
+        )
 
     def vacuum(self) -> int:
         """Delete data files no longer referenced by the current manifest."""

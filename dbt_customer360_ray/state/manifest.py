@@ -164,6 +164,7 @@ class Manifest:
         num_partitions: int,
         metrics_delta: dict,
         hot_keys: list[str] | None = None,
+        deadletter: list[dict] | None = None,
     ) -> None:
         """Atomically commit one applied epoch.
 
@@ -188,6 +189,10 @@ class Manifest:
             m[k] = m.get(k, 0) + v
         if hot_keys is not None:
             state["hot_keys"] = list(hot_keys)
+        if deadletter:
+            # lake-relative quarantine files, appended for lineage — the DLQ
+            # never contributes to partitions/checkpoints
+            state["deadletter"] = state.get("deadletter", []) + list(deadletter)
         state["schema"] = _schema_to_json(schema)
         state["num_partitions"] = num_partitions
         state["last_epoch"] = max(state["last_epoch"], epoch)

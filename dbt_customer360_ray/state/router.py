@@ -59,6 +59,45 @@ def estimate_hot_keys(
     return set(counts[counts / total >= hot_threshold].index)
 
 
+VALID_OPS = ("I", "U", "D")
+
+
+def invalid_event_mask(batch: pa.Table) -> np.ndarray:
+    """Rows a binlog tail must quarantine rather than apply: null key parts
+    (conv_id/turn_idx), null ts or offset (LWW and exactly-once would be
+    undefined), or an op outside {I,U,D}. Vectorized — five null checks and
+    one is_in per batch."""
+    import pyarrow.compute as pc
+
+    bad = pc.is_null(batch.column("conv_id"))
+    for c in ("turn_idx", "ts", "offset"):
+        bad = pc.or_(bad, pc.is_null(batch.column(c)))
+    op_ok = pc.is_in(batch.column("op"), value_set=pa.array(VALID_OPS, pa.string()))
+    bad = pc.or_(bad, pc.invert(pc.fill_null(op_ok, False)))
+    return bad.to_numpy(zero_copy_only=False)
+
+
+def quarantine_reasons(batch: pa.Table) -> np.ndarray:
+    """One reason string per row (first matching rule), for dead-letter lineage."""
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    out = np.full(n, "bad_op", dtype=object)
+    op_ok = pc.fill_null(
+        pc.is_in(batch.column("op"), value_set=pa.array(VALID_OPS, pa.string())), False
+    ).to_numpy(zero_copy_only=False)
+    out[op_ok] = "valid"
+    for col, reason in (
+        ("offset", "null_offset"),
+        ("ts", "null_ts"),
+        ("turn_idx", "null_key"),
+        ("conv_id", "null_key"),
+    ):
+        m = pc.is_null(batch.column(col)).to_numpy(zero_copy_only=False)
+        out[m] = reason
+    return out
+
+
 class AssignPartitions:
     """map_batches fn: append int32 shuffle key ``skey = pid * S + salt``.
 
@@ -66,6 +105,10 @@ class AssignPartitions:
     is 0 for cold keys and ``stable_hash(turn_idx) % S`` for hot conv_ids, which
     fans a hot conversation's events out to up to S parallel applier groups while
     keeping ownership (and therefore on-disk state) in one partition.
+
+    Malformed rows (``invalid_event_mask``) are routed to the dedicated
+    quarantine key ``P * S`` instead of a partition — the dead-letter group the
+    applier side writes under ``deadletter/`` rather than applying.
     """
 
     def __init__(
@@ -91,4 +134,7 @@ class AssignPartitions:
                     % np.uint64(self.S)
                 ).astype(np.int64)
                 skey = np.where(hot_mask, skey + salt, skey)
+        bad = invalid_event_mask(batch)
+        if bad.any():
+            skey = np.where(bad, self.P * self.S, skey)
         return batch.append_column("skey", pa.array(skey.astype(np.int32), type=pa.int32()))
