@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "chunk_documents",
     "decontaminate_documents",
     "pack_documents",
+    "top_terms_documents",
 ]
 
 

@@ -1047,10 +1047,22 @@ def q_pack_documents(sf_dir: str, seq_len: int = 64, num_shards: int = 4):
     )
 
 
+def q_top_terms_documents(sf_dir: str, k: int = 3):
+    """Per-doc distinctive terms: top-3 by (tf desc, global df asc, term) —
+    integer-ranked tf-idf stand-in, two map-only passes with a broadcast
+    vocabulary df table."""
+    from ..stages.text import top_terms
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], rows_per_block=2_048)
+    return top_terms(ds, k=k)
+
+
 def _training_data_sql():
     from ..stages.decontaminate import decontaminate_oracle_sql
     from ..stages.sampling import pack_sequences_oracle_sql, shuffle_shard_oracle_sql
-    from ..stages.text import chunk_tokens_oracle_sql
+    from ..stages.text import chunk_tokens_oracle_sql, top_terms_oracle_sql
+
+    ORACLE_SQL["top_terms_documents"] = top_terms_oracle_sql("documents", k=3)
 
     ORACLE_SQL["pack_documents"] = pack_sequences_oracle_sql(
         "documents", "doc_id", "len(string_split(text, ' '))",
@@ -1344,6 +1356,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "decontaminate_documents": q_decontaminate_documents,
     "pack_documents": q_pack_documents,
+    "top_terms_documents": q_top_terms_documents,
     "stratified_sample_events": q_stratified_sample_events,
     "user_value_quantiles": q_user_value_quantiles,
     "orders_window_pairs": q_orders_window_pairs,

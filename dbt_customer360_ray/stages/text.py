@@ -282,3 +282,82 @@ def chunk_tokens_oracle_sql(
                least((chunk_idx + 1) * {c}, len(w)) - chunk_idx * {c} AS n_tokens
         FROM k
     """
+
+
+def _term_tf(batch: pa.Table, id_col: str, text_col: str) -> pd.DataFrame:
+    """(doc, term, tf) rows for one batch — vectorized: one split_pattern,
+    one flatten + repeat, one pandas groupby."""
+    toks = pc.split_pattern(batch.column(text_col), pattern=" ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    flat = toks.combine_chunks().flatten() if isinstance(toks, pa.ChunkedArray) else toks.flatten()
+    df = pd.DataFrame(
+        {
+            "doc": np.repeat(ids, lens),
+            "term": flat.to_pandas().to_numpy(dtype=object),
+        }
+    )
+    return df.groupby(["doc", "term"], sort=False).size().rename("tf").reset_index()
+
+
+def top_terms(ds, id_col: str = "doc_id", text_col: str = "text", k: int = 3):
+    """Per-document distinctive terms: the top-k terms by (tf DESC, global
+    document-frequency ASC, term ASC) — an integer-ranked tf-idf stand-in
+    whose ordering is exactly reproducible in SQL (no float idf to diverge).
+
+    Two map-only passes, no shuffle: pass 1 emits per-batch partial document
+    frequencies (each doc lives in exactly one batch, so partials sum to the
+    exact global df — the same combiner argument as the metric rollups);
+    the driver combines the vocabulary-sized partials and broadcasts the df
+    table; pass 2 recomputes each batch's tf and ranks locally. Driver/
+    broadcast memory is O(vocabulary), not O(corpus) — fine for natural-
+    language vocabularies; a bucketed groupby swap-in applies above that."""
+    import ray
+
+    def df_partial(batch: pa.Table) -> pd.DataFrame:
+        tf = _term_tf(batch, id_col, text_col)
+        return tf.groupby("term", sort=False).size().rename("n").reset_index()
+
+    partials = ds.map_batches(df_partial, batch_format="pyarrow").to_pandas()
+    df_map = partials.groupby("term")["n"].sum().to_dict()
+    df_ref = ray.put(df_map)
+
+    def rank(batch: pa.Table) -> pd.DataFrame:
+        dfm = ray.get(df_ref)
+        tf = _term_tf(batch, id_col, text_col)
+        tf["df"] = tf["term"].map(dfm).astype(np.int64)
+        tf = tf.sort_values(
+            ["doc", "tf", "df", "term"],
+            ascending=[True, False, True, True],
+            kind="stable",
+        )
+        out = tf.groupby("doc", sort=False).head(k)
+        out = out.rename(columns={"doc": id_col})
+        out["tf"] = out["tf"].astype(np.int64)
+        return out[[id_col, "term", "tf", "df"]]
+
+    return ds.map_batches(rank, batch_format="pyarrow")
+
+
+def top_terms_oracle_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> str:
+    """DuckDB mirror of ``top_terms`` (same split, same integer rank order)."""
+    return f"""
+        WITH tok AS (
+            SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS term
+            FROM {table}
+        ), tf AS (
+            SELECT {id_col}, term, count(*) AS tf FROM tok GROUP BY 1, 2
+        ), df AS (
+            SELECT term, count(DISTINCT {id_col}) AS df FROM tok GROUP BY 1
+        )
+        SELECT {id_col}, term, tf, df FROM (
+            SELECT tf.{id_col}, tf.term, tf.tf, df.df,
+                   row_number() OVER (
+                       PARTITION BY tf.{id_col}
+                       ORDER BY tf.tf DESC, df.df ASC, tf.term ASC
+                   ) AS rn
+            FROM tf JOIN df USING (term)
+        ) WHERE rn <= {k}
+    """

@@ -141,3 +141,19 @@ def test_pack_sequences_layout_invariants():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, again)
+
+
+def test_top_terms_batching_independent():
+    from dbt_customer360_ray.stages.text import top_terms
+
+    rng = np.random.default_rng(11)
+    texts = [" ".join(rng.choice(WORDS, 25)) for _ in range(120)]
+    a = top_terms(_docs_ds(texts), k=3).to_pandas()
+    b = top_terms(_docs_ds(texts).repartition(7), k=3).to_pandas()
+    key = ["doc_id", "term"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.groupby("doc_id").size() <= 3).all()
+    # df is GLOBAL: a term's df is identical on every row it appears in
+    assert (a.groupby("term")["df"].nunique() == 1).all()
