@@ -52,6 +52,23 @@ def _cdc_change_feed(sf_dir: str):
     return replayed_lake(sf=0.01).change_feed(from_epoch=0, to_epoch=2)
 
 
+def _cdc_deadletter(sf_dir: str):
+    """Dead-letter queue, oracle-checked: replay the deterministically
+    corrupted fixture and return the quarantined rows + reasons; the oracle
+    re-derives the same set from the same parquet with the engine's reason
+    priority in SQL."""
+    import tempfile
+
+    import ray.data
+
+    from dbt_customer360_ray.pipelines.cdc_replay import dlq_fixture_path
+    from dbt_customer360_ray.state.engine import CdcLake
+
+    lake = CdcLake(tempfile.mkdtemp(prefix="dlq-lake-"), num_partitions=16)
+    lake.apply(ray.data.read_parquet(dlq_fixture_path()))
+    return lake.read_deadletter()
+
+
 def _lang_quality_documents(sf_dir: str):
     from dbt_customer360_ray.sources.readers import read_table
     from dbt_customer360_ray.stages.text import analyze_text
@@ -271,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_replay_lake"] = _cdc_replay_lake
     out["cdc_timetravel_lake"] = _cdc_timetravel_lake
     out["cdc_change_feed"] = _cdc_change_feed
+    out["cdc_deadletter"] = _cdc_deadletter
     out["stream_replay_lake"] = _stream_replay_lake
     out["lang_quality_documents"] = _lang_quality_documents
     out["curated_documents"] = _curated_documents
@@ -298,6 +316,7 @@ def oracle_sql() -> dict[str, str]:
     from dbt_customer360_ray.pipelines.c360_oracle import oracle_entries
     from dbt_customer360_ray.pipelines.cdc_replay import (
         change_feed_oracle_sql,
+        deadletter_oracle_sql,
         replay_oracle_sql,
         stream_oracle_sql,
         timetravel_oracle_sql,
@@ -326,6 +345,7 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_replay_lake"] = replay_oracle_sql(sf=0.01)
     out["cdc_timetravel_lake"] = timetravel_oracle_sql(sf=0.01, epoch=1)
     out["cdc_change_feed"] = change_feed_oracle_sql(sf=0.01, from_epoch=0, to_epoch=2)
+    out["cdc_deadletter"] = deadletter_oracle_sql()
     out["stream_replay_lake"] = stream_oracle_sql()
     media = media_fixture_path(128, seed=5)
     out["multimodal_image_features"] = image_oracle_sql(media)

@@ -12,6 +12,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pandas as pd
+
 from ..gen import SF_SIZES, write_fixture
 from ..state.engine import CdcLake
 
@@ -89,6 +91,58 @@ def stream_fixture_path(num_events: int = 20_000, num_convs: int = 1_000, seed: 
         pq.write_table(gen_changes(num_events, num_convs, seed=seed), tmp)
         os.replace(tmp, path)
     return path
+
+
+def dlq_fixture_path(num_events: int = 5_000, num_convs: int = 300, seed: int = 77) -> str:
+    """Write (once) a change table with deterministically injected malformed
+    rows — bad ops, null keys/ts/offsets — so the dead-letter queue itself is
+    oracle-checkable (engine and DuckDB read the SAME corrupted bytes)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..gen import gen_changes
+
+    out_dir = os.path.join(FIXTURE_ROOT, "dlq")
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"changes-{num_events}-{num_convs}-s{seed}.parquet")
+    if not os.path.exists(path):
+        df = gen_changes(num_events, num_convs, seed=seed).to_pandas()
+        i = np.arange(len(df))
+        df.loc[i % 101 == 5, "op"] = "Z"
+        df.loc[i % 103 == 7, "op"] = None
+        df.loc[i % 107 == 9, "conv_id"] = None
+        df.loc[i % 109 == 11, "ts"] = pd.NaT
+        df.loc[i % 113 == 13, "turn_idx"] = None
+        df.loc[i % 127 == 17, "offset"] = None
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        t = t.set_column(
+            t.schema.get_field_index("turn_idx"),
+            "turn_idx",
+            t.column("turn_idx").cast(pa.int32()),
+        )
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def deadletter_oracle_sql() -> str:
+    """DuckDB oracle for the DLQ entry: the corrupted fixture's invalid rows
+    with the engine's reason priority (conv_id/turn_idx null → null_key, then
+    null_ts, null_offset, else bad_op — mirroring ``quarantine_reasons``'s
+    override order)."""
+    p = dlq_fixture_path()
+    return f"""
+        SELECT "offset", op, conv_id, turn_idx, role, text, tool, ts,
+               CASE WHEN conv_id IS NULL OR turn_idx IS NULL THEN 'null_key'
+                    WHEN ts IS NULL THEN 'null_ts'
+                    WHEN "offset" IS NULL THEN 'null_offset'
+                    ELSE 'bad_op' END AS dl_reason
+        FROM read_parquet('{p}')
+        WHERE conv_id IS NULL OR turn_idx IS NULL OR ts IS NULL
+           OR "offset" IS NULL OR op IS NULL OR op NOT IN ('I', 'U', 'D')
+    """
 
 
 def _lww_sql(select_epochs: list[str]) -> str:
