@@ -199,6 +199,13 @@ def timetravel_oracle_sql(sf: float, epoch: int) -> str:
     return _lww_sql(_epoch_selects(sf, upto=epoch))
 
 
+def lookup_oracle_sql(sf: float, conv_id: str) -> str:
+    """Oracle for ``CdcLake.lookup``: the converged state filtered to one
+    conversation."""
+    inner = _lww_sql(_epoch_selects(sf))
+    return f"SELECT * FROM ({inner}) WHERE conv_id = '{conv_id}'"
+
+
 def change_feed_oracle_sql(sf: float, from_epoch: int, to_epoch: int) -> str:
     """Oracle for ``CdcLake.change_feed``: FULL OUTER JOIN of the two prefix
     states on the key, null-safe payload comparison, post-image output

@@ -742,6 +742,31 @@ class CdcLake:
     def lineage(self) -> list[dict]:
         return list(self.manifest._state["epochs"])
 
+    def lookup(self, conv_id: str) -> pa.Table:
+        """Point lookup: one conversation's converged turns, reading ONLY the
+        owner partition's run files (hash routing makes key→partition exact,
+        so a lookup costs O(one partition's runs), never a scan — the serving
+        path a transcript lake needs). Local pyarrow; no Ray session."""
+        from ..hashing import partition_ids
+
+        state_schema = self.manifest.schema
+        if state_schema is None:
+            return pa.schema([("conv_id", pa.string())]).empty_table()
+        pid = int(partition_ids([conv_id], self.P)[0])
+        files = self.manifest.live_files(pid)
+        tables = []
+        for f in files:
+            t = pq.read_table(f, filters=[("conv_id", "=", conv_id)])
+            tables.append(conform_batch(t, state_schema))
+        if not tables:
+            return state_schema.empty_table()
+        merged = drop_tombstones(lww_latest(pa.concat_tables(tables)))
+        order = pc.sort_indices(
+            merged, sort_keys=[(c, "ascending") for c in KEY_COLUMNS]
+        )
+        public = [f.name for f in state_schema if f.name not in INTERNAL_COLUMNS]
+        return merged.take(order).select(public)
+
     def read_deadletter(self) -> pa.Table:
         """All quarantined (malformed) events with their ``dl_reason`` — the
         ops-side view of the dead-letter queue."""

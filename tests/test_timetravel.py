@@ -135,3 +135,15 @@ def test_change_feed_identical_snapshots_is_empty(tmp_path):
     changes = gen_changes(2_000, 150, seed=31)
     lake = _replay(tmp_path, [changes])
     assert lake.change_feed(from_epoch=0, to_epoch=0).count() == 0
+
+
+def test_lookup_reads_only_owner_partition(tmp_path):
+    changes = gen_changes(5_000, 120, seed=33)  # small conv pool → multi-turn convs
+    lake = _replay(tmp_path, split_epochs(changes, 3))
+    full = lake.read_local_table().to_pandas()
+    some = full["conv_id"].drop_duplicates().head(5)
+    for cid in some:
+        got = lake.lookup(cid).to_pandas()
+        want = full[full["conv_id"] == cid].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert lake.lookup("conv-nonexistent").num_rows == 0
