@@ -114,10 +114,17 @@ class StreamingSession:
             )
         self._schema: pa.Schema | None = lake._event_schema()
         self._pending_refs: list = []
+        # dead-letter buffer: malformed rows held like memtables (durable only
+        # at checkpoint — a crash between checkpoints re-tails them anyway)
+        self._dlq: list[pa.Table] = []
 
     def ingest(self, batch: pa.Table) -> None:
         """One micro-batch: conform/evolve (driver-side, vectorized), route by
-        pid, ship each slice to its owner actor."""
+        pid, ship each slice to its owner actor. Malformed rows (null keys/
+        ts/offset, unknown ops) go to the dead-letter buffer instead of an
+        applier — same rules as the epoch path's quarantine slot."""
+        from .router import invalid_event_mask
+
         missing = [c for c in REQUIRED_EVENT_COLUMNS if c not in batch.column_names]
         if missing:
             raise ValueError(f"micro-batch missing required columns: {missing}")
@@ -126,6 +133,10 @@ class StreamingSession:
             evolve_schema(self._schema, incoming) if self._schema is not None else incoming
         )
         conformed = conform_batch(batch, self._schema)
+        bad = invalid_event_mask(conformed)
+        if bad.any():
+            self._dlq.append(conformed.filter(pa.array(bad)))
+            conformed = conformed.filter(pa.array(~bad))
         pids = partition_ids(conformed.column("conv_id"), self.P)
         order = np.argsort(pids, kind="stable")
         t = conformed.take(pa.array(order))
@@ -170,11 +181,34 @@ class StreamingSession:
             ("events_in", "events_deduped", "upserts", "deletes")
         }
         delta["late_events"] = 0  # streaming mode: late events counted at read
+
+        deadletter = None
+        if self._dlq:
+            import os
+
+            from .router import quarantine_reasons
+
+            rows = pa.concat_tables(
+                [conform_batch(t, self._schema) for t in self._dlq]
+            )
+            rows = rows.append_column(
+                "dl_reason", pa.array(quarantine_reasons(rows), pa.string())
+            )
+            path = os.path.join("deadletter", f"epoch-{epoch:06d}-stream.parquet")
+            atomic_parquet(rows, os.path.join(self.lake.lake_dir, path))
+            deadletter = [{"path": path, "rows": rows.num_rows}]
+            delta["events_quarantined"] = rows.num_rows
+            delta["events_in"] += rows.num_rows
+            self._dlq = []
+        else:
+            delta["events_quarantined"] = 0
+
         state_schema = pa.schema(
             list(self._schema) + [pa.field("pid", pa.int32())]
         ) if self._schema is not None else self.lake.manifest.schema
         self.lake.manifest.commit_epoch(
-            epoch, partition_updates, state_schema, self.P, delta
+            epoch, partition_updates, state_schema, self.P, delta,
+            deadletter=deadletter,
         )
         self.lake.compact()
         return {"epoch": epoch, **delta}

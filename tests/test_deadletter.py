@@ -85,3 +85,31 @@ def test_quarantine_is_idempotent_on_replay(tmp_path):
     assert m.get("skipped") is True
     assert lake.metrics()["events_quarantined"] == n_bad
     assert len(lake.manifest._state["deadletter"]) == 1
+
+
+def test_streaming_ingest_quarantines(tmp_path):
+    from dbt_customer360_ray.state.streaming import StreamingSession
+
+    changes = gen_changes(2_000, 150, seed=53)
+    corrupted, n_bad = _corrupt(changes)
+    lake = CdcLake(str(tmp_path / "lake"), num_partitions=8)
+    sess = StreamingSession(lake, pool_size=2)
+    half = corrupted.num_rows // 2
+    sess.ingest(corrupted.slice(0, half))
+    sess.ingest(corrupted.slice(half))
+    m = sess.checkpoint()
+    sess.close()
+    assert m["events_quarantined"] == n_bad
+    assert lake.metrics()["events_quarantined"] == n_bad
+
+    valid = corrupted.to_pandas().drop(index=[3, 7, 11, 13])
+    want = oracle_lake(pa.Table.from_pandas(valid, preserve_index=False))
+    got = lake.read_local_table().to_pandas()
+    got = (
+        got[want.columns.tolist()]
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    dl = lake.read_deadletter().to_pandas()
+    assert len(dl) == n_bad and set(dl["dl_reason"]) == {"bad_op", "null_key", "null_ts"}
