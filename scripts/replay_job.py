@@ -43,6 +43,13 @@ def main() -> int:
     ap.add_argument("--compact", action="store_true", help="compact partitions above the run threshold at the end")
     ap.add_argument("--vacuum", action="store_true", help="delete unreferenced data files at the end")
     ap.add_argument("--num-cpus", type=int, default=None, help="local-mode CPU cap (cluster mode: omit)")
+    ap.add_argument("--export", help="write the converged lake state as partitioned parquet to this directory")
+    ap.add_argument("--as-of", type=int, default=None, metavar="EPOCH",
+                    help="with --export: export the snapshot as of this committed epoch instead of the head")
+    ap.add_argument("--change-feed", nargs=2, type=int, metavar=("FROM", "TO"),
+                    help="print the insert/update/delete row counts between two committed epochs")
+    ap.add_argument("--deadletter-report", action="store_true",
+                    help="print quarantined-event counts by reason")
     args = ap.parse_args()
 
     import ray
@@ -90,6 +97,24 @@ def main() -> int:
     wall = time.perf_counter() - t0
     if args.compact:
         print(json.dumps({"compacted_partitions": lake.compact(force=True)}), flush=True)
+    if args.export:
+        ds = lake.read() if args.as_of is None else lake.read_as_of(epoch=args.as_of)
+        ds.write_parquet(args.export)
+        print(json.dumps({"exported": args.export, "as_of_epoch": args.as_of}), flush=True)
+    if args.change_feed:
+        lo, hi = args.change_feed
+        feed = lake.change_feed(from_epoch=lo, to_epoch=hi)
+        counts = (
+            feed.groupby("change_type").count().to_pandas().set_index("change_type")["count()"].to_dict()
+        )
+        print(json.dumps({"change_feed": {"from": lo, "to": hi, "counts": counts}}), flush=True)
+    if args.deadletter_report:
+        dl = lake.read_deadletter()
+        by_reason: dict[str, int] = {}
+        if dl.num_rows and "dl_reason" in dl.column_names:
+            vc = dl.column("dl_reason").to_pandas().value_counts()
+            by_reason = {str(k): int(v) for k, v in vc.items()}
+        print(json.dumps({"deadletter": {"rows": dl.num_rows, "by_reason": by_reason}}), flush=True)
     if args.vacuum:
         print(json.dumps({"vacuumed_files": lake.vacuum()}), flush=True)
     print(
