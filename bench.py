@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "decontaminate_documents",
     "pack_documents",
     "top_terms_documents",
+    "quantize_embeddings",
 ]
 
 

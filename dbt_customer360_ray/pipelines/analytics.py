@@ -1057,12 +1057,23 @@ def q_top_terms_documents(sf_dir: str, k: int = 3):
     return top_terms(ds, k=k)
 
 
+def q_quantize_embeddings(sf_dir: str):
+    """int8 scalar quantization of the embedding column (per-vector max-abs
+    scale, floor-plus-half rounding) — map-only, bit-exactly oracled."""
+    from ..stages.similarity import quantize_int8
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], rows_per_block=2_048)
+    return quantize_int8(ds)
+
+
 def _training_data_sql():
     from ..stages.decontaminate import decontaminate_oracle_sql
     from ..stages.sampling import pack_sequences_oracle_sql, shuffle_shard_oracle_sql
+    from ..stages.similarity import quantize_int8_oracle_sql
     from ..stages.text import chunk_tokens_oracle_sql, top_terms_oracle_sql
 
     ORACLE_SQL["top_terms_documents"] = top_terms_oracle_sql("documents", k=3)
+    ORACLE_SQL["quantize_embeddings"] = quantize_int8_oracle_sql("embeddings")
 
     ORACLE_SQL["pack_documents"] = pack_sequences_oracle_sql(
         "documents", "doc_id", "len(string_split(text, ' '))",
@@ -1357,6 +1368,7 @@ QUERIES = {
     "decontaminate_documents": q_decontaminate_documents,
     "pack_documents": q_pack_documents,
     "top_terms_documents": q_top_terms_documents,
+    "quantize_embeddings": q_quantize_embeddings,
     "stratified_sample_events": q_stratified_sample_events,
     "user_value_quantiles": q_user_value_quantiles,
     "orders_window_pairs": q_orders_window_pairs,

@@ -466,3 +466,53 @@ def kmeans_assign_oracle_sql(centroids: np.ndarray, table: str = "embeddings") -
                CAST(list_position(dl, list_max(dl)) - 1 AS BIGINT) AS cluster
         FROM (SELECT vec_id, [{dots}] AS dl FROM v)
     """
+
+
+def quantize_int8(ds, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Scalar int8 quantization of an embedding column — the storage-side
+    compression step of an ANN index build (4x smaller than float32).
+    Per vector: scale = max(|x|); code_i = floor(x_i / scale * 127 + 0.5)
+    (floor-plus-half rounding — deterministic and SQL-reproducible, unlike
+    numpy's round-half-even vs SQL round-half-away). All arithmetic is forced
+    to float64 on both sides, so the codes are bit-exactly oracle-checkable.
+    Map-only; emits one (id, dim_idx, code, scale-as-code sign check) row per
+    dimension for the oracle's sake — a production sink would keep the
+    fixed_size_list form instead.
+    """
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        mat = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        n, d = mat.shape
+        scale = np.abs(mat).max(axis=1)
+        safe = np.where(scale == 0.0, 1.0, scale)
+        codes = np.floor(mat / safe[:, None] * 127.0 + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: np.repeat(ids, d),
+                "dim_idx": np.tile(np.arange(d, dtype=np.int64), n),
+                "code": codes.reshape(-1),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pandas")
+
+
+def quantize_int8_oracle_sql(
+    table: str, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    """DuckDB mirror of ``quantize_int8`` (same float64 expression order)."""
+    return f"""
+        WITH ex AS (
+            SELECT {id_col},
+                   CAST(generate_subscripts({vec_col}, 1) - 1 AS BIGINT) AS dim_idx,
+                   CAST(unnest({vec_col}) AS DOUBLE) AS x
+            FROM {table}
+        ), sc AS (
+            SELECT {id_col}, max(abs(x)) AS scale FROM ex GROUP BY 1
+        )
+        SELECT ex.{id_col}, ex.dim_idx,
+               CAST(floor(ex.x / (CASE WHEN sc.scale = 0 THEN 1.0 ELSE sc.scale END)
+                          * 127.0 + 0.5) AS BIGINT) AS code
+        FROM ex JOIN sc USING ({id_col})
+    """

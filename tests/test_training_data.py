@@ -157,3 +157,30 @@ def test_top_terms_batching_independent():
     assert (a.groupby("doc_id").size() <= 3).all()
     # df is GLOBAL: a term's df is identical on every row it appears in
     assert (a.groupby("term")["df"].nunique() == 1).all()
+
+
+def test_quantize_int8_roundtrip_error_bounded():
+    import ray.data
+
+    from dbt_customer360_ray.stages.similarity import quantize_int8
+
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(200, 16)).astype(np.float32)
+    vecs[0] = 0.0  # zero vector: scale guard, codes all 0
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        }
+    )
+    out = quantize_int8(ray.data.from_arrow(t).repartition(4)).to_pandas()
+    assert len(out) == 200 * 16
+    assert out["code"].between(-127, 127).all()
+    z = out[out["vec_id"] == 0]
+    assert (z["code"] == 0).all()
+    # dequantization error ≤ scale/254 per dim (half a code step)
+    codes = out.sort_values(["vec_id", "dim_idx"])["code"].to_numpy().reshape(200, 16)
+    scale = np.abs(vecs.astype(np.float64)).max(axis=1)
+    scale[scale == 0] = 1.0
+    deq = codes / 127.0 * scale[:, None]
+    assert np.abs(deq - vecs.astype(np.float64)).max() <= (scale.max() / 127.0) * 0.5 + 1e-12
