@@ -624,12 +624,20 @@ class CdcLake:
             version = self.manifest.version_for_epoch(epoch)
         return self.manifest.at_version(version)
 
-    def read(self):
+    def read(self, columns: list[str] | None = None):
         """Converged lake state as a streaming Dataset: one merged, tombstone-free,
-        ``(conv_id, turn_idx)``-sorted group per partition."""
-        return self._read_manifest(self.manifest)
+        ``(conv_id, turn_idx)``-sorted group per partition. ``columns`` prunes
+        the projection AT THE PARQUET READ (plus the key/LWW internals the
+        merge needs) — a 2-column scan of a wide transcript lake never decodes
+        the text payload."""
+        return self._read_manifest(self.manifest, columns)
 
-    def read_as_of(self, epoch: int | None = None, version: int | None = None):
+    def read_as_of(
+        self,
+        epoch: int | None = None,
+        version: int | None = None,
+        columns: list[str] | None = None,
+    ):
         """Time-travel read: the converged lake AS OF a committed epoch (or a
         raw manifest version), with the schema as of that snapshot — columns
         added by later additive evolution are absent, exactly as a reader at
@@ -637,9 +645,9 @@ class CdcLake:
         ``vacuum()`` removes data files the current manifest no longer
         references (vacuum is the retention horizon, the standard
         Delta/Iceberg rule)."""
-        return self._read_manifest(self._manifest_at(epoch, version))
+        return self._read_manifest(self._manifest_at(epoch, version), columns)
 
-    def _read_manifest(self, m):
+    def _read_manifest(self, m, columns: list[str] | None = None):
         import ray.data
 
         files = m.live_files()
@@ -649,7 +657,26 @@ class CdcLake:
             return ray.data.from_arrow(empty.empty_table())
 
         public = [f.name for f in state_schema if f.name not in INTERNAL_COLUMNS]
+        if columns is not None:
+            unknown = [c for c in columns if c not in public]
+            if unknown:
+                raise KeyError(f"unknown lake columns: {unknown} (have {public})")
+            # the key columns always ride along — a keyed lake read without
+            # its key is never what a caller wants
+            public = [c for c in public if c in KEY_COLUMNS or c in columns]
+            # the merge itself needs keys + LWW/tombstone internals; prune
+            # everything else at the decoder
+            needed = list(
+                dict.fromkeys(
+                    KEY_COLUMNS + ["ts", "offset", "op", "pid"] + public
+                )
+            )
+            state_schema = pa.schema([f for f in state_schema if f.name in needed])
         P = m.num_partitions or self.P
+        # projection travels via schema= ONLY: the Arrow dataset scanner
+        # projects to the declared schema and null-fills evolution-missing
+        # columns; passing columns= besides would make v0 fragments (without
+        # e.g. `tool`) fail the reader's schema check
         ds = ray.data.read_parquet(files, schema=state_schema)
         single_run = all(len(m.partition(p)["runs"]) <= 1 for p in range(P))
         if single_run:

@@ -147,3 +147,23 @@ def test_lookup_reads_only_owner_partition(tmp_path):
         want = full[full["conv_id"] == cid].reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert lake.lookup("conv-nonexistent").num_rows == 0
+
+
+def test_read_with_column_pruning(tmp_path):
+    changes = gen_changes(4_000, 250, seed=35)
+    epochs = split_epochs(changes, 3)  # epoch 0 lacks `tool`
+    lake = _replay(tmp_path, epochs)
+    full = lake.read().to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pruned = (
+        lake.read(columns=["text", "tool"])
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert list(pruned.columns) == ["conv_id", "turn_idx", "text", "tool"]
+    pd.testing.assert_frame_equal(pruned, full[pruned.columns.tolist()], check_dtype=False)
+    with pytest.raises(KeyError):
+        lake.read(columns=["nope"])
+    # snapshot read prunes too
+    snap = lake.read_as_of(epoch=1, columns=["role"]).to_pandas()
+    assert list(snap.columns) == ["conv_id", "turn_idx", "role"]
