@@ -191,8 +191,6 @@ def _c360(sf_dir: str, key: str):
     size; each output table is served from cache."""
     import os
 
-    import pyarrow.parquet as pq
-
     from dbt_customer360_ray.pipelines.c360_fixtures import fixture_config
     from dbt_customer360_ray.pipelines.c360_oracle import ensure_fixture
     from dbt_customer360_ray.pipelines.customer360 import run_customer360
@@ -200,15 +198,19 @@ def _c360(sf_dir: str, key: str):
     n = _c360_n(sf_dir)
     if _C360_CACHE.get("n") != n:
         d = ensure_fixture(n)
-        tables = {
-            name: pq.read_table(os.path.join(d, f"{name}.parquet"))
+        # parquet PATHS, not pre-loaded tables: the DAG streams every source
+        # through read_parquet, exactly the reference reading warehouse tables
+        # (int_customer360__marketo.sql:24) — nothing is driver-materialized
+        # before the cleaning pools
+        paths = {
+            name: os.path.join(d, f"{name}.parquet")
             for name in (
                 "marketo_leads", "stripe_customer_overview", "zendesk_users",
                 "zendesk_organizations", "marketo_metrics", "stripe_metrics",
                 "zendesk_metrics",
             )
         }
-        _C360_CACHE["res"] = run_customer360(tables, fixture_config())
+        _C360_CACHE["res"] = run_customer360(paths, fixture_config())
         _C360_CACHE["n"] = n
     return _conform_c360(_C360_CACHE["res"][key])
 
