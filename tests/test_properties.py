@@ -120,3 +120,39 @@ def test_rolling_kernel_matches_bruteforce(rows):
         assert fast.loc[i, "n_window"] == len(in_win)
         assert fast.loc[i, "cents_window"] == sum(rows[j][2] for j in in_win)
     pd.testing.assert_frame_equal(fast.sort_index(), seg.sort_index())
+
+
+@settings(max_examples=10, deadline=None)
+@given(_events_strategy(), st.integers(1, 3), st.integers(0, 3))
+def test_engine_replay_matches_oracle_any_stream(
+    ray_session, tmp_path_factory, rows, n_epochs, dup_pick
+):
+    """Full-engine property: ANY small change stream — arbitrary op mix,
+    colliding timestamps, random epoch splits, a redelivered duplicate slice —
+    replays through CdcLake to exactly the full-sort oracle state."""
+    import tempfile
+
+    import ray.data
+
+    from dbt_customer360_ray.state.engine import CdcLake
+
+    table = _table(rows)
+    n = table.num_rows
+    bounds = np.linspace(0, n, n_epochs + 1).astype(int)
+    epochs = [table.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(n_epochs)]
+    # redeliver a prefix of one epoch as an extra epoch (exactly-once check)
+    dup = epochs[dup_pick % n_epochs]
+    epochs.append(dup.slice(0, max(1, dup.num_rows // 2)) if dup.num_rows else dup)
+
+    lake = CdcLake(tempfile.mkdtemp(prefix="prop-lake-"), num_partitions=4)
+    for part in epochs:
+        if part.num_rows:
+            lake.apply(ray.data.from_arrow(part))
+    got = lake.read_local_table().to_pandas()
+    want = oracle_lake(table)
+    got = (
+        got[want.columns.tolist()]
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
