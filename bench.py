@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "pack_documents",
     "top_terms_documents",
     "quantize_embeddings",
+    "event_gaps",
 ]
 
 

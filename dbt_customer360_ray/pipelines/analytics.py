@@ -1057,6 +1057,17 @@ def q_top_terms_documents(sf_dir: str, k: int = 3):
     return top_terms(ds, k=k)
 
 
+def q_event_gaps(sf_dir: str):
+    """lead()/lag() per-row window: whole seconds to each user's previous and
+    next event — bucket-by-key, one stable sort per bucket."""
+    from ..stages.windows import lead_lag_gaps
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts"], rows_per_block=50_000
+    )
+    return lead_lag_gaps(ds)
+
+
 def q_quantize_embeddings(sf_dir: str):
     """int8 scalar quantization of the embedding column (per-vector max-abs
     scale, floor-plus-half rounding) — map-only, bit-exactly oracled."""
@@ -1074,6 +1085,10 @@ def _training_data_sql():
 
     ORACLE_SQL["top_terms_documents"] = top_terms_oracle_sql("documents", k=3)
     ORACLE_SQL["quantize_embeddings"] = quantize_int8_oracle_sql("embeddings")
+
+    from ..stages.windows import lead_lag_gaps_oracle_sql
+
+    ORACLE_SQL["event_gaps"] = lead_lag_gaps_oracle_sql("events")
 
     ORACLE_SQL["pack_documents"] = pack_sequences_oracle_sql(
         "documents", "doc_id", "len(string_split(text, ' '))",
@@ -1369,6 +1384,7 @@ QUERIES = {
     "pack_documents": q_pack_documents,
     "top_terms_documents": q_top_terms_documents,
     "quantize_embeddings": q_quantize_embeddings,
+    "event_gaps": q_event_gaps,
     "stratified_sample_events": q_stratified_sample_events,
     "user_value_quantiles": q_user_value_quantiles,
     "orders_window_pairs": q_orders_window_pairs,

@@ -272,3 +272,67 @@ def grouped_quantiles(
         .groupby("_b")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def lead_lag_gaps(
+    ds,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    num_buckets: int | None = None,
+    rows_per_bucket: int = 250_000,
+):
+    """Per-row lead/lag window: for every event, the whole seconds since the
+    key's PREVIOUS event and until its NEXT one (null at the edges) — the
+    lag()/lead() primitive under the same bucket-by-key partitioning as
+    ``sessionize`` (all rows of a key meet in one bucket, one stable sort per
+    bucket, vectorized shift). Seconds are floored to int64 so the values are
+    exactly SQL's date_diff('second', ...) — no float in the output.
+
+    Returns (tie_col, key, gap_prev_s, gap_next_s).
+    """
+    ds, num_buckets = _resolve_buckets(ds, num_buckets, rows_per_bucket)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df["_b"] = _bucket_of(df[key], num_buckets)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, tie_col], kind="stable").reset_index(drop=True)
+        same_prev = g[key].eq(g[key].shift()).to_numpy()
+        same_next = g[key].eq(g[key].shift(-1)).to_numpy()
+        us = g[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
+        prev_s = (us - np.roll(us, 1)) // 1_000_000
+        next_s = (np.roll(us, -1) - us) // 1_000_000
+        # float64 with NaN at the partition edges — the dtype a nullable
+        # BIGINT window lands on in pandas on both engine and oracle sides
+        return pd.DataFrame(
+            {
+                tie_col: g[tie_col].to_numpy(),
+                key: g[key].to_numpy(),
+                "gap_prev_s": np.where(same_prev, prev_s.astype(np.float64), np.nan),
+                "gap_next_s": np.where(same_next, next_s.astype(np.float64), np.nan),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def lead_lag_gaps_oracle_sql(
+    table: str, key: str = "user_id", ts_col: str = "ts", tie_col: str = "event_id"
+) -> str:
+    """DuckDB mirror of ``lead_lag_gaps`` (same order, same whole-second
+    floor via microsecond epoch arithmetic)."""
+    return f"""
+        SELECT {tie_col}, {key},
+               (epoch_us({ts_col}) - lag(epoch_us({ts_col})) OVER w) // 1000000
+                   AS gap_prev_s,
+               (lead(epoch_us({ts_col})) OVER w - epoch_us({ts_col})) // 1000000
+                   AS gap_next_s
+        FROM {table}
+        WINDOW w AS (PARTITION BY {key} ORDER BY {ts_col}, {tie_col})
+    """

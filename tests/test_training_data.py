@@ -184,3 +184,36 @@ def test_quantize_int8_roundtrip_error_bounded():
     scale[scale == 0] = 1.0
     deq = codes / 127.0 * scale[:, None]
     assert np.abs(deq - vecs.astype(np.float64)).max() <= (scale.max() / 127.0) * 0.5 + 1e-12
+
+
+def test_lead_lag_gaps_match_pandas_windows():
+    import ray.data
+
+    from dbt_customer360_ray.stages.windows import lead_lag_gaps
+
+    rng = np.random.default_rng(17)
+    n = 2_000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 60, n),
+            "ts": pd.Timestamp("2025-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+        }
+    )
+    out = (
+        lead_lag_gaps(ray.data.from_pandas(df).repartition(6))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    want_prev = ref.groupby("user_id")["ts"].diff().dt.total_seconds()
+    want_next = -ref.groupby("user_id")["ts"].diff(-1).dt.total_seconds()
+    ref = ref.assign(gp=np.floor(want_prev), gn=np.floor(want_next)).sort_values("event_id")
+    np.testing.assert_array_equal(
+        out["gap_prev_s"].to_numpy(), ref["gp"].to_numpy()
+    )
+    np.testing.assert_array_equal(
+        out["gap_next_s"].to_numpy(), ref["gn"].to_numpy()
+    )
