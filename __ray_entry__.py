@@ -52,6 +52,14 @@ def _cdc_change_feed(sf_dir: str):
     return replayed_lake(sf=0.01).change_feed(from_epoch=0, to_epoch=2)
 
 
+def _cdc_conversation_headers(sf_dir: str):
+    """Per-conversation summary rows (the org-header analogue of SURVEY §7.0)
+    computed shuffle-free per partition on the replayed lake."""
+    from dbt_customer360_ray.pipelines.cdc_replay import replayed_lake
+
+    return replayed_lake(sf=0.01).conversation_headers()
+
+
 def _cdc_lookup_conversation(sf_dir: str):
     """Point lookup on the replayed lake: one conversation's converged turns
     read from ONLY its owner partition's runs (no scan)."""
@@ -300,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_change_feed"] = _cdc_change_feed
     out["cdc_deadletter"] = _cdc_deadletter
     out["cdc_lookup_conversation"] = _cdc_lookup_conversation
+    out["cdc_conversation_headers"] = _cdc_conversation_headers
     out["stream_replay_lake"] = _stream_replay_lake
     out["lang_quality_documents"] = _lang_quality_documents
     out["curated_documents"] = _curated_documents
@@ -328,6 +337,7 @@ def oracle_sql() -> dict[str, str]:
     from dbt_customer360_ray.pipelines.cdc_replay import (
         change_feed_oracle_sql,
         deadletter_oracle_sql,
+        headers_oracle_sql,
         lookup_oracle_sql,
         replay_oracle_sql,
         stream_oracle_sql,
@@ -359,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_change_feed"] = change_feed_oracle_sql(sf=0.01, from_epoch=0, to_epoch=2)
     out["cdc_deadletter"] = deadletter_oracle_sql()
     out["cdc_lookup_conversation"] = lookup_oracle_sql(sf=0.01, conv_id="conv-00000002")
+    out["cdc_conversation_headers"] = headers_oracle_sql(sf=0.01)
     out["stream_replay_lake"] = stream_oracle_sql()
     media = media_fixture_path(128, seed=5)
     out["multimodal_image_features"] = image_oracle_sql(media)

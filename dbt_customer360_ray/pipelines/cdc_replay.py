@@ -199,6 +199,21 @@ def timetravel_oracle_sql(sf: float, epoch: int) -> str:
     return _lww_sql(_epoch_selects(sf, upto=epoch))
 
 
+def headers_oracle_sql(sf: float = 0.01) -> str:
+    """Oracle for ``CdcLake.conversation_headers``: GROUP BY over the
+    converged prefix-replay state."""
+    inner = _lww_sql(_epoch_selects(sf))
+    return f"""
+        SELECT conv_id,
+               count(*) AS n_turns,
+               count(tool) AS n_tool_turns,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts
+        FROM ({inner})
+        GROUP BY conv_id
+    """
+
+
 def lookup_oracle_sql(sf: float, conv_id: str) -> str:
     """Oracle for ``CdcLake.lookup``: the converged state filtered to one
     conversation."""

@@ -128,6 +128,45 @@ def _diff_partition(
     return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
 
 
+def _headers_partition(files: list[str], state_schema: pa.Schema) -> pa.Table:
+    """conversation_headers kernel for one partition: LWW-merge the runs,
+    then one pandas groupby over conv_id (every turn of a conversation lives
+    in this partition by routing, so the aggregate is exact with NO shuffle)."""
+    import pandas as pd
+
+    if not files:
+        tables = []
+    else:
+        tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("n_turns", pa.int64()),
+            ("n_tool_turns", pa.int64()),
+            ("first_ts", pa.timestamp("us")),
+            ("last_ts", pa.timestamp("us")),
+        ]
+    )
+    if not tables:
+        return out_schema.empty_table()
+    state = drop_tombstones(lww_latest(pa.concat_tables(tables)))
+    df = state.select(
+        [c for c in ("conv_id", "ts", "tool") if c in state.column_names]
+    ).to_pandas()
+    if "tool" not in df.columns:  # pre-evolution snapshot
+        df["tool"] = None
+    g = df.groupby("conv_id", sort=True)
+    agg = pd.DataFrame(
+        {
+            "n_turns": g.size().astype("int64"),
+            "n_tool_turns": g["tool"].count().astype("int64"),
+            "first_ts": g["ts"].min(),
+            "last_ts": g["ts"].max(),
+        }
+    ).reset_index()
+    return pa.Table.from_pandas(agg, schema=out_schema, preserve_index=False)
+
+
 def _route_and_slice(table: pa.Table, event_schema, assigner, slot_of_skey, nslots: int, enrich=None):
     """Fused shuffle-map body: (optionally) enrich the raw rows, conform to the
     evolved schema, route (append skey), then one stable argsort by slot +
@@ -768,6 +807,34 @@ class CdcLake:
 
     def lineage(self) -> list[dict]:
         return list(self.manifest._state["epochs"])
+
+    def conversation_headers(
+        self, epoch: int | None = None, version: int | None = None
+    ):
+        """Per-conversation summary rows (conv_id, n_turns, n_tool_turns,
+        first_ts, last_ts) — the engine analogue of the reference's org-header
+        aggregate rows (customer360__mapping.sql:147-199), per SURVEY §7.0's
+        semantic bridge. Routing co-locates a conversation's turns, so this is
+        one plain Ray task per partition with NO shuffle; pass epoch/version
+        for a time-traveled header table."""
+        import ray
+        import ray.data
+
+        m = (
+            self.manifest
+            if epoch is None and version is None
+            else self._manifest_at(epoch, version)
+        )
+        state_schema = m.schema
+        if state_schema is None:
+            return ray.data.from_arrow(
+                pa.schema([("conv_id", pa.string())]).empty_table()
+            )
+        P = m.num_partitions or self.P
+        task = ray.remote(_headers_partition)
+        schema_ref = ray.put(state_schema)
+        refs = [task.remote(m.live_files(pid), schema_ref) for pid in range(P)]
+        return ray.data.from_arrow_refs(refs)
 
     def lookup(self, conv_id: str) -> pa.Table:
         """Point lookup: one conversation's converged turns, reading ONLY the

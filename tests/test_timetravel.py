@@ -167,3 +167,25 @@ def test_read_with_column_pruning(tmp_path):
     # snapshot read prunes too
     snap = lake.read_as_of(epoch=1, columns=["role"]).to_pandas()
     assert list(snap.columns) == ["conv_id", "turn_idx", "role"]
+
+
+def test_conversation_headers_match_state(tmp_path):
+    changes = gen_changes(5_000, 150, seed=37)
+    epochs = split_epochs(changes, 3)
+    lake = _replay(tmp_path, epochs)
+    heads = (
+        lake.conversation_headers()
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    state = lake.read_local_table().to_pandas()
+    g = state.groupby("conv_id", sort=True)
+    assert (heads.set_index("conv_id")["n_turns"] == g.size()).all()
+    assert (heads.set_index("conv_id")["n_tool_turns"] == g["tool"].count()).all()
+    assert (heads.set_index("conv_id")["first_ts"] == g["ts"].min()).all()
+    assert (heads.set_index("conv_id")["last_ts"] == g["ts"].max()).all()
+    # time-traveled header table reflects the snapshot, not the head
+    h0 = lake.conversation_headers(epoch=0).to_pandas()
+    s0 = _prefix_oracle(epochs, 0)
+    assert h0["n_turns"].sum() == len(s0)
