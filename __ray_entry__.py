@@ -117,6 +117,17 @@ def _minhash_near_dups(sf_dir: str):
     return dup_groups(verified_near_dup_pairs(ds, jaccard_threshold=0.8))
 
 
+def _canonical_documents(sf_dir: str):
+    """Keep-best near-dup canonicalization: every doc mapped to its group's
+    most-complete member (most tokens, tie lowest id); singletons to
+    themselves."""
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.dedup import canonicalize_near_dups
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], rows_per_block=2_048)
+    return canonicalize_near_dups(ds)
+
+
 def _simhash_documents(sf_dir: str):
     from dbt_customer360_ray.sources.readers import read_table
     from dbt_customer360_ray.stages.dedup import simhash_signatures
@@ -313,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["lang_quality_documents"] = _lang_quality_documents
     out["curated_documents"] = _curated_documents
     out["minhash_near_dups"] = _minhash_near_dups
+    out["canonical_documents"] = _canonical_documents
     out["simhash_documents"] = _simhash_documents
     out["embedding_near_dups"] = _embedding_near_dups
     out["embedding_lsh_near_dups"] = _embedding_lsh_near_dups
@@ -353,10 +365,14 @@ def oracle_sql() -> dict[str, str]:
     )
 
     from dbt_customer360_ray.pipelines.curate import curate_oracle_sql
-    from dbt_customer360_ray.stages.dedup import embedding_lsh_pairs_oracle_sql
+    from dbt_customer360_ray.stages.dedup import (
+        canonicalize_oracle_sql,
+        embedding_lsh_pairs_oracle_sql,
+    )
 
     out = dict(ORACLE_SQL)
     out["curated_documents"] = curate_oracle_sql()
+    out["canonical_documents"] = canonicalize_oracle_sql()
     out["embedding_lsh_near_dups"] = embedding_lsh_pairs_oracle_sql(
         dim=64, threshold=0.3
     )

@@ -1236,3 +1236,127 @@ def simhash_near_dups(
         return out if len(out) else _empty()
 
     return deduped.map_batches(verify, batch_format="pandas")
+
+
+def canonicalize_near_dups(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+):
+    """Map every document to its near-dup group REPRESENTATIVE — the member
+    with the most whitespace tokens (tie → lowest id); singletons map to
+    themselves. The keep-best flavour of dedup a curation pipeline wants when
+    duplicates differ in truncation.
+
+    Composition: verified MinHash near-dup pairs → connected groups (the
+    designed small side — only near-dup members appear) → driver-side
+    representative election over that small set → ONE map-only pass over the
+    corpus with the broadcast {dup doc → rep} dict. Above ~10^8 dup members
+    the rep join swaps to the bucketed-hash-join path like curate's keeper
+    membership."""
+    import ray
+
+    groups = dup_groups(
+        verified_near_dup_pairs(ds, jaccard_threshold=jaccard_threshold)
+    ).to_pandas()
+
+    def rep_of(doc_ids: set):
+        from .joins import semi_join
+
+        members = semi_join(
+            ds, np.array(sorted(doc_ids)), on=id_col
+        ).to_pandas()
+        toks = members[text_col].str.split(" ").str.len()
+        members = members.assign(_ntok=toks)[[id_col, "_ntok"]]
+        return members
+
+    if len(groups):
+        members = rep_of(set(groups[id_col]))
+        g = groups.merge(members, on=id_col)
+        g = g.sort_values(
+            ["dup_group", "_ntok", id_col], ascending=[True, False, True],
+            kind="stable",
+        )
+        reps = g.groupby("dup_group", sort=False).first()[id_col]
+        rep_map = dict(zip(g["dup_group"], g["dup_group"].map(reps)))
+        doc_to_rep = {
+            d: rep_map[grp] for d, grp in zip(groups[id_col], groups["dup_group"])
+        }
+    else:
+        doc_to_rep = {}
+    map_ref = ray.put(doc_to_rep)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(map_ref)
+        ids = batch[id_col]
+        return pd.DataFrame(
+            {
+                id_col: ids.to_numpy(),
+                "canonical_id": ids.map(lut).fillna(ids).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def canonicalize_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror of ``canonicalize_near_dups``: the minhash-groups CTE
+    (same exact-Jaccard ≥ .8 + transitive closure as the minhash_near_dups
+    oracle), then per-group representative by (token count DESC, id)."""
+    return f"""
+    WITH RECURSIVE d AS (
+        SELECT {id_col}, regexp_extract_all(lower(coalesce({text_col}, '')), '\\w+') AS toks
+        FROM {table}
+    ), sh AS (
+        SELECT {id_col},
+          list_distinct(CASE WHEN len(toks) >= 3
+            THEN list_transform(generate_series(1, len(toks) - 2),
+                                i -> array_to_string(toks[i:i+2], ' '))
+            ELSE [array_to_string(toks, ' ')] END) AS shingles
+        FROM d
+    ), e AS (
+        SELECT {id_col}, unnest(shingles) AS s FROM sh
+    ), inter AS (
+        SELECT x.{id_col} AS doc_a, y.{id_col} AS doc_b, count(*) AS n_int
+        FROM e x JOIN e y ON x.s = y.s AND x.{id_col} < y.{id_col}
+        GROUP BY 1, 2
+    ), sizes AS (
+        SELECT {id_col}, len(shingles) AS n FROM sh
+    ), pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.{id_col} = doc_a
+        JOIN sizes sb ON sb.{id_col} = doc_b
+        WHERE CAST(n_int AS DOUBLE) / (sa.n + sb.n - n_int) >= 0.8
+    ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), reach(node, x) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.node, e2.b FROM reach r JOIN edges e2 ON e2.a = r.x
+    ), groups AS (
+        SELECT node AS {id_col}, least(node, min(x)) AS grp
+        FROM reach GROUP BY node
+    ), ntok AS (
+        SELECT {id_col}, len(string_split({text_col}, ' ')) AS n FROM {table}
+    ), reps AS (
+        SELECT grp, {id_col} AS rep_id FROM (
+            SELECT g.grp, g.{id_col},
+                   row_number() OVER (
+                       PARTITION BY g.grp ORDER BY t.n DESC, g.{id_col}
+                   ) AS rn
+            FROM groups g JOIN ntok t USING ({id_col})
+        ) WHERE rn = 1
+    )
+    SELECT t.{id_col},
+           coalesce(r.rep_id, t.{id_col}) AS canonical_id
+    FROM ntok t
+    LEFT JOIN groups g USING ({id_col})
+    LEFT JOIN reps r ON r.grp = g.grp
+    """

@@ -217,3 +217,25 @@ def test_lead_lag_gaps_match_pandas_windows():
     np.testing.assert_array_equal(
         out["gap_next_s"].to_numpy(), ref["gn"].to_numpy()
     )
+
+
+def test_canonicalize_picks_most_complete_member():
+    from dbt_customer360_ray.stages.dedup import canonicalize_near_dups
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa alpha beta"
+    texts = [
+        base,                      # 0: full
+        base + " extra tail",      # 1: longer near-dup of 0 → representative
+        "unrelated words only here with nothing shared at all",  # 2
+        base,                      # 3: exact dup of 0
+    ]
+    out = (
+        canonicalize_near_dups(_docs_ds(texts))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 4
+    assert out.loc[2, "canonical_id"] == 2            # singleton → itself
+    grp = out.loc[[0, 1, 3], "canonical_id"]
+    assert (grp == 1).all()                           # longest member wins
