@@ -68,6 +68,23 @@ def _cdc_lookup_conversation(sf_dir: str):
     return replayed_lake(sf=0.01).lookup("conv-00000002")
 
 
+def _cdc_assistant_view(sf_dir: str):
+    """Incremental materialized view: a derived lake holding only assistant
+    turns, maintained epoch-by-epoch from the source lake's change feed
+    through the same exactly-once sink. Oracled — the view state must equal
+    the filtered converged source state."""
+    import tempfile
+
+    from dbt_customer360_ray.pipelines.cdc_replay import replayed_lake
+    from dbt_customer360_ray.state.engine import CdcLake
+    from dbt_customer360_ray.state.views import sync_view
+
+    src = replayed_lake(sf=0.01)
+    dst = CdcLake(tempfile.mkdtemp(prefix="view-lake-"), num_partitions=16)
+    sync_view(src, dst, keep=lambda df: df["role"].eq("assistant"))
+    return dst.read(columns=["role", "text", "tool", "src_ts"])
+
+
 def _cdc_deadletter(sf_dir: str):
     """Dead-letter queue, oracle-checked: replay the deterministically
     corrupted fixture and return the quarantined rows + reasons; the oracle
@@ -320,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_deadletter"] = _cdc_deadletter
     out["cdc_lookup_conversation"] = _cdc_lookup_conversation
     out["cdc_conversation_headers"] = _cdc_conversation_headers
+    out["cdc_assistant_view"] = _cdc_assistant_view
     out["stream_replay_lake"] = _stream_replay_lake
     out["lang_quality_documents"] = _lang_quality_documents
     out["curated_documents"] = _curated_documents
@@ -351,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         deadletter_oracle_sql,
         headers_oracle_sql,
         lookup_oracle_sql,
+        view_oracle_sql,
         replay_oracle_sql,
         stream_oracle_sql,
         timetravel_oracle_sql,
@@ -386,6 +405,7 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_deadletter"] = deadletter_oracle_sql()
     out["cdc_lookup_conversation"] = lookup_oracle_sql(sf=0.01, conv_id="conv-00000002")
     out["cdc_conversation_headers"] = headers_oracle_sql(sf=0.01)
+    out["cdc_assistant_view"] = view_oracle_sql(sf=0.01, role="assistant")
     out["stream_replay_lake"] = stream_oracle_sql()
     media = media_fixture_path(128, seed=5)
     out["multimodal_image_features"] = image_oracle_sql(media)

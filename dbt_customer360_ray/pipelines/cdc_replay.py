@@ -199,6 +199,16 @@ def timetravel_oracle_sql(sf: float, epoch: int) -> str:
     return _lww_sql(_epoch_selects(sf, upto=epoch))
 
 
+def view_oracle_sql(sf: float = 0.01, role: str = "assistant") -> str:
+    """Oracle for the incrementally-maintained view: it must equal the
+    FILTERED converged source state (ts surfaces as the view's src_ts)."""
+    inner = _lww_sql(_epoch_selects(sf))
+    return f"""
+        SELECT conv_id, turn_idx, role, text, tool, ts AS src_ts
+        FROM ({inner}) WHERE role = '{role}'
+    """
+
+
 def headers_oracle_sql(sf: float = 0.01) -> str:
     """Oracle for ``CdcLake.conversation_headers``: GROUP BY over the
     converged prefix-replay state."""

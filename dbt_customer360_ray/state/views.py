@@ -1,0 +1,100 @@
+"""Incremental materialized views: a derived CdcLake kept in sync from the
+source lake's change feed (CDC-out → CDC-in).
+
+The reference rebuilds every downstream table with a full `dbt run`
+(/root/reference/dbt_project.yml:11); the engine equivalent maintains a
+filtered/projected derived table INCREMENTALLY: each source epoch's
+change_feed (a per-partition, shuffle-free snapshot diff) is translated into
+upsert/delete events and applied to the view lake through the same
+exactly-once manifest sink — so view maintenance inherits replay dedup,
+crash resume (a re-sync skips view epochs already committed), time travel,
+and metrics for free.
+
+Determinism contract: event offsets are (epoch+1)·2^40 + hash(key) — unique
+across epochs by construction, collision-free in expectation within one, and
+independent of feed row order, so a re-executed sync writes byte-identical
+events. The view's LWW ts is a per-epoch watermark (later syncs always win);
+the source timestamp rides along as the payload column ``src_ts``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..hashing import stable_hash
+from .engine import CdcLake
+
+_WATERMARK_BASE = np.datetime64("2000-01-01T00:00:00", "us")
+
+_VIEW_EVENT_SCHEMA = pa.schema(
+    [
+        ("offset", pa.int64()),
+        ("op", pa.string()),
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+        ("src_ts", pa.timestamp("us")),
+    ]
+)
+
+
+def sync_view(
+    src: CdcLake,
+    dst: CdcLake,
+    keep,
+    upto_epoch: int | None = None,
+) -> list[dict]:
+    """Advance the view lake ``dst`` through every source epoch committed
+    since the last sync (view epoch e mirrors source epoch e). ``keep`` is a
+    vectorized predicate ``pd.DataFrame -> bool mask`` over post-image rows;
+    rows it rejects — including updates that USED to satisfy it — become
+    deletes in the view, so the view always equals ``filter(source state)``.
+
+    Returns the per-epoch apply metrics. Idempotent/resumable: already-
+    committed view epochs are skipped by the manifest.
+    """
+    import ray.data
+
+    last_src = src.manifest.last_epoch if upto_epoch is None else upto_epoch
+    out = []
+    for epoch in range(dst.manifest.last_epoch + 1, last_src + 1):
+        if dst.manifest.epoch_committed(epoch):
+            continue
+        feed = src.change_feed(
+            from_epoch=epoch - 1, to_epoch=epoch
+        ) if epoch > 0 else src.change_feed(from_version=0, to_epoch=0)
+        watermark = _WATERMARK_BASE + np.timedelta64(epoch + 1, "s")
+
+        def to_events(batch: pd.DataFrame, wm=watermark, ep=epoch) -> pd.DataFrame:
+            post = batch[batch["change_type"] != "delete"]
+            kept = keep(post).to_numpy() if len(post) else np.array([], bool)
+            ev = batch.copy()
+            ev["op"] = "D"
+            ev.loc[post.index[kept], "op"] = "U"
+            key = ev["conv_id"].astype(str) + "\x1f" + ev["turn_idx"].astype(str)
+            ev["offset"] = (
+                np.int64(ep + 1) * np.int64(1 << 40)
+                + (stable_hash(key) % np.uint64(1 << 39)).astype(np.int64)
+            )
+            ev["src_ts"] = ev["ts"]
+            ev["ts"] = pd.Timestamp(wm)
+            drop = ev["op"] == "D"
+            for c in ("role", "text", "tool"):
+                ev.loc[drop, c] = None
+            ev.loc[drop, "src_ts"] = pd.NaT
+            # explicit Arrow schema: all-null object columns would otherwise
+            # break downstream schema inference
+            return pa.Table.from_pandas(
+                ev[list(_VIEW_EVENT_SCHEMA.names)],
+                schema=_VIEW_EVENT_SCHEMA,
+                preserve_index=False,
+            )
+
+        events = feed.map_batches(to_events, batch_format="pandas")
+        out.append(dst.apply(events, epoch=epoch))
+    return out
