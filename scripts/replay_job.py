@@ -50,6 +50,8 @@ def main() -> int:
                     help="print the insert/update/delete row counts between two committed epochs")
     ap.add_argument("--deadletter-report", action="store_true",
                     help="print quarantined-event counts by reason")
+    ap.add_argument("--view", help="maintain an incremental role-filtered view lake "
+                                   "at this directory (ROLE:DIR, e.g. assistant:/data/view)")
     args = ap.parse_args()
 
     import ray
@@ -108,6 +110,15 @@ def main() -> int:
             feed.groupby("change_type").count().to_pandas().set_index("change_type")["count()"].to_dict()
         )
         print(json.dumps({"change_feed": {"from": lo, "to": hi, "counts": counts}}), flush=True)
+    if args.view:
+        from dbt_customer360_ray.state.views import sync_view
+
+        role, _, view_dir = args.view.partition(":")
+        view = CdcLake(view_dir, num_partitions=lake.P)
+        ms = sync_view(lake, view, keep=lambda df, r=role: df["role"].eq(r))
+        print(json.dumps({"view": view_dir, "role": role,
+                          "epochs_synced": len(ms),
+                          "view_rows": view.read_local_table().num_rows}), flush=True)
     if args.deadletter_report:
         dl = lake.read_deadletter()
         by_reason: dict[str, int] = {}
