@@ -52,6 +52,22 @@ def _cdc_change_feed(sf_dir: str):
     return replayed_lake(sf=0.01).change_feed(from_epoch=0, to_epoch=2)
 
 
+_SINCE_CUTOFF = "2025-01-01 00:10:00"  # above epochs 0-1's ts_max in the sf0.01 fixture
+
+
+def _cdc_lake_since(sf_dir: str):
+    """Stats-pruned time-bounded read: converged rows with ts >= cutoff, where
+    the manifest's per-run ts_max stats let the engine skip whole runs
+    (epochs 0-1 of the 4-epoch replay) without opening them. Oracled —
+    since_oracle_sql filters the full SQL-derived state the slow way."""
+    from dbt_customer360_ray.pipelines.cdc_replay import replayed_lake
+
+    lake = replayed_lake(sf=0.01)
+    ds = lake.read(since_ts=_SINCE_CUTOFF)
+    assert lake.last_read_stats["runs_pruned"] > 0, lake.last_read_stats
+    return ds
+
+
 def _cdc_conversation_headers(sf_dir: str):
     """Per-conversation summary rows (the org-header analogue of SURVEY §7.0)
     computed shuffle-free per partition on the replayed lake."""
@@ -333,6 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = dict(QUERIES)
     out["cdc_replay_lake"] = _cdc_replay_lake
     out["cdc_timetravel_lake"] = _cdc_timetravel_lake
+    out["cdc_lake_since"] = _cdc_lake_since
     out["cdc_change_feed"] = _cdc_change_feed
     out["cdc_deadletter"] = _cdc_deadletter
     out["cdc_lookup_conversation"] = _cdc_lookup_conversation
@@ -371,6 +388,7 @@ def oracle_sql() -> dict[str, str]:
         lookup_oracle_sql,
         view_oracle_sql,
         replay_oracle_sql,
+        since_oracle_sql,
         stream_oracle_sql,
         timetravel_oracle_sql,
     )
@@ -401,6 +419,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(oracle_entries())
     out["cdc_replay_lake"] = replay_oracle_sql(sf=0.01)
     out["cdc_timetravel_lake"] = timetravel_oracle_sql(sf=0.01, epoch=1)
+    out["cdc_lake_since"] = since_oracle_sql(sf=0.01, cutoff=_SINCE_CUTOFF)
     out["cdc_change_feed"] = change_feed_oracle_sql(sf=0.01, from_epoch=0, to_epoch=2)
     out["cdc_deadletter"] = deadletter_oracle_sql()
     out["cdc_lookup_conversation"] = lookup_oracle_sql(sf=0.01, conv_id="conv-00000002")

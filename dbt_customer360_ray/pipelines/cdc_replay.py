@@ -224,6 +224,14 @@ def headers_oracle_sql(sf: float = 0.01) -> str:
     """
 
 
+def since_oracle_sql(sf: float, cutoff: str) -> str:
+    """Oracle for the stats-pruned time-bounded read: the converged state
+    filtered on ts — DuckDB scans everything; the engine must skip whole runs
+    via the manifest's per-run ts_max stats and still agree."""
+    inner = _lww_sql(_epoch_selects(sf))
+    return f"SELECT * FROM ({inner}) WHERE ts >= TIMESTAMP '{cutoff}'"
+
+
 def lookup_oracle_sql(sf: float, conv_id: str) -> str:
     """Oracle for ``CdcLake.lookup``: the converged state filtered to one
     conversation."""

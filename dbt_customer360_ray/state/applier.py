@@ -63,6 +63,20 @@ def atomic_parquet(table: pa.Table, path: str) -> None:
     os.replace(tmp, path)
 
 
+def run_ts_stats(table: pa.Table) -> dict:
+    """Per-run ``ts`` min/max (epoch microseconds) recorded in the manifest —
+    the Delta/Iceberg file-stats pattern that lets time-bounded reads skip
+    whole runs without opening them (see CdcLake._read_manifest for the
+    soundness argument: only the LOWER bound may prune)."""
+    if table.num_rows == 0:
+        return {}
+    col = table.column("ts").cast(pa.int64())
+    lo, hi = pc.min(col).as_py(), pc.max(col).as_py()
+    if lo is None:
+        return {}
+    return {"ts_min": int(lo), "ts_max": int(hi)}
+
+
 def _count_late(events: pa.Table) -> int:
     """Events applied out of ts order within their key: ts < running max ts of
     earlier-offset events for the same (conv_id, turn_idx). Pure numpy:
@@ -170,7 +184,10 @@ class EpochApplier:
             path = os.path.join("data", f"part-{pid:05d}", name)
             atomic_parquet(run_table, os.path.join(self.lake_dir, path))
             tomb = int(pc.sum(pc.equal(run_table.column("op"), "D")).as_py() or 0)
-            new_runs = [{"path": path, "rows": run_table.num_rows, "tombstones": tomb}]
+            new_runs = [
+                {"path": path, "rows": run_table.num_rows, "tombstones": tomb}
+                | run_ts_stats(run_table)
+            ]
 
         max_offset = committed
         if new.num_rows > 0:

@@ -27,12 +27,23 @@ import pyarrow.parquet as pq
 
 from ..functions.lww import drop_tombstones, lww_latest
 from ..schemas import KEY_COLUMNS, conform_batch, evolve_schema
-from .applier import EpochApplier, atomic_parquet
+from .applier import EpochApplier, atomic_parquet, run_ts_stats
 from .manifest import Manifest
 from .router import AssignPartitions, estimate_hot_keys
 
 REQUIRED_EVENT_COLUMNS = ("offset", "op", "conv_id", "turn_idx", "ts")
 INTERNAL_COLUMNS = ("op", "offset", "pid")
+
+
+def _ts_to_us(ts) -> int | None:
+    """Normalize a user-facing time bound (str / datetime / np.datetime64 /
+    pd.Timestamp) to epoch microseconds — the unit of the lake's ``ts`` column
+    and of the manifest's per-run stats."""
+    if ts is None:
+        return None
+    import pandas as pd
+
+    return int(pd.Timestamp(ts).value // 1_000)
 
 
 def _apply_group(group: pa.Table, applier: EpochApplier) -> pa.Table:
@@ -76,7 +87,13 @@ def _compact_partition(
     path = os.path.join("data", f"part-{pid:05d}", f"base-v{version:08d}.parquet")
     atomic_parquet(merged, os.path.join(lake_dir, path))
     tomb = int(pc.sum(pc.equal(merged.column("op"), "D")).as_py() or 0)
-    return {"pid": pid, "rows": merged.num_rows, "tombstones": tomb, "path": path}
+    return {
+        "pid": pid,
+        "rows": merged.num_rows,
+        "tombstones": tomb,
+        "path": path,
+        "ts_stats": run_ts_stats(merged),
+    }
 
 
 def _diff_partition(
@@ -325,6 +342,9 @@ class CdcLake:
         # sort-based groupby — same semantics, far lower constant cost per
         # micro-batch epoch (SURVEY.md §7.4 point 2 anticipated this choice)
         self.exchange = exchange
+        # observability for the last _read_manifest call: how many runs the
+        # per-run ts stats let the read skip without opening
+        self.last_read_stats: dict = {}
 
     # -- schema ------------------------------------------------------------
     def _event_schema(self) -> pa.Schema | None:
@@ -642,6 +662,7 @@ class CdcLake:
                         "rows": int(row["rows"]),
                         "tombstones": int(row["tombstones"]),
                     }
+                    | dict(row["ts_stats"])
                 ],
                 "replaces": True,
                 "max_offset": self.manifest.partition(pid)["max_offset"],
@@ -663,19 +684,29 @@ class CdcLake:
             version = self.manifest.version_for_epoch(epoch)
         return self.manifest.at_version(version)
 
-    def read(self, columns: list[str] | None = None):
+    def read(
+        self,
+        columns: list[str] | None = None,
+        since_ts=None,
+        until_ts=None,
+    ):
         """Converged lake state as a streaming Dataset: one merged, tombstone-free,
         ``(conv_id, turn_idx)``-sorted group per partition. ``columns`` prunes
         the projection AT THE PARQUET READ (plus the key/LWW internals the
         merge needs) — a 2-column scan of a wide transcript lake never decodes
-        the text payload."""
-        return self._read_manifest(self.manifest, columns)
+        the text payload. ``since_ts``/``until_ts`` (inclusive bounds, anything
+        ``pandas.Timestamp`` accepts) filter the CONVERGED rows on ``ts`` and
+        use the manifest's per-run ts stats to skip whole runs (see
+        ``_read_manifest`` for which bound may prune and why)."""
+        return self._read_manifest(self.manifest, columns, since_ts, until_ts)
 
     def read_as_of(
         self,
         epoch: int | None = None,
         version: int | None = None,
         columns: list[str] | None = None,
+        since_ts=None,
+        until_ts=None,
     ):
         """Time-travel read: the converged lake AS OF a committed epoch (or a
         raw manifest version), with the schema as of that snapshot — columns
@@ -684,12 +715,53 @@ class CdcLake:
         ``vacuum()`` removes data files the current manifest no longer
         references (vacuum is the retention horizon, the standard
         Delta/Iceberg rule)."""
-        return self._read_manifest(self._manifest_at(epoch, version), columns)
+        return self._read_manifest(
+            self._manifest_at(epoch, version), columns, since_ts, until_ts
+        )
 
-    def _read_manifest(self, m, columns: list[str] | None = None):
+    def _read_manifest(
+        self,
+        m,
+        columns: list[str] | None = None,
+        since_ts=None,
+        until_ts=None,
+    ):
+        """Manifest-driven merged read with stats-based data skipping.
+
+        A run whose recorded ``ts_max`` is below ``since_ts`` is skipped
+        WITHOUT being opened. That is sound: every row in such a run has
+        ts < since_ts, so if one of its rows is the LWW winner for a key the
+        merged row fails the filter anyway, and if it loses, the winner lives
+        in a kept run and is unaffected; a skipped tombstone that wins only
+        shadows rows with even lower (ts, offset), which also fail the filter.
+        The UPPER bound must NOT prune runs — dropping a run whose rows all
+        have ts > until_ts could un-shadow an older row that passes the
+        filter — so ``until_ts`` only filters merged rows. Skip counts land in
+        ``self.last_read_stats`` for observability/tests.
+        """
         import ray.data
 
-        files = m.live_files()
+        since_us = _ts_to_us(since_ts)
+        until_us = _ts_to_us(until_ts)
+        P_stats = m.num_partitions or self.P
+        files: list[str] = []
+        kept_per_pid: dict[int, int] = {}
+        total_runs = 0
+        for p in range(P_stats):
+            for run in m.partition(p)["runs"]:
+                total_runs += 1
+                if (
+                    since_us is not None
+                    and "ts_max" in run
+                    and int(run["ts_max"]) < since_us
+                ):
+                    continue
+                kept_per_pid[p] = kept_per_pid.get(p, 0) + 1
+                files.append(os.path.join(m.lake_dir, run["path"]))
+        self.last_read_stats = {
+            "runs_total": total_runs,
+            "runs_pruned": total_runs - len(files),
+        }
         state_schema = m.schema
         if not files or state_schema is None:
             empty = pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int32())])
@@ -711,24 +783,35 @@ class CdcLake:
                 )
             )
             state_schema = pa.schema([f for f in state_schema if f.name in needed])
-        P = m.num_partitions or self.P
         # projection travels via schema= ONLY: the Arrow dataset scanner
         # projects to the declared schema and null-fills evolution-missing
         # columns; passing columns= besides would make v0 fragments (without
         # e.g. `tool`) fail the reader's schema check
         ds = ray.data.read_parquet(files, schema=state_schema)
-        single_run = all(len(m.partition(p)["runs"]) <= 1 for p in range(P))
+
+        def ts_filter(t: pa.Table) -> pa.Table:
+            # post-merge row filter: both bounds apply here; only the lower
+            # bound was allowed to skip runs above
+            if since_us is not None:
+                t = t.filter(pc.greater_equal(t.column("ts").cast(pa.int64()), since_us))
+            if until_us is not None:
+                t = t.filter(pc.less_equal(t.column("ts").cast(pa.int64()), until_us))
+            return t
+
+        single_run = all(n <= 1 for n in kept_per_pid.values())
         if single_run:
-            # each file is already LWW-resolved and key-sorted: filter + project
+            # each kept file is already LWW-resolved and key-sorted (a key in a
+            # pruned sibling run either loses to this file's row or fails the
+            # ts filter — _read_manifest docstring): filter + project
             def finalize(t: pa.Table, cols=tuple(public)) -> pa.Table:
-                return drop_tombstones(t).select(list(cols))
+                return ts_filter(drop_tombstones(t)).select(list(cols))
 
             return ds.map_batches(
                 finalize, batch_format="pyarrow", zero_copy_batch=True
             )
 
         def merge(group: pa.Table, cols=tuple(public)) -> pa.Table:
-            merged = drop_tombstones(lww_latest(group))
+            merged = ts_filter(drop_tombstones(lww_latest(group)))
             order = pc.sort_indices(
                 merged, sort_keys=[(c, "ascending") for c in KEY_COLUMNS]
             )

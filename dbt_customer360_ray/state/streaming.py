@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 from ..functions.lww import lww_latest
 from ..hashing import partition_ids
 from ..schemas import conform_batch, evolve_schema
-from .applier import atomic_parquet
+from .applier import atomic_parquet, run_ts_stats
 from .engine import CdcLake, REQUIRED_EVENT_COLUMNS
 
 
@@ -78,7 +78,10 @@ class _PartitionApplier:
             out.append(
                 {
                     "pid": pid,
-                    "runs": [{"path": path, "rows": merged.num_rows, "tombstones": tomb}],
+                    "runs": [
+                        {"path": path, "rows": merged.num_rows, "tombstones": tomb}
+                        | run_ts_stats(merged)
+                    ],
                     "max_offset": max_off,
                 }
             )

@@ -189,3 +189,51 @@ def test_conversation_headers_match_state(tmp_path):
     h0 = lake.conversation_headers(epoch=0).to_pandas()
     s0 = _prefix_oracle(epochs, 0)
     assert h0["n_turns"].sum() == len(s0)
+
+
+def test_time_bounded_read_prunes_runs(tmp_path):
+    """Stats-based data skipping: a lower ts bound must skip whole runs via
+    the manifest's per-run ts_max and still return exactly the filtered
+    converged state (soundness argument in CdcLake._read_manifest)."""
+    changes = gen_changes(8_000, 400, seed=21)
+    epochs = split_epochs(changes, 4)
+    lake = _replay(tmp_path, epochs)
+    full = lake.read().to_pandas()
+    cut = full["ts"].quantile(0.7)
+    got = (
+        lake.read(since_ts=cut)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    assert lake.last_read_stats["runs_pruned"] > 0
+    want = (
+        full[full["ts"] >= cut]
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # both bounds; the upper bound filters but never prunes
+    hi = full["ts"].quantile(0.9)
+    got2 = lake.read(since_ts=cut, until_ts=hi).to_pandas()
+    assert len(got2) == ((full["ts"] >= cut) & (full["ts"] <= hi)).sum()
+    only_hi = lake.read(until_ts=hi)
+    assert lake.last_read_stats["runs_pruned"] == 0
+    assert only_hi.count() == (full["ts"] <= hi).sum()
+
+
+def test_time_bounded_read_survives_compaction_and_pruning(tmp_path):
+    changes = gen_changes(6_000, 300, seed=23)
+    epochs = split_epochs(changes, 4)
+    lake = _replay(tmp_path, epochs)
+    full = lake.read().to_pandas()
+    cut = full["ts"].quantile(0.5)
+    want = len(full[full["ts"] >= cut])
+    lake.compact(force=True)  # base runs re-derive their ts stats
+    assert lake.read(since_ts=cut).count() == want
+    for p in range(lake.P):
+        for run in lake.manifest.partition(p)["runs"]:
+            assert "ts_min" in run and run["ts_min"] <= run["ts_max"]
+    # column pruning composes with the time bound (ts rides along internally)
+    got = lake.read(columns=["role"], since_ts=cut).to_pandas()
+    assert len(got) == want and set(got.columns) == {"conv_id", "turn_idx", "role"}
