@@ -68,6 +68,16 @@ def _cdc_lake_since(sf_dir: str):
     return ds
 
 
+def _cdc_snapshot_synced(sf_dir: str):
+    """MERGE-style full-snapshot re-sync (snapshot-diff CDC): replay, derive a
+    deterministic desired snapshot, snapshot_sync it (minimal I/U/D events
+    through the exactly-once epoch path), return the post-sync lake. Oracled —
+    snapshot_sync_oracle_sql re-derives the post-state incl. ts provenance."""
+    from dbt_customer360_ray.pipelines.cdc_replay import snapshot_synced_lake
+
+    return snapshot_synced_lake(sf=0.01)
+
+
 def _cdc_conversation_headers(sf_dir: str):
     """Per-conversation summary rows (the org-header analogue of SURVEY §7.0)
     computed shuffle-free per partition on the replayed lake."""
@@ -350,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_replay_lake"] = _cdc_replay_lake
     out["cdc_timetravel_lake"] = _cdc_timetravel_lake
     out["cdc_lake_since"] = _cdc_lake_since
+    out["cdc_snapshot_synced"] = _cdc_snapshot_synced
     out["cdc_change_feed"] = _cdc_change_feed
     out["cdc_deadletter"] = _cdc_deadletter
     out["cdc_lookup_conversation"] = _cdc_lookup_conversation
@@ -389,6 +400,7 @@ def oracle_sql() -> dict[str, str]:
         view_oracle_sql,
         replay_oracle_sql,
         since_oracle_sql,
+        snapshot_sync_oracle_sql,
         stream_oracle_sql,
         timetravel_oracle_sql,
     )
@@ -420,6 +432,7 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_replay_lake"] = replay_oracle_sql(sf=0.01)
     out["cdc_timetravel_lake"] = timetravel_oracle_sql(sf=0.01, epoch=1)
     out["cdc_lake_since"] = since_oracle_sql(sf=0.01, cutoff=_SINCE_CUTOFF)
+    out["cdc_snapshot_synced"] = snapshot_sync_oracle_sql(sf=0.01)
     out["cdc_change_feed"] = change_feed_oracle_sql(sf=0.01, from_epoch=0, to_epoch=2)
     out["cdc_deadletter"] = deadletter_oracle_sql()
     out["cdc_lookup_conversation"] = lookup_oracle_sql(sf=0.01, conv_id="conv-00000002")

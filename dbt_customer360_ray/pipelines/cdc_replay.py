@@ -224,6 +224,92 @@ def headers_oracle_sql(sf: float = 0.01) -> str:
     """
 
 
+SYNC_TS = "2025-06-01 00:00:00"  # beyond every fixture ts — snapshot_sync requires it
+
+
+def snapshot_synced_lake(sf: float = 0.01):
+    """Driver surface for ``CdcLake.snapshot_sync``: replay the fixture into a
+    fresh lake, derive a deterministic 'desired snapshot' from the converged
+    state (drop every turn_idx % 5 == 3, edit user texts, add one marker turn
+    per conversation), MERGE-sync it, and return the post-sync lake read. The
+    snapshot derivation is Dataset-native and mirrored verbatim in
+    ``snapshot_sync_oracle_sql``."""
+    import numpy as np
+    import pyarrow as pa
+
+    snap_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+        ]
+    )
+
+    def to_snapshot(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["turn_idx"] % 5 != 3].copy()
+        m = df["role"] == "user"
+        df.loc[m, "text"] = df.loc[m, "text"] + " [edited]"
+        return pa.Table.from_pandas(
+            df[[f.name for f in snap_schema]], schema=snap_schema, preserve_index=False
+        )
+
+    def to_marker(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": pa.array(np.full(n, 9999, np.int32)),
+                "role": pa.array(["system"] * n),
+                "text": pa.array(["snapshot marker"] * n),
+                "tool": pa.nulls(n, pa.string()),
+            },
+            schema=snap_schema,
+        )
+
+    lake, _ = replay(sf=sf)
+    body = lake.read().map_batches(to_snapshot, batch_format="pyarrow")
+    markers = (
+        lake.conversation_headers()
+        .select_columns(["conv_id"])
+        .map_batches(to_marker, batch_format="pyarrow")
+    )
+    lake.snapshot_sync(body.union(markers), SYNC_TS)
+    return lake.read()
+
+
+def snapshot_sync_oracle_sql(sf: float = 0.01, sync_ts: str = SYNC_TS) -> str:
+    """Oracle for ``snapshot_synced_lake``: the same desired snapshot derived
+    in SQL, with MERGE ts-provenance semantics — payload-identical rows keep
+    the lake ts, inserted/updated rows carry the sync timestamp, dropped keys
+    are simply absent."""
+    inner = _lww_sql(_epoch_selects(sf))
+    return f"""
+        WITH state AS ({inner}),
+        snap AS (
+            SELECT conv_id, turn_idx, role,
+                   CASE WHEN role = 'user' THEN text || ' [edited]' ELSE text END AS text,
+                   tool
+            FROM state WHERE turn_idx % 5 <> 3
+            UNION ALL
+            SELECT DISTINCT conv_id, CAST(9999 AS INTEGER) AS turn_idx,
+                   'system' AS role, 'snapshot marker' AS text,
+                   CAST(NULL AS VARCHAR) AS tool
+            FROM state
+        )
+        SELECT s.conv_id, s.turn_idx, s.role, s.text, s.tool,
+               CASE WHEN l.conv_id IS NOT NULL
+                     AND l.role IS NOT DISTINCT FROM s.role
+                     AND l.text IS NOT DISTINCT FROM s.text
+                     AND l.tool IS NOT DISTINCT FROM s.tool
+                    THEN l.ts ELSE TIMESTAMP '{sync_ts}' END AS ts
+        FROM snap s LEFT JOIN state l
+          ON s.conv_id = l.conv_id AND s.turn_idx = l.turn_idx
+    """
+
+
 def since_oracle_sql(sf: float, cutoff: str) -> str:
     """Oracle for the stats-pruned time-bounded read: the converged state
     filtered on ts — DuckDB scans everything; the engine must skip whole runs

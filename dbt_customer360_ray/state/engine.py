@@ -145,6 +145,73 @@ def _diff_partition(
     return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
 
 
+SENTINEL_TURN = -1  # marks injected per-partition presence rows in snapshot_sync
+
+
+def _snapshot_diff_partition(
+    group: pa.Table,
+    files_by_pid: tuple,  # ((pid, (file, ...)), ...) — hashable for Ray's fn cache
+    state_schema: pa.Schema,
+    sync_ts_us: int,
+    base_offset: int,
+) -> pa.Table:
+    """snapshot_sync kernel for one partition: LWW-merge the partition's
+    committed runs, diff them against this partition's snapshot slice, and emit
+    the MINIMAL change events — 'I' for snapshot-only keys, 'D' tombstones for
+    lake-only keys, 'U' where any payload column differs (null-safe); identical
+    rows emit NOTHING, so an idempotent re-sync is a zero-event epoch. Offsets
+    are ``base_offset + rank(key)`` (deterministic), ts is the sync timestamp
+    (validated by the caller to exceed every committed ts, so the events always
+    win LWW). A sentinel row per partition (turn_idx = -1) guarantees every
+    partition reaches this kernel even when its snapshot slice is empty — the
+    all-rows-deleted case."""
+    import numpy as np
+    import pandas as pd
+
+    pid = int(group.column("pid")[0].as_py())
+    group = group.filter(pc.not_equal(group.column("turn_idx"), SENTINEL_TURN))
+    payload = [
+        f.name
+        for f in state_schema
+        if f.name not in KEY_COLUMNS and f.name not in INTERNAL_COLUMNS and f.name != "ts"
+    ]
+    event_schema = pa.schema([f for f in state_schema if f.name != "pid"])
+
+    files = dict(files_by_pid).get(pid, ())
+    if files:
+        tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
+        state = drop_tombstones(lww_latest(pa.concat_tables(tables)))
+        lake = state.select(list(KEY_COLUMNS) + payload).to_pandas()
+    else:
+        lake = pd.DataFrame(columns=list(KEY_COLUMNS) + payload)
+
+    snap = group.select(list(KEY_COLUMNS) + payload).to_pandas()
+    if snap.duplicated(list(KEY_COLUMNS)).any():
+        raise ValueError("snapshot_sync: snapshot has duplicate (conv_id, turn_idx) keys")
+
+    m = lake.merge(
+        snap, on=list(KEY_COLUMNS), how="outer", suffixes=("__l", ""), indicator=True
+    )
+    ins = (m["_merge"] == "right_only").to_numpy()
+    dele = (m["_merge"] == "left_only").to_numpy()
+    changed = np.zeros(len(m), dtype=bool)
+    for c in payload:
+        x, y = m[f"{c}__l"], m[c]
+        changed |= ((x != y) & ~(x.isna() & y.isna())).to_numpy()
+    upd = (m["_merge"] == "both").to_numpy() & changed
+    keep = ins | dele | upd
+    out = m.loc[keep, list(KEY_COLUMNS) + payload].copy()
+    out.insert(0, "op", np.where(ins[keep], "I", np.where(upd[keep], "U", "D")))
+    for c in payload:  # tombstones carry a null payload
+        out.loc[out["op"] == "D", c] = None
+    out = out.sort_values(list(KEY_COLUMNS), kind="stable").reset_index(drop=True)
+    out.insert(0, "offset", base_offset + np.arange(len(out), dtype=np.int64))
+    out["ts"] = pd.Timestamp(sync_ts_us, unit="us")
+    return pa.Table.from_pandas(out, preserve_index=False).select(
+        [f.name for f in event_schema]
+    ).cast(event_schema)
+
+
 def _headers_partition(files: list[str], state_schema: pa.Schema) -> pa.Table:
     """conversation_headers kernel for one partition: LWW-merge the runs,
     then one pandas groupby over conv_id (every turn of a conversation lives
@@ -670,6 +737,115 @@ class CdcLake:
             }
         self.manifest.commit_compaction(updates)
         return len(updates)
+
+    def snapshot_sync(self, snapshot, sync_ts, detect_hot: str = "off") -> dict:
+        """MERGE-style re-sync from a FULL snapshot of the source table — the
+        classic snapshot-diff CDC connector (and the reference's
+        ``--full-refresh`` rebuild, dbt_project.yml:11, expressed as a minimal
+        incremental epoch instead of a rewrite).
+
+        ``snapshot`` (Dataset | pa.Table | parquet path) holds the desired
+        content: key columns plus every payload column EXCEPT ``ts`` — content
+        provenance stays with the engine: rows whose payload is unchanged keep
+        their original ts; inserted/updated rows get ``sync_ts``; missing keys
+        become tombstones. Per partition, one kernel LWW-merges the committed
+        runs and diffs them against the routed snapshot slice
+        (`_snapshot_diff_partition`), emitting ONLY the changed rows, which
+        then flow through the normal exactly-once ``apply`` epoch — resumable,
+        manifest-committed, change_feed-visible. Scale shape: the snapshot
+        pays one hash shuffle (unavoidable — it must meet its partitions); the
+        re-apply exchange moves only the diff, O(change rate).
+
+        ``sync_ts`` must exceed every committed row's ts (checked against the
+        manifest's per-run ts stats) so the sync events always win LWW.
+        Returns the apply metrics; an identical snapshot is a zero-event epoch.
+        """
+        import ray.data
+
+        from ..hashing import partition_ids
+
+        sync_us = _ts_to_us(sync_ts)
+        for p in range(self.P):
+            for run in self.manifest.partition(p)["runs"]:
+                if "ts_max" in run and int(run["ts_max"]) >= sync_us:
+                    raise ValueError(
+                        f"snapshot_sync: sync_ts {sync_ts} does not exceed the "
+                        f"lake's max committed ts — sync events would lose LWW"
+                    )
+        if isinstance(snapshot, str):
+            snap_ds = ray.data.read_parquet(snapshot)
+        elif isinstance(snapshot, pa.Table):
+            snap_ds = ray.data.from_arrow(snapshot)
+        else:
+            snap_ds = snapshot
+        snap_schema = _dataset_schema(snap_ds)
+
+        state_schema = self.manifest.schema
+        if state_schema is None:
+            # initial load into an empty lake: the snapshot defines the payload
+            payload_fields = [f for f in snap_schema if f.name not in KEY_COLUMNS]
+            state_schema = pa.schema(
+                [("offset", pa.int64()), ("op", pa.string())]
+                + [snap_schema.field(c) for c in KEY_COLUMNS]
+                + payload_fields
+                + [("ts", pa.timestamp("us")), ("pid", pa.int32())]
+            )
+        expected = {
+            f.name
+            for f in state_schema
+            if f.name not in INTERNAL_COLUMNS and f.name != "ts"
+        }
+        got = set(snap_schema.names)
+        if got != expected:
+            raise ValueError(
+                f"snapshot_sync: snapshot columns {sorted(got)} != lake public "
+                f"columns minus ts {sorted(expected)}"
+            )
+
+        P = self.P
+        files_by_pid = tuple(
+            (p, tuple(self.manifest.live_files(p))) for p in range(P)
+        )
+        base_offset = max(self.manifest.committed_offsets().values(), default=-1) + 1
+
+        def assign(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "pid", pa.array(partition_ids(batch.column("conv_id"), P), pa.int32())
+            )
+
+        # one sentinel row per partition so empty snapshot slices still diff
+        # (the all-rows-deleted partition); the kernel drops them by turn_idx
+        sent = pa.table(
+            {
+                "conv_id": pa.array([""] * P, snap_schema.field("conv_id").type),
+                "turn_idx": pa.array(
+                    [SENTINEL_TURN] * P, snap_schema.field("turn_idx").type
+                ),
+                **{
+                    f.name: pa.nulls(P, f.type)
+                    for f in snap_schema
+                    if f.name not in KEY_COLUMNS
+                },
+                "pid": pa.array(range(P), pa.int32()),
+            }
+        ).select(list(snap_schema.names) + ["pid"])
+        routed = snap_ds.map_batches(
+            assign, batch_format="pyarrow", zero_copy_batch=True
+        ).union(ray.data.from_arrow(sent))
+
+        import functools as _ft
+
+        kernel = _ft.partial(
+            _snapshot_diff_partition,
+            files_by_pid=files_by_pid,
+            state_schema=state_schema,
+            sync_ts_us=sync_us,
+            base_offset=base_offset,
+        )
+        events = routed.groupby("pid").map_groups(
+            kernel, batch_format="pyarrow"
+        ).materialize()
+        return self.apply(events, detect_hot=detect_hot)
 
     # -- read path ---------------------------------------------------------
     def _public_columns(self) -> list[str]:
