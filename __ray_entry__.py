@@ -78,6 +78,20 @@ def _cdc_snapshot_synced(sf_dir: str):
     return snapshot_synced_lake(sf=0.01)
 
 
+def _cdc_resharded_lake(sf_dir: str):
+    """Lake reshard: rewrite the replayed lake from 32 to 11 partitions in one
+    hash-shuffle pass (tombstones and checkpoints carried), then read the new
+    lake. Oracled — the converged state must be partition-count invariant, so
+    the oracle is the plain replay oracle."""
+    import tempfile
+
+    from dbt_customer360_ray.pipelines.cdc_replay import replayed_lake
+
+    lake = replayed_lake(sf=0.01)
+    dest = lake.reshard(tempfile.mkdtemp(prefix="resharded-") + "/lake", 11)
+    return dest.read()
+
+
 def _cdc_conversation_headers(sf_dir: str):
     """Per-conversation summary rows (the org-header analogue of SURVEY §7.0)
     computed shuffle-free per partition on the replayed lake."""
@@ -361,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_timetravel_lake"] = _cdc_timetravel_lake
     out["cdc_lake_since"] = _cdc_lake_since
     out["cdc_snapshot_synced"] = _cdc_snapshot_synced
+    out["cdc_resharded_lake"] = _cdc_resharded_lake
     out["cdc_change_feed"] = _cdc_change_feed
     out["cdc_deadletter"] = _cdc_deadletter
     out["cdc_lookup_conversation"] = _cdc_lookup_conversation
@@ -433,6 +448,7 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_timetravel_lake"] = timetravel_oracle_sql(sf=0.01, epoch=1)
     out["cdc_lake_since"] = since_oracle_sql(sf=0.01, cutoff=_SINCE_CUTOFF)
     out["cdc_snapshot_synced"] = snapshot_sync_oracle_sql(sf=0.01)
+    out["cdc_resharded_lake"] = replay_oracle_sql(sf=0.01)
     out["cdc_change_feed"] = change_feed_oracle_sql(sf=0.01, from_epoch=0, to_epoch=2)
     out["cdc_deadletter"] = deadletter_oracle_sql()
     out["cdc_lookup_conversation"] = lookup_oracle_sql(sf=0.01, conv_id="conv-00000002")

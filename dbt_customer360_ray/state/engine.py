@@ -145,6 +145,29 @@ def _diff_partition(
     return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
 
 
+def _reshard_partition(group: pa.Table, lake_dir: str, epoch: int) -> pa.Table:
+    """reshard kernel for one NEW partition: every (conv_id, turn_idx) key's
+    full retained history (winners per old run, INCLUDING tombstones — late
+    events must stay unable to resurrect deletes after the rewrite) meets here
+    via the new-pid shuffle; LWW-merge it and write one base run."""
+    import numpy as np
+
+    pid = int(group.column("pid")[0].as_py())
+    merged = lww_latest(group)
+    path = os.path.join("data", f"part-{pid:05d}", f"run-{epoch:06d}.parquet")
+    atomic_parquet(merged, os.path.join(lake_dir, path))
+    tomb = int(pc.sum(pc.equal(merged.column("op"), "D")).as_py() or 0)
+    return pa.table(
+        {
+            "pid": pa.array([pid], pa.int32()),
+            "rows": pa.array([merged.num_rows], pa.int64()),
+            "tombstones": pa.array([tomb], pa.int64()),
+            "path": pa.array([path], pa.string()),
+            "ts_stats_json": pa.array([json.dumps(run_ts_stats(merged))], pa.string()),
+        }
+    )
+
+
 SENTINEL_TURN = -1  # marks injected per-partition presence rows in snapshot_sync
 
 
@@ -846,6 +869,86 @@ class CdcLake:
             kernel, batch_format="pyarrow"
         ).materialize()
         return self.apply(events, detect_hot=detect_hot)
+
+    def reshard(self, dest_dir: str, num_partitions: int) -> "CdcLake":
+        """Rewrite the lake under a new partition count — the scale-the-lake
+        operation (P is otherwise pinned at creation so checkpoints line up).
+
+        One streaming pass: read every live run (winners + tombstones, so late
+        events still cannot resurrect deletes after the move), recompute
+        ``pid = stable_hash(conv_id) % new_P``, hash-shuffle, and write one
+        LWW-merged base run per NEW partition into ``dest_dir``, committed
+        atomically through a fresh manifest (same exactly-once property: a
+        crashed reshard leaves an uncommitted dest that simply re-runs).
+
+        Checkpoints: every new partition's max_offset becomes the GLOBAL
+        high-water mark (offsets are a monotone stream position, so any event
+        at or below it was delivered somewhere pre-reshard; replaying an old
+        epoch into the new lake dedups everything, and genuinely new events
+        are above it). Epoch numbering continues from the source so resumed
+        producers line up. The source lake is not touched.
+        """
+        import functools as _ft
+
+        import ray.data
+
+        from ..hashing import partition_ids
+
+        if Manifest(dest_dir).schema is not None:
+            raise ValueError(f"reshard: destination {dest_dir} is not empty")
+        state_schema = self.manifest.schema
+        if state_schema is None:
+            raise ValueError("reshard: source lake is empty")
+        files = self.manifest.live_files()
+        epoch = max(self.manifest.last_epoch, 0)
+        global_hw = max(self.manifest.committed_offsets().values(), default=-1)
+
+        def assign(batch: pa.Table, P=num_partitions) -> pa.Table:
+            return batch.set_column(
+                batch.schema.get_field_index("pid"),
+                "pid",
+                pa.array(partition_ids(batch.column("conv_id"), P), pa.int32()),
+            )
+
+        stats = (
+            ray.data.read_parquet(files, schema=state_schema)
+            .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("pid")
+            .map_groups(
+                _ft.partial(_reshard_partition, lake_dir=dest_dir, epoch=epoch),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+        )
+        updates = {}
+        for row in stats.itertuples():
+            updates[int(row.pid)] = {
+                "runs": [
+                    {
+                        "path": row.path,
+                        "rows": int(row.rows),
+                        "tombstones": int(row.tombstones),
+                    }
+                    | json.loads(row.ts_stats_json)
+                ],
+                "replaces": True,
+                "max_offset": global_hw,
+                "rows": int(row.rows) - int(row.tombstones),
+            }
+        # partitions that received no keys still need their checkpoint row
+        for p in range(num_partitions):
+            updates.setdefault(
+                p, {"runs": [], "replaces": True, "max_offset": global_hw, "rows": 0}
+            )
+        dest = CdcLake(dest_dir, num_partitions=num_partitions)
+        dest.manifest.commit_epoch(
+            epoch,
+            updates,
+            schema=state_schema,
+            num_partitions=num_partitions,
+            metrics_delta={"resharded_rows": int(stats["rows"].sum())},
+        )
+        return dest
 
     # -- read path ---------------------------------------------------------
     def _public_columns(self) -> list[str]:
