@@ -152,6 +152,36 @@ def _lang_quality_documents(sf_dir: str):
     )
 
 
+def _repetition_documents(sf_dir: str):
+    """Gopher-style repetition quality stats + keep flag, map-only (per-doc
+    aggregates need no shuffle)."""
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.text import repetition_stats
+
+    return repetition_stats(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _vocab_documents(sf_dir: str):
+    """Corpus vocabulary ranked by (count DESC, term ASC): one partial-count
+    pass + an O(vocabulary) driver combine."""
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.text import build_vocab
+
+    return build_vocab(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _encoded_documents(sf_dir: str):
+    """Token-ID encoding against the corpus-built vocab (broadcast dict, OOV→0),
+    order-preserving — exploded (doc, ord, token_id) rows for hash comparison;
+    the list<int32> training-sink form is ``encode_documents`` (unit-tested
+    equivalent)."""
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.text import build_vocab, encode_documents_flat
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return encode_documents_flat(ds, build_vocab(ds))
+
+
 def _curated_documents(sf_dir: str):
     """Flagship composed training-data pipeline: language filter → quality
     filter → exact-dup keeper, oracle-checked end to end (the resumable
@@ -383,6 +413,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_assistant_view"] = _cdc_assistant_view
     out["stream_replay_lake"] = _stream_replay_lake
     out["lang_quality_documents"] = _lang_quality_documents
+    out["repetition_documents"] = _repetition_documents
+    out["vocab_documents"] = _vocab_documents
+    out["encoded_documents"] = _encoded_documents
     out["curated_documents"] = _curated_documents
     out["minhash_near_dups"] = _minhash_near_dups
     out["canonical_documents"] = _canonical_documents
@@ -434,7 +467,16 @@ def oracle_sql() -> dict[str, str]:
         embedding_lsh_pairs_oracle_sql,
     )
 
+    from dbt_customer360_ray.stages.text import (
+        encode_flat_oracle_sql,
+        repetition_oracle_sql,
+        vocab_oracle_sql,
+    )
+
     out = dict(ORACLE_SQL)
+    out["repetition_documents"] = repetition_oracle_sql("documents")
+    out["vocab_documents"] = vocab_oracle_sql("documents")
+    out["encoded_documents"] = encode_flat_oracle_sql("documents")
     out["curated_documents"] = curate_oracle_sql()
     out["canonical_documents"] = canonicalize_oracle_sql()
     out["embedding_lsh_near_dups"] = embedding_lsh_pairs_oracle_sql(

@@ -361,3 +361,236 @@ def top_terms_oracle_sql(
             FROM tf JOIN df USING (term)
         ) WHERE rn <= {k}
     """
+
+
+def repetition_stats(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_top_word_frac: float = 0.2,
+    max_dup_word_frac: float = 0.3,
+):
+    """Gopher-style repetition quality stats, map-only (each document lives in
+    exactly one batch, so per-doc aggregates are exact with NO shuffle):
+    ``top_word_frac`` = most frequent term's share, ``dup_word_frac`` = share
+    of tokens that are repeats of an earlier-seen term, plus a ``keep`` flag
+    under the given thresholds (Rae et al. 2021's repetition filters, §A1.1,
+    applied at word granularity — this corpus has no newlines to line-filter)."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        tf = _term_tf(batch, id_col, text_col)
+        g = tf.groupby("doc", sort=False)["tf"]
+        per = pd.DataFrame(
+            {"n_words": g.sum(), "n_distinct": g.size(), "top_c": g.max()}
+        )
+        # _term_tf drops nothing, so every input doc appears; align to batch order
+        per = per.loc[batch.column(id_col).to_numpy(zero_copy_only=False)]
+        n = per["n_words"].to_numpy(dtype=np.float64)
+        top_frac = per["top_c"].to_numpy(dtype=np.float64) / n
+        dup_frac = 1.0 - per["n_distinct"].to_numpy(dtype=np.float64) / n
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_words": pa.array(per["n_words"].to_numpy(np.int64)),
+                "n_distinct": pa.array(per["n_distinct"].to_numpy(np.int64)),
+                "top_word_frac": pa.array(top_frac),
+                "dup_word_frac": pa.array(dup_frac),
+                "keep": pa.array(
+                    (top_frac <= max_top_word_frac) & (dup_frac <= max_dup_word_frac)
+                ),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def repetition_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_top_word_frac: float = 0.2,
+    max_dup_word_frac: float = 0.3,
+) -> str:
+    """DuckDB mirror of ``repetition_stats`` (same split, same double math)."""
+    return f"""
+        WITH tok AS (
+            SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS term
+            FROM {table}
+        ), tf AS (
+            SELECT {id_col}, term, count(*) AS c FROM tok GROUP BY 1, 2
+        ), agg AS (
+            SELECT {id_col}, sum(c) AS n_words, count(*) AS n_distinct,
+                   max(c) AS top_c
+            FROM tf GROUP BY 1
+        )
+        SELECT {id_col},
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_distinct AS BIGINT) AS n_distinct,
+               top_c / CAST(n_words AS DOUBLE) AS top_word_frac,
+               1.0 - n_distinct / CAST(n_words AS DOUBLE) AS dup_word_frac,
+               (top_c / CAST(n_words AS DOUBLE) <= {max_top_word_frac}
+                AND 1.0 - n_distinct / CAST(n_words AS DOUBLE) <= {max_dup_word_frac})
+                   AS keep
+        FROM agg
+    """
+
+
+def build_vocab(ds, text_col: str = "text", max_size: int = 100_000) -> pd.DataFrame:
+    """Corpus vocabulary: terms ranked by (count DESC, term ASC), token ids
+    1..max_size (0 is reserved for OOV). One map-only partial-count pass (the
+    same combiner argument as ``top_terms``: per-batch counts sum exactly),
+    then a vocabulary-sized driver combine — O(distinct terms), NOT O(corpus);
+    a bucketed groupby swap-in applies for web-scale vocabularies.
+
+    Returns a pandas DataFrame (token_id:int32, term, n:int64) — a model-side
+    artifact that is broadcast, never joined."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(batch.column(text_col), pattern=" ")
+        flat = (
+            toks.combine_chunks().flatten()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks.flatten()
+        )
+        vc = pd.Series(flat.to_pandas().to_numpy(dtype=object)).value_counts()
+        return pd.DataFrame({"term": vc.index, "n": vc.to_numpy(np.int64)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    counts = partials.groupby("term")["n"].sum().reset_index()
+    counts = counts.sort_values(
+        ["n", "term"], ascending=[False, True], kind="stable"
+    ).head(max_size)
+    counts.insert(0, "token_id", np.arange(1, len(counts) + 1, dtype=np.int32))
+    return counts.reset_index(drop=True)
+
+
+def vocab_oracle_sql(table: str, text_col: str = "text", max_size: int = 100_000) -> str:
+    """DuckDB mirror of ``build_vocab``."""
+    return f"""
+        WITH tok AS (
+            SELECT unnest(string_split({text_col}, ' ')) AS term FROM {table}
+        ), counts AS (
+            SELECT term, count(*) AS n FROM tok GROUP BY 1
+        )
+        SELECT CAST(row_number() OVER (ORDER BY n DESC, term ASC) AS INTEGER)
+                   AS token_id,
+               term, n
+        FROM counts
+        QUALIFY row_number() OVER (ORDER BY n DESC, term ASC) <= {max_size}
+    """
+
+
+def encode_documents(ds, vocab: pd.DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+    """Token-ID encoding against a built vocabulary: each document's token
+    sequence mapped to int32 ids (OOV → 0), order-preserving, as a
+    ``list<int32>`` column. The vocab dict ships ONCE via ``ray.put`` and maps
+    inside each batch (broadcast lookup, no join shuffle — the id space is a
+    model artifact, always small next to the corpus)."""
+    import ray
+
+    vocab_ref = ray.put(dict(zip(vocab["term"], vocab["token_id"].astype(np.int32))))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        vmap = ray.get(vocab_ref)
+        toks = pc.split_pattern(batch.column(text_col), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pd.Series(toks.flatten().to_pandas().to_numpy(dtype=object))
+        ids = flat.map(vmap).fillna(0).to_numpy(np.int32)
+        offsets = np.zeros(len(batch) + 1, dtype=np.int32)
+        np.cumsum(lens, out=offsets[1:])
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "ids": pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()), pa.array(ids, pa.int32())
+                ),
+                "n_tokens": pa.array(lens.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def encode_oracle_sql(table: str, id_col: str = "doc_id", text_col: str = "text", max_size: int = 100_000) -> str:
+    """DuckDB mirror of ``encode_documents`` over the same corpus-built vocab
+    (parallel unnests zip in DuckDB, giving token order for the list agg)."""
+    return f"""
+        WITH tok AS (
+            SELECT {id_col},
+                   unnest(string_split({text_col}, ' ')) AS term,
+                   unnest(range(1, len(string_split({text_col}, ' ')) + 1)) AS ord
+            FROM {table}
+        ), counts AS (
+            SELECT term, count(*) AS n FROM tok GROUP BY 1
+        ), vocab AS (
+            SELECT term,
+                   CAST(row_number() OVER (ORDER BY n DESC, term ASC) AS INTEGER)
+                       AS token_id
+            FROM counts
+            QUALIFY row_number() OVER (ORDER BY n DESC, term ASC) <= {max_size}
+        )
+        SELECT t.{id_col},
+               list(CAST(coalesce(v.token_id, 0) AS INTEGER) ORDER BY t.ord)
+                   AS ids,
+               CAST(count(*) AS BIGINT) AS n_tokens
+        FROM tok t LEFT JOIN vocab v USING (term)
+        GROUP BY t.{id_col}
+    """
+
+
+def encode_documents_flat(ds, vocab: pd.DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+    """``encode_documents`` in exploded form — one (doc, ord, token_id) row per
+    token position (1-based). Same broadcast-dict mapping; this is the
+    hash-comparable shape (list columns don't sort), the list form is the
+    training-sink shape."""
+    import ray
+
+    vocab_ref = ray.put(dict(zip(vocab["term"], vocab["token_id"].astype(np.int32))))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        vmap = ray.get(vocab_ref)
+        toks = pc.split_pattern(batch.column(text_col), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pd.Series(toks.flatten().to_pandas().to_numpy(dtype=object))
+        ids = flat.map(vmap).fillna(0).to_numpy(np.int32)
+        ord_ = np.concatenate([np.arange(1, n + 1, dtype=np.int64) for n in lens]) \
+            if len(lens) else np.array([], np.int64)
+        doc = np.repeat(batch.column(id_col).to_numpy(zero_copy_only=False), lens)
+        return pa.table(
+            {
+                id_col: pa.array(doc),
+                "ord": pa.array(ord_),
+                "token_id": pa.array(ids),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def encode_flat_oracle_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text", max_size: int = 100_000
+) -> str:
+    """DuckDB mirror of ``encode_documents_flat``."""
+    return f"""
+        WITH tok AS (
+            SELECT {id_col},
+                   unnest(string_split({text_col}, ' ')) AS term,
+                   unnest(range(1, len(string_split({text_col}, ' ')) + 1)) AS ord
+            FROM {table}
+        ), counts AS (
+            SELECT term, count(*) AS n FROM tok GROUP BY 1
+        ), vocab AS (
+            SELECT term,
+                   CAST(row_number() OVER (ORDER BY n DESC, term ASC) AS INTEGER)
+                       AS token_id
+            FROM counts
+            QUALIFY row_number() OVER (ORDER BY n DESC, term ASC) <= {max_size}
+        )
+        SELECT t.{id_col}, CAST(t.ord AS BIGINT) AS ord,
+               CAST(coalesce(v.token_id, 0) AS INTEGER) AS token_id
+        FROM tok t LEFT JOIN vocab v USING (term)
+    """

@@ -239,3 +239,87 @@ def test_canonicalize_picks_most_complete_member():
     assert out.loc[2, "canonical_id"] == 2            # singleton → itself
     grp = out.loc[[0, 1, 3], "canonical_id"]
     assert (grp == 1).all()                           # longest member wins
+
+
+def test_repetition_stats_match_bruteforce():
+    import ray.data
+
+    from dbt_customer360_ray.stages.text import repetition_stats
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": [
+                "a a a a b",          # top 4/5, dup 1 - 2/5
+                "v w x y z q",        # all distinct: top 1/6 <= 0.2
+                "spam spam spam spam",
+                "",                   # one empty token
+            ],
+        }
+    )
+    got = (
+        repetition_stats(ray.data.from_arrow(docs))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[1, "top_word_frac"] == 4 / 5
+    assert got.loc[1, "dup_word_frac"] == 1 - 2 / 5
+    assert not got.loc[1, "keep"]
+    assert got.loc[2, "top_word_frac"] == 1 / 6 and got.loc[2, "dup_word_frac"] == 0.0
+    assert bool(got.loc[2, "keep"])
+    assert got.loc[3, "dup_word_frac"] == 0.75 and not got.loc[3, "keep"]
+    assert got.loc[4, "n_words"] == 1  # split('') -> [''], the SQL convention
+
+
+def test_vocab_and_encode_are_batching_independent():
+    import ray.data
+
+    from dbt_customer360_ray.stages.text import (
+        build_vocab,
+        encode_documents,
+        encode_documents_flat,
+    )
+
+    rng = np.random.default_rng(7)
+    words = np.array(["alpha", "beta", "gamma", "delta", "eps"])
+    texts = [" ".join(rng.choice(words, rng.integers(1, 12))) for _ in range(200)]
+    docs = pa.table({"doc_id": pa.array(range(200), pa.int64()), "text": texts})
+
+    v1 = build_vocab(ray.data.from_arrow(docs))
+    v64 = build_vocab(ray.data.from_arrow(docs).repartition(64))
+    pd.testing.assert_frame_equal(v1, v64)
+    assert v1["token_id"].tolist() == list(range(1, len(v1) + 1))
+    assert v1["n"].is_monotonic_decreasing
+
+    enc = encode_documents(ray.data.from_arrow(docs), v1).to_pandas()
+    enc = enc.sort_values("doc_id").reset_index(drop=True)
+    vmap = dict(zip(v1["term"], v1["token_id"]))
+    for i in (0, 17, 199):
+        want = [vmap[w] for w in texts[i].split(" ")]
+        assert list(enc.loc[i, "ids"]) == want
+        assert enc.loc[i, "n_tokens"] == len(want)
+
+    # flat form agrees with the list form
+    flat = (
+        encode_documents_flat(ray.data.from_arrow(docs).repartition(8), v1)
+        .to_pandas()
+        .sort_values(["doc_id", "ord"])
+    )
+    rebuilt = flat.groupby("doc_id")["token_id"].apply(list)
+    for i in (0, 42):
+        assert rebuilt.loc[i] == list(enc.loc[i, "ids"])
+
+
+def test_encode_oov_maps_to_zero():
+    import ray.data
+
+    from dbt_customer360_ray.stages.text import build_vocab, encode_documents
+
+    train = pa.table({"doc_id": pa.array([1], pa.int64()), "text": ["a b c"]})
+    vocab = build_vocab(ray.data.from_arrow(train), max_size=2)
+    assert len(vocab) == 2
+    new = pa.table({"doc_id": pa.array([9], pa.int64()), "text": ["a zzz c"]})
+    got = encode_documents(ray.data.from_arrow(new), vocab).to_pandas()
+    ids = list(got["ids"].iloc[0])
+    assert 0 in ids and len(ids) == 3
