@@ -1389,3 +1389,131 @@ QUERIES = {
     "user_value_quantiles": q_user_value_quantiles,
     "orders_window_pairs": q_orders_window_pairs,
 }
+
+
+# -- 34. hierarchical ROLLUP aggregate ---------------------------------------
+
+def q_rollup_pricing(sf_dir: str):
+    """GROUP BY ROLLUP (l_returnflag, l_linestatus): all three grouping levels
+    in one pass. Scale shape: the FINEST level is aggregated once with the
+    partial-combine pattern of q_pricing_summary (constant cardinality), and
+    the coarser levels re-aggregate that tiny table — sums of sums, never a
+    second pass over the fact table (the standard reaggregability argument)."""
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+        rows_per_block=50_000,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.set_column(
+            t.schema.get_field_index("l_quantity"),
+            "l_quantity",
+            pc.round(t.column("l_quantity")).cast(pa.int64()),
+        )
+        t = t.append_column("price_cents", _cents(t.column("l_extendedprice")))
+        t = t.append_column("one", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("price_cents", "sum"), ("one", "sum")]
+        )
+
+    def rollup(t: pa.Table) -> pa.Table:
+        finest = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity_sum", "sum"), ("price_cents_sum", "sum"), ("one_sum", "sum")]
+        )
+        df = finest.to_pandas().rename(
+            columns={
+                "l_quantity_sum_sum": "sum_qty",
+                "price_cents_sum_sum": "sum_base_price_cents",
+                "one_sum_sum": "count_order",
+            }
+        )
+        measures = ["sum_qty", "sum_base_price_cents", "count_order"]
+        by_flag = df.groupby("l_returnflag", as_index=False)[measures].sum()
+        by_flag["l_linestatus"] = None
+        total = df[measures].sum().to_frame().T
+        total["l_returnflag"] = None
+        total["l_linestatus"] = None
+        cols = ["l_returnflag", "l_linestatus"] + measures
+        out = pd.concat([df[cols], by_flag[cols], total[cols]], ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("l_returnflag", pa.string()),
+                    ("l_linestatus", pa.string()),
+                    ("sum_qty", pa.int64()),
+                    ("sum_base_price_cents", pa.int64()),
+                    ("count_order", pa.int64()),
+                ]
+            )
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(rollup, batch_format="pyarrow", batch_size=None)
+    )
+
+
+ORACLE_SQL["rollup_pricing"] = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_base_price_cents,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# -- 35. pivot (conditional aggregation) --------------------------------------
+
+def q_events_pivot(sf_dir: str):
+    """Per-day event counts pivoted into one column per event_type —
+    conditional aggregation, the warehouse PIVOT. The type set is a fixed
+    enum (schema knowledge, like the reference's hardcoded source list,
+    SURVEY §2.10), so the pivot is a constant-width partial aggregate with
+    the same shuffle-free coalesced combine as q_events_daily."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"], rows_per_block=50_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t.column("ts"), unit="day").cast(pa.int64())
+        cols = {"day_us": day}
+        et = t.column("event_type")
+        for ty in types:
+            cols[f"n_{ty}"] = pc.equal(et, ty).cast(pa.int64())
+        return pa.table(cols).group_by(["day_us"]).aggregate(
+            [(f"n_{ty}", "sum") for ty in types]
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.group_by(["day_us"]).aggregate(
+            [(f"n_{ty}_sum", "sum") for ty in types]
+        )
+        out = {"day": g.column("day_us").cast(pa.timestamp("us"))}
+        for ty in types:
+            out[f"n_{ty}"] = g.column(f"n_{ty}_sum_sum")
+        return pa.table(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+ORACLE_SQL["events_pivot"] = """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+    FROM events
+    GROUP BY 1
+"""
+
+QUERIES["rollup_pricing"] = q_rollup_pricing
+QUERIES["events_pivot"] = q_events_pivot
