@@ -78,6 +78,15 @@ def _cdc_snapshot_synced(sf_dir: str):
     return snapshot_synced_lake(sf=0.01)
 
 
+def _cdc_late_quarantined(sf_dir: str):
+    """Lateness watermark: events below (watermark − 30 min) at apply time are
+    quarantined as 'too_late' instead of applied. Oracled —
+    late_quarantine_oracle_sql unrolls the per-epoch watermark in SQL."""
+    from dbt_customer360_ray.pipelines.cdc_replay import late_quarantined_lake
+
+    return late_quarantined_lake(sf=0.01)
+
+
 def _cdc_resharded_lake(sf_dir: str):
     """Lake reshard: rewrite the replayed lake from 32 to 11 partitions in one
     hash-shuffle pass (tombstones and checkpoints carried), then read the new
@@ -406,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_lake_since"] = _cdc_lake_since
     out["cdc_snapshot_synced"] = _cdc_snapshot_synced
     out["cdc_resharded_lake"] = _cdc_resharded_lake
+    out["cdc_late_quarantined"] = _cdc_late_quarantined
     out["cdc_change_feed"] = _cdc_change_feed
     out["cdc_deadletter"] = _cdc_deadletter
     out["cdc_lookup_conversation"] = _cdc_lookup_conversation
@@ -444,6 +454,7 @@ def oracle_sql() -> dict[str, str]:
         change_feed_oracle_sql,
         deadletter_oracle_sql,
         headers_oracle_sql,
+        late_quarantine_oracle_sql,
         lookup_oracle_sql,
         view_oracle_sql,
         replay_oracle_sql,
@@ -491,6 +502,7 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_lake_since"] = since_oracle_sql(sf=0.01, cutoff=_SINCE_CUTOFF)
     out["cdc_snapshot_synced"] = snapshot_sync_oracle_sql(sf=0.01)
     out["cdc_resharded_lake"] = replay_oracle_sql(sf=0.01)
+    out["cdc_late_quarantined"] = late_quarantine_oracle_sql(sf=0.01)
     out["cdc_change_feed"] = change_feed_oracle_sql(sf=0.01, from_epoch=0, to_epoch=2)
     out["cdc_deadletter"] = deadletter_oracle_sql()
     out["cdc_lookup_conversation"] = lookup_oracle_sql(sf=0.01, conv_id="conv-00000002")

@@ -310,6 +310,61 @@ def snapshot_sync_oracle_sql(sf: float = 0.01, sync_ts: str = SYNC_TS) -> str:
     """
 
 
+LATENESS = "30 minutes"
+
+
+def late_quarantined_lake(sf: float = 0.01):
+    """Driver surface for the lateness watermark: replay the fixture into a
+    fresh lake with ``allowed_lateness=LATENESS`` and return the dead-letter
+    rows — every event whose ts fell below (watermark − lateness) at its
+    epoch's apply time, where the watermark is the max committed ts read from
+    the manifest's per-run stats."""
+    import tempfile
+
+    lake = CdcLake(
+        tempfile.mkdtemp(prefix="late-lake-") + "/lake",
+        num_partitions=32,
+        allowed_lateness=LATENESS,
+    )
+    for p in changes_fixture(sf)["paths"]:
+        lake.apply(p)
+    return lake.read_deadletter()
+
+
+def late_quarantine_oracle_sql(sf: float = 0.01, lateness: str = LATENESS) -> str:
+    """DuckDB oracle for the lateness watermark: the epoch-batch semantics
+    unrolled as iterative CTEs — watermark before epoch i = max ts of all KEPT
+    events of epochs < i (the engine reads it from run ts stats; a kept event's
+    ts is committed, a quarantined one's never is). Epoch 0 has no watermark."""
+    selects = _epoch_selects(sf)
+    ctes = [f"ev AS ({' UNION ALL '.join(selects)})"]
+    ctes.append("k0 AS (SELECT * FROM ev WHERE epoch = 0)")
+    ctes.append("w1 AS (SELECT max(ts) AS w FROM k0)")
+    late_parts = []
+    for i in range(1, len(selects)):
+        ctes.append(
+            f"l{i} AS (SELECT e.* FROM ev e, w{i} "
+            f"WHERE e.epoch = {i} AND e.ts < w{i}.w - INTERVAL '{lateness}')"
+        )
+        ctes.append(
+            f"k{i} AS (SELECT e.* FROM ev e, w{i} "
+            f"WHERE e.epoch = {i} AND e.ts >= w{i}.w - INTERVAL '{lateness}')"
+        )
+        if i + 1 < len(selects):
+            ctes.append(
+                f"w{i + 1} AS (SELECT greatest(w{i}.w, "
+                f"coalesce((SELECT max(ts) FROM k{i}), w{i}.w)) AS w FROM w{i})"
+            )
+        late_parts.append(f"SELECT * FROM l{i}")
+    union = " UNION ALL ".join(late_parts)
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT "offset", op, conv_id, turn_idx, role, text, tool, ts,
+               'too_late' AS dl_reason
+        FROM ({union})
+    """
+
+
 def since_oracle_sql(sf: float, cutoff: str) -> str:
     """Oracle for the stats-pruned time-bounded read: the converged state
     filtered on ts — DuckDB scans everything; the engine must skip whole runs

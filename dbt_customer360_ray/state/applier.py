@@ -115,6 +115,7 @@ class EpochApplier:
         num_salts: int,
         topk_keys: int = 16,
         quarantine_skey: int | None = None,
+        late_cutoff_us: int | None = None,
     ):
         self.lake_dir = lake_dir
         self.epoch = epoch
@@ -123,6 +124,7 @@ class EpochApplier:
         self.S = max(1, num_salts)
         self.topk_keys = topk_keys
         self.quarantine_skey = quarantine_skey
+        self.late_cutoff_us = late_cutoff_us
 
     def _quarantine(self, group: pa.Table) -> pa.Table:
         """Dead-letter branch: persist malformed rows (plus a reason column)
@@ -132,7 +134,8 @@ class EpochApplier:
 
         rows = group.drop_columns(["skey"])
         rows = rows.append_column(
-            "dl_reason", pa.array(quarantine_reasons(rows), pa.string())
+            "dl_reason",
+            pa.array(quarantine_reasons(rows, self.late_cutoff_us), pa.string()),
         )
         path = os.path.join("deadletter", f"epoch-{self.epoch:06d}.parquet")
         atomic_parquet(rows, os.path.join(self.lake_dir, path))

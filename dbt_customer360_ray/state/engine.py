@@ -415,6 +415,7 @@ class CdcLake:
         num_salts: int = 8,
         hot_threshold: float = 0.05,
         exchange: bool = True,
+        allowed_lateness: str | None = None,
     ):
         self.lake_dir = lake_dir
         os.makedirs(lake_dir, exist_ok=True)
@@ -435,6 +436,28 @@ class CdcLake:
         # observability for the last _read_manifest call: how many runs the
         # per-run ts stats let the read skip without opening
         self.last_read_stats: dict = {}
+        # allowed_lateness (anything pandas.Timedelta accepts): events with
+        # ts < watermark − lateness are quarantined as 'too_late' instead of
+        # applied. The watermark is the max committed ts, read from the
+        # manifest's per-run stats at each apply — deterministic per epoch
+        # (batch semantics: fixed for the whole epoch, advanced by its commit)
+        self.allowed_lateness_us: int | None = None
+        if allowed_lateness is not None:
+            import pandas as pd
+
+            self.allowed_lateness_us = int(
+                pd.Timedelta(allowed_lateness).value // 1_000
+            )
+
+    def _watermark_us(self) -> int | None:
+        """Event-time watermark: max committed ts, from the manifest's per-run
+        stats (no data files opened). None for an empty/stat-less lake."""
+        w = None
+        for p in range(self.P):
+            for run in self.manifest.partition(p)["runs"]:
+                if "ts_max" in run:
+                    w = int(run["ts_max"]) if w is None else max(w, int(run["ts_max"]))
+        return w
 
     # -- schema ------------------------------------------------------------
     def _event_schema(self) -> pa.Schema | None:
@@ -515,6 +538,11 @@ class CdcLake:
                 hot_keys = set()
 
         committed = self.manifest.committed_offsets()
+        late_cutoff_us = None
+        if self.allowed_lateness_us is not None:
+            w = self._watermark_us()
+            if w is not None:
+                late_cutoff_us = w - self.allowed_lateness_us
         applier = EpochApplier(
             self.lake_dir,
             epoch,
@@ -522,6 +550,7 @@ class CdcLake:
             committed,
             num_salts=self.num_salts,
             quarantine_skey=self.P * max(1, self.num_salts),
+            late_cutoff_us=late_cutoff_us,
         )
 
         event_only = pa.schema(list(event_schema))
@@ -547,7 +576,7 @@ class CdcLake:
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             ).map_batches(
-                AssignPartitions(self.P, hot_keys, self.num_salts),
+                AssignPartitions(self.P, hot_keys, self.num_salts, late_cutoff_us),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
@@ -645,7 +674,11 @@ class CdcLake:
         apply_slot = ray.remote(_apply_slot)
         applier_ref = ray.put(applier)
         schema_ref = ray.put(event_schema)
-        assigner_ref = ray.put(AssignPartitions(self.P, hot_keys, self.num_salts))
+        assigner_ref = ray.put(
+            AssignPartitions(
+                self.P, hot_keys, self.num_salts, applier.late_cutoff_us
+            )
+        )
         slot_lookup_ref = ray.put(slot_of_skey)
         if from_files:
             units = source

@@ -62,11 +62,12 @@ def estimate_hot_keys(
 VALID_OPS = ("I", "U", "D")
 
 
-def invalid_event_mask(batch: pa.Table) -> np.ndarray:
+def invalid_event_mask(batch: pa.Table, late_cutoff_us: int | None = None) -> np.ndarray:
     """Rows a binlog tail must quarantine rather than apply: null key parts
     (conv_id/turn_idx), null ts or offset (LWW and exactly-once would be
-    undefined), or an op outside {I,U,D}. Vectorized — five null checks and
-    one is_in per batch."""
+    undefined), an op outside {I,U,D}, or — when a lateness watermark is
+    configured — ts below ``late_cutoff_us`` (watermark − allowed lateness).
+    Vectorized — five null checks, one is_in, one compare per batch."""
     import pyarrow.compute as pc
 
     bad = pc.is_null(batch.column("conv_id"))
@@ -74,11 +75,18 @@ def invalid_event_mask(batch: pa.Table) -> np.ndarray:
         bad = pc.or_(bad, pc.is_null(batch.column(c)))
     op_ok = pc.is_in(batch.column("op"), value_set=pa.array(VALID_OPS, pa.string()))
     bad = pc.or_(bad, pc.invert(pc.fill_null(op_ok, False)))
+    if late_cutoff_us is not None:
+        late = pc.fill_null(
+            pc.less(batch.column("ts").cast(pa.int64()), late_cutoff_us), False
+        )
+        bad = pc.or_(bad, late)
     return bad.to_numpy(zero_copy_only=False)
 
 
-def quarantine_reasons(batch: pa.Table) -> np.ndarray:
-    """One reason string per row (first matching rule), for dead-letter lineage."""
+def quarantine_reasons(batch: pa.Table, late_cutoff_us: int | None = None) -> np.ndarray:
+    """One reason string per row (first matching rule), for dead-letter lineage.
+    Otherwise-valid rows below the lateness cutoff get 'too_late' (malformed
+    reasons take priority — a null-key row is null_key even if also late)."""
     import pyarrow.compute as pc
 
     n = batch.num_rows
@@ -87,6 +95,11 @@ def quarantine_reasons(batch: pa.Table) -> np.ndarray:
         pc.is_in(batch.column("op"), value_set=pa.array(VALID_OPS, pa.string())), False
     ).to_numpy(zero_copy_only=False)
     out[op_ok] = "valid"
+    if late_cutoff_us is not None:
+        late = pc.fill_null(
+            pc.less(batch.column("ts").cast(pa.int64()), late_cutoff_us), False
+        ).to_numpy(zero_copy_only=False)
+        out[op_ok & late] = "too_late"
     for col, reason in (
         ("offset", "null_offset"),
         ("ts", "null_ts"),
@@ -116,10 +129,12 @@ class AssignPartitions:
         num_partitions: int,
         hot_keys: set[str] | frozenset[str] = frozenset(),
         num_salts: int = 8,
+        late_cutoff_us: int | None = None,
     ):
         self.P = num_partitions
         self.hot = frozenset(hot_keys)
         self.S = max(1, num_salts)
+        self.late_cutoff_us = late_cutoff_us
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         conv = batch.column("conv_id")
@@ -134,7 +149,7 @@ class AssignPartitions:
                     % np.uint64(self.S)
                 ).astype(np.int64)
                 skey = np.where(hot_mask, skey + salt, skey)
-        bad = invalid_event_mask(batch)
+        bad = invalid_event_mask(batch, self.late_cutoff_us)
         if bad.any():
             skey = np.where(bad, self.P * self.S, skey)
         return batch.append_column("skey", pa.array(skey.astype(np.int32), type=pa.int32()))

@@ -113,3 +113,106 @@ def test_streaming_ingest_quarantines(tmp_path):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     dl = lake.read_deadletter().to_pandas()
     assert len(dl) == n_bad and set(dl["dl_reason"]) == {"bad_op", "null_key", "null_ts"}
+
+
+def test_allowed_lateness_quarantines_below_watermark(tmp_path):
+    """Events with ts < (watermark − lateness) at apply time go to the DLQ as
+    'too_late'; the watermark (max committed ts, from run stats) only advances
+    with applied events, and epoch 0 has no watermark yet."""
+    import ray.data
+
+    from dbt_customer360_ray.gen import gen_changes, split_epochs
+    from dbt_customer360_ray.state.engine import CdcLake
+
+    epochs = split_epochs(gen_changes(8_000, 400, seed=21), 4)
+    L = pd.Timedelta("30 minutes")
+    lake = CdcLake(
+        str(tmp_path / "lake"), num_partitions=8, allowed_lateness="30 minutes"
+    )
+    metrics = [lake.apply(ray.data.from_arrow(p)) for p in epochs]
+    assert metrics[0]["events_quarantined"] == 0  # no watermark before epoch 0
+    assert sum(m["events_quarantined"] for m in metrics[1:]) > 0
+
+    # python mirror of the per-epoch watermark
+    w = None
+    late_all = []
+    for df in (p.to_pandas() for p in epochs):
+        cutoff = (w - L) if w is not None else None
+        is_late = (
+            (df["ts"] < cutoff) if cutoff is not None else pd.Series(False, df.index)
+        )
+        late_all.append(df[is_late])
+        mx = df.loc[~is_late, "ts"].max()
+        if pd.notna(mx):
+            w = mx if w is None else max(w, mx)
+    want = pd.concat(late_all).sort_values("offset").reset_index(drop=True)
+    got = lake.read_deadletter().to_pandas().sort_values("offset").reset_index(drop=True)
+    assert (got["dl_reason"] == "too_late").all()
+    assert got["offset"].tolist() == want["offset"].tolist()
+
+    # quarantined events never reach partition state
+    state = lake.read().to_pandas()
+    merged = state.merge(
+        got[["conv_id", "turn_idx", "offset"]],
+        on=["conv_id", "turn_idx"],
+        how="inner",
+    )
+    # a late event's (ts, offset) may still exist as a key via other events,
+    # but the exact quarantined offsets must not be the winners - spot check:
+    # without lateness the state differs
+    base = CdcLake(str(tmp_path / "base"), num_partitions=8)
+    for p in epochs:
+        base.apply(ray.data.from_arrow(p))
+    assert len(base.read_deadletter().to_pandas()) == 0
+    assert not base.read().to_pandas().equals(state)
+
+
+def test_lateness_reason_priority_and_malformed_mix(tmp_path):
+    """A row that is both malformed and late keeps the malformed reason."""
+    import ray.data
+
+    from dbt_customer360_ray.state.engine import CdcLake
+
+    lake = CdcLake(
+        str(tmp_path / "lake"), num_partitions=4, allowed_lateness="1 minutes"
+    )
+    base = pa.table(
+        {
+            "offset": pa.array([0, 1], pa.int64()),
+            "op": ["I", "I"],
+            "conv_id": ["a", "b"],
+            "turn_idx": pa.array([0, 0], pa.int32()),
+            "role": ["user", "user"],
+            "text": ["x", "y"],
+            "tool": pa.nulls(2, pa.string()),
+            "ts": pa.array(
+                [pd.Timestamp("2025-01-01 10:00"), pd.Timestamp("2025-01-01 10:00")]
+            ).cast(pa.timestamp("us")),
+        }
+    )
+    lake.apply(ray.data.from_arrow(base))
+    nxt = pa.table(
+        {
+            "offset": pa.array([2, 3, 4], pa.int64()),
+            "op": ["I", "I", None],
+            "conv_id": ["a", "c", "d"],
+            "turn_idx": pa.array([1, 0, 0], pa.int32()),
+            "role": ["user"] * 3,
+            "text": ["fresh", "stale", "stale-and-bad"],
+            "tool": pa.nulls(3, pa.string()),
+            "ts": pa.array(
+                [
+                    pd.Timestamp("2025-01-01 10:05"),
+                    pd.Timestamp("2025-01-01 09:00"),
+                    pd.Timestamp("2025-01-01 09:00"),
+                ]
+            ).cast(pa.timestamp("us")),
+        }
+    )
+    m = lake.apply(ray.data.from_arrow(nxt))
+    assert m["events_quarantined"] == 2
+    dl = lake.read_deadletter().to_pandas().set_index("offset")
+    assert dl.loc[3, "dl_reason"] == "too_late"
+    assert dl.loc[4, "dl_reason"] == "bad_op"  # malformed wins over late
+    state = lake.read().to_pandas()
+    assert set(state["text"]) == {"x", "y", "fresh"}
