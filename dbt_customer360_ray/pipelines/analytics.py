@@ -1517,3 +1517,47 @@ ORACLE_SQL["events_pivot"] = """
 
 QUERIES["rollup_pricing"] = q_rollup_pricing
 QUERIES["events_pivot"] = q_events_pivot
+
+
+# -- 36. global window rank: NTILE over a distributed sort --------------------
+
+def q_user_spend_ntile(sf_dir: str, n: int = 4):
+    """Spend quartiles: per-user event-value totals (distributed groupby sum)
+    → exact global NTILE(4) ordered by (total DESC, user_id ASC). The global
+    row number comes from one distributed sort + an O(blocks) driver offset
+    pass (stages/windows.global_row_number) — no per-row driver work, the
+    distributed form of the unpartitioned SQL window Ray Data lacks."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.windows import with_ntile
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "value"], rows_per_block=50_000)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": t.column("user_id"), "cents": _cents(t.column("value"))}
+        )
+
+    totals = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Sum("cents", alias_name="total_cents"))
+    )
+    return with_ntile(
+        totals, n, keys=["total_cents", "user_id"], descending=[True, False]
+    )
+
+
+ORACLE_SQL["user_spend_ntile"] = """
+    WITH totals AS (
+        SELECT user_id,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM events GROUP BY 1
+    )
+    SELECT user_id, total_cents,
+           CAST(ntile(4) OVER (ORDER BY total_cents DESC, user_id ASC) AS BIGINT)
+               AS tile
+    FROM totals
+"""
+
+QUERIES["user_spend_ntile"] = q_user_spend_ntile

@@ -323,3 +323,34 @@ def test_encode_oov_maps_to_zero():
     got = encode_documents(ray.data.from_arrow(new), vocab).to_pandas()
     ids = list(got["ids"].iloc[0])
     assert 0 in ids and len(ids) == 3
+
+
+def test_global_row_number_exact_across_blockings():
+    import ray.data
+
+    from dbt_customer360_ray.stages.windows import global_row_number, with_ntile
+
+    rng = np.random.default_rng(3)
+    vals = rng.permutation(500)
+    t = pa.table({"id": pa.array(range(500), pa.int64()), "v": pa.array(vals, pa.int64())})
+    for nblocks in (1, 7, 32):
+        ds = ray.data.from_arrow(t).repartition(nblocks)
+        numbered, total = global_row_number(ds, ["v", "id"], descending=[True, False], out_col="rn")
+        df = numbered.to_pandas().sort_values("rn").reset_index(drop=True)
+        assert total == 500
+        assert df["rn"].tolist() == list(range(1, 501))
+        assert df["v"].is_monotonic_decreasing
+
+    # NTILE matches the SQL split: first (total % n) tiles get one extra row
+    ds = ray.data.from_arrow(t).repartition(9)
+    tiles = with_ntile(ds, 3, ["v", "id"], descending=[True, False]).to_pandas()
+    vc = tiles["tile"].value_counts().sort_index()
+    assert vc.tolist() == [167, 167, 166]
+    # tile boundaries follow the sort order exactly
+    srt = tiles.sort_values(["v", "id"], ascending=[False, True])
+    assert srt["tile"].is_monotonic_increasing
+
+    # total < n: every row is its own tile
+    small = pa.table({"id": pa.array([1, 2], pa.int64()), "v": pa.array([5, 9], pa.int64())})
+    got = with_ntile(ray.data.from_arrow(small), 4, ["v", "id"]).to_pandas()
+    assert sorted(got["tile"].tolist()) == [1, 2]
