@@ -30,6 +30,21 @@ from .applier import atomic_parquet, run_ts_stats
 from .engine import CdcLake, REQUIRED_EVENT_COLUMNS
 
 
+def _concat_evolving(chunks: list[pa.Table]) -> pa.Table:
+    """Concat memtable chunks that may straddle an additive schema evolution:
+    unify to the evolved schema (old chunks get null-backfilled columns — same
+    semantics as the lake's evolution rule) instead of letting concat_tables
+    reject the mixed schemas."""
+    if len(chunks) == 1:
+        return chunks[0]
+    schema = chunks[0].schema
+    for t in chunks[1:]:
+        schema = evolve_schema(schema, t.schema)
+    if all(t.schema == schema for t in chunks):
+        return pa.concat_tables(chunks)
+    return pa.concat_tables([conform_batch(t, schema) for t in chunks])
+
+
 class _PartitionApplier:
     """Actor body: owns a set of partitions; memtable = LWW winners per pid."""
 
@@ -56,7 +71,7 @@ class _PartitionApplier:
         bucket = self.mem.setdefault(pid, [])
         bucket.append(winners)
         if len(bucket) > 8:  # in-memory compaction keeps the memtable bounded
-            self.mem[pid] = [lww_latest(pa.concat_tables(bucket))]
+            self.mem[pid] = [lww_latest(_concat_evolving(bucket))]
         self.pending_max[pid] = max(
             self.pending_max.get(pid, -1), int(pc.max(new.column("offset")).as_py())
         )
@@ -68,7 +83,7 @@ class _PartitionApplier:
         import os
 
         for pid, chunks in sorted(self.mem.items()):
-            merged = lww_latest(pa.concat_tables(chunks))
+            merged = lww_latest(_concat_evolving(chunks))
             path = os.path.join(
                 "data", f"part-{pid:05d}", f"run-{epoch:06d}-stream.parquet"
             )
@@ -120,6 +135,19 @@ class StreamingSession:
         # dead-letter buffer: malformed rows held like memtables (durable only
         # at checkpoint — a crash between checkpoints re-tails them anyway)
         self._dlq: list[pa.Table] = []
+        # lateness watermark, frozen per checkpoint interval: the cutoff is the
+        # lake's committed watermark (per-run ts stats) minus allowed_lateness,
+        # refreshed after each commit — deterministic for a given micro-batch/
+        # checkpoint sequence, mirroring the epoch path's batch semantics
+        self._late_cutoff_us: int | None = None
+        self._refresh_late_cutoff()
+
+    def _refresh_late_cutoff(self) -> None:
+        self._late_cutoff_us = None
+        if getattr(self.lake, "allowed_lateness_us", None) is not None:
+            w = self.lake._watermark_us()
+            if w is not None:
+                self._late_cutoff_us = w - self.lake.allowed_lateness_us
 
     def ingest(self, batch: pa.Table) -> None:
         """One micro-batch: conform/evolve (driver-side, vectorized), route by
@@ -136,7 +164,7 @@ class StreamingSession:
             evolve_schema(self._schema, incoming) if self._schema is not None else incoming
         )
         conformed = conform_batch(batch, self._schema)
-        bad = invalid_event_mask(conformed)
+        bad = invalid_event_mask(conformed, self._late_cutoff_us)
         if bad.any():
             self._dlq.append(conformed.filter(pa.array(bad)))
             conformed = conformed.filter(pa.array(~bad))
@@ -195,7 +223,8 @@ class StreamingSession:
                 [conform_batch(t, self._schema) for t in self._dlq]
             )
             rows = rows.append_column(
-                "dl_reason", pa.array(quarantine_reasons(rows), pa.string())
+                "dl_reason",
+                pa.array(quarantine_reasons(rows, self._late_cutoff_us), pa.string()),
             )
             path = os.path.join("deadletter", f"epoch-{epoch:06d}-stream.parquet")
             atomic_parquet(rows, os.path.join(self.lake.lake_dir, path))
@@ -214,6 +243,7 @@ class StreamingSession:
             deadletter=deadletter,
         )
         self.lake.compact()
+        self._refresh_late_cutoff()  # the commit advanced the watermark
         return {"epoch": epoch, **delta}
 
     def close(self) -> None:

@@ -167,6 +167,55 @@ def test_allowed_lateness_quarantines_below_watermark(tmp_path):
     assert not base.read().to_pandas().equals(state)
 
 
+def test_streaming_lateness_frozen_per_checkpoint_interval(tmp_path):
+    """Streaming path: the late cutoff is the committed watermark − lateness,
+    frozen across the micro-batches of a checkpoint interval and refreshed
+    only after each commit — so the same stream chunked differently is still
+    deterministic per (micro-batch, checkpoint) sequence."""
+    import ray.data
+
+    from dbt_customer360_ray.gen import gen_changes, split_epochs
+    from dbt_customer360_ray.state.engine import CdcLake
+    from dbt_customer360_ray.state.streaming import StreamingSession
+
+    batches = split_epochs(gen_changes(6_000, 300, seed=33), 12)
+    L = pd.Timedelta("30 minutes")
+    lake = CdcLake(
+        str(tmp_path / "lake"), num_partitions=8, allowed_lateness="30 minutes"
+    )
+    sess = StreamingSession(lake, pool_size=2)
+    quarantined = 0
+    for i, b in enumerate(batches):
+        sess.ingest(b)
+        if i % 3 == 2:  # checkpoint every 3 micro-batches
+            quarantined += sess.checkpoint()["events_quarantined"]
+    quarantined += sess.checkpoint()["events_quarantined"]
+    sess.close()
+
+    # python mirror: cutoff frozen per interval, watermark advances on commit
+    w = None
+    late_all = []
+    for i0 in range(0, len(batches), 3):
+        cutoff = (w - L) if w is not None else None
+        for df in (b.to_pandas() for b in batches[i0 : i0 + 3]):
+            is_late = (
+                (df["ts"] < cutoff)
+                if cutoff is not None
+                else pd.Series(False, df.index)
+            )
+            late_all.append(df[is_late])
+            mx = df.loc[~is_late, "ts"].max()
+            if pd.notna(mx):
+                w = mx if w is None else max(w, mx)
+    want = pd.concat(late_all).sort_values("offset").reset_index(drop=True)
+    assert quarantined > 0 and quarantined == len(want)
+    got = (
+        lake.read_deadletter().to_pandas().sort_values("offset").reset_index(drop=True)
+    )
+    assert (got["dl_reason"] == "too_late").all()
+    assert got["offset"].tolist() == want["offset"].tolist()
+
+
 def test_lateness_reason_priority_and_malformed_mix(tmp_path):
     """A row that is both malformed and late keeps the malformed reason."""
     import ray.data
