@@ -1561,3 +1561,28 @@ ORACLE_SQL["user_spend_ntile"] = """
 """
 
 QUERIES["user_spend_ntile"] = q_user_spend_ntile
+
+
+# -- 38. token count-vector cosine near-dup -----------------------------------
+
+
+def q_tf_cosine_near_dups(sf_dir: str):
+    """Bag-of-words cosine near-dup pairs: corpus vocab (broadcast) → count
+    vectors → distributed block-pair matmul tiles; exact integer dot/norms so
+    the float64 cosines hash-match the SQL term-join oracle bit-for-bit."""
+    from ..stages.dedup import tf_cosine_near_dups
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], rows_per_block=2_048)
+    return tf_cosine_near_dups(ds, threshold=0.95)
+
+
+def _tf_cosine_sql():
+    from ..stages.dedup import tf_cosine_oracle_sql
+
+    ORACLE_SQL["tf_cosine_near_dups"] = tf_cosine_oracle_sql(
+        "documents", threshold=0.95
+    )
+
+
+_tf_cosine_sql()
+QUERIES["tf_cosine_near_dups"] = q_tf_cosine_near_dups

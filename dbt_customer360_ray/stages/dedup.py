@@ -1360,3 +1360,100 @@ def canonicalize_oracle_sql(
     LEFT JOIN groups g USING ({id_col})
     LEFT JOIN reps r ON r.grp = g.grp
     """
+
+
+# -- token count-vector cosine near-dup ---------------------------------------
+
+
+def tf_cosine_near_dups(
+    ds,
+    threshold: float = 0.95,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_vocab: int = 100_000,
+):
+    """Exact cosine near-dup pairs in TOKEN space: each document becomes its
+    term-frequency count vector over the corpus vocabulary, then the same
+    distributed block-pair matmul tiles as ``embedding_near_dups`` emit pairs
+    with cosine ≥ threshold (doc_a < doc_b).
+
+    This is the bag-of-words cousin of the embedding near-dup: no model
+    needed, catches token-permutation near-copies MinHash shingles miss.
+    Vocabulary is built once (``build_vocab``: map-only partials, O(vocab)
+    combine, capped at ``max_vocab`` by (count DESC, term) — rarer terms are
+    dropped from the vectors on overflow) and broadcast via ``ray.put``;
+    featurization is one map-only pass (np.add.at scatter per batch, no
+    Python row loop). Counts are small integers, so every float64 dot/norm
+    is exact and the stage is oracle-checkable bit-for-bit against the SQL
+    term-join formulation (``tf_cosine_oracle_sql``) — the tiles never pay
+    the O(Σ df²) term-join blowup the SQL oracle does.
+    """
+    import ray
+
+    from .text import build_vocab
+
+    vocab = build_vocab(ds, text_col=text_col, max_size=max_vocab)
+    vidx = {t: i for i, t in enumerate(vocab["term"])}
+    dim = max(len(vidx), 1)
+    vref = ray.put(vidx)
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        lut = ray.get(vref)
+        toks = pc.split_pattern(batch.column(text_col), pattern=" ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = (
+            toks.combine_chunks().flatten()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks.flatten()
+        )
+        cols = pd.Series(flat.to_pandas().to_numpy(dtype=object)).map(lut)
+        rows = np.repeat(np.arange(len(lens)), lens)
+        keep = cols.notna().to_numpy()  # OOV terms (vocab overflow) drop out
+        mat = np.zeros((len(lens), dim), np.float64)
+        np.add.at(mat, (rows[keep], cols.to_numpy(np.float64, na_value=-1)[keep].astype(np.int64)), 1.0)
+        emb = pa.FixedSizeListArray.from_arrays(pa.array(mat.ravel()), dim)
+        return pa.table({id_col: batch.column(id_col), "embedding": emb})
+
+    vecs = ds.map_batches(featurize, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = embedding_near_dups(vecs, threshold=threshold, id_col=id_col)
+    return pairs.map_batches(
+        lambda t: t.rename_columns(["doc_a", "doc_b", "cosine"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def tf_cosine_oracle_sql(
+    table: str = "documents",
+    threshold: float = 0.95,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror of ``tf_cosine_near_dups``: term-join dot products over
+    the same space-split tokens; integer dot/norm sums cast to DOUBLE at the
+    same points as the engine's float64 kernel (sqrt, sqrt, multiply, divide
+    in the same order), so the cosine values hash-match exactly."""
+    return f"""
+        WITH tok AS (
+            SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS term
+            FROM {table}
+        ), tf AS (
+            SELECT {id_col}, term, count(*) AS c FROM tok GROUP BY 1, 2
+        ), nrm AS (
+            SELECT {id_col}, sum(c * c) AS n2 FROM tf GROUP BY 1
+        ), dot AS (
+            SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+                   sum(a.c * b.c) AS d
+            FROM tf a JOIN tf b
+              ON a.term = b.term AND a.{id_col} < b.{id_col}
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               CAST(d AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+                                    * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+        FROM dot
+        JOIN nrm na ON na.{id_col} = doc_a
+        JOIN nrm nb ON nb.{id_col} = doc_b
+        WHERE CAST(d AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+                                   * sqrt(CAST(nb.n2 AS DOUBLE))) >= {threshold}
+    """

@@ -522,3 +522,40 @@ def test_hash_split_and_sample(ray_session):
     assert 0.2 < len(ids) / 5000 < 0.3
     samp2 = SP.hash_sample(ray.data.from_pandas(df), "doc_id", keep_permille=250)
     assert set(samp2.to_pandas()["doc_id"]) == ids
+
+
+def test_tf_cosine_near_dups_matches_sql_oracle(ray_session):
+    """Token count-vector cosine pairs equal the DuckDB term-join oracle
+    bit-for-bit (integer dot/norm sums → identical IEEE float pipeline);
+    a word-permuted copy (cosine 1.0) is caught, unrelated docs are not."""
+    import duckdb
+    import ray.data
+
+    docs = _docs().to_pandas()
+    # doc 5: permutation of doc 0's words — invisible to shingles, cosine 1.0
+    docs.loc[len(docs)] = [5, " ".join(reversed(BASE.split(" ")))]
+    tbl = pa.Table.from_pandas(docs, preserve_index=False)
+    ds = ray.data.from_arrow(tbl).repartition(3)
+
+    got = (
+        D.tf_cosine_near_dups(ds, threshold=0.9)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = (
+        con.execute(D.tf_cosine_oracle_sql("documents", threshold=0.9))
+        .df()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns.tolist()], check_dtype=False)
+    assert (
+        got["cosine"].to_numpy().tobytes() == want["cosine"].to_numpy().tobytes()
+    )
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert (0, 2) in pairs and (0, 5) in pairs  # exact dup + permuted copy
+    assert got.set_index(["doc_a", "doc_b"]).loc[(0, 5), "cosine"] == 1.0
+    assert not any(3 in p or 4 in p for p in pairs)
