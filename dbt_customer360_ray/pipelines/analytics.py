@@ -1586,3 +1586,51 @@ def _tf_cosine_sql():
 
 _tf_cosine_sql()
 QUERIES["tf_cosine_near_dups"] = q_tf_cosine_near_dups
+
+
+# -- 39-41. inverted index / collocations / duplicated k-gram share -----------
+
+
+def q_postings_documents(sf_dir: str):
+    """Inverted index: exact df + first-64 ascending postings per term — one
+    map-only partial pass, one vocab-sized bucketed merge shuffle."""
+    from ..stages.text import inverted_index
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], rows_per_block=2_048)
+    return inverted_index(ds)
+
+
+def q_bigram_lift_documents(sf_dir: str):
+    """Top-200 collocations by bigram count with division-only lift
+    (p(x,y)/p(x)p(y)) — partial counts, one vocab²-bounded groupby."""
+    from ..stages.text import bigram_lift
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], rows_per_block=2_048)
+    return bigram_lift(ds)
+
+
+def q_kgram_dup_documents(sf_dir: str):
+    """Per-doc duplicated 5-gram share (Lee et al. exact-substring signal):
+    partial dfs → duplicated-gram set broadcast → map-only membership pass."""
+    from ..stages.text import kgram_dup_stats
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], rows_per_block=2_048)
+    return kgram_dup_stats(ds)
+
+
+def _text_index_sql():
+    from ..stages.text import (
+        bigram_lift_oracle_sql,
+        inverted_index_oracle_sql,
+        kgram_dup_oracle_sql,
+    )
+
+    ORACLE_SQL["postings_documents"] = inverted_index_oracle_sql("documents")
+    ORACLE_SQL["bigram_lift_documents"] = bigram_lift_oracle_sql("documents")
+    ORACLE_SQL["kgram_dup_documents"] = kgram_dup_oracle_sql("documents")
+
+
+_text_index_sql()
+QUERIES["postings_documents"] = q_postings_documents
+QUERIES["bigram_lift_documents"] = q_bigram_lift_documents
+QUERIES["kgram_dup_documents"] = q_kgram_dup_documents

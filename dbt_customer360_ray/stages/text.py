@@ -594,3 +594,297 @@ def encode_flat_oracle_sql(
                CAST(coalesce(v.token_id, 0) AS INTEGER) AS token_id
         FROM tok t LEFT JOIN vocab v USING (term)
     """
+
+
+def inverted_index(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 64,
+    num_buckets: int = 64,
+):
+    """Distributed inverted-index build: ``(term, df, postings)`` where ``df``
+    is the exact document frequency and ``postings`` is the first
+    ``max_postings`` doc ids ascending, comma-joined (pinned order, the
+    string_agg convention of the reference's source_ids arrays).
+
+    Shape: one map-only pass emits per-batch partials — each term's partial df
+    and its per-batch first-``max_postings`` sorted ids (each doc lives in
+    exactly one batch, so partial dfs sum exactly and the global first-k is a
+    merge of per-batch first-k) — then ONE vocabulary-sized shuffle: partials
+    are grouped by term-hash bucket (``num_buckets`` groups, not |vocab| tiny
+    groups — map_groups runs once per group) and merged vectorized. Shuffle
+    volume is O(vocab × batches × k), never O(corpus tokens)."""
+    import hashlib
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        tf = _term_tf(batch, id_col, text_col)
+        tf = tf.sort_values(["term", "doc"], kind="stable")
+        g = tf.groupby("term", sort=False)
+        head = tf[g.cumcount() < max_postings]
+        ids = head.groupby("term", sort=False)["doc"].agg(
+            lambda s: ",".join(map(str, s))
+        )
+        out = pd.DataFrame({"n": g.size(), "ids": ids}).reset_index()
+        out["bucket"] = (
+            out["term"]
+            .map(lambda t: int(hashlib.md5(t.encode()).hexdigest()[:8], 16))
+            .astype(np.int64)
+            % num_buckets
+        )
+        return out
+
+    def merge(grp: pd.DataFrame) -> pd.DataFrame:
+        ex = grp.assign(ids=grp["ids"].str.split(",")).explode("ids")
+        ex["doc"] = ex["ids"].astype(np.int64)
+        ex = ex.sort_values(["term", "doc"], kind="stable")
+        keep = ex[ex.groupby("term", sort=False).cumcount() < max_postings]
+        postings = keep.groupby("term", sort=False)["doc"].agg(
+            lambda s: ",".join(map(str, s))
+        )
+        df = grp.groupby("term", sort=False)["n"].sum()
+        out = pd.DataFrame({"df": df, "postings": postings}).reset_index()
+        out["df"] = out["df"].astype(np.int64)
+        return out[["term", "df", "postings"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def inverted_index_oracle_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text", max_postings: int = 64
+) -> str:
+    """DuckDB mirror of ``inverted_index`` (same split, same pinned order)."""
+    return f"""
+        WITH tok AS (
+            SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS term
+            FROM {table}
+        ), td AS (
+            SELECT DISTINCT term, {id_col} AS doc FROM tok
+        )
+        SELECT term, CAST(count(*) AS BIGINT) AS df,
+               array_to_string(list_sort(list(doc))[1:{max_postings}], ',')
+                   AS postings
+        FROM td GROUP BY term
+    """
+
+
+def _doc_ngrams(batch: pa.Table, id_col: str, text_col: str, k: int):
+    """Vectorized within-document k-gram positions for one batch: returns
+    (doc_ids_per_gram, [token_array_0..k-1]) — slot j holds the j-th token of
+    every k-gram (np fancy-indexing over the flattened token array, no row
+    loop). Documents shorter than k contribute nothing."""
+    toks = pc.split_pattern(batch.column(text_col), pattern=" ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = (
+        toks.combine_chunks().flatten()
+        if isinstance(toks, pa.ChunkedArray)
+        else toks.flatten()
+    ).to_pandas().to_numpy(dtype=object)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]]) if len(lens) else np.array([], np.int64)
+    n_grams = np.maximum(lens - (k - 1), 0)
+    base = np.repeat(starts, n_grams) + _intra_offsets(n_grams)
+    ids = np.repeat(batch.column(id_col).to_numpy(zero_copy_only=False), n_grams)
+    return ids, [flat[base + j] for j in range(k)]
+
+
+def _intra_offsets(counts: np.ndarray) -> np.ndarray:
+    """[0..c0-1, 0..c1-1, ...] without a Python loop (zero counts fine)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.array([], np.int64)
+    gs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return np.arange(total, dtype=np.int64) - np.repeat(gs, counts)
+
+
+def bigram_lift(ds, id_col: str = "doc_id", text_col: str = "text", top_k: int = 200):
+    """Corpus collocations: the ``top_k`` within-document bigrams by
+    (count DESC, w1, w2) with their pointwise-lift
+    ``p(x,y) / (p(x)·p(y))`` — the exp of PMI, computed division-only so the
+    float64 values are IEEE-identical to the SQL oracle (a log would diverge
+    across libms).
+
+    Shape: one map-only pass emits per-batch partial bigram counts; a
+    distributed (w1, w2) groupby sums them (vocab²-bounded, tiny next to the
+    corpus); unigram counts ride the ``build_vocab`` partial-combine and are
+    broadcast; lift is computed per batch and the top-k selected by one
+    bounded sort+limit."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        _, (w1, w2) = _doc_ngrams(batch, id_col, text_col, 2)
+        g = (
+            pd.DataFrame({"w1": w1, "w2": w2})
+            .groupby(["w1", "w2"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return g
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n", alias_name="c_xy"))
+    )
+    uni = build_vocab(ds, text_col=text_col, max_size=1 << 62)
+    n_uni = int(uni["n"].sum())
+    uni_ref = ray.put(dict(zip(uni["term"], uni["n"].astype(np.int64))))
+    n_big_ds = int(counts.sum("c_xy") or 0)
+
+    def with_lift(batch: pd.DataFrame) -> pd.DataFrame:
+        uc = ray.get(uni_ref)
+        c_xy = batch["c_xy"].to_numpy(np.float64)
+        c1 = batch["w1"].map(uc).to_numpy(np.float64)
+        c2 = batch["w2"].map(uc).to_numpy(np.float64)
+        lift = (c_xy / n_big_ds) * (n_uni / c1) * (n_uni / c2)
+        out = batch[["w1", "w2"]].copy()
+        out["c_xy"] = batch["c_xy"].astype(np.int64)
+        out["lift"] = lift
+        return out
+
+    return (
+        counts.map_batches(with_lift, batch_format="pandas")
+        .sort(["c_xy", "w1", "w2"], descending=[True, False, False])
+        .limit(top_k)
+    )
+
+
+def bigram_lift_oracle_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text", top_k: int = 200
+) -> str:
+    """DuckDB mirror of ``bigram_lift`` (same split, same division-only float
+    pipeline in the same order)."""
+    return f"""
+        WITH l AS (
+            SELECT {id_col}, string_split({text_col}, ' ') AS l FROM {table}
+        ), big AS (
+            SELECT l[i] AS w1, l[i + 1] AS w2
+            FROM l, UNNEST(range(1, len(l))) AS t(i)
+        ), uni AS (
+            SELECT unnest(string_split({text_col}, ' ')) AS term FROM {table}
+        ), uc AS (
+            SELECT term, count(*) AS c FROM uni GROUP BY 1
+        ), bc AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy FROM big GROUP BY 1, 2
+        )
+        SELECT w1, w2, c_xy,
+               (CAST(c_xy AS DOUBLE) / (SELECT count(*) FROM big))
+                   * (CAST((SELECT count(*) FROM uni) AS DOUBLE) / u1.c)
+                   * (CAST((SELECT count(*) FROM uni) AS DOUBLE) / u2.c) AS lift
+        FROM bc
+        JOIN uc u1 ON u1.term = w1
+        JOIN uc u2 ON u2.term = w2
+        QUALIFY row_number() OVER (ORDER BY c_xy DESC, w1, w2) <= {top_k}
+        ORDER BY c_xy DESC, w1, w2
+    """
+
+
+def kgram_dup_stats(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    broadcast_threshold: int = 2_000_000,
+):
+    """Cross-document duplicated-substring share, the token-k-gram form of
+    Lee et al. 2022's exact substring dedup signal: for each document, the
+    fraction of its k-gram positions whose k-gram also appears in at least
+    one OTHER document. High ``dup_frac`` marks boilerplate/templated docs.
+
+    Shape: pass 1 emits per-batch (k-gram → distinct-doc count) partials
+    (docs live in one batch each, so partials sum to the exact df); a
+    distributed groupby keeps only df ≥ 2 grams — the DUPLICATED set, tiny
+    next to the k-gram universe for natural corpora — which is broadcast via
+    ``ray.put``; pass 2 re-derives each batch's k-grams and counts membership
+    vectorized. Raises if the dup set exceeds ``broadcast_threshold`` —
+    the decontaminate-style bucketed-join fallback is the swap-in there."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    SEP = "\x1f"
+
+    def join_grams(batch: pa.Table):
+        ids, slots = _doc_ngrams(batch, id_col, text_col, k)
+        if not len(ids):
+            return ids, np.array([], object)
+        g = slots[0].astype(object)
+        for s in slots[1:]:
+            g = g + SEP
+            g = g + s.astype(object)
+        return ids, g
+
+    def df_partial(batch: pa.Table) -> pd.DataFrame:
+        ids, grams = join_grams(batch)
+        u = pd.DataFrame({"g": grams, "doc": ids}).drop_duplicates()
+        out = u.groupby("g", sort=False).size().rename("nd").reset_index()
+        return out
+
+    dup = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("nd", alias_name="nd"))
+        .filter(expr="nd >= 2")
+    )
+    dup_grams = dup.select_columns(["g"]).to_pandas()
+    if len(dup_grams) > broadcast_threshold:
+        raise NotImplementedError(
+            "duplicated k-gram set exceeds the broadcast budget; use the "
+            "bucketed-join fallback (stages/decontaminate.py pattern)"
+        )
+    dup_ref = ray.put(set(dup_grams["g"]))
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        dset = ray.get(dup_ref)
+        ids, grams = join_grams(batch)
+        doc_ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        frame = pd.DataFrame({"doc": ids})
+        frame["dup"] = pd.Series(grams, dtype=object).isin(dset).to_numpy()
+        g = frame.groupby("doc", sort=False)["dup"]
+        per = pd.DataFrame({"n_kgrams": g.size(), "n_dup": g.sum()})
+        per = per.reindex(doc_ids, fill_value=0)
+        n = per["n_kgrams"].to_numpy(np.float64)
+        nd = per["n_dup"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            frac = np.where(n == 0, 0.0, nd / np.maximum(n, 1.0))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_kgrams": pa.array(per["n_kgrams"].to_numpy(np.int64)),
+                "n_dup": pa.array(per["n_dup"].to_numpy(np.int64)),
+                "dup_frac": pa.array(frac, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(per_doc, batch_format="pyarrow")
+
+
+def kgram_dup_oracle_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> str:
+    """DuckDB mirror of ``kgram_dup_stats`` (same split; the SQL k-gram join
+    key is the space-joined window, identical token sequence)."""
+    return f"""
+        WITH l AS (
+            SELECT {id_col}, string_split({text_col}, ' ') AS l FROM {table}
+        ), kg AS (
+            SELECT {id_col}, array_to_string(l[i:i + {k - 1}], chr(31)) AS g
+            FROM l, UNNEST(range(1, len(l) - {k - 2})) AS t(i)
+        ), df AS (
+            SELECT g, count(DISTINCT {id_col}) AS nd FROM kg GROUP BY 1
+        ), per AS (
+            SELECT kg.{id_col}, count(*) AS n_kgrams,
+                   count(*) FILTER (WHERE df.nd >= 2) AS n_dup
+            FROM kg JOIN df USING (g) GROUP BY 1
+        )
+        SELECT d.{id_col},
+               CAST(coalesce(per.n_kgrams, 0) AS BIGINT) AS n_kgrams,
+               CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup,
+               CASE WHEN coalesce(per.n_kgrams, 0) = 0 THEN 0.0
+                    ELSE CAST(per.n_dup AS DOUBLE) / per.n_kgrams END AS dup_frac
+        FROM {table} d LEFT JOIN per USING ({id_col})
+    """

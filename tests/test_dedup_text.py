@@ -559,3 +559,94 @@ def test_tf_cosine_near_dups_matches_sql_oracle(ray_session):
     assert (0, 2) in pairs and (0, 5) in pairs  # exact dup + permuted copy
     assert got.set_index(["doc_a", "doc_b"]).loc[(0, 5), "cosine"] == 1.0
     assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_inverted_index_matches_sql_oracle(ray_session):
+    """df + pinned first-k postings equal the DuckDB mirror across batch
+    splits (per-batch first-k merges to the exact global first-k)."""
+    import duckdb
+    import ray.data
+
+    tbl = _docs()
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    got = (
+        T.inverted_index(ds, max_postings=2)
+        .to_pandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = (
+        con.execute(T.inverted_index_oracle_sql("documents", max_postings=2))
+        .df()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns.tolist()], check_dtype=False)
+    the = got.set_index("term").loc["the"]
+    assert the["df"] == 3 and the["postings"] == "0,1"  # capped at 2, asc
+
+
+def test_bigram_lift_matches_sql_oracle(ray_session):
+    """Top-k collocations and their division-only lift are IEEE-identical to
+    the SQL oracle; a planted collocation ranks first."""
+    import duckdb
+    import ray.data
+
+    rows = [(i, "alpha beta gamma delta alpha beta") for i in range(6)]
+    rows += [(6, "gamma delta epsilon zeta"), (7, "zeta epsilon alpha gamma")]
+    tbl = pa.table(
+        {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+         "text": pa.array([r[1] for r in rows], pa.string())}
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    got = T.bigram_lift(ds, top_k=5).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = (
+        con.execute(T.bigram_lift_oracle_sql("documents", top_k=5))
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns.tolist()], check_dtype=False)
+    assert got["lift"].to_numpy().tobytes() == want["lift"].to_numpy().tobytes()
+    assert (got.loc[0, "w1"], got.loc[0, "w2"]) == ("alpha", "beta")
+
+
+def test_kgram_dup_matches_sql_oracle(ray_session):
+    """Duplicated 5-gram share: shared boilerplate is flagged, short docs get
+    zero k-grams, values equal the SQL mirror bit-for-bit."""
+    import duckdb
+    import ray.data
+
+    boiler = "terms of service apply to all users of this site"
+    rows = [
+        (0, boiler + " welcome home"),
+        (1, boiler + " goodbye now"),
+        (2, "a completely original sentence with no shared five gram windows at all"),
+        (3, "tiny doc"),  # < 5 tokens → 0 k-grams
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+         "text": pa.array([r[1] for r in rows], pa.string())}
+    )
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    got = (
+        T.kgram_dup_stats(ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = (
+        con.execute(T.kgram_dup_oracle_sql("documents"))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns.tolist()], check_dtype=False)
+    assert got.loc[0, "n_dup"] > 0 and got.loc[1, "n_dup"] > 0
+    assert got.loc[2, "n_dup"] == 0
+    assert got.loc[3, "n_kgrams"] == 0 and got.loc[3, "dup_frac"] == 0.0
