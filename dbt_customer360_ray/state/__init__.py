@@ -1,2 +1,2 @@
-from .manifest import Manifest  # noqa: F401
+from .manifest import CommitConflictError, Manifest  # noqa: F401
 from .engine import CdcLake  # noqa: F401

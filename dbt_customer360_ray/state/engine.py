@@ -790,6 +790,11 @@ class CdcLake:
                 "replaces": True,
                 "max_offset": self.manifest.partition(pid)["max_offset"],
                 "rows": int(row["rows"]) - int(row["tombstones"]),  # exact recount
+                # exact inputs merged: a rebase after a concurrent commit keeps
+                # runs appended since (see Manifest.commit_compaction)
+                "replaced_paths": [
+                    r["path"] for r in self.manifest.partition(pid)["runs"]
+                ],
             }
         self.manifest.commit_compaction(updates)
         return len(updates)

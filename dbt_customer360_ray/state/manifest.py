@@ -19,13 +19,28 @@ cumulative lineage metrics. It also records the current evolved lake schema.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import threading
+import time
 import pyarrow as pa
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed a manifest version we did not base on.
+
+    Raised by ``Manifest._persist`` when, under the commit lock, CURRENT no
+    longer points at the version this commit was computed against. Callers
+    (``commit_epoch`` / ``commit_compaction``) catch it, ``reload()``, rebase
+    their delta onto the fresh state and retry — optimistic concurrency
+    control, the Delta-style protocol for multiple writers sharing one lake.
+    """
+
+
 def _atomic_write(path: str, data: str) -> None:
-    tmp = path + ".tmp"
+    # pid+tid-suffixed temp name: concurrent writers must never share a temp
+    tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
     with open(tmp, "w") as f:
         f.write(data)
         f.flush()
@@ -171,55 +186,163 @@ class Manifest:
         ``partition_updates[pid]`` = {"runs": [{"path","rows","tombstones"}],
         "max_offset": int, "rows": int, "replaces": bool} — ``replaces=True``
         (compaction) swaps the partition's run list instead of appending.
+
+        Concurrency: if another writer commits first (``CommitConflictError``
+        from the CAS in ``_persist``), the update is rebased onto the fresh
+        state and retried — append updates carry their caller-computed ``rows``
+        as a DELTA against the base the caller read, so the rebase composes
+        with the other writer's counts instead of clobbering them. Writers
+        must use disjoint run-file path namespaces (the epoch/stream/job
+        suffixes already do); ``replaces=True`` updates assume no concurrent
+        appends to the same partition.
         """
-        state = json.loads(json.dumps(self._state))  # deep copy
-        for pid, upd in partition_updates.items():
-            cur = state["partitions"].get(
-                str(pid), {"runs": [], "max_offset": -1, "rows": 0}
+        # caller-absolute rows → deltas against the base the caller read
+        # (== self._state right now), so a rebase re-adds them correctly
+        rows_delta = {
+            pid: upd.get("rows", 0) - self.partition(pid)["rows"]
+            for pid, upd in partition_updates.items()
+            if not upd.get("replaces") and "rows" in upd
+        }
+        for attempt in range(5):
+            state = json.loads(json.dumps(self._state))  # deep copy
+            for pid, upd in partition_updates.items():
+                cur = state["partitions"].get(
+                    str(pid), {"runs": [], "max_offset": -1, "rows": 0}
+                )
+                if upd.get("replaces"):
+                    cur["runs"] = list(upd["runs"])
+                    cur["rows"] = upd.get("rows", cur["rows"])
+                elif pid in rows_delta:
+                    cur["runs"] = cur["runs"] + list(upd["runs"])
+                    cur["rows"] = cur["rows"] + rows_delta[pid]
+                else:
+                    cur["runs"] = cur["runs"] + list(upd["runs"])
+                cur["max_offset"] = max(cur["max_offset"], upd.get("max_offset", -1))
+                state["partitions"][str(pid)] = cur
+            m = state["metrics"]
+            for k, v in metrics_delta.items():
+                m[k] = m.get(k, 0) + v
+            if hot_keys is not None:
+                state["hot_keys"] = list(hot_keys)
+            if deadletter:
+                # lake-relative quarantine files, appended for lineage — the DLQ
+                # never contributes to partitions/checkpoints
+                state["deadletter"] = state.get("deadletter", []) + list(deadletter)
+            state["schema"] = _schema_to_json(schema)
+            state["num_partitions"] = num_partitions
+            state["last_epoch"] = max(state["last_epoch"], epoch)
+            state["epochs"].append(
+                {"epoch": epoch, "version": state["version"] + 1, "metrics": metrics_delta}
             )
-            if upd.get("replaces"):
-                cur["runs"] = list(upd["runs"])
-            else:
-                cur["runs"] = cur["runs"] + list(upd["runs"])
-            cur["max_offset"] = max(cur["max_offset"], upd.get("max_offset", -1))
-            cur["rows"] = upd.get("rows", cur["rows"])
-            state["partitions"][str(pid)] = cur
-        m = state["metrics"]
-        for k, v in metrics_delta.items():
-            m[k] = m.get(k, 0) + v
-        if hot_keys is not None:
-            state["hot_keys"] = list(hot_keys)
-        if deadletter:
-            # lake-relative quarantine files, appended for lineage — the DLQ
-            # never contributes to partitions/checkpoints
-            state["deadletter"] = state.get("deadletter", []) + list(deadletter)
-        state["schema"] = _schema_to_json(schema)
-        state["num_partitions"] = num_partitions
-        state["last_epoch"] = max(state["last_epoch"], epoch)
-        state["epochs"].append(
-            {"epoch": epoch, "version": state["version"] + 1, "metrics": metrics_delta}
-        )
-        state["version"] += 1
-        self._persist(state)
+            state["version"] += 1
+            try:
+                self._persist(state)
+                return
+            except CommitConflictError:
+                if attempt == 4:
+                    raise
+                self.reload()
 
     def commit_compaction(self, partition_updates: dict[int, dict]) -> None:
-        """Swap compacted partitions' run lists atomically (no epoch record)."""
-        state = json.loads(json.dumps(self._state))
-        for pid, upd in partition_updates.items():
-            cur = state["partitions"].get(
-                str(pid), {"runs": [], "max_offset": -1, "rows": 0}
-            )
-            cur["runs"] = list(upd["runs"])
-            cur["max_offset"] = max(cur["max_offset"], upd.get("max_offset", -1))
-            cur["rows"] = upd["rows"]
-            state["partitions"][str(pid)] = cur
-        state["version"] += 1
-        self._persist(state)
+        """Swap compacted partitions' run lists atomically (no epoch record).
+
+        ``partition_updates[pid]`` may carry ``replaced_paths`` — the
+        lake-relative paths of the runs the compactor actually merged. On a
+        rebase after a concurrent commit, runs appended since the compactor
+        read its inputs are KEPT (new base first, then the survivors), so a
+        concurrent ingest epoch is never silently dropped; LWW merge-at-read
+        makes the overlap harmless. Without ``replaced_paths`` the swap is
+        wholesale (single-writer behavior, unchanged)."""
+        for attempt in range(5):
+            state = json.loads(json.dumps(self._state))
+            for pid, upd in partition_updates.items():
+                cur = state["partitions"].get(
+                    str(pid), {"runs": [], "max_offset": -1, "rows": 0}
+                )
+                if "replaced_paths" in upd:
+                    replaced = set(upd["replaced_paths"])
+                    kept = [r for r in cur["runs"] if r["path"] not in replaced]
+                else:
+                    kept = []
+                cur["runs"] = list(upd["runs"]) + kept
+                cur["max_offset"] = max(cur["max_offset"], upd.get("max_offset", -1))
+                cur["rows"] = upd["rows"] + sum(
+                    r["rows"] - r["tombstones"] for r in kept
+                )
+                state["partitions"][str(pid)] = cur
+            state["version"] += 1
+            try:
+                self._persist(state)
+                return
+            except CommitConflictError:
+                if attempt == 4:
+                    raise
+                self.reload()
+
+    # commit critical section: lock-break horizon for a holder that died
+    # between taking the lock and advancing CURRENT (the section is two small
+    # file writes — milliseconds; 10 s is orders of magnitude past it)
+    LOCK_STALE_S = 10.0
+    LOCK_WAIT_S = 30.0
+
+    @contextlib.contextmanager
+    def _commit_lock(self):
+        """Filesystem mutex for the commit critical section (O_EXCL create;
+        a crashed holder's lock is broken after ``LOCK_STALE_S``). On a shared
+        POSIX filesystem this serializes committers; object stores without
+        atomic create would swap in a log-store CAS here (the Delta-on-S3
+        pattern) — the caller-facing protocol is unchanged."""
+        path = os.path.join(self.dir, "COMMIT.lock")
+        deadline = time.monotonic() + self.LOCK_WAIT_S
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()}\n".encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(path) > self.LOCK_STALE_S:
+                        os.unlink(path)  # break a dead holder's lock
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.monotonic() > deadline:
+                    raise CommitConflictError(
+                        f"commit lock {path} held past {self.LOCK_WAIT_S}s"
+                    )
+                time.sleep(0.005)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(path)
+
+    def _read_current(self) -> int:
+        try:
+            with open(self._current_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
 
     def _persist(self, state: dict) -> None:
-        _atomic_write(
-            os.path.join(self.dir, f"MANIFEST-{state['version']:08d}.json"),
-            json.dumps(state, indent=1),
-        )
-        _atomic_write(self._current_path(), str(state["version"]))
+        """Publish ``state`` as the next manifest version — the CAS commit
+        point. Under the commit lock: CURRENT must still point at the version
+        this state was derived from (``version - 1``), else another writer got
+        there first and ``CommitConflictError`` tells the caller to rebase.
+        A stale MANIFEST-<v> file from a writer that died before advancing
+        CURRENT is overwritten (it never committed, so it is unreachable)."""
+        version = int(state["version"])
+        with self._commit_lock():
+            on_disk = self._read_current()
+            if on_disk != version - 1:
+                raise CommitConflictError(
+                    f"manifest advanced to v{on_disk} while this commit was "
+                    f"based on v{version - 1}"
+                )
+            _atomic_write(
+                os.path.join(self.dir, f"MANIFEST-{version:08d}.json"),
+                json.dumps(state, indent=1),
+            )
+            _atomic_write(self._current_path(), str(version))
         self._state = state

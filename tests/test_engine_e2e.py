@@ -227,3 +227,103 @@ def test_replay_oracle_sql_matches_engine(tmp_path, monkeypatch):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+
+def test_concurrent_commits_rebase_not_clobber(tmp_path):
+    """Two writers sharing one lake: the loser of the CAS rebases and retries,
+    so BOTH epochs' runs, offsets, and metrics survive (no lost update)."""
+    from dbt_customer360_ray.state.manifest import Manifest
+
+    schema = pa.schema([("conv_id", pa.string())])
+    a = Manifest(str(tmp_path / "lake"))
+    b = Manifest(str(tmp_path / "lake"))  # loaded at the same base version
+
+    a.commit_epoch(
+        0,
+        {0: {"runs": [{"path": "data/p0/run-0-a.parquet", "rows": 10, "tombstones": 1}],
+             "max_offset": 9, "rows": 9}},
+        schema, 4, {"events_in": 10},
+    )
+    # b is stale (still at version 0) — its commit must rebase onto a's
+    b.commit_epoch(
+        1,
+        {0: {"runs": [{"path": "data/p0/run-1-b.parquet", "rows": 5, "tombstones": 0}],
+             "max_offset": 14, "rows": 5}},  # rows vs b's stale base 0 → delta 5
+        schema, 4, {"events_in": 5},
+    )
+    fresh = Manifest(str(tmp_path / "lake"))
+    part = fresh.partition(0)
+    assert [r["path"] for r in part["runs"]] == [
+        "data/p0/run-0-a.parquet", "data/p0/run-1-b.parquet"
+    ]
+    assert part["rows"] == 9 + 5 and part["max_offset"] == 14
+    assert fresh.metrics["events_in"] == 15
+    assert [e["epoch"] for e in fresh._state["epochs"]] == [0, 1]
+
+
+def test_compaction_rebase_keeps_concurrent_appends(tmp_path):
+    """A compaction that raced with an ingest epoch keeps the runs appended
+    after it read its inputs — the swap replaces only ``replaced_paths``."""
+    from dbt_customer360_ray.state.manifest import Manifest
+
+    schema = pa.schema([("conv_id", pa.string())])
+    compactor = Manifest(str(tmp_path / "lake"))
+    compactor.commit_epoch(
+        0,
+        {0: {"runs": [{"path": "r0.parquet", "rows": 10, "tombstones": 2},
+                      {"path": "r1.parquet", "rows": 4, "tombstones": 0}],
+             "max_offset": 13, "rows": 12}},
+        schema, 2, {"events_in": 14},
+    )
+    inputs = [r["path"] for r in compactor.partition(0)["runs"]]
+
+    writer = Manifest(str(tmp_path / "lake"))  # concurrent ingest commits now
+    writer.commit_epoch(
+        1,
+        {0: {"runs": [{"path": "r2.parquet", "rows": 3, "tombstones": 0}],
+             "max_offset": 16, "rows": 15}},
+        schema, 2, {"events_in": 3},
+    )
+    compactor.commit_compaction(
+        {0: {"runs": [{"path": "base.parquet", "rows": 12, "tombstones": 0}],
+             "rows": 12, "max_offset": 13, "replaced_paths": inputs}}
+    )
+    fresh = Manifest(str(tmp_path / "lake"))
+    part = fresh.partition(0)
+    assert [r["path"] for r in part["runs"]] == ["base.parquet", "r2.parquet"]
+    assert part["rows"] == 12 + 3 and part["max_offset"] == 16
+
+
+def test_concurrent_commit_threads_all_survive(tmp_path):
+    """8 threads × 4 commits against one lake dir, no coordination: every
+    run file and every metric increment lands exactly once."""
+    import threading
+
+    from dbt_customer360_ray.state.manifest import Manifest
+
+    schema = pa.schema([("conv_id", pa.string())])
+    errs = []
+
+    def worker(w: int):
+        try:
+            m = Manifest(str(tmp_path / "lake"))
+            for i in range(4):
+                m.commit_epoch(
+                    w * 4 + i,
+                    {w % 4: {"runs": [
+                        {"path": f"w{w}-{i}.parquet", "rows": 1, "tombstones": 0}],
+                        "max_offset": w * 4 + i, "rows": m.partition(w % 4)["rows"] + 1}},
+                    schema, 4, {"events_in": 1},
+                )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(8)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert not errs
+    fresh = Manifest(str(tmp_path / "lake"))
+    paths = [r["path"] for p in range(4) for r in fresh.partition(p)["runs"]]
+    assert sorted(paths) == sorted(f"w{w}-{i}.parquet" for w in range(8) for i in range(4))
+    assert fresh.metrics["events_in"] == 32
+    assert sum(fresh.partition(p)["rows"] for p in range(4)) == 32
