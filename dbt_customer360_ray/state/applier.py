@@ -27,6 +27,7 @@ events can never resurrect a deleted row.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 
@@ -61,6 +62,61 @@ def atomic_parquet(table: pa.Table, path: str) -> None:
     tmp = path + ".tmp"
     pq.write_table(table, tmp)
     os.replace(tmp, path)
+    # run files (under data/) get a conv_id bloom sidecar so point lookups can
+    # skip whole files without a footer read — hash routing scatters conv ids
+    # across each partition's full key range, so min/max zone maps prune
+    # nothing for point keys; a bloom does (the Iceberg/Delta file-skipping
+    # idea, keyed for the lake's lookup path)
+    if f"{os.sep}data{os.sep}" in path and "conv_id" in table.column_names:
+        write_key_bloom(table, path)
+
+
+_BLOOM_HASHES = 4
+_BLOOM_BITS_PER_KEY = 10
+
+
+def write_key_bloom(table: pa.Table, run_path: str, col: str = "conv_id") -> None:
+    """Sidecar ``<run>.bloom``: 4-hash bloom over the run's distinct keys
+    (md5-derived positions — deterministic across processes), ~1% false
+    positives at 10 bits/key. Cost is one md5 per DISTINCT key at write time;
+    the payoff is one tiny sequential read instead of a parquet footer+page
+    fetch per non-matching run on the lookup path."""
+    uniq = [u for u in pc.unique(table.column(col)).to_pylist() if u is not None]
+    if not uniq:
+        return
+    m = 1 << max(10, (len(uniq) * _BLOOM_BITS_PER_KEY - 1).bit_length())
+    bits = np.zeros(m // 8, np.uint8)
+    pos = np.empty(len(uniq) * _BLOOM_HASHES, np.int64)
+    for i, key in enumerate(uniq):
+        d = hashlib.md5(key.encode("utf-8")).digest()
+        for j in range(_BLOOM_HASHES):
+            pos[i * _BLOOM_HASHES + j] = int.from_bytes(d[4 * j : 4 * j + 4], "little") % m
+    np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+    tmp = run_path + ".bloom.tmp"  # ends in .tmp → vacuum removes orphans
+    with open(tmp, "wb") as f:
+        f.write(m.to_bytes(8, "little"))
+        f.write(bits.tobytes())
+    os.replace(tmp, run_path + ".bloom")
+
+
+def bloom_may_contain(run_path: str, key: str) -> bool:
+    """False ⇒ the run definitely does not contain ``key``. Missing or
+    unreadable sidecar ⇒ True (blooms are an optimization, never load-bearing
+    for correctness)."""
+    try:
+        with open(run_path + ".bloom", "rb") as f:
+            raw = f.read()
+        m = int.from_bytes(raw[:8], "little")
+        if m <= 0 or len(raw) < 8 + m // 8:
+            return True
+        d = hashlib.md5(key.encode("utf-8")).digest()
+        for j in range(_BLOOM_HASHES):
+            p = int.from_bytes(d[4 * j : 4 * j + 4], "little") % m
+            if not (raw[8 + p // 8] >> (p % 8)) & 1:
+                return False
+        return True
+    except OSError:
+        return True
 
 
 def run_ts_stats(table: pa.Table) -> dict:

@@ -1246,10 +1246,16 @@ class CdcLake:
         state_schema = self.manifest.schema
         if state_schema is None:
             return pa.schema([("conv_id", pa.string())]).empty_table()
+        from .applier import bloom_may_contain
+
         pid = int(partition_ids([conv_id], self.P)[0])
         files = self.manifest.live_files(pid)
         tables = []
         for f in files:
+            # sidecar bloom: skip runs that provably lack this conv_id without
+            # touching the parquet footer (~1% false-positive opens)
+            if not bloom_may_contain(f, conv_id):
+                continue
             t = pq.read_table(f, filters=[("conv_id", "=", conv_id)])
             tables.append(conform_batch(t, state_schema))
         if not tables:
@@ -1284,7 +1290,11 @@ class CdcLake:
         for root, _dirs, names in os.walk(data_dir):
             for name in names:
                 p = os.path.abspath(os.path.join(root, name))
-                if p not in live and (name.endswith(".parquet") or name.endswith(".tmp")):
+                if p.endswith(".bloom"):
+                    if p[: -len(".bloom")] not in live:  # sidecar of a dead run
+                        os.remove(p)
+                        removed += 1
+                elif p not in live and (name.endswith(".parquet") or name.endswith(".tmp")):
                     os.remove(p)
                     removed += 1
         return removed

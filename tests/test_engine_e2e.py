@@ -327,3 +327,61 @@ def test_concurrent_commit_threads_all_survive(tmp_path):
     assert sorted(paths) == sorted(f"w{w}-{i}.parquet" for w in range(8) for i in range(4))
     assert fresh.metrics["events_in"] == 32
     assert sum(fresh.partition(p)["rows"] for p in range(4)) == 32
+
+
+def test_lookup_bloom_skips_files(tmp_path, monkeypatch):
+    """Every run gets a conv_id bloom sidecar; lookup returns identical
+    results while opening only the (few) runs whose bloom may contain the
+    key; vacuum removes sidecars of dead runs."""
+    import ray.data
+
+    from dbt_customer360_ray.state import applier as A
+
+    changes = gen_changes(6_000, 400, seed=29)
+    lake = CdcLake(str(tmp_path / "lake"), num_partitions=8, max_runs=1 << 30)
+    for part in split_epochs(changes, 6):
+        lake.apply(ray.data.from_arrow(part))
+
+    files = lake.manifest.live_files()
+    assert files and all(os.path.exists(f + ".bloom") for f in files)
+
+    # rarest conv (Zipf tail): present in few epochs, so blooms have bite —
+    # the head key would genuinely be in every run
+    vc = changes.column("conv_id").to_pandas().value_counts()
+    key = vc.index[-1]
+    want = lake.lookup(key)
+
+    opened = []
+    real = A.bloom_may_contain
+
+    def spy(path, k):
+        r = real(path, k)
+        if r:
+            opened.append(path)
+        return r
+
+    monkeypatch.setattr(A, "bloom_may_contain", spy)
+    got = lake.lookup(key)
+    assert got.equals(want) and want.num_rows > 0
+    pid_files = lake.manifest.live_files(
+        int(__import__("dbt_customer360_ray.hashing", fromlist=["partition_ids"])
+            .partition_ids([key], lake.P)[0])
+    )
+    # the key appears in a subset of epochs; blooms must have pruned the rest
+    assert len(opened) < len(pid_files)
+
+    # negative lookup: a key that exists nowhere opens ~no files
+    opened.clear()
+    assert lake.lookup("conv-does-not-exist").num_rows == 0
+    assert len(opened) <= 1  # allow a rare false positive
+
+    # compaction rewrites runs (bloom'd) and vacuum drops dead sidecars
+    lake.compact(force=True)
+    n_removed = lake.vacuum()
+    assert n_removed > 0
+    for f in lake.manifest.live_files():
+        assert os.path.exists(f + ".bloom")
+    for f in files:
+        if f not in set(lake.manifest.live_files()):
+            assert not os.path.exists(f + ".bloom")
+    assert lake.lookup(key).equals(want)
