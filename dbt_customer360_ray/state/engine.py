@@ -78,13 +78,19 @@ def _make_slots(P: int, S: int, hot_pids: set[int]) -> tuple[list, "np.ndarray"]
 
 
 def _compact_partition(
-    lake_dir: str, pid: int, files: list[str], state_schema: pa.Schema, version: int
+    lake_dir: str,
+    pid: int,
+    files: list[str],
+    state_schema: pa.Schema,
+    version: int,
+    prefix: str = "base",
 ) -> dict:
-    """One-partition compaction task: read this partition's runs (conforming old
-    schemas), LWW-merge, write one base run at a deterministic versioned path."""
+    """One-partition compaction task: read the selected runs (conforming old
+    schemas), LWW-merge, write one merged run at a deterministic versioned
+    path (``base-v…`` for full merges, ``tier-v…`` for L0→L1 merges)."""
     tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
     merged = lww_latest(pa.concat_tables(tables))
-    path = os.path.join("data", f"part-{pid:05d}", f"base-v{version:08d}.parquet")
+    path = os.path.join("data", f"part-{pid:05d}", f"{prefix}-v{version:08d}.parquet")
     atomic_parquet(merged, os.path.join(lake_dir, path))
     tomb = int(pc.sum(pc.equal(merged.column("op"), "D")).as_py() or 0)
     return {
@@ -416,6 +422,7 @@ class CdcLake:
         hot_threshold: float = 0.05,
         exchange: bool = True,
         allowed_lateness: str | None = None,
+        compaction_policy: str = "full",
     ):
         self.lake_dir = lake_dir
         os.makedirs(lake_dir, exist_ok=True)
@@ -426,6 +433,9 @@ class CdcLake:
                 num_partitions = self.manifest.num_partitions
         self.P = num_partitions
         self.max_runs = max_runs
+        if compaction_policy not in ("full", "tiered"):
+            raise ValueError(f"unknown compaction policy {compaction_policy!r}")
+        self.compaction_policy = compaction_policy
         self.num_salts = num_salts
         self.hot_threshold = hot_threshold
         # exchange=True routes events to appliers with an explicit two-stage
@@ -744,18 +754,34 @@ class CdcLake:
             return pd.DataFrame()
         return pa.concat_tables(tables).to_pandas()
 
-    def compact(self, force: bool = False) -> int:
-        """Merge run files of partitions with more than ``max_runs`` runs into a
-        single base run per partition (LSM compaction). A partition's runs are
-        already co-located on disk, so compaction is one plain Ray task per
-        partition — embarrassingly parallel, NO shuffle. Crash-safe: base files
-        are written under the next manifest version's name and are invisible
-        until the compaction commit; a crash leaves vacuumable orphans.
+    def compact(self, force: bool = False, policy: str | None = None) -> int:
+        """Merge run files of partitions with more than ``max_runs`` runs
+        (LSM compaction). A partition's runs are already co-located on disk,
+        so compaction is one plain Ray task per partition — embarrassingly
+        parallel, NO shuffle. Crash-safe: base files are written under the
+        next manifest version's name and are invisible until the compaction
+        commit; a crash leaves vacuumable orphans.
+
+        ``policy`` (default: the lake's ``compaction_policy``):
+        - ``"full"``  — merge ALL runs into one base (max read speed, but
+          rewrites the whole partition every time: O(partition) write
+          amplification per compaction).
+        - ``"tiered"`` — leveled LSM merge: keep every run whose row count
+          exceeds the SUM of all smaller runs (it dominates its level), merge
+          the rest. A settled base is never rewritten by delta compactions;
+          similar-sized runs merge together; each byte is rewritten O(log)
+          times instead of O(ingests). Sound because LWW winner-merge is
+          associative — subset-then-rest at read equals one-shot merge — and
+          tombstones are retained in the tier. The partition ``rows`` lineage
+          counter becomes an upper bound (keys present in both tier and base
+          count twice) until a major merge. At 100 TB this is the difference
+          between compaction cost tracking the INGEST rate vs the LAKE size.
 
         Returns the number of partitions compacted.
         """
         import ray
 
+        policy = policy or self.compaction_policy
         pids = [
             p
             for p in range(self.P)
@@ -769,11 +795,37 @@ class CdcLake:
 
         compact_task = ray.remote(_compact_partition)
         schema_ref = ray.put(state_schema)
+        inputs: dict[int, list[str]] = {}
+        for pid in pids:
+            runs = self.manifest.partition(pid)["runs"]
+            if policy == "tiered":
+                # merge the smallest-run prefix; stop at the first run that
+                # DOMINATES everything smaller (rows > sum below) — that run
+                # and all larger ones are settled levels, left untouched
+                by_size = sorted(runs, key=lambda r: (r["rows"], r["path"]))
+                sel, below = [], 0
+                for r in by_size:
+                    if below > 0 and r["rows"] > below:
+                        break
+                    sel.append(r)
+                    below += r["rows"]
+            else:
+                sel = list(runs)
+            if len(sel) >= 2:
+                inputs[pid] = [r["path"] for r in sel]
+        if not inputs:
+            return 0
+        prefix = "tier" if policy == "tiered" else "base"
         stats_refs = [
             compact_task.remote(
-                lake_dir, pid, self.manifest.live_files(pid), schema_ref, version
+                lake_dir,
+                pid,
+                [os.path.join(lake_dir, p) for p in paths],
+                schema_ref,
+                version,
+                prefix,
             )
-            for pid in pids
+            for pid, paths in inputs.items()
         ]
         updates = {}
         for row in ray.get(stats_refs):
@@ -789,12 +841,11 @@ class CdcLake:
                 ],
                 "replaces": True,
                 "max_offset": self.manifest.partition(pid)["max_offset"],
-                "rows": int(row["rows"]) - int(row["tombstones"]),  # exact recount
-                # exact inputs merged: a rebase after a concurrent commit keeps
-                # runs appended since (see Manifest.commit_compaction)
-                "replaced_paths": [
-                    r["path"] for r in self.manifest.partition(pid)["runs"]
-                ],
+                "rows": int(row["rows"]) - int(row["tombstones"]),
+                # exact inputs merged: the commit keeps every run NOT in this
+                # list (the tiered base, plus anything a concurrent writer
+                # appended since — see Manifest.commit_compaction)
+                "replaced_paths": inputs[pid],
             }
         self.manifest.commit_compaction(updates)
         return len(updates)

@@ -385,3 +385,73 @@ def test_lookup_bloom_skips_files(tmp_path, monkeypatch):
         if f not in set(lake.manifest.live_files()):
             assert not os.path.exists(f + ".bloom")
     assert lake.lookup(key).equals(want)
+
+
+def test_tiered_compaction_state_equal_and_base_untouched(tmp_path):
+    """Size-tiered compaction (merge all runs but the largest) yields the
+    exact same converged state as full compaction, while leaving the base
+    run file untouched — write amplification O(delta), not O(partition)."""
+    import ray.data
+
+    def data_bytes(lake):
+        total = 0
+        for root, _d, names in os.walk(os.path.join(lake.lake_dir, "data")):
+            total += sum(
+                os.path.getsize(os.path.join(root, n))
+                for n in names
+                if n.endswith(".parquet")
+            )
+        return total  # live + not-yet-vacuumed = everything ever written
+
+    changes = gen_changes(8_000, 300, seed=31)
+    epochs = split_epochs(changes, 8)
+
+    full = CdcLake(str(tmp_path / "full"), num_partitions=8, max_runs=2)
+    tier = CdcLake(
+        str(tmp_path / "tier"), num_partitions=8, max_runs=2,
+        compaction_policy="tiered",
+    )
+    for e in epochs:
+        full.apply(ray.data.from_arrow(e))
+        tier.apply(ray.data.from_arrow(e))
+
+    a = full.read_local_table()
+    assert a.equals(tier.read_local_table())
+    _assert_matches_oracle(tier, *epochs)
+    runs_now = [r for p in range(tier.P) for r in tier.manifest.partition(p)["runs"]]
+    assert any("tier-v" in r["path"] for r in runs_now)  # tiered merges happened
+    # same ingest, fewer bytes ever written: tiered skips the base rewrite
+    assert data_bytes(tier) < data_bytes(full)
+
+    # single-step guarantee: a tiered compaction never rewrites a run that
+    # dominates all smaller ones — settle a base, add two deltas, compact
+    solo = CdcLake(
+        str(tmp_path / "solo"), num_partitions=4, max_runs=1 << 30,
+        compaction_policy="tiered",
+    )
+    for e in epochs[:4]:
+        solo.apply(ray.data.from_arrow(e))
+    assert solo.compact(force=True, policy="full") > 0  # settle the base
+    for e in epochs[4:6]:
+        solo.apply(ray.data.from_arrow(e))
+    largest = {
+        p: max(solo.manifest.partition(p)["runs"], key=lambda r: r["rows"])["path"]
+        for p in range(solo.P)
+        if len(solo.manifest.partition(p)["runs"]) >= 3
+    }
+    assert largest and solo.compact(force=True) > 0
+    for p, base_path in largest.items():
+        # the dominant base is never rewritten; deltas may or may not have
+        # merged depending on whether one of them dominates the other
+        paths = [r["path"] for r in solo.manifest.partition(p)["runs"]]
+        assert base_path in paths
+    all_paths = [
+        r["path"] for p in range(solo.P) for r in solo.manifest.partition(p)["runs"]
+    ]
+    assert any("tier-v" in q for q in all_paths)
+    _assert_matches_oracle(solo, *epochs[:6])
+
+    # time travel across tiered compactions still resolves old snapshots
+    v = tier.manifest.version_for_epoch(2)
+    snap = tier.manifest.at_version(v)
+    assert snap.last_epoch == 2
