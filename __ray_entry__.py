@@ -134,6 +134,27 @@ def _cdc_assistant_view(sf_dir: str):
     return dst.read(columns=["role", "text", "tool", "src_ts"])
 
 
+def _cdc_multitable_transcripts(sf_dir: str):
+    """Multi-table binlog routing: the interleaved two-table stream replayed
+    through MultiTableLake; the transcripts table's converged state (its own
+    schema, checkpoints, manifest — offset dedup unaffected by the split)."""
+    from dbt_customer360_ray.pipelines.cdc_replay import multitable_lake
+
+    return multitable_lake().lake("transcripts").read(
+        columns=["role", "text", "tool", "ts"]
+    )
+
+
+def _cdc_multitable_meta(sf_dir: str):
+    """The same multi-table replay, conv_meta side: per-conversation
+    title/status upserts keyed on (conv_id, turn_idx=0)."""
+    from dbt_customer360_ray.pipelines.cdc_replay import multitable_lake
+
+    return multitable_lake().lake("conv_meta").read(
+        columns=["title", "status", "ts"]
+    )
+
+
 def _cdc_deadletter(sf_dir: str):
     """Dead-letter queue, oracle-checked: replay the deterministically
     corrupted fixture and return the quarantined rows + reasons; the oracle
@@ -421,6 +442,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_lookup_conversation"] = _cdc_lookup_conversation
     out["cdc_conversation_headers"] = _cdc_conversation_headers
     out["cdc_assistant_view"] = _cdc_assistant_view
+    out["cdc_multitable_transcripts"] = _cdc_multitable_transcripts
+    out["cdc_multitable_meta"] = _cdc_multitable_meta
     out["stream_replay_lake"] = _stream_replay_lake
     out["lang_quality_documents"] = _lang_quality_documents
     out["repetition_documents"] = _repetition_documents
@@ -508,6 +531,13 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_lookup_conversation"] = lookup_oracle_sql(sf=0.01, conv_id="conv-00000002")
     out["cdc_conversation_headers"] = headers_oracle_sql(sf=0.01)
     out["cdc_assistant_view"] = view_oracle_sql(sf=0.01, role="assistant")
+    from dbt_customer360_ray.pipelines.cdc_replay import (
+        multitable_meta_oracle_sql,
+        multitable_transcripts_oracle_sql,
+    )
+
+    out["cdc_multitable_transcripts"] = multitable_transcripts_oracle_sql()
+    out["cdc_multitable_meta"] = multitable_meta_oracle_sql()
     out["stream_replay_lake"] = stream_oracle_sql()
     media = media_fixture_path(128, seed=5)
     out["multimodal_image_features"] = image_oracle_sql(media)

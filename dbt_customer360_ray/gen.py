@@ -183,3 +183,52 @@ def oracle_lake(*change_tables: pa.Table) -> pd.DataFrame:
         df.sort_values(["conv_id", "turn_idx"], kind="stable")
         .reset_index(drop=True)[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
     )
+
+
+def gen_multitable_changes(
+    num_events: int, num_convs: int, seed: int = 42, meta_frac: float = 0.2
+) -> pa.Table:
+    """One interleaved TWO-TABLE binlog stream, the multi-table form a real
+    WAL tail arrives in: ``transcripts`` events (``gen_changes``) plus
+    ``conv_meta`` events — per-conversation title/status upserts with
+    ``turn_idx`` pinned to 0 so the lake's (conv_id, turn_idx) key degenerates
+    to conv_id for that table. Columns are the union schema with nulls in the
+    foreign slots, discriminated by ``table_name``; offsets are reassigned in
+    (ts, original-order) so the two tables genuinely interleave."""
+    tr = gen_changes(num_events, num_convs, seed=seed).to_pandas()
+    tr["table_name"] = "transcripts"
+
+    m = max(int(num_events * meta_frac), 1)
+    rng = np.random.default_rng(seed + 101)
+    conv_k = (rng.zipf(1.3, m) - 1) % num_convs
+    bits = rng.integers(0, 1 << 62, m, dtype=np.int64)
+    op = np.full(m, "U", dtype=object)
+    op[bits % 100 < 25] = "I"
+    op[bits % 100 >= 95] = "D"
+    ts_us = rng.integers(0, num_events * 10_000, m, dtype=np.int64)
+    statuses = np.array(["open", "active", "closed", "archived"], dtype=object)
+    meta = pd.DataFrame(
+        {
+            "op": op,
+            "conv_id": pd.Series(conv_k).map(lambda k: f"conv-{k:08d}"),
+            "turn_idx": np.zeros(m, np.int32),
+            "ts": BASE_TS + ts_us.astype("timedelta64[us]"),
+            "title": pd.Series(conv_k).map(lambda k: f"conversation {k}")
+            + " rev " + pd.Series((bits >> 7) % 7).astype(str),
+            "status": statuses[(bits >> 3) % 4],
+            "table_name": "conv_meta",
+        }
+    )
+    both = pd.concat([tr, meta], ignore_index=True)
+    both = both.sort_values("ts", kind="stable").reset_index(drop=True)
+    both["offset"] = np.arange(len(both), dtype=np.int64)
+    cols = [
+        "offset", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        "title", "status", "table_name",
+    ]
+    out = pa.Table.from_pandas(both[cols], preserve_index=False)
+    return out.set_column(
+        out.schema.get_field_index("turn_idx"),
+        "turn_idx",
+        out.column("turn_idx").cast(pa.int32()),
+    )

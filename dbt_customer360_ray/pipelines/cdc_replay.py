@@ -415,3 +415,88 @@ def stream_oracle_sql() -> str:
             f"FROM read_parquet('{p}', file_row_number=true)"
         ]
     )
+
+
+# -- multi-table binlog routing ----------------------------------------------
+
+MT_EVENTS, MT_CONVS, MT_SEED, MT_EPOCHS = 20_000, 800, 55, 3
+
+TRANSCRIPT_COLS = ["offset", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"]
+META_COLS = ["offset", "op", "conv_id", "turn_idx", "title", "status", "ts"]
+
+
+def multitable_fixture_path() -> str:
+    """Write (once) the interleaved two-table binlog fixture so engine and
+    DuckDB oracle read the SAME bytes."""
+    import pyarrow.parquet as pq
+
+    from ..gen import gen_multitable_changes
+
+    out_dir = os.path.join(FIXTURE_ROOT, "multitable")
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(
+        out_dir, f"changes-{MT_EVENTS}-{MT_CONVS}-s{MT_SEED}.parquet"
+    )
+    if not os.path.exists(path):
+        tmp = path + f".tmp.{os.getpid()}"
+        pq.write_table(
+            gen_multitable_changes(MT_EVENTS, MT_CONVS, seed=MT_SEED), tmp
+        )
+        os.replace(tmp, path)
+    return path
+
+
+_MT_LAKE = {}
+
+
+def multitable_lake():
+    """Replay the multi-table fixture once per process: the stream is split
+    into epochs by offset range and routed through MultiTableLake (explicit
+    per-table column sets, so neither lake carries the other's columns)."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..state.multitable import MultiTableLake
+
+    path = multitable_fixture_path()
+    if path not in _MT_LAKE:
+        t = pq.read_table(path)
+        n = t.num_rows
+        mt = MultiTableLake(
+            tempfile.mkdtemp(prefix="mt-lake-"),
+            tables={
+                "transcripts": {"columns": TRANSCRIPT_COLS},
+                "conv_meta": {"columns": META_COLS},
+            },
+            num_partitions=8,
+        )
+        step = (n + MT_EPOCHS - 1) // MT_EPOCHS
+        for i in range(MT_EPOCHS):
+            mt.apply(ray.data.from_arrow(t.slice(i * step, step)))
+        _MT_LAKE[path] = mt
+    return _MT_LAKE[path]
+
+
+def _mt_lww_sql(table_name: str, out_cols: str) -> str:
+    path = multitable_fixture_path()
+    return f"""
+        WITH ev AS (
+            SELECT * FROM read_parquet('{path}')
+            WHERE table_name = '{table_name}'
+        ), winners AS (
+            SELECT * FROM ev
+            QUALIFY row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, "offset" DESC) = 1
+        )
+        SELECT {out_cols} FROM winners WHERE op <> 'D'
+    """
+
+
+def multitable_transcripts_oracle_sql() -> str:
+    return _mt_lww_sql("transcripts", "conv_id, turn_idx, role, text, tool, ts")
+
+
+def multitable_meta_oracle_sql() -> str:
+    return _mt_lww_sql("conv_meta", "conv_id, turn_idx, title, status, ts")

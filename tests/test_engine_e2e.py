@@ -455,3 +455,55 @@ def test_tiered_compaction_state_equal_and_base_untouched(tmp_path):
     v = tier.manifest.version_for_epoch(2)
     snap = tier.manifest.at_version(v)
     assert snap.last_epoch == 2
+
+
+def test_multitable_routing_isolated_and_resumable(tmp_path):
+    """One interleaved two-table stream: each table converges independently
+    (own schema, own checkpoints), column sets don't bleed, reopening adopts
+    the on-disk tables, and replaying an epoch is a per-table no-op."""
+    import ray.data
+
+    from dbt_customer360_ray.gen import gen_multitable_changes
+    from dbt_customer360_ray.state.multitable import MultiTableLake
+
+    t = gen_multitable_changes(6_000, 300, seed=9)
+    cols_t = ["offset", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    cols_m = ["offset", "op", "conv_id", "turn_idx", "title", "status", "ts"]
+    mt = MultiTableLake(
+        str(tmp_path / "mt"),
+        tables={"transcripts": {"columns": cols_t}},  # conv_meta auto-registers
+        num_partitions=4,
+    )
+    half = t.num_rows // 2
+    m1 = mt.apply(ray.data.from_arrow(t.slice(0, half)))
+    m2 = mt.apply(ray.data.from_arrow(t.slice(half)))
+    assert set(m1) == {"transcripts", "conv_meta"} == set(m2)
+
+    # no column bleed: transcripts lake has no title/status; meta (auto) keeps
+    # only its non-discriminator columns
+    tr_cols = set(mt.lake("transcripts").read_local_table().column_names)
+    assert "title" not in tr_cols and "status" not in tr_cols
+    assert "table_name" not in set(mt.lake("conv_meta").read_local_table().column_names)
+
+    # per-table LWW convergence vs the pandas oracle
+    df = t.to_pandas()
+    for name, keyfilter in (("transcripts", "transcripts"), ("conv_meta", "conv_meta")):
+        sub = pa.Table.from_pandas(
+            df[df["table_name"] == keyfilter].drop(columns=["table_name"]),
+            preserve_index=False,
+        )
+        want = oracle_lake(sub)
+        got = mt.lake(name).read_local_table().to_pandas()
+        got = (
+            got[want.columns.tolist()]
+            .sort_values(["conv_id", "turn_idx"], kind="stable")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # resume: reopening adopts both tables; replay dedups everything
+    mt2 = MultiTableLake(str(tmp_path / "mt"), num_partitions=4)
+    assert set(mt2.tables) == {"transcripts", "conv_meta"}
+    m3 = mt2.apply(ray.data.from_arrow(t.slice(half)))
+    for name, m in m3.items():
+        assert m["events_deduped"] == m["events_in"], name
