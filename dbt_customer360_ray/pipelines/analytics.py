@@ -1634,3 +1634,88 @@ _text_index_sql()
 QUERIES["postings_documents"] = q_postings_documents
 QUERIES["bigram_lift_documents"] = q_bigram_lift_documents
 QUERIES["kgram_dup_documents"] = q_kgram_dup_documents
+
+
+# -- 42. broadcast anti join --------------------------------------------------
+
+
+BIG_ORDER = 350_000.0
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti join: customers with NO big-ticket order (o_totalprice >
+    BIG_ORDER) — the qualifying custkeys are filtered AT THE READ, made
+    distinct per batch, broadcast once (ray.put), then one map-only
+    membership pass over customers. No shuffle; the bucketed-join fallback
+    applies when the key set outgrows broadcast."""
+    from ..stages.joins import anti_join
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice"],
+        rows_per_block=50_000,
+    ).filter(expr=f"o_totalprice > {BIG_ORDER}")
+    keys = set(orders.unique("o_custkey"))
+    cust = read_table(
+        sf_dir, "customer",
+        columns=["c_custkey", "c_name", "c_acctbal"],
+        rows_per_block=50_000,
+    )
+    return anti_join(cust, keys, on="c_custkey")
+
+
+ORACLE_SQL["customers_without_orders"] = f"""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_totalprice > {BIG_ORDER}
+    )
+"""
+QUERIES["customers_without_orders"] = q_customers_without_orders
+
+
+# -- 43. hopping (sliding) window counts --------------------------------------
+
+
+def q_events_hopping(sf_dir: str):
+    """Hopping event-time window: 1-hour windows every 30 minutes (each event
+    lands in exactly 2 windows). One map-only fan-out+partial-aggregate pass,
+    then a window-count-bounded groupby — shuffle volume O(windows × batches),
+    never O(events). Integer keys/sums only, so the oracle hash-matches."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["ts", "value"], rows_per_block=50_000)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        sec = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        base = (sec // 1800) * 1800
+        cents = _cents(t.column("value")).to_numpy(zero_copy_only=False)
+        win = np.concatenate([base, base - 1800])
+        c2 = np.concatenate([cents, cents])
+        g = (
+            pd.DataFrame({"win_start": win, "cents": c2})
+            .groupby("win_start", sort=False)
+            .agg(n=("cents", "size"), cents=("cents", "sum"))
+            .reset_index()
+        )
+        return g
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("win_start")
+        .aggregate(Sum("n", alias_name="n_events"), Sum("cents", alias_name="sum_cents"))
+    )
+
+
+ORACLE_SQL["events_hopping"] = """
+    WITH w AS (
+        SELECT unnest([
+                   (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800,
+                   (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 - 1800
+               ]) AS win_start,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT win_start, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM w GROUP BY 1
+"""
+QUERIES["events_hopping"] = q_events_hopping
