@@ -52,6 +52,15 @@ def main() -> int:
                     help="print quarantined-event counts by reason")
     ap.add_argument("--view", help="maintain an incremental role-filtered view lake "
                                    "at this directory (ROLE:DIR, e.g. assistant:/data/view)")
+    ap.add_argument("--compaction-policy", choices=("full", "tiered"), default="full",
+                    help="'tiered' = leveled LSM merges: settled runs are never "
+                         "rewritten, compaction cost tracks the ingest rate")
+    ap.add_argument("--allowed-lateness", default=None, metavar="DUR",
+                    help="quarantine events older than the committed watermark "
+                         "minus DUR (e.g. '30 minutes') to the dead-letter queue")
+    ap.add_argument("--multi-table", action="store_true",
+                    help="input carries a table_name column: route each table "
+                         "to its own lake under LAKE/tables/<name>")
     args = ap.parse_args()
 
     import ray
@@ -74,7 +83,12 @@ def main() -> int:
 
         paths = changes_fixture(args.sf)["paths"]
     elif args.input:
-        pattern = args.input if any(c in args.input for c in "*?[") else os.path.join(args.input, "*.parquet")
+        if os.path.isfile(args.input):
+            pattern = args.input
+        elif any(c in args.input for c in "*?["):
+            pattern = args.input
+        else:
+            pattern = os.path.join(args.input, "*.parquet")
         paths = sorted(glob.glob(pattern))
         if not paths:
             ap.error(f"no parquet files match {pattern!r}")
@@ -87,7 +101,35 @@ def main() -> int:
 
         enrich, enrich_schema = TranscriptEnricher(), ENRICH_SCHEMA
 
-    lake = CdcLake(args.lake, num_partitions=args.num_partitions)
+    lake_kwargs = dict(
+        num_partitions=args.num_partitions,
+        compaction_policy=args.compaction_policy,
+        allowed_lateness=args.allowed_lateness,
+    )
+    if args.multi_table:
+        from dbt_customer360_ray.state.multitable import MultiTableLake
+
+        mt = MultiTableLake(args.lake, **lake_kwargs)
+        t0 = time.perf_counter()
+        events = 0
+        for i, p in enumerate(paths):
+            per_table = mt.apply(p, epoch=i)
+            for name, m in per_table.items():
+                events += m.get("events_in", 0)
+                print(json.dumps({"epoch_file": os.path.basename(p),
+                                  "table": name, **m}), flush=True)
+        wall = time.perf_counter() - t0
+        summary = {
+            "tables": sorted(mt.tables),
+            "events_in": events,
+            "events_per_sec": round(events / wall, 1) if wall else None,
+            "wall_sec": round(wall, 3),
+            "metrics": mt.metrics(),
+        }
+        print(json.dumps(summary, default=str), flush=True)
+        return 0
+
+    lake = CdcLake(args.lake, **lake_kwargs)
     t0 = time.perf_counter()
     events = 0
     for i, p in enumerate(paths):
