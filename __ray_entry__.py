@@ -101,6 +101,16 @@ def _cdc_resharded_lake(sf_dir: str):
     return dest.read()
 
 
+def _cdc_restored_lake(sf_dir: str):
+    """Delta-style RESTORE: full 4-epoch replay into a fresh lake, roll back to
+    epoch 1's snapshot as a NEW commit (run files shared, checkpoints rolled
+    back for resume), read the rolled-back state. Oracled — rollback must equal
+    the epoch-1 time-travel read, i.e. the prefix replay in SQL."""
+    from dbt_customer360_ray.pipelines.cdc_replay import restored_lake
+
+    return restored_lake(sf=0.01, epoch=1).read()
+
+
 def _cdc_conversation_headers(sf_dir: str):
     """Per-conversation summary rows (the org-header analogue of SURVEY §7.0)
     computed shuffle-free per partition on the replayed lake."""
@@ -438,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_resharded_lake"] = _cdc_resharded_lake
     out["cdc_late_quarantined"] = _cdc_late_quarantined
     out["cdc_change_feed"] = _cdc_change_feed
+    out["cdc_restored_lake"] = _cdc_restored_lake
     out["cdc_deadletter"] = _cdc_deadletter
     out["cdc_lookup_conversation"] = _cdc_lookup_conversation
     out["cdc_conversation_headers"] = _cdc_conversation_headers
@@ -527,6 +538,7 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_resharded_lake"] = replay_oracle_sql(sf=0.01)
     out["cdc_late_quarantined"] = late_quarantine_oracle_sql(sf=0.01)
     out["cdc_change_feed"] = change_feed_oracle_sql(sf=0.01, from_epoch=0, to_epoch=2)
+    out["cdc_restored_lake"] = timetravel_oracle_sql(sf=0.01, epoch=1)
     out["cdc_deadletter"] = deadletter_oracle_sql()
     out["cdc_lookup_conversation"] = lookup_oracle_sql(sf=0.01, conv_id="conv-00000002")
     out["cdc_conversation_headers"] = headers_oracle_sql(sf=0.01)

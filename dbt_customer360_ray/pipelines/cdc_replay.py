@@ -76,6 +76,16 @@ def replayed_lake(sf: float = 0.01):
     return _REPLAYED[sf]
 
 
+def restored_lake(sf: float = 0.01, epoch: int = 1):
+    """Full replay into a FRESH lake (the shared ``replayed_lake`` must stay
+    un-mutated — restore commits a new version), then RESTORE to ``epoch``'s
+    snapshot. The rolled-back state must equal the time-travel read, so the
+    oracle is ``timetravel_oracle_sql`` at the same epoch."""
+    lake, _metrics = replay(sf=sf)
+    lake.restore(epoch=epoch)
+    return lake
+
+
 def stream_fixture_path(num_events: int = 20_000, num_convs: int = 1_000, seed: int = 42) -> str:
     """Write (once) the streaming-ingest fixture change table to parquet so the
     engine and the DuckDB oracle read the SAME bytes; returns the path."""

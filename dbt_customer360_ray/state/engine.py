@@ -1318,6 +1318,19 @@ class CdcLake:
         public = [f.name for f in state_schema if f.name not in INTERNAL_COLUMNS]
         return merged.take(order).select(public)
 
+    def restore(self, epoch: int | None = None, version: int | None = None) -> int:
+        """Roll the lake back to a committed snapshot as a NEW commit
+        (Delta-style RESTORE — the engine analogue of re-running the reference
+        from an earlier warehouse state, `dbt run --full-refresh` without the
+        recompute). Resolve the target with exactly one of ``epoch=`` /
+        ``version=``; afterwards ``read()`` equals ``read_as_of`` of the
+        target, checkpoints are rolled back so the undone epochs re-apply
+        (resume-from-restore-point), and the pre-restore version stays
+        time-travelable until ``vacuum()`` reclaims its files. Returns the new
+        manifest version."""
+        target = self._manifest_at(epoch, version)
+        return self.manifest.commit_restore(target.version)
+
     def read_deadletter(self) -> pa.Table:
         """All quarantined (malformed) events with their ``dl_reason`` — the
         ops-side view of the dead-letter queue."""

@@ -279,6 +279,41 @@ class Manifest:
                     raise
                 self.reload()
 
+    def commit_restore(self, target_version: int) -> int:
+        """Delta-style RESTORE: publish a NEW manifest version whose live state
+        (run lists, checkpoints, schema, epoch records, metrics) is the
+        ``target_version`` snapshot's — rollback as a forward commit.
+
+        Run files are shared by reference, never copied, and history is
+        preserved: the pre-restore version stays time-travelable until
+        ``vacuum`` (which keys off the CURRENT manifest, so it reclaims the
+        rolled-back epochs' files — the standard retention rule). Rolling the
+        epoch records and per-partition ``max_offset`` back WITH the data is
+        what makes the lake resumable from the restore point: re-applying an
+        undone epoch is not skipped by exactly-once, and its events clear the
+        restored offset checkpoints again. Returns the new version."""
+        target = self.at_version(target_version)._state
+        for attempt in range(5):
+            state = json.loads(json.dumps(self._state))
+            prev = state["version"]
+            for k in ("partitions", "schema", "num_partitions", "last_epoch",
+                      "metrics", "epochs"):
+                state[k] = json.loads(json.dumps(target[k]))
+            state["hot_keys"] = list(target.get("hot_keys", []))
+            state["deadletter"] = list(target.get("deadletter", []))
+            state["restores"] = state.get("restores", []) + [
+                {"from_version": prev, "to_version": target_version,
+                 "version": prev + 1}
+            ]
+            state["version"] = prev + 1
+            try:
+                self._persist(state)
+                return state["version"]
+            except CommitConflictError:
+                if attempt == 4:
+                    raise
+                self.reload()
+
     # commit critical section: lock-break horizon for a holder that died
     # between taking the lock and advancing CURRENT (the section is two small
     # file writes — milliseconds; 10 s is orders of magnitude past it)

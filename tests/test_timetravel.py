@@ -237,3 +237,53 @@ def test_time_bounded_read_survives_compaction_and_pruning(tmp_path):
     # column pruning composes with the time bound (ts rides along internally)
     got = lake.read(columns=["role"], since_ts=cut).to_pandas()
     assert len(got) == want and set(got.columns) == {"conv_id", "turn_idx", "role"}
+
+
+def test_restore_rolls_back_to_snapshot(tmp_path):
+    changes = gen_changes(6_000, 300, seed=31)
+    epochs = split_epochs(changes, 3)
+    lake = _replay(tmp_path, epochs)
+    pre_restore_version = lake.manifest.version
+    v = lake.restore(epoch=1)
+    assert v == pre_restore_version + 1  # rollback is a forward commit
+    # current state == the epoch-1 snapshot
+    _assert_state(lake.read_local_table(), _prefix_oracle(epochs, 1))
+    _assert_state(lake.read().to_pandas().pipe(_df_to_table), _prefix_oracle(epochs, 1))
+    # history preserved: the pre-restore version is still time-travelable
+    _assert_state(
+        lake.read_local_table_as_of(version=pre_restore_version),
+        _prefix_oracle(epochs, 2),
+    )
+
+
+def _df_to_table(df):
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def test_restore_is_resumable(tmp_path):
+    """Checkpoints roll back with the data: re-applying the undone epochs is
+    NOT skipped by exactly-once and re-converges to the full-replay state."""
+    import ray.data
+
+    changes = gen_changes(6_000, 300, seed=33)
+    epochs = split_epochs(changes, 3)
+    lake = _replay(tmp_path, epochs)
+    lake.restore(epoch=0)
+    # max_offset checkpoints rolled back to epoch 0's range
+    first_undone = epochs[1].column("offset")[0].as_py()
+    assert max(lake.checkpoints().values()) < first_undone
+    for part in epochs[1:]:
+        lake.apply(ray.data.from_arrow(part))
+    _assert_state(lake.read_local_table(), oracle_lake(*epochs))
+
+
+def test_vacuum_after_restore_keeps_restored_files(tmp_path):
+    changes = gen_changes(6_000, 300, seed=35)
+    epochs = split_epochs(changes, 3)
+    lake = _replay(tmp_path, epochs)
+    lake.restore(epoch=1)
+    removed = lake.vacuum()
+    assert removed > 0  # the undone epoch's runs are reclaimed
+    _assert_state(lake.read_local_table(), _prefix_oracle(epochs, 1))
