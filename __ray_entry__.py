@@ -101,6 +101,18 @@ def _cdc_resharded_lake(sf_dir: str):
     return dest.read()
 
 
+def _cdc_change_feed_images(sf_dir: str):
+    """Change feed with pre-images (Delta CDF update_preimage flattened onto
+    the row as old_* columns): epoch-0 → epoch-2 deltas where every update and
+    delete also carries the value it replaced. Oracled —
+    change_feed_images_oracle_sql surfaces the FROM side of the same join."""
+    from dbt_customer360_ray.pipelines.cdc_replay import replayed_lake
+
+    return replayed_lake(sf=0.01).change_feed(
+        from_epoch=0, to_epoch=2, include_preimage=True
+    )
+
+
 def _cdc_restored_lake(sf_dir: str):
     """Delta-style RESTORE: full 4-epoch replay into a fresh lake, roll back to
     epoch 1's snapshot as a NEW commit (run files shared, checkpoints rolled
@@ -448,6 +460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_resharded_lake"] = _cdc_resharded_lake
     out["cdc_late_quarantined"] = _cdc_late_quarantined
     out["cdc_change_feed"] = _cdc_change_feed
+    out["cdc_change_feed_images"] = _cdc_change_feed_images
     out["cdc_restored_lake"] = _cdc_restored_lake
     out["cdc_deadletter"] = _cdc_deadletter
     out["cdc_lookup_conversation"] = _cdc_lookup_conversation
@@ -485,6 +498,7 @@ def oracle_sql() -> dict[str, str]:
     from dbt_customer360_ray.pipelines.analytics import ORACLE_SQL
     from dbt_customer360_ray.pipelines.c360_oracle import oracle_entries
     from dbt_customer360_ray.pipelines.cdc_replay import (
+        change_feed_images_oracle_sql,
         change_feed_oracle_sql,
         deadletter_oracle_sql,
         headers_oracle_sql,
@@ -539,6 +553,9 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_late_quarantined"] = late_quarantine_oracle_sql(sf=0.01)
     out["cdc_change_feed"] = change_feed_oracle_sql(sf=0.01, from_epoch=0, to_epoch=2)
     out["cdc_restored_lake"] = timetravel_oracle_sql(sf=0.01, epoch=1)
+    out["cdc_change_feed_images"] = change_feed_images_oracle_sql(
+        sf=0.01, from_epoch=0, to_epoch=2
+    )
     out["cdc_deadletter"] = deadletter_oracle_sql()
     out["cdc_lookup_conversation"] = lookup_oracle_sql(sf=0.01, conv_id="conv-00000002")
     out["cdc_conversation_headers"] = headers_oracle_sql(sf=0.01)

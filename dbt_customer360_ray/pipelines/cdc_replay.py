@@ -414,6 +414,31 @@ def change_feed_oracle_sql(sf: float, from_epoch: int, to_epoch: int) -> str:
     """
 
 
+def change_feed_images_oracle_sql(sf: float, from_epoch: int, to_epoch: int) -> str:
+    """Oracle for ``change_feed(include_preimage=True)``: the CDF join with the
+    FROM side's payload surfaced as ``old_*`` (null for inserts)."""
+    a = _lww_sql(_epoch_selects(sf, upto=from_epoch))
+    b = _lww_sql(_epoch_selects(sf, upto=to_epoch))
+    return f"""
+        WITH state_a AS ({a}), state_b AS ({b})
+        SELECT CASE WHEN a.conv_id IS NULL THEN 'insert'
+                    WHEN b.conv_id IS NULL THEN 'delete'
+                    ELSE 'update' END AS change_type,
+               coalesce(a.conv_id, b.conv_id) AS conv_id,
+               coalesce(a.turn_idx, b.turn_idx) AS turn_idx,
+               b.role AS role, b.text AS text, b.tool AS tool, b.ts AS ts,
+               a.role AS old_role, a.text AS old_text, a.tool AS old_tool,
+               a.ts AS old_ts
+        FROM state_a a FULL OUTER JOIN state_b b
+          ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+        WHERE a.conv_id IS NULL OR b.conv_id IS NULL
+           OR a.role IS DISTINCT FROM b.role
+           OR a.text IS DISTINCT FROM b.text
+           OR a.tool IS DISTINCT FROM b.tool
+           OR a.ts   IS DISTINCT FROM b.ts
+    """
+
+
 def stream_oracle_sql() -> str:
     """DuckDB oracle for the streaming actor-pool ingest of the stream fixture
     (single full-schema file; same LWW/exactly-once rules)."""

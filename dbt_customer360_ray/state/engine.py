@@ -107,13 +107,16 @@ def _diff_partition(
     files_b: list[str],
     state_schema: pa.Schema,
     public_cols: list[str],
+    preimage: bool = False,
 ) -> pa.Table:
     """change_feed kernel for one partition: LWW-merge each snapshot's runs
     (both conformed to the TO-version schema), then classify per KEY_COLUMNS
     key — right-only → insert, left-only → delete (null post-image payload),
-    value change (null-safe) → update with post-image. Runs as one plain Ray
-    task per partition; both snapshots use the same partitioner so no key can
-    cross partitions between versions."""
+    value change (null-safe) → update with post-image. With ``preimage`` the
+    FROM side's payload rides along as ``old_*`` columns (Delta CDF's
+    update_preimage, flattened onto the same row — null for inserts). Runs as
+    one plain Ray task per partition; both snapshots use the same partitioner
+    so no key can cross partitions between versions."""
     import numpy as np
     import pandas as pd  # noqa: F401 — merge kernel
 
@@ -135,7 +138,8 @@ def _diff_partition(
         changed |= ((x != y) & ~(x.isna() & y.isna())).to_numpy()
     upd = (m["_merge"] == "both").to_numpy() & changed
     keep = ins | dele | upd
-    out = m.loc[keep, KEY_COLUMNS + payload].copy()
+    pre_cols = [f"{c}__a" for c in payload] if preimage else []
+    out = m.loc[keep, KEY_COLUMNS + payload + pre_cols].copy()
     out.insert(
         0,
         "change_type",
@@ -143,10 +147,16 @@ def _diff_partition(
     )
     for c in payload:  # deletes carry a null post-image
         out.loc[out["change_type"] == "delete", c] = None
+    out = out.rename(columns={f"{c}__a": f"old_{c}" for c in payload})
     out = out.sort_values(KEY_COLUMNS, kind="stable")
     out_schema = pa.schema(
         [pa.field("change_type", pa.string())]
         + [state_schema.field(c) for c in public_cols]
+        + [
+            pa.field(f"old_{c}", state_schema.field(c).type)
+            for c in payload
+            if preimage
+        ]
     )
     return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
 
@@ -1193,11 +1203,15 @@ class CdcLake:
         to_epoch: int | None = None,
         from_version: int | None = None,
         to_version: int | None = None,
+        include_preimage: bool = False,
     ):
         """CDC-out (Delta-CDF-style change feed): per-key deltas between two
         committed snapshots as a Dataset of
         ``(change_type ∈ {insert,update,delete}, conv_id, turn_idx, <post-image
-        payload — null for deletes>)``.
+        payload — null for deletes>)``. ``include_preimage`` adds the FROM
+        side's payload as ``old_*`` columns (null for inserts) — Delta CDF's
+        update_preimage flattened onto the row, so a downstream consumer can
+        reverse or audit the change without a second snapshot read.
 
         Both snapshots share the lake's partitioner (P is pinned at creation),
         so the diff is ONE plain Ray task per partition with NO shuffle: each
@@ -1218,7 +1232,10 @@ class CdcLake:
         diff_task = ray.remote(_diff_partition)
         schema_ref = ray.put(state_schema)
         refs = [
-            diff_task.remote(ma.live_files(pid), mb.live_files(pid), schema_ref, public)
+            diff_task.remote(
+                ma.live_files(pid), mb.live_files(pid), schema_ref, public,
+                include_preimage,
+            )
             for pid in range(P)
         ]
         return ray.data.from_arrow_refs(refs)

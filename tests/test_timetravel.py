@@ -287,3 +287,26 @@ def test_vacuum_after_restore_keeps_restored_files(tmp_path):
     removed = lake.vacuum()
     assert removed > 0  # the undone epoch's runs are reclaimed
     _assert_state(lake.read_local_table(), _prefix_oracle(epochs, 1))
+
+
+def test_change_feed_preimages_match_bruteforce(tmp_path):
+    """include_preimage=True: every update/delete carries the FROM side's
+    payload as old_*; inserts carry nulls there. The classification and
+    post-images must be identical to the plain feed."""
+    changes = gen_changes(8_000, 300, seed=27)
+    epochs = split_epochs(changes, 4)
+    lake = _replay(tmp_path, epochs)
+    got = _norm_feed(
+        lake.change_feed(from_epoch=0, to_epoch=2, include_preimage=True).to_pandas()
+    )
+    plain = _norm_feed(lake.change_feed(from_epoch=0, to_epoch=2).to_pandas())
+    pd.testing.assert_frame_equal(got[plain.columns], plain, check_dtype=False)
+    a = _prefix_oracle(epochs, 0).set_index(["conv_id", "turn_idx"])
+    # deletes and updates: old_* equals the FROM state's payload row
+    for _, r in got[got["change_type"] != "insert"].head(50).iterrows():
+        src = a.loc[(r["conv_id"], r["turn_idx"])]
+        for c in ("role", "text", "ts"):
+            assert (pd.isna(r[f"old_{c}"]) and pd.isna(src[c])) or r[f"old_{c}"] == src[c]
+    # inserts: no pre-image
+    ins = got[got["change_type"] == "insert"]
+    assert ins["old_role"].isna().all() and ins["old_ts"].isna().all()
