@@ -113,6 +113,18 @@ def _cdc_change_feed_images(sf_dir: str):
     )
 
 
+def _cdc_patch_lake(sf_dir: str):
+    """Patch-mode lake (partial-image upserts, column-level LWW — Debezium
+    TOAST / Cassandra-cell semantics): 45% of the fixture's updates are 'P'
+    events whose null payload columns mean "unchanged". Oracled —
+    patch_oracle_sql re-derives column-level LWW with one QUALIFY per column;
+    gen.oracle_patch_lake is a third, sequential-application derivation used in
+    tests."""
+    from dbt_customer360_ray.pipelines.cdc_replay import patched_lake
+
+    return patched_lake().read()
+
+
 def _cdc_restored_lake(sf_dir: str):
     """Delta-style RESTORE: full 4-epoch replay into a fresh lake, roll back to
     epoch 1's snapshot as a NEW commit (run files shared, checkpoints rolled
@@ -462,6 +474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_change_feed"] = _cdc_change_feed
     out["cdc_change_feed_images"] = _cdc_change_feed_images
     out["cdc_restored_lake"] = _cdc_restored_lake
+    out["cdc_patch_lake"] = _cdc_patch_lake
     out["cdc_deadletter"] = _cdc_deadletter
     out["cdc_lookup_conversation"] = _cdc_lookup_conversation
     out["cdc_conversation_headers"] = _cdc_conversation_headers
@@ -504,6 +517,7 @@ def oracle_sql() -> dict[str, str]:
         headers_oracle_sql,
         late_quarantine_oracle_sql,
         lookup_oracle_sql,
+        patch_oracle_sql,
         view_oracle_sql,
         replay_oracle_sql,
         since_oracle_sql,
@@ -556,6 +570,7 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_change_feed_images"] = change_feed_images_oracle_sql(
         sf=0.01, from_epoch=0, to_epoch=2
     )
+    out["cdc_patch_lake"] = patch_oracle_sql()
     out["cdc_deadletter"] = deadletter_oracle_sql()
     out["cdc_lookup_conversation"] = lookup_oracle_sql(sf=0.01, conv_id="conv-00000002")
     out["cdc_conversation_headers"] = headers_oracle_sql(sf=0.01)

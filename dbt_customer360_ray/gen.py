@@ -71,8 +71,14 @@ def gen_changes(
     p_ops: tuple[float, float, float] = (0.55, 0.35, 0.10),
     late_frac: float = 0.05,
     dup_frac: float = 0.02,
+    patch_frac: float = 0.0,
 ) -> pa.Table:
-    """One deterministic change-event table with global monotone ``offset``."""
+    """One deterministic change-event table with global monotone ``offset``.
+
+    ``patch_frac`` converts that fraction of the U events into partial-image
+    'P' patches (each payload column independently kept or nulled-as-unchanged)
+    for patch-mode lakes. The extra draws happen AFTER all base draws, so
+    patch_frac=0 streams are bit-identical to pre-patch fixtures."""
     rng = np.random.default_rng(seed)
     conv_k = (rng.zipf(zipf_a, num_events) - 1) % num_convs
     turn = rng.integers(0, max_turns, num_events).astype(np.int32)
@@ -119,6 +125,27 @@ def gen_changes(
             "ts": pa.array(ts, pa.timestamp("us")),
         }
     )
+    if patch_frac > 0:
+        pbits = rng.integers(0, 1 << 62, num_events, dtype=np.int64)
+        to_patch = pa.array((op == "U") & ((pbits % 1000) < int(patch_frac * 1000)))
+        null_s = pa.scalar(None, pa.string())
+        cols = {}
+        for i, c in enumerate(("role", "text", "tool")):
+            drop = pa.array(((pbits >> (10 + i)) & 1) == 1)
+            cols[c] = pc.if_else(pc.and_(to_patch, drop), null_s, table.column(c))
+        op_col = pc.if_else(to_patch, "P", table.column("op"))
+        table = pa.table(
+            {
+                "offset": table.column("offset"),
+                "op": op_col,
+                "conv_id": table.column("conv_id"),
+                "turn_idx": table.column("turn_idx"),
+                "role": cols["role"],
+                "text": cols["text"],
+                "tool": cols["tool"],
+                "ts": table.column("ts"),
+            }
+        )
     # exact-duplicate events (same offset, same payload) for idempotence tests
     n_dup = int(num_events * dup_frac)
     if n_dup:
@@ -181,6 +208,46 @@ def oracle_lake(*change_tables: pa.Table) -> pd.DataFrame:
     df = df[df["op"] != "D"]
     return (
         df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+    )
+
+
+def oracle_patch_lake(*change_tables: pa.Table) -> pd.DataFrame:
+    """Independent patch-mode oracle: SEQUENTIAL per-key application (FIXTURES.md
+    §3 discipline — a different algorithm than the engine's per-column
+    latest-setter formula, so agreement is evidence). Test-scale only."""
+    frames = []
+    for t in change_tables:
+        df = t.to_pandas()
+        if "tool" not in df.columns:
+            df["tool"] = pd.Series([None] * len(df), dtype=object)
+        frames.append(df)
+    df = pd.concat(frames, ignore_index=True)
+    df = df.drop_duplicates("offset", keep="first")
+    df = df.sort_values(["ts", "offset"], kind="stable")
+    payload = ["role", "text", "tool"]
+    rows: dict = {}
+    for r in df.itertuples(index=False):
+        k = (r.conv_id, r.turn_idx)
+        if r.op == "D":
+            rows.pop(k, None)
+            continue
+        if r.op in ("I", "U"):
+            rows[k] = {c: getattr(r, c) for c in payload}
+        else:  # 'P': non-null columns overwrite, nulls mean unchanged
+            cur = rows.get(k, {c: None for c in payload})
+            for c in payload:
+                v = getattr(r, c)
+                if v is not None and not (isinstance(v, float) and np.isnan(v)):
+                    cur[c] = v
+            rows[k] = cur
+        rows[k]["ts"] = r.ts
+    out = pd.DataFrame(
+        [{"conv_id": k[0], "turn_idx": k[1], **v} for k, v in rows.items()],
+        columns=["conv_id", "turn_idx", *payload, "ts"],
+    )
+    return (
+        out.sort_values(["conv_id", "turn_idx"], kind="stable")
         .reset_index(drop=True)[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
     )
 

@@ -414,6 +414,121 @@ def change_feed_oracle_sql(sf: float, from_epoch: int, to_epoch: int) -> str:
     """
 
 
+# -- patch mode (partial-image upserts) ---------------------------------------
+
+PATCH_EVENTS, PATCH_CONVS, PATCH_SEED = 20_000, 800, 63
+PATCH_EPOCHS, PATCH_FRAC = 3, 0.45
+
+
+def patch_fixture_paths() -> list[str]:
+    """Write (once) the patch-op fixture epochs (45% of updates become partial
+    'P' images; epoch 0 is schema v0 without ``tool``) so the engine and the
+    DuckDB oracle read the SAME bytes. tmp→replace, _DONE last."""
+    import pyarrow.parquet as pq
+
+    from ..gen import gen_changes, split_epochs
+
+    out_dir = os.path.join(FIXTURE_ROOT, "patch")
+    paths = [
+        os.path.join(out_dir, f"changes-{i:05d}.parquet") for i in range(PATCH_EPOCHS)
+    ]
+    done = os.path.join(out_dir, "_DONE")
+    if not (os.path.exists(done) and all(os.path.exists(p) for p in paths)):
+        os.makedirs(out_dir, exist_ok=True)
+        changes = gen_changes(
+            PATCH_EVENTS, PATCH_CONVS, seed=PATCH_SEED, patch_frac=PATCH_FRAC
+        )
+        for i, part in enumerate(split_epochs(changes, PATCH_EPOCHS)):
+            tmp = paths[i] + ".tmp"
+            pq.write_table(part, tmp)
+            os.replace(tmp, paths[i])
+        with open(done, "w") as f:
+            f.write(f"events={PATCH_EVENTS} seed={PATCH_SEED} frac={PATCH_FRAC}\n")
+    return paths
+
+
+_PATCHED: dict = {}
+
+
+def patched_lake():
+    """Replay the patch fixture into a merge_mode='patch' lake (process-lifetime
+    cache, like ``replayed_lake``)."""
+    if "lake" not in _PATCHED:
+        lake = CdcLake(
+            os.path.join(tempfile.mkdtemp(prefix="cdc-patch-"), "lake"),
+            num_partitions=16,
+            merge_mode="patch",
+        )
+        for p in patch_fixture_paths():
+            lake.apply(p)
+        _PATCHED["lake"] = lake
+    return _PATCHED["lake"]
+
+
+def _selects_for_paths(paths: list[str]) -> list[str]:
+    """Per-epoch-file SELECTs (epoch 0 is schema v0: ``tool`` null-injected,
+    exactly as the engine's additive evolution backfills it)."""
+    selects = []
+    for i, p in enumerate(paths):
+        tool = "CAST(NULL AS VARCHAR) AS tool" if i == 0 and len(paths) > 1 else "tool"
+        selects.append(
+            f'SELECT "offset", op, conv_id, turn_idx, role, text, {tool}, ts, '
+            f"{i} AS epoch, file_row_number AS file_rn "
+            f"FROM read_parquet('{p}', file_row_number=true)"
+        )
+    return selects
+
+
+def patch_oracle_sql() -> str:
+    """DuckDB oracle for the patch-mode lake: column-level LWW in ANSI SQL.
+
+    Per key: drop everything at/below the latest tombstone; the row exists iff
+    any event survives; each payload column comes from the latest surviving
+    event that SET it (full images set every column, patches only their
+    non-null ones) — a per-column QUALIFY, one CTE per column. A deliberately
+    different algorithm than the engine's segmented reduceat kernels AND than
+    gen.oracle_patch_lake's sequential application, so three-way agreement is
+    strong evidence."""
+    union = "\n            UNION ALL\n            ".join(
+        _selects_for_paths(patch_fixture_paths())
+    )
+    col_cte = """col_{c} AS (
+            SELECT conv_id, turn_idx, {c} FROM live_ev
+            WHERE op IN ('I', 'U') OR {c} IS NOT NULL
+            QUALIFY row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, "offset" DESC) = 1
+        )"""
+    ctes = ", ".join(col_cte.format(c=c) for c in ("role", "text", "tool"))
+    return f"""
+        WITH all_ev AS (
+            {union}
+        ), first_seen AS (
+            SELECT * FROM all_ev
+            QUALIFY row_number() OVER (
+                PARTITION BY "offset" ORDER BY epoch, file_rn) = 1
+        ), last_d AS (
+            SELECT conv_id, turn_idx, ts AS d_ts, "offset" AS d_off
+            FROM first_seen WHERE op = 'D'
+            QUALIFY row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, "offset" DESC) = 1
+        ), live_ev AS (
+            SELECT f.* FROM first_seen f
+            LEFT JOIN last_d d USING (conv_id, turn_idx)
+            WHERE f.op <> 'D'
+              AND (d.d_ts IS NULL OR (f.ts, f."offset") > (d.d_ts, d.d_off))
+        ), latest AS (
+            SELECT conv_id, turn_idx, ts FROM live_ev
+            QUALIFY row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, "offset" DESC) = 1
+        ), {ctes}
+        SELECT l.conv_id, l.turn_idx, r.role, t.text, tl.tool, l.ts
+        FROM latest l
+        LEFT JOIN col_role r USING (conv_id, turn_idx)
+        LEFT JOIN col_text t USING (conv_id, turn_idx)
+        LEFT JOIN col_tool tl USING (conv_id, turn_idx)
+    """
+
+
 def change_feed_images_oracle_sql(sf: float, from_epoch: int, to_epoch: int) -> str:
     """Oracle for ``change_feed(include_preimage=True)``: the CDF join with the
     FROM side's payload surfaced as ``old_*`` (null for inserts)."""

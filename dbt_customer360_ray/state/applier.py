@@ -37,7 +37,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..functions.lww import lww_latest
+from ..functions.lww import lww_latest, patch_collapse
 from ..schemas import conform_batch
 
 STATS_SCHEMA = pa.schema(
@@ -172,7 +172,9 @@ class EpochApplier:
         topk_keys: int = 16,
         quarantine_skey: int | None = None,
         late_cutoff_us: int | None = None,
+        merge_mode: str = "lww",
     ):
+        self.merge_mode = merge_mode
         self.lake_dir = lake_dir
         self.epoch = epoch
         self.state_schema = state_schema
@@ -186,12 +188,15 @@ class EpochApplier:
         """Dead-letter branch: persist malformed rows (plus a reason column)
         under ``deadletter/`` for lineage — never applied, never advances a
         checkpoint. Deterministic path → idempotent on replay."""
-        from .router import quarantine_reasons
+        from .router import PATCH_VALID_OPS, VALID_OPS, quarantine_reasons
 
+        ops = PATCH_VALID_OPS if self.merge_mode == "patch" else VALID_OPS
         rows = group.drop_columns(["skey"])
         rows = rows.append_column(
             "dl_reason",
-            pa.array(quarantine_reasons(rows, self.late_cutoff_us), pa.string()),
+            pa.array(
+                quarantine_reasons(rows, self.late_cutoff_us, ops), pa.string()
+            ),
         )
         path = os.path.join("deadletter", f"epoch-{self.epoch:06d}.parquet")
         atomic_parquet(rows, os.path.join(self.lake_dir, path))
@@ -232,7 +237,13 @@ class EpochApplier:
         deletes = int(pc.sum(pc.equal(new.column("op"), "D")).as_py() or 0)
         upserts = new.num_rows - deletes
 
-        run_table = lww_latest(new)  # winners incl. tombstones, key-sorted
+        # winners incl. tombstones, key-sorted; patch-mode runs instead keep
+        # the minimal event set whose merge-at-read is unchanged (latest D,
+        # latest full image, trailing patches — see lww.patch_collapse)
+        if self.merge_mode == "patch":
+            run_table = patch_collapse(new)
+        else:
+            run_table = lww_latest(new)
         new_runs: list[dict] = []
         if run_table.num_rows > 0:
             name = (

@@ -25,11 +25,23 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..functions.lww import drop_tombstones, lww_latest
+from ..functions.lww import drop_tombstones, lww_latest, patch_collapse, patch_latest
 from ..schemas import KEY_COLUMNS, conform_batch, evolve_schema
 from .applier import EpochApplier, atomic_parquet, run_ts_stats
 from .manifest import Manifest
 from .router import AssignPartitions, estimate_hot_keys
+
+
+def _collapse_runs(table: pa.Table, merge_mode: str = "lww") -> pa.Table:
+    """Storage-side collapse (runs keep tombstones): row-level LWW winners, or
+    in patch mode the minimal event set with the same merge-at-read."""
+    return patch_collapse(table) if merge_mode == "patch" else lww_latest(table)
+
+
+def _resolve_latest(table: pa.Table, merge_mode: str = "lww") -> pa.Table:
+    """Read-side resolve to ONE row per key (op column kept for
+    drop_tombstones): row-level LWW, or column-level LWW in patch mode."""
+    return patch_latest(table) if merge_mode == "patch" else lww_latest(table)
 
 REQUIRED_EVENT_COLUMNS = ("offset", "op", "conv_id", "turn_idx", "ts")
 INTERNAL_COLUMNS = ("op", "offset", "pid")
@@ -84,12 +96,13 @@ def _compact_partition(
     state_schema: pa.Schema,
     version: int,
     prefix: str = "base",
+    merge_mode: str = "lww",
 ) -> dict:
     """One-partition compaction task: read the selected runs (conforming old
     schemas), LWW-merge, write one merged run at a deterministic versioned
     path (``base-v…`` for full merges, ``tier-v…`` for L0→L1 merges)."""
     tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
-    merged = lww_latest(pa.concat_tables(tables))
+    merged = _collapse_runs(pa.concat_tables(tables), merge_mode)
     path = os.path.join("data", f"part-{pid:05d}", f"{prefix}-v{version:08d}.parquet")
     atomic_parquet(merged, os.path.join(lake_dir, path))
     tomb = int(pc.sum(pc.equal(merged.column("op"), "D")).as_py() or 0)
@@ -108,6 +121,7 @@ def _diff_partition(
     state_schema: pa.Schema,
     public_cols: list[str],
     preimage: bool = False,
+    merge_mode: str = "lww",
 ) -> pa.Table:
     """change_feed kernel for one partition: LWW-merge each snapshot's runs
     (both conformed to the TO-version schema), then classify per KEY_COLUMNS
@@ -124,7 +138,7 @@ def _diff_partition(
         if not files:
             return state_schema.empty_table()
         tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
-        return drop_tombstones(lww_latest(pa.concat_tables(tables)))
+        return drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode))
 
     a = _state(files_a).select(public_cols).to_pandas()
     b = _state(files_b).select(public_cols).to_pandas()
@@ -161,7 +175,9 @@ def _diff_partition(
     return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
 
 
-def _reshard_partition(group: pa.Table, lake_dir: str, epoch: int) -> pa.Table:
+def _reshard_partition(
+    group: pa.Table, lake_dir: str, epoch: int, merge_mode: str = "lww"
+) -> pa.Table:
     """reshard kernel for one NEW partition: every (conv_id, turn_idx) key's
     full retained history (winners per old run, INCLUDING tombstones — late
     events must stay unable to resurrect deletes after the rewrite) meets here
@@ -169,7 +185,7 @@ def _reshard_partition(group: pa.Table, lake_dir: str, epoch: int) -> pa.Table:
     import numpy as np
 
     pid = int(group.column("pid")[0].as_py())
-    merged = lww_latest(group)
+    merged = _collapse_runs(group, merge_mode)
     path = os.path.join("data", f"part-{pid:05d}", f"run-{epoch:06d}.parquet")
     atomic_parquet(merged, os.path.join(lake_dir, path))
     tomb = int(pc.sum(pc.equal(merged.column("op"), "D")).as_py() or 0)
@@ -193,6 +209,7 @@ def _snapshot_diff_partition(
     state_schema: pa.Schema,
     sync_ts_us: int,
     base_offset: int,
+    merge_mode: str = "lww",
 ) -> pa.Table:
     """snapshot_sync kernel for one partition: LWW-merge the partition's
     committed runs, diff them against this partition's snapshot slice, and emit
@@ -219,7 +236,7 @@ def _snapshot_diff_partition(
     files = dict(files_by_pid).get(pid, ())
     if files:
         tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
-        state = drop_tombstones(lww_latest(pa.concat_tables(tables)))
+        state = drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode))
         lake = state.select(list(KEY_COLUMNS) + payload).to_pandas()
     else:
         lake = pd.DataFrame(columns=list(KEY_COLUMNS) + payload)
@@ -251,7 +268,9 @@ def _snapshot_diff_partition(
     ).cast(event_schema)
 
 
-def _headers_partition(files: list[str], state_schema: pa.Schema) -> pa.Table:
+def _headers_partition(
+    files: list[str], state_schema: pa.Schema, merge_mode: str = "lww"
+) -> pa.Table:
     """conversation_headers kernel for one partition: LWW-merge the runs,
     then one pandas groupby over conv_id (every turn of a conversation lives
     in this partition by routing, so the aggregate is exact with NO shuffle)."""
@@ -272,7 +291,7 @@ def _headers_partition(files: list[str], state_schema: pa.Schema) -> pa.Table:
     )
     if not tables:
         return out_schema.empty_table()
-    state = drop_tombstones(lww_latest(pa.concat_tables(tables)))
+    state = drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode))
     df = state.select(
         [c for c in ("conv_id", "ts", "tool") if c in state.column_names]
     ).to_pandas()
@@ -433,9 +452,24 @@ class CdcLake:
         exchange: bool = True,
         allowed_lateness: str | None = None,
         compaction_policy: str = "full",
+        merge_mode: str = "lww",
     ):
         self.lake_dir = lake_dir
         os.makedirs(lake_dir, exist_ok=True)
+        if merge_mode not in ("lww", "patch"):
+            raise ValueError(f"unknown merge_mode {merge_mode!r}")
+        # merge_mode is pinned at creation (mixing collapse disciplines across
+        # runs would be undefined) — persisted beside the manifest, reopen wins
+        cfg_path = os.path.join(lake_dir, "CONFIG.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                merge_mode = json.load(f).get("merge_mode", merge_mode)
+        elif merge_mode != "lww":
+            tmp = cfg_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"merge_mode": merge_mode}, f)
+            os.replace(tmp, cfg_path)
+        self.merge_mode = merge_mode
         self.manifest = Manifest(lake_dir)
         if self.manifest.num_partitions is not None:
             if self.manifest.num_partitions != num_partitions:
@@ -478,6 +512,12 @@ class CdcLake:
                 if "ts_max" in run:
                     w = int(run["ts_max"]) if w is None else max(w, int(run["ts_max"]))
         return w
+
+    @property
+    def _valid_ops(self) -> tuple:
+        from .router import PATCH_VALID_OPS, VALID_OPS
+
+        return PATCH_VALID_OPS if self.merge_mode == "patch" else VALID_OPS
 
     # -- schema ------------------------------------------------------------
     def _event_schema(self) -> pa.Schema | None:
@@ -571,6 +611,7 @@ class CdcLake:
             num_salts=self.num_salts,
             quarantine_skey=self.P * max(1, self.num_salts),
             late_cutoff_us=late_cutoff_us,
+            merge_mode=self.merge_mode,
         )
 
         event_only = pa.schema(list(event_schema))
@@ -596,7 +637,10 @@ class CdcLake:
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             ).map_batches(
-                AssignPartitions(self.P, hot_keys, self.num_salts, late_cutoff_us),
+                AssignPartitions(
+                    self.P, hot_keys, self.num_salts, late_cutoff_us,
+                    valid_ops=self._valid_ops,
+                ),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
@@ -696,7 +740,8 @@ class CdcLake:
         schema_ref = ray.put(event_schema)
         assigner_ref = ray.put(
             AssignPartitions(
-                self.P, hot_keys, self.num_salts, applier.late_cutoff_us
+                self.P, hot_keys, self.num_salts, applier.late_cutoff_us,
+                valid_ops=self._valid_ops,
             )
         )
         slot_lookup_ref = ray.put(slot_of_skey)
@@ -834,6 +879,7 @@ class CdcLake:
                 schema_ref,
                 version,
                 prefix,
+                self.merge_mode,
             )
             for pid, paths in inputs.items()
         ]
@@ -963,6 +1009,7 @@ class CdcLake:
             state_schema=state_schema,
             sync_ts_us=sync_us,
             base_offset=base_offset,
+            merge_mode=self.merge_mode,
         )
         events = routed.groupby("pid").map_groups(
             kernel, batch_format="pyarrow"
@@ -1014,7 +1061,10 @@ class CdcLake:
             .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("pid")
             .map_groups(
-                _ft.partial(_reshard_partition, lake_dir=dest_dir, epoch=epoch),
+                _ft.partial(
+                    _reshard_partition, lake_dir=dest_dir, epoch=epoch,
+                    merge_mode=self.merge_mode,
+                ),
                 batch_format="pyarrow",
             )
             .to_pandas()
@@ -1039,7 +1089,9 @@ class CdcLake:
             updates.setdefault(
                 p, {"runs": [], "replaces": True, "max_offset": global_hw, "rows": 0}
             )
-        dest = CdcLake(dest_dir, num_partitions=num_partitions)
+        dest = CdcLake(
+            dest_dir, num_partitions=num_partitions, merge_mode=self.merge_mode
+        )
         dest.manifest.commit_epoch(
             epoch,
             updates,
@@ -1128,8 +1180,11 @@ class CdcLake:
         for p in range(P_stats):
             for run in m.partition(p)["runs"]:
                 total_runs += 1
+                # patch mode: NO run pruning — an old run may hold the latest
+                # setter of a column whose merged row passes the ts filter
                 if (
                     since_us is not None
+                    and self.merge_mode != "patch"
                     and "ts_max" in run
                     and int(run["ts_max"]) < since_us
                 ):
@@ -1176,7 +1231,10 @@ class CdcLake:
                 t = t.filter(pc.less_equal(t.column("ts").cast(pa.int64()), until_us))
             return t
 
-        single_run = all(n <= 1 for n in kept_per_pid.values())
+        single_run = (
+            all(n <= 1 for n in kept_per_pid.values())
+            and self.merge_mode != "patch"
+        )
         if single_run:
             # each kept file is already LWW-resolved and key-sorted (a key in a
             # pruned sibling run either loses to this file's row or fails the
@@ -1188,8 +1246,8 @@ class CdcLake:
                 finalize, batch_format="pyarrow", zero_copy_batch=True
             )
 
-        def merge(group: pa.Table, cols=tuple(public)) -> pa.Table:
-            merged = ts_filter(drop_tombstones(lww_latest(group)))
+        def merge(group: pa.Table, cols=tuple(public), mode=self.merge_mode) -> pa.Table:
+            merged = ts_filter(drop_tombstones(_resolve_latest(group, mode)))
             order = pc.sort_indices(
                 merged, sort_keys=[(c, "ascending") for c in KEY_COLUMNS]
             )
@@ -1234,7 +1292,7 @@ class CdcLake:
         refs = [
             diff_task.remote(
                 ma.live_files(pid), mb.live_files(pid), schema_ref, public,
-                include_preimage,
+                include_preimage, self.merge_mode,
             )
             for pid in range(P)
         ]
@@ -1251,7 +1309,9 @@ class CdcLake:
         ]
         if not tables:
             return state_schema.empty_table()
-        merged = drop_tombstones(lww_latest(pa.concat_tables(tables)))
+        merged = drop_tombstones(
+            _resolve_latest(pa.concat_tables(tables), self.merge_mode)
+        )
         order = pc.sort_indices(
             merged, sort_keys=[(c, "ascending") for c in KEY_COLUMNS]
         )
@@ -1301,7 +1361,10 @@ class CdcLake:
         P = m.num_partitions or self.P
         task = ray.remote(_headers_partition)
         schema_ref = ray.put(state_schema)
-        refs = [task.remote(m.live_files(pid), schema_ref) for pid in range(P)]
+        refs = [
+            task.remote(m.live_files(pid), schema_ref, self.merge_mode)
+            for pid in range(P)
+        ]
         return ray.data.from_arrow_refs(refs)
 
     def lookup(self, conv_id: str) -> pa.Table:
@@ -1328,7 +1391,9 @@ class CdcLake:
             tables.append(conform_batch(t, state_schema))
         if not tables:
             return state_schema.empty_table()
-        merged = drop_tombstones(lww_latest(pa.concat_tables(tables)))
+        merged = drop_tombstones(
+            _resolve_latest(pa.concat_tables(tables), self.merge_mode)
+        )
         order = pc.sort_indices(
             merged, sort_keys=[(c, "ascending") for c in KEY_COLUMNS]
         )

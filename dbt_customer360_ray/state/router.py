@@ -60,12 +60,17 @@ def estimate_hot_keys(
 
 
 VALID_OPS = ("I", "U", "D")
+PATCH_VALID_OPS = ("I", "U", "D", "P")  # patch-mode lakes accept partial images
 
 
-def invalid_event_mask(batch: pa.Table, late_cutoff_us: int | None = None) -> np.ndarray:
+def invalid_event_mask(
+    batch: pa.Table,
+    late_cutoff_us: int | None = None,
+    valid_ops: tuple = VALID_OPS,
+) -> np.ndarray:
     """Rows a binlog tail must quarantine rather than apply: null key parts
     (conv_id/turn_idx), null ts or offset (LWW and exactly-once would be
-    undefined), an op outside {I,U,D}, or — when a lateness watermark is
+    undefined), an op outside ``valid_ops``, or — when a lateness watermark is
     configured — ts below ``late_cutoff_us`` (watermark − allowed lateness).
     Vectorized — five null checks, one is_in, one compare per batch."""
     import pyarrow.compute as pc
@@ -73,7 +78,7 @@ def invalid_event_mask(batch: pa.Table, late_cutoff_us: int | None = None) -> np
     bad = pc.is_null(batch.column("conv_id"))
     for c in ("turn_idx", "ts", "offset"):
         bad = pc.or_(bad, pc.is_null(batch.column(c)))
-    op_ok = pc.is_in(batch.column("op"), value_set=pa.array(VALID_OPS, pa.string()))
+    op_ok = pc.is_in(batch.column("op"), value_set=pa.array(valid_ops, pa.string()))
     bad = pc.or_(bad, pc.invert(pc.fill_null(op_ok, False)))
     if late_cutoff_us is not None:
         late = pc.fill_null(
@@ -83,7 +88,11 @@ def invalid_event_mask(batch: pa.Table, late_cutoff_us: int | None = None) -> np
     return bad.to_numpy(zero_copy_only=False)
 
 
-def quarantine_reasons(batch: pa.Table, late_cutoff_us: int | None = None) -> np.ndarray:
+def quarantine_reasons(
+    batch: pa.Table,
+    late_cutoff_us: int | None = None,
+    valid_ops: tuple = VALID_OPS,
+) -> np.ndarray:
     """One reason string per row (first matching rule), for dead-letter lineage.
     Otherwise-valid rows below the lateness cutoff get 'too_late' (malformed
     reasons take priority — a null-key row is null_key even if also late)."""
@@ -92,7 +101,7 @@ def quarantine_reasons(batch: pa.Table, late_cutoff_us: int | None = None) -> np
     n = batch.num_rows
     out = np.full(n, "bad_op", dtype=object)
     op_ok = pc.fill_null(
-        pc.is_in(batch.column("op"), value_set=pa.array(VALID_OPS, pa.string())), False
+        pc.is_in(batch.column("op"), value_set=pa.array(valid_ops, pa.string())), False
     ).to_numpy(zero_copy_only=False)
     out[op_ok] = "valid"
     if late_cutoff_us is not None:
@@ -130,11 +139,13 @@ class AssignPartitions:
         hot_keys: set[str] | frozenset[str] = frozenset(),
         num_salts: int = 8,
         late_cutoff_us: int | None = None,
+        valid_ops: tuple = VALID_OPS,
     ):
         self.P = num_partitions
         self.hot = frozenset(hot_keys)
         self.S = max(1, num_salts)
         self.late_cutoff_us = late_cutoff_us
+        self.valid_ops = valid_ops
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         conv = batch.column("conv_id")
@@ -149,7 +160,7 @@ class AssignPartitions:
                     % np.uint64(self.S)
                 ).astype(np.int64)
                 skey = np.where(hot_mask, skey + salt, skey)
-        bad = invalid_event_mask(batch, self.late_cutoff_us)
+        bad = invalid_event_mask(batch, self.late_cutoff_us, self.valid_ops)
         if bad.any():
             skey = np.where(bad, self.P * self.S, skey)
         return batch.append_column("skey", pa.array(skey.astype(np.int32), type=pa.int32()))
