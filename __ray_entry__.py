@@ -113,6 +113,16 @@ def _cdc_change_feed_images(sf_dir: str):
     )
 
 
+def _cdc_redelivered_lake(sf_dir: str):
+    """Exactly-once under at-least-once delivery: epochs 1-2's files are
+    re-delivered under NEW epoch ids after the full replay (producer retry
+    after a lost ack); offset checkpoints dedup every row. Oracled — the
+    state must equal the plain replay oracle."""
+    from dbt_customer360_ray.pipelines.cdc_replay import redelivered_lake
+
+    return redelivered_lake(sf=0.01).read()
+
+
 def _cdc_patch_lake(sf_dir: str):
     """Patch-mode lake (partial-image upserts, column-level LWW — Debezium
     TOAST / Cassandra-cell semantics): 45% of the fixture's updates are 'P'
@@ -475,6 +485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_change_feed_images"] = _cdc_change_feed_images
     out["cdc_restored_lake"] = _cdc_restored_lake
     out["cdc_patch_lake"] = _cdc_patch_lake
+    out["cdc_redelivered_lake"] = _cdc_redelivered_lake
     out["cdc_deadletter"] = _cdc_deadletter
     out["cdc_lookup_conversation"] = _cdc_lookup_conversation
     out["cdc_conversation_headers"] = _cdc_conversation_headers
@@ -571,6 +582,7 @@ def oracle_sql() -> dict[str, str]:
         sf=0.01, from_epoch=0, to_epoch=2
     )
     out["cdc_patch_lake"] = patch_oracle_sql()
+    out["cdc_redelivered_lake"] = replay_oracle_sql(sf=0.01)
     out["cdc_deadletter"] = deadletter_oracle_sql()
     out["cdc_lookup_conversation"] = lookup_oracle_sql(sf=0.01, conv_id="conv-00000002")
     out["cdc_conversation_headers"] = headers_oracle_sql(sf=0.01)

@@ -414,6 +414,26 @@ def change_feed_oracle_sql(sf: float, from_epoch: int, to_epoch: int) -> str:
     """
 
 
+def redelivered_lake(sf: float = 0.01):
+    """At-least-once producer simulation: full replay, then RE-DELIVER epochs
+    1-2's event files under NEW epoch ids (a retry after a lost ack — the
+    epoch-skip guard doesn't apply, so dedup must come from the per-partition
+    offset checkpoints). Every redelivered row is deduped (asserted here) and
+    the converged state must equal the plain replay oracle."""
+    fx = changes_fixture(sf)
+    lake = CdcLake(
+        os.path.join(tempfile.mkdtemp(prefix="cdc-redeliver-"), "lake"),
+        num_partitions=32,
+    )
+    for p in fx["paths"]:
+        lake.apply(p)
+    base = lake.manifest.last_epoch
+    for i, p in enumerate(fx["paths"][1:3]):
+        m = lake.apply(p, epoch=base + 1 + i)
+        assert m["events_deduped"] == m["events_in"], m
+    return lake
+
+
 # -- patch mode (partial-image upserts) ---------------------------------------
 
 PATCH_EVENTS, PATCH_CONVS, PATCH_SEED = 20_000, 800, 63
