@@ -226,6 +226,37 @@ def _lang_quality_documents(sf_dir: str):
     )
 
 
+def _gopher_rules_documents(sf_dir: str):
+    """Gopher quality rules (word-level subset): integer-algebra thresholds so
+    every boolean is bit-exact vs the SQL oracle. Map-only, zero-copy Arrow."""
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.text import gopher_rules
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], rows_per_block=2_048)
+    return ds.map_batches(gopher_rules, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _window_dedup_documents(sf_dir: str):
+    """C4-style duplicate-span removal at 10-token window grain: every distinct
+    span survives only at its first corpus occurrence; documents reassemble
+    from surviving spans. Two shuffles (span keep-first, per-doc reassembly)."""
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.dedup import window_dedup
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], rows_per_block=2_048)
+    return window_dedup(ds)
+
+
+def _quota_sample_documents(sf_dir: str):
+    """Per-source quota sampling (corpus balancing): the 10 smallest-md5 docs
+    per source, chosen identically at any cluster size. Combiner + tiny final."""
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.sampling import quota_sample
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"], rows_per_block=2_048)
+    return quota_sample(ds, quota=10)
+
+
 def _repetition_documents(sf_dir: str):
     """Gopher-style repetition quality stats + keep flag, map-only (per-doc
     aggregates need no shuffle)."""
@@ -494,6 +525,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_multitable_meta"] = _cdc_multitable_meta
     out["stream_replay_lake"] = _stream_replay_lake
     out["lang_quality_documents"] = _lang_quality_documents
+    out["gopher_rules_documents"] = _gopher_rules_documents
+    out["window_dedup_documents"] = _window_dedup_documents
+    out["quota_sample_documents"] = _quota_sample_documents
     out["repetition_documents"] = _repetition_documents
     out["vocab_documents"] = _vocab_documents
     out["encoded_documents"] = _encoded_documents
@@ -557,7 +591,14 @@ def oracle_sql() -> dict[str, str]:
         vocab_oracle_sql,
     )
 
+    from dbt_customer360_ray.stages.dedup import window_dedup_oracle_sql
+    from dbt_customer360_ray.stages.sampling import quota_sample_oracle_sql
+    from dbt_customer360_ray.stages.text import gopher_oracle_sql
+
     out = dict(ORACLE_SQL)
+    out["gopher_rules_documents"] = gopher_oracle_sql("documents")
+    out["window_dedup_documents"] = window_dedup_oracle_sql("documents")
+    out["quota_sample_documents"] = quota_sample_oracle_sql("documents", quota=10)
     out["repetition_documents"] = repetition_oracle_sql("documents")
     out["vocab_documents"] = vocab_oracle_sql("documents")
     out["encoded_documents"] = encode_flat_oracle_sql("documents")

@@ -1457,3 +1457,100 @@ def tf_cosine_oracle_sql(
         WHERE CAST(d AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
                                    * sqrt(CAST(nb.n2 AS DOUBLE))) >= {threshold}
     """
+
+
+# -- C4-style duplicate-span removal (window dedup) ---------------------------
+
+
+def _explode_windows(
+    batch: pa.Table, id_col: str, text_col: str, window: int
+) -> pd.DataFrame:
+    """(doc_id, widx, win, pk) rows: consecutive ``window``-token spans.
+    Vectorized: one RE2 findall, numpy repeat for doc ids, pandas groupby-join
+    per (doc, widx) — no per-document Python loop."""
+    df = batch.select([id_col, text_col]).to_pandas()
+    toks = df[text_col].str.findall(r"\w+")
+    lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+    doc_rep = np.repeat(df[id_col].to_numpy(), lens)
+    pos = np.concatenate([np.arange(n) for n in lens]) if len(lens) else np.array([], np.int64)
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks if len(t)]) if lens.sum() else np.array([], object)
+    out = pd.DataFrame({id_col: doc_rep, "widx": pos // window, "tok": flat})
+    wins = (
+        out.groupby([id_col, "widx"], sort=False)["tok"]
+        .agg(" ".join)
+        .reset_index()
+        .rename(columns={"tok": "win"})
+    )
+    wins["pk"] = wins[id_col].to_numpy(np.int64) * 1_000_000 + wins["widx"].to_numpy(np.int64)
+    return wins
+
+
+def window_dedup(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 10,
+):
+    """C4-style duplicate-span removal (C4 drops repeated three-sentence spans;
+    Lee et al. 2022 dedups exact substrings): split each document into
+    consecutive ``window``-token spans, keep each DISTINCT span only at its
+    first corpus occurrence (min (doc_id, widx)), and reassemble the surviving
+    spans per document in order. Documents whose every span is a duplicate
+    vanish.
+
+    Two shuffles, no joins, nothing on the driver: explode (map, vectorized) →
+    groupby(span) keep-first — each group resolves its winner in-task —
+    → groupby(doc) ordered reassembly. At 100 TB the span shuffle carries the
+    corpus once (the same cost every exact-substring dedup pays) hash-bucketed
+    by span content, so hot spans skew at most one reducer."""
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        return _explode_windows(batch, id_col, text_col, window)
+
+    def keep_first(grp: pd.DataFrame) -> pd.DataFrame:
+        k = grp["pk"].idxmin()
+        return grp.loc[[k], [id_col, "widx", "win"]]
+
+    def reassemble(grp: pd.DataFrame) -> pd.DataFrame:
+        g = grp.sort_values("widx", kind="stable")
+        return pd.DataFrame(
+            {id_col: [g[id_col].iloc[0]], "text": [" ".join(g["win"])]}
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("win")
+        .map_groups(keep_first, batch_format="pandas")
+        .groupby(id_col)
+        .map_groups(reassemble, batch_format="pandas")
+    )
+
+
+def window_dedup_oracle_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text", window: int = 10
+) -> str:
+    """DuckDB mirror of ``window_dedup``: list_transform windowing, QUALIFY
+    keep-first per span, ordered string_agg reassembly."""
+    return f"""
+        WITH toks AS (
+            SELECT {id_col}, regexp_extract_all({text_col}, '\\w+') AS tks
+            FROM {table}
+        ), sized AS (
+            SELECT {id_col}, tks,
+                   CAST(ceil(len(tks) / {window}.0) AS BIGINT) AS nw
+            FROM toks WHERE len(tks) > 0
+        ), wins AS (
+            SELECT {id_col},
+                   UNNEST(list_transform(generate_series(1, nw), i -> i - 1)) AS widx,
+                   UNNEST(list_transform(generate_series(1, nw),
+                       i -> array_to_string(tks[(i-1)*{window}+1 : i*{window}], ' '))) AS win
+            FROM sized
+        ), kept AS (
+            SELECT {id_col}, widx, win FROM wins
+            QUALIFY row_number() OVER (
+                PARTITION BY win
+                ORDER BY {id_col} * 1000000 + widx) = 1
+        )
+        SELECT {id_col}, string_agg(win, ' ' ORDER BY widx) AS text
+        FROM kept GROUP BY {id_col}
+    """

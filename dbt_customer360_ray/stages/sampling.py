@@ -290,3 +290,59 @@ def stratified_sample_oracle_sql(
             FROM {table}
         ) WHERE rn <= {n_per_key}
     """
+
+
+def quota_sample(
+    ds,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    quota: int = 10,
+    salt: str = "quota",
+):
+    """Per-key quota sampling (cap documents per source/domain — the standard
+    corpus-balancing step): keep the ``quota`` rows with the smallest
+    md5(salt||id) per key. Deterministic at any cluster size, like every
+    sampler here.
+
+    Map-side partial top-N per key (combiner) → tiny groupby final: the
+    shuffle carries at most quota rows per (block, key), never the corpus."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.assign(_h=_hash_int(batch[id_col].to_numpy(), salt))
+        b = b.sort_values(["_h", id_col], kind="stable")
+        return b.groupby(key_col, sort=False).head(quota)
+
+    def final(grp: pd.DataFrame) -> pd.DataFrame:
+        return (
+            grp.sort_values(["_h", id_col], kind="stable")
+            .head(quota)
+            .drop(columns=["_h"])
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(key_col)
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def quota_sample_oracle_sql(
+    table: str,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    quota: int = 10,
+    salt: str = "quota",
+) -> str:
+    """DuckDB mirror of ``quota_sample``. Fixed-width hex compares identically
+    to the parsed integer, so ORDER BY the md5 prefix string reproduces the
+    engine's order without the hex-parse lambda."""
+    return f"""
+        SELECT {id_col}, {key_col} FROM (
+            SELECT {id_col}, {key_col},
+                   row_number() OVER (
+                       PARTITION BY {key_col}
+                       ORDER BY substr(md5('{salt}' || CAST({id_col} AS VARCHAR)), 1, 13),
+                                {id_col}) AS rn
+            FROM {table}
+        ) WHERE rn <= {quota}
+    """

@@ -888,3 +888,93 @@ def kgram_dup_oracle_sql(
                     ELSE CAST(per.n_dup AS DOUBLE) / per.n_kgrams END AS dup_frac
         FROM {table} d LEFT JOIN per USING ({id_col})
     """
+
+
+# -- Gopher quality rules ------------------------------------------------------
+
+GOPHER_STOPWORD_RE = r"\b(the|and|of|to|in|is|that|it|for|with)\b"
+GOPHER_SYMBOL_RE = r"[#…]"
+GOPHER_ALPHA_WORD_RE = r"\w*[A-Za-z]\w*"
+
+
+def gopher_rules(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1), the
+    word-level subset, as one vectorized RE2 pass per signal. All thresholds
+    are cross-multiplied INTEGER comparisons (no float ratios), so the DuckDB
+    oracle reproduces every boolean bit-exactly:
+
+      - 50 ≤ word count ≤ 100 000
+      - mean word length in [3, 10]   (3·n_words ≤ word_chars ≤ 10·n_words)
+      - symbol-to-word ratio < 0.1    (10·n_symbols ≤ n_words; '#' and '…')
+      - ≥80% of words contain a letter (10·n_alpha_words ≥ 8·n_words)
+      - ≥2 stopword hits
+    """
+    text = batch.column(text_col)
+    n_words = pc.count_substring_regex(text, TOKEN_RE)
+    word_chars = pc.utf8_length(pc.replace_substring_regex(text, r"\W", ""))
+    n_symbols = pc.count_substring_regex(text, GOPHER_SYMBOL_RE)
+    n_alpha = pc.count_substring_regex(text, GOPHER_ALPHA_WORD_RE)
+    n_stop = pc.count_substring_regex(text, GOPHER_STOPWORD_RE)
+    n_words64 = pc.cast(n_words, pa.int64())
+    wc64 = pc.cast(word_chars, pa.int64())
+    ok_count = pc.and_(
+        pc.greater_equal(n_words64, 50), pc.less_equal(n_words64, 100_000)
+    )
+    ok_len = pc.and_(
+        pc.greater_equal(wc64, pc.multiply(n_words64, 3)),
+        pc.less_equal(wc64, pc.multiply(n_words64, 10)),
+    )
+    ok_sym = pc.less_equal(
+        pc.multiply(pc.cast(n_symbols, pa.int64()), 10), n_words64
+    )
+    ok_alpha = pc.greater_equal(
+        pc.multiply(pc.cast(n_alpha, pa.int64()), 10), pc.multiply(n_words64, 8)
+    )
+    ok_stop = pc.greater_equal(pc.cast(n_stop, pa.int64()), 2)
+    passes = ok_count
+    for m in (ok_len, ok_sym, ok_alpha, ok_stop):
+        passes = pc.and_(passes, m)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_words": n_words64,
+            "word_chars": wc64,
+            "n_symbols": pc.cast(n_symbols, pa.int64()),
+            "n_alpha_words": pc.cast(n_alpha, pa.int64()),
+            "n_stopwords": pc.cast(n_stop, pa.int64()),
+            "ok_word_count": ok_count,
+            "ok_word_len": ok_len,
+            "ok_symbols": ok_sym,
+            "ok_alpha": ok_alpha,
+            "ok_stopwords": ok_stop,
+            "gopher_pass": passes,
+        }
+    )
+
+
+def gopher_oracle_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB mirror of ``gopher_rules`` (same RE2 patterns, same integer
+    threshold algebra)."""
+    return f"""
+        WITH sig AS (
+            SELECT {id_col},
+                   CAST(len(regexp_extract_all({text_col}, '{TOKEN_RE}')) AS BIGINT) AS n_words,
+                   CAST(length(regexp_replace({text_col}, '\\W', '', 'g')) AS BIGINT) AS word_chars,
+                   CAST(len(regexp_extract_all({text_col}, '{GOPHER_SYMBOL_RE}')) AS BIGINT) AS n_symbols,
+                   CAST(len(regexp_extract_all({text_col}, '{GOPHER_ALPHA_WORD_RE}')) AS BIGINT) AS n_alpha_words,
+                   CAST(len(regexp_extract_all({text_col}, '{GOPHER_STOPWORD_RE}')) AS BIGINT) AS n_stopwords
+            FROM {table}
+        )
+        SELECT {id_col}, n_words, word_chars, n_symbols, n_alpha_words, n_stopwords,
+               (n_words BETWEEN 50 AND 100000) AS ok_word_count,
+               (word_chars BETWEEN 3 * n_words AND 10 * n_words) AS ok_word_len,
+               (10 * n_symbols <= n_words) AS ok_symbols,
+               (10 * n_alpha_words >= 8 * n_words) AS ok_alpha,
+               (n_stopwords >= 2) AS ok_stopwords,
+               ((n_words BETWEEN 50 AND 100000)
+                AND (word_chars BETWEEN 3 * n_words AND 10 * n_words)
+                AND (10 * n_symbols <= n_words)
+                AND (10 * n_alpha_words >= 8 * n_words)
+                AND (n_stopwords >= 2)) AS gopher_pass
+        FROM sig
+    """

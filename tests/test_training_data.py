@@ -354,3 +354,93 @@ def test_global_row_number_exact_across_blockings():
     small = pa.table({"id": pa.array([1, 2], pa.int64()), "v": pa.array([5, 9], pa.int64())})
     got = with_ntile(ray.data.from_arrow(small), 4, ["v", "id"]).to_pandas()
     assert sorted(got["tile"].tolist()) == [1, 2]
+
+
+# -- gopher rules / window dedup / quota sample --------------------------------
+
+
+def test_gopher_rules_thresholds():
+    from dbt_customer360_ray.stages.text import gopher_rules
+
+    long_good = " ".join(["the quick brown foxes jumped"] * 12)  # 60 words
+    short = "the and tiny"  # fails word count
+    symbols = " ".join(["the quick brown foxes jumped"] * 12) + " " + "#" * 40
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([long_good, short, symbols], pa.string()),
+        }
+    )
+    out = gopher_rules(t).to_pandas().set_index("doc_id")
+    assert bool(out.loc[1, "gopher_pass"])
+    assert not bool(out.loc[2, "ok_word_count"])
+    assert not bool(out.loc[3, "ok_symbols"]) and not bool(out.loc[3, "gopher_pass"])
+
+
+def test_window_dedup_drops_repeated_spans():
+    from dbt_customer360_ray.stages.dedup import window_dedup
+
+    span = " ".join(WORDS)  # exactly one 10-token window
+    uniq = " ".join(reversed(WORDS))
+    # doc 0 owns the span; doc 1 repeats it then adds a unique span; doc 2 is
+    # the span verbatim and must vanish entirely
+    ds = _docs_ds([span, span + " " + uniq, span])
+    got = (
+        window_dedup(ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [0, 1]
+    assert got.loc[0, "text"] == span
+    assert got.loc[1, "text"] == uniq  # only its second window survives
+
+
+def test_window_dedup_is_partition_invariant():
+    import ray.data
+
+    from dbt_customer360_ray.stages.dedup import window_dedup
+
+    rng = np.random.default_rng(5)
+    texts = _mk_texts(rng, 60, length=25)
+    texts += texts[:10]  # verbatim dup docs
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    a = (
+        window_dedup(ray.data.from_arrow(t).repartition(2))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        window_dedup(ray.data.from_arrow(t).repartition(13))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a["doc_id"]) & set(range(60, 70)) == set()  # dup docs vanished
+
+
+def test_quota_sample_caps_per_key_deterministically():
+    import ray.data
+
+    from dbt_customer360_ray.stages.sampling import quota_sample
+
+    n = 500
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "source": pa.array([f"s{i % 7}" for i in range(n)], pa.string()),
+        }
+    )
+    a = (
+        quota_sample(ray.data.from_arrow(t).repartition(3), quota=10)
+        .to_pandas().sort_values(["source", "doc_id"]).reset_index(drop=True)
+    )
+    b = (
+        quota_sample(ray.data.from_arrow(t).repartition(17), quota=10)
+        .to_pandas().sort_values(["source", "doc_id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.groupby("source").size() == 10).all()
