@@ -58,6 +58,14 @@ def main() -> int:
     ap.add_argument("--allowed-lateness", default=None, metavar="DUR",
                     help="quarantine events older than the committed watermark "
                          "minus DUR (e.g. '30 minutes') to the dead-letter queue")
+    ap.add_argument("--merge-mode", choices=("lww", "patch"), default="lww",
+                    help="patch: op 'P' partial images resolve by column-level "
+                         "LWW (null payload columns mean unchanged)")
+    ap.add_argument("--restore", type=int, default=None, metavar="EPOCH",
+                    help="after the replay, roll the lake back to this epoch's "
+                         "snapshot as a new commit (checkpoints roll back too)")
+    ap.add_argument("--preimages", action="store_true",
+                    help="with --change-feed: carry the replaced values as old_* columns")
     ap.add_argument("--multi-table", action="store_true",
                     help="input carries a table_name column: route each table "
                          "to its own lake under LAKE/tables/<name>")
@@ -105,6 +113,7 @@ def main() -> int:
         num_partitions=args.num_partitions,
         compaction_policy=args.compaction_policy,
         allowed_lateness=args.allowed_lateness,
+        merge_mode=args.merge_mode,
     )
     if args.multi_table:
         from dbt_customer360_ray.state.multitable import MultiTableLake
@@ -139,6 +148,9 @@ def main() -> int:
         events += m.get("events_in", 0)
         print(json.dumps({"epoch_file": os.path.basename(p), **m}), flush=True)
     wall = time.perf_counter() - t0
+    if args.restore is not None:
+        v = lake.restore(epoch=args.restore)
+        print(json.dumps({"restored_to_epoch": args.restore, "new_version": v}), flush=True)
     if args.compact:
         print(json.dumps({"compacted_partitions": lake.compact(force=True)}), flush=True)
     if args.export:
@@ -147,7 +159,9 @@ def main() -> int:
         print(json.dumps({"exported": args.export, "as_of_epoch": args.as_of}), flush=True)
     if args.change_feed:
         lo, hi = args.change_feed
-        feed = lake.change_feed(from_epoch=lo, to_epoch=hi)
+        feed = lake.change_feed(
+            from_epoch=lo, to_epoch=hi, include_preimage=args.preimages
+        )
         counts = (
             feed.groupby("change_type").count().to_pandas().set_index("change_type")["count()"].to_dict()
         )
