@@ -74,13 +74,32 @@ def conform_batch(batch: pa.Table, schema: pa.Schema) -> pa.Table:
     return pa.Table.from_arrays(cols, schema=schema)
 
 
-def evolve_schema(current: pa.Schema, incoming: pa.Schema) -> pa.Schema:
-    """Additive evolution: append fields of ``incoming`` unseen in ``current``.
+# lossless same-kind promotion lattice (upstream ALTER COLUMN int → bigint is
+# routine in a binlog's lifetime); anything outside it is a hard conflict
+_INT_ORDER = {pa.int8(): 0, pa.int16(): 1, pa.int32(): 2, pa.int64(): 3}
+_UINT_ORDER = {pa.uint8(): 0, pa.uint16(): 1, pa.uint32(): 2, pa.uint64(): 3}
+_FLOAT_ORDER = {pa.float32(): 0, pa.float64(): 1}
 
-    Existing fields keep their registered type (incoming must cast to it); a type
-    conflict raises — destructive evolution is out of scope, as in the reference
+
+def _widens(cur: pa.DataType, new: pa.DataType) -> bool:
+    """True iff ``new`` is a strictly wider type than ``cur`` in a lossless
+    same-kind promotion (int8→…→int64, uint likewise, float32→float64,
+    string→large_string). Cross-kind (int→float, string→int) never widens."""
+    for order in (_INT_ORDER, _UINT_ORDER, _FLOAT_ORDER):
+        if cur in order and new in order:
+            return order[new] > order[cur]
+    return pa.types.is_string(cur) and pa.types.is_large_string(new)
+
+
+def evolve_schema(current: pa.Schema, incoming: pa.Schema) -> pa.Schema:
+    """Additive + widening evolution: append fields of ``incoming`` unseen in
+    ``current``; an incoming field whose type strictly WIDENS the registered
+    one (lossless same-kind promotion — ``_widens``) upgrades the lake schema,
+    and old runs cast up losslessly at read (``conform_batch``). Narrower
+    incoming types cast up into the registered type as before. Any other type
+    change raises — destructive evolution is out of scope, as in the reference
     (columns are only ever added by enabling sources/vars, never retyped).
-    """
+    Time-travel is unaffected: each snapshot carries its own schema."""
     by_name = {f.name: f for f in current}
     out = list(current)
     for f in incoming:
@@ -89,7 +108,11 @@ def evolve_schema(current: pa.Schema, incoming: pa.Schema) -> pa.Schema:
             out.append(f)
         elif cur.type != f.type and not pa.types.is_null(f.type):
             # null-typed incoming columns (all-null batch) conform to anything
-            raise TypeError(
-                f"schema evolution conflict on {f.name!r}: {cur.type} vs {f.type}"
-            )
+            if _widens(cur.type, f.type):
+                out[out.index(cur)] = pa.field(f.name, f.type)
+            elif not _widens(f.type, cur.type):  # narrower incoming casts up
+                raise TypeError(
+                    f"schema evolution conflict on {f.name!r}: "
+                    f"{cur.type} vs {f.type}"
+                )
     return pa.schema(out)

@@ -23,7 +23,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.lww import lww_latest
+from ..functions.lww import lww_latest, patch_collapse
 from ..hashing import partition_ids
 from ..schemas import conform_batch, evolve_schema
 from .applier import atomic_parquet, run_ts_stats
@@ -46,9 +46,19 @@ def _concat_evolving(chunks: list[pa.Table]) -> pa.Table:
 
 
 class _PartitionApplier:
-    """Actor body: owns a set of partitions; memtable = LWW winners per pid."""
+    """Actor body: owns a set of partitions; memtable = LWW winners per pid
+    (patch mode: the GC-collapsed event set — patch_collapse is associative,
+    so memtable compaction and flush compose exactly like the epoch path)."""
 
-    def __init__(self, lake_dir: str, pids: list[int], committed: dict[int, int]):
+    def __init__(
+        self,
+        lake_dir: str,
+        pids: list[int],
+        committed: dict[int, int],
+        merge_mode: str = "lww",
+    ):
+        self.merge_mode = merge_mode
+        self._collapse = patch_collapse if merge_mode == "patch" else lww_latest
         self.lake_dir = lake_dir
         self.pids = set(pids)
         self.committed = dict(committed)
@@ -67,11 +77,11 @@ class _PartitionApplier:
         deletes = int(pc.sum(pc.equal(new.column("op"), "D")).as_py() or 0)
         self.counts["deletes"] += deletes
         self.counts["upserts"] += new.num_rows - deletes
-        winners = lww_latest(new)
+        winners = self._collapse(new)
         bucket = self.mem.setdefault(pid, [])
         bucket.append(winners)
         if len(bucket) > 8:  # in-memory compaction keeps the memtable bounded
-            self.mem[pid] = [lww_latest(_concat_evolving(bucket))]
+            self.mem[pid] = [self._collapse(_concat_evolving(bucket))]
         self.pending_max[pid] = max(
             self.pending_max.get(pid, -1), int(pc.max(new.column("offset")).as_py())
         )
@@ -83,7 +93,7 @@ class _PartitionApplier:
         import os
 
         for pid, chunks in sorted(self.mem.items()):
-            merged = lww_latest(_concat_evolving(chunks))
+            merged = self._collapse(_concat_evolving(chunks))
             path = os.path.join(
                 "data", f"part-{pid:05d}", f"run-{epoch:06d}-stream.parquet"
             )
@@ -128,7 +138,11 @@ class StreamingSession:
         for a in range(pool_size):
             pids = [p for p in range(self.P) if self.pid_to_actor[p] == a]
             self.actors.append(
-                Actor.remote(lake.lake_dir, pids, {p: committed.get(p, -1) for p in pids})
+                Actor.remote(
+                    lake.lake_dir, pids,
+                    {p: committed.get(p, -1) for p in pids},
+                    lake.merge_mode,
+                )
             )
         self._schema: pa.Schema | None = lake._event_schema()
         self._pending_refs: list = []
@@ -164,7 +178,9 @@ class StreamingSession:
             evolve_schema(self._schema, incoming) if self._schema is not None else incoming
         )
         conformed = conform_batch(batch, self._schema)
-        bad = invalid_event_mask(conformed, self._late_cutoff_us)
+        bad = invalid_event_mask(
+            conformed, self._late_cutoff_us, self.lake._valid_ops
+        )
         if bad.any():
             self._dlq.append(conformed.filter(pa.array(bad)))
             conformed = conformed.filter(pa.array(~bad))
@@ -224,7 +240,12 @@ class StreamingSession:
             )
             rows = rows.append_column(
                 "dl_reason",
-                pa.array(quarantine_reasons(rows, self._late_cutoff_us), pa.string()),
+                pa.array(
+                    quarantine_reasons(
+                        rows, self._late_cutoff_us, self.lake._valid_ops
+                    ),
+                    pa.string(),
+                ),
             )
             path = os.path.join("deadletter", f"epoch-{epoch:06d}-stream.parquet")
             atomic_parquet(rows, os.path.join(self.lake.lake_dir, path))

@@ -115,3 +115,54 @@ def test_evolve_conflict_raises():
     inc = pa.schema([("a", pa.int32())])
     with pytest.raises(TypeError):
         evolve_schema(cur, inc)
+
+
+def test_evolve_widens_types():
+    cur = pa.schema([("a", pa.int32()), ("f", pa.float32()), ("s", pa.string())])
+    inc = pa.schema(
+        [("a", pa.int64()), ("f", pa.float64()), ("s", pa.large_string())]
+    )
+    widened = evolve_schema(cur, inc)
+    assert widened.field("a").type == pa.int64()
+    assert widened.field("f").type == pa.float64()
+    assert widened.field("s").type == pa.large_string()
+    # narrower incoming keeps the registered (wider) type — casts up at conform
+    assert evolve_schema(widened, cur) == widened
+    # cross-kind still conflicts
+    with pytest.raises(TypeError):
+        evolve_schema(pa.schema([("a", pa.int32())]), pa.schema([("a", pa.float64())]))
+
+
+def test_engine_widening_evolution(tmp_path, ray_session):
+    """Mid-stream upstream ALTER COLUMN int32→int64 on a payload column: the
+    lake schema widens, old runs cast up losslessly, snapshots keep their own
+    (pre-widening) schema."""
+    import ray.data
+
+    from dbt_customer360_ray.state.engine import CdcLake
+
+    def tbl(offsets, score_type):
+        n = len(offsets)
+        return pa.table(
+            {
+                "offset": pa.array(offsets, pa.int64()),
+                "op": pa.array(["I"] * n, pa.string()),
+                "conv_id": pa.array([f"c{i}" for i in offsets], pa.string()),
+                "turn_idx": pa.array([0] * n, pa.int32()),
+                "role": pa.array(["user"] * n, pa.string()),
+                "text": pa.array(["t"] * n, pa.string()),
+                "tool": pa.array([None] * n, pa.string()),
+                "ts": pa.array([1_700_000_000_000_000 + i for i in offsets], pa.timestamp("us")),
+                "score": pa.array(list(offsets), score_type),
+            }
+        )
+
+    lake = CdcLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply(ray.data.from_arrow(tbl([0, 1, 2], pa.int32())))
+    lake.apply(ray.data.from_arrow(tbl([3, 4], pa.int64())))  # widened epoch
+    state = lake.read_local_table()
+    assert state.schema.field("score").type == pa.int64()
+    assert sorted(state.column("score").to_pylist()) == [0, 1, 2, 3, 4]
+    # the epoch-0 snapshot still reads with the narrow type
+    snap = lake.read_local_table_as_of(epoch=0)
+    assert snap.schema.field("score").type == pa.int32()

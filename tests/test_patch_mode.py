@@ -208,3 +208,27 @@ def test_patch_lookup_and_headers_consistent(tmp_path):
     heads = lake.conversation_headers().to_pandas().set_index("conv_id")
     g = state.groupby("conv_id")
     assert heads["n_turns"].sort_index().equals(g.size().astype("int64").sort_index())
+
+
+def test_streaming_patch_ingest_matches_oracle(tmp_path):
+    """Patch mode on the streaming actor-pool path: micro-batch tailing with
+    memtable compaction, flushed at checkpoints — same column-level LWW state
+    as the epoch path and the sequential oracle."""
+    from dbt_customer360_ray.gen import oracle_patch_lake
+    from dbt_customer360_ray.state.streaming import StreamingSession
+
+    changes = gen_changes(6_000, 200, seed=81, patch_frac=0.45)
+    lake = CdcLake(str(tmp_path / "lake"), num_partitions=6, merge_mode="patch")
+    sess = StreamingSession(lake, pool_size=3)
+    step = 500
+    for i in range(0, changes.num_rows, step):
+        sess.ingest(changes.slice(i, step))
+        if (i // step) % 4 == 3:
+            sess.checkpoint()
+    sess.checkpoint()
+    sess.close()
+    want = oracle_patch_lake(changes)
+    got = lake.read_local_table().to_pandas()
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )
