@@ -1106,11 +1106,21 @@ class CdcLake:
         s = self._event_schema()
         return [f.name for f in s if f.name not in INTERNAL_COLUMNS]
 
-    def _manifest_at(self, epoch: int | None = None, version: int | None = None):
-        """Resolve a pinned snapshot manifest from exactly one of epoch/version."""
-        if (epoch is None) == (version is None):
-            raise ValueError("pass exactly one of epoch= / version=")
-        if version is None:
+    def _manifest_at(
+        self,
+        epoch: int | None = None,
+        version: int | None = None,
+        offset: int | None = None,
+    ):
+        """Resolve a pinned snapshot manifest from exactly one of
+        epoch/version/offset (offset = binlog position: the newest snapshot
+        whose committed watermark is ≤ it)."""
+        given = sum(x is not None for x in (epoch, version, offset))
+        if given != 1:
+            raise ValueError("pass exactly one of epoch= / version= / offset=")
+        if offset is not None:
+            version = self.manifest.version_for_offset(offset)
+        elif version is None:
             version = self.manifest.version_for_epoch(epoch)
         return self.manifest.at_version(version)
 
@@ -1134,6 +1144,7 @@ class CdcLake:
         self,
         epoch: int | None = None,
         version: int | None = None,
+        offset: int | None = None,
         columns: list[str] | None = None,
         since_ts=None,
         until_ts=None,
@@ -1146,7 +1157,7 @@ class CdcLake:
         references (vacuum is the retention horizon, the standard
         Delta/Iceberg rule)."""
         return self._read_manifest(
-            self._manifest_at(epoch, version), columns, since_ts, until_ts
+            self._manifest_at(epoch, version, offset), columns, since_ts, until_ts
         )
 
     def _read_manifest(
@@ -1319,9 +1330,12 @@ class CdcLake:
         return merged.take(order).select(public)
 
     def read_local_table_as_of(
-        self, epoch: int | None = None, version: int | None = None
+        self,
+        epoch: int | None = None,
+        version: int | None = None,
+        offset: int | None = None,
     ) -> pa.Table:
-        return self.read_local_table(self._manifest_at(epoch, version))
+        return self.read_local_table(self._manifest_at(epoch, version, offset))
 
     # -- ops ---------------------------------------------------------------
     def manifest_hot_keys(self) -> set[str]:

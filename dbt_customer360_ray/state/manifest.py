@@ -149,6 +149,26 @@ class Manifest:
             f"(committed epochs: {[e['epoch'] for e in self._state['epochs']]})"
         )
 
+    def version_for_offset(self, offset: int) -> int:
+        """Greatest committed epoch version whose global offset watermark
+        (max over partitions' ``max_offset``) is ≤ ``offset`` — binlog-POSITION
+        time travel, the coordinate a CDC consumer actually has. Offsets are
+        monotone across epochs (a binlog position), so the scan early-exits."""
+        best = None
+        for e in self._state["epochs"]:
+            snap = self.at_version(int(e["version"]))
+            w = max(
+                (int(p["max_offset"]) for p in snap._state["partitions"].values()),
+                default=-1,
+            )
+            if w <= offset:
+                best = int(e["version"])
+            else:
+                break
+        if best is None:
+            raise KeyError(f"no committed snapshot at or below offset {offset}")
+        return best
+
     def at_version(self, version: int) -> "Manifest":
         """Read-only snapshot pinned at ``version``. Every commit retains its
         ``MANIFEST-<version>.json`` (the Delta/Iceberg log pattern), so any

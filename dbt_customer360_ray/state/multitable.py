@@ -100,3 +100,15 @@ class MultiTableLake:
 
     def checkpoints(self) -> dict[str, dict[int, int]]:
         return {name: lake.checkpoints() for name, lake in self.tables.items()}
+
+    def read_consistent(self, offset: int) -> dict[str, "object"]:
+        """Cross-table consistent snapshot at a binlog POSITION: each table
+        read as of the newest committed snapshot whose offset watermark is
+        ≤ ``offset``. Epochs are applied to every table from the same
+        interleaved stream, so all tables resolve to the same epoch boundary —
+        a consistent cut at epoch granularity (the granularity the exactly-once
+        sink commits at)."""
+        return {
+            name: lake.read_as_of(offset=offset)
+            for name, lake in sorted(self.tables.items())
+        }

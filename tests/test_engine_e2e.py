@@ -507,3 +507,29 @@ def test_multitable_routing_isolated_and_resumable(tmp_path):
     m3 = mt2.apply(ray.data.from_arrow(t.slice(half)))
     for name, m in m3.items():
         assert m["events_deduped"] == m["events_in"], name
+
+
+def test_multitable_read_consistent(tmp_path, ray_session):
+    """Cross-table consistent cut at a binlog position: both tables resolve to
+    the same epoch boundary."""
+    from dbt_customer360_ray.gen import gen_multitable_changes
+    from dbt_customer360_ray.state.multitable import MultiTableLake
+
+    changes = gen_multitable_changes(6_000, 300, seed=45)
+    import numpy as np
+
+    n = changes.num_rows
+    bounds = np.linspace(0, n, 4).astype(int)
+    mt = MultiTableLake(str(tmp_path / "mt"), num_partitions=4)
+    parts = [changes.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(3)]
+    import ray.data
+
+    for i, part in enumerate(parts):
+        mt.apply(ray.data.from_arrow(part), epoch=i)
+    cut = int(max(parts[1].column("offset").to_pylist()))
+    snap = mt.read_consistent(cut)
+    assert set(snap) == set(mt.tables)
+    for name, ds in snap.items():
+        got = len(ds.to_pandas())
+        want = len(mt.lake(name).read_local_table_as_of(epoch=1).to_pandas())
+        assert got == want, (name, got, want)

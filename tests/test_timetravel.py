@@ -310,3 +310,29 @@ def test_change_feed_preimages_match_bruteforce(tmp_path):
     # inserts: no pre-image
     ins = got[got["change_type"] == "insert"]
     assert ins["old_role"].isna().all() and ins["old_ts"].isna().all()
+
+
+def test_read_as_of_offset_binlog_position(tmp_path):
+    """Binlog-position time travel: read_as_of(offset=…) resolves the newest
+    snapshot whose committed watermark is ≤ the position."""
+    changes = gen_changes(6_000, 300, seed=41)
+    epochs = split_epochs(changes, 3)
+    lake = _replay(tmp_path, epochs)
+    # position exactly at each epoch's end → that epoch's snapshot
+    for e in range(3):
+        end = int(
+            max(max(t.column("offset").to_pylist()) for t in epochs[: e + 1])
+        )
+        _assert_state(
+            lake.read_local_table_as_of(offset=end), _prefix_oracle(epochs, e)
+        )
+        # a position strictly inside the NEXT epoch still resolves to e
+        if e < 2:
+            _assert_state(
+                lake.read_local_table_as_of(offset=end + 1),
+                _prefix_oracle(epochs, e),
+            )
+    with pytest.raises(KeyError):
+        lake.read_local_table_as_of(offset=-1)
+    ds_len = lake.read_as_of(offset=6_000_000).to_pandas()
+    assert len(ds_len) == lake.read_local_table().num_rows
