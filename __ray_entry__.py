@@ -113,6 +113,20 @@ def _cdc_change_feed_images(sf_dir: str):
     )
 
 
+def _cdc_offset_travel(sf_dir: str):
+    """Binlog-position time travel: read the lake as of epoch 1's committed
+    offset watermark (the coordinate a CDC consumer actually has). Must equal
+    the epoch-1 snapshot, so the oracle is the epoch-1 prefix replay."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from dbt_customer360_ray.pipelines.cdc_replay import changes_fixture, replayed_lake
+
+    fx = changes_fixture(0.01)
+    w = int(pc.max(pq.read_table(fx["paths"][1], columns=["offset"]).column("offset")).as_py())
+    return replayed_lake(sf=0.01).read_as_of(offset=w)
+
+
 def _cdc_redelivered_lake(sf_dir: str):
     """Exactly-once under at-least-once delivery: epochs 1-2's files are
     re-delivered under NEW epoch ids after the full replay (producer retry
@@ -517,6 +531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_restored_lake"] = _cdc_restored_lake
     out["cdc_patch_lake"] = _cdc_patch_lake
     out["cdc_redelivered_lake"] = _cdc_redelivered_lake
+    out["cdc_offset_travel"] = _cdc_offset_travel
     out["cdc_deadletter"] = _cdc_deadletter
     out["cdc_lookup_conversation"] = _cdc_lookup_conversation
     out["cdc_conversation_headers"] = _cdc_conversation_headers
@@ -624,6 +639,7 @@ def oracle_sql() -> dict[str, str]:
     )
     out["cdc_patch_lake"] = patch_oracle_sql()
     out["cdc_redelivered_lake"] = replay_oracle_sql(sf=0.01)
+    out["cdc_offset_travel"] = timetravel_oracle_sql(sf=0.01, epoch=1)
     out["cdc_deadletter"] = deadletter_oracle_sql()
     out["cdc_lookup_conversation"] = lookup_oracle_sql(sf=0.01, conv_id="conv-00000002")
     out["cdc_conversation_headers"] = headers_oracle_sql(sf=0.01)
