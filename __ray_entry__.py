@@ -113,6 +113,15 @@ def _cdc_change_feed_images(sf_dir: str):
     )
 
 
+def _cdc_patch_change_feed(sf_dir: str):
+    """Change feed over the PATCH-mode lake (epochs 0 → 2): the per-partition
+    diff resolves BOTH snapshots with column-level LWW before classifying.
+    Oracled — two nested patch oracles full-outer-joined in SQL."""
+    from dbt_customer360_ray.pipelines.cdc_replay import patched_lake
+
+    return patched_lake().change_feed(from_epoch=0, to_epoch=2)
+
+
 def _cdc_offset_travel(sf_dir: str):
     """Binlog-position time travel: read the lake as of epoch 1's committed
     offset watermark (the coordinate a CDC consumer actually has). Must equal
@@ -532,6 +541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_patch_lake"] = _cdc_patch_lake
     out["cdc_redelivered_lake"] = _cdc_redelivered_lake
     out["cdc_offset_travel"] = _cdc_offset_travel
+    out["cdc_patch_change_feed"] = _cdc_patch_change_feed
     out["cdc_deadletter"] = _cdc_deadletter
     out["cdc_lookup_conversation"] = _cdc_lookup_conversation
     out["cdc_conversation_headers"] = _cdc_conversation_headers
@@ -577,6 +587,7 @@ def oracle_sql() -> dict[str, str]:
         headers_oracle_sql,
         late_quarantine_oracle_sql,
         lookup_oracle_sql,
+        patch_change_feed_oracle_sql,
         patch_oracle_sql,
         view_oracle_sql,
         replay_oracle_sql,
@@ -640,6 +651,9 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_patch_lake"] = patch_oracle_sql()
     out["cdc_redelivered_lake"] = replay_oracle_sql(sf=0.01)
     out["cdc_offset_travel"] = timetravel_oracle_sql(sf=0.01, epoch=1)
+    out["cdc_patch_change_feed"] = patch_change_feed_oracle_sql(
+        from_epoch=0, to_epoch=2
+    )
     out["cdc_deadletter"] = deadletter_oracle_sql()
     out["cdc_lookup_conversation"] = lookup_oracle_sql(sf=0.01, conv_id="conv-00000002")
     out["cdc_conversation_headers"] = headers_oracle_sql(sf=0.01)

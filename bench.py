@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "top_terms_documents",
     "quantize_embeddings",
     "event_gaps",
+    "gopher_rules_documents",
+    "window_dedup_documents",
+    "quota_sample_documents",
 ]
 
 
@@ -154,6 +157,27 @@ def run_bench() -> dict:
         last_lake, last_dir = lake, lake_dir
     timings["cdc_replay"] = round(cdc_sec, 3)
     eps = events / cdc_sec
+
+    if not CDC_ONLY:
+        # patch-mode A/B on the SAME fixture (I/U/D only): measures the
+        # column-level-LWW kernel overhead against row-level LWW on identical
+        # input — the honest per-feature cost, no second fixture needed
+        best = float("inf")
+        pdir = None
+        for _ in range(reps):
+            d = tempfile.mkdtemp(prefix="bench-patch-lake-", dir=shm)
+            t0 = time.perf_counter()
+            plake = CdcLake(
+                os.path.join(d, "lake"), num_partitions=64, merge_mode="patch"
+            )
+            for p in fx["paths"]:
+                plake.apply(p)
+            best = min(best, time.perf_counter() - t0)
+            if pdir is not None:
+                shutil.rmtree(pdir, ignore_errors=True)
+            pdir = d
+        shutil.rmtree(pdir, ignore_errors=True)
+        timings["cdc_patch_replay"] = round(best, 3)
 
     if not CDC_ONLY:
         # time-travel + CDF over the just-replayed lake: per-partition

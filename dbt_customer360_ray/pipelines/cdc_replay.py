@@ -485,12 +485,12 @@ def patched_lake():
     return _PATCHED["lake"]
 
 
-def _selects_for_paths(paths: list[str]) -> list[str]:
+def _selects_for_paths_v0(paths: list[str]) -> list[str]:
     """Per-epoch-file SELECTs (epoch 0 is schema v0: ``tool`` null-injected,
     exactly as the engine's additive evolution backfills it)."""
     selects = []
     for i, p in enumerate(paths):
-        tool = "CAST(NULL AS VARCHAR) AS tool" if i == 0 and len(paths) > 1 else "tool"
+        tool = "CAST(NULL AS VARCHAR) AS tool" if i == 0 else "tool"
         selects.append(
             f'SELECT "offset", op, conv_id, turn_idx, role, text, {tool}, ts, '
             f"{i} AS epoch, file_row_number AS file_rn "
@@ -499,7 +499,7 @@ def _selects_for_paths(paths: list[str]) -> list[str]:
     return selects
 
 
-def patch_oracle_sql() -> str:
+def patch_oracle_sql(upto: int | None = None) -> str:
     """DuckDB oracle for the patch-mode lake: column-level LWW in ANSI SQL.
 
     Per key: drop everything at/below the latest tombstone; the row exists iff
@@ -508,9 +508,12 @@ def patch_oracle_sql() -> str:
     non-null ones) — a per-column QUALIFY, one CTE per column. A deliberately
     different algorithm than the engine's segmented reduceat kernels AND than
     gen.oracle_patch_lake's sequential application, so three-way agreement is
-    strong evidence."""
+    strong evidence. ``upto`` truncates to epochs ≤ upto (snapshot oracles)."""
+    paths = patch_fixture_paths()
+    if upto is not None:
+        paths = paths[: upto + 1]
     union = "\n            UNION ALL\n            ".join(
-        _selects_for_paths(patch_fixture_paths())
+        _selects_for_paths_v0(paths)
     )
     col_cte = """col_{c} AS (
             SELECT conv_id, turn_idx, {c} FROM live_ev
@@ -546,6 +549,29 @@ def patch_oracle_sql() -> str:
         LEFT JOIN col_role r USING (conv_id, turn_idx)
         LEFT JOIN col_text t USING (conv_id, turn_idx)
         LEFT JOIN col_tool tl USING (conv_id, turn_idx)
+    """
+
+
+def patch_change_feed_oracle_sql(from_epoch: int, to_epoch: int) -> str:
+    """Oracle for ``change_feed`` on the PATCH-mode lake: the CDF join over two
+    column-level-LWW prefix states (each a nested patch_oracle_sql)."""
+    a = patch_oracle_sql(upto=from_epoch)
+    b = patch_oracle_sql(upto=to_epoch)
+    return f"""
+        WITH state_a AS ({a}), state_b AS ({b})
+        SELECT CASE WHEN a.conv_id IS NULL THEN 'insert'
+                    WHEN b.conv_id IS NULL THEN 'delete'
+                    ELSE 'update' END AS change_type,
+               coalesce(a.conv_id, b.conv_id) AS conv_id,
+               coalesce(a.turn_idx, b.turn_idx) AS turn_idx,
+               b.role AS role, b.text AS text, b.tool AS tool, b.ts AS ts
+        FROM state_a a FULL OUTER JOIN state_b b
+          ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+        WHERE a.conv_id IS NULL OR b.conv_id IS NULL
+           OR a.role IS DISTINCT FROM b.role
+           OR a.text IS DISTINCT FROM b.text
+           OR a.tool IS DISTINCT FROM b.tool
+           OR a.ts   IS DISTINCT FROM b.ts
     """
 
 
