@@ -1442,6 +1442,75 @@ class CdcLake:
             [pq.read_table(f) for f in files], promote_options="permissive"
         )
 
+    def retry_deadletter(self, fix, epoch: int | None = None) -> dict:
+        """Repair-and-replay the dead-letter queue: ``fix(table) -> table``
+        returns corrected events in the lake's event schema (the fix owns
+        offset assignment for null-offset rows — fresh offsets beyond the
+        committed watermark keep them from being deduped as redeliveries).
+        Rows the fix leaves invalid raise — a repair must be total. The fixed
+        rows apply as a NORMAL epoch (same exactly-once/LWW path), then the
+        drained DLQ records leave the manifest and their files become
+        vacuumable."""
+        import ray.data
+
+        from .router import invalid_event_mask
+
+        dl = self.read_deadletter()
+        if dl.num_rows == 0:
+            return {"repaired": 0, "skipped": True}
+        rows = dl
+        if "dl_reason" in rows.column_names:
+            rows = rows.drop_columns(["dl_reason"])
+        fixed = fix(rows)
+        bad = invalid_event_mask(fixed, None, self._valid_ops)
+        if bad.any():
+            raise ValueError(
+                f"retry_deadletter: fix left {int(bad.sum())} invalid rows"
+            )
+        metrics = self.apply(ray.data.from_arrow(fixed), epoch=epoch)
+        drained = [r["path"] for r in self.manifest._state.get("deadletter", [])]
+        self.manifest.commit_deadletter_clear(drained)
+        return {"repaired": fixed.num_rows, **metrics}
+
+    def fsck(self, check_rows: bool = True) -> dict:
+        """Manifest ↔ storage integrity check (the ops `fsck`): every live
+        run file must exist and (``check_rows``) its parquet footer row count
+        must match the manifest's record; dead-letter files checked too; bloom
+        sidecar absences reported informationally (lookups fall back to
+        reading the run). Footer-only local reads — no Ray session, O(runs)
+        metadata I/O."""
+        report: dict = {
+            "runs_checked": 0,
+            "missing_files": [],
+            "row_mismatches": [],
+            "missing_blooms": 0,
+            "missing_deadletter_files": [],
+        }
+        for pid in range(self.P):
+            for run in self.manifest.partition(pid)["runs"]:
+                p = os.path.join(self.lake_dir, run["path"])
+                if not os.path.exists(p):
+                    report["missing_files"].append(run["path"])
+                    continue
+                report["runs_checked"] += 1
+                if check_rows:
+                    n = pq.ParquetFile(p).metadata.num_rows
+                    if n != int(run["rows"]):
+                        report["row_mismatches"].append(
+                            {"path": run["path"], "manifest": int(run["rows"]), "file": n}
+                        )
+                if not os.path.exists(p + ".bloom"):
+                    report["missing_blooms"] += 1
+        for r in self.manifest._state.get("deadletter", []):
+            if not os.path.exists(os.path.join(self.lake_dir, r["path"])):
+                report["missing_deadletter_files"].append(r["path"])
+        report["ok"] = not (
+            report["missing_files"]
+            or report["row_mismatches"]
+            or report["missing_deadletter_files"]
+        )
+        return report
+
     def vacuum(self) -> int:
         """Delete data files no longer referenced by the current manifest."""
         live = {os.path.abspath(p) for p in self.manifest.live_files()}

@@ -334,6 +334,25 @@ class Manifest:
                     raise
                 self.reload()
 
+    def commit_deadletter_clear(self, paths: list[str]) -> None:
+        """Drain repaired dead-letter records from the manifest (a new
+        version; the drained files become vacuumable). Used by
+        ``CdcLake.retry_deadletter`` after the fixed rows commit."""
+        drop = set(paths)
+        for attempt in range(5):
+            state = json.loads(json.dumps(self._state))
+            state["deadletter"] = [
+                r for r in state.get("deadletter", []) if r["path"] not in drop
+            ]
+            state["version"] += 1
+            try:
+                self._persist(state)
+                return
+            except CommitConflictError:
+                if attempt == 4:
+                    raise
+                self.reload()
+
     # commit critical section: lock-break horizon for a holder that died
     # between taking the lock and advancing CURRENT (the section is two small
     # file writes — milliseconds; 10 s is orders of magnitude past it)

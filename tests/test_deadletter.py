@@ -265,3 +265,79 @@ def test_lateness_reason_priority_and_malformed_mix(tmp_path):
     assert dl.loc[4, "dl_reason"] == "bad_op"  # malformed wins over late
     state = lake.read().to_pandas()
     assert set(state["text"]) == {"x", "y", "fresh"}
+
+
+def test_retry_deadletter_repairs_and_drains(tmp_path, ray_session):
+    """DLQ repair loop: fix the quarantined rows (fill null keys/offsets/ops),
+    re-apply them as a normal epoch, manifest drains, files become vacuumable."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from dbt_customer360_ray.gen import gen_changes
+    from dbt_customer360_ray.state.engine import CdcLake
+
+    changes = gen_changes(3_000, 150, seed=91).to_pandas()
+    i = np.arange(len(changes))
+    changes.loc[i % 41 == 5, "op"] = "Z"
+    changes["offset"] = changes["offset"].astype("Int64")
+    changes.loc[i % 43 == 7, "offset"] = None
+    t = pa.Table.from_pandas(changes, preserve_index=False)
+    t = t.set_column(
+        t.schema.get_field_index("turn_idx"), "turn_idx",
+        t.column("turn_idx").cast(pa.int32()),
+    )
+    lake = CdcLake(str(tmp_path / "lake"), num_partitions=4)
+    m = lake.apply(ray.data.from_arrow(t))
+    assert m["events_quarantined"] > 0
+    assert lake.fsck()["ok"]
+
+    watermark = max(lake.checkpoints().values())
+
+    def fix(rows: pa.Table) -> pa.Table:
+        df = rows.to_pandas()
+        df.loc[df["op"] == "Z", "op"] = "U"  # the producer meant an update
+        need = df["offset"].isna()
+        df.loc[need, "offset"] = watermark + 1 + np.arange(int(need.sum()))
+        df["offset"] = df["offset"].astype("int64")
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        return out.set_column(
+            out.schema.get_field_index("turn_idx"), "turn_idx",
+            out.column("turn_idx").cast(pa.int32()),
+        )
+
+    r = lake.retry_deadletter(fix)
+    assert r["repaired"] == m["events_quarantined"]
+    assert lake.read_deadletter().num_rows == 0  # drained
+    assert lake.manifest._state.get("deadletter", []) == []
+    removed = lake.vacuum()
+    assert removed >= 1  # the drained quarantine file is reclaimable
+    assert lake.fsck()["ok"]
+    # repaired rows are actually IN the lake now
+    state = lake.read_local_table().to_pandas()
+    assert len(state) > 0
+
+
+def test_fsck_detects_missing_and_mismatched_runs(tmp_path, ray_session):
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from dbt_customer360_ray.gen import gen_changes
+    from dbt_customer360_ray.state.engine import CdcLake
+
+    lake = CdcLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply(ray.data.from_arrow(gen_changes(2_000, 100, seed=93)))
+    assert lake.fsck()["ok"]
+    # corrupt: truncate one run, delete another
+    files = lake.manifest.live_files()
+    victim, gone = files[0], files[1]
+    t = pq.read_table(victim)
+    pq.write_table(t.slice(0, max(1, t.num_rows // 2)), victim)
+    os.remove(gone)
+    rep = lake.fsck()
+    assert not rep["ok"]
+    assert len(rep["row_mismatches"]) == 1
+    assert len(rep["missing_files"]) == 1
