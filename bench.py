@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "gopher_rules_documents",
     "window_dedup_documents",
     "quota_sample_documents",
+    "funnel_events",
 ]
 
 

@@ -1719,3 +1719,97 @@ ORACLE_SQL["events_hopping"] = """
     FROM w GROUP BY 1
 """
 QUERIES["events_hopping"] = q_events_hopping
+
+
+# -- 44. funnel analysis (ordered stage matching per user) ---------------------
+
+FUNNEL_STAGES = ["signup", "view", "click", "purchase"]
+
+
+def q_funnel_events(sf_dir: str):
+    """Funnel: per user, the earliest signup, then the earliest view STRICTLY
+    AFTER it, then the earliest click after that, then the earliest purchase —
+    ordered-sequence matching, the product-analytics workhorse no single SQL
+    aggregate expresses (each stage's floor depends on the previous stage's
+    answer).
+
+    Shape: one shuffle by user bucket, then each stage resolved VECTORIZEDLY
+    within the bucket (a filter + map + groupby-min per stage — 4 passes over
+    the bucket, no per-user Python). Users who never signed up are out of the
+    funnel; a user stalls at the first stage with no qualifying later event
+    (comparisons against NaT are False, so stalls propagate for free)."""
+    import pandas as pd
+
+    from ..blocks import adaptive_buckets
+    from ..sources.readers import read_table
+
+    ds = read_table(
+        sf_dir, "events", columns=["user_id", "event_type", "ts"],
+        rows_per_block=50_000,
+    )
+    nb = 32
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.bit_wise_and(t.column("user_id"), pa.scalar(nb - 1, pa.int64())),
+            pa.int32(),
+        )
+        return t.append_column("bucket", b)
+
+    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        users = df.loc[df["event_type"] == FUNNEL_STAGES[0], "user_id"].unique()
+        if len(users) == 0:
+            return pd.DataFrame(
+                columns=["user_id", *(f"ts_{s}" for s in FUNNEL_STAGES), "stage"]
+            )
+        prev = pd.Series(pd.Timestamp.min, index=users)
+        res = {}
+        for st in FUNNEL_STAGES:
+            sub = df.loc[df["event_type"] == st, ["user_id", "ts"]]
+            floor = sub["user_id"].map(prev)
+            sub = sub[sub["ts"] > floor]  # > NaT is False: stalls propagate
+            first = sub.groupby("user_id")["ts"].min()
+            col = pd.Series(pd.NaT, index=users, dtype="datetime64[us]")
+            col.loc[first.index.intersection(users)] = first
+            res[f"ts_{st}"] = col
+            prev = col
+        out = pd.DataFrame(res)
+        out.insert(0, "user_id", users)
+        out["stage"] = out[[f"ts_{s}" for s in FUNNEL_STAGES]].notna().sum(axis=1).astype("int64")
+        return out.reset_index(drop=True)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(funnel, batch_format="pandas")
+    )
+
+
+ORACLE_SQL["funnel_events"] = """
+    WITH s0 AS (
+        SELECT user_id, MIN(ts) AS ts_signup FROM events
+        WHERE event_type = 'signup' GROUP BY 1
+    ), s1 AS (
+        SELECT e.user_id, MIN(e.ts) AS ts_view FROM events e
+        JOIN s0 ON e.user_id = s0.user_id
+        WHERE e.event_type = 'view' AND e.ts > s0.ts_signup GROUP BY 1
+    ), s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS ts_click FROM events e
+        JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.ts_view GROUP BY 1
+    ), s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS ts_purchase FROM events e
+        JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.ts_click GROUP BY 1
+    )
+    SELECT s0.user_id, s0.ts_signup, s1.ts_view, s2.ts_click, s3.ts_purchase,
+           CAST(1 + (CASE WHEN s1.user_id IS NULL THEN 0 ELSE 1 END)
+                  + (CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END)
+                  + (CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS stage
+    FROM s0
+    LEFT JOIN s1 ON s0.user_id = s1.user_id
+    LEFT JOIN s2 ON s0.user_id = s2.user_id
+    LEFT JOIN s3 ON s0.user_id = s3.user_id
+"""
+QUERIES["funnel_events"] = q_funnel_events
