@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "window_dedup_documents",
     "quota_sample_documents",
     "funnel_events",
+    "cohort_retention",
 ]
 
 

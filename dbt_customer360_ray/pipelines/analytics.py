@@ -1813,3 +1813,87 @@ ORACLE_SQL["funnel_events"] = """
     LEFT JOIN s3 ON s0.user_id = s3.user_id
 """
 QUERIES["funnel_events"] = q_funnel_events
+
+
+# -- 45. cohort retention -------------------------------------------------------
+
+def q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention: users grouped by the Monday week of their
+    FIRST event; for each cohort, the distinct-user count active in week k
+    after it. One shuffle by user bucket (per user: first week + distinct
+    active weeks, vectorized), then a small (cohort, week_n) groupby — the
+    per-user pass emits each (user, week) once, so the final count is a plain
+    sum, never a distinct over the corpus."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..sources.readers import read_table
+
+    ds = read_table(
+        sf_dir, "events", columns=["user_id", "ts"], rows_per_block=50_000
+    )
+    nb = 32
+    WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        wk = pc.floor_temporal(t.column("ts"), unit="week", week_starts_monday=True)
+        b = pc.cast(
+            pc.bit_wise_and(t.column("user_id"), pa.scalar(nb - 1, pa.int64())),
+            pa.int32(),
+        )
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "wk_us": wk.cast(pa.int64()),
+                "bucket": b,
+            }
+        )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = df[["user_id", "wk_us"]].drop_duplicates()
+        cohort = pairs.groupby("user_id")["wk_us"].transform("min")
+        out = pd.DataFrame(
+            {
+                "cohort_us": cohort.to_numpy(),
+                "week_n": (pairs["wk_us"].to_numpy() - cohort.to_numpy()) // WEEK_US,
+                "n": 1,
+            }
+        )
+        return out
+
+    agg = (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_user, batch_format="pandas")
+        .groupby(["cohort_us", "week_n"])
+        .aggregate(Sum("n", alias_name="n_active"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort": t.column("cohort_us").cast(pa.timestamp("us")),
+                "week_n": t.column("week_n").cast(pa.int64()),
+                "n_active": t.column("n_active").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORACLE_SQL["cohort_retention"] = """
+    WITH wk AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+        FROM events
+    ), first_wk AS (
+        SELECT user_id, MIN(wk) AS cohort FROM wk GROUP BY 1
+    )
+    SELECT f.cohort,
+           CAST((epoch(w.wk) - epoch(f.cohort)) / 604800 AS BIGINT) AS week_n,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM wk w JOIN first_wk f ON w.user_id = f.user_id
+    GROUP BY 1, 2
+"""
+QUERIES["cohort_retention"] = q_cohort_retention
