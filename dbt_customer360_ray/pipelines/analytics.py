@@ -1897,3 +1897,29 @@ ORACLE_SQL["cohort_retention"] = """
     GROUP BY 1, 2
 """
 QUERIES["cohort_retention"] = q_cohort_retention
+
+
+# -- 46. SemDeDup ---------------------------------------------------------------
+
+def q_semantic_dedup(sf_dir: str, threshold: float = 0.95):
+    """SemDeDup: k-means-cluster the embeddings (seeded quantizer shared with
+    the IVF entry), keep-first within each cluster at cosine ≥ 0.95."""
+    from ..stages.dedup import semantic_dedup
+    from ..stages.similarity import ivf_seeded_centroids
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], rows_per_block=2_048)
+    cent = ivf_seeded_centroids(dim=64, num_clusters=16)
+    return semantic_dedup(ds, cent, threshold=threshold)
+
+
+def _semantic_dedup_sql() -> str:
+    from ..stages.dedup import semantic_dedup_oracle_sql
+    from ..stages.similarity import ivf_seeded_centroids
+
+    return semantic_dedup_oracle_sql(
+        ivf_seeded_centroids(dim=64, num_clusters=16), threshold=0.95
+    )
+
+
+QUERIES["semantic_dedup_embeddings"] = q_semantic_dedup
+ORACLE_SQL["semantic_dedup_embeddings"] = _semantic_dedup_sql()

@@ -1562,3 +1562,98 @@ def window_dedup_oracle_sql(
         SELECT {id_col}, string_agg(win, ' ' ORDER BY widx) AS text
         FROM kept GROUP BY {id_col}
     """
+
+
+# -- SemDeDup (semantic dedup within k-means clusters) -------------------------
+
+
+def semantic_dedup(
+    ds,
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): assign every embedding
+    to its nearest k-means centroid, then WITHIN each cluster drop any vector
+    that has an earlier-id neighbor at cosine ≥ threshold. Keep-first on the
+    pairwise relation (not the paper's arbitrary representative) makes the
+    answer deterministic and SQL-expressible. Output (vec_id, cluster, keep).
+
+    Scale shape: assignment is a map-only pass against the broadcast centroid
+    matrix; the quadratic sim matrix is confined to one cluster per task
+    (cluster count scales with N, so |cluster| ≈ N/C stays bounded — the whole
+    point of the cluster stage in the paper)."""
+    import ray
+
+    cref = ray.put(np.asarray(centroids, np.float64)) if ray.is_initialized() else None
+    cmat = np.asarray(centroids, np.float64)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cref) if cref is not None else cmat
+        x = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        cluster = np.argmax(x @ c.T, axis=1).astype(np.int64)
+        return pd.DataFrame(
+            {id_col: batch[id_col].to_numpy(), "cluster": cluster,
+             "ne": list(x)}
+        )
+
+    def dedup_cluster(grp: pd.DataFrame) -> pd.DataFrame:
+        g = grp.sort_values(id_col, kind="stable").reset_index(drop=True)
+        x = np.stack(g["ne"].to_numpy())
+        s = x @ x.T
+        above = np.triu(s >= threshold, k=1)  # [j, i]: earlier j hits later i
+        drop = above.any(axis=0)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "cluster": g["cluster"].to_numpy(),
+                "keep": ~drop,
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pandas")
+        .groupby("cluster")
+        .map_groups(dedup_cluster, batch_format="pandas")
+    )
+
+
+def semantic_dedup_oracle_sql(
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB mirror of ``semantic_dedup``: centroids inlined as literals
+    (the ivf_topk_oracle_sql pattern), argmax via list_position-of-list_max
+    (first occurrence on ties = np.argmax), keep = no earlier-id same-cluster
+    neighbor at cosine ≥ threshold (correlated NOT EXISTS)."""
+
+    def lit(v) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+    dots = ", ".join(
+        f"list_dot_product(ne, {lit(c)})" for c in np.asarray(centroids, np.float64)
+    )
+    return f"""
+        WITH v AS (
+            SELECT {id_col},
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> x / sqrt(list_dot_product(
+                                      CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])))) AS ne
+            FROM {table}
+        ), a AS (
+            SELECT {id_col}, ne,
+                   CAST(list_position(dl, list_max(dl)) - 1 AS BIGINT) AS cluster
+            FROM (SELECT {id_col}, ne, [{dots}] AS dl FROM v)
+        )
+        SELECT a.{id_col}, a.cluster,
+               NOT EXISTS (
+                   SELECT 1 FROM a b
+                   WHERE b.cluster = a.cluster AND b.{id_col} < a.{id_col}
+                     AND list_dot_product(a.ne, b.ne) >= {threshold}
+               ) AS keep
+        FROM a
+    """

@@ -650,3 +650,40 @@ def test_kgram_dup_matches_sql_oracle(ray_session):
     assert got.loc[0, "n_dup"] > 0 and got.loc[1, "n_dup"] > 0
     assert got.loc[2, "n_dup"] == 0
     assert got.loc[3, "n_kgrams"] == 0 and got.loc[3, "dup_frac"] == 0.0
+
+
+def test_semantic_dedup_keeps_first_and_drops_near_dups(ray_session):
+    """Exact duplicates land in the same cluster; only the smallest id keeps."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dbt_customer360_ray.stages.dedup import semantic_dedup
+    from dbt_customer360_ray.stages.similarity import ivf_seeded_centroids
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(40, 64)).astype(np.float32)
+    vecs = np.concatenate([base, base[:10]])  # ids 40-49 duplicate 0-9
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs), dtype=np.int64)),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        }
+    )
+    cent = ivf_seeded_centroids(dim=64, num_clusters=4)
+    out = (
+        semantic_dedup(ray.data.from_arrow(t).repartition(3), cent, threshold=0.99)
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert out.loc[:39, "keep"].all()  # originals all keep
+    assert not out.loc[40:, "keep"].any()  # duplicates all drop
+    # partition invariance
+    out2 = (
+        semantic_dedup(ray.data.from_arrow(t).repartition(7), cent, threshold=0.99)
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert (out["keep"] == out2["keep"]).all()
