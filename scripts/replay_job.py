@@ -66,6 +66,9 @@ def main() -> int:
                          "snapshot as a new commit (checkpoints roll back too)")
     ap.add_argument("--preimages", action="store_true",
                     help="with --change-feed: carry the replaced values as old_* columns")
+    ap.add_argument("--fsck", action="store_true",
+                    help="verify manifest ↔ storage integrity at the end (missing "
+                         "files, row-count mismatches) and print the report")
     ap.add_argument("--multi-table", action="store_true",
                     help="input carries a table_name column: route each table "
                          "to its own lake under LAKE/tables/<name>")
@@ -182,6 +185,8 @@ def main() -> int:
             vc = dl.column("dl_reason").to_pandas().value_counts()
             by_reason = {str(k): int(v) for k, v in vc.items()}
         print(json.dumps({"deadletter": {"rows": dl.num_rows, "by_reason": by_reason}}), flush=True)
+    if args.fsck:
+        print(json.dumps({"fsck": lake.fsck()}), flush=True)
     if args.vacuum:
         print(json.dumps({"vacuumed_files": lake.vacuum()}), flush=True)
     print(
