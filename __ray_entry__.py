@@ -491,6 +491,37 @@ def _stream_replay_lake(sf_dir: str):
     return lake.read_local_table()
 
 
+def _stream_patch_lake(sf_dir: str):
+    """Streaming actor-pool ingest in PATCH mode: the patch fixture's epochs
+    tailed as micro-batches with mid-stream checkpoints — memtable collapse,
+    flush, and read all resolve column-level LWW. Oracled — same
+    patch_oracle_sql as the epoch-path entry (the two paths must converge to
+    the identical state)."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from dbt_customer360_ray.pipelines.cdc_replay import patch_fixture_paths
+    from dbt_customer360_ray.state.engine import CdcLake
+    from dbt_customer360_ray.state.streaming import StreamingSession
+
+    lake = CdcLake(
+        tempfile.mkdtemp(prefix="stream-patch-lake-"),
+        num_partitions=16,
+        merge_mode="patch",
+    )
+    sess = StreamingSession(lake, pool_size=4)
+    for path in patch_fixture_paths():
+        changes = pq.read_table(path)
+        bounds = np.linspace(0, changes.num_rows, 4).astype(int)
+        for i in range(3):
+            sess.ingest(changes.slice(bounds[i], bounds[i + 1] - bounds[i]))
+        sess.checkpoint()
+    sess.close()
+    return lake.read_local_table()
+
+
 def _multimodal_image_features(sf_dir: str):
     """Actor-pool image decode+feature stage over the parquet media fixture —
     engine and DuckDB oracle read the SAME payload bytes (the md5-chain fake
@@ -549,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_multitable_transcripts"] = _cdc_multitable_transcripts
     out["cdc_multitable_meta"] = _cdc_multitable_meta
     out["stream_replay_lake"] = _stream_replay_lake
+    out["stream_patch_lake"] = _stream_patch_lake
     out["lang_quality_documents"] = _lang_quality_documents
     out["gopher_rules_documents"] = _gopher_rules_documents
     out["window_dedup_documents"] = _window_dedup_documents
@@ -666,6 +698,7 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_multitable_transcripts"] = multitable_transcripts_oracle_sql()
     out["cdc_multitable_meta"] = multitable_meta_oracle_sql()
     out["stream_replay_lake"] = stream_oracle_sql()
+    out["stream_patch_lake"] = patch_oracle_sql()
     media = media_fixture_path(128, seed=5)
     out["multimodal_image_features"] = image_oracle_sql(media)
     out["multimodal_audio_features"] = audio_oracle_sql(media)
