@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "quota_sample_documents",
     "funnel_events",
     "cohort_retention",
+    "semantic_dedup_embeddings",
+    "ngram_containment_docs",
 ]
 
 

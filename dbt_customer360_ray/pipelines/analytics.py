@@ -1923,3 +1923,44 @@ def _semantic_dedup_sql() -> str:
 
 QUERIES["semantic_dedup_embeddings"] = q_semantic_dedup
 ORACLE_SQL["semantic_dedup_embeddings"] = _semantic_dedup_sql()
+
+
+# -- 47. exact n-gram containment (overlap coefficient) -------------------------
+
+def q_ngram_containment(sf_dir: str):
+    """Exact containment pairs at 0.8 overlap coefficient — catches short
+    documents quoted inside long ones, which Jaccard's union washes out.
+    Integer permille arithmetic end-to-end."""
+    from ..stages.dedup import ngram_containment_pairs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], rows_per_block=2_048)
+    return ngram_containment_pairs(ds, threshold_permille=800)
+
+
+ORACLE_SQL["ngram_containment_docs"] = """
+    WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\\w+') AS toks
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+          list_distinct(CASE WHEN len(toks) >= 3
+            THEN list_transform(generate_series(1, len(toks) - 2),
+                                i -> array_to_string(toks[i:i+2], ' '))
+            ELSE [array_to_string(toks, ' ')] END) AS shingles
+        FROM d
+    ), e AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), inter AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_int
+        FROM e x JOIN e y ON x.s = y.s AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    ), sizes AS (
+        SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh
+    )
+    SELECT doc_a, doc_b, n_int, sa.n AS n_a, sb.n AS n_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE 1000 * n_int >= 800 * least(sa.n, sb.n)
+"""
+QUERIES["ngram_containment_docs"] = q_ngram_containment

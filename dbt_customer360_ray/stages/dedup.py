@@ -1657,3 +1657,125 @@ def semantic_dedup_oracle_sql(
                ) AS keep
         FROM a
     """
+
+
+# -- exact n-gram containment (overlap coefficient) ----------------------------
+
+
+class _AllShingleExploder(_PrefixShingleExploder):
+    """Like _PrefixShingleExploder but indexes EVERY shingle plus the doc's
+    set size: containment (overlap coefficient) has no symmetric prefix bound —
+    a tiny doc fully contained in a huge one shares only the tiny side's
+    shingles, so nothing can be skipped. Emits (doc_id, sh, n, bucket)."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n = self.n
+        ids, lists = [], []
+        for did, text in zip(batch["doc_id"], batch["text"]):
+            toks = self.tok.findall((text or "").lower())
+            if len(toks) < n:
+                s = [" ".join(toks)]
+            else:
+                s = list({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+            ids.append(did)
+            lists.append(s)
+        if not lists:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"), "sh": pd.Series(dtype="int64"),
+                 "n": pd.Series(dtype="int64"), "bucket": pd.Series(dtype="int32")}
+            )
+        lengths = np.array([len(s) for s in lists], dtype=np.int64)
+        flat = np.concatenate([np.array(s, dtype=object) for s in lists])
+        h = stable_hash(flat).astype(np.int64)
+        doc = np.repeat(np.asarray(ids, dtype=np.int64), lengths)
+        size = np.repeat(lengths, lengths)
+        return pd.DataFrame(
+            {
+                "doc_id": doc,
+                "sh": h,
+                "n": size,
+                "bucket": (h % self.BUCKETS).astype(np.int32),
+            }
+        )
+
+
+def ngram_containment_pairs(
+    ds,
+    threshold_permille: int = 800,
+    shingle_n: int = 3,
+    concurrency: int = 4,
+):
+    """EXACT overlap-coefficient (containment) pairs:
+    ``1000·|A∩B| ≥ threshold_permille·min(|A|,|B|)`` — catches a short document
+    quoted inside a long one, which Jaccard misses (the union washes it out).
+
+    Same shingle definition as ngram_jaccard. All integer arithmetic (permille
+    cross-multiplication), so the SQL oracle matches bit-for-bit. Shape:
+    all-shingle inverted index → coarse-bucket shuffle → per-bucket pair
+    PARTIAL intersection counts (a pair's shingles span buckets) → one
+    (doc_a, doc_b) sum groupby → integer threshold. The shuffle carries
+    (doc_id, sh) once — the standard exact-containment cost; candidate volume
+    is bounded by shingle co-occurrence, the same profile as the jaccard
+    index without its prefix cut."""
+    docs = ds.select_columns(["doc_id", "text"])
+    exploded = docs.map_batches(
+        _AllShingleExploder,
+        fn_constructor_kwargs={"threshold": 0.0, "shingle_n": shingle_n},
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=(1, concurrency),
+    )
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="sh")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if m.empty:
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+                 "n_int": pd.Series(dtype="int64"), "n_a": pd.Series(dtype="int64"),
+                 "n_b": pd.Series(dtype="int64")}
+            )
+        agg = (
+            m.groupby(["doc_id_x", "doc_id_y", "n_x", "n_y"], sort=False)
+            .size()
+            .reset_index(name="n_int")
+        )
+        return agg.rename(
+            columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b", "n_x": "n_a", "n_y": "n_b"}
+        )[["doc_a", "doc_b", "n_int", "n_a", "n_b"]]
+
+    from ray.data.aggregate import Max, Sum
+
+    summed = (
+        exploded.groupby("bucket")
+        .map_groups(bucket_counts, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(
+            Sum("n_int", alias_name="n_int"),
+            Max("n_a", alias_name="n_a"),
+            Max("n_b", alias_name="n_b"),
+        )
+    )
+
+    def threshold_filter(t: pa.Table) -> pa.Table:
+        n_int = t.column("n_int").cast(pa.int64())
+        mn = pc.min_element_wise(
+            t.column("n_a").cast(pa.int64()), t.column("n_b").cast(pa.int64())
+        )
+        keep = pc.greater_equal(
+            pc.multiply(n_int, pa.scalar(1000, pa.int64())),
+            pc.multiply(mn, pa.scalar(threshold_permille, pa.int64())),
+        )
+        return pa.table(
+            {
+                "doc_a": t.column("doc_a").cast(pa.int64()),
+                "doc_b": t.column("doc_b").cast(pa.int64()),
+                "n_int": n_int,
+                "n_a": t.column("n_a").cast(pa.int64()),
+                "n_b": t.column("n_b").cast(pa.int64()),
+            }
+        ).filter(keep)
+
+    return summed.map_batches(
+        threshold_filter, batch_format="pyarrow", zero_copy_batch=True
+    )
