@@ -1964,3 +1964,65 @@ ORACLE_SQL["ngram_containment_docs"] = """
     WHERE 1000 * n_int >= 800 * least(sa.n, sb.n)
 """
 QUERIES["ngram_containment_docs"] = q_ngram_containment
+
+
+# -- 48. JSON field extraction + aggregate --------------------------------------
+
+def q_props_k_stats(sf_dir: str):
+    """Per-event-type stats over a field EXTRACTED from the JSON ``props``
+    column (the reference builds JSON source_ids strings; this is the read
+    side). Extraction is one RE2 pass (pc.extract_regex) — no per-row JSON
+    parser in the hot path; rows without the key aggregate as null."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_type", "props"], rows_per_block=50_000
+    )
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t.column("props"), r'"k"\s*:\s*(?P<v>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        return pa.table({"event_type": t.column("event_type"), "k": k})
+
+    def drop_missing(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column("k")))
+
+    agg = (
+        ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(drop_missing, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("k", alias_name="sum_k"),
+            Min("k", alias_name="min_k"),
+            Max("k", alias_name="max_k"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n": t.column("n").cast(pa.int64()),
+                "sum_k": t.column("sum_k").cast(pa.int64()),
+                "min_k": t.column("min_k").cast(pa.int64()),
+                "max_k": t.column("max_k").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORACLE_SQL["props_k_stats"] = """
+    WITH x AS (
+        SELECT event_type,
+               CAST(NULLIF(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1), '') AS BIGINT) AS k
+        FROM events
+    )
+    SELECT event_type, CAST(COUNT(k) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM x WHERE k IS NOT NULL GROUP BY 1
+"""
+QUERIES["props_k_stats"] = q_props_k_stats
