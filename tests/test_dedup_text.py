@@ -687,3 +687,33 @@ def test_semantic_dedup_keeps_first_and_drops_near_dups(ray_session):
         .sort_index()
     )
     assert (out["keep"] == out2["keep"]).all()
+
+
+def test_ngram_containment_catches_quotes_jaccard_misses(ray_session):
+    """A short doc quoted inside a long one: containment ≈ 1, Jaccard low."""
+    import pyarrow as pa
+    import ray.data
+
+    from dbt_customer360_ray.stages.dedup import ngram_containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"word{i} filler{i} pad{i}" for i in range(40))
+    other = "totally different content with no overlap at all whatsoever"
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([short, long, other], pa.string()),
+        }
+    )
+    out = (
+        ngram_containment_pairs(ray.data.from_arrow(t).repartition(2))
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert out[["doc_a", "doc_b"]].values.tolist() == [[1, 2]]
+    r = out.iloc[0]
+    assert r["n_int"] == r["n_a"]  # the short doc is FULLY contained
+    # and Jaccard would have missed it
+    jac = r["n_int"] / (r["n_a"] + r["n_b"] - r["n_int"])
+    assert jac < 0.2
