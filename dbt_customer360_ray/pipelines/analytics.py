@@ -2026,3 +2026,75 @@ ORACLE_SQL["props_k_stats"] = """
     FROM x WHERE k IS NOT NULL GROUP BY 1
 """
 QUERIES["props_k_stats"] = q_props_k_stats
+
+
+# -- 49. per-group top-k ---------------------------------------------------------
+
+def q_top_types_per_nation(sf_dir: str, k: int = 3):
+    """Top-3 part types by revenue WITHIN each nation — grouped top-k, the
+    other top-k shape (top_spenders is global). Partial (nation, type) cent
+    sums combine inside map_batches; the grouped rank runs per nation bucket,
+    never a global sort. Ties broken (revenue DESC, p_type ASC) so the answer
+    is deterministic and hash-stable."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+        rows_per_block=100_000,
+    )
+    part = read_table_arrow(sf_dir, "part", ["p_partkey", "p_type"])
+    sup = read_table_arrow(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nat = read_table_arrow(sf_dir, "nation", ["n_nationkey", "n_name"])
+    import ray
+
+    pref = ray.put(
+        dict(zip(part.column("p_partkey").to_pylist(), part.column("p_type").to_pylist()))
+    )
+    s2n = dict(zip(sup.column("s_suppkey").to_pylist(), sup.column("s_nationkey").to_pylist()))
+    n2name = dict(zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist()))
+    sref = ray.put({k: n2name[v] for k, v in s2n.items()})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        p2t = ray.get(pref)
+        s2name = ray.get(sref)
+        out = pd.DataFrame(
+            {
+                "n_name": df["l_suppkey"].map(s2name),
+                "p_type": df["l_partkey"].map(p2t),
+                "cents": (df["l_extendedprice"] * 100).round().astype("int64"),
+            }
+        )
+        return out.groupby(["n_name", "p_type"], sort=False, as_index=False)["cents"].sum()
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["revenue_cents", "p_type"], ascending=[False, True], kind="stable")
+        return g.head(k).reset_index(drop=True)
+
+    return (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby(["n_name", "p_type"])
+        .aggregate(Sum("cents", alias_name="revenue_cents"))
+        .groupby("n_name")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+ORACLE_SQL["top_types_per_nation"] = """
+    WITH rev AS (
+        SELECT n_name, p_type,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT n_name, p_type, revenue_cents FROM rev
+    QUALIFY row_number() OVER (
+        PARTITION BY n_name ORDER BY revenue_cents DESC, p_type ASC) <= 3
+"""
+QUERIES["top_types_per_nation"] = q_top_types_per_nation

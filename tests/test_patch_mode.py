@@ -232,3 +232,32 @@ def test_streaming_patch_ingest_matches_oracle(tmp_path):
     pd.testing.assert_frame_equal(
         got[want.columns.tolist()], want, check_dtype=False
     )
+
+
+def test_patch_crash_and_resume_mid_epoch(tmp_path):
+    """Crash between run writes and the manifest commit on a PATCH lake: the
+    rerun replays over the orphaned files and converges to the oracle (the
+    patch run paths are deterministic, so orphans are overwritten
+    byte-for-byte, exactly like the lww path)."""
+    import ray.data
+
+    from dbt_customer360_ray.gen import oracle_patch_lake
+
+    epochs = _patch_epochs(n_events=5_000, n_convs=200, seed=83)
+    lake = CdcLake(str(tmp_path / "lake"), num_partitions=6, merge_mode="patch")
+    lake.apply(ray.data.from_arrow(epochs[0]))
+    manifest_dir = tmp_path / "lake" / "_manifest"
+    current = (manifest_dir / "CURRENT").read_text()
+    lake.apply(ray.data.from_arrow(epochs[1]))
+    (manifest_dir / "CURRENT").write_text(current)  # crash: revert the commit
+
+    resumed = CdcLake(str(tmp_path / "lake"))  # merge_mode from CONFIG.json
+    assert resumed.merge_mode == "patch"
+    assert resumed.manifest.last_epoch == 0
+    for part in epochs[1:]:
+        resumed.apply(ray.data.from_arrow(part))
+    want = oracle_patch_lake(*epochs)
+    got = resumed.read_local_table().to_pandas()
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )
