@@ -201,6 +201,23 @@ def _cdc_assistant_view(sf_dir: str):
     return dst.read(columns=["role", "text", "tool", "src_ts"])
 
 
+def _cdc_incremental_headers(sf_dir: str):
+    """Incremental AGGREGATE view (IVM by dirty keys): per-conversation
+    headers maintained epoch-by-epoch from the change feed — only touched
+    conversations recompute. Oracled — the maintained table must equal a full
+    header aggregate over the converged source state."""
+    import tempfile
+
+    from dbt_customer360_ray.pipelines.cdc_replay import replayed_lake
+    from dbt_customer360_ray.state.engine import CdcLake
+    from dbt_customer360_ray.state.views import sync_headers_view
+
+    src = replayed_lake(sf=0.01)
+    dst = CdcLake(tempfile.mkdtemp(prefix="hdr-view-") + "/lake", num_partitions=16)
+    sync_headers_view(src, dst)
+    return dst.read().drop_columns(["turn_idx", "ts"])
+
+
 def _cdc_multitable_transcripts(sf_dir: str):
     """Multi-table binlog routing: the interleaved two-table stream replayed
     through MultiTableLake; the transcripts table's converged state (its own
@@ -577,6 +594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_lookup_conversation"] = _cdc_lookup_conversation
     out["cdc_conversation_headers"] = _cdc_conversation_headers
     out["cdc_assistant_view"] = _cdc_assistant_view
+    out["cdc_incremental_headers"] = _cdc_incremental_headers
     out["cdc_multitable_transcripts"] = _cdc_multitable_transcripts
     out["cdc_multitable_meta"] = _cdc_multitable_meta
     out["stream_replay_lake"] = _stream_replay_lake
@@ -690,6 +708,7 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_lookup_conversation"] = lookup_oracle_sql(sf=0.01, conv_id="conv-00000002")
     out["cdc_conversation_headers"] = headers_oracle_sql(sf=0.01)
     out["cdc_assistant_view"] = view_oracle_sql(sf=0.01, role="assistant")
+    out["cdc_incremental_headers"] = headers_oracle_sql(sf=0.01)
     from dbt_customer360_ray.pipelines.cdc_replay import (
         multitable_meta_oracle_sql,
         multitable_transcripts_oracle_sql,

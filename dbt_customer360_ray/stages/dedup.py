@@ -1598,12 +1598,23 @@ def semantic_dedup(
              "ne": list(x)}
         )
 
-    def dedup_cluster(grp: pd.DataFrame) -> pd.DataFrame:
+    def dedup_cluster(grp: pd.DataFrame, tile: int = 2048) -> pd.DataFrame:
         g = grp.sort_values(id_col, kind="stable").reset_index(drop=True)
         x = np.stack(g["ne"].to_numpy())
-        s = x @ x.T
-        above = np.triu(s >= threshold, k=1)  # [j, i]: earlier j hits later i
-        drop = above.any(axis=0)
+        n = len(x)
+        # tiled over id-ordered chunks: peak memory is O(n·tile), never the
+        # full n² sim matrix — the jumbo-cluster guard (duplicate-heavy
+        # corpora produce hot clusters; compute stays O(n²·dim), memory
+        # doesn't). drop[i] = any EARLIER row at sim ≥ t — earlier dropped
+        # rows count too (pairwise keep-first, matching the SQL oracle).
+        drop = np.zeros(n, dtype=bool)
+        for s0 in range(0, n, tile):
+            blk = x[s0 : s0 + tile]
+            if s0 > 0:
+                hit = (x[:s0] @ blk.T) >= threshold
+                drop[s0 : s0 + len(blk)] |= hit.any(axis=0)
+            intra = np.triu(blk @ blk.T >= threshold, k=1)
+            drop[s0 : s0 + len(blk)] |= intra.any(axis=0)
         return pd.DataFrame(
             {
                 id_col: g[id_col].to_numpy(),

@@ -98,3 +98,135 @@ def sync_view(
         events = feed.map_batches(to_events, batch_format="pandas")
         out.append(dst.apply(events, epoch=epoch))
     return out
+
+
+# -- incremental AGGREGATE view: per-conversation headers ----------------------
+
+_HEADER_EVENT_SCHEMA = pa.schema(
+    [
+        ("offset", pa.int64()),
+        ("op", pa.string()),
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("n_turns", pa.int64()),
+        ("n_tool_turns", pa.int64()),
+        ("first_ts", pa.timestamp("us")),
+        ("last_ts", pa.timestamp("us")),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+
+def sync_headers_view(
+    src: CdcLake,
+    dst: CdcLake,
+    upto_epoch: int | None = None,
+) -> list[dict]:
+    """Incremental AGGREGATE view maintenance (classic IVM by dirty keys):
+    keep a per-conversation header table (n_turns, n_tool_turns, first/last
+    ts) in sync with the source lake, recomputing ONLY conversations the
+    epoch's change feed touched — per-epoch work is O(changed conversations'
+    turns), never O(lake).
+
+    Shape: the change feed (already per-partition, shuffle-free) → distinct
+    dirty conv_ids grouped by owner pid → one task per dirty PARTITION reads
+    that partition's runs at the epoch snapshot, aggregates just its dirty
+    conversations, and emits U events (D when a conversation lost its last
+    turn). Events flow through the exactly-once sink, so aggregate
+    maintenance inherits replay dedup, crash resume, and time travel. Offsets
+    and ts follow sync_view's determinism contract. View key:
+    (conv_id, turn_idx=0)."""
+    import ray.data
+
+    from ..hashing import partition_ids
+    from ..schemas import conform_batch
+    from .engine import drop_tombstones
+
+    last_src = src.manifest.last_epoch if upto_epoch is None else upto_epoch
+    out = []
+    for epoch in range(dst.manifest.last_epoch + 1, last_src + 1):
+        if dst.manifest.epoch_committed(epoch):
+            continue
+        feed = (
+            src.change_feed(from_epoch=epoch - 1, to_epoch=epoch)
+            if epoch > 0
+            else src.change_feed(from_version=0, to_epoch=0)
+        )
+        m = src._manifest_at(epoch=epoch)
+        P = m.num_partitions or src.P
+        files_by_pid = tuple(
+            (pid, tuple(m.live_files(pid))) for pid in range(P)
+        )
+        state_schema = m.schema
+        watermark = _WATERMARK_BASE + np.timedelta64(epoch + 1, "s")
+        merge_mode = src.merge_mode
+
+        def tag_pid(t: pa.Table, P=P) -> pa.Table:
+            conv = t.column("conv_id")
+            return pa.table(
+                {
+                    "conv_id": conv,
+                    "pid": pa.array(partition_ids(conv, P), pa.int32()),
+                }
+            )
+
+        def headers_for_dirty(
+            grp: pd.DataFrame,
+            files=files_by_pid,
+            schema=state_schema,
+            wm=watermark,
+            ep=epoch,
+            mode=merge_mode,
+        ) -> pa.Table:
+            import pyarrow.parquet as _pq
+
+            from .engine import _resolve_latest
+
+            pid = int(grp["pid"].iloc[0])
+            dirty = pd.unique(grp["conv_id"])
+            paths = dict(files).get(pid, ())
+            if paths:
+                tables = [conform_batch(_pq.read_table(f), schema) for f in paths]
+                state = drop_tombstones(
+                    _resolve_latest(pa.concat_tables(tables), mode)
+                ).to_pandas()
+                state = state[state["conv_id"].isin(set(dirty))]
+            else:
+                state = pd.DataFrame(columns=["conv_id", "ts", "tool"])
+            if "tool" not in state.columns:
+                state["tool"] = None
+            g = state.groupby("conv_id", sort=True)
+            agg = pd.DataFrame(
+                {
+                    "n_turns": g.size().astype("int64"),
+                    "n_tool_turns": g["tool"].count().astype("int64"),
+                    "first_ts": g["ts"].min(),
+                    "last_ts": g["ts"].max(),
+                }
+            )
+            ev = agg.reindex(pd.Index(sorted(dirty), name="conv_id")).reset_index()
+            dead = ev["n_turns"].isna()
+            ev["op"] = np.where(dead, "D", "U")
+            ev.loc[dead, ["n_turns", "n_tool_turns"]] = None
+            ev["turn_idx"] = np.int32(0)
+            ev["ts"] = pd.Timestamp(wm)
+            ev["offset"] = (
+                np.int64(ep + 1) * np.int64(1 << 40)
+                + (
+                    stable_hash(ev["conv_id"].astype(str).to_numpy())
+                    % np.uint64(1 << 39)
+                ).astype(np.int64)
+            )
+            return pa.Table.from_pandas(
+                ev[list(_HEADER_EVENT_SCHEMA.names)],
+                schema=_HEADER_EVENT_SCHEMA,
+                preserve_index=False,
+            )
+
+        events = (
+            feed.map_batches(tag_pid, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("pid")
+            .map_groups(headers_for_dirty, batch_format="pandas")
+        )
+        out.append(dst.apply(events, epoch=epoch))
+    return out
