@@ -78,6 +78,27 @@ def _cdc_snapshot_synced(sf_dir: str):
     return snapshot_synced_lake(sf=0.01)
 
 
+def _cdc_merged_into(sf_dir: str):
+    """Delta-style predicate MERGE INTO: replay, derive a keyed source (a
+    column-subset text UPDATE arm gated by target role + an INSERT arm),
+    merge_into it (events through the exactly-once epoch path; unmatched lake
+    keys untouched), return the post-merge lake. Oracled —
+    merge_into_oracle_sql replays the clauses in SQL with ts provenance."""
+    from dbt_customer360_ray.pipelines.cdc_replay import merged_into_lake
+
+    return merged_into_lake(sf=0.01)
+
+
+def _cdc_retention_lake(sf_dir: str):
+    """Row TTL / retention: replay, tombstone every live row older than the
+    cutoff via expire_rows (one task per partition, no shuffle, exactly-once),
+    return the post-expiry lake. Oracled — retention_oracle_sql keeps rows
+    at/above the cutoff with their original ts."""
+    from dbt_customer360_ray.pipelines.cdc_replay import retention_expired_lake
+
+    return retention_expired_lake(sf=0.01)
+
+
 def _cdc_late_quarantined(sf_dir: str):
     """Lateness watermark: events below (watermark − 30 min) at apply time are
     quarantined as 'too_late' instead of applied. Oracled —
@@ -581,6 +602,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_timetravel_lake"] = _cdc_timetravel_lake
     out["cdc_lake_since"] = _cdc_lake_since
     out["cdc_snapshot_synced"] = _cdc_snapshot_synced
+    out["cdc_merged_into"] = _cdc_merged_into
+    out["cdc_retention_lake"] = _cdc_retention_lake
     out["cdc_resharded_lake"] = _cdc_resharded_lake
     out["cdc_late_quarantined"] = _cdc_late_quarantined
     out["cdc_change_feed"] = _cdc_change_feed
@@ -637,7 +660,9 @@ def oracle_sql() -> dict[str, str]:
         headers_oracle_sql,
         late_quarantine_oracle_sql,
         lookup_oracle_sql,
+        merge_into_oracle_sql,
         patch_change_feed_oracle_sql,
+        retention_oracle_sql,
         patch_oracle_sql,
         view_oracle_sql,
         replay_oracle_sql,
@@ -691,6 +716,8 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_timetravel_lake"] = timetravel_oracle_sql(sf=0.01, epoch=1)
     out["cdc_lake_since"] = since_oracle_sql(sf=0.01, cutoff=_SINCE_CUTOFF)
     out["cdc_snapshot_synced"] = snapshot_sync_oracle_sql(sf=0.01)
+    out["cdc_merged_into"] = merge_into_oracle_sql(sf=0.01)
+    out["cdc_retention_lake"] = retention_oracle_sql(sf=0.01)
     out["cdc_resharded_lake"] = replay_oracle_sql(sf=0.01)
     out["cdc_late_quarantined"] = late_quarantine_oracle_sql(sf=0.01)
     out["cdc_change_feed"] = change_feed_oracle_sql(sf=0.01, from_epoch=0, to_epoch=2)

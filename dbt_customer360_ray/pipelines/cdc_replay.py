@@ -383,6 +383,114 @@ def since_oracle_sql(sf: float, cutoff: str) -> str:
     return f"SELECT * FROM ({inner}) WHERE ts >= TIMESTAMP '{cutoff}'"
 
 
+MERGE_TS = "2025-06-01 00:00:00"  # beyond every fixture ts — merge_into requires it
+
+
+def merged_into_lake(sf: float = 0.01):
+    """Driver surface for ``CdcLake.merge_into`` (Delta-style predicate MERGE):
+    replay the fixture into a fresh lake, derive a deterministic keyed source
+    from the converged state — a column-subset UPDATE arm (turn_idx % 7 == 2,
+    text gets a ' [MERGED]' suffix, gated by ``t_role == 'user'``) plus an
+    INSERT arm (one turn 8888 marker per conversation) — merge it, and return
+    the post-merge lake. Matched non-user rows and every lake key absent from
+    the source stay untouched (the semantics snapshot_sync cannot express).
+    Mirrored verbatim in ``merge_into_oracle_sql``."""
+    import numpy as np
+    import pyarrow as pa
+
+    src_schema = pa.schema(
+        [("conv_id", pa.string()), ("turn_idx", pa.int32()), ("text", pa.string())]
+    )
+
+    def to_updates(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["turn_idx"] % 7 == 2].copy()
+        df["text"] = df["text"] + " [MERGED]"
+        return pa.Table.from_pandas(
+            df[["conv_id", "turn_idx", "text"]], schema=src_schema, preserve_index=False
+        )
+
+    def to_inserts(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": pa.array(np.full(n, 8888, np.int32)),
+                "text": pa.array(["merged row"] * n),
+            },
+            schema=src_schema,
+        )
+
+    lake, _ = replay(sf=sf)
+    updates = lake.read().map_batches(to_updates, batch_format="pyarrow")
+    inserts = (
+        lake.conversation_headers()
+        .select_columns(["conv_id"])
+        .map_batches(to_inserts, batch_format="pyarrow")
+    )
+    lake.merge_into(
+        updates.union(inserts),
+        MERGE_TS,
+        matched_predicate=lambda df: df["t_role"] == "user",
+    )
+    return lake.read()
+
+
+def merge_into_oracle_sql(sf: float = 0.01, merge_ts: str = MERGE_TS) -> str:
+    """Oracle for ``merged_into_lake``: the same source derived in SQL, the
+    matched-update arm applied only where the predicate holds AND the spliced
+    image changes (ts provenance: untouched rows keep their lake ts), plus the
+    unmatched-insert arm with null-filled unprovided columns."""
+    inner = _lww_sql(_epoch_selects(sf))
+    return f"""
+        WITH state AS ({inner}),
+        src AS (
+            SELECT conv_id, turn_idx, text || ' [MERGED]' AS text
+            FROM state WHERE turn_idx % 7 = 2
+            UNION ALL
+            SELECT DISTINCT conv_id, CAST(8888 AS INTEGER) AS turn_idx,
+                   'merged row' AS text
+            FROM state
+        )
+        SELECT l.conv_id, l.turn_idx, l.role,
+               CASE WHEN s.conv_id IS NOT NULL AND l.role = 'user'
+                     AND s.text IS DISTINCT FROM l.text
+                    THEN s.text ELSE l.text END AS text,
+               l.tool,
+               CASE WHEN s.conv_id IS NOT NULL AND l.role = 'user'
+                     AND s.text IS DISTINCT FROM l.text
+                    THEN TIMESTAMP '{merge_ts}' ELSE l.ts END AS ts
+        FROM state l LEFT JOIN src s
+          ON s.conv_id = l.conv_id AND s.turn_idx = l.turn_idx
+        UNION ALL
+        SELECT s.conv_id, s.turn_idx, CAST(NULL AS VARCHAR) AS role, s.text,
+               CAST(NULL AS VARCHAR) AS tool, TIMESTAMP '{merge_ts}' AS ts
+        FROM src s LEFT JOIN state l
+          ON s.conv_id = l.conv_id AND s.turn_idx = l.turn_idx
+        WHERE l.conv_id IS NULL
+    """
+
+
+EXPIRE_CUTOFF = "2025-01-01 00:07:30"  # inside the fixture's ts range
+
+
+def retention_expired_lake(sf: float = 0.01):
+    """Driver surface for ``CdcLake.expire_rows`` (row TTL / retention):
+    replay the fixture into a fresh lake, tombstone every live row whose
+    winning ts predates ``EXPIRE_CUTOFF`` through the exactly-once epoch path
+    (one task per partition, no shuffle), and return the post-expiry lake."""
+    lake, _ = replay(sf=sf)
+    lake.expire_rows(EXPIRE_CUTOFF, SYNC_TS)
+    return lake.read()
+
+
+def retention_oracle_sql(sf: float = 0.01, cutoff: str = EXPIRE_CUTOFF) -> str:
+    """Oracle for ``retention_expired_lake``: rows at/above the cutoff survive
+    with their original ts (the tombstones only remove, never rewrite)."""
+    inner = _lww_sql(_epoch_selects(sf))
+    return f"SELECT * FROM ({inner}) WHERE ts >= TIMESTAMP '{cutoff}'"
+
+
 def lookup_oracle_sql(sf: float, conv_id: str) -> str:
     """Oracle for ``CdcLake.lookup``: the converged state filtered to one
     conversation."""

@@ -268,6 +268,152 @@ def _snapshot_diff_partition(
     ).cast(event_schema)
 
 
+def _merge_into_partition(
+    group: pa.Table,
+    files_by_pid: tuple,
+    state_schema: pa.Schema,
+    sync_ts_us: int,
+    base_offset: int,
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    matched_predicate=None,
+    merge_mode: str = "lww",
+) -> pa.Table:
+    """merge_into kernel for one partition: LWW-merge the partition's committed
+    runs, LEFT-join this partition's source slice against them, and emit the
+    minimal change events per the merge clauses. Unlike
+    ``_snapshot_diff_partition`` only SOURCE keys can produce events — lake
+    keys absent from the source are untouched (the defining difference between
+    MERGE INTO and a full-snapshot re-sync). The source may carry a SUBSET of
+    payload columns: updates splice source values into the lake row's full
+    image (unprovided columns keep their lake value), inserts null-fill them.
+    ``matched_predicate`` (optional) gates the matched clause; it receives a
+    DataFrame with ``s_<col>`` source columns, ``t_<col>`` lake columns, and
+    the key columns, and returns a boolean mask. Idempotent by construction:
+    an update whose spliced image equals the lake row emits nothing."""
+    import numpy as np
+    import pandas as pd
+
+    event_schema = pa.schema([f for f in state_schema if f.name != "pid"])
+    if group.num_rows == 0:
+        return event_schema.empty_table()
+    pid = int(group.column("pid")[0].as_py())
+    payload = [
+        f.name
+        for f in state_schema
+        if f.name not in KEY_COLUMNS and f.name not in INTERNAL_COLUMNS and f.name != "ts"
+    ]
+    src_payload = [c for c in group.column_names if c not in KEY_COLUMNS and c != "pid"]
+
+    files = dict(files_by_pid).get(pid, ())
+    if files:
+        tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
+        state = drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode))
+        lake = state.select(list(KEY_COLUMNS) + payload).to_pandas()
+    else:
+        lake = pd.DataFrame(columns=list(KEY_COLUMNS) + payload)
+
+    src = group.select(list(KEY_COLUMNS) + src_payload).to_pandas()
+    if src.duplicated(list(KEY_COLUMNS)).any():
+        raise ValueError("merge_into: source has duplicate (conv_id, turn_idx) keys")
+
+    m = src.merge(
+        lake, on=list(KEY_COLUMNS), how="left", suffixes=("", "__t"), indicator=True
+    )
+    # lake's value for column c: suffixed iff the source also carries c
+    def t_col(c):
+        return m[f"{c}__t"] if c in src_payload else m[c]
+
+    matched = (m["_merge"] == "both").to_numpy()
+    if matched_predicate is not None:
+        pred_df = pd.DataFrame(
+            {
+                **{k: m[k] for k in KEY_COLUMNS},
+                **{f"s_{c}": m[c] for c in src_payload},
+                **{f"t_{c}": t_col(c) for c in payload},
+            }
+        )
+        matched &= np.asarray(matched_predicate(pred_df), dtype=bool)
+
+    changed = np.zeros(len(m), dtype=bool)
+    for c in src_payload:  # only provided columns can change the image
+        x, y = t_col(c), m[c]
+        changed |= ((x != y) & ~(x.isna() & y.isna())).to_numpy()
+    upd = matched & changed if when_matched == "update" else np.zeros(len(m), bool)
+    dele = matched if when_matched == "delete" else np.zeros(len(m), bool)
+    ins = (
+        (m["_merge"] == "left_only").to_numpy()
+        if when_not_matched == "insert"
+        else np.zeros(len(m), bool)
+    )
+    keep = ins | dele | upd
+    out = pd.DataFrame({k: m.loc[keep, k] for k in KEY_COLUMNS})
+    ins_k, upd_k = ins[keep], upd[keep]
+    for c in payload:
+        if c in src_payload:
+            # updates and inserts both take the source value
+            out[c] = m.loc[keep, c]
+        else:
+            # unprovided: lake value on update, null on insert
+            vals = t_col(c)[keep].copy()
+            vals[ins_k] = None
+            out[c] = vals
+    out.insert(0, "op", np.where(ins_k, "I", np.where(upd_k, "U", "D")))
+    for c in payload:  # tombstones carry a null payload
+        out.loc[out["op"] == "D", c] = None
+    out = out.sort_values(list(KEY_COLUMNS), kind="stable").reset_index(drop=True)
+    out.insert(0, "offset", base_offset + np.arange(len(out), dtype=np.int64))
+    out["ts"] = pd.Timestamp(sync_ts_us, unit="us")
+    return (
+        pa.Table.from_pandas(out, preserve_index=False)
+        .select([f.name for f in event_schema])
+        .cast(event_schema)
+    )
+
+
+def _expire_partition(
+    files: list[str],
+    state_schema: pa.Schema,
+    cutoff_us: int,
+    sync_ts_us: int,
+    base_offset: int,
+    merge_mode: str = "lww",
+) -> pa.Table:
+    """expire_rows kernel for one partition: LWW-merge the runs and emit a 'D'
+    tombstone for every LIVE key whose winning ts is below the cutoff — row
+    TTL / retention, expressed as ordinary change events so the deletion is
+    change-feed-visible, time-travelable, and exactly-once like any epoch.
+    No shuffle: the scan stays on the partition that owns the keys."""
+    import numpy as np
+    import pandas as pd
+
+    event_schema = pa.schema([f for f in state_schema if f.name != "pid"])
+    payload = [
+        f.name
+        for f in state_schema
+        if f.name not in KEY_COLUMNS and f.name not in INTERNAL_COLUMNS and f.name != "ts"
+    ]
+    if not files:
+        return event_schema.empty_table()
+    tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
+    state = drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode))
+    old = state.filter(pc.less(state.column("ts"), pa.scalar(cutoff_us, pa.timestamp("us"))))
+    if old.num_rows == 0:
+        return event_schema.empty_table()
+    out = old.select(list(KEY_COLUMNS)).to_pandas()
+    out = out.sort_values(list(KEY_COLUMNS), kind="stable").reset_index(drop=True)
+    out.insert(0, "op", "D")
+    for c in payload:
+        out[c] = None
+    out.insert(0, "offset", base_offset + np.arange(len(out), dtype=np.int64))
+    out["ts"] = pd.Timestamp(sync_ts_us, unit="us")
+    return (
+        pa.Table.from_pandas(out, preserve_index=False)
+        .select([f.name for f in event_schema])
+        .cast(event_schema)
+    )
+
+
 def _headers_partition(
     files: list[str], state_schema: pa.Schema, merge_mode: str = "lww"
 ) -> pa.Table:
@@ -1015,6 +1161,161 @@ class CdcLake:
             kernel, batch_format="pyarrow"
         ).materialize()
         return self.apply(events, detect_hot=detect_hot)
+
+    def _require_sync_ts_above_committed(self, label: str, sync_us: int) -> None:
+        """Events minted at sync_us must win LWW over everything committed —
+        checked against the manifest's per-run ts stats (no files opened)."""
+        for p in range(self.P):
+            for run in self.manifest.partition(p)["runs"]:
+                if "ts_max" in run and int(run["ts_max"]) >= sync_us:
+                    raise ValueError(
+                        f"{label}: sync_ts does not exceed the lake's max "
+                        f"committed ts — the minted events would lose LWW"
+                    )
+
+    def merge_into(
+        self,
+        source,
+        sync_ts,
+        *,
+        when_matched: str = "update",
+        when_not_matched: str = "insert",
+        matched_predicate=None,
+        detect_hot: str = "off",
+    ) -> dict:
+        """Delta-style predicate MERGE INTO: apply a keyed ``source``
+        (Dataset | pa.Table | parquet path) against the lake under explicit
+        clauses — the engine analogue of the reference's incremental merge
+        models (``dbt_project.yml`` incremental materializations) generalized
+        to arbitrary upstream deltas, and the missing middle between plain
+        ``apply`` (caller supplies ops) and ``snapshot_sync`` (full desired
+        state, absent keys deleted).
+
+        Semantics per source key:
+          matched  → ``when_matched``: 'update' (splice the source's columns
+                     into the lake row's full image; emit 'U' only if it
+                     actually changed, null-safe), 'delete' ('D' tombstone),
+                     or 'skip'; gated by ``matched_predicate`` if given (a
+                     callable over a DataFrame with ``s_<col>``/``t_<col>``
+                     columns returning a bool mask).
+          unmatched → ``when_not_matched``: 'insert' (unprovided payload
+                     columns null) or 'skip'.
+        Lake keys absent from the source are NEVER touched.
+
+        The source may carry any SUBSET of the lake's payload columns
+        (column-subset UPDATE). Scale shape: the source pays one hash shuffle
+        to meet its partitions; each partition merges its runs once and the
+        re-apply exchange moves only the emitted events, O(change rate).
+        Exactly-once: the events flow through the normal ``apply`` epoch.
+        Returns the apply metrics; an idempotent re-merge is a zero-event
+        epoch."""
+        import ray.data
+
+        from ..hashing import partition_ids
+
+        if when_matched not in ("update", "delete", "skip"):
+            raise ValueError(f"merge_into: unknown when_matched {when_matched!r}")
+        if when_not_matched not in ("insert", "skip"):
+            raise ValueError(
+                f"merge_into: unknown when_not_matched {when_not_matched!r}"
+            )
+        if when_matched == "skip" and when_not_matched == "skip":
+            raise ValueError("merge_into: both clauses are 'skip' — nothing to do")
+        state_schema = self.manifest.schema
+        if state_schema is None:
+            raise ValueError(
+                "merge_into: lake is empty — use apply() or snapshot_sync() "
+                "for the initial load"
+            )
+        sync_us = _ts_to_us(sync_ts)
+        self._require_sync_ts_above_committed("merge_into", sync_us)
+
+        if isinstance(source, str):
+            src_ds = ray.data.read_parquet(source)
+        elif isinstance(source, pa.Table):
+            src_ds = ray.data.from_arrow(source)
+        else:
+            src_ds = source
+        src_schema = _dataset_schema(src_ds)
+        payload = {
+            f.name
+            for f in state_schema
+            if f.name not in KEY_COLUMNS
+            and f.name not in INTERNAL_COLUMNS
+            and f.name != "ts"
+        }
+        got = set(src_schema.names)
+        if not set(KEY_COLUMNS) <= got:
+            raise ValueError(f"merge_into: source must carry key columns {KEY_COLUMNS}")
+        extra = got - set(KEY_COLUMNS) - payload
+        if extra:
+            raise ValueError(
+                f"merge_into: source columns {sorted(extra)} are not lake "
+                f"payload columns {sorted(payload)}"
+            )
+        if not (got - set(KEY_COLUMNS)):
+            raise ValueError("merge_into: source carries no payload columns")
+
+        P = self.P
+        files_by_pid = tuple((p, tuple(self.manifest.live_files(p))) for p in range(P))
+        base_offset = max(self.manifest.committed_offsets().values(), default=-1) + 1
+
+        def assign(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "pid", pa.array(partition_ids(batch.column("conv_id"), P), pa.int32())
+            )
+
+        kernel = functools.partial(
+            _merge_into_partition,
+            files_by_pid=files_by_pid,
+            state_schema=state_schema,
+            sync_ts_us=sync_us,
+            base_offset=base_offset,
+            when_matched=when_matched,
+            when_not_matched=when_not_matched,
+            matched_predicate=matched_predicate,
+            merge_mode=self.merge_mode,
+        )
+        events = (
+            src_ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("pid")
+            .map_groups(kernel, batch_format="pyarrow")
+            .materialize()
+        )
+        return self.apply(events, detect_hot=detect_hot)
+
+    def expire_rows(self, before_ts, sync_ts, detect_hot: str = "off") -> dict:
+        """Row TTL / retention: tombstone every live row whose winning ts is
+        below ``before_ts`` — GDPR-style retention expressed as ordinary 'D'
+        change events through the exactly-once epoch path, so the deletion is
+        change-feed-visible and time-travelable (the rows stay reconstructable
+        until ``vacuum``-after-``compact`` reclaims their runs). One Ray task
+        per partition, NO shuffle (routing owns the keys); the re-apply
+        exchange moves only the tombstones. Returns the apply metrics."""
+        import ray
+        import ray.data
+
+        state_schema = self.manifest.schema
+        if state_schema is None:
+            raise ValueError("expire_rows: lake is empty")
+        cutoff_us = _ts_to_us(before_ts)
+        sync_us = _ts_to_us(sync_ts)
+        self._require_sync_ts_above_committed("expire_rows", sync_us)
+        base_offset = max(self.manifest.committed_offsets().values(), default=-1) + 1
+        task = ray.remote(_expire_partition)
+        schema_ref = ray.put(state_schema)
+        refs = [
+            task.remote(
+                self.manifest.live_files(pid),
+                schema_ref,
+                cutoff_us,
+                sync_us,
+                base_offset,
+                self.merge_mode,
+            )
+            for pid in range(self.P)
+        ]
+        return self.apply(ray.data.from_arrow_refs(refs), detect_hot=detect_hot)
 
     def reshard(self, dest_dir: str, num_partitions: int) -> "CdcLake":
         """Rewrite the lake under a new partition count — the scale-the-lake

@@ -533,3 +533,138 @@ def test_multitable_read_consistent(tmp_path, ray_session):
         got = len(ds.to_pandas())
         want = len(mt.lake(name).read_local_table_as_of(epoch=1).to_pandas())
         assert got == want, (name, got, want)
+
+
+# -- merge_into / expire_rows ------------------------------------------------
+
+
+def _merge_base(tmp_path):
+    changes = gen_changes(4_000, 250, seed=23)
+    lake = _replay(tmp_path, [changes])
+    state = (
+        lake.read_local_table()
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    return lake, state
+
+
+def test_merge_into_update_subset_and_insert(tmp_path):
+    lake, st = _merge_base(tmp_path)
+    upd = st[st.turn_idx % 3 == 1][["conv_id", "turn_idx", "text"]].copy()
+    upd["text"] = upd["text"] + " [m]"
+    ins = pd.DataFrame(
+        {"conv_id": st.conv_id.unique(), "turn_idx": 7777, "text": "new"}
+    )
+    src = pa.Table.from_pandas(pd.concat([upd, ins]), preserve_index=False)
+    lake.merge_into(src, "2025-06-01 00:00:00")
+    got = (
+        lake.read_local_table()
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    exp = st.copy()
+    m = exp.turn_idx % 3 == 1
+    exp.loc[m, "text"] = exp.loc[m, "text"] + " [m]"
+    exp.loc[m, "ts"] = pd.Timestamp("2025-06-01")
+    add = pd.DataFrame(
+        {
+            "conv_id": st.conv_id.unique(),
+            "turn_idx": 7777,
+            "role": None,
+            "text": "new",
+            "tool": None,
+            "ts": pd.Timestamp("2025-06-01"),
+        }
+    )
+    exp = (
+        pd.concat([exp, add])
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+    # unprovided columns (role/tool) kept their lake values on update
+    assert got.loc[got.turn_idx % 3 == 1, "role"].notna().any()
+
+
+def test_merge_into_is_idempotent_and_predicate_gates(tmp_path):
+    lake, st = _merge_base(tmp_path)
+    src = st[st.turn_idx % 3 == 1][["conv_id", "turn_idx", "text"]].copy()
+    src["text"] = src["text"] + " [m]"
+    src_t = pa.Table.from_pandas(src, preserve_index=False)
+    pred = lambda df: df["t_role"] == "user"  # noqa: E731
+    m1 = lake.merge_into(
+        src_t, "2025-06-01", matched_predicate=pred, when_not_matched="skip"
+    )
+    n_user = int((st[st.turn_idx % 3 == 1].role == "user").sum())
+    assert m1["upserts"] == n_user
+    # non-user matched rows untouched
+    got = lake.read_local_table().to_pandas()
+    untouched = got[(got.turn_idx % 3 == 1) & (got.role != "user")]
+    assert not untouched.text.str.endswith(" [m]").any()
+    # re-merge: spliced image already equals the lake row -> zero events
+    m2 = lake.merge_into(src_t, "2025-06-02", matched_predicate=pred)
+    assert m2["events_in"] == 0
+
+
+def test_merge_into_delete_arm(tmp_path):
+    lake, st = _merge_base(tmp_path)
+    doomed = st[st.turn_idx % 5 == 2][["conv_id", "turn_idx"]].copy()
+    doomed["text"] = "x"  # any payload column; delete ignores the values
+    lake.merge_into(
+        pa.Table.from_pandas(doomed, preserve_index=False),
+        "2025-06-01",
+        when_matched="delete",
+        when_not_matched="skip",
+    )
+    got = lake.read_local_table().to_pandas()
+    assert not (got.turn_idx % 5 == 2).any()
+    assert len(got) == int((st.turn_idx % 5 != 2).sum())
+
+
+def test_merge_into_validates(tmp_path):
+    lake, st = _merge_base(tmp_path)
+    good = st.head(4)[["conv_id", "turn_idx", "text"]]
+    with pytest.raises(ValueError, match="duplicate"):
+        lake.merge_into(
+            pa.Table.from_pandas(pd.concat([good, good]), preserve_index=False),
+            "2025-06-01",
+        )
+    with pytest.raises(ValueError, match="not lake payload"):
+        lake.merge_into(
+            pa.Table.from_pandas(good.rename(columns={"text": "bogus"}), preserve_index=False),
+            "2025-06-01",
+        )
+    with pytest.raises(ValueError, match="does not exceed"):
+        lake.merge_into(
+            pa.Table.from_pandas(good, preserve_index=False), "2020-01-01"
+        )
+    with pytest.raises(ValueError, match="nothing to do"):
+        lake.merge_into(
+            pa.Table.from_pandas(good, preserve_index=False),
+            "2025-06-01",
+            when_matched="skip",
+            when_not_matched="skip",
+        )
+
+
+def test_expire_rows_matches_filter_and_feeds_change_feed(tmp_path):
+    lake, st = _merge_base(tmp_path)
+    epoch0 = lake.manifest.last_epoch
+    cut = st.ts.quantile(0.4)
+    m = lake.expire_rows(cut, "2025-06-01")
+    got = lake.read_local_table().to_pandas()
+    exp = st[st.ts >= cut]
+    assert len(got) == len(exp)
+    assert m["deletes"] == len(st) - len(exp)
+    # the expiry is an ordinary epoch: change-feed-visible as deletes
+    feed = lake.change_feed(
+        from_epoch=epoch0, to_epoch=lake.manifest.last_epoch
+    ).to_pandas()
+    assert set(feed["change_type"].unique()) == {"delete"}
+    assert len(feed) == len(st) - len(exp)
+    # idempotent: nothing left below the cutoff
+    m2 = lake.expire_rows(cut, "2025-06-02")
+    assert m2["events_in"] == 0
