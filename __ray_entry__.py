@@ -99,6 +99,17 @@ def _cdc_retention_lake(sf_dir: str):
     return retention_expired_lake(sf=0.01)
 
 
+def _cdc_token_index(sf_dir: str):
+    """Incrementally-maintained inverted token index (secondary-index IVM):
+    each replay epoch's change feed (with pre-images) becomes exact
+    (token, conversation) count deltas folded into a derived postings lake —
+    per-epoch work O(changed tokens), never O(lake). Oracled —
+    token_index_oracle_sql rebuilds the postings from scratch in SQL."""
+    from dbt_customer360_ray.pipelines.cdc_replay import token_index_lake
+
+    return token_index_lake(sf=0.01)
+
+
 def _cdc_late_quarantined(sf_dir: str):
     """Lateness watermark: events below (watermark − 30 min) at apply time are
     quarantined as 'too_late' instead of applied. Oracled —
@@ -603,6 +614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_lake_since"] = _cdc_lake_since
     out["cdc_snapshot_synced"] = _cdc_snapshot_synced
     out["cdc_merged_into"] = _cdc_merged_into
+    out["cdc_token_index"] = _cdc_token_index
     out["cdc_retention_lake"] = _cdc_retention_lake
     out["cdc_resharded_lake"] = _cdc_resharded_lake
     out["cdc_late_quarantined"] = _cdc_late_quarantined
@@ -661,6 +673,7 @@ def oracle_sql() -> dict[str, str]:
         late_quarantine_oracle_sql,
         lookup_oracle_sql,
         merge_into_oracle_sql,
+        token_index_oracle_sql,
         patch_change_feed_oracle_sql,
         retention_oracle_sql,
         patch_oracle_sql,
@@ -717,6 +730,7 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_lake_since"] = since_oracle_sql(sf=0.01, cutoff=_SINCE_CUTOFF)
     out["cdc_snapshot_synced"] = snapshot_sync_oracle_sql(sf=0.01)
     out["cdc_merged_into"] = merge_into_oracle_sql(sf=0.01)
+    out["cdc_token_index"] = token_index_oracle_sql(sf=0.01)
     out["cdc_retention_lake"] = retention_oracle_sql(sf=0.01)
     out["cdc_resharded_lake"] = replay_oracle_sql(sf=0.01)
     out["cdc_late_quarantined"] = late_quarantine_oracle_sql(sf=0.01)

@@ -491,6 +491,40 @@ def retention_oracle_sql(sf: float = 0.01, cutoff: str = EXPIRE_CUTOFF) -> str:
     return f"SELECT * FROM ({inner}) WHERE ts >= TIMESTAMP '{cutoff}'"
 
 
+def token_index_lake(sf: float = 0.01):
+    """Driver surface for the incrementally-maintained inverted token index
+    (``state/views.py: sync_token_index``): replay the fixture, then fold each
+    epoch's change feed (with pre-images) into a derived postings lake as pure
+    count DELTAS — no source re-scan — and return the index as a clean
+    (token, conv_id, n) Dataset."""
+    import tempfile
+
+    from ..state.views import read_token_index, sync_token_index
+
+    src = replayed_lake(sf=sf)
+    dst = CdcLake(tempfile.mkdtemp(prefix="tokidx-") + "/lake", num_partitions=32)
+    sync_token_index(src, dst)
+    return read_token_index(dst)
+
+
+def token_index_oracle_sql(sf: float = 0.01) -> str:
+    """Oracle for ``token_index_lake``: the postings rebuilt from scratch by
+    tokenizing the converged state in SQL — the incremental maintenance must
+    agree with a full rebuild exactly."""
+    inner = _lww_sql(_epoch_selects(sf))
+    return f"""
+        WITH state AS ({inner}),
+        tok AS (
+            SELECT conv_id,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+            FROM state WHERE text IS NOT NULL
+        )
+        SELECT token, conv_id, count(*) AS n
+        FROM tok WHERE token <> ''
+        GROUP BY token, conv_id
+    """
+
+
 def lookup_oracle_sql(sf: float, conv_id: str) -> str:
     """Oracle for ``CdcLake.lookup``: the converged state filtered to one
     conversation."""

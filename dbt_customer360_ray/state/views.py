@@ -230,3 +230,193 @@ def sync_headers_view(
         )
         out.append(dst.apply(events, epoch=epoch))
     return out
+
+
+# -- incremental SECONDARY INDEX view: inverted token postings -----------------
+
+TOKEN_RE = r"[a-z0-9]+"
+
+_INDEX_EVENT_SCHEMA = pa.schema(
+    [
+        ("offset", pa.int64()),
+        ("op", pa.string()),
+        ("conv_id", pa.string()),  # composite "token\x1fsrc_conv" — collision-free key
+        ("turn_idx", pa.int32()),  # always 0; the composite key carries identity
+        ("token", pa.string()),
+        ("src_conv", pa.string()),
+        ("n", pa.int64()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+
+def _token_counts(frame: pd.DataFrame, text_col: str, sign: int) -> pd.DataFrame:
+    """(token, src_conv) occurrence counts × sign for one side of the feed —
+    vectorized: one lowered findall pass, explode, groupby size."""
+    if not len(frame):
+        return pd.DataFrame(columns=["token", "src_conv", "delta"])
+    toks = frame[text_col].fillna("").str.lower().str.findall(TOKEN_RE)
+    e = pd.DataFrame({"src_conv": frame["conv_id"], "token": toks}).explode("token")
+    e = e.dropna(subset=["token"])
+    if not len(e):
+        return pd.DataFrame(columns=["token", "src_conv", "delta"])
+    g = e.groupby(["token", "src_conv"], sort=False).size().astype("int64") * sign
+    return g.rename("delta").reset_index()
+
+
+def sync_token_index(
+    src: CdcLake,
+    dst: CdcLake,
+    upto_epoch: int | None = None,
+) -> list[dict]:
+    """Incrementally-maintained SECONDARY INDEX (inverted token postings):
+    keep a (token, conversation) → occurrence-count table in sync with the
+    source lake — the engine analogue of maintaining a derived search table
+    downstream of the reference's rebuilt models, without ever re-scanning
+    the lake.
+
+    Pure DELTA maintenance (no dirty-key recompute of the source): each
+    epoch's change feed WITH PRE-IMAGES yields exact token count deltas —
+    +tokens(new text) − tokens(old text) per changed row — which are summed
+    per (token, conversation), hash-shuffled ONCE to their index partitions,
+    and folded into the stored counts by one task per touched partition
+    (new = old + delta; a count reaching 0 deletes the posting). Per-epoch
+    work is O(changed rows' tokens + touched partitions' runs), independent
+    of lake size. Events flow through the exactly-once sink, so the index
+    inherits replay dedup, crash resume, and time travel. Offsets/ts follow
+    sync_view's determinism contract; the index key is the composite
+    ``token\\x1fsrc_conv`` (turn_idx pinned 0)."""
+    import functools
+
+    import ray.data
+
+    from ..hashing import partition_ids, stable_hash
+    from ..schemas import conform_batch
+
+    last_src = src.manifest.last_epoch if upto_epoch is None else upto_epoch
+    out = []
+    for epoch in range(dst.manifest.last_epoch + 1, last_src + 1):
+        if dst.manifest.epoch_committed(epoch):
+            continue
+        feed = (
+            src.change_feed(from_epoch=epoch - 1, to_epoch=epoch, include_preimage=True)
+            if epoch > 0
+            else src.change_feed(from_version=0, to_epoch=0, include_preimage=True)
+        )
+        P = dst.P
+        files_by_pid = tuple(
+            (pid, tuple(dst.manifest.live_files(pid))) for pid in range(P)
+        )
+        dst_schema = dst.manifest.schema  # None on the first epoch
+        watermark = _WATERMARK_BASE + np.timedelta64(epoch + 1, "s")
+        merge_mode = dst.merge_mode
+
+        def to_deltas(t: pa.Table, P=P) -> pa.Table:
+            df = t.to_pandas()
+            new = df[df["change_type"] != "delete"]
+            old = df[df["change_type"] != "insert"]
+            d = pd.concat(
+                [_token_counts(new, "text", 1), _token_counts(old, "old_text", -1)]
+            )
+            if not len(d):
+                return pa.table(
+                    {
+                        "key": pa.array([], pa.string()),
+                        "token": pa.array([], pa.string()),
+                        "src_conv": pa.array([], pa.string()),
+                        "delta": pa.array([], pa.int64()),
+                        "pid": pa.array([], pa.int32()),
+                    }
+                )
+            d = d.groupby(["token", "src_conv"], sort=False, as_index=False)["delta"].sum()
+            d = d[d["delta"] != 0]
+            key = d["token"] + "\x1f" + d["src_conv"]
+            return pa.table(
+                {
+                    "key": pa.array(key, pa.string()),
+                    "token": pa.array(d["token"], pa.string()),
+                    "src_conv": pa.array(d["src_conv"], pa.string()),
+                    "delta": pa.array(d["delta"].to_numpy(), pa.int64()),
+                    "pid": pa.array(partition_ids(key.to_numpy(), P), pa.int32()),
+                }
+            )
+
+        def fold_partition(
+            grp: pd.DataFrame,
+            files=files_by_pid,
+            schema=dst_schema,
+            wm=watermark,
+            ep=epoch,
+            mode=merge_mode,
+        ) -> pa.Table:
+            import pyarrow.parquet as _pq
+
+            from .engine import _resolve_latest, drop_tombstones
+
+            pid = int(grp["pid"].iloc[0])
+            # a key's deltas may span feed batches: final per-epoch sum here
+            d = grp.groupby(["key", "token", "src_conv"], sort=True, as_index=False)[
+                "delta"
+            ].sum()
+            d = d[d["delta"] != 0]
+            paths = dict(files).get(pid, ()) if schema is not None else ()
+            if paths:
+                tables = [conform_batch(_pq.read_table(f), schema) for f in paths]
+                state = drop_tombstones(
+                    _resolve_latest(pa.concat_tables(tables), mode)
+                ).to_pandas()
+                cur = state.set_index("conv_id")["n"]
+                old_n = cur.reindex(d["key"]).fillna(0).to_numpy(dtype="int64")
+            else:
+                old_n = np.zeros(len(d), dtype="int64")
+            new_n = old_n + d["delta"].to_numpy()
+            if (new_n < 0).any():
+                raise ValueError("token index: negative posting count — feed skew?")
+            ev = pd.DataFrame(
+                {
+                    "conv_id": d["key"],
+                    "token": d["token"],
+                    "src_conv": d["src_conv"],
+                    "n": new_n,
+                }
+            )
+            # unchanged counts (delta summed to 0 already dropped) always emit
+            ev["op"] = np.where(new_n > 0, "U", "D")
+            dead = ev["op"] == "D"
+            ev.loc[dead, ["token", "src_conv"]] = None
+            ev["n"] = ev["n"].astype("int64")
+            ev.loc[dead, "n"] = None
+            ev["turn_idx"] = np.int32(0)
+            ev["ts"] = pd.Timestamp(wm)
+            ev["offset"] = (
+                np.int64(ep + 1) * np.int64(1 << 40)
+                + (
+                    stable_hash(ev["conv_id"].astype(str).to_numpy())
+                    % np.uint64(1 << 39)
+                ).astype(np.int64)
+            )
+            return pa.Table.from_pandas(
+                ev[list(_INDEX_EVENT_SCHEMA.names)],
+                schema=_INDEX_EVENT_SCHEMA,
+                preserve_index=False,
+            )
+
+        events = (
+            feed.map_batches(to_deltas, batch_format="pyarrow")
+            .groupby("pid")
+            .map_groups(fold_partition, batch_format="pandas")
+        )
+        out.append(dst.apply(events, epoch=epoch))
+    return out
+
+
+def read_token_index(dst: CdcLake):
+    """The index as a clean (token, conv_id, n) Dataset (composite key and
+    internals dropped)."""
+    return dst.read().map_batches(
+        lambda t: t.select(["token", "src_conv", "n"]).rename_columns(
+            ["token", "conv_id", "n"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

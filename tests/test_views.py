@@ -107,3 +107,74 @@ def test_incremental_headers_view_matches_full_recompute(tmp_path, ray_session):
         )
     # resumable: re-sync is a no-op (epochs already committed)
     assert sync_headers_view(src, dst) == []
+
+
+def _rebuild_postings(src: CdcLake) -> pd.DataFrame:
+    from dbt_customer360_ray.state.views import TOKEN_RE
+
+    st = src.read_local_table().to_pandas()
+    toks = st["text"].fillna("").str.lower().str.findall(TOKEN_RE)
+    e = (
+        pd.DataFrame({"conv_id": st["conv_id"], "token": toks})
+        .explode("token")
+        .dropna(subset=["token"])
+    )
+    want = (
+        e.groupby(["token", "conv_id"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+    )
+    return want.sort_values(["token", "conv_id"]).reset_index(drop=True)
+
+
+def _postings(dst: CdcLake) -> pd.DataFrame:
+    from dbt_customer360_ray.state.views import read_token_index
+
+    return (
+        read_token_index(dst)
+        .to_pandas()
+        .sort_values(["token", "conv_id"])
+        .reset_index(drop=True)
+    )
+
+
+def test_token_index_tracks_source_epoch_by_epoch(tmp_path):
+    import ray.data
+
+    from dbt_customer360_ray.state.views import sync_token_index
+
+    epochs = split_epochs(gen_changes(6_000, 250, seed=67), 3)
+    src = CdcLake(str(tmp_path / "src"), num_partitions=8)
+    dst = CdcLake(str(tmp_path / "idx"), num_partitions=8)
+    for part in epochs:
+        src.apply(ray.data.from_arrow(part))
+        sync_token_index(src, dst)
+        # after EVERY incremental sync the index equals a full rebuild
+        got = _postings(dst)
+        pd.testing.assert_frame_equal(got, _rebuild_postings(src), check_dtype=False)
+
+
+def test_token_index_resumes_after_rollback(tmp_path):
+    import os
+
+    import ray.data
+
+    from dbt_customer360_ray.state.views import sync_token_index
+
+    epochs = split_epochs(gen_changes(5_000, 200, seed=71), 3)
+    src = CdcLake(str(tmp_path / "src"), num_partitions=4)
+    dst = CdcLake(str(tmp_path / "idx"), num_partitions=4)
+    for part in epochs:
+        src.apply(ray.data.from_arrow(part))
+    sync_token_index(src, dst)
+    want = _postings(dst)
+    # crash simulation: roll the index manifest back one committed version
+    cur = os.path.join(dst.lake_dir, "_manifest", "CURRENT")
+    v = int(open(cur).read().strip())
+    with open(cur, "w") as f:
+        f.write(str(v - 1))
+    dst2 = CdcLake(dst.lake_dir, num_partitions=4)
+    assert sync_token_index(src, dst2), "rollback should leave epochs to redo"
+    pd.testing.assert_frame_equal(_postings(dst2), want, check_dtype=False)
+    # and a further sync is a no-op
+    assert sync_token_index(src, dst2) == []
