@@ -888,6 +888,28 @@ def _approx_distinct_sql() -> str:
 ORACLE_SQL["approx_distinct_texts"] = _approx_distinct_sql()
 
 
+HH_PHI = 0.001
+
+
+def q_heavy_hitter_users(sf_dir: str, phi: float = HH_PHI):
+    """EXACT φ-heavy hitters over event user_ids: two-pass Misra-Gries
+    (≤⌈2/φ⌉-row summaries per batch, merged candidates, exact verify scan) —
+    no all-to-all on row data at any scale."""
+    from ..stages.sketches import heavy_hitters
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    return heavy_hitters(ds, "user_id", phi)
+
+
+def _heavy_hitters_sql() -> str:
+    from ..stages.sketches import heavy_hitters_oracle_sql
+
+    return heavy_hitters_oracle_sql("user_id", "events", HH_PHI)
+
+
+ORACLE_SQL["heavy_hitter_users"] = _heavy_hitters_sql()
+
+
 _PRICE_BANDS = [
     ("small", 0.0, 100_000.0),
     ("mid", 100_000.0, 250_000.0),
@@ -1369,6 +1391,7 @@ QUERIES = {
     "ann_topk_embeddings": q_ann_topk_embeddings,
     "ivf_topk_embeddings": q_ivf_topk_embeddings,
     "approx_distinct_texts": q_approx_distinct_texts,
+    "heavy_hitter_users": q_heavy_hitter_users,
     "rolling_events": q_rolling_events,
     "orders_price_bands": q_orders_price_bands,
     "asof_order_events": q_asof_order_events,

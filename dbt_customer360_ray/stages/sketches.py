@@ -93,3 +93,98 @@ def kmv_oracle_sql(col: str, table: str, k: int = 128) -> str:
                END AS n_distinct_est
         FROM kth
     """
+
+
+# -- heavy hitters: Misra-Gries candidates + exact verify ----------------------
+
+
+def _mg_summary(counts: pd.Series, k: int) -> pd.Series:
+    """Reduce exact value counts to a ≤k-counter Misra-Gries summary: keep the
+    top k and subtract the (k+1)-th largest from them (the standard reduction
+    — each kept counter under-estimates by ≤ the decrement, and every item
+    with true count above it survives)."""
+    if len(counts) <= k:
+        return counts
+    counts = counts.sort_values(ascending=False, kind="stable")
+    dec = int(counts.iloc[k])
+    kept = counts.iloc[:k] - dec
+    return kept[kept > 0]
+
+
+def heavy_hitters(ds, col: str, phi: float):
+    """EXACT φ-heavy hitters over ``ds[col]`` (nulls excluded): every value
+    with frequency ≥ ceil(φ·N), with its exact count — the classic two-pass
+    scheme (Misra-Gries '82; merge rule per Agarwal et al., mergeable
+    summaries).
+
+    Pass 1 (one streaming scan): each batch reduces its value counts to a
+    ≤⌈2/φ⌉-counter MG summary, so only O(1/φ) rows per batch leave the
+    worker; the driver merges the summaries (sum, then one more MG reduction)
+    — total under-count error < φN/2, so every true heavy hitter survives as
+    a candidate. Pass 2 (one streaming scan): exact counts of the ≤⌈2/φ⌉
+    candidates only (broadcast membership, filtered partial counts, tiny
+    groupby), then the exact ≥⌈φN⌉ threshold. Deterministic and exact, so
+    fully SQL-oracle-able; both scans are map-only + an O(1/φ)-row reduce —
+    no all-to-all on row data at any scale.
+    """
+    import ray.data
+
+    if not (0 < phi < 1):
+        raise ValueError(f"heavy_hitters: phi must be in (0,1), got {phi}")
+    k = int(np.ceil(2.0 / phi))
+
+    def partial_mg(batch: pd.DataFrame) -> pd.DataFrame:
+        vals = batch[col].dropna().astype(str)
+        mg = _mg_summary(vals.value_counts(), k)
+        n_rows = np.zeros(len(mg), dtype=np.int64)
+        if len(mg):  # the batch's row count rides on ONE summary row
+            n_rows[0] = len(vals)
+        return pd.DataFrame(
+            {
+                "value": mg.index.astype(str),
+                "c": mg.to_numpy(dtype=np.int64),
+                "n_rows": n_rows,
+            }
+        )
+
+    parts = ds.map_batches(partial_mg, batch_format="pandas").to_pandas()
+    total = int(parts["n_rows"].sum()) if len(parts) else 0
+    if total == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame({"value": pd.Series(dtype="string"),
+                          "n": pd.Series(dtype="int64")})
+        )
+    merged = _mg_summary(parts.groupby("value")["c"].sum(), k)
+    cands = set(merged.index.astype(str))
+    threshold = int(np.ceil(phi * total))
+
+    def exact_counts(batch: pd.DataFrame, members=frozenset(cands)) -> pd.DataFrame:
+        vals = batch[col].dropna().astype(str)
+        hit = vals[vals.isin(members)].value_counts()
+        return pd.DataFrame(
+            {"value": hit.index.astype(str), "n": hit.to_numpy(dtype=np.int64)}
+        )
+
+    def finish(df: pd.DataFrame, thr=threshold) -> pd.DataFrame:
+        df = df.rename(columns={"sum(n)": "n"})
+        return df[df["n"] >= thr]
+
+    return (
+        ds.map_batches(exact_counts, batch_format="pandas")
+        .groupby("value")
+        .sum("n")
+        .map_batches(finish, batch_format="pandas")
+    )
+
+
+def heavy_hitters_oracle_sql(col: str, table: str, phi: float) -> str:
+    """DuckDB mirror of ``heavy_hitters``: the exact definition (two-pass MG
+    is exact by construction, so the oracle is just GROUP BY + HAVING)."""
+    return f"""
+        SELECT CAST({col} AS VARCHAR) AS value, count(*) AS n
+        FROM {table}
+        WHERE {col} IS NOT NULL
+        GROUP BY 1
+        HAVING count(*) >= ceil({phi} * (
+            SELECT count(*) FROM {table} WHERE {col} IS NOT NULL))
+    """

@@ -156,3 +156,41 @@ def test_engine_replay_matches_oracle_any_stream(
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(1, 60)), min_size=1, max_size=40
+    ),
+    st.sampled_from([0.02, 0.05, 0.1, 0.25]),
+)
+def test_heavy_hitters_exact_vs_definition(spec, phi):
+    """Two-pass MG heavy hitters must equal the exact GROUP BY + HAVING
+    definition for ANY multiset — including counts right at ceil(phi*N)."""
+    import ray.data
+
+    from dbt_customer360_ray.stages.sketches import heavy_hitters
+
+    vals = np.concatenate([np.full(c, v) for v, c in spec])
+    df = pd.DataFrame({"k": vals})
+    got = (
+        heavy_hitters(ray.data.from_pandas(df).repartition(3), "k", phi)
+        .to_pandas()
+        .sort_values("value")
+        .reset_index(drop=True)
+    )
+    vc = df["k"].astype(str).value_counts()
+    thr = int(np.ceil(phi * len(df)))
+    want = (
+        vc[vc >= thr]
+        .rename_axis("value")
+        .rename("n")
+        .reset_index()
+        .sort_values("value")
+        .reset_index(drop=True)
+    )
+    if len(want) == 0:
+        assert len(got) == 0
+    else:
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
