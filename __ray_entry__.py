@@ -110,6 +110,36 @@ def _cdc_token_index(sf_dir: str):
     return token_index_lake(sf=0.01)
 
 
+def _cdc_debezium_replay(sf_dir: str):
+    """Debezium-JSONL ingest: the fixture epochs re-encoded as JSON change
+    envelopes (op c/u/d, before/after images, binlog pos), decoded with
+    vectorized pyarrow kernels, replayed through the same exactly-once path.
+    Oracled — the state must equal the parquet replay, so the oracle is the
+    plain replay oracle."""
+    from dbt_customer360_ray.pipelines.cdc_replay import debezium_replayed_lake
+
+    return debezium_replayed_lake(sf=0.01)
+
+
+def _cdc_lookup_batch(sf_dir: str):
+    """Batch point-lookup serving path: every conversation whose id ends in
+    '7', fetched via lookup_many — ids routed to owner partitions, one task
+    per TOUCHED partition, per-run bloom skip + parquet IN-filter; untouched
+    partitions never visited. Oracled — lookup_many_oracle_sql filters the
+    full SQL-derived state the slow way."""
+    from dbt_customer360_ray.pipelines.cdc_replay import replayed_lake
+
+    lake = replayed_lake(sf=0.01)
+    ids = [
+        c
+        for c in lake.conversation_headers()
+        .select_columns(["conv_id"])
+        .to_pandas()["conv_id"]
+        if c.endswith("7")
+    ]
+    return lake.lookup_many(ids)
+
+
 def _cdc_late_quarantined(sf_dir: str):
     """Lateness watermark: events below (watermark − 30 min) at apply time are
     quarantined as 'too_late' instead of applied. Oracled —
@@ -615,6 +645,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_snapshot_synced"] = _cdc_snapshot_synced
     out["cdc_merged_into"] = _cdc_merged_into
     out["cdc_token_index"] = _cdc_token_index
+    out["cdc_debezium_replay"] = _cdc_debezium_replay
+    out["cdc_lookup_batch"] = _cdc_lookup_batch
     out["cdc_retention_lake"] = _cdc_retention_lake
     out["cdc_resharded_lake"] = _cdc_resharded_lake
     out["cdc_late_quarantined"] = _cdc_late_quarantined
@@ -672,6 +704,7 @@ def oracle_sql() -> dict[str, str]:
         headers_oracle_sql,
         late_quarantine_oracle_sql,
         lookup_oracle_sql,
+        lookup_many_oracle_sql,
         merge_into_oracle_sql,
         token_index_oracle_sql,
         patch_change_feed_oracle_sql,
@@ -731,6 +764,8 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_snapshot_synced"] = snapshot_sync_oracle_sql(sf=0.01)
     out["cdc_merged_into"] = merge_into_oracle_sql(sf=0.01)
     out["cdc_token_index"] = token_index_oracle_sql(sf=0.01)
+    out["cdc_debezium_replay"] = replay_oracle_sql(sf=0.01)
+    out["cdc_lookup_batch"] = lookup_many_oracle_sql(sf=0.01, suffix="7")
     out["cdc_retention_lake"] = retention_oracle_sql(sf=0.01)
     out["cdc_resharded_lake"] = replay_oracle_sql(sf=0.01)
     out["cdc_late_quarantined"] = late_quarantine_oracle_sql(sf=0.01)

@@ -525,11 +525,57 @@ def token_index_oracle_sql(sf: float = 0.01) -> str:
     """
 
 
+def debezium_fixture_paths(sf: float = 0.01) -> list[str]:
+    """Re-encode (once, atomically) each fixture epoch as Debezium-style JSONL
+    so the JSON ingest path replays the SAME events as the parquet path."""
+    import pyarrow.parquet as pq
+
+    from ..sources.binlog_json import changes_to_debezium_jsonl
+
+    fx = changes_fixture(sf)
+    out_dir = os.path.join(FIXTURE_ROOT, f"debezium-sf{sf}")
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i, p in enumerate(fx["paths"]):
+        dst = os.path.join(out_dir, f"epoch-{i}.jsonl")
+        if not os.path.exists(dst):
+            changes_to_debezium_jsonl(pq.read_table(p), dst)
+        paths.append(dst)
+    return paths
+
+
+def debezium_replayed_lake(sf: float = 0.01):
+    """Driver surface for the Debezium-JSONL ingest source: decode each
+    epoch's JSON envelope tail (op c/u/d, before/after images, binlog pos)
+    with vectorized pyarrow kernels and replay it through the normal
+    exactly-once apply path. The converged state must equal the parquet
+    replay byte-for-byte, so the oracle is the plain replay oracle."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..sources.binlog_json import read_debezium_jsonl
+
+    fx = changes_fixture(sf)
+    lake = CdcLake(tempfile.mkdtemp(prefix="dbz-") + "/lake", num_partitions=32)
+    for pq_path, jl in zip(fx["paths"], debezium_fixture_paths(sf)):
+        lake.apply(read_debezium_jsonl(jl, schema=pq.read_schema(pq_path)))
+    return lake.read()
+
+
 def lookup_oracle_sql(sf: float, conv_id: str) -> str:
     """Oracle for ``CdcLake.lookup``: the converged state filtered to one
     conversation."""
     inner = _lww_sql(_epoch_selects(sf))
     return f"SELECT * FROM ({inner}) WHERE conv_id = '{conv_id}'"
+
+
+def lookup_many_oracle_sql(sf: float, suffix: str) -> str:
+    """Oracle for ``CdcLake.lookup_many`` over every conversation whose id
+    ends in ``suffix``: the converged state filtered the slow way — the
+    engine must agree while visiting only the owner partitions."""
+    inner = _lww_sql(_epoch_selects(sf))
+    return f"SELECT * FROM ({inner}) WHERE conv_id LIKE '%{suffix}'"
 
 
 def change_feed_oracle_sql(sf: float, from_epoch: int, to_epoch: int) -> str:

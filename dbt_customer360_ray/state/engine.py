@@ -414,6 +414,56 @@ def _expire_partition(
     )
 
 
+def _export_partition(
+    files: list[str],
+    state_schema: pa.Schema,
+    public: tuple,
+    path: str,
+    merge_mode: str = "lww",
+) -> str:
+    """export_snapshot kernel: LWW-merge one partition's runs and write the
+    key-sorted public rows to a single shard file, atomically."""
+    from .applier import atomic_parquet
+
+    if files:
+        tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
+        merged = drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode))
+        order = pc.sort_indices(
+            merged, sort_keys=[(c, "ascending") for c in KEY_COLUMNS]
+        )
+        out = merged.take(order).select(list(public))
+    else:
+        out = state_schema.empty_table().select(list(public))
+    atomic_parquet(out, path)
+    return path
+
+
+def _lookup_partition(
+    files: list[str],
+    state_schema: pa.Schema,
+    conv_ids: tuple,
+    public: tuple,
+    merge_mode: str = "lww",
+) -> pa.Table:
+    """lookup_many kernel for one touched partition: bloom-skip runs that
+    provably lack every requested id, parquet-filter the survivors to the id
+    set, LWW-merge only the matching rows."""
+    from .applier import bloom_may_contain
+
+    id_list = list(conv_ids)
+    tables = []
+    for f in files:
+        if not any(bloom_may_contain(f, cid) for cid in id_list):
+            continue
+        t = pq.read_table(f, filters=[("conv_id", "in", id_list)])
+        tables.append(conform_batch(t, state_schema))
+    if not tables:
+        return state_schema.empty_table().select(list(public))
+    merged = drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode))
+    order = pc.sort_indices(merged, sort_keys=[(c, "ascending") for c in KEY_COLUMNS])
+    return merged.take(order).select(list(public))
+
+
 def _headers_partition(
     files: list[str], state_schema: pa.Schema, merge_mode: str = "lww"
 ) -> pa.Table:
@@ -1714,6 +1764,92 @@ class CdcLake:
         )
         public = [f.name for f in state_schema if f.name not in INTERNAL_COLUMNS]
         return merged.take(order).select(public)
+
+    def export_snapshot(self, dest_dir: str) -> dict:
+        """Export the converged state to plain partitioned parquet for
+        downstream (training) consumers that don't speak the manifest — one
+        merged file per partition, written atomically (tmp → rename) and
+        RESUMABLE: shards that already exist are skipped, so a crashed export
+        re-run finishes only the missing partitions; ``_SUCCESS`` (written
+        last, with per-shard row counts) marks completion. One Ray task per
+        partition, no shuffle. Returns {written, skipped, rows}."""
+        import ray
+
+        state_schema = self.manifest.schema
+        if state_schema is None:
+            raise ValueError("export_snapshot: lake is empty")
+        os.makedirs(dest_dir, exist_ok=True)
+        public = [f.name for f in state_schema if f.name not in INTERNAL_COLUMNS]
+        task = ray.remote(_export_partition)
+        schema_ref = ray.put(state_schema)
+        refs, skipped = [], 0
+        for pid in range(self.P):
+            path = os.path.join(dest_dir, f"part-{pid:05d}.parquet")
+            if os.path.exists(path):
+                skipped += 1
+                continue
+            refs.append(
+                task.remote(
+                    self.manifest.live_files(pid),
+                    schema_ref,
+                    tuple(public),
+                    path,
+                    self.merge_mode,
+                )
+            )
+        written = ray.get(refs)
+        counts = {}
+        for pid in range(self.P):
+            path = os.path.join(dest_dir, f"part-{pid:05d}.parquet")
+            counts[f"part-{pid:05d}.parquet"] = pq.read_metadata(path).num_rows
+        tmp = os.path.join(dest_dir, "_SUCCESS.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"rows": counts, "epoch": self.manifest.last_epoch}, f)
+        os.replace(tmp, os.path.join(dest_dir, "_SUCCESS"))
+        return {
+            "written": len(written),
+            "skipped": skipped,
+            "rows": int(sum(counts.values())),
+        }
+
+    def lookup_many(self, conv_ids):
+        """Batch point lookups: the serving path for a SET of conversations.
+        Routes the requested ids to their owner partitions and runs ONE Ray
+        task per TOUCHED partition — each task bloom-skips runs that provably
+        lack all of its ids, reads the survivors with a parquet ``conv_id IN``
+        row filter, and LWW-merges only the matching rows. Cost is
+        O(touched partitions' matching row groups), never a lake scan;
+        untouched partitions are never visited. Returns a Dataset of the
+        converged turns (same shape as ``read()``)."""
+        import ray
+        import ray.data
+
+        from ..hashing import partition_ids
+
+        state_schema = self.manifest.schema
+        ids = sorted({str(c) for c in conv_ids})
+        if state_schema is None or not ids:
+            return ray.data.from_arrow(
+                pa.schema([("conv_id", pa.string())]).empty_table()
+            )
+        pids = partition_ids(ids, self.P)
+        by_pid: dict[int, list[str]] = {}
+        for cid, pid in zip(ids, pids):
+            by_pid.setdefault(int(pid), []).append(cid)
+        public = [f.name for f in state_schema if f.name not in INTERNAL_COLUMNS]
+        task = ray.remote(_lookup_partition)
+        schema_ref = ray.put(state_schema)
+        refs = [
+            task.remote(
+                self.manifest.live_files(pid),
+                schema_ref,
+                tuple(cids),
+                tuple(public),
+                self.merge_mode,
+            )
+            for pid, cids in sorted(by_pid.items())
+        ]
+        return ray.data.from_arrow_refs(refs)
 
     def restore(self, epoch: int | None = None, version: int | None = None) -> int:
         """Roll the lake back to a committed snapshot as a NEW commit

@@ -668,3 +668,51 @@ def test_expire_rows_matches_filter_and_feeds_change_feed(tmp_path):
     # idempotent: nothing left below the cutoff
     m2 = lake.expire_rows(cut, "2025-06-02")
     assert m2["events_in"] == 0
+
+
+def test_lookup_many_matches_filtered_read(tmp_path):
+    changes = gen_changes(5_000, 300, seed=41)
+    lake = _replay(tmp_path, split_epochs(changes, 2))
+    st = lake.read_local_table().to_pandas()
+    ids = sorted(st.conv_id.unique())[::7]  # a scattered subset
+    got = (
+        lake.lookup_many(ids)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    want = (
+        st[st.conv_id.isin(set(ids))]
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+    # unknown ids and empty requests are safe
+    assert lake.lookup_many(["no-such-conv"]).to_pandas().empty
+    assert lake.lookup_many([]).to_pandas().empty
+
+
+def test_export_snapshot_resumable_and_equal(tmp_path):
+    changes = gen_changes(4_000, 250, seed=53)
+    lake = _replay(tmp_path, split_epochs(changes, 2))
+    dest = str(tmp_path / "export")
+    m1 = lake.export_snapshot(dest)
+    assert m1["skipped"] == 0 and m1["written"] == lake.P
+    got = (
+        pd.concat(
+            [pq.read_table(os.path.join(dest, f)).to_pandas()
+             for f in sorted(os.listdir(dest)) if f.endswith(".parquet")]
+        )
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    want = lake.read_local_table().to_pandas()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+    assert os.path.exists(os.path.join(dest, "_SUCCESS"))
+    # crash-resume: delete one shard + _SUCCESS, re-export fills only the hole
+    os.remove(os.path.join(dest, "part-00003.parquet"))
+    os.remove(os.path.join(dest, "_SUCCESS"))
+    m2 = lake.export_snapshot(dest)
+    assert m2["written"] == 1 and m2["skipped"] == lake.P - 1
+    assert m2["rows"] == m1["rows"]
+    assert os.path.exists(os.path.join(dest, "_SUCCESS"))
