@@ -230,6 +230,17 @@ def _cdc_restored_lake(sf_dir: str):
     return restored_lake(sf=0.01, epoch=1).read()
 
 
+def _cdc_renamed_lake(sf_dir: str):
+    """Column-mapping evolution (RENAME COLUMN as a metadata-only commit):
+    replay all-but-last fixture epoch, rename tool → tool_label, apply the
+    last epoch under the NEW name. Oracled — renamed_oracle_sql replays the
+    ORIGINAL fixture and aliases the projection, since a rename rewrites no
+    data."""
+    from dbt_customer360_ray.pipelines.cdc_replay import renamed_lake
+
+    return renamed_lake(sf=0.01)
+
+
 def _cdc_conversation_headers(sf_dir: str):
     """Per-conversation summary rows (the org-header analogue of SURVEY §7.0)
     computed shuffle-free per partition on the replayed lake."""
@@ -653,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_change_feed"] = _cdc_change_feed
     out["cdc_change_feed_images"] = _cdc_change_feed_images
     out["cdc_restored_lake"] = _cdc_restored_lake
+    out["cdc_renamed_lake"] = _cdc_renamed_lake
     out["cdc_patch_lake"] = _cdc_patch_lake
     out["cdc_redelivered_lake"] = _cdc_redelivered_lake
     out["cdc_offset_travel"] = _cdc_offset_travel
@@ -771,6 +783,9 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_late_quarantined"] = late_quarantine_oracle_sql(sf=0.01)
     out["cdc_change_feed"] = change_feed_oracle_sql(sf=0.01, from_epoch=0, to_epoch=2)
     out["cdc_restored_lake"] = timetravel_oracle_sql(sf=0.01, epoch=1)
+    from dbt_customer360_ray.pipelines.cdc_replay import renamed_oracle_sql
+
+    out["cdc_renamed_lake"] = renamed_oracle_sql(sf=0.01)
     out["cdc_change_feed_images"] = change_feed_images_oracle_sql(
         sf=0.01, from_epoch=0, to_epoch=2
     )

@@ -86,6 +86,50 @@ def restored_lake(sf: float = 0.01, epoch: int = 1):
     return lake
 
 
+def _renamed_epoch_path(src: str, old: str = "tool", new: str = "tool_label") -> str:
+    """Derived fixture (cached, atomic): ``src`` with one column renamed — the
+    post-ALTER producer's output for the column-mapping driver entry."""
+    import pyarrow.parquet as pq
+
+    dst = src[: -len(".parquet")] + f"-{new}.parquet"
+    if not os.path.exists(dst):
+        t = pq.read_table(src)
+        t = t.rename_columns([new if n == old else n for n in t.column_names])
+        tmp = f"{dst}.tmp-{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, dst)
+    return dst
+
+
+def renamed_lake(sf: float = 0.01):
+    """Column-mapping driver surface (``CdcLake.rename_column``): replay all
+    but the last fixture epoch, RENAME ``tool`` → ``tool_label`` (a
+    metadata-only commit — no data files rewritten), then apply the last epoch
+    with events carrying the NEW name, as the post-ALTER upstream producer
+    would emit them. The converged state must equal the plain replay with the
+    column presented under its new name — which is exactly what
+    ``renamed_oracle_sql`` asserts from the ORIGINAL fixture bytes."""
+    fx = changes_fixture(sf)
+    lake_dir = tempfile.mkdtemp(prefix=f"cdc-renamed-sf{sf}-")
+    lake = CdcLake(os.path.join(lake_dir, "lake"), num_partitions=32)
+    paths = fx["paths"]
+    for p in paths[:-1]:
+        lake.apply(p)
+    lake.rename_column("tool", "tool_label")
+    lake.apply(_renamed_epoch_path(paths[-1]))
+    return lake.read()
+
+
+def renamed_oracle_sql(sf: float = 0.01) -> str:
+    """Oracle for ``renamed_lake``: the plain LWW replay of the ORIGINAL
+    fixture files with the final projection aliased ``tool AS tool_label`` —
+    a rename is metadata-only, so values must be byte-identical."""
+    return _lww_sql(
+        _epoch_selects(sf),
+        out_cols="conv_id, turn_idx, role, text, tool AS tool_label, ts",
+    )
+
+
 def stream_fixture_path(num_events: int = 20_000, num_convs: int = 1_000, seed: int = 42) -> str:
     """Write (once) the streaming-ingest fixture change table to parquet so the
     engine and the DuckDB oracle read the SAME bytes; returns the path."""
@@ -155,12 +199,16 @@ def deadletter_oracle_sql() -> str:
     """
 
 
-def _lww_sql(select_epochs: list[str]) -> str:
+def _lww_sql(
+    select_epochs: list[str],
+    out_cols: str = "conv_id, turn_idx, role, text, tool, ts",
+) -> str:
     """Shared oracle shape for a replayed lake: exactly-once on ``offset``
     (first delivery in file order wins — a redelivered duplicate, even one
     re-encoded under an evolved schema, is a no-op), then LWW per
     (conv_id, turn_idx) on (ts, offset) with delete winners dropped — the
-    semantics of gen.oracle_lake expressed in SQL."""
+    semantics of gen.oracle_lake expressed in SQL. ``out_cols`` lets a
+    column-mapped lake's oracle alias the final projection."""
     union = "\n            UNION ALL\n            ".join(select_epochs)
     return f"""
         WITH all_ev AS (
@@ -174,7 +222,7 @@ def _lww_sql(select_epochs: list[str]) -> str:
             QUALIFY row_number() OVER (
                 PARTITION BY conv_id, turn_idx ORDER BY ts DESC, "offset" DESC) = 1
         )
-        SELECT conv_id, turn_idx, role, text, tool, ts
+        SELECT {out_cols}
         FROM winners WHERE op <> 'D'
     """
 

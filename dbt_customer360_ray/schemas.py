@@ -74,6 +74,18 @@ def conform_batch(batch: pa.Table, schema: pa.Schema) -> pa.Table:
     return pa.Table.from_arrays(cols, schema=schema)
 
 
+def rename_columns_map(batch: pa.Table, mapping: dict[str, str]) -> pa.Table:
+    """Zero-copy rename of the columns of ``batch`` present in ``mapping``
+    (absent keys ignored). Used by column-mapping evolution to move incoming
+    batches between the logical (user) and physical (storage) namespaces."""
+    if not mapping:
+        return batch
+    names = [mapping.get(n, n) for n in batch.column_names]
+    if names == batch.column_names:
+        return batch
+    return batch.rename_columns(names)
+
+
 # lossless same-kind promotion lattice (upstream ALTER COLUMN int → bigint is
 # routine in a binlog's lifetime); anything outside it is a hard conflict
 _INT_ORDER = {pa.int8(): 0, pa.int16(): 1, pa.int32(): 2, pa.int64(): 3}

@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..functions.lww import drop_tombstones, lww_latest, patch_collapse, patch_latest
-from ..schemas import KEY_COLUMNS, conform_batch, evolve_schema
+from ..schemas import KEY_COLUMNS, conform_batch, evolve_schema, rename_columns_map
 from .applier import EpochApplier, atomic_parquet, run_ts_stats
 from .manifest import Manifest
 from .router import AssignPartitions, estimate_hot_keys
@@ -45,6 +45,29 @@ def _resolve_latest(table: pa.Table, merge_mode: str = "lww") -> pa.Table:
 
 REQUIRED_EVENT_COLUMNS = ("offset", "op", "conv_id", "turn_idx", "ts")
 INTERNAL_COLUMNS = ("op", "offset", "pid")
+# columns column-mapping evolution must not touch: keys (routing/LWW), the
+# LWW clock, and the engine internals
+_NO_MAP_COLUMNS = frozenset({"conv_id", "turn_idx", "ts", "op", "offset", "pid"})
+
+
+def _mapped_public(state_schema: pa.Schema, cm: dict | None):
+    """Public read projection of a snapshot under its (optional) column
+    mapping: ``(physical select list, logical output names)``. Without a
+    mapping both are the plain public column list (identity). With one,
+    physicals whose logical was DROPPED are excluded and the rest are renamed
+    physical → logical at the output boundary."""
+    phys_all = [f.name for f in state_schema if f.name not in INTERNAL_COLUMNS]
+    if not cm:
+        return phys_all, phys_all
+    phys2log = {p: l for l, p in cm["logical"].items()}
+    phys = [n for n in phys_all if n in _NO_MAP_COLUMNS or n in phys2log]
+    return phys, [phys2log.get(n, n) for n in phys]
+
+
+def _select_renamed(t: pa.Table, phys, logical) -> pa.Table:
+    """Project to ``phys`` (in order) and present as ``logical`` (zero-copy)."""
+    t = t.select(list(phys))
+    return t.rename_columns(list(logical)) if list(phys) != list(logical) else t
 
 
 def _ts_to_us(ts) -> int | None:
@@ -420,9 +443,11 @@ def _export_partition(
     public: tuple,
     path: str,
     merge_mode: str = "lww",
+    out_names: tuple | None = None,
 ) -> str:
     """export_snapshot kernel: LWW-merge one partition's runs and write the
-    key-sorted public rows to a single shard file, atomically."""
+    key-sorted public rows to a single shard file, atomically. ``out_names``
+    presents the columns under their logical (column-mapped) names."""
     from .applier import atomic_parquet
 
     if files:
@@ -431,10 +456,10 @@ def _export_partition(
         order = pc.sort_indices(
             merged, sort_keys=[(c, "ascending") for c in KEY_COLUMNS]
         )
-        out = merged.take(order).select(list(public))
+        out = merged.take(order)
     else:
-        out = state_schema.empty_table().select(list(public))
-    atomic_parquet(out, path)
+        out = state_schema.empty_table()
+    atomic_parquet(_select_renamed(out, public, out_names or public), path)
     return path
 
 
@@ -444,10 +469,12 @@ def _lookup_partition(
     conv_ids: tuple,
     public: tuple,
     merge_mode: str = "lww",
+    out_names: tuple | None = None,
 ) -> pa.Table:
     """lookup_many kernel for one touched partition: bloom-skip runs that
     provably lack every requested id, parquet-filter the survivors to the id
-    set, LWW-merge only the matching rows."""
+    set, LWW-merge only the matching rows. ``out_names`` presents the columns
+    under their logical (column-mapped) names."""
     from .applier import bloom_may_contain
 
     id_list = list(conv_ids)
@@ -458,10 +485,12 @@ def _lookup_partition(
         t = pq.read_table(f, filters=[("conv_id", "in", id_list)])
         tables.append(conform_batch(t, state_schema))
     if not tables:
-        return state_schema.empty_table().select(list(public))
+        return _select_renamed(
+            state_schema.empty_table(), public, out_names or public
+        )
     merged = drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode))
     order = pc.sort_indices(merged, sort_keys=[(c, "ascending") for c in KEY_COLUMNS])
-    return merged.take(order).select(list(public))
+    return _select_renamed(merged.take(order), public, out_names or public)
 
 
 def _headers_partition(
@@ -732,12 +761,18 @@ class CdcLake:
         detect_hot: str = "carryover",  # "carryover" | "prepass" | "off"
         enrich=None,
         enrich_schema: pa.Schema | None = None,
+        _physical_names: bool = False,
     ) -> dict:
         """Apply one epoch of change events; returns this epoch's metrics.
 
         ``enrich``: optional vectorized per-batch transform run inside the
         shuffle-map task (e.g. transcript text analysis); the columns it adds
-        must be declared in ``enrich_schema`` so they join the lake schema."""
+        must be declared in ``enrich_schema`` so they join the lake schema.
+
+        ``_physical_names`` (internal): the events already carry PHYSICAL
+        column names (they were derived from lake runs — merge_into,
+        expire_rows, snapshot_sync, retry_deadletter), so skip the
+        logical→physical column-mapping translation."""
         import ray
         import ray.data
 
@@ -768,6 +803,52 @@ class CdcLake:
         missing = [c for c in REQUIRED_EVENT_COLUMNS if c not in incoming.names]
         if missing:
             raise ValueError(f"change stream missing required columns: {missing}")
+
+        cm = self.manifest.column_mapping
+        mapping_update = None
+        if cm is not None and not _physical_names:
+            # column mapping active: incoming events carry LOGICAL names —
+            # translate to the storage (physical) namespace before evolution.
+            cm = {"logical": dict(cm["logical"]), "used": list(cm["used"])}
+            log2phys, used = cm["logical"], set(cm["used"])
+            fields = list(incoming) + (
+                list(enrich_schema) if enrich_schema is not None else []
+            )
+            for f in fields:
+                if f.name in _NO_MAP_COLUMNS or f.name in log2phys:
+                    continue
+                # unseen logical column: allocate a FRESH physical, so a
+                # dropped column re-added under the same name never
+                # resurrects the old data (Delta column-mapping semantics)
+                phys, k = f.name, 1
+                while phys in used:
+                    phys = f"{f.name}__{k}"
+                    k += 1
+                log2phys[f.name] = phys
+                used.add(phys)
+                cm["used"].append(phys)
+            mapping_update = cm
+            ren = {l: p for l, p in log2phys.items() if l != p}
+            incoming = pa.schema(
+                [pa.field(log2phys.get(f.name, f.name), f.type) for f in incoming]
+            )
+            if enrich_schema is not None:
+                enrich_schema = pa.schema(
+                    [
+                        pa.field(log2phys.get(f.name, f.name), f.type)
+                        for f in enrich_schema
+                    ]
+                )
+            if ren:
+                # batch-side translation rides the existing enrich hook (it
+                # runs before conform in both apply paths); renames are
+                # applied simultaneously, so swapped names are safe
+                base_enrich = enrich
+
+                def enrich(t, _b=base_enrich, _r=ren):
+                    if _b is not None:
+                        t = _b(t)
+                    return rename_columns_map(t, _r)
 
         current = self._event_schema()
         event_schema = (
@@ -857,6 +938,7 @@ class CdcLake:
                 epoch, {}, state_schema, self.P,
                 {"events_in": 0, "events_deduped": 0, "upserts": 0,
                  "deletes": 0, "late_events": 0, "events_quarantined": 0},
+                column_mapping=mapping_update,
             )
             return {"epoch": epoch, "skipped": False, "events_in": 0,
                     "events_deduped": 0, "upserts": 0, "deletes": 0,
@@ -906,6 +988,7 @@ class CdcLake:
             metrics_delta,
             hot_keys=next_hot,
             deadletter=deadletter_runs or None,
+            column_mapping=mapping_update,
         )
         self.compact()  # merges any partition whose run count exceeds max_runs
         return {"epoch": epoch, "skipped": False, **metrics_delta}
@@ -1154,6 +1237,39 @@ class CdcLake:
                 + payload_fields
                 + [("ts", pa.timestamp("us")), ("pid", pa.int32())]
             )
+        cm_sync = self.manifest.column_mapping
+        if cm_sync is not None:
+            # snapshot arrives under LOGICAL names: validate against the live
+            # logical surface, then rename + conform into the full physical
+            # payload (dropped physicals null-backfill — their data is
+            # invisible either way)
+            l2p = dict(cm_sync["logical"])
+            exp_fields = [
+                f
+                for f in state_schema
+                if f.name not in INTERNAL_COLUMNS and f.name != "ts"
+            ]
+            p2l = {p: l for l, p in l2p.items()}
+            expected_log = {
+                p2l[f.name] if f.name not in _NO_MAP_COLUMNS else f.name
+                for f in exp_fields
+                if f.name in _NO_MAP_COLUMNS or f.name in p2l
+            }
+            got_log = set(snap_schema.names)
+            if got_log != expected_log:
+                raise ValueError(
+                    f"snapshot_sync: snapshot columns {sorted(got_log)} != lake "
+                    f"public columns minus ts {sorted(expected_log)}"
+                )
+            snap_phys = pa.schema(exp_fields)
+
+            def _to_phys(t: pa.Table, _r=l2p, _s=snap_phys) -> pa.Table:
+                return conform_batch(rename_columns_map(t, _r), _s)
+
+            snap_ds = snap_ds.map_batches(
+                _to_phys, batch_format="pyarrow", zero_copy_batch=True
+            )
+            snap_schema = snap_phys
         expected = {
             f.name
             for f in state_schema
@@ -1210,7 +1326,7 @@ class CdcLake:
         events = routed.groupby("pid").map_groups(
             kernel, batch_format="pyarrow"
         ).materialize()
-        return self.apply(events, detect_hot=detect_hot)
+        return self.apply(events, detect_hot=detect_hot, _physical_names=True)
 
     def _require_sync_ts_above_committed(self, label: str, sync_us: int) -> None:
         """Events minted at sync_us must win LWW over everything committed —
@@ -1287,6 +1403,26 @@ class CdcLake:
         else:
             src_ds = source
         src_schema = _dataset_schema(src_ds)
+        cm_mi = self.manifest.column_mapping
+        if cm_mi is not None:
+            # source arrives under LOGICAL names (live columns only); move it
+            # into the physical namespace before the payload checks
+            l2p = dict(cm_mi["logical"])
+            live_log = set(l2p) | set(KEY_COLUMNS)
+            bad = [n for n in src_schema.names if n not in live_log]
+            if bad:
+                raise ValueError(
+                    f"merge_into: source columns {sorted(bad)} are not lake "
+                    f"columns {sorted(live_log)}"
+                )
+            src_ds = src_ds.map_batches(
+                lambda t, _r=l2p: rename_columns_map(t, _r),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            src_schema = pa.schema(
+                [pa.field(l2p.get(f.name, f.name), f.type) for f in src_schema]
+            )
         payload = {
             f.name
             for f in state_schema
@@ -1332,7 +1468,7 @@ class CdcLake:
             .map_groups(kernel, batch_format="pyarrow")
             .materialize()
         )
-        return self.apply(events, detect_hot=detect_hot)
+        return self.apply(events, detect_hot=detect_hot, _physical_names=True)
 
     def expire_rows(self, before_ts, sync_ts, detect_hot: str = "off") -> dict:
         """Row TTL / retention: tombstone every live row whose winning ts is
@@ -1365,7 +1501,11 @@ class CdcLake:
             )
             for pid in range(self.P)
         ]
-        return self.apply(ray.data.from_arrow_refs(refs), detect_hot=detect_hot)
+        return self.apply(
+            ray.data.from_arrow_refs(refs),
+            detect_hot=detect_hot,
+            _physical_names=True,
+        )
 
     def reshard(self, dest_dir: str, num_partitions: int) -> "CdcLake":
         """Rewrite the lake under a new partition count — the scale-the-lake
@@ -1562,14 +1702,24 @@ class CdcLake:
             empty = pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int32())])
             return ray.data.from_arrow(empty.empty_table())
 
-        public = [f.name for f in state_schema if f.name not in INTERNAL_COLUMNS]
+        # physical select list + logical output names under the snapshot's
+        # column mapping (identity when the lake never renamed/dropped)
+        public, out_names = _mapped_public(state_schema, m.column_mapping)
         if columns is not None:
-            unknown = [c for c in columns if c not in public]
+            unknown = [c for c in columns if c not in out_names]
             if unknown:
-                raise KeyError(f"unknown lake columns: {unknown} (have {public})")
+                raise KeyError(
+                    f"unknown lake columns: {unknown} (have {out_names})"
+                )
             # the key columns always ride along — a keyed lake read without
             # its key is never what a caller wants
-            public = [c for c in public if c in KEY_COLUMNS or c in columns]
+            keep = [
+                (p, l)
+                for p, l in zip(public, out_names)
+                if p in KEY_COLUMNS or l in columns
+            ]
+            public = [p for p, _ in keep]
+            out_names = [l for _, l in keep]
             # the merge itself needs keys + LWW/tombstone internals; prune
             # everything else at the decoder
             needed = list(
@@ -1601,19 +1751,26 @@ class CdcLake:
             # each kept file is already LWW-resolved and key-sorted (a key in a
             # pruned sibling run either loses to this file's row or fails the
             # ts filter — _read_manifest docstring): filter + project
-            def finalize(t: pa.Table, cols=tuple(public)) -> pa.Table:
-                return ts_filter(drop_tombstones(t)).select(list(cols))
+            def finalize(
+                t: pa.Table, cols=tuple(public), outs=tuple(out_names)
+            ) -> pa.Table:
+                return _select_renamed(ts_filter(drop_tombstones(t)), cols, outs)
 
             return ds.map_batches(
                 finalize, batch_format="pyarrow", zero_copy_batch=True
             )
 
-        def merge(group: pa.Table, cols=tuple(public), mode=self.merge_mode) -> pa.Table:
+        def merge(
+            group: pa.Table,
+            cols=tuple(public),
+            outs=tuple(out_names),
+            mode=self.merge_mode,
+        ) -> pa.Table:
             merged = ts_filter(drop_tombstones(_resolve_latest(group, mode)))
             order = pc.sort_indices(
                 merged, sort_keys=[(c, "ascending") for c in KEY_COLUMNS]
             )
-            return merged.take(order).select(list(cols))
+            return _select_renamed(merged.take(order), cols, outs)
 
         return ds.groupby("pid").map_groups(merge, batch_format="pyarrow")
 
@@ -1647,7 +1804,9 @@ class CdcLake:
         state_schema = mb.schema
         if state_schema is None:
             raise ValueError("change_feed: the TO snapshot is an empty lake")
-        public = [f.name for f in state_schema if f.name not in INTERNAL_COLUMNS]
+        # diff runs in the physical namespace; the TO snapshot's column
+        # mapping names the output (old_* preimages follow their column)
+        public, out_names = _mapped_public(state_schema, mb.column_mapping)
         P = mb.num_partitions or self.P
         diff_task = ray.remote(_diff_partition)
         schema_ref = ray.put(state_schema)
@@ -1658,7 +1817,18 @@ class CdcLake:
             )
             for pid in range(P)
         ]
-        return ray.data.from_arrow_refs(refs)
+        feed = ray.data.from_arrow_refs(refs)
+        if list(public) != list(out_names):
+            ren = dict(zip(public, out_names))
+            ren.update(
+                {f"old_{p}": f"old_{l}" for p, l in zip(public, out_names)}
+            )
+            feed = feed.map_batches(
+                lambda t, _r=ren: rename_columns_map(t, _r),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        return feed
 
     def read_local_table(self, manifest: Manifest | None = None) -> pa.Table:
         """Pure-pyarrow converged state (no Ray) — for tests and small oracles."""
@@ -1677,8 +1847,8 @@ class CdcLake:
         order = pc.sort_indices(
             merged, sort_keys=[(c, "ascending") for c in KEY_COLUMNS]
         )
-        public = [f.name for f in state_schema if f.name not in INTERNAL_COLUMNS]
-        return merged.take(order).select(public)
+        public, out_names = _mapped_public(state_schema, m.column_mapping)
+        return _select_renamed(merged.take(order), public, out_names)
 
     def read_local_table_as_of(
         self,
@@ -1762,8 +1932,10 @@ class CdcLake:
         order = pc.sort_indices(
             merged, sort_keys=[(c, "ascending") for c in KEY_COLUMNS]
         )
-        public = [f.name for f in state_schema if f.name not in INTERNAL_COLUMNS]
-        return merged.take(order).select(public)
+        public, out_names = _mapped_public(
+            state_schema, self.manifest.column_mapping
+        )
+        return _select_renamed(merged.take(order), public, out_names)
 
     def export_snapshot(self, dest_dir: str) -> dict:
         """Export the converged state to plain partitioned parquet for
@@ -1779,7 +1951,9 @@ class CdcLake:
         if state_schema is None:
             raise ValueError("export_snapshot: lake is empty")
         os.makedirs(dest_dir, exist_ok=True)
-        public = [f.name for f in state_schema if f.name not in INTERNAL_COLUMNS]
+        public, out_names = _mapped_public(
+            state_schema, self.manifest.column_mapping
+        )
         task = ray.remote(_export_partition)
         schema_ref = ray.put(state_schema)
         refs, skipped = [], 0
@@ -1795,6 +1969,7 @@ class CdcLake:
                     tuple(public),
                     path,
                     self.merge_mode,
+                    tuple(out_names),
                 )
             )
         written = ray.get(refs)
@@ -1836,7 +2011,9 @@ class CdcLake:
         by_pid: dict[int, list[str]] = {}
         for cid, pid in zip(ids, pids):
             by_pid.setdefault(int(pid), []).append(cid)
-        public = [f.name for f in state_schema if f.name not in INTERNAL_COLUMNS]
+        public, out_names = _mapped_public(
+            state_schema, self.manifest.column_mapping
+        )
         task = ray.remote(_lookup_partition)
         schema_ref = ray.put(state_schema)
         refs = [
@@ -1846,10 +2023,66 @@ class CdcLake:
                 tuple(cids),
                 tuple(public),
                 self.merge_mode,
+                tuple(out_names),
             )
             for pid, cids in sorted(by_pid.items())
         ]
         return ray.data.from_arrow_refs(refs)
+
+    def _seed_mapping(self) -> dict:
+        """Explicit identity column mapping over the current event schema —
+        materialized lazily by the first RENAME/DROP so never-altered lakes
+        pay zero mapping overhead."""
+        s = self._event_schema()
+        if s is None:
+            raise ValueError("column mapping: lake has no schema yet")
+        logical = {f.name: f.name for f in s if f.name not in _NO_MAP_COLUMNS}
+        return {"logical": logical, "used": sorted(logical.values())}
+
+    def rename_column(self, old: str, new: str) -> int:
+        """``ALTER TABLE … RENAME COLUMN`` via Delta-style column mapping: a
+        METADATA-ONLY commit — no data files are rewritten; the physical
+        (storage) name is pinned forever and reads present the logical name.
+        Subsequent change events must carry the NEW name; an event batch still
+        carrying the old name is treated as a brand-new column (exactly
+        Delta's semantics). Time travel / RESTORE see the names as of each
+        snapshot; derived surfaces keyed off physical columns (e.g.
+        ``conversation_headers``'s tool count) are unaffected by renames.
+        Returns the new manifest version."""
+        if old in _NO_MAP_COLUMNS or new in _NO_MAP_COLUMNS:
+            raise ValueError(
+                f"cannot rename system/key columns ({sorted(_NO_MAP_COLUMNS)})"
+            )
+        cm = self.manifest.column_mapping or self._seed_mapping()
+        cm = {"logical": dict(cm["logical"]), "used": list(cm["used"])}
+        if old not in cm["logical"]:
+            raise KeyError(
+                f"rename_column: no column {old!r} (have {sorted(cm['logical'])})"
+            )
+        if new in cm["logical"]:
+            raise ValueError(f"rename_column: column {new!r} already exists")
+        cm["logical"][new] = cm["logical"].pop(old)
+        return self.manifest.commit_schema_change(cm)
+
+    def drop_column(self, name: str) -> int:
+        """``ALTER TABLE … DROP COLUMN`` (metadata-only): the physical column
+        and its data stay in the run files — time travel before this version
+        still shows them — but every read surface at or after this version
+        excludes it. Re-adding the same logical name later allocates a FRESH
+        physical column, so the dropped data never resurrects. Returns the
+        new manifest version."""
+        if name in _NO_MAP_COLUMNS:
+            raise ValueError(
+                f"cannot drop system/key columns ({sorted(_NO_MAP_COLUMNS)})"
+            )
+        cm = self.manifest.column_mapping or self._seed_mapping()
+        cm = {"logical": dict(cm["logical"]), "used": list(cm["used"])}
+        if name not in cm["logical"]:
+            raise KeyError(
+                f"drop_column: no column {name!r} (have {sorted(cm['logical'])})"
+            )
+        del cm["logical"][name]
+        return self.manifest.commit_schema_change(cm)
 
     def restore(self, epoch: int | None = None, version: int | None = None) -> int:
         """Roll the lake back to a committed snapshot as a NEW commit
@@ -1904,7 +2137,9 @@ class CdcLake:
             raise ValueError(
                 f"retry_deadletter: fix left {int(bad.sum())} invalid rows"
             )
-        metrics = self.apply(ray.data.from_arrow(fixed), epoch=epoch)
+        metrics = self.apply(
+            ray.data.from_arrow(fixed), epoch=epoch, _physical_names=True
+        )
         drained = [r["path"] for r in self.manifest._state.get("deadletter", [])]
         self.manifest.commit_deadletter_clear(drained)
         return {"repaired": fixed.num_rows, **metrics}

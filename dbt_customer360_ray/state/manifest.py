@@ -111,6 +111,15 @@ class Manifest:
     def metrics(self) -> dict:
         return dict(self._state["metrics"])
 
+    @property
+    def column_mapping(self) -> dict | None:
+        """Delta-style column mapping: ``{"logical": {logical→physical},
+        "used": [every physical ever allocated]}`` — or None when the lake has
+        never renamed/dropped a column (identity namespace, zero overhead).
+        Per-version like the schema, so time travel and RESTORE see the names
+        a reader at that snapshot saw."""
+        return self._state.get("column_mapping")
+
     def partition(self, pid: int) -> dict:
         return self._state["partitions"].get(
             str(pid), {"runs": [], "max_offset": -1, "rows": 0}
@@ -200,6 +209,7 @@ class Manifest:
         metrics_delta: dict,
         hot_keys: list[str] | None = None,
         deadletter: list[dict] | None = None,
+        column_mapping: dict | None = None,
     ) -> None:
         """Atomically commit one applied epoch.
 
@@ -248,6 +258,10 @@ class Manifest:
                 # lake-relative quarantine files, appended for lineage — the DLQ
                 # never contributes to partitions/checkpoints
                 state["deadletter"] = state.get("deadletter", []) + list(deadletter)
+            if column_mapping is not None:
+                # epoch introduced new logical columns → persist their
+                # physical allocations atomically with the data commit
+                state["column_mapping"] = column_mapping
             state["schema"] = _schema_to_json(schema)
             state["num_partitions"] = num_partitions
             state["last_epoch"] = max(state["last_epoch"], epoch)
@@ -299,6 +313,23 @@ class Manifest:
                     raise
                 self.reload()
 
+    def commit_schema_change(self, column_mapping: dict) -> int:
+        """Metadata-only commit of a column-mapping change (RENAME / DROP
+        COLUMN): a new manifest version with the same data files — no bytes
+        rewritten, exactly Delta's column-mapping ALTER. No epoch record (like
+        compaction); returns the new version."""
+        for attempt in range(5):
+            state = json.loads(json.dumps(self._state))
+            state["column_mapping"] = json.loads(json.dumps(column_mapping))
+            state["version"] += 1
+            try:
+                self._persist(state)
+                return state["version"]
+            except CommitConflictError:
+                if attempt == 4:
+                    raise
+                self.reload()
+
     def commit_restore(self, target_version: int) -> int:
         """Delta-style RESTORE: publish a NEW manifest version whose live state
         (run lists, checkpoints, schema, epoch records, metrics) is the
@@ -321,6 +352,13 @@ class Manifest:
                 state[k] = json.loads(json.dumps(target[k]))
             state["hot_keys"] = list(target.get("hot_keys", []))
             state["deadletter"] = list(target.get("deadletter", []))
+            # column mapping rolls back WITH the data (a post-target RENAME /
+            # DROP is undone; absent at target → restored to identity)
+            state.pop("column_mapping", None)
+            if target.get("column_mapping") is not None:
+                state["column_mapping"] = json.loads(
+                    json.dumps(target["column_mapping"])
+                )
             state["restores"] = state.get("restores", []) + [
                 {"from_version": prev, "to_version": target_version,
                  "version": prev + 1}

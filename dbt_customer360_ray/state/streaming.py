@@ -25,9 +25,9 @@ import pyarrow.compute as pc
 
 from ..functions.lww import lww_latest, patch_collapse
 from ..hashing import partition_ids
-from ..schemas import conform_batch, evolve_schema
+from ..schemas import conform_batch, evolve_schema, rename_columns_map
 from .applier import atomic_parquet, run_ts_stats
-from .engine import CdcLake, REQUIRED_EVENT_COLUMNS
+from .engine import CdcLake, REQUIRED_EVENT_COLUMNS, _NO_MAP_COLUMNS
 
 
 def _concat_evolving(chunks: list[pa.Table]) -> pa.Table:
@@ -145,6 +145,15 @@ class StreamingSession:
                 )
             )
         self._schema: pa.Schema | None = lake._event_schema()
+        # column mapping (rename/drop evolution): session-held copy, extended
+        # when a micro-batch introduces new logical columns and persisted at
+        # each checkpoint's commit
+        cm = lake.manifest.column_mapping
+        self._colmap = (
+            {"logical": dict(cm["logical"]), "used": list(cm["used"])}
+            if cm is not None
+            else None
+        )
         self._pending_refs: list = []
         # dead-letter buffer: malformed rows held like memtables (durable only
         # at checkpoint — a crash between checkpoints re-tails them anyway)
@@ -173,6 +182,21 @@ class StreamingSession:
         missing = [c for c in REQUIRED_EVENT_COLUMNS if c not in batch.column_names]
         if missing:
             raise ValueError(f"micro-batch missing required columns: {missing}")
+        if self._colmap is not None:
+            # logical → physical translation (same rules as the epoch path:
+            # unseen logical columns allocate a FRESH physical name)
+            log2phys, used = self._colmap["logical"], set(self._colmap["used"])
+            for f in batch.schema:
+                if f.name in _NO_MAP_COLUMNS or f.name in log2phys:
+                    continue
+                phys, k = f.name, 1
+                while phys in used:
+                    phys = f"{f.name}__{k}"
+                    k += 1
+                log2phys[f.name] = phys
+                used.add(phys)
+                self._colmap["used"].append(phys)
+            batch = rename_columns_map(batch, log2phys)
         incoming = batch.schema
         self._schema = (
             evolve_schema(self._schema, incoming) if self._schema is not None else incoming
@@ -261,7 +285,7 @@ class StreamingSession:
         ) if self._schema is not None else self.lake.manifest.schema
         self.lake.manifest.commit_epoch(
             epoch, partition_updates, state_schema, self.P, delta,
-            deadletter=deadletter,
+            deadletter=deadletter, column_mapping=self._colmap,
         )
         self.lake.compact()
         self._refresh_late_cutoff()  # the commit advanced the watermark
