@@ -230,6 +230,16 @@ def _cdc_restored_lake(sf_dir: str):
     return restored_lake(sf=0.01, epoch=1).read()
 
 
+def _cdc_txn_lake(sf_dir: str):
+    """Transaction-boundary atomicity: replay epochs 0-2 of the txn-metadata
+    fixture — only COMPLETE upstream transactions are visible; boundary-cut
+    ones are parked in the manifest-committed pending sidecar. Oracled —
+    txn_oracle_sql re-derives the complete-transactions-only LWW state."""
+    from dbt_customer360_ray.pipelines.cdc_replay import txn_lake
+
+    return txn_lake(sf=0.01, upto=2)
+
+
 def _cdc_renamed_lake(sf_dir: str):
     """Column-mapping evolution (RENAME COLUMN as a metadata-only commit):
     replay all-but-last fixture epoch, rename tool → tool_label, apply the
@@ -665,6 +675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_change_feed_images"] = _cdc_change_feed_images
     out["cdc_restored_lake"] = _cdc_restored_lake
     out["cdc_renamed_lake"] = _cdc_renamed_lake
+    out["cdc_txn_lake"] = _cdc_txn_lake
     out["cdc_patch_lake"] = _cdc_patch_lake
     out["cdc_redelivered_lake"] = _cdc_redelivered_lake
     out["cdc_offset_travel"] = _cdc_offset_travel
@@ -783,9 +794,13 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_late_quarantined"] = late_quarantine_oracle_sql(sf=0.01)
     out["cdc_change_feed"] = change_feed_oracle_sql(sf=0.01, from_epoch=0, to_epoch=2)
     out["cdc_restored_lake"] = timetravel_oracle_sql(sf=0.01, epoch=1)
-    from dbt_customer360_ray.pipelines.cdc_replay import renamed_oracle_sql
+    from dbt_customer360_ray.pipelines.cdc_replay import (
+        renamed_oracle_sql,
+        txn_oracle_sql,
+    )
 
     out["cdc_renamed_lake"] = renamed_oracle_sql(sf=0.01)
+    out["cdc_txn_lake"] = txn_oracle_sql(sf=0.01, upto=2)
     out["cdc_change_feed_images"] = change_feed_images_oracle_sql(
         sf=0.01, from_epoch=0, to_epoch=2
     )

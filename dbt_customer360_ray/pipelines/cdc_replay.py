@@ -130,6 +130,92 @@ def renamed_oracle_sql(sf: float = 0.01) -> str:
     )
 
 
+TXN_GROUP = 5  # events per upstream transaction in the derived txn fixture
+
+
+def _txn_epoch_paths(sf: float, group: int = TXN_GROUP) -> list[str]:
+    """Derived fixture (cached, atomic): the sf fixture's epoch files with
+    Debezium transaction metadata appended — ``txn_id = offset // group`` and
+    ``txn_n`` = the transaction's TRUE distinct-event count over the whole
+    stream. Epoch boundaries cut transactions mid-flight, which is the point."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fx = changes_fixture(sf)
+    # true per-transaction totals from the DISTINCT offsets of the full stream
+    all_off = np.unique(
+        np.concatenate(
+            [pq.read_table(p, columns=["offset"]).column("offset").to_numpy() for p in fx["paths"]]
+        )
+    )
+    tot = np.bincount(all_off // group)
+    out = []
+    for p in fx["paths"]:
+        dst = p[: -len(".parquet")] + f"-txn{group}.parquet"
+        if not os.path.exists(dst):
+            t = pq.read_table(p)
+            off = t.column("offset").to_numpy()
+            txn = off // group
+            t = t.append_column("txn_id", pa.array(txn, pa.int64())).append_column(
+                "txn_n", pa.array(tot[txn], pa.int64())
+            )
+            tmp = f"{dst}.tmp-{os.getpid()}"
+            pq.write_table(t, tmp)
+            os.replace(tmp, dst)
+        out.append(dst)
+    return out
+
+
+def txn_lake(sf: float = 0.01, upto: int = 2):
+    """Transaction-boundary atomicity driver surface: replay epochs 0..upto of
+    the txn-metadata fixture through ``apply_transactional`` — transactions cut
+    by the last epoch boundary are parked in the pending sidecar, so the
+    visible lake holds ONLY complete transactions. ``txn_oracle_sql`` asserts
+    exactly that from the same fixture bytes."""
+    paths = _txn_epoch_paths(sf)
+    lake_dir = tempfile.mkdtemp(prefix=f"cdc-txn-sf{sf}-")
+    lake = CdcLake(os.path.join(lake_dir, "lake"), num_partitions=32)
+    for p in paths[: upto + 1]:
+        lake.apply_transactional(p)
+    return lake.read()
+
+
+def txn_oracle_sql(sf: float = 0.01, upto: int = 2, group: int = TXN_GROUP) -> str:
+    """Oracle for ``txn_lake``: LWW replay of epochs 0..upto restricted to
+    transactions (offset // group) whose DISTINCT-offset count within those
+    epochs equals their true total over the whole stream — the engine's
+    completion rule in SQL."""
+    all_sel = "\n            UNION ALL\n            ".join(_epoch_selects(sf))
+    sub_sel = "\n            UNION ALL\n            ".join(_epoch_selects(sf, upto=upto))
+    return f"""
+        WITH all_ev AS (
+            {all_sel}
+        ), sub AS (
+            {sub_sel}
+        ), tot AS (
+            SELECT "offset" // {group} AS txn, count(DISTINCT "offset") AS n
+            FROM all_ev GROUP BY 1
+        ), seen AS (
+            SELECT "offset" // {group} AS txn, count(DISTINCT "offset") AS s
+            FROM sub GROUP BY 1
+        ), ok AS (
+            SELECT t.txn FROM tot t JOIN seen se USING (txn) WHERE se.s = t.n
+        ), first_seen AS (
+            SELECT * FROM sub
+            WHERE "offset" // {group} IN (SELECT txn FROM ok)
+            QUALIFY row_number() OVER (
+                PARTITION BY "offset" ORDER BY epoch, file_rn) = 1
+        ), winners AS (
+            SELECT * FROM first_seen
+            QUALIFY row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, "offset" DESC) = 1
+        )
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM winners WHERE op <> 'D'
+    """
+
+
 def stream_fixture_path(num_events: int = 20_000, num_convs: int = 1_000, seed: int = 42) -> str:
     """Write (once) the streaming-ingest fixture change table to parquet so the
     engine and the DuckDB oracle read the SAME bytes; returns the path."""

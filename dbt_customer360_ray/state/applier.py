@@ -173,6 +173,7 @@ class EpochApplier:
         quarantine_skey: int | None = None,
         late_cutoff_us: int | None = None,
         merge_mode: str = "lww",
+        exempt_offsets: frozenset | None = None,
     ):
         self.merge_mode = merge_mode
         self.lake_dir = lake_dir
@@ -183,6 +184,12 @@ class EpochApplier:
         self.topk_keys = topk_keys
         self.quarantine_skey = quarantine_skey
         self.late_cutoff_us = late_cutoff_us
+        # transaction holdback replay: these offsets were NEVER applied (their
+        # transaction was cut by an earlier epoch boundary and parked in the
+        # pending sidecar) even though the partition checkpoint has advanced
+        # past them — they bypass the redelivery dedup exactly once, because
+        # the sidecar leaves the manifest in the same commit that applies them
+        self.exempt_offsets = exempt_offsets
 
     def _quarantine(self, group: pa.Table) -> pa.Table:
         """Dead-letter branch: persist malformed rows (plus a reason column)
@@ -231,7 +238,16 @@ class EpochApplier:
         )
         events_in = group.num_rows
         committed = self.committed_offsets.get(pid, -1)
-        new = group.filter(pc.greater(group.column("offset"), committed))
+        fresh = pc.greater(group.column("offset"), committed)
+        if self.exempt_offsets:
+            fresh = pc.or_(
+                fresh,
+                pc.is_in(
+                    group.column("offset"),
+                    value_set=pa.array(sorted(self.exempt_offsets), pa.int64()),
+                ),
+            )
+        new = group.filter(fresh)
         deduped = events_in - new.num_rows
         late = _count_late(new)
         deletes = int(pc.sum(pc.equal(new.column("op"), "D")).as_py() or 0)

@@ -762,6 +762,8 @@ class CdcLake:
         enrich=None,
         enrich_schema: pa.Schema | None = None,
         _physical_names: bool = False,
+        _exempt_offsets: frozenset | None = None,
+        _pending_txns: list | None = None,
     ) -> dict:
         """Apply one epoch of change events; returns this epoch's metrics.
 
@@ -889,6 +891,7 @@ class CdcLake:
             quarantine_skey=self.P * max(1, self.num_salts),
             late_cutoff_us=late_cutoff_us,
             merge_mode=self.merge_mode,
+            exempt_offsets=_exempt_offsets,
         )
 
         event_only = pa.schema(list(event_schema))
@@ -939,6 +942,7 @@ class CdcLake:
                 {"events_in": 0, "events_deduped": 0, "upserts": 0,
                  "deletes": 0, "late_events": 0, "events_quarantined": 0},
                 column_mapping=mapping_update,
+                pending_txns=_pending_txns,
             )
             return {"epoch": epoch, "skipped": False, "events_in": 0,
                     "events_deduped": 0, "upserts": 0, "deletes": 0,
@@ -989,9 +993,204 @@ class CdcLake:
             hot_keys=next_hot,
             deadletter=deadletter_runs or None,
             column_mapping=mapping_update,
+            pending_txns=_pending_txns,
         )
         self.compact()  # merges any partition whose run count exceeds max_runs
         return {"epoch": epoch, "skipped": False, **metrics_delta}
+
+    def apply_transactional(
+        self,
+        changes,
+        epoch: int | None = None,
+        detect_hot: str = "carryover",
+    ) -> dict:
+        """Apply one epoch under upstream TRANSACTION-BOUNDARY atomicity
+        (Debezium's transaction-metadata contract): events carry two stream
+        metadata columns — ``txn_id`` (int64, the source transaction) and
+        ``txn_n`` (int64, the transaction's total event count, Debezium's
+        transaction-block ``event_count``) — and an epoch makes visible ONLY
+        transactions whose events are ALL present. Events of transactions cut
+        by the epoch boundary are parked in a ``pending/`` sidecar recorded in
+        the SAME atomic manifest commit (so a crash never strands them: the
+        sidecar is either pending or consumed, never both) and re-applied once
+        the rest arrives. Parked offsets sit below the advanced checkpoints,
+        so their replay rides the applier's ``exempt_offsets`` dedup bypass —
+        exactly-once overall because consumption and the exempting commit are
+        the same commit.
+
+        Scale shape: one extra counting pass over the epoch (the price of not
+        having Debezium's separate transaction topic) whose shuffle moves only
+        per-batch-distinct ``(txn_id, offset, txn_n)`` triples — counting is
+        by DISTINCT offset, so at-least-once duplicates inside an epoch never
+        fake completion; a broadcast of the cut-transaction id set
+        (O(transactions in flight at the boundary) — small by nature); and the
+        normal exactly-once apply for the complete part. The txn columns are
+        stream metadata: they are dropped before storage and never join the
+        lake schema."""
+        import numpy as np
+        import ray.data
+
+        if isinstance(changes, (str, list)):
+            paths = [changes] if isinstance(changes, str) else list(changes)
+            ds = ray.data.read_parquet(paths)
+            from_paths = True
+        else:
+            ds = changes
+            from_paths = False
+        schema = _dataset_schema(ds)
+        for c in ("txn_id", "txn_n"):
+            if c not in schema.names:
+                raise ValueError(
+                    f"apply_transactional: events must carry {c!r} "
+                    "(Debezium transaction metadata)"
+                )
+
+        # drop redelivered events up front (offset ≤ the owner partition's
+        # committed checkpoint — the same rule the applier enforces): they were
+        # already applied, so they must not count toward transaction
+        # completion. Without this, a redelivered fragment of a long-finished
+        # transaction would park forever as an incomplete residue.
+        committed = self.manifest.committed_offsets()
+        if committed:
+            from ..hashing import partition_ids
+
+            comm_arr = np.full(self.P, -1, dtype=np.int64)
+            for p, o in committed.items():
+                comm_arr[int(p)] = o
+
+            def drop_replayed(t: pa.Table, _c=comm_arr, _P=self.P) -> pa.Table:
+                off = t.column("offset").to_numpy(zero_copy_only=False)
+                pids = partition_ids(t.column("conv_id"), _P)
+                return t.filter(pa.array(off > _c[pids]))
+
+            ds = ds.map_batches(
+                drop_replayed, batch_format="pyarrow", zero_copy_batch=True
+            )
+
+        # fold the previous holdback back in. Its offsets are exempt from the
+        # redelivery dedup (they were parked, never applied); a redelivered
+        # epoch may re-contain parked events, so drop those from the fresh
+        # stream first — the union then holds each offset at most once, which
+        # keeps the completion counts exact.
+        prev = self.manifest.pending_txns
+        exempt: frozenset = frozenset()
+        if prev:
+            pend_tbl = pa.concat_tables(
+                [
+                    pq.read_table(os.path.join(self.lake_dir, r["path"]))
+                    for r in prev
+                ]
+            )
+            exempt = frozenset(pend_tbl.column("offset").to_pylist())
+            off_arr = pa.array(sorted(exempt), pa.int64())
+
+            def drop_parked(t: pa.Table, _o=off_arr) -> pa.Table:
+                return t.filter(
+                    pc.invert(pc.is_in(t.column("offset"), value_set=_o))
+                )
+
+            ds = ds.map_batches(
+                drop_parked, batch_format="pyarrow", zero_copy_batch=True
+            )
+            # additive evolution may have widened the schema since the parked
+            # epoch: conform both sides to the union schema
+            target = evolve_schema(pend_tbl.schema, schema)
+            pend_tbl = conform_batch(pend_tbl, target)
+            if target != schema:
+                ds = ds.map_batches(
+                    lambda t, _s=target: conform_batch(t, _s),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+                schema = target
+            ds = ds.union(ray.data.from_arrow(pend_tbl))
+        if not from_paths:
+            # the pipeline is consumed twice (count, then split); pin a
+            # non-path input so upstream ops don't re-execute
+            ds = ds.materialize()
+
+        # pass 1 — completion counts by DISTINCT offset (at-least-once
+        # duplicates must not fake completion): per-batch distinct
+        # (txn_id, offset, txn_n) triples, one txn_id-keyed shuffle of those
+        # metadata rows, exact distinct count per group; only the tiny
+        # (txn_id, seen, expected) table reaches the driver
+        def pair_partial(t: pa.Table) -> pa.Table:
+            return (
+                t.select(["txn_id", "offset", "txn_n"])
+                .group_by(["txn_id", "offset"])
+                .aggregate([("txn_n", "max")])
+            )
+
+        def txn_stats(g: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "txn_id": pa.array([g.column("txn_id")[0].as_py()], pa.int64()),
+                    "seen": pa.array(
+                        [pc.count_distinct(g.column("offset")).as_py()], pa.int64()
+                    ),
+                    "expected": pa.array(
+                        [int(pc.max(g.column("txn_n_max")).as_py())], pa.int64()
+                    ),
+                }
+            )
+
+        parts = (
+            ds.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("txn_id")
+            .map_groups(txn_stats, batch_format="pyarrow")
+            .to_pandas()
+        )
+        agg = parts.set_index("txn_id")
+        over = agg[agg["seen"] > agg["expected"]]
+        if len(over):
+            raise ValueError(
+                f"apply_transactional: {len(over)} transactions carry more "
+                f"events than their txn_n (duplicate offsets in the stream?)"
+            )
+        incomplete = agg.index[agg["seen"] < agg["expected"]]
+        held_txns = [int(t) for t in incomplete]
+
+        # pass 2 — split: park the cut transactions, stream the complete ones
+        label = epoch if epoch is not None else self.manifest.last_epoch + 1
+        pending_list: list[dict] = []
+        held_rows = 0
+        inc_arr = pa.array(sorted(held_txns), pa.int64()) if held_txns else None
+        if held_txns:
+            held = ds.map_batches(
+                lambda t, _i=inc_arr: t.filter(
+                    pc.is_in(t.column("txn_id"), value_set=_i)
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            held_tbl = pa.concat_tables(
+                list(held.iter_batches(batch_format="pyarrow")) or [schema.empty_table()]
+            )
+            held_rows = held_tbl.num_rows
+            rel = os.path.join("pending", f"epoch-{label:06d}.parquet")
+            atomic_parquet(held_tbl, os.path.join(self.lake_dir, rel))
+            pending_list = [
+                {"path": rel, "rows": held_rows, "txns": len(held_txns)}
+            ]
+
+        def completes(t: pa.Table, _i=inc_arr) -> pa.Table:
+            if _i is not None:
+                t = t.filter(pc.invert(pc.is_in(t.column("txn_id"), value_set=_i)))
+            return t.drop_columns(
+                [c for c in ("txn_id", "txn_n") if c in t.column_names]
+            )
+
+        complete_ds = ds.map_batches(
+            completes, batch_format="pyarrow", zero_copy_batch=True
+        )
+        m = self.apply(
+            complete_ds,
+            epoch=epoch,
+            detect_hot=detect_hot,
+            _exempt_offsets=exempt or None,
+            _pending_txns=pending_list,
+        )
+        return {**m, "held_events": held_rows, "held_txns": len(held_txns)}
 
     def _exchange_apply(
         self, source, event_schema: pa.Schema, applier: EpochApplier, hot_keys,
@@ -2196,6 +2395,19 @@ class CdcLake:
                         os.remove(p)
                         removed += 1
                 elif p not in live and (name.endswith(".parquet") or name.endswith(".tmp")):
+                    os.remove(p)
+                    removed += 1
+        # consumed transaction-holdback sidecars (kept until vacuum so RESTORE
+        # to a version that still references them keeps working)
+        pend_live = {
+            os.path.abspath(os.path.join(self.lake_dir, r["path"]))
+            for r in self.manifest.pending_txns
+        }
+        pend_dir = os.path.join(self.lake_dir, "pending")
+        if os.path.isdir(pend_dir):
+            for name in os.listdir(pend_dir):
+                p = os.path.abspath(os.path.join(pend_dir, name))
+                if p not in pend_live:
                     os.remove(p)
                     removed += 1
         return removed

@@ -112,6 +112,14 @@ class Manifest:
         return dict(self._state["metrics"])
 
     @property
+    def pending_txns(self) -> list[dict]:
+        """Transaction-holdback sidecars still awaiting completion:
+        ``[{"path": lake-relative, "rows": n, "txns": k}]``. Replaced (not
+        appended) by each transactional apply's commit — a sidecar is either
+        pending or consumed, never both."""
+        return list(self._state.get("pending_txns", []))
+
+    @property
     def column_mapping(self) -> dict | None:
         """Delta-style column mapping: ``{"logical": {logical→physical},
         "used": [every physical ever allocated]}`` — or None when the lake has
@@ -210,6 +218,7 @@ class Manifest:
         hot_keys: list[str] | None = None,
         deadletter: list[dict] | None = None,
         column_mapping: dict | None = None,
+        pending_txns: list[dict] | None = None,
     ) -> None:
         """Atomically commit one applied epoch.
 
@@ -262,6 +271,10 @@ class Manifest:
                 # epoch introduced new logical columns → persist their
                 # physical allocations atomically with the data commit
                 state["column_mapping"] = column_mapping
+            if pending_txns is not None:
+                # transactional apply: REPLACE the holdback list atomically
+                # with the commit that consumed the old sidecars ([] clears)
+                state["pending_txns"] = list(pending_txns)
             state["schema"] = _schema_to_json(schema)
             state["num_partitions"] = num_partitions
             state["last_epoch"] = max(state["last_epoch"], epoch)
