@@ -1099,14 +1099,28 @@ def q_quantize_embeddings(sf_dir: str):
     return quantize_int8(ds)
 
 
+def q_rp_sketch_embeddings(sf_dir: str):
+    """Johnson-Lindenstrauss reduction as an integer sketch: int8 quantize,
+    then a seeded Achlioptas sparse-sign projection (64 → 8 dims) — map-only,
+    all-int64 after quantization, bit-exactly oracled with the sign matrix
+    inlined into the SQL."""
+    from ..stages.similarity import rp_sketch
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], rows_per_block=2_048)
+    return rp_sketch(ds, dim=64, out_dim=8, seed=29)
+
+
 def _training_data_sql():
     from ..stages.decontaminate import decontaminate_oracle_sql
     from ..stages.sampling import pack_sequences_oracle_sql, shuffle_shard_oracle_sql
-    from ..stages.similarity import quantize_int8_oracle_sql
+    from ..stages.similarity import quantize_int8_oracle_sql, rp_sketch_oracle_sql
     from ..stages.text import chunk_tokens_oracle_sql, top_terms_oracle_sql
 
     ORACLE_SQL["top_terms_documents"] = top_terms_oracle_sql("documents", k=3)
     ORACLE_SQL["quantize_embeddings"] = quantize_int8_oracle_sql("embeddings")
+    ORACLE_SQL["rp_sketch_embeddings"] = rp_sketch_oracle_sql(
+        dim=64, out_dim=8, seed=29, table="embeddings"
+    )
 
     from ..stages.windows import lead_lag_gaps_oracle_sql
 
@@ -1407,6 +1421,7 @@ QUERIES = {
     "pack_documents": q_pack_documents,
     "top_terms_documents": q_top_terms_documents,
     "quantize_embeddings": q_quantize_embeddings,
+    "rp_sketch_embeddings": q_rp_sketch_embeddings,
     "event_gaps": q_event_gaps,
     "stratified_sample_events": q_stratified_sample_events,
     "user_value_quantiles": q_user_value_quantiles,

@@ -498,6 +498,92 @@ def quantize_int8(ds, id_col: str = "vec_id", vec_col: str = "embedding"):
     return ds.map_batches(kernel, batch_format="pandas")
 
 
+def rp_sign_planes(dim: int, out_dim: int = 8, seed: int = 29) -> np.ndarray:
+    """Achlioptas (2003) sparse sign projection matrix: entries ∈ {+1, 0, −1}
+    with probabilities {1/6, 2/3, 1/6} — a JL-lemma projection that needs no
+    floats at all. Seeded and deterministic, so the oracle inlines it."""
+    rng = np.random.default_rng(seed)
+    draw = rng.integers(0, 6, (out_dim, dim))
+    return (np.where(draw == 0, 1, 0) - np.where(draw == 1, 1, 0)).astype(np.int64)
+
+
+def rp_sketch(
+    ds,
+    dim: int,
+    out_dim: int = 8,
+    seed: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Johnson-Lindenstrauss dimensionality reduction as an INTEGER sketch:
+    int8-quantize each vector (same floor-plus-half recipe as
+    ``quantize_int8``), then project through a seeded Achlioptas sparse-sign
+    matrix. All arithmetic after quantization is int64 — sums of small
+    integers are exact in any evaluation order, so the sketch is bit-exactly
+    oracle-checkable (no float-summation ULP hazard). Map-only: the
+    (out_dim × dim) sign matrix ships once in the task closure; this is the
+    shrink-before-ANN/clustering step for an embedding corpus at lake scale.
+    Emits one (id, proj_idx, value) row per output dimension."""
+    R = rp_sign_planes(dim, out_dim, seed)
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        mat = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        scale = np.abs(mat).max(axis=1)
+        safe = np.where(scale == 0.0, 1.0, scale)
+        codes = np.floor(mat / safe[:, None] * 127.0 + 0.5).astype(np.int64)
+        proj = codes @ R.T
+        n = len(ids)
+        return pd.DataFrame(
+            {
+                id_col: np.repeat(ids, out_dim),
+                "proj_idx": np.tile(np.arange(out_dim, dtype=np.int64), n),
+                "value": proj.reshape(-1),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pandas")
+
+
+def rp_sketch_oracle_sql(
+    dim: int,
+    out_dim: int = 8,
+    seed: int = 29,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB mirror of ``rp_sketch``: the SAME seeded sign matrix inlined as
+    a VALUES relation (all entries, zeros included, so every (id, proj_idx)
+    group sums over exactly ``dim`` rows); quantization is the shared float64
+    floor-plus-half expression; the projection is an integer SUM — exact."""
+    R = rp_sign_planes(dim, out_dim, seed)
+    rows = ", ".join(
+        f"({j}, {i}, {int(R[j, i])})" for j in range(out_dim) for i in range(dim)
+    )
+    return f"""
+        WITH ex AS (
+            SELECT {id_col},
+                   CAST(generate_subscripts({vec_col}, 1) - 1 AS BIGINT) AS dim_idx,
+                   CAST(unnest({vec_col}) AS DOUBLE) AS x
+            FROM {table}
+        ), sc AS (
+            SELECT {id_col}, max(abs(x)) AS scale FROM ex GROUP BY 1
+        ), codes AS (
+            SELECT ex.{id_col}, ex.dim_idx,
+                   CAST(floor(ex.x / (CASE WHEN sc.scale = 0 THEN 1.0 ELSE sc.scale END)
+                              * 127.0 + 0.5) AS BIGINT) AS code
+            FROM ex JOIN sc USING ({id_col})
+        ), planes(proj_idx, dim_idx, s) AS (
+            VALUES {rows}
+        )
+        SELECT c.{id_col}, CAST(p.proj_idx AS BIGINT) AS proj_idx,
+               CAST(sum(c.code * p.s) AS BIGINT) AS value
+        FROM codes c JOIN planes p ON p.dim_idx = c.dim_idx
+        GROUP BY 1, 2
+    """
+
+
 def quantize_int8_oracle_sql(
     table: str, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> str:

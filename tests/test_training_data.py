@@ -444,3 +444,37 @@ def test_quota_sample_caps_per_key_deterministically():
     )
     pd.testing.assert_frame_equal(a, b)
     assert (a.groupby("source").size() == 10).all()
+
+
+def test_rp_sketch_integer_exact_and_partition_invariant():
+    import ray.data
+
+    from dbt_customer360_ray.stages.similarity import rp_sign_planes, rp_sketch
+
+    rng = np.random.default_rng(5)
+    n, dim, out_dim = 40, 16, 4
+    emb = rng.standard_normal((n, dim)).astype(np.float32)
+    emb[7] = 0.0  # zero vector: scale guard path
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(emb)),
+        }
+    )
+    a = (
+        rp_sketch(ray.data.from_arrow(t).repartition(2), dim=dim, out_dim=out_dim)
+        .to_pandas().sort_values(["vec_id", "proj_idx"]).reset_index(drop=True)
+    )
+    b = (
+        rp_sketch(ray.data.from_arrow(t).repartition(9), dim=dim, out_dim=out_dim)
+        .to_pandas().sort_values(["vec_id", "proj_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)  # cluster-size invariant
+    # hand-check one vector against the definition
+    R = rp_sign_planes(dim, out_dim)
+    v = emb[3].astype(np.float64)
+    codes = np.floor(v / np.abs(v).max() * 127.0 + 0.5).astype(np.int64)
+    want = codes @ R.T
+    got = a[a.vec_id == 3].sort_values("proj_idx")["value"].to_numpy()
+    assert (got == want).all()
+    assert (a[a.vec_id == 7]["value"] == 0).all()  # zero vector stays zero
