@@ -240,6 +240,34 @@ def _cdc_txn_lake(sf_dir: str):
     return txn_lake(sf=0.01, upto=2)
 
 
+def _stream_txn_lake(sf_dir: str):
+    """Streaming actor-pool ingest under TRANSACTION-BOUNDARY atomicity: the
+    txn-metadata fixture's epochs 0-2 tailed as micro-batches with mid-stream
+    checkpoints — boundary-cut transactions hold back driver-side, persist as
+    pending sidecars at checkpoints, and release when complete. Oracled — the
+    SAME txn_oracle_sql as the epoch-path entry (the two ingest paths must
+    converge to the identical complete-transactions-only state)."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from dbt_customer360_ray.pipelines.cdc_replay import _txn_epoch_paths
+    from dbt_customer360_ray.state.engine import CdcLake
+    from dbt_customer360_ray.state.streaming import StreamingSession
+
+    lake = CdcLake(tempfile.mkdtemp(prefix="stream-txn-lake-"), num_partitions=16)
+    sess = StreamingSession(lake, pool_size=4, txn_boundaries=True)
+    for path in _txn_epoch_paths(0.01)[:3]:
+        changes = pq.read_table(path)
+        bounds = np.linspace(0, changes.num_rows, 4).astype(int)
+        for i in range(3):
+            sess.ingest(changes.slice(bounds[i], bounds[i + 1] - bounds[i]))
+        sess.checkpoint()
+    sess.close()
+    return lake.read_local_table()
+
+
 def _cdc_renamed_lake(sf_dir: str):
     """Column-mapping evolution (RENAME COLUMN as a metadata-only commit):
     replay all-but-last fixture epoch, rename tool → tool_label, apply the
@@ -676,6 +704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_restored_lake"] = _cdc_restored_lake
     out["cdc_renamed_lake"] = _cdc_renamed_lake
     out["cdc_txn_lake"] = _cdc_txn_lake
+    out["stream_txn_lake"] = _stream_txn_lake
     out["cdc_patch_lake"] = _cdc_patch_lake
     out["cdc_redelivered_lake"] = _cdc_redelivered_lake
     out["cdc_offset_travel"] = _cdc_offset_travel
@@ -801,6 +830,7 @@ def oracle_sql() -> dict[str, str]:
 
     out["cdc_renamed_lake"] = renamed_oracle_sql(sf=0.01)
     out["cdc_txn_lake"] = txn_oracle_sql(sf=0.01, upto=2)
+    out["stream_txn_lake"] = txn_oracle_sql(sf=0.01, upto=2)
     out["cdc_change_feed_images"] = change_feed_images_oracle_sql(
         sf=0.01, from_epoch=0, to_epoch=2
     )

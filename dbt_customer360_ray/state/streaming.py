@@ -66,11 +66,20 @@ class _PartitionApplier:
         self.pending_max: dict[int, int] = {}
         self.counts = {"events_in": 0, "events_deduped": 0, "upserts": 0, "deletes": 0}
 
-    def ingest(self, pid: int, chunk: pa.Table) -> int:
+    def ingest(self, pid: int, chunk: pa.Table, exempt: bool = False) -> int:
+        """``exempt=True`` marks a chunk released from the transaction
+        holdback: its events were NEVER applied even though the partition
+        checkpoint may have advanced past their offsets, so they bypass the
+        redelivery dedup (the session guarantees each held offset is released
+        exactly once — absorb filters by checkpoint and parked-set first)."""
         assert pid in self.pids
         self.counts["events_in"] += chunk.num_rows
         committed = self.committed.get(pid, -1)
-        new = chunk.filter(pc.greater(chunk.column("offset"), committed))
+        new = (
+            chunk
+            if exempt
+            else chunk.filter(pc.greater(chunk.column("offset"), committed))
+        )
         self.counts["events_deduped"] += chunk.num_rows - new.num_rows
         if new.num_rows == 0:
             return 0
@@ -125,7 +134,12 @@ class _PartitionApplier:
 class StreamingSession:
     """Fixed applier pool over a CdcLake; driver routes micro-batches."""
 
-    def __init__(self, lake: CdcLake, pool_size: int | None = None):
+    def __init__(
+        self,
+        lake: CdcLake,
+        pool_size: int | None = None,
+        txn_boundaries: bool = False,
+    ):
         import ray
 
         self.lake = lake
@@ -164,6 +178,36 @@ class StreamingSession:
         # checkpoint sequence, mirroring the epoch path's batch semantics
         self._late_cutoff_us: int | None = None
         self._refresh_late_cutoff()
+        # transaction-boundary atomicity (the streaming twin of
+        # CdcLake.apply_transactional): micro-batches carry txn_id/txn_n;
+        # complete transactions release into the normal routed path, cut ones
+        # are held driver-side and made durable as a pending/ sidecar at each
+        # checkpoint. Holdback state is per-session; a crash loses only what
+        # the sidecar already covers plus re-tailed events (monotone offsets).
+        self._txn = bool(txn_boundaries)
+        if self._txn:
+            self._txn_rows: dict[int, list[pa.Table]] = {}
+            self._txn_seen: dict[int, set] = {}
+            self._txn_expected: dict[int, int] = {}
+            self._parked_offsets: set = set()
+            # duplicates of a transaction completed THIS checkpoint interval
+            # (their offsets outrun the committed watermark); cleared at each
+            # checkpoint, when the refreshed committed filter takes over
+            self._done_txns: set = set()
+            self._committed_arr = np.full(self.P, -1, dtype=np.int64)
+            for p, o in committed.items():
+                self._committed_arr[int(p)] = o
+            # reload the durable holdback (resume-from-checkpoint)
+            import os as _os
+
+            import pyarrow.parquet as _pq
+
+            for r in lake.manifest.pending_txns:
+                for rel in self._txn_absorb(
+                    _pq.read_table(_os.path.join(lake.lake_dir, r["path"])),
+                    from_sidecar=True,
+                ):
+                    self._ingest_routed(rel, exempt=True)
 
     def _refresh_late_cutoff(self) -> None:
         self._late_cutoff_us = None
@@ -176,12 +220,93 @@ class StreamingSession:
         """One micro-batch: conform/evolve (driver-side, vectorized), route by
         pid, ship each slice to its owner actor. Malformed rows (null keys/
         ts/offset, unknown ops) go to the dead-letter buffer instead of an
-        applier — same rules as the epoch path's quarantine slot."""
-        from .router import invalid_event_mask
-
+        applier — same rules as the epoch path's quarantine slot. Under
+        ``txn_boundaries`` the batch first passes the transaction holdback:
+        only complete transactions reach the appliers."""
         missing = [c for c in REQUIRED_EVENT_COLUMNS if c not in batch.column_names]
         if missing:
             raise ValueError(f"micro-batch missing required columns: {missing}")
+        if self._txn:
+            for released in self._txn_absorb(batch):
+                self._ingest_routed(released, exempt=True)
+            return
+        self._ingest_routed(batch)
+
+    def _txn_absorb(self, batch: pa.Table, from_sidecar: bool = False):
+        """Transaction holdback: absorb a batch carrying txn_id/txn_n, return
+        the event tables (txn metadata stripped) of transactions that just
+        COMPLETED. Absorb drops redelivered events first (offset ≤ the owner
+        partition's committed checkpoint, already-parked offsets, duplicates
+        of transactions completed this interval), then counts DISTINCT offsets
+        per transaction — at-least-once delivery never fakes completion."""
+        for c in ("txn_id", "txn_n"):
+            if c not in batch.column_names:
+                raise ValueError(f"txn_boundaries: micro-batch missing {c!r}")
+        if batch.num_rows == 0:
+            return []
+        if not from_sidecar:
+            off = batch.column("offset").to_numpy(zero_copy_only=False)
+            pids = partition_ids(batch.column("conv_id"), self.P)
+            keep = off > self._committed_arr[pids]
+            if self._parked_offsets:
+                keep &= ~np.isin(
+                    off, np.fromiter(self._parked_offsets, dtype=np.int64)
+                )
+            if self._done_txns:
+                txn_all = batch.column("txn_id").to_numpy(zero_copy_only=False)
+                keep &= ~np.isin(
+                    txn_all, np.fromiter(self._done_txns, dtype=np.int64)
+                )
+            if not keep.all():
+                batch = batch.filter(pa.array(keep))
+            if batch.num_rows == 0:
+                return []
+        txn = batch.column("txn_id").to_numpy(zero_copy_only=False)
+        exp = batch.column("txn_n").to_numpy(zero_copy_only=False)
+        off = batch.column("offset").to_numpy(zero_copy_only=False)
+        order = np.argsort(txn, kind="stable")
+        t_sorted = batch.take(pa.array(order))
+        txn_s, exp_s, off_s = txn[order], exp[order], off[order]
+        bounds = np.searchsorted(
+            txn_s, np.unique(txn_s), side="left"
+        ).tolist() + [len(txn_s)]
+        released = []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            tid = int(txn_s[lo])
+            seen = self._txn_seen.setdefault(tid, set())
+            g_off = off_s[lo:hi]
+            fresh = np.array([o not in seen for o in g_off])
+            if not fresh.any():
+                continue
+            g = t_sorted.slice(lo, hi - lo)
+            if not fresh.all():
+                g = g.filter(pa.array(fresh))
+            new_offsets = {int(o) for o in g_off[fresh]}
+            seen.update(new_offsets)
+            self._parked_offsets.update(new_offsets)
+            self._txn_expected[tid] = max(
+                self._txn_expected.get(tid, 0), int(exp_s[lo:hi].max())
+            )
+            self._txn_rows.setdefault(tid, []).append(g)
+            if len(seen) > self._txn_expected[tid]:
+                raise ValueError(
+                    f"txn {tid}: more distinct events than txn_n "
+                    f"({len(seen)} > {self._txn_expected[tid]})"
+                )
+            if len(seen) == self._txn_expected[tid]:
+                tbl = _concat_evolving(self._txn_rows.pop(tid))
+                tbl = tbl.drop_columns(
+                    [c for c in ("txn_id", "txn_n") if c in tbl.column_names]
+                )
+                self._parked_offsets.difference_update(self._txn_seen.pop(tid))
+                del self._txn_expected[tid]
+                self._done_txns.add(tid)
+                released.append(tbl)
+        return released
+
+    def _ingest_routed(self, batch: pa.Table, exempt: bool = False) -> None:
+        from .router import invalid_event_mask
+
         if self._colmap is not None:
             # logical → physical translation (same rules as the epoch path:
             # unseen logical columns allocate a FRESH physical name)
@@ -224,7 +349,7 @@ class StreamingSession:
                 "pid",
                 pa.array([p] * chunk.num_rows, pa.int32()),
             )
-            ref = self.actors[self.pid_to_actor[p]].ingest.remote(p, chunk)
+            ref = self.actors[self.pid_to_actor[p]].ingest.remote(p, chunk, exempt)
             self._pending_refs.append(ref)
 
     def checkpoint(self) -> dict:
@@ -280,15 +405,57 @@ class StreamingSession:
         else:
             delta["events_quarantined"] = 0
 
+        # transaction holdback: make the still-incomplete transactions durable
+        # as ONE sidecar, replaced atomically with this commit (the same
+        # pending_txns contract as the epoch path — pending or consumed,
+        # never both)
+        pending_list = None
+        if self._txn:
+            held = [t for lst in self._txn_rows.values() for t in lst]
+            pending_list = []
+            if held:
+                import os
+
+                tbl = _concat_evolving(held)
+                rel = os.path.join(
+                    "pending", f"epoch-{epoch:06d}-stream.parquet"
+                )
+                atomic_parquet(tbl, os.path.join(self.lake.lake_dir, rel))
+                pending_list = [
+                    {
+                        "path": rel,
+                        "rows": tbl.num_rows,
+                        "txns": len(self._txn_rows),
+                    }
+                ]
         state_schema = pa.schema(
             list(self._schema) + [pa.field("pid", pa.int32())]
         ) if self._schema is not None else self.lake.manifest.schema
         self.lake.manifest.commit_epoch(
             epoch, partition_updates, state_schema, self.P, delta,
             deadletter=deadletter, column_mapping=self._colmap,
+            pending_txns=pending_list,
         )
         self.lake.compact()
         self._refresh_late_cutoff()  # the commit advanced the watermark
+        if self._txn:
+            # committed watermarks advanced: the checkpoint filter now owns
+            # redelivery dedup, so the per-interval done-txn set can reset
+            for p, o in self.lake.checkpoints().items():
+                self._committed_arr[int(p)] = max(
+                    self._committed_arr[int(p)], o
+                )
+            self._done_txns.clear()
+            # levels, not deltas — reported per checkpoint, never summed into
+            # the manifest metrics
+            return {
+                "epoch": epoch,
+                **delta,
+                "held_events": int(
+                    sum(t.num_rows for lst in self._txn_rows.values() for t in lst)
+                ),
+                "held_txns": len(self._txn_rows),
+            }
         return {"epoch": epoch, **delta}
 
     def close(self) -> None:
