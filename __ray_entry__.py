@@ -240,6 +240,15 @@ def _cdc_txn_lake(sf_dir: str):
     return txn_lake(sf=0.01, upto=2)
 
 
+def _cdc_consumer_feed(sf_dir: str):
+    """Named change-feed consumer (CDC-out consumer group): consume + ACK the
+    epochs-0-1 window, apply epochs 2-3, return the next window. Oracled —
+    change_feed_oracle_sql(from_epoch=1, to_epoch=3) re-derives it."""
+    from dbt_customer360_ray.pipelines.cdc_replay import consumer_feed
+
+    return consumer_feed(sf=0.01)
+
+
 def _stream_txn_lake(sf_dir: str):
     """Streaming actor-pool ingest under TRANSACTION-BOUNDARY atomicity: the
     txn-metadata fixture's epochs 0-2 tailed as micro-batches with mid-stream
@@ -705,6 +714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_renamed_lake"] = _cdc_renamed_lake
     out["cdc_txn_lake"] = _cdc_txn_lake
     out["stream_txn_lake"] = _stream_txn_lake
+    out["cdc_consumer_feed"] = _cdc_consumer_feed
     out["cdc_patch_lake"] = _cdc_patch_lake
     out["cdc_redelivered_lake"] = _cdc_redelivered_lake
     out["cdc_offset_travel"] = _cdc_offset_travel
@@ -831,6 +841,9 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_renamed_lake"] = renamed_oracle_sql(sf=0.01)
     out["cdc_txn_lake"] = txn_oracle_sql(sf=0.01, upto=2)
     out["stream_txn_lake"] = txn_oracle_sql(sf=0.01, upto=2)
+    out["cdc_consumer_feed"] = change_feed_oracle_sql(
+        sf=0.01, from_epoch=1, to_epoch=3
+    )
     out["cdc_change_feed_images"] = change_feed_images_oracle_sql(
         sf=0.01, from_epoch=0, to_epoch=2
     )

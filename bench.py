@@ -184,6 +184,28 @@ def run_bench() -> dict:
         timings["cdc_patch_replay"] = round(best, 3)
 
     if not CDC_ONLY:
+        # transaction-boundary A/B on the SAME event volume: the distinct-
+        # offset completion pass + holdback machinery measured against plain
+        # replay (derived fixture: 5-event transactions, epoch-boundary cuts)
+        from dbt_customer360_ray.pipelines.cdc_replay import _txn_epoch_paths
+
+        tpaths = _txn_epoch_paths(sf)
+        best = float("inf")
+        tdir = None
+        for _ in range(reps):
+            d = tempfile.mkdtemp(prefix="bench-txn-lake-", dir=shm)
+            t0 = time.perf_counter()
+            tlake = CdcLake(os.path.join(d, "lake"), num_partitions=64)
+            for p in tpaths:
+                tlake.apply_transactional(p)
+            best = min(best, time.perf_counter() - t0)
+            if tdir is not None:
+                shutil.rmtree(tdir, ignore_errors=True)
+            tdir = d
+        shutil.rmtree(tdir, ignore_errors=True)
+        timings["cdc_txn_replay"] = round(best, 3)
+
+    if not CDC_ONLY:
         # time-travel + CDF over the just-replayed lake: per-partition
         # snapshot diff of epochs 1 → 3 across the full event volume
         best = float("inf")

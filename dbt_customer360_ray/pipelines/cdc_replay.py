@@ -130,6 +130,25 @@ def renamed_oracle_sql(sf: float = 0.01) -> str:
     )
 
 
+def consumer_feed(sf: float = 0.01):
+    """Named-consumer CDC-out driver surface: replay epochs 0-1 into a fresh
+    lake, have a downstream consumer consume + ACK that window (cursor commits
+    to the manifest), apply epochs 2-3, and return the consumer's NEXT window —
+    which must be exactly the change feed between the epoch-1 and epoch-3
+    snapshots (``change_feed_oracle_sql(from_epoch=1, to_epoch=3)``)."""
+    fx = changes_fixture(sf)
+    lake_dir = tempfile.mkdtemp(prefix=f"cdc-consumer-sf{sf}-")
+    lake = CdcLake(os.path.join(lake_dir, "lake"), num_partitions=32)
+    for p in fx["paths"][:2]:
+        lake.apply(p)
+    _feed, tok = lake.consume_changes("downstream")
+    lake.ack_changes(tok)
+    for p in fx["paths"][2:]:
+        lake.apply(p)
+    feed2, _tok2 = lake.consume_changes("downstream")
+    return feed2
+
+
 TXN_GROUP = 5  # events per upstream transaction in the derived txn fixture
 
 

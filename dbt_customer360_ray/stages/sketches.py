@@ -147,13 +147,16 @@ def heavy_hitters(ds, col: str, phi: float):
             }
         )
 
+    # typed Arrow result schema: an all-filtered outcome must still carry the
+    # (value, n) columns — ray.data.from_pandas on an empty frame loses them
+    import pyarrow as pa
+
+    out_schema = pa.schema([("value", pa.string()), ("n", pa.int64())])
+
     parts = ds.map_batches(partial_mg, batch_format="pandas").to_pandas()
     total = int(parts["n_rows"].sum()) if len(parts) else 0
     if total == 0:
-        return ray.data.from_pandas(
-            pd.DataFrame({"value": pd.Series(dtype="string"),
-                          "n": pd.Series(dtype="int64")})
-        )
+        return ray.data.from_arrow(out_schema.empty_table())
     merged = _mg_summary(parts.groupby("value")["c"].sum(), k)
     cands = set(merged.index.astype(str))
     threshold = int(np.ceil(phi * total))
@@ -165,15 +168,28 @@ def heavy_hitters(ds, col: str, phi: float):
             {"value": hit.index.astype(str), "n": hit.to_numpy(dtype=np.int64)}
         )
 
-    def finish(df: pd.DataFrame, thr=threshold) -> pd.DataFrame:
-        df = df.rename(columns={"sum(n)": "n"})
-        return df[df["n"] >= thr]
-
-    return (
+    # the grouped candidate-count table is ≤⌈2/φ⌉ rows by construction, so the
+    # threshold filter finishes on the driver with a TYPED result — a
+    # distributed filter that drops every row would otherwise surface as a
+    # schemaless empty Dataset (columns lost in to_pandas)
+    counts = (
         ds.map_batches(exact_counts, batch_format="pandas")
         .groupby("value")
         .sum("n")
-        .map_batches(finish, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(counts):
+        counts = counts.rename(columns={"sum(n)": "n"})
+        counts = counts[counts["n"] >= threshold]
+    if not len(counts):
+        return ray.data.from_arrow(out_schema.empty_table())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "value": pa.array(counts["value"].astype(str), pa.string()),
+                "n": pa.array(counts["n"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
     )
 
 

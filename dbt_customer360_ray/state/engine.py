@@ -2029,6 +2029,34 @@ class CdcLake:
             )
         return feed
 
+    def consume_changes(self, consumer: str, include_preimage: bool = False):
+        """Incremental change-feed consumption for a NAMED consumer (the
+        Kafka-consumer-group analogue for the lake's CDC-out): returns
+        ``(feed, token)`` where ``feed`` is the change feed from the
+        consumer's last ACKed snapshot to the CURRENT one, and ``token`` must
+        be passed to ``ack_changes`` AFTER the downstream effect is durable.
+        Until the ack commits, re-consuming returns the same window —
+        at-least-once delivery downstream, with the cursor itself versioned in
+        the manifest (crash-safe, shared across processes). A consumer that
+        has never acked starts at version 0: its first window is the whole
+        lake as inserts."""
+        frm = self.manifest.consumers.get(consumer, 0)
+        to = self.manifest.version
+        if self.manifest.schema is None:
+            raise ValueError("consume_changes: lake is empty")
+        feed = self.change_feed(
+            from_version=frm, to_version=to, include_preimage=include_preimage
+        )
+        return feed, {"consumer": consumer, "from_version": frm, "to_version": to}
+
+    def ack_changes(self, token: dict) -> int:
+        """Commit a consumption window: advances the named consumer's cursor
+        to the window's TO version (monotone — a stale/duplicate ack is a
+        no-op). Returns the new manifest version."""
+        return self.manifest.commit_consumer_cursor(
+            token["consumer"], int(token["to_version"])
+        )
+
     def read_local_table(self, manifest: Manifest | None = None) -> pa.Table:
         """Pure-pyarrow converged state (no Ray) — for tests and small oracles."""
         m = manifest if manifest is not None else self.manifest

@@ -112,6 +112,30 @@ class Manifest:
         return dict(self._state["metrics"])
 
     @property
+    def consumers(self) -> dict[str, int]:
+        """Named change-feed consumer cursors: consumer → last ACKed manifest
+        version. A consumer that has never acked reads from version 0 (the
+        empty lake — everything is an insert)."""
+        return {k: int(v) for k, v in self._state.get("consumers", {}).items()}
+
+    def commit_consumer_cursor(self, consumer: str, version: int) -> int:
+        """Advance a named consumer's cursor (monotone — a stale ack can never
+        move it backwards). A new manifest version, CAS-retried like every
+        commit; returns the new manifest version."""
+        for attempt in range(5):
+            state = json.loads(json.dumps(self._state))
+            cur = int(state.get("consumers", {}).get(consumer, 0))
+            state.setdefault("consumers", {})[consumer] = max(cur, int(version))
+            state["version"] += 1
+            try:
+                self._persist(state)
+                return state["version"]
+            except CommitConflictError:
+                if attempt == 4:
+                    raise
+                self.reload()
+
+    @property
     def pending_txns(self) -> list[dict]:
         """Transaction-holdback sidecars still awaiting completion:
         ``[{"path": lake-relative, "rows": n, "txns": k}]``. Replaced (not

@@ -336,3 +336,38 @@ def test_read_as_of_offset_binlog_position(tmp_path):
         lake.read_local_table_as_of(offset=-1)
     ds_len = lake.read_as_of(offset=6_000_000).to_pandas()
     assert len(ds_len) == lake.read_local_table().num_rows
+
+
+def test_named_consumer_cursor_at_least_once(tmp_path):
+    changes = gen_changes(4_000, 200, seed=61)
+    epochs = split_epochs(changes, 4)
+    lake = _replay(tmp_path, epochs[:2])
+    # first window: the whole lake as inserts (cursor starts at version 0)
+    feed1, tok1 = lake.consume_changes("sink")
+    n1 = feed1.count()
+    assert n1 == lake.read_local_table().num_rows
+    # re-consume BEFORE ack: the same window again (at-least-once downstream)
+    feed1b, tok1b = lake.consume_changes("sink")
+    assert feed1b.count() == n1 and tok1b == tok1
+    lake.ack_changes(tok1)
+    # nothing new: the next window is empty
+    feed_empty, tok_e = lake.consume_changes("sink")
+    assert feed_empty.count() == 0
+    # stale/duplicate ack never moves the cursor backwards
+    lake.ack_changes(tok1)
+    assert lake.manifest.consumers["sink"] == tok_e["from_version"]
+    # new epochs: the next window equals the snapshot diff
+    import ray.data
+
+    for part in epochs[2:]:
+        lake.apply(ray.data.from_arrow(part))
+    feed2, tok2 = lake.consume_changes("sink")
+    want = lake.change_feed(
+        from_version=tok2["from_version"], to_version=tok2["to_version"]
+    )
+    got = feed2.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    exp = want.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    # a second consumer is independent: still sees everything from scratch
+    feed_other, _ = lake.consume_changes("other")
+    assert feed_other.count() == lake.read_local_table().num_rows
