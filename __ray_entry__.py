@@ -376,6 +376,26 @@ def _cdc_deadletter(sf_dir: str):
     return lake.read_deadletter()
 
 
+def _cdc_constrained_lake(sf_dir: str):
+    """Table constraints (Delta-style ADD CONSTRAINT): a fresh lake declares
+    CHECK / accepted-values / regex constraints BEFORE replay; violating I/U
+    events are quarantined at the shuffle-map (reason ``chk:<name>``), so the
+    converged state holds only passing rows. Oracled —
+    constrained_oracle_sql is the LWW replay over constraint-passing events."""
+    from dbt_customer360_ray.pipelines.cdc_replay import constrained_lake
+
+    return constrained_lake(sf=0.01).read()
+
+
+def _cdc_constraint_dlq(sf_dir: str):
+    """The constrained lake's dead-letter queue: every constraint-violating
+    event with the first-declared-violation reason. Oracled —
+    constraint_dlq_oracle_sql re-derives the set + CASE reasons in SQL."""
+    from dbt_customer360_ray.pipelines.cdc_replay import constrained_lake
+
+    return constrained_lake(sf=0.01).read_deadletter()
+
+
 def _lang_quality_documents(sf_dir: str):
     from dbt_customer360_ray.sources.readers import read_table
     from dbt_customer360_ray.stages.text import analyze_text
@@ -720,6 +740,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_offset_travel"] = _cdc_offset_travel
     out["cdc_patch_change_feed"] = _cdc_patch_change_feed
     out["cdc_deadletter"] = _cdc_deadletter
+    out["cdc_constrained_lake"] = _cdc_constrained_lake
+    out["cdc_constraint_dlq"] = _cdc_constraint_dlq
     out["cdc_lookup_conversation"] = _cdc_lookup_conversation
     out["cdc_conversation_headers"] = _cdc_conversation_headers
     out["cdc_assistant_view"] = _cdc_assistant_view
@@ -762,6 +784,8 @@ def oracle_sql() -> dict[str, str]:
     from dbt_customer360_ray.pipelines.cdc_replay import (
         change_feed_images_oracle_sql,
         change_feed_oracle_sql,
+        constrained_oracle_sql,
+        constraint_dlq_oracle_sql,
         deadletter_oracle_sql,
         headers_oracle_sql,
         late_quarantine_oracle_sql,
@@ -854,6 +878,8 @@ def oracle_sql() -> dict[str, str]:
         from_epoch=0, to_epoch=2
     )
     out["cdc_deadletter"] = deadletter_oracle_sql()
+    out["cdc_constrained_lake"] = constrained_oracle_sql(sf=0.01)
+    out["cdc_constraint_dlq"] = constraint_dlq_oracle_sql(sf=0.01)
     out["cdc_lookup_conversation"] = lookup_oracle_sql(sf=0.01, conv_id="conv-00000002")
     out["cdc_conversation_headers"] = headers_oracle_sql(sf=0.01)
     out["cdc_assistant_view"] = view_oracle_sql(sf=0.01, role="assistant")

@@ -304,22 +304,87 @@ def deadletter_oracle_sql() -> str:
     """
 
 
+# Demo table-constraint set for the driver entries: declared BEFORE replay, so
+# the engine must quarantine every violating I/U event across all epochs.
+# role_allowed excludes the fixture's 'tool'-role turns, text_nonempty its
+# empty-string texts (reference analogue: dbt accepted_values / not_null tests
+# gating the staged models); turn_nonneg never fires — the pass-through proof.
+CHECK_CONSTRAINTS = [
+    {"name": "role_allowed", "column": "role", "op": "in",
+     "value": ["user", "assistant", "system"]},
+    {"name": "text_nonempty", "column": "text", "op": "matches", "value": "."},
+    {"name": "turn_nonneg", "column": "turn_idx", "op": ">=", "value": 0},
+]
+
+_CONSTRAINED: dict = {}
+
+
+def constrained_lake(sf: float = 0.01):
+    """Replay the fixture into a fresh lake that declared CHECK_CONSTRAINTS
+    up front: violating change events land in the DLQ with ``chk:<name>``
+    reasons, the converged state holds only passing rows. Cached per sf —
+    the state entry and the DLQ entry read the same lake."""
+    if sf not in _CONSTRAINED:
+        fx = changes_fixture(sf)
+        lake_dir = tempfile.mkdtemp(prefix=f"cdc-constrained-sf{sf}-")
+        lake = CdcLake(os.path.join(lake_dir, "lake"), num_partitions=32)
+        for c in CHECK_CONSTRAINTS:
+            lake.add_check_constraint(
+                c["name"], c["column"], c["op"], c.get("value")
+            )
+        for p in fx["paths"]:
+            lake.apply(p)
+        _CONSTRAINED[sf] = lake
+    return _CONSTRAINED[sf]
+
+
+def constrained_oracle_sql(sf: float = 0.01) -> str:
+    """Oracle for the constrained lake: the plain LWW replay over only the
+    events that pass every constraint (SQL CHECK semantics — NULL passes,
+    deletes exempt)."""
+    from ..state.constraints import keep_sql, validate_spec
+
+    specs = [validate_spec(c) for c in CHECK_CONSTRAINTS]
+    return _lww_sql(_epoch_selects(sf), pre_filter=keep_sql(specs))
+
+
+def constraint_dlq_oracle_sql(sf: float = 0.01) -> str:
+    """Oracle for the constrained lake's DLQ: every violating event with the
+    first-declared-violation reason (``quarantine_reasons`` priority)."""
+    from ..state.constraints import keep_sql, reason_case_sql, validate_spec
+
+    specs = [validate_spec(c) for c in CHECK_CONSTRAINTS]
+    union = "\n            UNION ALL\n            ".join(_epoch_selects(sf))
+    return f"""
+        SELECT "offset", op, conv_id, turn_idx, role, text, tool, ts,
+               {reason_case_sql(specs)} AS dl_reason
+        FROM (
+            {union}
+        )
+        WHERE NOT ({keep_sql(specs)})
+    """
+
+
 def _lww_sql(
     select_epochs: list[str],
     out_cols: str = "conv_id, turn_idx, role, text, tool, ts",
+    pre_filter: str = "TRUE",
 ) -> str:
     """Shared oracle shape for a replayed lake: exactly-once on ``offset``
     (first delivery in file order wins — a redelivered duplicate, even one
     re-encoded under an evolved schema, is a no-op), then LWW per
     (conv_id, turn_idx) on (ts, offset) with delete winners dropped — the
     semantics of gen.oracle_lake expressed in SQL. ``out_cols`` lets a
-    column-mapped lake's oracle alias the final projection."""
+    column-mapped lake's oracle alias the final projection; ``pre_filter``
+    drops events the engine quarantines before they reach an applier
+    (table-constraint violations — they never compete for LWW or dedup)."""
     union = "\n            UNION ALL\n            ".join(select_epochs)
     return f"""
         WITH all_ev AS (
             {union}
         ), first_seen AS (
             SELECT * FROM all_ev
+            WHERE {pre_filter}
             QUALIFY row_number() OVER (
                 PARTITION BY "offset" ORDER BY epoch, file_rn) = 1
         ), winners AS (

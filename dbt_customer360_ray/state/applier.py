@@ -174,8 +174,10 @@ class EpochApplier:
         late_cutoff_us: int | None = None,
         merge_mode: str = "lww",
         exempt_offsets: frozenset | None = None,
+        constraints: tuple = (),
     ):
         self.merge_mode = merge_mode
+        self.constraints = tuple(constraints)
         self.lake_dir = lake_dir
         self.epoch = epoch
         self.state_schema = state_schema
@@ -202,7 +204,10 @@ class EpochApplier:
         rows = rows.append_column(
             "dl_reason",
             pa.array(
-                quarantine_reasons(rows, self.late_cutoff_us, ops), pa.string()
+                quarantine_reasons(
+                    rows, self.late_cutoff_us, ops, self.constraints
+                ),
+                pa.string(),
             ),
         )
         path = os.path.join("deadletter", f"epoch-{self.epoch:06d}.parquet")

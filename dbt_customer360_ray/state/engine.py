@@ -892,6 +892,7 @@ class CdcLake:
             late_cutoff_us=late_cutoff_us,
             merge_mode=self.merge_mode,
             exempt_offsets=_exempt_offsets,
+            constraints=self._active_constraints(),
         )
 
         event_only = pa.schema(list(event_schema))
@@ -920,6 +921,7 @@ class CdcLake:
                 AssignPartitions(
                     self.P, hot_keys, self.num_salts, late_cutoff_us,
                     valid_ops=self._valid_ops,
+                    constraints=applier.constraints,
                 ),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
@@ -1220,6 +1222,7 @@ class CdcLake:
             AssignPartitions(
                 self.P, hot_keys, self.num_salts, applier.late_cutoff_us,
                 valid_ops=self._valid_ops,
+                constraints=applier.constraints,
             )
         )
         slot_lookup_ref = ray.put(slot_of_skey)
@@ -2310,6 +2313,75 @@ class CdcLake:
             )
         del cm["logical"][name]
         return self.manifest.commit_schema_change(cm)
+
+    def add_check_constraint(
+        self, name: str, column: str, op: str, value=None, validate: bool = True
+    ) -> int:
+        """``ALTER TABLE … ADD CONSTRAINT`` (Delta-style): persist a CHECK /
+        NOT NULL constraint in the manifest; every subsequent ``apply`` routes
+        violating I/U events (and, for comparison constraints, patch rows that
+        SET the column to a violating value) to the dead-letter queue with
+        reason ``chk:<name>`` instead of applying them — the lake can never
+        hold a violating live row from that point on.
+
+        ``validate=True`` (the default, Delta semantics) scans the CURRENT
+        live state first and refuses the ADD if any existing row violates —
+        one streaming pass, a per-batch count, no driver materialization.
+        Returns the new manifest version."""
+        from .constraints import validate_spec, violation_any
+
+        spec = validate_spec(
+            {"name": name, "column": column, "op": op, "value": value}
+        )
+        existing = self.manifest.constraints
+        if any(c["name"] == name for c in existing):
+            raise ValueError(f"constraint {name!r} already exists")
+        if validate and self.manifest.schema is not None:
+
+            def count_viol(t: pa.Table, _s=spec) -> pa.Table:
+                # live rows are images: evaluate as an upsert would see them
+                probe = t.append_column("op", pa.array(["U"] * t.num_rows))
+                return pa.table(
+                    {"n": pa.array([int(violation_any(probe, [_s]).sum())], pa.int64())}
+                )
+
+            counts = (
+                self.read()
+                .map_batches(count_viol, batch_format="pyarrow", zero_copy_batch=True)
+                .to_pandas()  # one count row per scanned batch — tiny
+            )
+            bad = int(counts["n"].sum()) if len(counts) else 0
+            if bad:
+                raise ValueError(
+                    f"add_check_constraint({name!r}): {bad} existing live rows "
+                    "violate — repair the data or add with validate=False"
+                )
+        return self.manifest.commit_constraints(existing + [spec])
+
+    def drop_constraint(self, name: str) -> int:
+        """``ALTER TABLE … DROP CONSTRAINT`` — metadata-only commit; already
+        quarantined violators stay in the DLQ (retry_deadletter replays them).
+        Returns the new manifest version."""
+        existing = self.manifest.constraints
+        kept = [c for c in existing if c["name"] != name]
+        if len(kept) == len(existing):
+            raise KeyError(f"drop_constraint: no constraint {name!r}")
+        return self.manifest.commit_constraints(kept)
+
+    def _active_constraints(self) -> tuple:
+        """Constraint specs in the PHYSICAL column namespace (constraints are
+        declared on logical names; routing/conform run post-translation)."""
+        cons = self.manifest.constraints
+        if not cons:
+            return ()
+        cm = self.manifest.column_mapping
+        if cm is not None:
+            log2phys = cm["logical"]
+            cons = [
+                {**c, "column": log2phys.get(c["column"], c["column"])}
+                for c in cons
+            ]
+        return tuple(cons)
 
     def restore(self, epoch: int | None = None, version: int | None = None) -> int:
         """Roll the lake back to a committed snapshot as a NEW commit

@@ -144,6 +144,28 @@ class Manifest:
         return list(self._state.get("pending_txns", []))
 
     @property
+    def constraints(self) -> list[dict]:
+        """Declared table constraints (CHECK / NOT NULL), enforced at every
+        apply — per-version like the schema, so time travel / RESTORE see the
+        constraint set a writer at that snapshot enforced."""
+        return [dict(c) for c in self._state.get("constraints", [])]
+
+    def commit_constraints(self, constraints: list[dict]) -> int:
+        """Metadata-only commit replacing the constraint list (ADD / DROP
+        CONSTRAINT) — a new manifest version, no data files touched."""
+        for attempt in range(5):
+            state = json.loads(json.dumps(self._state))
+            state["constraints"] = json.loads(json.dumps(constraints))
+            state["version"] += 1
+            try:
+                self._persist(state)
+                return state["version"]
+            except CommitConflictError:
+                if attempt == 4:
+                    raise
+                self.reload()
+
+    @property
     def column_mapping(self) -> dict | None:
         """Delta-style column mapping: ``{"logical": {logical→physical},
         "used": [every physical ever allocated]}`` — or None when the lake has
@@ -396,6 +418,11 @@ class Manifest:
                 state["column_mapping"] = json.loads(
                     json.dumps(target["column_mapping"])
                 )
+            # constraints roll back WITH the data (a post-target ADD / DROP
+            # CONSTRAINT is undone, same rule as column mapping)
+            state.pop("constraints", None)
+            if target.get("constraints"):
+                state["constraints"] = json.loads(json.dumps(target["constraints"]))
             state["restores"] = state.get("restores", []) + [
                 {"from_version": prev, "to_version": target_version,
                  "version": prev + 1}

@@ -67,12 +67,15 @@ def invalid_event_mask(
     batch: pa.Table,
     late_cutoff_us: int | None = None,
     valid_ops: tuple = VALID_OPS,
+    constraints: tuple = (),
 ) -> np.ndarray:
     """Rows a binlog tail must quarantine rather than apply: null key parts
     (conv_id/turn_idx), null ts or offset (LWW and exactly-once would be
-    undefined), an op outside ``valid_ops``, or — when a lateness watermark is
-    configured — ts below ``late_cutoff_us`` (watermark − allowed lateness).
-    Vectorized — five null checks, one is_in, one compare per batch."""
+    undefined), an op outside ``valid_ops``, a declared table-constraint
+    violation (``constraints`` — see ``state.constraints``), or — when a
+    lateness watermark is configured — ts below ``late_cutoff_us`` (watermark
+    − allowed lateness). Vectorized — five null checks, one is_in, one
+    compare, one kernel chain per constraint per batch."""
     import pyarrow.compute as pc
 
     bad = pc.is_null(batch.column("conv_id"))
@@ -85,17 +88,25 @@ def invalid_event_mask(
             pc.less(batch.column("ts").cast(pa.int64()), late_cutoff_us), False
         )
         bad = pc.or_(bad, late)
-    return bad.to_numpy(zero_copy_only=False)
+    out = bad.to_numpy(zero_copy_only=False)
+    if constraints:
+        from .constraints import violation_any
+
+        out = out | violation_any(batch, list(constraints))
+    return out
 
 
 def quarantine_reasons(
     batch: pa.Table,
     late_cutoff_us: int | None = None,
     valid_ops: tuple = VALID_OPS,
+    constraints: tuple = (),
 ) -> np.ndarray:
     """One reason string per row (first matching rule), for dead-letter lineage.
     Otherwise-valid rows below the lateness cutoff get 'too_late' (malformed
-    reasons take priority — a null-key row is null_key even if also late)."""
+    reasons take priority — a null-key row is null_key even if also late);
+    structurally-valid, on-time rows that broke a table constraint get
+    ``chk:<name>`` of the first violated constraint in declaration order."""
     import pyarrow.compute as pc
 
     n = batch.num_rows
@@ -104,6 +115,14 @@ def quarantine_reasons(
         pc.is_in(batch.column("op"), value_set=pa.array(valid_ops, pa.string())), False
     ).to_numpy(zero_copy_only=False)
     out[op_ok] = "valid"
+    if constraints:
+        from .constraints import violation_masks
+
+        # reverse order + overwrite → first declared violation wins
+        for spec, m in reversed(
+            list(zip(constraints, violation_masks(batch, list(constraints))))
+        ):
+            out[op_ok & m] = f"chk:{spec['name']}"
     if late_cutoff_us is not None:
         late = pc.fill_null(
             pc.less(batch.column("ts").cast(pa.int64()), late_cutoff_us), False
@@ -140,12 +159,14 @@ class AssignPartitions:
         num_salts: int = 8,
         late_cutoff_us: int | None = None,
         valid_ops: tuple = VALID_OPS,
+        constraints: tuple = (),
     ):
         self.P = num_partitions
         self.hot = frozenset(hot_keys)
         self.S = max(1, num_salts)
         self.late_cutoff_us = late_cutoff_us
         self.valid_ops = valid_ops
+        self.constraints = tuple(constraints)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         conv = batch.column("conv_id")
@@ -160,7 +181,9 @@ class AssignPartitions:
                     % np.uint64(self.S)
                 ).astype(np.int64)
                 skey = np.where(hot_mask, skey + salt, skey)
-        bad = invalid_event_mask(batch, self.late_cutoff_us, self.valid_ops)
+        bad = invalid_event_mask(
+            batch, self.late_cutoff_us, self.valid_ops, self.constraints
+        )
         if bad.any():
             skey = np.where(bad, self.P * self.S, skey)
         return batch.append_column("skey", pa.array(skey.astype(np.int32), type=pa.int32()))
