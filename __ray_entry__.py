@@ -359,6 +359,18 @@ def _cdc_multitable_meta(sf_dir: str):
     )
 
 
+def _cdc_join_view(sf_dir: str):
+    """Incrementally-maintained JOIN view (two-source IVM): transcripts LEFT
+    JOIN conv_meta ON conv_id, re-synced after every multi-table epoch from
+    both change feeds — per-epoch work O(touched conversations), never
+    O(lake). Oracled — multitable_join_oracle_sql joins the two converged
+    states in SQL."""
+    from dbt_customer360_ray.pipelines.cdc_replay import multitable_join_lake
+    from dbt_customer360_ray.state.views import read_join_view
+
+    return read_join_view(multitable_join_lake())
+
+
 def _cdc_deadletter(sf_dir: str):
     """Dead-letter queue, oracle-checked: replay the deterministically
     corrupted fixture and return the quarantined rows + reasons; the oracle
@@ -747,6 +759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_assistant_view"] = _cdc_assistant_view
     out["cdc_incremental_headers"] = _cdc_incremental_headers
     out["cdc_multitable_transcripts"] = _cdc_multitable_transcripts
+    out["cdc_join_view"] = _cdc_join_view
     out["cdc_multitable_meta"] = _cdc_multitable_meta
     out["stream_replay_lake"] = _stream_replay_lake
     out["stream_patch_lake"] = _stream_patch_lake
@@ -885,12 +898,14 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_assistant_view"] = view_oracle_sql(sf=0.01, role="assistant")
     out["cdc_incremental_headers"] = headers_oracle_sql(sf=0.01)
     from dbt_customer360_ray.pipelines.cdc_replay import (
+        multitable_join_oracle_sql,
         multitable_meta_oracle_sql,
         multitable_transcripts_oracle_sql,
     )
 
     out["cdc_multitable_transcripts"] = multitable_transcripts_oracle_sql()
     out["cdc_multitable_meta"] = multitable_meta_oracle_sql()
+    out["cdc_join_view"] = multitable_join_oracle_sql()
     out["stream_replay_lake"] = stream_oracle_sql()
     out["stream_patch_lake"] = patch_oracle_sql()
     media = media_fixture_path(128, seed=5)

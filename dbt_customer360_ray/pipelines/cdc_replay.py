@@ -1096,6 +1096,59 @@ def _mt_lww_sql(table_name: str, out_cols: str) -> str:
     """
 
 
+_MT_JOIN = {}
+
+
+def multitable_join_lake():
+    """Incrementally-maintained JOIN view over the multi-table lake:
+    ``transcripts LEFT JOIN conv_meta ON conv_id``, synced after EVERY epoch
+    (never rebuilt) — per-epoch work is O(touched conversations), the classic
+    two-source IVM. Fresh lakes per process (the shared ``multitable_lake``
+    applies all epochs at once; here the interleaving matters)."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..state.engine import CdcLake
+    from ..state.multitable import MultiTableLake
+    from ..state.views import sync_join_view
+
+    path = multitable_fixture_path()
+    if path not in _MT_JOIN:
+        t = pq.read_table(path)
+        n = t.num_rows
+        mt = MultiTableLake(
+            tempfile.mkdtemp(prefix="mt-join-src-"),
+            tables={
+                "transcripts": {"columns": TRANSCRIPT_COLS},
+                "conv_meta": {"columns": META_COLS},
+            },
+            num_partitions=8,
+        )
+        view = CdcLake(tempfile.mkdtemp(prefix="mt-join-view-"), num_partitions=8)
+        step = (n + MT_EPOCHS - 1) // MT_EPOCHS
+        for i in range(MT_EPOCHS):
+            mt.apply(ray.data.from_arrow(t.slice(i * step, step)))
+            sync_join_view(mt.lake("transcripts"), mt.lake("conv_meta"), view)
+        _MT_JOIN[path] = view
+    return _MT_JOIN[path]
+
+
+def multitable_join_oracle_sql() -> str:
+    """Oracle for the join view: converged transcripts LEFT JOIN converged
+    conv_meta — the view maintained incrementally must equal the join of the
+    final states."""
+    tr = _mt_lww_sql("transcripts", "conv_id, turn_idx, role, text, tool, ts")
+    meta = _mt_lww_sql("conv_meta", "conv_id, title, status")
+    return f"""
+        WITH tr AS ({tr}), meta AS ({meta})
+        SELECT tr.conv_id, tr.turn_idx, tr.role, tr.text, tr.tool,
+               tr.ts AS src_ts, meta.title, meta.status
+        FROM tr LEFT JOIN meta USING (conv_id)
+    """
+
+
 def multitable_transcripts_oracle_sql() -> str:
     return _mt_lww_sql("transcripts", "conv_id, turn_idx, role, text, tool, ts")
 

@@ -420,3 +420,228 @@ def read_token_index(dst: CdcLake):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# -- incremental JOIN view: turn-grain left lake ⋈ conv-grain right lake -------
+
+_JOIN_EVENT_SCHEMA = pa.schema(
+    [
+        ("offset", pa.int64()),
+        ("op", pa.string()),
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("src_ts", pa.timestamp("us")),
+        ("title", pa.string()),
+        ("status", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+
+def sync_join_view(
+    left: CdcLake,
+    right: CdcLake,
+    dst: CdcLake,
+    left_cols: tuple = ("role", "text", "tool"),
+    right_cols: tuple = ("title", "status"),
+) -> list[dict]:
+    """Incremental JOIN view maintenance: keep ``dst`` equal to
+    ``left LEFT JOIN right ON conv_id`` — every live turn of the turn-grain
+    ``left`` lake (e.g. a MultiTableLake's ``transcripts`` table) carrying the
+    conv-grain ``right`` lake's current payload (``conv_meta`` title/status,
+    null when no meta row) — recomputing ONLY conversations either side's
+    change feed touched since the last sync. This is the engine analogue of
+    the reference's staged source-join models (user↔organization,
+    ``int_customer360__zendesk.sql``) maintained without a full rebuild.
+
+    Classic two-source IVM by dirty keys: Δview ⊆ (ΔL ⋈ R) ∪ (L ⋈ ΔR), and
+    because both lakes hash-partition on the join key, each dirty
+    conversation's rows live in ONE partition per side — one task per dirty
+    LEFT partition reads both sides' runs for its conversations (co-partitioned
+    when the lakes share P; a partition-id map otherwise) and emits the fresh
+    join rows. No shuffle beyond the tiny dirty-key groupby.
+
+    Progress is tracked as named consumer cursors ON THE VIEW's manifest
+    (``src_left``/``src_right`` → last joined source manifest version), so the
+    source lakes see pure reads. The view epoch is the cursor-pair sum —
+    strictly monotone, so a crash between apply and cursor-ack resumes
+    idempotently (the re-derived epoch is already committed and skips).
+    Column-mapped (renamed) sources are not supported — sync reads physical
+    names. Offsets/ts follow sync_view's determinism contract."""
+    for lake in (left, right):
+        if lake.manifest.column_mapping is not None:
+            raise NotImplementedError(
+                "sync_join_view over column-mapped sources is unsupported"
+            )
+    import pyarrow.compute as pc
+    import ray.data  # noqa: F401
+
+    from ..hashing import partition_ids
+    from ..schemas import conform_batch
+    from .engine import drop_tombstones
+
+    cursors = dst.manifest.consumers
+    lv0, rv0 = cursors.get("src_left", 0), cursors.get("src_right", 0)
+    lv1, rv1 = left.manifest.version, right.manifest.version
+    if (lv0, rv0) == (lv1, rv1):
+        return []  # true no-op: nothing committed on either source
+    epoch = lv1 + rv1  # strictly monotone across syncs
+    out = []
+    if not dst.manifest.epoch_committed(epoch):
+        feeds = []
+        if lv1 > lv0:
+            feeds.append(("L", left.change_feed(from_version=lv0, to_version=lv1)))
+        if rv1 > rv0:
+            feeds.append(("R", right.change_feed(from_version=rv0, to_version=rv1)))
+
+        lm, rm = left.manifest.at_version(lv1), right.manifest.at_version(rv1)
+        LP = lm.num_partitions or left.P
+        RP = rm.num_partitions or right.P
+        lfiles = tuple((pid, tuple(lm.live_files(pid))) for pid in range(LP))
+        rfiles = tuple((pid, tuple(rm.live_files(pid))) for pid in range(RP))
+        lschema, rschema = lm.schema, rm.schema
+        lmode, rmode = left.merge_mode, right.merge_mode
+        watermark = _WATERMARK_BASE + np.timedelta64(epoch + 1, "s")
+
+        def to_dirty(t: pa.Table, side: str, P=LP) -> pa.Table:
+            """Dirty marks, routed by LEFT-lake pid. Left-side deletes keep
+            their turn_idx so the join task can emit view deletes for keys no
+            longer live (a delete+reinsert within the window stays a U)."""
+            conv = t.column("conv_id")
+            is_del = (
+                pc.equal(t.column("change_type"), "delete")
+                if side == "L"
+                else pa.array([False] * t.num_rows)
+            )
+            turn = (
+                t.column("turn_idx")
+                if side == "L"
+                else pa.nulls(t.num_rows, pa.int32())
+            )
+            return pa.table(
+                {
+                    "conv_id": conv,
+                    "pid": pa.array(partition_ids(conv, P), pa.int32()),
+                    "del_turn": pc.if_else(is_del, turn, pa.nulls(t.num_rows, pa.int32())),
+                }
+            )
+
+        def _partition_state(paths, schema, mode, keep_convs, empty_cols):
+            import pyarrow.parquet as _pq
+
+            if not paths or schema is None:  # empty partition / never-written lake
+                return pd.DataFrame(columns=list(empty_cols))
+            tables = [conform_batch(_pq.read_table(f), schema) for f in paths]
+            st = drop_tombstones(_resolve_latest_mt(pa.concat_tables(tables), mode))
+            df = st.to_pandas()
+            return df[df["conv_id"].isin(keep_convs)]
+
+        def join_for_dirty(
+            grp: pd.DataFrame,
+            lf=lfiles, rf=rfiles, ls=lschema, rs=rschema,
+            lmode=lmode, rmode=rmode, RP=RP, wm=watermark, ep=epoch,
+            lcols=tuple(left_cols), rcols=tuple(right_cols),
+        ) -> pa.Table:
+            pid = int(grp["pid"].iloc[0])
+            dirty = set(pd.unique(grp["conv_id"]))
+            lempty = ("conv_id", "turn_idx", "ts", *lcols)
+            rempty = ("conv_id", *rcols)
+            lstate = _partition_state(dict(lf).get(pid, ()), ls, lmode, dirty, lempty)
+            # right side: this group's conversations may map to several right
+            # partitions (LP != RP); read exactly the ones needed
+            need_rp = set(int(p) for p in partition_ids(sorted(dirty), RP))
+            rframes = [
+                _partition_state(dict(rf).get(rp, ()), rs, rmode, dirty, rempty)
+                for rp in sorted(need_rp)
+            ]
+            rstate = (
+                pd.concat(rframes, ignore_index=True)
+                if rframes
+                else pd.DataFrame(columns=["conv_id", *rcols])
+            )
+            joined = lstate.merge(
+                rstate[["conv_id", *rcols]], on="conv_id", how="left", sort=False
+            )
+            ev = pd.DataFrame(
+                {
+                    "conv_id": joined["conv_id"],
+                    "turn_idx": joined["turn_idx"],
+                    "src_ts": joined["ts"],
+                }
+            )
+            for c in lcols:
+                ev[c] = joined[c] if c in joined.columns else None
+            for c in rcols:
+                ev[c] = joined[c] if c in joined.columns else None
+            ev["op"] = "U"
+            # view deletes: left-feed delete keys whose (conv, turn) is no
+            # longer live (delete+reinsert in-window stays a plain U above)
+            dels = grp.dropna(subset=["del_turn"])[["conv_id", "del_turn"]]
+            if len(dels):
+                dels = dels.rename(columns={"del_turn": "turn_idx"}).drop_duplicates()
+                dels["turn_idx"] = dels["turn_idx"].astype("int32")
+                live_idx = pd.MultiIndex.from_arrays(
+                    [joined["conv_id"], joined["turn_idx"].astype("int64")]
+                )
+                del_idx = pd.MultiIndex.from_arrays(
+                    [dels["conv_id"], dels["turn_idx"].astype("int64")]
+                )
+                dead = dels[~del_idx.isin(live_idx)]
+                if len(dead):
+                    dd = pd.DataFrame({"conv_id": dead["conv_id"],
+                                       "turn_idx": dead["turn_idx"]})
+                    dd["op"] = "D"
+                    ev = pd.concat([ev, dd], ignore_index=True)
+            ev["ts"] = pd.Timestamp(wm)
+            key = ev["conv_id"].astype(str) + "\x1f" + ev["turn_idx"].astype(int).astype(str)
+            ev["offset"] = (
+                np.int64(ep + 1) * np.int64(1 << 40)
+                + (stable_hash(key.to_numpy(dtype=object)) % np.uint64(1 << 39)).astype(np.int64)
+            )
+            ev["turn_idx"] = ev["turn_idx"].astype("int32")
+            for f in _JOIN_EVENT_SCHEMA:
+                if f.name not in ev.columns:
+                    ev[f.name] = None
+            return pa.Table.from_pandas(
+                ev[list(_JOIN_EVENT_SCHEMA.names)],
+                schema=_JOIN_EVENT_SCHEMA,
+                preserve_index=False,
+            )
+
+        marks = [
+            f.map_batches(
+                lambda t, s=side: to_dirty(t, s),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            for side, f in feeds
+        ]
+        dirty_ds = marks[0] if len(marks) == 1 else marks[0].union(*marks[1:])
+        events = dirty_ds.groupby("pid").map_groups(
+            join_for_dirty, batch_format="pandas"
+        )
+        out.append(dst.apply(events, epoch=epoch))
+    dst.manifest.commit_consumer_cursor("src_left", lv1)
+    dst.manifest.commit_consumer_cursor("src_right", rv1)
+    return out
+
+
+def _resolve_latest_mt(table: pa.Table, mode: str) -> pa.Table:
+    from .engine import _resolve_latest
+
+    return _resolve_latest(table, mode)
+
+
+def read_join_view(dst: CdcLake):
+    """The join view as a clean Dataset (maintenance watermark ``ts``
+    dropped; ``src_ts`` is the left row's source timestamp)."""
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "src_ts",
+            "title", "status"]
+    return dst.read().map_batches(
+        lambda t: t.select(cols),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
