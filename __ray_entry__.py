@@ -359,6 +359,19 @@ def _cdc_multitable_meta(sf_dir: str):
     )
 
 
+def _cdc_window_counts(sf_dir: str):
+    """Tumbling event-time windows with watermark finalization: per-(window,
+    op) counts of applied change events, folded additively into the manifest
+    from each applier's per-batch partials; windows whose end is at or below
+    (watermark − allowed lateness) are final — no event that could still
+    arrive can land in them (it would be quarantined as too_late). Oracled —
+    window_counts_oracle_sql unrolls the per-epoch lateness cutoffs, dedups
+    first-delivery per offset, groups by window in SQL."""
+    from dbt_customer360_ray.pipelines.cdc_replay import windowed_lake
+
+    return windowed_lake(sf=0.01)
+
+
 def _cdc_join_view(sf_dir: str):
     """Incrementally-maintained JOIN view (two-source IVM): transcripts LEFT
     JOIN conv_meta ON conv_id, re-synced after every multi-table epoch from
@@ -760,6 +773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_incremental_headers"] = _cdc_incremental_headers
     out["cdc_multitable_transcripts"] = _cdc_multitable_transcripts
     out["cdc_join_view"] = _cdc_join_view
+    out["cdc_window_counts"] = _cdc_window_counts
     out["cdc_multitable_meta"] = _cdc_multitable_meta
     out["stream_replay_lake"] = _stream_replay_lake
     out["stream_patch_lake"] = _stream_patch_lake
@@ -806,6 +820,7 @@ def oracle_sql() -> dict[str, str]:
         lookup_many_oracle_sql,
         merge_into_oracle_sql,
         token_index_oracle_sql,
+        window_counts_oracle_sql,
         patch_change_feed_oracle_sql,
         retention_oracle_sql,
         patch_oracle_sql,
@@ -906,6 +921,7 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_multitable_transcripts"] = multitable_transcripts_oracle_sql()
     out["cdc_multitable_meta"] = multitable_meta_oracle_sql()
     out["cdc_join_view"] = multitable_join_oracle_sql()
+    out["cdc_window_counts"] = window_counts_oracle_sql(sf=0.01)
     out["stream_replay_lake"] = stream_oracle_sql()
     out["stream_patch_lake"] = patch_oracle_sql()
     media = media_fixture_path(128, seed=5)

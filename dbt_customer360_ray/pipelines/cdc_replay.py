@@ -593,6 +593,76 @@ def late_quarantine_oracle_sql(sf: float = 0.01, lateness: str = LATENESS) -> st
     """
 
 
+WINDOW = "1 minute"
+WINDOW_LATENESS = "2 minutes"
+
+
+def windowed_lake(sf: float = 0.01):
+    """Driver surface for the tumbling-window aggregate with watermark
+    finalization: replay the fixture into a fresh lake created with
+    ``window=WINDOW, allowed_lateness=WINDOW_LATENESS`` and return
+    ``window_counts()`` — per-(window, op) applied-event counts, with
+    ``final=True`` on every window closed under the final watermark."""
+    import tempfile
+
+    lake = CdcLake(
+        tempfile.mkdtemp(prefix="window-lake-") + "/lake",
+        num_partitions=32,
+        allowed_lateness=WINDOW_LATENESS,
+        window=WINDOW,
+    )
+    for p in changes_fixture(sf)["paths"]:
+        lake.apply(p)
+    return lake.window_counts()
+
+
+def window_counts_oracle_sql(
+    sf: float = 0.01, window: str = WINDOW, lateness: str = WINDOW_LATENESS
+) -> str:
+    """DuckDB oracle for the windowed aggregate: per-epoch lateness cutoffs
+    unrolled exactly like ``late_quarantine_oracle_sql`` (kept side), then
+    first-delivery offset dedup, then the tumbling-window GROUP BY; a window
+    is final iff its end ≤ final watermark − lateness."""
+    import pandas as pd
+
+    selects = _epoch_selects(sf)
+    ctes = [f"ev AS ({' UNION ALL '.join(selects)})"]
+    ctes.append("k0 AS (SELECT * FROM ev WHERE epoch = 0)")
+    ctes.append("w1 AS (SELECT max(ts) AS w FROM k0)")
+    kept_parts = ["SELECT * FROM k0"]
+    for i in range(1, len(selects)):
+        ctes.append(
+            f"k{i} AS (SELECT e.* FROM ev e, w{i} "
+            f"WHERE e.epoch = {i} AND e.ts >= w{i}.w - INTERVAL '{lateness}')"
+        )
+        if i + 1 < len(selects):
+            ctes.append(
+                f"w{i + 1} AS (SELECT greatest(w{i}.w, "
+                f"coalesce((SELECT max(ts) FROM k{i}), w{i}.w)) AS w FROM w{i})"
+            )
+        kept_parts.append(f"SELECT * FROM k{i}")
+    kept = " UNION ALL ".join(kept_parts)
+    W = int(pd.Timedelta(window).value // 1_000)
+    L = int(pd.Timedelta(lateness).value // 1_000)
+    return f"""
+        WITH {', '.join(ctes)}, kept AS ({kept}),
+        first_seen AS (
+            SELECT * FROM kept
+            QUALIFY row_number() OVER (
+                PARTITION BY "offset" ORDER BY epoch, file_rn) = 1
+        ),
+        wm AS (SELECT max(epoch_us(ts)) AS w FROM kept),
+        counts AS (
+            SELECT make_timestamp((epoch_us(ts) // {W}) * {W}) AS window_start,
+                   op, count(*) AS n
+            FROM first_seen GROUP BY 1, 2
+        )
+        SELECT c.window_start, c.op, c.n,
+               (epoch_us(c.window_start) + {W}) <= (wm.w - {L}) AS final
+        FROM counts c, wm
+    """
+
+
 def since_oracle_sql(sf: float, cutoff: str) -> str:
     """Oracle for the stats-pruned time-bounded read: the converged state
     filtered on ts — DuckDB scans everything; the engine must skip whole runs

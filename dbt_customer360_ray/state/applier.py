@@ -53,8 +53,23 @@ STATS_SCHEMA = pa.schema(
         ("max_offset", pa.int64()),
         ("runs_json", pa.string()),  # [{"path","rows","tombstones"}], lake-relative
         ("top_keys_json", pa.string()),  # {"conv_id": count} for next-epoch hot set
+        ("windows_json", pa.string()),  # {"<win_start_us>|<op>": n} applied-event counts
     ]
 )
+
+
+def window_count_delta(new: pa.Table, window_us: int) -> dict[str, int]:
+    """Per-(tumbling event-time window, op) counts of APPLIED events (post
+    offset-dedup, post quarantine) — the partial aggregate each applier ships
+    to the manifest. Key is ``"<window_start_us>|<op>"`` so the deltas are
+    plain-JSON addable across partitions, salts and epochs."""
+    if new.num_rows == 0:
+        return {}
+    ts = new.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    win = (ts // window_us) * window_us
+    ops = new.column("op").to_pandas().to_numpy(dtype=object)
+    g = pd.DataFrame({"w": win, "op": ops}).groupby(["w", "op"], sort=False).size()
+    return {f"{int(w)}|{o}": int(n) for (w, o), n in g.items()}
 
 
 def atomic_parquet(table: pa.Table, path: str) -> None:
@@ -175,9 +190,11 @@ class EpochApplier:
         merge_mode: str = "lww",
         exempt_offsets: frozenset | None = None,
         constraints: tuple = (),
+        window_us: int | None = None,
     ):
         self.merge_mode = merge_mode
         self.constraints = tuple(constraints)
+        self.window_us = window_us
         self.lake_dir = lake_dir
         self.epoch = epoch
         self.state_schema = state_schema
@@ -227,6 +244,7 @@ class EpochApplier:
                     [json.dumps([{"path": path, "rows": rows.num_rows}])], pa.string()
                 ),
                 "top_keys_json": pa.array(["{}"], pa.string()),
+                "windows_json": pa.array(["{}"], pa.string()),
             },
             schema=STATS_SCHEMA,
         )
@@ -253,6 +271,14 @@ class EpochApplier:
                 ),
             )
         new = group.filter(fresh)
+        # first-delivery-wins WITHIN the epoch too: an at-least-once stream can
+        # redeliver an offset inside one epoch file, where the committed-offset
+        # floor can't see it — np.unique keeps the first occurrence, so event
+        # counts (and window aggregates) are exact, not just the LWW state
+        off = new.column("offset").to_numpy(zero_copy_only=False)
+        if len(off) and len(np.unique(off)) < len(off):
+            _, first_idx = np.unique(off, return_index=True)
+            new = new.take(pa.array(np.sort(first_idx)))
         deduped = events_in - new.num_rows
         late = _count_late(new)
         deletes = int(pc.sum(pc.equal(new.column("op"), "D")).as_py() or 0)
@@ -303,6 +329,14 @@ class EpochApplier:
                 "runs_json": pa.array([json.dumps(new_runs)], pa.string()),
                 "top_keys_json": pa.array(
                     [json.dumps({str(k): int(v) for k, v in vc.items()})], pa.string()
+                ),
+                "windows_json": pa.array(
+                    [
+                        json.dumps(window_count_delta(new, self.window_us))
+                        if self.window_us
+                        else "{}"
+                    ],
+                    pa.string(),
                 ),
             },
             schema=STATS_SCHEMA,

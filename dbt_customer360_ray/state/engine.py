@@ -678,23 +678,40 @@ class CdcLake:
         allowed_lateness: str | None = None,
         compaction_policy: str = "full",
         merge_mode: str = "lww",
+        window: str | None = None,
     ):
         self.lake_dir = lake_dir
         os.makedirs(lake_dir, exist_ok=True)
         if merge_mode not in ("lww", "patch"):
             raise ValueError(f"unknown merge_mode {merge_mode!r}")
-        # merge_mode is pinned at creation (mixing collapse disciplines across
-        # runs would be undefined) — persisted beside the manifest, reopen wins
+        # merge_mode and window size are pinned at creation (mixing collapse
+        # disciplines or window grids across runs would be undefined) —
+        # persisted beside the manifest, reopen wins
+        window_us: int | None = None
+        if window is not None:
+            import pandas as pd
+
+            window_us = int(pd.Timedelta(window).value // 1_000)
+            if window_us <= 0:
+                raise ValueError(f"window {window!r} must be positive")
+            if allowed_lateness is None:
+                raise ValueError(
+                    "windowed aggregation needs allowed_lateness: without a "
+                    "lateness bound no window could ever finalize"
+                )
         cfg_path = os.path.join(lake_dir, "CONFIG.json")
         if os.path.exists(cfg_path):
             with open(cfg_path) as f:
-                merge_mode = json.load(f).get("merge_mode", merge_mode)
-        elif merge_mode != "lww":
+                cfg = json.load(f)
+            merge_mode = cfg.get("merge_mode", merge_mode)
+            window_us = cfg.get("window_us", window_us)
+        elif merge_mode != "lww" or window_us is not None:
             tmp = cfg_path + ".tmp"
             with open(tmp, "w") as f:
-                json.dump({"merge_mode": merge_mode}, f)
+                json.dump({"merge_mode": merge_mode, "window_us": window_us}, f)
             os.replace(tmp, cfg_path)
         self.merge_mode = merge_mode
+        self.window_us = window_us
         self.manifest = Manifest(lake_dir)
         if self.manifest.num_partitions is not None:
             if self.manifest.num_partitions != num_partitions:
@@ -893,6 +910,7 @@ class CdcLake:
             merge_mode=self.merge_mode,
             exempt_offsets=_exempt_offsets,
             constraints=self._active_constraints(),
+            window_us=self.window_us,
         )
 
         event_only = pa.schema(list(event_schema))
@@ -965,6 +983,11 @@ class CdcLake:
             upd["max_offset"] = max(upd["max_offset"], int(row.max_offset))
             for k, v in json.loads(row.top_keys_json).items():
                 key_counts[k] = key_counts.get(k, 0) + v
+        windows_delta: dict[str, int] = {}
+        if self.window_us and "windows_json" in stats.columns:
+            for wj in stats["windows_json"]:
+                for k, v in json.loads(wj).items():
+                    windows_delta[k] = windows_delta.get(k, 0) + int(v)
         for pid, upd in partition_updates.items():
             prev = self.manifest.partition(pid)
             # approximate until next compaction recounts exactly
@@ -996,6 +1019,7 @@ class CdcLake:
             deadletter=deadletter_runs or None,
             column_mapping=mapping_update,
             pending_txns=_pending_txns,
+            windows_delta=windows_delta or None,
         )
         self.compact()  # merges any partition whose run count exceeds max_runs
         return {"epoch": epoch, "skipped": False, **metrics_delta}
@@ -2395,6 +2419,48 @@ class CdcLake:
         manifest version."""
         target = self._manifest_at(epoch, version)
         return self.manifest.commit_restore(target.version)
+
+    def window_counts(self, final_only: bool = False) -> pa.Table:
+        """Tumbling event-time window aggregate with WATERMARK FINALIZATION:
+        per (window_start, op) counts of applied change events, maintained
+        additively at every commit from the appliers' per-batch partials (the
+        manifest carries the folded state — no data files re-read, no shuffle).
+
+        ``final=True`` rows can never change again: the lake's lateness
+        watermark quarantines any event with ts below (watermark − lateness),
+        so a window whose END is at or below that cutoff is closed — the
+        streaming emit-on-watermark contract. ``final_only=True`` returns just
+        the closed windows. Requires the lake to have been created with
+        ``window=`` (and therefore ``allowed_lateness=``)."""
+        if self.window_us is None:
+            raise ValueError("lake was created without window= — no aggregate kept")
+        w = self.manifest.windows
+        wins, ops, ns = [], [], []
+        for k, n in w.items():
+            us, op = k.split("|", 1)
+            wins.append(int(us))
+            ops.append(op)
+            ns.append(int(n))
+        order = sorted(range(len(wins)), key=lambda i: (wins[i], ops[i]))
+        wins = [wins[i] for i in order]
+        ops = [ops[i] for i in order]
+        ns = [ns[i] for i in order]
+        cutoff = None
+        wm = self._watermark_us()
+        if wm is not None and self.allowed_lateness_us is not None:
+            cutoff = wm - self.allowed_lateness_us
+        final = [
+            cutoff is not None and (s + self.window_us) <= cutoff for s in wins
+        ]
+        t = pa.table(
+            {
+                "window_start": pa.array(wins, pa.int64()).cast(pa.timestamp("us")),
+                "op": pa.array(ops, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "final": pa.array(final, pa.bool_()),
+            }
+        )
+        return t.filter(t.column("final")) if final_only else t
 
     def read_deadletter(self) -> pa.Table:
         """All quarantined (malformed) events with their ``dl_reason`` — the

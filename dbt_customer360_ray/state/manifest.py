@@ -144,6 +144,12 @@ class Manifest:
         return list(self._state.get("pending_txns", []))
 
     @property
+    def windows(self) -> dict[str, int]:
+        """Cumulative tumbling-window applied-event counts
+        (``"<window_start_us>|<op>"`` → n), folded additively per commit."""
+        return {k: int(v) for k, v in self._state.get("windows", {}).items()}
+
+    @property
     def constraints(self) -> list[dict]:
         """Declared table constraints (CHECK / NOT NULL), enforced at every
         apply — per-version like the schema, so time travel / RESTORE see the
@@ -265,6 +271,7 @@ class Manifest:
         deadletter: list[dict] | None = None,
         column_mapping: dict | None = None,
         pending_txns: list[dict] | None = None,
+        windows_delta: dict | None = None,
     ) -> None:
         """Atomically commit one applied epoch.
 
@@ -321,6 +328,14 @@ class Manifest:
                 # transactional apply: REPLACE the holdback list atomically
                 # with the commit that consumed the old sidecars ([] clears)
                 state["pending_txns"] = list(pending_txns)
+            if windows_delta:
+                # tumbling-window applied-event counts: additive fold, keyed
+                # "<window_start_us>|<op>" — versioned with the data, so time
+                # travel / RESTORE see the counts as of each snapshot
+                w = state.get("windows", {})
+                for k, v in windows_delta.items():
+                    w[k] = w.get(k, 0) + int(v)
+                state["windows"] = w
             state["schema"] = _schema_to_json(schema)
             state["num_partitions"] = num_partitions
             state["last_epoch"] = max(state["last_epoch"], epoch)
@@ -423,6 +438,11 @@ class Manifest:
             state.pop("constraints", None)
             if target.get("constraints"):
                 state["constraints"] = json.loads(json.dumps(target["constraints"]))
+            # window counts roll back WITH the data (undone epochs' events
+            # re-count when re-applied)
+            state.pop("windows", None)
+            if target.get("windows"):
+                state["windows"] = json.loads(json.dumps(target["windows"]))
             state["restores"] = state.get("restores", []) + [
                 {"from_version": prev, "to_version": target_version,
                  "version": prev + 1}

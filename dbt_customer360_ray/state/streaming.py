@@ -56,6 +56,7 @@ class _PartitionApplier:
         pids: list[int],
         committed: dict[int, int],
         merge_mode: str = "lww",
+        window_us: int | None = None,
     ):
         self.merge_mode = merge_mode
         self._collapse = patch_collapse if merge_mode == "patch" else lww_latest
@@ -65,6 +66,8 @@ class _PartitionApplier:
         self.mem: dict[int, list[pa.Table]] = {}
         self.pending_max: dict[int, int] = {}
         self.counts = {"events_in": 0, "events_deduped": 0, "upserts": 0, "deletes": 0}
+        self.window_us = window_us
+        self.window_counts: dict[str, int] = {}
 
     def ingest(self, pid: int, chunk: pa.Table, exempt: bool = False) -> int:
         """``exempt=True`` marks a chunk released from the transaction
@@ -75,17 +78,31 @@ class _PartitionApplier:
         assert pid in self.pids
         self.counts["events_in"] += chunk.num_rows
         committed = self.committed.get(pid, -1)
-        new = (
-            chunk
-            if exempt
-            else chunk.filter(pc.greater(chunk.column("offset"), committed))
-        )
+        if exempt:
+            new = chunk
+        else:
+            # dedup floor = max(checkpointed, pending-in-memtable) offset: a
+            # binlog tail's positions are monotone per partition, so any
+            # redelivery — across OR within a checkpoint interval — sits at or
+            # below the floor (same assumption the checkpoint resume makes);
+            # intra-chunk duplicate offsets are dropped first-delivery-wins
+            floor = max(committed, self.pending_max.get(pid, -1))
+            new = chunk.filter(pc.greater(chunk.column("offset"), floor))
+            off = new.column("offset").to_numpy(zero_copy_only=False)
+            if len(off) and len(np.unique(off)) < len(off):
+                _, first_idx = np.unique(off, return_index=True)
+                new = new.take(pa.array(np.sort(first_idx)))
         self.counts["events_deduped"] += chunk.num_rows - new.num_rows
         if new.num_rows == 0:
             return 0
         deletes = int(pc.sum(pc.equal(new.column("op"), "D")).as_py() or 0)
         self.counts["deletes"] += deletes
         self.counts["upserts"] += new.num_rows - deletes
+        if self.window_us:
+            from .applier import window_count_delta
+
+            for k, v in window_count_delta(new, self.window_us).items():
+                self.window_counts[k] = self.window_counts.get(k, 0) + v
         winners = self._collapse(new)
         bucket = self.mem.setdefault(pid, [])
         bucket.append(winners)
@@ -127,6 +144,9 @@ class _PartitionApplier:
     def take_metrics(self) -> dict:
         """Per-epoch counters: returned and reset at each checkpoint."""
         out = dict(self.counts)
+        if self.window_us:
+            out["windows"] = dict(self.window_counts)
+            self.window_counts = {}
         self.counts = {"events_in": 0, "events_deduped": 0, "upserts": 0, "deletes": 0}
         return out
 
@@ -156,6 +176,7 @@ class StreamingSession:
                     lake.lake_dir, pids,
                     {p: committed.get(p, -1) for p in pids},
                     lake.merge_mode,
+                    lake.window_us,
                 )
             )
         self._schema: pa.Schema | None = lake._event_schema()
@@ -376,6 +397,10 @@ class StreamingSession:
             k: int(sum(m[k] for m in metrics)) for k in
             ("events_in", "events_deduped", "upserts", "deletes")
         }
+        windows_delta: dict[str, int] = {}
+        for m in metrics:
+            for k, v in m.get("windows", {}).items():
+                windows_delta[k] = windows_delta.get(k, 0) + int(v)
         delta["late_events"] = 0  # streaming mode: late events counted at read
 
         deadletter = None
@@ -434,7 +459,7 @@ class StreamingSession:
         self.lake.manifest.commit_epoch(
             epoch, partition_updates, state_schema, self.P, delta,
             deadletter=deadletter, column_mapping=self._colmap,
-            pending_txns=pending_list,
+            pending_txns=pending_list, windows_delta=windows_delta or None,
         )
         self.lake.compact()
         self._refresh_late_cutoff()  # the commit advanced the watermark
