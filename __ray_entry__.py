@@ -359,6 +359,38 @@ def _cdc_multitable_meta(sf_dir: str):
     )
 
 
+def _cdc_jsonl_roundtrip(sf_dir: str):
+    """CDC-out egress round trip: export the replayed lake's change feed as
+    Debezium-style JSONL in two position segments (0→epoch1, epoch1→latest),
+    re-ingest both through read_debezium_jsonl into a FRESH lake — the
+    reconstructed state must equal the original replay, so the oracle is the
+    plain replay oracle. Exercises egress struct assembly, monotone position
+    segments, update/delete envelopes, and decode symmetry end to end."""
+    import tempfile
+
+    from dbt_customer360_ray.pipelines.cdc_replay import replayed_lake
+    from dbt_customer360_ray.sources.binlog_json import (
+        export_change_feed_jsonl,
+        read_debezium_jsonl,
+    )
+    from dbt_customer360_ray.state.engine import CdcLake
+
+    lake = replayed_lake(sf=0.01)
+    d1 = export_change_feed_jsonl(
+        lake, tempfile.mkdtemp(prefix="egress1-"), pos_base=1 << 41,
+        from_version=0, to_epoch=1,
+    )
+    d2 = export_change_feed_jsonl(
+        lake, tempfile.mkdtemp(prefix="egress2-"), pos_base=2 << 41,
+        from_epoch=1, to_epoch=lake.manifest.last_epoch,
+    )
+    schema = lake._event_schema()
+    rt = CdcLake(tempfile.mkdtemp(prefix="rt-") + "/lake", num_partitions=32)
+    rt.apply(read_debezium_jsonl(d1, schema=schema))
+    rt.apply(read_debezium_jsonl(d2, schema=schema))
+    return rt.read()
+
+
 def _cdc_window_counts(sf_dir: str):
     """Tumbling event-time windows with watermark finalization: per-(window,
     op) counts of applied change events, folded additively into the manifest
@@ -774,6 +806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_multitable_transcripts"] = _cdc_multitable_transcripts
     out["cdc_join_view"] = _cdc_join_view
     out["cdc_window_counts"] = _cdc_window_counts
+    out["cdc_jsonl_roundtrip"] = _cdc_jsonl_roundtrip
     out["cdc_multitable_meta"] = _cdc_multitable_meta
     out["stream_replay_lake"] = _stream_replay_lake
     out["stream_patch_lake"] = _stream_patch_lake
@@ -922,6 +955,7 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_multitable_meta"] = multitable_meta_oracle_sql()
     out["cdc_join_view"] = multitable_join_oracle_sql()
     out["cdc_window_counts"] = window_counts_oracle_sql(sf=0.01)
+    out["cdc_jsonl_roundtrip"] = replay_oracle_sql(sf=0.01)
     out["stream_replay_lake"] = stream_oracle_sql()
     out["stream_patch_lake"] = patch_oracle_sql()
     media = media_fixture_path(128, seed=5)

@@ -120,3 +120,103 @@ def read_debezium_jsonl(path: str, schema: pa.Schema | None = None):
         return out
 
     return ds.map_batches(decode, batch_format="pyarrow")
+
+
+def export_change_feed_jsonl(
+    lake,
+    out_dir: str,
+    pos_base: int,
+    from_epoch: int | None = None,
+    to_epoch: int | None = None,
+    from_version: int | None = None,
+    to_version: int | None = None,
+) -> str:
+    """CDC-out EGRESS: re-encode the lake's change feed between two snapshots
+    as Debezium-style JSONL part files — the exact inverse of
+    ``read_debezium_jsonl``, so a downstream consumer (or another lake) can
+    tail this lake like a database binlog. Fully distributed: the feed is
+    already one block per partition; each block is struct-assembled with
+    pyarrow kernels (no per-row Python) and ``Dataset.write_json`` writes one
+    part file per block.
+
+    ``pos_base``: the producer's position epoch — emitted positions are
+    ``pos_base + stable_hash(key) % 2^40``, so the caller MUST hand
+    consecutive exports increasing bases (e.g. ``segment << 41``) for
+    downstream offset ordering to reflect feed order (the same contract a
+    real binlog's monotone positions give; within one feed each key appears
+    once, so the hash only needs per-feed uniqueness — 2^-40-scale collision
+    odds, deterministic for a fixed corpus).
+
+    Update envelopes carry both ``before`` and ``after`` (Debezium 'u');
+    deletes carry the pre-image in ``before`` with ``after`` null."""
+    import numpy as np
+
+    from ..hashing import stable_hash
+
+    feed = lake.change_feed(
+        from_epoch=from_epoch,
+        to_epoch=to_epoch,
+        from_version=from_version,
+        to_version=to_version,
+        include_preimage=True,
+    )
+
+    def encode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ct = t.column("change_type")
+        op = pc.take(
+            pa.array(["c", "u", "d"]),
+            pc.index_in(ct, value_set=pa.array(["insert", "update", "delete"])),
+        )
+        is_d = pc.equal(ct, pa.scalar("delete")).to_numpy(zero_copy_only=False)
+        is_c = pc.equal(ct, pa.scalar("insert")).to_numpy(zero_copy_only=False)
+        conv = t.column("conv_id").to_pandas().astype(str).to_numpy(dtype=object)
+        turn = t.column("turn_idx").to_numpy(zero_copy_only=False)
+        key = np.char.add(
+            np.char.add(conv.astype(str), "\x1f"), turn.astype(np.int64).astype(str)
+        )
+        pos = np.int64(pos_base) + (
+            stable_hash(key.astype(object)) % np.uint64(1 << 40)
+        ).astype(np.int64)
+        payload = [
+            f.name
+            for f in t.schema
+            if f.name not in ("change_type", "conv_id", "turn_idx")
+            and not f.name.startswith("old_")
+        ]
+
+        def image(cols: dict, null_mask: np.ndarray) -> pa.StructArray:
+            arrays, names = [], []
+            for name, col in cols.items():
+                if name == "ts":
+                    col, name = pc.cast(pc.cast(col, pa.int64()), pa.int64()), "ts_us"
+                arrays.append(
+                    col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                )
+                names.append(name)
+            return pa.StructArray.from_arrays(
+                arrays, names, mask=pa.array(null_mask)
+            )
+
+        after = image(
+            {"conv_id": t.column("conv_id"), "turn_idx": t.column("turn_idx")}
+            | {c: t.column(c) for c in payload},
+            is_d,  # deletes: after = null
+        )
+        before = image(
+            {"conv_id": t.column("conv_id"), "turn_idx": t.column("turn_idx")}
+            | {c: t.column(f"old_{c}") for c in payload},
+            is_c,  # inserts: before = null
+        )
+        return pa.table(
+            {
+                "op": op,
+                "pos": pa.array(pos, pa.int64()),
+                "before": before,
+                "after": after,
+            }
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    feed.map_batches(encode, batch_format="pyarrow").write_json(out_dir)
+    return out_dir
