@@ -359,6 +359,17 @@ def _cdc_multitable_meta(sf_dir: str):
     )
 
 
+def _cdc_computed_lake(sf_dir: str):
+    """Generated columns (GENERATED ALWAYS AS): the lake derives
+    length/lower/token_count columns from text at ingest — vectorized in the
+    shuffle-map task, stored with the row, versioned. Oracled —
+    computed_oracle_sql applies the same deterministic expressions to the
+    converged winners in SQL."""
+    from dbt_customer360_ray.pipelines.cdc_replay import computed_lake
+
+    return computed_lake(sf=0.01)
+
+
 def _cdc_jsonl_roundtrip(sf_dir: str):
     """CDC-out egress round trip: export the replayed lake's change feed as
     Debezium-style JSONL in two position segments (0→epoch1, epoch1→latest),
@@ -807,6 +818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_join_view"] = _cdc_join_view
     out["cdc_window_counts"] = _cdc_window_counts
     out["cdc_jsonl_roundtrip"] = _cdc_jsonl_roundtrip
+    out["cdc_computed_lake"] = _cdc_computed_lake
     out["cdc_multitable_meta"] = _cdc_multitable_meta
     out["stream_replay_lake"] = _stream_replay_lake
     out["stream_patch_lake"] = _stream_patch_lake
@@ -844,6 +856,7 @@ def oracle_sql() -> dict[str, str]:
     from dbt_customer360_ray.pipelines.cdc_replay import (
         change_feed_images_oracle_sql,
         change_feed_oracle_sql,
+        computed_oracle_sql,
         constrained_oracle_sql,
         constraint_dlq_oracle_sql,
         deadletter_oracle_sql,
@@ -956,6 +969,7 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_join_view"] = multitable_join_oracle_sql()
     out["cdc_window_counts"] = window_counts_oracle_sql(sf=0.01)
     out["cdc_jsonl_roundtrip"] = replay_oracle_sql(sf=0.01)
+    out["cdc_computed_lake"] = computed_oracle_sql(sf=0.01)
     out["stream_replay_lake"] = stream_oracle_sql()
     out["stream_patch_lake"] = patch_oracle_sql()
     media = media_fixture_path(128, seed=5)

@@ -593,6 +593,47 @@ def late_quarantine_oracle_sql(sf: float = 0.01, lateness: str = LATENESS) -> st
     """
 
 
+# demo generated-column set (reference analogue: the staged models' derived
+# expressions, e.g. lowered emails in stg_customer360__marketo.sql)
+COMPUTED_COLUMNS = [
+    ("n_chars", "length", "text"),
+    ("text_lc", "lower", "text"),
+    ("n_tokens", "token_count", "text"),
+]
+
+
+def computed_lake(sf: float = 0.01):
+    """Driver surface for generated columns: a fresh lake declares
+    COMPUTED_COLUMNS before replay; every apply derives them vectorized in
+    the shuffle-map task and stores them with the row."""
+    import tempfile
+
+    lake = CdcLake(
+        tempfile.mkdtemp(prefix="computed-lake-") + "/lake", num_partitions=32
+    )
+    for name, kind, source in COMPUTED_COLUMNS:
+        lake.add_computed_column(name, kind, source)
+    for p in changes_fixture(sf)["paths"]:
+        lake.apply(p)
+    return lake.read()
+
+
+def computed_oracle_sql(sf: float = 0.01) -> str:
+    """Oracle: the derivations are deterministic per-row functions, so
+    applying them to the converged LWW winners in SQL equals storing them at
+    ingest."""
+    from ..state.computed import computed_sql, validate_computed
+
+    exprs = ", ".join(
+        f"{computed_sql(validate_computed(dict(name=n, kind=k, source=s)))} AS {n}"
+        for n, k, s in COMPUTED_COLUMNS
+    )
+    return _lww_sql(
+        _epoch_selects(sf),
+        out_cols=f"conv_id, turn_idx, role, text, tool, ts, {exprs}",
+    )
+
+
 WINDOW = "1 minute"
 WINDOW_LATENESS = "2 minutes"
 

@@ -594,6 +594,48 @@ def _apply_slot(applier: EpochApplier, *chunks):
     return applier(pa.concat_tables(chunks))
 
 
+_TXN_BUCKETS = 64  # coarse txn-id exchange fan for transaction completion counts
+
+
+def _txn_split(t: pa.Table, nb: int):
+    """Shuffle-map for the transaction-completion exchange: one stable argsort
+    by ``txn_id & (nb-1)`` + zero-copy slices (same shape as _route_and_slice)."""
+    import numpy as np
+
+    b = (
+        t.column("txn_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        & (nb - 1)
+    )
+    idx = np.argsort(b, kind="stable")
+    tt = t.take(pa.array(idx))
+    bounds = np.searchsorted(b[idx], np.arange(nb + 1))
+    out = [tt.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(nb)]
+    return out if nb > 1 else out[0]
+
+
+def _txn_bucket_stats(*chunks):
+    """Shuffle-reduce: exact per-transaction completion stats for one bucket —
+    global offset dedup (a duplicate may straddle batches) then one vectorized
+    pandas groupby over every transaction in the bucket."""
+    import pandas as pd
+
+    chunks = [c for c in chunks if c.num_rows > 0]
+    if not chunks:
+        return None
+    df = pa.concat_tables(chunks).to_pandas().drop_duplicates(["txn_id", "offset"])
+    g = df.groupby("txn_id", sort=False)
+    sizes = g.size()
+    return pa.table(
+        {
+            "txn_id": pa.array(sizes.index.to_numpy(dtype="int64"), pa.int64()),
+            "seen": pa.array(sizes.to_numpy(dtype="int64"), pa.int64()),
+            "expected": pa.array(
+                g["txn_n_max"].max().to_numpy(dtype="int64"), pa.int64()
+            ),
+        }
+    )
+
+
 def _dataset_schema(ds) -> pa.Schema:
     s = ds.schema()
     base = getattr(s, "base_schema", None)
@@ -679,11 +721,14 @@ class CdcLake:
         compaction_policy: str = "full",
         merge_mode: str = "lww",
         window: str | None = None,
+        schema_mode: str = "additive",
     ):
         self.lake_dir = lake_dir
         os.makedirs(lake_dir, exist_ok=True)
         if merge_mode not in ("lww", "patch"):
             raise ValueError(f"unknown merge_mode {merge_mode!r}")
+        if schema_mode not in ("additive", "strict"):
+            raise ValueError(f"unknown schema_mode {schema_mode!r}")
         # merge_mode and window size are pinned at creation (mixing collapse
         # disciplines or window grids across runs would be undefined) —
         # persisted beside the manifest, reopen wins
@@ -705,13 +750,26 @@ class CdcLake:
                 cfg = json.load(f)
             merge_mode = cfg.get("merge_mode", merge_mode)
             window_us = cfg.get("window_us", window_us)
-        elif merge_mode != "lww" or window_us is not None:
+            schema_mode = cfg.get("schema_mode", schema_mode)
+        elif merge_mode != "lww" or window_us is not None or schema_mode != "additive":
             tmp = cfg_path + ".tmp"
             with open(tmp, "w") as f:
-                json.dump({"merge_mode": merge_mode, "window_us": window_us}, f)
+                json.dump(
+                    {
+                        "merge_mode": merge_mode,
+                        "window_us": window_us,
+                        "schema_mode": schema_mode,
+                    },
+                    f,
+                )
             os.replace(tmp, cfg_path)
         self.merge_mode = merge_mode
         self.window_us = window_us
+        # schema_mode="strict": after the first apply pins the schema, a batch
+        # carrying UNKNOWN columns is rejected (ValueError naming them) instead
+        # of auto-evolving — the production guardrail against upstream schema
+        # drift (type WIDENING is still allowed; it is lossless)
+        self.schema_mode = schema_mode
         self.manifest = Manifest(lake_dir)
         if self.manifest.num_partitions is not None:
             if self.manifest.num_partitions != num_partitions:
@@ -823,6 +881,10 @@ class CdcLake:
         if missing:
             raise ValueError(f"change stream missing required columns: {missing}")
 
+        # generated columns ride the enrich hook (fused into the shuffle-map
+        # task), declared on LOGICAL names — before the mapping translation
+        enrich, enrich_schema = self._compose_computed(enrich, enrich_schema)
+
         cm = self.manifest.column_mapping
         mapping_update = None
         if cm is not None and not _physical_names:
@@ -870,6 +932,14 @@ class CdcLake:
                     return rename_columns_map(t, _r)
 
         current = self._event_schema()
+        if self.schema_mode == "strict" and current is not None:
+            known = {f.name for f in current}
+            unknown = [f.name for f in incoming if f.name not in known]
+            if unknown:
+                raise ValueError(
+                    f"schema_mode='strict': change stream carries unknown "
+                    f"columns {unknown} — evolve explicitly or fix the producer"
+                )
         event_schema = (
             evolve_schema(current, incoming) if current is not None else incoming
         )
@@ -1059,10 +1129,8 @@ class CdcLake:
         if isinstance(changes, (str, list)):
             paths = [changes] if isinstance(changes, str) else list(changes)
             ds = ray.data.read_parquet(paths)
-            from_paths = True
         else:
             ds = changes
-            from_paths = False
         schema = _dataset_schema(ds)
         for c in ("txn_id", "txn_n"):
             if c not in schema.names:
@@ -1130,16 +1198,20 @@ class CdcLake:
                 )
                 schema = target
             ds = ds.union(ray.data.from_arrow(pend_tbl))
-        if not from_paths:
-            # the pipeline is consumed twice (count, then split); pin a
-            # non-path input so upstream ops don't re-execute
-            ds = ds.materialize()
+        # the pipeline is consumed three times (schema peek, count, split) —
+        # materialize once so the parquet decode doesn't re-execute per pass
+        # (path inputs included: an epoch is a bounded micro-batch, and the
+        # object store spills if it doesn't fit)
+        ds = ds.materialize()
 
         # pass 1 — completion counts by DISTINCT offset (at-least-once
         # duplicates must not fake completion): per-batch distinct
-        # (txn_id, offset, txn_n) triples, one txn_id-keyed shuffle of those
-        # metadata rows, exact distinct count per group; only the tiny
-        # (txn_id, seen, expected) table reaches the driver
+        # (txn_id, offset, txn_n) triples, exchanged to COARSE txn-id buckets
+        # with the same two-stage task exchange the apply path uses (no sort
+        # machinery — a per-transaction groupby would pay one Python group
+        # call per transaction, millions at scale; a bucket task does one
+        # vectorized pandas groupby over thousands of transactions); only the
+        # tiny (txn_id, seen, expected) table reaches the driver
         def pair_partial(t: pa.Table) -> pa.Table:
             return (
                 t.select(["txn_id", "offset", "txn_n"])
@@ -1147,24 +1219,26 @@ class CdcLake:
                 .aggregate([("txn_n", "max")])
             )
 
-        def txn_stats(g: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "txn_id": pa.array([g.column("txn_id")[0].as_py()], pa.int64()),
-                    "seen": pa.array(
-                        [pc.count_distinct(g.column("offset")).as_py()], pa.int64()
-                    ),
-                    "expected": pa.array(
-                        [int(pc.max(g.column("txn_n_max")).as_py())], pa.int64()
-                    ),
-                }
-            )
-
+        triple_refs = ds.map_batches(
+            pair_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).to_arrow_refs()
+        nb = _TXN_BUCKETS
+        split_task = ray.remote(_txn_split).options(num_returns=nb)
+        srefs = [split_task.remote(r, nb) for r in triple_refs]
+        stat_task = ray.remote(_txn_bucket_stats)
+        stat_tbls = ray.get(
+            [
+                stat_task.remote(*[srefs[i][b] for i in range(len(srefs))])
+                for b in range(nb)
+            ]
+        ) if srefs else []
+        stat_tbls = [t for t in stat_tbls if t is not None]
         parts = (
-            ds.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("txn_id")
-            .map_groups(txn_stats, batch_format="pyarrow")
-            .to_pandas()
+            pa.concat_tables(stat_tbls).to_pandas()
+            if stat_tbls
+            else __import__("pandas").DataFrame(
+                columns=["txn_id", "seen", "expected"]
+            )
         )
         agg = parts.set_index("txn_id")
         over = agg[agg["seen"] > agg["expected"]]
@@ -2381,6 +2455,52 @@ class CdcLake:
                     "violate — repair the data or add with validate=False"
                 )
         return self.manifest.commit_constraints(existing + [spec])
+
+    def add_computed_column(self, name: str, kind: str, source: str) -> int:
+        """``ALTER TABLE … ADD COLUMN <name> GENERATED ALWAYS AS <kind>(<source>)``:
+        persist a generated-column spec; every subsequent apply derives the
+        value vectorized inside the shuffle-map task (fused with any enrich),
+        so it is stored with the row, versioned, and never recomputed at read.
+        Producer-supplied values for the column are overwritten. Returns the
+        new manifest version."""
+        from .computed import validate_computed
+
+        spec = validate_computed({"name": name, "kind": kind, "source": source})
+        if name in _NO_MAP_COLUMNS:
+            raise ValueError(f"cannot shadow system/key column {name!r}")
+        existing = self.manifest.computed_columns
+        if any(c["name"] == name for c in existing):
+            raise ValueError(f"computed column {name!r} already exists")
+        return self.manifest.commit_computed_columns(existing + [spec])
+
+    def drop_computed_column(self, name: str) -> int:
+        """Stop deriving ``name`` (metadata-only). Already-stored values stay
+        in the lake schema — drop_column removes them from the read surface."""
+        existing = self.manifest.computed_columns
+        kept = [c for c in existing if c["name"] != name]
+        if len(kept) == len(existing):
+            raise KeyError(f"drop_computed_column: no computed column {name!r}")
+        return self.manifest.commit_computed_columns(kept)
+
+    def _compose_computed(self, enrich, enrich_schema):
+        """Fuse the generated-column pass onto the apply path's enrich hook
+        (computed AFTER user enrich, so an enrich output can be a source)."""
+        specs = self.manifest.computed_columns
+        if not specs:
+            return enrich, enrich_schema
+        from .computed import apply_computed, computed_fields
+
+        base = enrich
+
+        def fused(t, _b=base, _s=tuple(specs)):
+            if _b is not None:
+                t = _b(t)
+            return apply_computed(t, list(_s))
+
+        fields = list(enrich_schema) if enrich_schema is not None else []
+        have = {f.name for f in fields}
+        fields += [f for f in computed_fields(specs) if f.name not in have]
+        return fused, pa.schema(fields)
 
     def drop_constraint(self, name: str) -> int:
         """``ALTER TABLE … DROP CONSTRAINT`` — metadata-only commit; already

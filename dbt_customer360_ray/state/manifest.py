@@ -172,6 +172,26 @@ class Manifest:
                 self.reload()
 
     @property
+    def computed_columns(self) -> list[dict]:
+        """Generated-column specs (``{"name","kind","source"}``) derived at
+        every apply — per-version like the schema."""
+        return [dict(c) for c in self._state.get("computed_columns", [])]
+
+    def commit_computed_columns(self, specs: list[dict]) -> int:
+        """Metadata-only commit replacing the generated-column list."""
+        for attempt in range(5):
+            state = json.loads(json.dumps(self._state))
+            state["computed_columns"] = json.loads(json.dumps(specs))
+            state["version"] += 1
+            try:
+                self._persist(state)
+                return state["version"]
+            except CommitConflictError:
+                if attempt == 4:
+                    raise
+                self.reload()
+
+    @property
     def column_mapping(self) -> dict | None:
         """Delta-style column mapping: ``{"logical": {logical→physical},
         "used": [every physical ever allocated]}`` — or None when the lake has
@@ -443,6 +463,12 @@ class Manifest:
             state.pop("windows", None)
             if target.get("windows"):
                 state["windows"] = json.loads(json.dumps(target["windows"]))
+            # generated-column specs roll back WITH the data too
+            state.pop("computed_columns", None)
+            if target.get("computed_columns"):
+                state["computed_columns"] = json.loads(
+                    json.dumps(target["computed_columns"])
+                )
             state["restores"] = state.get("restores", []) + [
                 {"from_version": prev, "to_version": target_version,
                  "version": prev + 1}

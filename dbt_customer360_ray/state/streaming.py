@@ -328,6 +328,11 @@ class StreamingSession:
     def _ingest_routed(self, batch: pa.Table, exempt: bool = False) -> None:
         from .router import invalid_event_mask
 
+        computed = self.lake.manifest.computed_columns
+        if computed:
+            from .computed import apply_computed
+
+            batch = apply_computed(batch, computed)
         if self._colmap is not None:
             # logical → physical translation (same rules as the epoch path:
             # unseen logical columns allocate a FRESH physical name)
@@ -344,6 +349,15 @@ class StreamingSession:
                 self._colmap["used"].append(phys)
             batch = rename_columns_map(batch, log2phys)
         incoming = batch.schema
+        if self.lake.schema_mode == "strict" and self._schema is not None:
+            known = {f.name for f in self._schema}
+            known |= {c["name"] for c in computed}  # lake-derived, not drift
+            unknown = [f.name for f in incoming if f.name not in known]
+            if unknown:
+                raise ValueError(
+                    f"schema_mode='strict': micro-batch carries unknown "
+                    f"columns {unknown} — evolve explicitly or fix the producer"
+                )
         self._schema = (
             evolve_schema(self._schema, incoming) if self._schema is not None else incoming
         )
