@@ -120,12 +120,28 @@ def _compact_partition(
     version: int,
     prefix: str = "base",
     merge_mode: str = "lww",
+    tombstone_horizon_us: int | None = None,
 ) -> dict:
     """One-partition compaction task: read the selected runs (conforming old
     schemas), LWW-merge, write one merged run at a deterministic versioned
-    path (``base-v…`` for full merges, ``tier-v…`` for L0→L1 merges)."""
+    path (``base-v…`` for full merges, ``tier-v…`` for L0→L1 merges).
+
+    ``tombstone_horizon_us`` (FULL merges on lateness-bounded lakes only):
+    physically drop tombstones with ts below the horizon (watermark −
+    allowed_lateness) — no run older than this merge survives for them to
+    mask, a redelivery of the deleted key's events is caught by the offset
+    checkpoint, and a NEW event old enough to resurrect the key would be
+    quarantined as too_late. The RocksDB/Cassandra gc_grace rule."""
     tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
     merged = _collapse_runs(pa.concat_tables(tables), merge_mode)
+    if tombstone_horizon_us is not None and prefix == "base":
+        gc = pc.and_(
+            pc.equal(merged.column("op"), "D"),
+            pc.less(
+                merged.column("ts").cast(pa.int64()), tombstone_horizon_us
+            ),
+        )
+        merged = merged.filter(pc.invert(pc.fill_null(gc, False)))
     path = os.path.join("data", f"part-{pid:05d}", f"{prefix}-v{version:08d}.parquet")
     atomic_parquet(merged, os.path.join(lake_dir, path))
     tomb = int(pc.sum(pc.equal(merged.column("op"), "D")).as_py() or 0)
@@ -1450,6 +1466,14 @@ class CdcLake:
         if not inputs:
             return 0
         prefix = "tier" if policy == "tiered" else "base"
+        # tombstone GC (full merges only): safe exactly when the lateness
+        # watermark guarantees no applicable event can still target the
+        # deleted key's pre-horizon past
+        horizon = None
+        if prefix == "base" and self.allowed_lateness_us is not None:
+            w = self._watermark_us()
+            if w is not None:
+                horizon = w - self.allowed_lateness_us
         stats_refs = [
             compact_task.remote(
                 lake_dir,
@@ -1459,6 +1483,7 @@ class CdcLake:
                 version,
                 prefix,
                 self.merge_mode,
+                horizon,
             )
             for pid, paths in inputs.items()
         ]

@@ -146,3 +146,42 @@ def test_streaming_path_matches_epoch_path(tmp_path):
         epoch_lake.window_counts().to_pandas(),
         stream_lake.window_counts().to_pandas(),
     )
+
+
+def test_full_compaction_gcs_tombstones_under_lateness(tmp_path):
+    """With a lateness watermark, full compaction physically drops tombstones
+    below (watermark − lateness): nothing older survives for them to mask, a
+    redelivery is offset-deduped, and a new event that old is quarantined —
+    so the live state is provably unchanged (gc_grace rule)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    lake = CdcLake(
+        str(tmp_path / "lake"), num_partitions=2,
+        allowed_lateness="1 minute",
+    )
+    lake.apply(ray.data.from_arrow(_ev([("I", "a", 0, 0.0), ("I", "b", 0, 0.1)])))
+    lake.apply(ray.data.from_arrow(_ev([("D", "a", 0, 0.2)], start_offset=10)))
+    # advance the watermark far past the tombstone + lateness
+    lake.apply(ray.data.from_arrow(_ev([("I", "c", 0, 30.0)], start_offset=20)))
+    assert lake.compact(force=True, policy="full") > 0
+    live = pd.concat(
+        [pq.read_table(p).to_pandas() for p in lake.manifest.live_files()]
+    )
+    assert not (live["op"] == "D").any()  # tombstone physically gone
+    state = lake.read().to_pandas().sort_values("conv_id")
+    assert list(state["conv_id"]) == ["b", "c"]
+    # a resurrect attempt below the watermark cutoff is quarantined, not applied
+    m = lake.apply(ray.data.from_arrow(_ev([("I", "a", 0, 0.3)], start_offset=30)))
+    assert m["events_quarantined"] == 1
+    assert list(lake.read().to_pandas().sort_values("conv_id")["conv_id"]) == ["b", "c"]
+
+    # without a lateness bound, tombstones are never GC'd
+    plain = CdcLake(str(tmp_path / "plain"), num_partitions=2)
+    plain.apply(ray.data.from_arrow(_ev([("I", "a", 0, 0.0)])))
+    plain.apply(ray.data.from_arrow(_ev([("D", "a", 0, 0.2)], start_offset=10)))
+    plain.compact(force=True, policy="full")
+    live = pd.concat(
+        [pq.read_table(p).to_pandas() for p in plain.manifest.live_files()]
+    )
+    assert (live["op"] == "D").sum() == 1
