@@ -153,6 +153,8 @@ def export_change_feed_jsonl(
 
     from ..hashing import stable_hash
 
+    if to_epoch is None and to_version is None:
+        to_version = lake.manifest.version  # default: egress up to HEAD
     feed = lake.change_feed(
         from_epoch=from_epoch,
         to_epoch=to_epoch,

@@ -66,6 +66,24 @@ def main() -> int:
                          "snapshot as a new commit (checkpoints roll back too)")
     ap.add_argument("--preimages", action="store_true",
                     help="with --change-feed: carry the replaced values as old_* columns")
+    ap.add_argument("--constraint", action="append", default=[], metavar="SPEC",
+                    help="CHECK constraint enforced at ingest (repeatable): "
+                         "'name:column:op[:value]' — op in not_null/in/==/!=/"
+                         "</<=/>/>=/matches; 'in' values comma-separated "
+                         "(e.g. role_allowed:role:in:user,assistant)")
+    ap.add_argument("--computed", action="append", default=[], metavar="SPEC",
+                    help="generated column derived at ingest (repeatable): "
+                         "'name:kind:source' — kind in length/lower/token_count")
+    ap.add_argument("--window", default=None, metavar="DUR",
+                    help="keep tumbling event-time window counts (e.g. '1 hour'); "
+                         "requires --allowed-lateness; prints the finalized "
+                         "windows at the end")
+    ap.add_argument("--strict-schema", action="store_true",
+                    help="reject batches carrying unknown columns instead of "
+                         "auto-evolving (type widening still allowed)")
+    ap.add_argument("--export-jsonl", default=None, metavar="DIR",
+                    help="after the replay, export the full change feed as "
+                         "Debezium-style JSONL part files to DIR")
     ap.add_argument("--fsck", action="store_true",
                     help="verify manifest ↔ storage integrity at the end (missing "
                          "files, row-count mismatches) and print the report")
@@ -117,6 +135,8 @@ def main() -> int:
         compaction_policy=args.compaction_policy,
         allowed_lateness=args.allowed_lateness,
         merge_mode=args.merge_mode,
+        window=args.window,
+        schema_mode="strict" if args.strict_schema else "additive",
     )
     if args.multi_table:
         from dbt_customer360_ray.state.multitable import MultiTableLake
@@ -142,6 +162,32 @@ def main() -> int:
         return 0
 
     lake = CdcLake(args.lake, **lake_kwargs)
+    for spec in args.constraint:
+        parts = spec.split(":", 3)
+        if len(parts) < 3:
+            ap.error(f"--constraint needs name:column:op[:value], got {spec!r}")
+        name, column, op = parts[:3]
+        value = parts[3] if len(parts) == 4 else None
+        if op == "in" and value is not None:
+            value = value.split(",")
+        elif value is not None:
+            try:
+                value = int(value)
+            except ValueError:
+                try:
+                    value = float(value)
+                except ValueError:
+                    pass  # string comparison / regex value
+        if not any(c["name"] == name for c in lake.manifest.constraints):
+            lake.add_check_constraint(name, column, op, value)
+    for spec in args.computed:
+        parts = spec.split(":")
+        if len(parts) != 3:
+            ap.error(f"--computed needs name:kind:source, got {spec!r}")
+        if not any(
+            c["name"] == parts[0] for c in lake.manifest.computed_columns
+        ):
+            lake.add_computed_column(*parts)
     t0 = time.perf_counter()
     events = 0
     for i, p in enumerate(paths):
@@ -185,6 +231,20 @@ def main() -> int:
             vc = dl.column("dl_reason").to_pandas().value_counts()
             by_reason = {str(k): int(v) for k, v in vc.items()}
         print(json.dumps({"deadletter": {"rows": dl.num_rows, "by_reason": by_reason}}), flush=True)
+    if args.window:
+        wc = lake.window_counts(final_only=True).to_pandas()
+        print(json.dumps({
+            "finalized_windows": len(wc),
+            "finalized_events": int(wc["n"].sum()) if len(wc) else 0,
+        }), flush=True)
+    if args.export_jsonl:
+        from dbt_customer360_ray.sources.binlog_json import export_change_feed_jsonl
+
+        export_change_feed_jsonl(
+            lake, args.export_jsonl,
+            pos_base=(lake.manifest.version + 1) << 41, from_version=0,
+        )
+        print(json.dumps({"exported_jsonl": args.export_jsonl}), flush=True)
     if args.fsck:
         print(json.dumps({"fsck": lake.fsck()}), flush=True)
     if args.vacuum:
