@@ -363,7 +363,8 @@ class StreamingSession:
         )
         conformed = conform_batch(batch, self._schema)
         bad = invalid_event_mask(
-            conformed, self._late_cutoff_us, self.lake._valid_ops
+            conformed, self._late_cutoff_us, self.lake._valid_ops,
+            self.lake._active_constraints(),
         )
         if bad.any():
             self._dlq.append(conformed.filter(pa.array(bad)))
@@ -430,7 +431,8 @@ class StreamingSession:
                 "dl_reason",
                 pa.array(
                     quarantine_reasons(
-                        rows, self._late_cutoff_us, self.lake._valid_ops
+                        rows, self._late_cutoff_us, self.lake._valid_ops,
+                        self.lake._active_constraints(),
                     ),
                     pa.string(),
                 ),

@@ -80,6 +80,44 @@ def test_constraint_violations_quarantined(tmp_path, exchange):
     assert set(dlq["dl_reason"]) == {"chk:role_allowed"}
 
 
+def test_streaming_path_enforces_constraints(tmp_path):
+    """The streaming tail must quarantine the same rows the epoch path does —
+    constraint enforcement is a lake property, not an ingest-path property."""
+    import numpy as np
+
+    from dbt_customer360_ray.state.streaming import StreamingSession
+
+    changes = gen_changes(3_000, 200, seed=43)
+    lake = CdcLake(str(tmp_path / "lake"), num_partitions=8)
+    lake.add_check_constraint(
+        "role_allowed", "role", "in", ["user", "assistant", "system"]
+    )
+    sess = StreamingSession(lake, pool_size=2)
+    bounds = np.linspace(0, changes.num_rows, 5).astype(int)
+    for i in range(4):
+        sess.ingest(changes.slice(bounds[i], bounds[i + 1] - bounds[i]))
+        if i % 2 == 1:
+            sess.checkpoint()
+    sess.checkpoint()
+    sess.close()
+
+    df = changes.to_pandas()
+    bad = df["op"].isin(["I", "U"]) & df["role"].notna() & (df["role"] == "tool")
+    assert int(bad.sum()) > 0
+
+    want = oracle_lake(pa.Table.from_pandas(df[~bad], preserve_index=False))
+    got = (
+        lake.read().to_pandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    want = pd.DataFrame(want).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+    dlq = lake.read_deadletter().to_pandas()
+    assert len(dlq) == int(bad.sum())
+    assert set(dlq["dl_reason"]) == {"chk:role_allowed"}
+
+
 def test_add_constraint_validates_existing_state(tmp_path):
     import ray.data
 
