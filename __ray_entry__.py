@@ -140,6 +140,16 @@ def _cdc_lookup_batch(sf_dir: str):
     return lake.lookup_many(ids)
 
 
+def _cdc_scd2_history(sf_dir: str):
+    """SCD2 history view (the dbt-snapshot analogue): one snapshot-diff per
+    epoch appended to a co-partitioned store, versions finalized at read with
+    LEAD validity ranges. Oracled — scd2_oracle_sql re-derives every version
+    from per-epoch prefix states with LAG change detection."""
+    from dbt_customer360_ray.pipelines.cdc_replay import scd2_history
+
+    return scd2_history(sf=0.01)
+
+
 def _cdc_late_quarantined(sf_dir: str):
     """Lateness watermark: events below (watermark − 30 min) at apply time are
     quarantined as 'too_late' instead of applied. Oracled —
@@ -798,6 +808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_late_quarantined"] = _cdc_late_quarantined
     out["cdc_change_feed"] = _cdc_change_feed
     out["cdc_change_feed_images"] = _cdc_change_feed_images
+    out["cdc_scd2_history"] = _cdc_scd2_history
     out["cdc_restored_lake"] = _cdc_restored_lake
     out["cdc_renamed_lake"] = _cdc_renamed_lake
     out["cdc_txn_lake"] = _cdc_txn_lake
@@ -945,6 +956,9 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_change_feed_images"] = change_feed_images_oracle_sql(
         sf=0.01, from_epoch=0, to_epoch=2
     )
+    from dbt_customer360_ray.pipelines.cdc_replay import scd2_oracle_sql
+
+    out["cdc_scd2_history"] = scd2_oracle_sql(sf=0.01)
     out["cdc_patch_lake"] = patch_oracle_sql()
     out["cdc_redelivered_lake"] = replay_oracle_sql(sf=0.01)
     out["cdc_offset_travel"] = timetravel_oracle_sql(sf=0.01, epoch=1)

@@ -1266,3 +1266,78 @@ def multitable_transcripts_oracle_sql() -> str:
 
 def multitable_meta_oracle_sql() -> str:
     return _mt_lww_sql("conv_meta", "conv_id, turn_idx, title, status, ts")
+
+
+# -- SCD2 history view (dbt snapshot semantics) --------------------------------
+
+
+def scd2_history(sf: float = 0.01):
+    """Driver surface for the SCD2 history view: replay the fixture, sync the
+    append-only history store (one snapshot diff per epoch), read it back as
+    versions with valid_from/valid_to/is_current. Idempotent per process —
+    committed epochs skip on re-entry."""
+    from ..state.history import read_history, sync_history_view
+
+    lake = replayed_lake(sf)
+    view_dir = lake.lake_dir + "-scd2"
+    sync_history_view(lake, view_dir)
+    return read_history(view_dir, src=lake)
+
+
+def scd2_oracle_sql(sf: float = 0.01) -> str:
+    """Oracle for the SCD2 history view: per-epoch prefix states (keeping
+    delete winners as present=false so a deletion CLOSES its version), LAG
+    change detection, LEAD validity ranges — dbt's snapshot `check` strategy
+    expressed over the raw change events."""
+    selects = _epoch_selects(sf)
+    union = "\n            UNION ALL\n            ".join(selects)
+    state_sels = []
+    for e in range(len(selects)):
+        state_sels.append(f"""
+            SELECT {e} AS as_of, conv_id, turn_idx, role, text, tool, ts,
+                   (op <> 'D') AS present
+            FROM first_seen WHERE epoch <= {e}
+            QUALIFY row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, "offset" DESC) = 1
+        """)
+    states_union = "\n            UNION ALL\n            ".join(state_sels)
+    return f"""
+        WITH all_ev AS (
+            {union}
+        ), first_seen AS (
+            SELECT * FROM all_ev
+            QUALIFY row_number() OVER (
+                PARTITION BY "offset" ORDER BY epoch, file_rn) = 1
+        ), states AS (
+            {states_union}
+        ), flagged AS (
+            SELECT *,
+                   LAG(present) OVER w AS prev_present,
+                   LAG(role) OVER w AS prev_role,
+                   LAG(text) OVER w AS prev_text,
+                   LAG(tool) OVER w AS prev_tool,
+                   LAG(ts) OVER w AS prev_ts
+            FROM states
+            WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY as_of)
+        ), chg AS (
+            SELECT * FROM flagged
+            WHERE (prev_present IS NULL AND present)
+               OR (prev_present IS NOT NULL AND present <> prev_present)
+               OR (present AND prev_present AND (
+                       role IS DISTINCT FROM prev_role
+                    OR text IS DISTINCT FROM prev_text
+                    OR tool IS DISTINCT FROM prev_tool
+                    OR ts   IS DISTINCT FROM prev_ts))
+        ), vers AS (
+            SELECT conv_id, turn_idx, role, text, tool, ts, present,
+                   as_of AS valid_from,
+                   LEAD(as_of) OVER (
+                       PARTITION BY conv_id, turn_idx ORDER BY as_of) AS valid_to
+            FROM chg
+        )
+        SELECT conv_id, turn_idx, role, text, tool, ts,
+               CAST(valid_from AS INTEGER) AS valid_from,
+               CAST(valid_to AS INTEGER) AS valid_to,
+               (valid_to IS NULL) AS is_current
+        FROM vers WHERE present
+    """
