@@ -140,6 +140,16 @@ def _cdc_lookup_batch(sf_dir: str):
     return lake.lookup_many(ids)
 
 
+def _cdc_cloned_lake(sf_dir: str):
+    """Shallow clone (Delta CLONE): metadata-only copy sharing source data
+    files by absolute reference; epoch 3 applied only to the clone. Oracled —
+    the diverged clone must equal the plain full replay while the source
+    stays at epoch 2 (asserted in the callable)."""
+    from dbt_customer360_ray.pipelines.cdc_replay import cloned_lake
+
+    return cloned_lake(sf=0.01)
+
+
 def _cdc_scd2_history(sf_dir: str):
     """SCD2 history view (the dbt-snapshot analogue): one snapshot-diff per
     epoch appended to a co-partitioned store, versions finalized at read with
@@ -809,6 +819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_change_feed"] = _cdc_change_feed
     out["cdc_change_feed_images"] = _cdc_change_feed_images
     out["cdc_scd2_history"] = _cdc_scd2_history
+    out["cdc_cloned_lake"] = _cdc_cloned_lake
     out["cdc_restored_lake"] = _cdc_restored_lake
     out["cdc_renamed_lake"] = _cdc_renamed_lake
     out["cdc_txn_lake"] = _cdc_txn_lake
@@ -959,6 +970,7 @@ def oracle_sql() -> dict[str, str]:
     from dbt_customer360_ray.pipelines.cdc_replay import scd2_oracle_sql
 
     out["cdc_scd2_history"] = scd2_oracle_sql(sf=0.01)
+    out["cdc_cloned_lake"] = replay_oracle_sql(sf=0.01)
     out["cdc_patch_lake"] = patch_oracle_sql()
     out["cdc_redelivered_lake"] = replay_oracle_sql(sf=0.01)
     out["cdc_offset_travel"] = timetravel_oracle_sql(sf=0.01, epoch=1)

@@ -1341,3 +1341,34 @@ def scd2_oracle_sql(sf: float = 0.01) -> str:
                (valid_to IS NULL) AS is_current
         FROM vers WHERE present
     """
+
+
+# -- shallow clone --------------------------------------------------------------
+
+_CLONED: dict = {}
+
+
+def cloned_lake(sf: float = 0.01):
+    """Driver surface for ``CdcLake.clone``: replay epochs 0-2 into a fresh
+    source lake, shallow-clone it (metadata-only — asserted: zero data files
+    under the clone before divergence), apply epoch 3 ONLY to the clone. The
+    clone must then equal the full 4-epoch replay (the plain replay oracle)
+    while the source stays pinned at epoch 2."""
+    import glob
+    import tempfile
+
+    if sf in _CLONED:
+        return _CLONED[sf].read()
+    fx = changes_fixture(sf)
+    root = tempfile.mkdtemp(prefix="clone-")
+    src = CdcLake(os.path.join(root, "src"), num_partitions=32)
+    for p in fx["paths"][:3]:
+        src.apply(p)
+    clone = src.clone(os.path.join(root, "clone"))
+    copied = glob.glob(os.path.join(root, "clone", "data", "**", "*.parquet"),
+                       recursive=True)
+    assert copied == [], f"shallow clone copied data files: {copied[:3]}"
+    clone.apply(fx["paths"][3])
+    assert src.manifest.last_epoch == 2, "divergent apply leaked to the source"
+    _CLONED[sf] = clone
+    return clone.read()

@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 from ..functions.lww import drop_tombstones, lww_latest, patch_collapse, patch_latest
 from ..schemas import KEY_COLUMNS, conform_batch, evolve_schema, rename_columns_map
 from .applier import EpochApplier, atomic_parquet, run_ts_stats
-from .manifest import Manifest
+from .manifest import Manifest, _atomic_write
 from .router import AssignPartitions, estimate_hot_keys
 
 
@@ -1404,7 +1404,12 @@ class CdcLake:
             return pd.DataFrame()
         return pa.concat_tables(tables).to_pandas()
 
-    def compact(self, force: bool = False, policy: str | None = None) -> int:
+    def compact(
+        self,
+        force: bool = False,
+        policy: str | None = None,
+        rewrite_single: bool = False,
+    ) -> int:
         """Merge run files of partitions with more than ``max_runs`` runs
         (LSM compaction). A partition's runs are already co-located on disk,
         so compaction is one plain Ray task per partition — embarrassingly
@@ -1427,15 +1432,21 @@ class CdcLake:
           count twice) until a major merge. At 100 TB this is the difference
           between compaction cost tracking the INGEST rate vs the LAKE size.
 
+        ``rewrite_single=True`` additionally rewrites partitions that hold a
+        SINGLE run — a pure copy, useless for read speed, but it re-homes
+        every live byte under this lake's own dir (severs a shallow clone's
+        dependency on its source files).
+
         Returns the number of partitions compacted.
         """
         import ray
 
         policy = policy or self.compaction_policy
+        min_runs = 0 if rewrite_single else (1 if force else self.max_runs)
         pids = [
             p
             for p in range(self.P)
-            if len(self.manifest.partition(p)["runs"]) > (1 if force else self.max_runs)
+            if len(self.manifest.partition(p)["runs"]) > min_runs
         ]
         if not pids:
             return 0
@@ -1461,7 +1472,7 @@ class CdcLake:
                     below += r["rows"]
             else:
                 sel = list(runs)
-            if len(sel) >= 2:
+            if len(sel) >= (1 if rewrite_single else 2):
                 inputs[pid] = [r["path"] for r in sel]
         if not inputs:
             return 0
@@ -2551,6 +2562,74 @@ class CdcLake:
                 for c in cons
             ]
         return tuple(cons)
+
+    def clone(self, dest_dir: str) -> "CdcLake":
+        """Delta-style SHALLOW CLONE: a new, fully independent lake whose
+        manifest references the source's data files by ABSOLUTE path —
+        metadata-only, zero bytes of data copied, O(manifest) work. The whole
+        version log comes along (rewritten to absolute paths), so the clone
+        time-travels, resumes from the same checkpoints, and keeps the exactly-
+        once epoch line; new writes land under the clone's own dir and never
+        touch the source. ``vacuum`` on the clone walks only ITS data dir, so
+        shared source files are never deleted from the clone side.
+
+        Caveat (identical to Delta shallow clones): vacuuming the SOURCE can
+        reclaim files a clone still references — keep source retention ≥ the
+        clone's lifetime, or ``compact(force=True, rewrite_single=True)`` the
+        clone (rewrites its live state under its own dir) to sever the
+        dependency."""
+        dest_dir = os.path.abspath(dest_dir)
+        src_root = os.path.abspath(self.lake_dir)
+        if dest_dir == src_root:
+            raise ValueError("clone destination is the source lake")
+        if os.path.exists(os.path.join(dest_dir, "_manifest", "CURRENT")):
+            raise ValueError(f"clone destination {dest_dir} is already a lake")
+
+        def absify(obj):
+            if isinstance(obj, dict):
+                out = {}
+                for k, v in obj.items():
+                    if k == "path" and isinstance(v, str) and not os.path.isabs(v):
+                        out[k] = os.path.join(src_root, v)
+                    else:
+                        out[k] = absify(v)
+                return out
+            if isinstance(obj, list):
+                return [absify(v) for v in obj]
+            return obj
+
+        dest_mdir = os.path.join(dest_dir, "_manifest")
+        os.makedirs(dest_mdir, exist_ok=True)
+        for name in sorted(os.listdir(self.manifest.dir)):
+            if not (name.startswith("MANIFEST-") and name.endswith(".json")):
+                continue
+            with open(os.path.join(self.manifest.dir, name)) as f:
+                state = json.load(f)
+            _atomic_write(os.path.join(dest_mdir, name), json.dumps(absify(state)))
+        cfg = os.path.join(self.lake_dir, "CONFIG.json")
+        if os.path.exists(cfg):
+            with open(cfg) as f:
+                _atomic_write(os.path.join(dest_dir, "CONFIG.json"), f.read())
+        # CURRENT last — the commit point; a crash mid-clone leaves no lake
+        with open(self.manifest._current_path()) as f:
+            _atomic_write(os.path.join(dest_mdir, "CURRENT"), f.read())
+        lateness = (
+            f"{self.allowed_lateness_us}us"
+            if self.allowed_lateness_us is not None
+            else None
+        )
+        return CdcLake(
+            dest_dir,
+            num_partitions=self.P,
+            max_runs=self.max_runs,
+            num_salts=self.num_salts,
+            hot_threshold=self.hot_threshold,
+            exchange=self.exchange,
+            allowed_lateness=lateness,
+            compaction_policy=self.compaction_policy,
+            merge_mode=self.merge_mode,
+            schema_mode=self.schema_mode,
+        )
 
     def restore(self, epoch: int | None = None, version: int | None = None) -> int:
         """Roll the lake back to a committed snapshot as a NEW commit

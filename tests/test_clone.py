@@ -1,0 +1,140 @@
+"""Shallow clone: metadata-only lake copy sharing data files by absolute
+reference — independent manifests, divergent writes, clone-local vacuum."""
+
+import glob
+import os
+
+import pandas as pd
+import pytest
+
+from dbt_customer360_ray.gen import gen_changes, oracle_lake, split_epochs
+from dbt_customer360_ray.state.engine import CdcLake
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _state(lake) -> pd.DataFrame:
+    df = lake.read_local_table().to_pandas()
+    return df.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(
+        drop=True
+    )
+
+
+def _oracle(*tables) -> pd.DataFrame:
+    df = pd.DataFrame(oracle_lake(*tables))
+    return df.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(
+        drop=True
+    )
+
+
+def test_clone_is_metadata_only_and_diverges(tmp_path):
+    import ray.data
+
+    changes = gen_changes(3_000, 200, seed=81)
+    epochs = split_epochs(changes, 3)
+    src = CdcLake(str(tmp_path / "src"), num_partitions=8)
+    src.apply(ray.data.from_arrow(epochs[0]))
+    src.apply(ray.data.from_arrow(epochs[1]))
+
+    clone = src.clone(str(tmp_path / "clone"))
+    # zero data files copied
+    assert glob.glob(str(tmp_path / "clone" / "data" / "**" / "*.parquet"),
+                     recursive=True) == []
+    want01 = _oracle(*epochs[:2])
+    got = _state(clone)
+    pd.testing.assert_frame_equal(got[want01.columns.tolist()], want01,
+                                  check_dtype=False)
+
+    # divergence: epoch 2 lands only on the clone
+    clone.apply(ray.data.from_arrow(epochs[2]))
+    want012 = _oracle(*epochs)
+    got = _state(clone)
+    pd.testing.assert_frame_equal(got[want012.columns.tolist()], want012,
+                                  check_dtype=False)
+    # source untouched
+    assert src.manifest.last_epoch == 1
+    pd.testing.assert_frame_equal(
+        _state(src)[want01.columns.tolist()], want01, check_dtype=False
+    )
+    # clone's new run files live under the clone, not the source
+    new_files = glob.glob(str(tmp_path / "clone" / "data" / "**" / "*.parquet"),
+                          recursive=True)
+    assert new_files
+
+
+def test_clone_time_travels_and_resumes_exactly_once(tmp_path):
+    import ray.data
+
+    changes = gen_changes(2_000, 150, seed=82)
+    epochs = split_epochs(changes, 2)
+    src = CdcLake(str(tmp_path / "src"), num_partitions=4)
+    src.apply(ray.data.from_arrow(epochs[0]))
+    src.apply(ray.data.from_arrow(epochs[1]))
+    clone = src.clone(str(tmp_path / "clone"))
+    # version log came along: epoch-0 snapshot readable on the clone
+    asof = clone.read_as_of(epoch=0).to_pandas().sort_values(
+        ["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+    want0 = _oracle(epochs[0])
+    # the epoch-0 snapshot keeps its own (pre-evolution) schema: no `tool`
+    shared = [c for c in want0.columns if c in asof.columns]
+    assert "tool" not in asof.columns
+    pd.testing.assert_frame_equal(asof[shared], want0[shared], check_dtype=False)
+    # exactly-once epoch line: re-applying a committed epoch dedups fully
+    m = clone.apply(ray.data.from_arrow(epochs[1]))
+    assert m["events_deduped"] == m["events_in"] > 0
+
+
+def test_clone_vacuum_never_touches_source_files(tmp_path):
+    import ray.data
+
+    changes = gen_changes(1_500, 100, seed=83)
+    src = CdcLake(str(tmp_path / "src"), num_partitions=4)
+    src.apply(ray.data.from_arrow(changes))
+    src_files = set(
+        glob.glob(str(tmp_path / "src" / "data" / "**" / "*.parquet"),
+                  recursive=True)
+    )
+    clone = src.clone(str(tmp_path / "clone"))
+    # severing: rewrite ALL live state (even single-run partitions) under
+    # the clone's own dir...
+    clone.compact(force=True, rewrite_single=True)
+    clone.vacuum()
+    # ...and vacuum reclaimed nothing of the source
+    assert set(
+        glob.glob(str(tmp_path / "src" / "data" / "**" / "*.parquet"),
+                  recursive=True)
+    ) == src_files
+    want = _oracle(changes)
+    pd.testing.assert_frame_equal(
+        _state(clone)[want.columns.tolist()], want, check_dtype=False
+    )
+    # post-compaction the clone no longer references any source file
+    live = clone.manifest.live_files()
+    assert all(os.path.abspath(p).startswith(str(tmp_path / "clone"))
+               for p in live)
+
+
+def test_clone_refuses_existing_lake_and_self(tmp_path):
+    import ray.data
+
+    changes = gen_changes(500, 40, seed=84)
+    src = CdcLake(str(tmp_path / "src"), num_partitions=2)
+    src.apply(ray.data.from_arrow(changes))
+    src.clone(str(tmp_path / "clone"))
+    with pytest.raises(ValueError, match="already a lake"):
+        src.clone(str(tmp_path / "clone"))
+    with pytest.raises(ValueError, match="source lake"):
+        src.clone(str(tmp_path / "src"))
+
+
+def test_clone_carries_merge_mode_and_constraints(tmp_path):
+    import ray.data
+
+    changes = gen_changes(1_000, 80, seed=85)
+    src = CdcLake(str(tmp_path / "src"), num_partitions=4)
+    src.add_check_constraint(
+        "role_allowed", "role", "in", ["user", "assistant", "system", "tool"]
+    )
+    src.apply(ray.data.from_arrow(changes))
+    clone = src.clone(str(tmp_path / "clone"))
+    assert [c["name"] for c in clone.manifest.constraints] == ["role_allowed"]
