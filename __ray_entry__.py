@@ -140,6 +140,16 @@ def _cdc_lookup_batch(sf_dir: str):
     return lake.lookup_many(ids)
 
 
+def _cdc_describe_history(sf_dir: str):
+    """DESCRIBE HISTORY: one row per manifest version with the commit's
+    operation + apply metrics (metadata-only, no data reads). Oracled — every
+    metric re-derived from the fixture files (deduped = raw − first
+    deliveries; upserts/deletes = first deliveries by op)."""
+    from dbt_customer360_ray.pipelines.cdc_replay import described_history
+
+    return described_history(sf=0.01)
+
+
 def _cdc_cloned_lake(sf_dir: str):
     """Shallow clone (Delta CLONE): metadata-only copy sharing source data
     files by absolute reference; epoch 3 applied only to the clone. Oracled —
@@ -820,6 +830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_change_feed_images"] = _cdc_change_feed_images
     out["cdc_scd2_history"] = _cdc_scd2_history
     out["cdc_cloned_lake"] = _cdc_cloned_lake
+    out["cdc_describe_history"] = _cdc_describe_history
     out["cdc_restored_lake"] = _cdc_restored_lake
     out["cdc_renamed_lake"] = _cdc_renamed_lake
     out["cdc_txn_lake"] = _cdc_txn_lake
@@ -971,6 +982,9 @@ def oracle_sql() -> dict[str, str]:
 
     out["cdc_scd2_history"] = scd2_oracle_sql(sf=0.01)
     out["cdc_cloned_lake"] = replay_oracle_sql(sf=0.01)
+    from dbt_customer360_ray.pipelines.cdc_replay import describe_history_oracle_sql
+
+    out["cdc_describe_history"] = describe_history_oracle_sql(sf=0.01)
     out["cdc_patch_lake"] = patch_oracle_sql()
     out["cdc_redelivered_lake"] = replay_oracle_sql(sf=0.01)
     out["cdc_offset_travel"] = timetravel_oracle_sql(sf=0.01, epoch=1)

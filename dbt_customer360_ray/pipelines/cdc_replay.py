@@ -1372,3 +1372,60 @@ def cloned_lake(sf: float = 0.01):
     assert src.manifest.last_epoch == 2, "divergent apply leaked to the source"
     _CLONED[sf] = clone
     return clone.read()
+
+
+# -- DESCRIBE HISTORY -----------------------------------------------------------
+
+_HISTORY_LAKE: dict = {}
+
+
+def described_history(sf: float = 0.01):
+    """Driver surface for ``CdcLake.describe_history``: a FRESH 4-epoch replay
+    (isolated from the shared replayed lake — other entries must not add
+    versions under this one) described as one row per manifest version."""
+    if sf not in _HISTORY_LAKE:
+        fx = changes_fixture(sf)
+        # max_runs high: no auto-compaction commits, so version k+1 == APPLY of
+        # epoch k and the whole history is derivable from the fixture in SQL
+        lake = CdcLake(
+            tempfile.mkdtemp(prefix="describe-") + "/lake",
+            num_partitions=32,
+            max_runs=1_000,
+        )
+        for p in fx["paths"]:
+            lake.apply(p)
+        _HISTORY_LAKE[sf] = lake
+    return _HISTORY_LAKE[sf].describe_history()
+
+
+def describe_history_oracle_sql(sf: float = 0.01) -> str:
+    """Oracle for DESCRIBE HISTORY on a plain replay: version k+1 is the APPLY
+    of epoch k; events_in = raw epoch rows, deduped = raw − first deliveries,
+    upserts/deletes = first deliveries by op — all re-derived from the fixture
+    files alone."""
+    union = "\n            UNION ALL\n            ".join(_epoch_selects(sf))
+    return f"""
+        WITH all_ev AS (
+            {union}
+        ), first_seen AS (
+            SELECT * FROM all_ev
+            QUALIFY row_number() OVER (
+                PARTITION BY "offset" ORDER BY epoch, file_rn) = 1
+        ), applied AS (
+            SELECT epoch,
+                   count(*) FILTER (op <> 'D') AS upserts,
+                   count(*) FILTER (op = 'D') AS deletes,
+                   count(*) AS n_applied
+            FROM first_seen GROUP BY epoch
+        ), raw AS (
+            SELECT epoch, count(*) AS events_in FROM all_ev GROUP BY epoch
+        )
+        SELECT CAST(r.epoch + 1 AS BIGINT) AS version,
+               'APPLY' AS operation,
+               CAST(r.epoch AS INTEGER) AS epoch,
+               r.events_in,
+               r.events_in - a.n_applied AS events_deduped,
+               a.upserts, a.deletes,
+               CAST(0 AS BIGINT) AS events_quarantined
+        FROM raw r JOIN applied a USING (epoch)
+    """

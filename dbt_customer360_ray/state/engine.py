@@ -2772,6 +2772,54 @@ class CdcLake:
         )
         return report
 
+    def describe_history(self) -> pa.Table:
+        """Delta-style DESCRIBE HISTORY: one row per committed manifest
+        version — the operation that created it (stamped at commit), the
+        epoch for APPLY commits, and the apply metrics. Metadata-only
+        (O(versions) small-JSON reads, no data files touched, no Ray);
+        versions whose manifest file is gone (pre-upgrade lakes) surface as
+        UNKNOWN rather than erroring."""
+        rows = []
+        for v in range(1, self.manifest.version + 1):
+            path = os.path.join(self.manifest.dir, f"MANIFEST-{v:08d}.json")
+            try:
+                with open(path) as f:
+                    state = json.load(f)
+            except FileNotFoundError:
+                rows.append({"version": v, "operation": "UNKNOWN"})
+                continue
+            op = state.get("operation") or {}
+            row = {"version": v, "operation": op.get("op", "UNKNOWN")}
+            if op.get("op") == "APPLY":
+                row["epoch"] = int(op["epoch"])
+                em = next(
+                    (e for e in state.get("epochs", [])
+                     if e.get("version") == v),
+                    None,
+                )
+                for k in ("events_in", "events_deduped", "upserts", "deletes",
+                          "events_quarantined"):
+                    if em and k in em.get("metrics", {}):
+                        row[k] = int(em["metrics"][k])
+            rows.append(row)
+        schema = pa.schema(
+            [
+                ("version", pa.int64()),
+                ("operation", pa.string()),
+                ("epoch", pa.int32()),
+                ("events_in", pa.int64()),
+                ("events_deduped", pa.int64()),
+                ("upserts", pa.int64()),
+                ("deletes", pa.int64()),
+                ("events_quarantined", pa.int64()),
+            ]
+        )
+        cols = {
+            f.name: pa.array([r.get(f.name) for r in rows], f.type)
+            for f in schema
+        }
+        return pa.table(cols)
+
     def vacuum(self) -> int:
         """Delete data files no longer referenced by the current manifest."""
         live = {os.path.abspath(p) for p in self.manifest.live_files()}

@@ -126,6 +126,7 @@ class Manifest:
             state = json.loads(json.dumps(self._state))
             cur = int(state.get("consumers", {}).get(consumer, 0))
             state.setdefault("consumers", {})[consumer] = max(cur, int(version))
+            state["operation"] = {"op": "CONSUMER_ACK", "consumer": consumer}
             state["version"] += 1
             try:
                 self._persist(state)
@@ -162,6 +163,7 @@ class Manifest:
         for attempt in range(5):
             state = json.loads(json.dumps(self._state))
             state["constraints"] = json.loads(json.dumps(constraints))
+            state["operation"] = {"op": "SET_CONSTRAINTS", "n": len(constraints)}
             state["version"] += 1
             try:
                 self._persist(state)
@@ -182,6 +184,7 @@ class Manifest:
         for attempt in range(5):
             state = json.loads(json.dumps(self._state))
             state["computed_columns"] = json.loads(json.dumps(specs))
+            state["operation"] = {"op": "SET_COMPUTED_COLUMNS", "n": len(specs)}
             state["version"] += 1
             try:
                 self._persist(state)
@@ -362,6 +365,7 @@ class Manifest:
             state["epochs"].append(
                 {"epoch": epoch, "version": state["version"] + 1, "metrics": metrics_delta}
             )
+            state["operation"] = {"op": "APPLY", "epoch": epoch}
             state["version"] += 1
             try:
                 self._persist(state)
@@ -398,6 +402,7 @@ class Manifest:
                     r["rows"] - r["tombstones"] for r in kept
                 )
                 state["partitions"][str(pid)] = cur
+            state["operation"] = {"op": "COMPACT", "partitions": len(partition_updates)}
             state["version"] += 1
             try:
                 self._persist(state)
@@ -415,6 +420,7 @@ class Manifest:
         for attempt in range(5):
             state = json.loads(json.dumps(self._state))
             state["column_mapping"] = json.loads(json.dumps(column_mapping))
+            state["operation"] = {"op": "SCHEMA_CHANGE"}
             state["version"] += 1
             try:
                 self._persist(state)
@@ -473,6 +479,7 @@ class Manifest:
                 {"from_version": prev, "to_version": target_version,
                  "version": prev + 1}
             ]
+            state["operation"] = {"op": "RESTORE", "to_version": target_version}
             state["version"] = prev + 1
             try:
                 self._persist(state)
@@ -492,6 +499,7 @@ class Manifest:
             state["deadletter"] = [
                 r for r in state.get("deadletter", []) if r["path"] not in drop
             ]
+            state["operation"] = {"op": "DLQ_CLEAR", "n": len(drop)}
             state["version"] += 1
             try:
                 self._persist(state)

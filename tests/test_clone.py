@@ -138,3 +138,31 @@ def test_clone_carries_merge_mode_and_constraints(tmp_path):
     src.apply(ray.data.from_arrow(changes))
     clone = src.clone(str(tmp_path / "clone"))
     assert [c["name"] for c in clone.manifest.constraints] == ["role_allowed"]
+
+
+def test_describe_history_stamps_operations(tmp_path):
+    import ray.data
+
+    changes = gen_changes(1_200, 80, seed=86)
+    epochs = split_epochs(changes, 2)
+    lake = CdcLake(str(tmp_path / "lake"), num_partitions=4, max_runs=1_000)
+    lake.apply(ray.data.from_arrow(epochs[0]))
+    lake.apply(ray.data.from_arrow(epochs[1]))
+    lake.compact(force=True)
+    lake.rename_column("text", "body")
+    lake.add_check_constraint("turn_nonneg", "turn_idx", ">=", 0)
+    lake.restore(epoch=1)
+    h = lake.describe_history().to_pandas()
+    assert h["operation"].tolist() == [
+        "APPLY", "APPLY", "COMPACT", "SCHEMA_CHANGE", "SET_CONSTRAINTS",
+        "RESTORE",
+    ]
+    assert h["version"].tolist() == [1, 2, 3, 4, 5, 6]
+    assert h.loc[0, "epoch"] == 0 and h.loc[1, "epoch"] == 1
+    raw = pd.concat([e.to_pandas() for e in epochs])
+    assert int(h.loc[:1, "events_in"].sum()) == len(raw)
+    # a re-applied epoch after restore shows up as a fresh APPLY with full dedup
+    m = lake.apply(ray.data.from_arrow(epochs[1]))
+    h2 = lake.describe_history().to_pandas()
+    assert h2["operation"].tolist()[-1] == "APPLY"
+    assert m["events_in"] == h2.iloc[-1]["events_in"]
