@@ -504,6 +504,16 @@ def _lang_quality_documents(sf_dir: str):
     )
 
 
+def _lm_fluency_documents(sf_dir: str):
+    """CCNet-analogue LM quality score: mean conditional bigram frequency in
+    permille, all-integer (division-only, no log) so it is bit-exact at any
+    cluster size. Two count passes + a map-only scoring pass."""
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.text import lm_fluency
+
+    return lm_fluency(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def _gopher_rules_documents(sf_dir: str):
     """Gopher quality rules (word-level subset): integer-algebra thresholds so
     every boolean is bit-exact vs the SQL oracle. Map-only, zero-copy Arrow."""
@@ -861,6 +871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["quota_sample_documents"] = _quota_sample_documents
     out["repetition_documents"] = _repetition_documents
     out["vocab_documents"] = _vocab_documents
+    out["lm_fluency_documents"] = _lm_fluency_documents
     out["encoded_documents"] = _encoded_documents
     out["curated_documents"] = _curated_documents
     out["minhash_near_dups"] = _minhash_near_dups
@@ -933,10 +944,14 @@ def oracle_sql() -> dict[str, str]:
 
     from dbt_customer360_ray.stages.dedup import window_dedup_oracle_sql
     from dbt_customer360_ray.stages.sampling import quota_sample_oracle_sql
-    from dbt_customer360_ray.stages.text import gopher_oracle_sql
+    from dbt_customer360_ray.stages.text import (
+        gopher_oracle_sql,
+        lm_fluency_oracle_sql,
+    )
 
     out = dict(ORACLE_SQL)
     out["gopher_rules_documents"] = gopher_oracle_sql("documents")
+    out["lm_fluency_documents"] = lm_fluency_oracle_sql("documents")
     out["window_dedup_documents"] = window_dedup_oracle_sql("documents")
     out["quota_sample_documents"] = quota_sample_oracle_sql("documents", quota=10)
     out["repetition_documents"] = repetition_oracle_sql("documents")

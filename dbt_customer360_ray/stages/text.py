@@ -978,3 +978,108 @@ def gopher_oracle_sql(table: str, id_col: str = "doc_id", text_col: str = "text"
                 AND (n_stopwords >= 2)) AS gopher_pass
         FROM sig
     """
+
+
+def lm_fluency(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """CCNet-style LM quality scoring (Wenzek et al. 2019 filter corpora by
+    LM perplexity), recast all-integer so the score is bit-exact at any
+    cluster size AND in SQL: per document, the mean conditional bigram
+    frequency in permille —
+
+        score = ( Σ_bigrams (1000·c(w1,w2)) // c(w1) ) // n_bigrams
+
+    where the counts are corpus-wide. A true perplexity needs a log whose
+    ulps diverge across libms (same reason ``bigram_lift`` ships exp-PMI);
+    integer division in a fixed permille grid removes every float from the
+    pipeline. Two corpus passes build the count maps (bigram partial-count
+    groupby — vocab²-bounded — and ``build_vocab``'s unigram combine), both
+    broadcast once via ``ray.put`` (O(distinct grams); above ~256 MB swap in
+    the bucketed-join fallback documented at ``ngram_jaccard_pairs``); the
+    scoring pass is map-only. Documents with < 2 tokens have no bigrams and
+    are dropped (the SQL INNER JOIN + GROUP BY shape)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        _, (w1, w2) = _doc_ngrams(batch, id_col, text_col, 2)
+        return (
+            pd.DataFrame({"w1": w1, "w2": w2})
+            .groupby(["w1", "w2"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    bdf = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n", alias_name="c_xy"))
+        .to_pandas()
+    )
+    big_ref = ray.put(
+        dict(
+            zip(
+                bdf["w1"].astype(str) + "\x1f" + bdf["w2"].astype(str),
+                bdf["c_xy"].astype(np.int64),
+            )
+        )
+    )
+    uni = build_vocab(ds, text_col=text_col, max_size=1 << 62)
+    uni_ref = ray.put(dict(zip(uni["term"], uni["n"].astype(np.int64))))
+
+    def score(batch: pa.Table) -> pa.Table:
+        id_type = batch.schema.field(id_col).type
+        ids, grams = _doc_ngrams(batch, id_col, text_col, 2)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], id_type),
+                    "fluency_permille": pa.array([], pa.int64()),
+                }
+            )
+        bc, uc = ray.get(big_ref), ray.get(uni_ref)
+        w1, w2 = pd.Series(grams[0]), pd.Series(grams[1])
+        c_xy = (w1.astype(str) + "\x1f" + w2.astype(str)).map(bc).to_numpy(np.int64)
+        c1 = w1.map(uc).to_numpy(np.int64)
+        p = (1000 * c_xy) // c1
+        # per-doc segment reduction: _doc_ngrams emits grams doc-contiguous
+        bounds = np.flatnonzero(ids[1:] != ids[:-1]) + 1
+        starts = np.concatenate([[0], bounds])
+        sums = np.add.reduceat(p, starts)
+        n_grams = np.diff(np.concatenate([starts, [len(p)]]))
+        return pa.table(
+            {
+                id_col: pa.array(ids[starts], id_type),
+                "fluency_permille": pa.array(sums // n_grams, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def lm_fluency_oracle_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB mirror of ``lm_fluency`` (same split, same integer divisions in
+    the same grid — byte-exact)."""
+    return f"""
+        WITH l AS (
+            SELECT {id_col}, string_split({text_col}, ' ') AS l FROM {table}
+        ), big AS (
+            SELECT {id_col}, l[i] AS w1, l[i + 1] AS w2
+            FROM l, UNNEST(range(1, len(l))) AS t(i)
+        ), uc AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS c FROM (
+                SELECT unnest(string_split({text_col}, ' ')) AS term FROM {table}
+            ) GROUP BY 1
+        ), bc AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy FROM big GROUP BY 1, 2
+        )
+        SELECT b.{id_col},
+               CAST(sum((1000 * bc.c_xy) // uc.c) // count(*) AS BIGINT)
+                   AS fluency_permille
+        FROM big b
+        JOIN bc USING (w1, w2)
+        JOIN uc ON uc.term = b.w1
+        GROUP BY b.{id_col}
+    """

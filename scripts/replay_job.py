@@ -84,6 +84,15 @@ def main() -> int:
     ap.add_argument("--export-jsonl", default=None, metavar="DIR",
                     help="after the replay, export the full change feed as "
                          "Debezium-style JSONL part files to DIR")
+    ap.add_argument("--scd2", default=None, metavar="DIR",
+                    help="maintain the SCD2 history view (dbt snapshot "
+                         "analogue) at DIR: one snapshot diff per new epoch")
+    ap.add_argument("--clone", default=None, metavar="DIR",
+                    help="shallow-clone the lake to DIR after the replay "
+                         "(metadata-only, data files shared by reference)")
+    ap.add_argument("--describe-history", action="store_true",
+                    help="print one line per manifest version with the "
+                         "operation that created it")
     ap.add_argument("--fsck", action="store_true",
                     help="verify manifest ↔ storage integrity at the end (missing "
                          "files, row-count mismatches) and print the report")
@@ -245,6 +254,27 @@ def main() -> int:
             pos_base=(lake.manifest.version + 1) << 41, from_version=0,
         )
         print(json.dumps({"exported_jsonl": args.export_jsonl}), flush=True)
+    if args.scd2:
+        from dbt_customer360_ray.state.history import (
+            read_history_local,
+            sync_history_view,
+        )
+
+        ms = sync_history_view(lake, args.scd2)
+        print(json.dumps({
+            "scd2": args.scd2,
+            "epochs_synced": len(ms),
+            "history_rows": read_history_local(args.scd2).num_rows,
+        }), flush=True)
+    if args.clone:
+        c = lake.clone(args.clone)
+        print(json.dumps({"cloned": args.clone,
+                          "version": c.manifest.version}), flush=True)
+    if args.describe_history:
+        for row in lake.describe_history().to_pylist():
+            print(json.dumps({"history": {
+                k: v for k, v in row.items() if v is not None
+            }}), flush=True)
     if args.fsck:
         print(json.dumps({"fsck": lake.fsck()}), flush=True)
     if args.vacuum:

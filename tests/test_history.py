@@ -205,3 +205,29 @@ def test_history_surfaces_renamed_columns(tmp_path):
     assert "body" in got.column_names and "text" not in got.column_names
     plain = read_history_local(hist)
     assert "text" in plain.column_names
+
+
+def test_history_syncs_from_streaming_checkpoints(tmp_path):
+    """Streaming checkpoints commit ordinary epochs, so the SCD2 view follows
+    a streamed lake exactly as it follows a batch-replayed one."""
+    from dbt_customer360_ray.state.streaming import StreamingSession
+
+    changes = gen_changes(2_000, 150, seed=75)
+    lake = CdcLake(str(tmp_path / "lake"), num_partitions=4)
+    sess = StreamingSession(lake, pool_size=2)
+    bounds = np.linspace(0, changes.num_rows, 4).astype(int)
+    checkpoint_tables = []
+    for i in range(3):
+        sess.ingest(changes.slice(bounds[i], bounds[i + 1] - bounds[i]))
+        sess.checkpoint()
+        checkpoint_tables.append(changes.slice(0, bounds[i + 1]))
+    sess.close()
+    hist = str(tmp_path / "hist")
+    assert [m["epoch"] for m in sync_history_view(lake, hist)] == [0, 1, 2]
+    got = read_history_local(hist).to_pandas()
+    # brute force: per-checkpoint prefix states
+    epochs = [changes.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(3)]
+    want = _expected_scd2(epochs)
+    pd.testing.assert_frame_equal(
+        _norm(got)[want.columns.tolist()], _norm(want), check_dtype=False
+    )

@@ -478,3 +478,39 @@ def test_rp_sketch_integer_exact_and_partition_invariant():
     got = a[a.vec_id == 3].sort_values("proj_idx")["value"].to_numpy()
     assert (got == want).all()
     assert (a[a.vec_id == 7]["value"] == 0).all()  # zero vector stays zero
+
+
+def test_lm_fluency_matches_duckdb_oracle():
+    import duckdb
+    import ray.data
+
+    from dbt_customer360_ray.stages.text import lm_fluency, lm_fluency_oracle_sql
+
+    rng = np.random.default_rng(19)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(n)))
+        for n in rng.integers(1, 60, size=300)  # includes 1-token docs
+    ]
+    docs = pa.table({"doc_id": np.arange(300, dtype=np.int64), "text": texts})
+    got = (
+        lm_fluency(ray.data.from_arrow(docs))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = (
+        con.execute(lm_fluency_oracle_sql("documents"))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (got["fluency_permille"] >= 0).all()
+    assert got["fluency_permille"].max() <= 1000
+    pd.testing.assert_frame_equal(got, want[got.columns.tolist()], check_dtype=False)
+    # 1-token docs contribute no bigrams and are absent
+    one_tok = {i for i, t in enumerate(texts) if len(t.split()) < 2}
+    assert one_tok.isdisjoint(set(got["doc_id"]))
+    assert len(got) == 300 - len(one_tok)
