@@ -514,6 +514,21 @@ def _lm_fluency_documents(sf_dir: str):
     return lm_fluency(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+_MIX_WEIGHTS = {f"src{i}": i + 1 for i in range(18)}  # src18/src19 dropped
+
+
+def _mixed_corpus_documents(sf_dir: str):
+    """Deterministic corpus mixing (Pile/Gopher source weighting): integer
+    rate grid from per-source counts, md5-permille keep — the identical row
+    set at any cluster size. Unweighted sources drop entirely."""
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.sampling import mix_to_proportions
+
+    return mix_to_proportions(
+        read_table(sf_dir, "documents"), "doc_id", "source", _MIX_WEIGHTS
+    )
+
+
 def _gopher_rules_documents(sf_dir: str):
     """Gopher quality rules (word-level subset): integer-algebra thresholds so
     every boolean is bit-exact vs the SQL oracle. Map-only, zero-copy Arrow."""
@@ -872,6 +887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["repetition_documents"] = _repetition_documents
     out["vocab_documents"] = _vocab_documents
     out["lm_fluency_documents"] = _lm_fluency_documents
+    out["mixed_corpus_documents"] = _mixed_corpus_documents
     out["encoded_documents"] = _encoded_documents
     out["curated_documents"] = _curated_documents
     out["minhash_near_dups"] = _minhash_near_dups
@@ -952,6 +968,11 @@ def oracle_sql() -> dict[str, str]:
     out = dict(ORACLE_SQL)
     out["gopher_rules_documents"] = gopher_oracle_sql("documents")
     out["lm_fluency_documents"] = lm_fluency_oracle_sql("documents")
+    from dbt_customer360_ray.stages.sampling import mix_oracle_sql
+
+    out["mixed_corpus_documents"] = mix_oracle_sql(
+        "documents", "doc_id", "source", _MIX_WEIGHTS
+    )
     out["window_dedup_documents"] = window_dedup_oracle_sql("documents")
     out["quota_sample_documents"] = quota_sample_oracle_sql("documents", quota=10)
     out["repetition_documents"] = repetition_oracle_sql("documents")

@@ -346,3 +346,71 @@ def quota_sample_oracle_sql(
             FROM {table}
         ) WHERE rn <= {quota}
     """
+
+
+def mix_to_proportions(
+    ds, id_col: str, source_col: str, weights: dict[str, int], salt: str = "mix"
+):
+    """Deterministic corpus mixing (The Pile / Gopher-style source weighting):
+    downsample each source so the kept corpus approaches the target weight
+    proportions — never upsampling. The rate derivation is all-integer, so
+    the engine and the SQL oracle compute IDENTICAL rates from identical
+    counts:
+
+        W = Σ w_s
+        T = min_s (n_s · W) // w_s      (max total honoring every proportion)
+        k_s = (w_s · T) // W            (per-source keep target)
+        rate_s = (1000 · k_s) // n_s    (keep permille)
+
+    then keep rows whose md5 permille (id-stable — the SAME row set at any
+    cluster size) falls below the source's rate. One O(#sources) count
+    groupby + a map-only filter; sources absent from ``weights`` drop."""
+    counts = ds.groupby(source_col).count().to_pandas()
+    n = dict(zip(counts[source_col], counts["count()"].astype(int)))
+    W = sum(weights.values())
+    T = min((n[s] * W) // w for s, w in weights.items() if s in n and w > 0)
+    rates = {
+        s: (1000 * ((w * T) // W)) // n[s]
+        for s, w in weights.items()
+        if s in n and w > 0
+    }
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        pm = _bucket_of(batch[id_col].to_numpy(), salt)
+        rate = batch[source_col].map(rates).fillna(0).to_numpy(np.int64)
+        return batch.loc[pm < rate]
+
+    return ds.map_batches(pick, batch_format="pandas")
+
+
+def mix_oracle_sql(
+    table: str,
+    id_col: str,
+    source_col: str,
+    weights: dict[str, int],
+    salt: str = "mix",
+) -> str:
+    """DuckDB mirror of ``mix_to_proportions`` — the same integer rate grid
+    over the same counts, weights inlined as a VALUES relation."""
+    vals = ", ".join(f"('{s}', {int(w)})" for s, w in sorted(weights.items()))
+    return f"""
+        WITH w({source_col}, wgt) AS (VALUES {vals}),
+        n AS (
+            SELECT {source_col}, CAST(count(*) AS BIGINT) AS n_s
+            FROM {table} GROUP BY {source_col}
+        ), tot AS (
+            SELECT CAST(sum(wgt) AS BIGINT) AS W FROM w
+        ), t AS (
+            SELECT min((n.n_s * tot.W) // w.wgt) AS T
+            FROM n JOIN w USING ({source_col}), tot
+            WHERE w.wgt > 0
+        ), r AS (
+            SELECT w.{source_col},
+                   (1000 * ((w.wgt * t.T) // tot.W)) // n.n_s AS rate
+            FROM w JOIN n USING ({source_col}), t, tot
+            WHERE w.wgt > 0
+        )
+        SELECT d.*
+        FROM {table} d JOIN r USING ({source_col})
+        WHERE {_permille_sql("d." + id_col, salt)} < r.rate
+    """

@@ -514,3 +514,37 @@ def test_lm_fluency_matches_duckdb_oracle():
     one_tok = {i for i, t in enumerate(texts) if len(t.split()) < 2}
     assert one_tok.isdisjoint(set(got["doc_id"]))
     assert len(got) == 300 - len(one_tok)
+
+
+def test_mix_to_proportions_hits_targets_and_is_deterministic():
+    import ray.data
+
+    from dbt_customer360_ray.stages.sampling import mix_to_proportions
+
+    rng = np.random.default_rng(23)
+    n_per = {"web": 6_000, "wiki": 2_000, "code": 1_000, "junk": 500}
+    rows = []
+    i = 0
+    for s, n in n_per.items():
+        for _ in range(n):
+            rows.append({"doc_id": i, "source": s, "text": f"t{i}"})
+            i += 1
+    docs = pa.Table.from_pylist(rows)
+    weights = {"web": 5, "wiki": 3, "code": 2}  # junk unweighted → dropped
+
+    got = mix_to_proportions(
+        ray.data.from_arrow(docs), "doc_id", "source", weights
+    ).to_pandas()
+    assert "junk" not in set(got["source"])
+    kept = got.groupby("source").size()
+    # code is the scarcest source relative to its weight: nearly all kept
+    assert kept["code"] >= 900
+    # proportions approach 5:3:2 (md5 sampling is ±few-% at these counts)
+    total = kept.sum()
+    for s, w in weights.items():
+        assert abs(kept[s] / total - w / 10) < 0.05, (s, kept[s], total)
+    # identical row set at a different parallelism/batch layout
+    got2 = mix_to_proportions(
+        ray.data.from_arrow(docs).repartition(13), "doc_id", "source", weights
+    ).to_pandas()
+    assert set(got2["doc_id"]) == set(got["doc_id"])
