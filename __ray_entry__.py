@@ -140,6 +140,16 @@ def _cdc_lookup_batch(sf_dir: str):
     return lake.lookup_many(ids)
 
 
+def _cdc_sft_export(sf_dir: str):
+    """Training export: conversations assembled into SFT-ready documents
+    (role-prefixed turn lines, token counts) — one task per partition, NO
+    shuffle (the lake is already conv-partitioned). Oracled — string_agg
+    ORDER BY turn_idx over the converged LWW state."""
+    from dbt_customer360_ray.pipelines.cdc_replay import sft_export
+
+    return sft_export(sf=0.01)
+
+
 def _cdc_describe_history(sf_dir: str):
     """DESCRIBE HISTORY: one row per manifest version with the commit's
     operation + apply metrics (metadata-only, no data reads). Oracled — every
@@ -856,6 +866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_scd2_history"] = _cdc_scd2_history
     out["cdc_cloned_lake"] = _cdc_cloned_lake
     out["cdc_describe_history"] = _cdc_describe_history
+    out["cdc_sft_export"] = _cdc_sft_export
     out["cdc_restored_lake"] = _cdc_restored_lake
     out["cdc_renamed_lake"] = _cdc_renamed_lake
     out["cdc_txn_lake"] = _cdc_txn_lake
@@ -1021,6 +1032,9 @@ def oracle_sql() -> dict[str, str]:
     from dbt_customer360_ray.pipelines.cdc_replay import describe_history_oracle_sql
 
     out["cdc_describe_history"] = describe_history_oracle_sql(sf=0.01)
+    from dbt_customer360_ray.pipelines.cdc_replay import sft_oracle_sql
+
+    out["cdc_sft_export"] = sft_oracle_sql(sf=0.01)
     out["cdc_patch_lake"] = patch_oracle_sql()
     out["cdc_redelivered_lake"] = replay_oracle_sql(sf=0.01)
     out["cdc_offset_travel"] = timetravel_oracle_sql(sf=0.01, epoch=1)

@@ -1429,3 +1429,35 @@ def describe_history_oracle_sql(sf: float = 0.01) -> str:
                CAST(0 AS BIGINT) AS events_quarantined
         FROM raw r JOIN applied a USING (epoch)
     """
+
+
+# -- training export: conversation assembly --------------------------------------
+
+
+def sft_export(sf: float = 0.01):
+    """Driver surface for ``CdcLake.assemble_conversations``: the replayed
+    lake's conversations flattened into SFT-ready documents (role-prefixed
+    turn lines in turn order, token counts) — one task per partition, no
+    shuffle, because the lake is already conv-partitioned."""
+    return replayed_lake(sf).assemble_conversations()
+
+
+def sft_oracle_sql(sf: float = 0.01) -> str:
+    """Oracle for the SFT export: string_agg ORDER BY turn_idx over the
+    converged LWW state, token counts in the same single-space split grid."""
+    inner = _lww_sql(_epoch_selects(sf))
+    return f"""
+        WITH asm AS (
+            SELECT conv_id,
+                   string_agg(
+                       coalesce(role, '') || ': ' || coalesce(text, ''),
+                       chr(10) ORDER BY turn_idx
+                   ) AS sft_text,
+                   CAST(count(*) AS BIGINT) AS n_turns
+            FROM ({inner})
+            GROUP BY conv_id
+        )
+        SELECT conv_id, sft_text, n_turns,
+               CAST(len(string_split(sft_text, ' ')) AS BIGINT) AS n_tokens
+        FROM asm
+    """

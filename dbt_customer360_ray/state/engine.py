@@ -550,6 +550,49 @@ def _headers_partition(
     return pa.Table.from_pandas(agg, schema=out_schema, preserve_index=False)
 
 
+def _assemble_partition(
+    files: list[str], state_schema: pa.Schema, merge_mode: str = "lww"
+) -> pa.Table:
+    """assemble_conversations kernel for one partition: LWW-merge the runs,
+    order each conversation by turn_idx, and concatenate its turns into one
+    training-ready document (``role: text`` lines). Routing co-locates every
+    turn of a conversation, so the assembly is exact with NO shuffle."""
+    import pandas as pd
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("sft_text", pa.string()),
+            ("n_turns", pa.int64()),
+            ("n_tokens", pa.int64()),
+        ]
+    )
+    if not files:
+        return out_schema.empty_table()
+    tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
+    state = drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode))
+    cols = [c for c in ("conv_id", "turn_idx", "role", "text") if c in state.column_names]
+    df = state.select(cols).to_pandas()
+    for c in ("role", "text"):
+        if c not in df.columns:
+            df[c] = None
+    df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+    piece = df["role"].fillna("") + ": " + df["text"].fillna("")
+    g = piece.groupby(df["conv_id"].to_numpy(), sort=True)
+    sft = g.agg("\n".join)
+    agg = pd.DataFrame(
+        {
+            "conv_id": sft.index,
+            "sft_text": sft.to_numpy(),
+            "n_turns": g.size().to_numpy("int64"),
+        }
+    )
+    # token convention: single-space split of the assembled document — the
+    # same grid as string_split(sft_text, ' ') in the SQL oracle
+    agg["n_tokens"] = agg["sft_text"].str.split(" ").str.len().astype("int64")
+    return pa.Table.from_pandas(agg, schema=out_schema, preserve_index=False)
+
+
 def _route_and_slice(table: pa.Table, event_schema, assigner, slot_of_skey, nslots: int, enrich=None):
     """Fused shuffle-map body: (optionally) enrich the raw rows, conform to the
     evolved schema, route (append skey), then one stable argsort by slot +
@@ -2259,6 +2302,36 @@ class CdcLake:
             )
         P = m.num_partitions or self.P
         task = ray.remote(_headers_partition)
+        schema_ref = ray.put(state_schema)
+        refs = [
+            task.remote(m.live_files(pid), schema_ref, self.merge_mode)
+            for pid in range(P)
+        ]
+        return ray.data.from_arrow_refs(refs)
+
+    def assemble_conversations(
+        self, epoch: int | None = None, version: int | None = None
+    ):
+        """Training export: each conversation's converged turns concatenated
+        into one SFT-ready document (``role: text`` lines in turn order) with
+        turn/token counts — the lake-to-training-corpus bridge. Routing
+        co-locates conversations, so this is one plain Ray task per partition
+        with NO shuffle; pass epoch/version to export a snapshot."""
+        import ray
+        import ray.data
+
+        m = (
+            self.manifest
+            if epoch is None and version is None
+            else self._manifest_at(epoch, version)
+        )
+        state_schema = m.schema
+        if state_schema is None:
+            return ray.data.from_arrow(
+                pa.schema([("conv_id", pa.string())]).empty_table()
+            )
+        P = m.num_partitions or self.P
+        task = ray.remote(_assemble_partition)
         schema_ref = ray.put(state_schema)
         refs = [
             task.remote(m.live_files(pid), schema_ref, self.merge_mode)
