@@ -504,6 +504,24 @@ def _cdc_constraint_dlq(sf_dir: str):
     return constrained_lake(sf=0.01).read_deadletter()
 
 
+def _cdc_fk_lake(sf_dir: str):
+    """Cross-lake FOREIGN KEY at ingest: the child lake replays under
+    FK(conv_id) REFERENCES a parent loaded with epoch 0 only — the CDC
+    analogue of dbt's relationships test. Oracled — the plain replay over
+    only referentially-valid events."""
+    from dbt_customer360_ray.pipelines.cdc_replay import fk_constrained_lake
+
+    return fk_constrained_lake(sf=0.01)
+
+
+def _cdc_fk_dlq(sf_dir: str):
+    """The FK child's DLQ: rejected events with fk:<name> reasons. Oracled —
+    the violating set re-derived via NOT IN the parent's live conv subquery."""
+    from dbt_customer360_ray.pipelines.cdc_replay import fk_deadletter
+
+    return fk_deadletter(sf=0.01)
+
+
 def _lang_quality_documents(sf_dir: str):
     from dbt_customer360_ray.sources.readers import read_table
     from dbt_customer360_ray.stages.text import analyze_text
@@ -867,6 +885,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_cloned_lake"] = _cdc_cloned_lake
     out["cdc_describe_history"] = _cdc_describe_history
     out["cdc_sft_export"] = _cdc_sft_export
+    out["cdc_fk_lake"] = _cdc_fk_lake
+    out["cdc_fk_dlq"] = _cdc_fk_dlq
     out["cdc_restored_lake"] = _cdc_restored_lake
     out["cdc_renamed_lake"] = _cdc_renamed_lake
     out["cdc_txn_lake"] = _cdc_txn_lake
@@ -1035,6 +1055,13 @@ def oracle_sql() -> dict[str, str]:
     from dbt_customer360_ray.pipelines.cdc_replay import sft_oracle_sql
 
     out["cdc_sft_export"] = sft_oracle_sql(sf=0.01)
+    from dbt_customer360_ray.pipelines.cdc_replay import (
+        fk_dlq_oracle_sql,
+        fk_oracle_sql,
+    )
+
+    out["cdc_fk_lake"] = fk_oracle_sql(sf=0.01)
+    out["cdc_fk_dlq"] = fk_dlq_oracle_sql(sf=0.01)
     out["cdc_patch_lake"] = patch_oracle_sql()
     out["cdc_redelivered_lake"] = replay_oracle_sql(sf=0.01)
     out["cdc_offset_travel"] = timetravel_oracle_sql(sf=0.01, epoch=1)

@@ -1461,3 +1461,67 @@ def sft_oracle_sql(sf: float = 0.01) -> str:
                CAST(len(string_split(sft_text, ' ')) AS BIGINT) AS n_tokens
         FROM asm
     """
+
+
+# -- foreign-key constraint (cross-lake referential integrity) -------------------
+
+_FK_LAKES: dict = {}
+
+
+def _fk_pair(sf: float = 0.01):
+    if sf not in _FK_LAKES:
+        fx = changes_fixture(sf)
+        root = tempfile.mkdtemp(prefix="fk-")
+        parent = CdcLake(os.path.join(root, "parent"), num_partitions=16)
+        parent.apply(fx["paths"][0])  # parent universe = epoch 0's live convs
+        child = CdcLake(os.path.join(root, "child"), num_partitions=32)
+        child.add_fk_constraint(
+            "conv_known", "conv_id", parent.lake_dir, validate=False
+        )
+        for p in fx["paths"]:
+            child.apply(p)
+        _FK_LAKES[sf] = (parent, child)
+    return _FK_LAKES[sf]
+
+
+def fk_constrained_lake(sf: float = 0.01):
+    """Driver surface for ``add_fk_constraint``: parent lake = epoch 0 only;
+    the child replays all 4 epochs under FOREIGN KEY (conv_id) REFERENCES
+    parent — I/U events for conversations the parent has never seen quarantine
+    as fk:conv_known."""
+    return _fk_pair(sf)[1].read()
+
+
+def fk_deadletter(sf: float = 0.01):
+    """The FK-constrained child's DLQ: every rejected event with its reason."""
+    return _fk_pair(sf)[1].read_deadletter()
+
+
+def _fk_dim_sql(sf: float) -> str:
+    """The parent's live conv set (epoch-0 prefix replay) as a subquery."""
+    return _lww_sql(_epoch_selects(sf, upto=0), out_cols="conv_id")
+
+
+def fk_oracle_sql(sf: float = 0.01) -> str:
+    """Oracle for the FK-constrained child: the plain LWW replay over only
+    events that pass referential integrity (deletes exempt, like CHECK)."""
+    pre = (
+        "NOT (op IN ('I', 'U') AND conv_id NOT IN "
+        f"(SELECT conv_id FROM ({_fk_dim_sql(sf)})))"
+    )
+    return _lww_sql(_epoch_selects(sf), pre_filter=pre)
+
+
+def fk_dlq_oracle_sql(sf: float = 0.01) -> str:
+    """Oracle for the FK child's DLQ: every I/U event whose conv_id the
+    parent's live state lacks, reason fk:conv_known."""
+    union = "\n            UNION ALL\n            ".join(_epoch_selects(sf))
+    return f"""
+        SELECT "offset", op, conv_id, turn_idx, role, text, tool, ts,
+               'fk:conv_known' AS dl_reason
+        FROM (
+            {union}
+        )
+        WHERE op IN ('I', 'U') AND conv_id NOT IN
+              (SELECT conv_id FROM ({_fk_dim_sql(sf)}))
+    """

@@ -35,7 +35,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-CONSTRAINT_OPS = ("not_null", "in", "==", "!=", "<", "<=", ">", ">=", "matches")
+CONSTRAINT_OPS = (
+    "not_null", "in", "==", "!=", "<", "<=", ">", ">=", "matches", "fk",
+)
 
 _IMAGE_OPS = ("I", "U")  # full-image ops every constraint applies to
 
@@ -60,6 +62,19 @@ def validate_spec(spec: dict) -> dict:
         if not isinstance(vals, (list, tuple)) or not vals:
             raise ValueError(f"constraint {name!r}: 'in' needs a non-empty list")
         out["value"] = list(vals)
+    elif op == "fk":
+        # referential integrity against another lake: the engine resolves the
+        # referenced key set at apply time (never persisted in the manifest)
+        v = spec.get("value")
+        if not isinstance(v, dict) or not v.get("ref_dir"):
+            raise ValueError(
+                f"constraint {name!r}: 'fk' needs value="
+                "{'ref_dir': <lake dir>, 'ref_column': <col, default column>}"
+            )
+        out["value"] = {
+            "ref_dir": str(v["ref_dir"]),
+            "ref_column": str(v.get("ref_column") or out["column"]),
+        }
     else:
         if spec.get("value") is None:
             raise ValueError(f"constraint {name!r}: op {op!r} needs a value")
@@ -116,6 +131,11 @@ def violation_masks(batch: pa.Table, constraints: list[dict]) -> list[np.ndarray
     iup = pc.fill_null(iup, False).to_numpy(zero_copy_only=False)
     out = []
     for spec in constraints:
+        if spec["op"] == "fk":
+            raise ValueError(
+                f"fk constraint {spec['name']!r} must be resolved to a key set "
+                "before evaluation (CdcLake resolves it at apply time)"
+            )
         if spec["column"] not in batch.column_names:
             if spec["op"] == "not_null":
                 out.append(iu.copy())  # absent column == all null
@@ -155,6 +175,11 @@ def predicate_sql(spec: dict, col_sql: str | None = None) -> str:
     (TRUE/NULL = pass, FALSE = violate — exactly ``_predicate_false``)."""
     c = col_sql if col_sql is not None else spec["column"]
     op = spec["op"]
+    if op == "fk":
+        raise NotImplementedError(
+            "fk constraints reference another lake's state — inline the "
+            "referenced key set as a subquery when building the oracle"
+        )
     if op == "not_null":
         return f"{c} IS NOT NULL"
     if op == "in":

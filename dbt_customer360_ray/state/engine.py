@@ -849,6 +849,8 @@ class CdcLake:
         # observability for the last _read_manifest call: how many runs the
         # per-run ts stats let the read skip without opening
         self.last_read_stats: dict = {}
+        # resolved FK key sets, keyed (ref_dir, ref manifest version, column)
+        self._fk_cache: dict = {}
         # allowed_lateness (anything pandas.Timedelta accepts): events with
         # ts < watermark − lateness are quarantined as 'too_late' instead of
         # applied. The watermark is the max committed ts, read from the
@@ -2537,6 +2539,8 @@ class CdcLake:
         Returns the new manifest version."""
         from .constraints import validate_spec, violation_any
 
+        if op == "fk":
+            raise ValueError("use add_fk_constraint for foreign keys")
         spec = validate_spec(
             {"name": name, "column": column, "op": op, "value": value}
         )
@@ -2623,7 +2627,9 @@ class CdcLake:
 
     def _active_constraints(self) -> tuple:
         """Constraint specs in the PHYSICAL column namespace (constraints are
-        declared on logical names; routing/conform run post-translation)."""
+        declared on logical names; routing/conform run post-translation).
+        Foreign-key specs resolve here to concrete ``in``-sets read from the
+        referenced lake's CURRENT state."""
         cons = self.manifest.constraints
         if not cons:
             return ()
@@ -2634,7 +2640,98 @@ class CdcLake:
                 {**c, "column": log2phys.get(c["column"], c["column"])}
                 for c in cons
             ]
+        cons = [self._resolve_fk(c) if c["op"] == "fk" else c for c in cons]
         return tuple(cons)
+
+    def _resolve_fk(self, spec: dict) -> dict:
+        """Resolve a persisted FK spec to a runtime ``in``-set spec: the
+        DISTINCT referenced-column values of the referenced lake's CURRENT
+        live state (tombstones excluded). Cached per (ref lake, manifest
+        version) — a parent commit invalidates naturally. The resolved set
+        ships in the apply task closures (O(distinct parent keys) per task;
+        for a parent beyond broadcast size, swap in the bucketed semi-join
+        the same way ``ngram_jaccard_pairs`` gates its LUT)."""
+        ref_dir = spec["value"]["ref_dir"]
+        ref_col = spec["value"]["ref_column"]
+        ref = CdcLake(ref_dir)
+        key = (ref_dir, ref.manifest.version, ref_col)
+        if key not in self._fk_cache:
+            state = ref.read_local_table()
+            if ref_col not in state.column_names:
+                raise ValueError(
+                    f"fk constraint {spec['name']!r}: referenced lake has no "
+                    f"column {ref_col!r}"
+                )
+            vals = pc.unique(state.column(ref_col)).drop_null().to_pylist()
+            if not vals:
+                raise ValueError(
+                    f"fk constraint {spec['name']!r}: referenced lake "
+                    f"{ref_dir} has no live {ref_col!r} values"
+                )
+            self._fk_cache[key] = vals
+        return {
+            "name": spec["name"],
+            "column": spec["column"],
+            "op": "in",
+            "value": self._fk_cache[key],
+            "kind": "fk",
+        }
+
+    def add_fk_constraint(
+        self,
+        name: str,
+        column: str,
+        ref_dir: str,
+        ref_column: str | None = None,
+        validate: bool = True,
+    ) -> int:
+        """``ALTER TABLE … ADD CONSTRAINT <name> FOREIGN KEY (column)
+        REFERENCES <ref lake>(ref_column)``: referential integrity across
+        lakes, enforced at ingest. Every subsequent apply resolves the parent
+        lake's CURRENT live key set and quarantines I/U/P events whose value
+        is absent (reason ``fk:<name>``) — the CDC analogue of dbt's
+        relationships test. Late parent arrivals do NOT retro-admit earlier
+        children (check-at-apply semantics, like every ingest constraint);
+        replay the quarantined rows via ``retry_deadletter`` once the parent
+        lands. ``validate=True`` refuses the ADD if existing live rows
+        violate. Returns the new manifest version."""
+        from .constraints import validate_spec, violation_any
+
+        spec = validate_spec(
+            {
+                "name": name,
+                "column": column,
+                "op": "fk",
+                "value": {
+                    "ref_dir": os.path.abspath(ref_dir),
+                    "ref_column": ref_column or column,
+                },
+            }
+        )
+        existing = self.manifest.constraints
+        if any(c["name"] == name for c in existing):
+            raise ValueError(f"constraint {name!r} already exists")
+        if validate and self.manifest.schema is not None:
+            resolved = self._resolve_fk(spec)
+
+            def count_viol(t: pa.Table, _s=resolved) -> pa.Table:
+                probe = t.append_column("op", pa.array(["U"] * t.num_rows))
+                return pa.table(
+                    {"n": pa.array([int(violation_any(probe, [_s]).sum())], pa.int64())}
+                )
+
+            counts = (
+                self.read()
+                .map_batches(count_viol, batch_format="pyarrow", zero_copy_batch=True)
+                .to_pandas()
+            )
+            bad = int(counts["n"].sum()) if len(counts) else 0
+            if bad:
+                raise ValueError(
+                    f"add_fk_constraint({name!r}): {bad} existing live rows "
+                    "violate — repair the data or add with validate=False"
+                )
+        return self.manifest.commit_constraints(existing + [spec])
 
     def clone(self, dest_dir: str) -> "CdcLake":
         """Delta-style SHALLOW CLONE: a new, fully independent lake whose

@@ -122,7 +122,7 @@ def quarantine_reasons(
         for spec, m in reversed(
             list(zip(constraints, violation_masks(batch, list(constraints))))
         ):
-            out[op_ok & m] = f"chk:{spec['name']}"
+            out[op_ok & m] = f"{spec.get('kind', 'chk')}:{spec['name']}"
     if late_cutoff_us is not None:
         late = pc.fill_null(
             pc.less(batch.column("ts").cast(pa.int64()), late_cutoff_us), False

@@ -178,3 +178,83 @@ def test_sql_translation_matches_kernels():
     ).df()["viol"].fillna(False).tolist()
     assert viol_py == kept_sql
     assert "regexp_matches" in predicate_sql(spec)
+
+
+def test_fk_constraint_quarantines_unknown_parents(tmp_path):
+    """Referential integrity across lakes: children whose conv_id is absent
+    from the parent lake's live state quarantine as fk:<name>; the converged
+    child equals the oracle over only the admitted events."""
+    import ray.data
+
+    from dbt_customer360_ray.gen import split_epochs
+
+    changes = gen_changes(4_000, 250, seed=46)
+    epochs = split_epochs(changes, 4)
+    parent = CdcLake(str(tmp_path / "parent"), num_partitions=4)
+    parent.apply(ray.data.from_arrow(epochs[0]))  # parent universe = epoch 0
+    pdf = pd.DataFrame(oracle_lake(epochs[0]))
+    known = set(pdf["conv_id"])
+
+    child = CdcLake(str(tmp_path / "child"), num_partitions=8)
+    child.add_fk_constraint("conv_known", "conv_id", parent.lake_dir,
+                            validate=False)
+    for e in epochs:
+        child.apply(ray.data.from_arrow(e))
+
+    df = changes.to_pandas()
+    bad = df["op"].isin(["I", "U"]) & ~df["conv_id"].isin(known)
+    assert int(bad.sum()) > 0
+    dlq = child.read_deadletter().to_pandas()
+    assert len(dlq) == int(bad.sum())
+    assert set(dlq["offset"]) == set(df.loc[bad, "offset"])
+    assert set(dlq["dl_reason"]) == {"fk:conv_known"}
+
+    # expected state: the SAME epoch tables (epoch 0 is schema v0 — no tool)
+    # minus the FK-rejected events, through the reference oracle
+    def admit(t: pa.Table) -> pa.Table:
+        e = t.to_pandas()
+        rej = e["op"].isin(["I", "U"]) & ~e["conv_id"].isin(known)
+        return pa.Table.from_pandas(e[~rej], preserve_index=False, schema=t.schema)
+
+    want = pd.DataFrame(
+        oracle_lake(*[admit(e) for e in epochs])
+    ).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    got = (
+        child.read().to_pandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_fk_resolution_tracks_parent_commits(tmp_path):
+    """A parent commit invalidates the resolved key set: children rejected
+    before the parent lands are admitted on a later apply (check-at-apply)."""
+    import numpy as np
+    import ray.data
+
+    def ev(off, conv, turn, ts):
+        return pa.table({
+            "offset": pa.array([off], pa.int64()),
+            "op": pa.array(["I"], pa.string()),
+            "conv_id": pa.array([conv], pa.string()),
+            "turn_idx": pa.array([turn], pa.int32()),
+            "role": pa.array(["user"], pa.string()),
+            "text": pa.array(["x"], pa.string()),
+            "tool": pa.array([None], pa.string()),
+            "ts": pa.array([np.datetime64(ts, "us")], pa.timestamp("us")),
+        })
+
+    parent = CdcLake(str(tmp_path / "parent"), num_partitions=2)
+    parent.apply(ray.data.from_arrow(ev(1, "cA", 0, "2025-01-01T00:00:00")))
+    child = CdcLake(str(tmp_path / "child"), num_partitions=2)
+    child.add_fk_constraint("fk", "conv_id", parent.lake_dir, validate=False)
+    m = child.apply(ray.data.from_arrow(ev(10, "cB", 0, "2025-01-01T00:01:00")))
+    assert m["events_quarantined"] == 1  # cB unknown
+    parent.apply(ray.data.from_arrow(ev(2, "cB", 0, "2025-01-01T00:02:00")))
+    m = child.apply(ray.data.from_arrow(ev(11, "cB", 1, "2025-01-01T00:03:00")))
+    assert m["events_quarantined"] == 0  # parent landed; new child admitted
+    # validated ADD refuses when live rows violate
+    other = CdcLake(str(tmp_path / "other"), num_partitions=2)
+    other.apply(ray.data.from_arrow(ev(1, "cZ", 0, "2025-01-01T00:00:00")))
+    with pytest.raises(ValueError, match="existing live rows"):
+        other.add_fk_constraint("fk", "conv_id", parent.lake_dir)
