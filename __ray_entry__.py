@@ -504,6 +504,15 @@ def _cdc_constraint_dlq(sf_dir: str):
     return constrained_lake(sf=0.01).read_deadletter()
 
 
+def _cdc_analyze(sf_dir: str):
+    """ANALYZE TABLE: per-column exact live/null counts + deterministic KMV
+    distinct estimates (≤k hashes per column leave each partition). Oracled —
+    the same md5 bottom-k estimator reproduced per column in SQL."""
+    from dbt_customer360_ray.pipelines.cdc_replay import analyzed_lake
+
+    return analyzed_lake(sf=0.01)
+
+
 def _cdc_fk_lake(sf_dir: str):
     """Cross-lake FOREIGN KEY at ingest: the child lake replays under
     FK(conv_id) REFERENCES a parent loaded with epoch 0 only — the CDC
@@ -887,6 +896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_sft_export"] = _cdc_sft_export
     out["cdc_fk_lake"] = _cdc_fk_lake
     out["cdc_fk_dlq"] = _cdc_fk_dlq
+    out["cdc_analyze"] = _cdc_analyze
     out["cdc_restored_lake"] = _cdc_restored_lake
     out["cdc_renamed_lake"] = _cdc_renamed_lake
     out["cdc_txn_lake"] = _cdc_txn_lake
@@ -1062,6 +1072,9 @@ def oracle_sql() -> dict[str, str]:
 
     out["cdc_fk_lake"] = fk_oracle_sql(sf=0.01)
     out["cdc_fk_dlq"] = fk_dlq_oracle_sql(sf=0.01)
+    from dbt_customer360_ray.pipelines.cdc_replay import analyze_oracle_sql
+
+    out["cdc_analyze"] = analyze_oracle_sql(sf=0.01)
     out["cdc_patch_lake"] = patch_oracle_sql()
     out["cdc_redelivered_lake"] = replay_oracle_sql(sf=0.01)
     out["cdc_offset_travel"] = timetravel_oracle_sql(sf=0.01, epoch=1)

@@ -1525,3 +1525,52 @@ def fk_dlq_oracle_sql(sf: float = 0.01) -> str:
         WHERE op IN ('I', 'U') AND conv_id NOT IN
               (SELECT conv_id FROM ({_fk_dim_sql(sf)}))
     """
+
+
+# -- ANALYZE TABLE ----------------------------------------------------------------
+
+
+def analyzed_lake(sf: float = 0.01, k: int = 64):
+    """Driver surface for ``CdcLake.analyze``: per-column exact live/null
+    counts + deterministic KMV distinct estimates over the replayed lake."""
+    return replayed_lake(sf).analyze(k=k)
+
+
+def analyze_oracle_sql(sf: float = 0.01, k: int = 64) -> str:
+    """Oracle for ANALYZE: the same md5 bottom-k estimator per column over
+    the converged LWW state (same 64-bit hex grid, same (k-1)/h_k float64
+    math as ``stages.sketches``)."""
+    inner = _lww_sql(_epoch_selects(sf))
+    parse = (
+        "list_reduce(list_transform(range(1, 14), "
+        "i -> CAST(strpos('0123456789abcdef', substr(hk_max, CAST(i AS INT), 1)) "
+        "AS BIGINT) - 1), (a, b) -> a * 16 + b)"
+    )
+    den = float(16 ** 13)
+    arms = []
+    for c in ("conv_id", "turn_idx", "role", "text", "tool", "ts"):
+        # timestamps hash their epoch-µs integer (string formats diverge)
+        probe = (
+            f"CAST(CAST(epoch_us({c}) AS BIGINT) AS VARCHAR)"
+            if c == "ts"
+            else f"CAST({c} AS VARCHAR)"
+        )
+        arms.append(f"""
+        SELECT '{c}' AS "column",
+               (SELECT count(*) FROM state) AS n_live,
+               (SELECT count(*) FROM state WHERE {c} IS NULL) AS null_count,
+               CAST(n AS BIGINT) AS n_sketch,
+               CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
+                    ELSE ({k} - 1) / (({parse}) / {den}) END AS n_distinct_est
+        FROM (
+            SELECT count(*) AS n, max(hk) AS hk_max FROM (
+                SELECT substr(md5({probe}), 1, 16) AS hk
+                FROM state WHERE {c} IS NOT NULL
+                GROUP BY 1 ORDER BY hk LIMIT {k}
+            )
+        )""")
+    body = "\n        UNION ALL\n        ".join(arms)
+    return f"""
+        WITH state AS ({inner})
+        {body}
+    """

@@ -593,6 +593,60 @@ def _assemble_partition(
     return pa.Table.from_pandas(agg, schema=out_schema, preserve_index=False)
 
 
+_KMV_HEX = 16  # 64-bit hex prefix, matching stages.sketches
+_KMV_FRAC = 13  # 52 bits — exact in a float64 significand
+
+
+def _analyze_partition(
+    files: list[str], state_schema: pa.Schema, merge_mode: str, k: int
+) -> pa.Table:
+    """ANALYZE kernel for one partition: per public column, exact live/null
+    counts plus a deterministic KMV bottom-k sketch of md5(str(value)) — the
+    sufficient statistic for distinct-count estimation, unionable across
+    partitions (Bar-Yossef et al. 2002; same hash grid as stages.sketches,
+    so the estimate is oracle-checkable in SQL)."""
+    import hashlib
+
+    import pandas as pd
+
+    out_schema = pa.schema(
+        [
+            ("column", pa.string()),
+            ("n_live", pa.int64()),
+            ("null_count", pa.int64()),
+            ("hashes", pa.list_(pa.string())),
+        ]
+    )
+    if not files:
+        return out_schema.empty_table()
+    tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
+    state = drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode))
+    public = [
+        c for c in state.column_names if c not in ("op", "offset", "pid")
+    ]
+    rows = []
+    for c in public:
+        col = state.column(c)
+        nulls = int(pc.sum(pc.is_null(col).cast(pa.int64())).as_py() or 0)
+        if pa.types.is_timestamp(col.type):
+            # hash epoch-µs integers: timestamp→string formatting differs
+            # between pandas and DuckDB (trailing-zero trimming), ints don't
+            col = col.cast(pa.timestamp("us")).cast(pa.int64())
+        vals = pd.Series(col.drop_null().to_pandas()).astype(str).unique()
+        hs = sorted(
+            hashlib.md5(v.encode("utf-8")).hexdigest()[:_KMV_HEX] for v in vals
+        )[:k]
+        rows.append(
+            {
+                "column": c,
+                "n_live": state.num_rows,
+                "null_count": nulls,
+                "hashes": hs,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=out_schema)
+
+
 def _route_and_slice(table: pa.Table, event_schema, assigner, slot_of_skey, nslots: int, enrich=None):
     """Fused shuffle-map body: (optionally) enrich the raw rows, conform to the
     evolved schema, route (append skey), then one stable argsort by slot +
@@ -2340,6 +2394,79 @@ class CdcLake:
             for pid in range(P)
         ]
         return ray.data.from_arrow_refs(refs)
+
+    def analyze(self, k: int = 64) -> pa.Table:
+        """ANALYZE TABLE: per-column statistics of the CURRENT live state —
+        exact row/null counts and a deterministic KMV distinct estimate
+        (``n_sketch < k`` means the count was exact). One Ray task per
+        partition emits ≤ k hashes + two counters per column; the driver
+        merge is O(columns · k). Logical column names (post-RENAME)."""
+        import ray
+
+        state_schema = self.manifest.schema
+        if state_schema is None:
+            raise ValueError("analyze: lake is empty")
+        task = ray.remote(_analyze_partition)
+        schema_ref = ray.put(state_schema)
+        parts = ray.get(
+            [
+                task.remote(
+                    self.manifest.live_files(pid), schema_ref, self.merge_mode, k
+                )
+                for pid in range(self.P)
+            ]
+        )
+        merged: dict[str, dict] = {}
+        order: list[str] = []
+        for t in parts:
+            for r in t.to_pylist():
+                c = r["column"]
+                if c not in merged:
+                    merged[c] = {"n_live": 0, "null_count": 0, "hashes": set()}
+                    order.append(c)
+                m = merged[c]
+                m["null_count"] += r["null_count"]
+                m["hashes"].update(r["hashes"])
+        # n_live is per-partition state rows — identical for every column of a
+        # partition; sum over partitions via any one column's contributions
+        n_live = sum(
+            t.column("n_live")[0].as_py() if t.num_rows else 0 for t in parts
+        )
+        phys, names = _mapped_public(
+            pa.schema(
+                [state_schema.field(c) for c in order if c in state_schema.names]
+            ),
+            self.manifest.column_mapping,
+        )
+        ren = dict(zip(phys, names))
+        rows = []
+        for c in order:
+            hs = sorted(merged[c]["hashes"])[:k]
+            if len(hs) < k:
+                est = float(len(hs))
+            else:
+                est = (k - 1) / (int(hs[-1][:_KMV_FRAC], 16) / float(16 ** _KMV_FRAC))
+            rows.append(
+                {
+                    "column": ren.get(c, c),
+                    "n_live": int(n_live),
+                    "null_count": int(merged[c]["null_count"]),
+                    "n_sketch": len(hs),
+                    "n_distinct_est": est,
+                }
+            )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("column", pa.string()),
+                    ("n_live", pa.int64()),
+                    ("null_count", pa.int64()),
+                    ("n_sketch", pa.int64()),
+                    ("n_distinct_est", pa.float64()),
+                ]
+            ),
+        )
 
     def lookup(self, conv_id: str) -> pa.Table:
         """Point lookup: one conversation's converged turns, reading ONLY the
