@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "cohort_retention",
     "semantic_dedup_embeddings",
     "ngram_containment_docs",
+    "lm_fluency_documents",
+    "mixed_corpus_documents",
 ]
 
 

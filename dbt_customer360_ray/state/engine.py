@@ -2066,22 +2066,66 @@ class CdcLake:
         ``_read_manifest`` for which bound may prune and why)."""
         return self._read_manifest(self.manifest, columns, since_ts, until_ts)
 
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Name a snapshot (git-tag / Iceberg-ref semantics): records
+        ``name → version`` (default: CURRENT) in a sidecar, atomic-replaced.
+        Tags are aliases, not commits — no new manifest version; re-tagging an
+        existing name raises (delete via ``untag``). The tagged version stays
+        readable until ``vacuum`` (same retention rule as any time travel)."""
+        import json as _json
+
+        v = int(version if version is not None else self.manifest.version)
+        if v < 1 or v > self.manifest.version:
+            raise ValueError(f"tag {name!r}: no committed version {v}")
+        path = os.path.join(self.manifest.dir, "TAGS.json")
+        tags = self.tags()
+        if name in tags:
+            raise ValueError(f"tag {name!r} already exists (version {tags[name]})")
+        tags[name] = v
+        _atomic_write(path, _json.dumps(tags))
+        return v
+
+    def untag(self, name: str) -> None:
+        import json as _json
+
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(name)
+        del tags[name]
+        _atomic_write(os.path.join(self.manifest.dir, "TAGS.json"), _json.dumps(tags))
+
+    def tags(self) -> dict[str, int]:
+        import json as _json
+
+        path = os.path.join(self.manifest.dir, "TAGS.json")
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return {k: int(v) for k, v in _json.load(f).items()}
+
     def read_as_of(
         self,
         epoch: int | None = None,
         version: int | None = None,
         offset: int | None = None,
+        tag: str | None = None,
         columns: list[str] | None = None,
         since_ts=None,
         until_ts=None,
     ):
         """Time-travel read: the converged lake AS OF a committed epoch (or a
-        raw manifest version), with the schema as of that snapshot — columns
-        added by later additive evolution are absent, exactly as a reader at
-        that point in time saw the lake. Snapshots stay readable until
-        ``vacuum()`` removes data files the current manifest no longer
-        references (vacuum is the retention horizon, the standard
-        Delta/Iceberg rule)."""
+        raw manifest version, binlog offset, or named tag), with the schema as
+        of that snapshot — columns added by later additive evolution are
+        absent, exactly as a reader at that point in time saw the lake.
+        Snapshots stay readable until ``vacuum()`` removes data files the
+        current manifest no longer references (vacuum is the retention
+        horizon, the standard Delta/Iceberg rule)."""
+        if tag is not None:
+            if any(x is not None for x in (epoch, version, offset)):
+                raise ValueError("pass exactly one of epoch/version/offset/tag")
+            version = self.tags().get(tag)
+            if version is None:
+                raise KeyError(f"unknown tag {tag!r}")
         return self._read_manifest(
             self._manifest_at(epoch, version, offset), columns, since_ts, until_ts
         )

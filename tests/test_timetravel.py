@@ -371,3 +371,35 @@ def test_named_consumer_cursor_at_least_once(tmp_path):
     # a second consumer is independent: still sees everything from scratch
     feed_other, _ = lake.consume_changes("other")
     assert feed_other.count() == lake.read_local_table().num_rows
+
+
+def test_named_tags_alias_versions(tmp_path):
+    import ray.data
+
+    from dbt_customer360_ray.gen import gen_changes, oracle_lake, split_epochs
+
+    changes = gen_changes(1_500, 100, seed=91)
+    epochs = split_epochs(changes, 2)
+    lake = CdcLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply(ray.data.from_arrow(epochs[0]))
+    v_before = lake.manifest.version
+    lake.tag("after-e0")
+    lake.apply(ray.data.from_arrow(epochs[1]))
+    assert lake.tags() == {"after-e0": v_before}
+    # tags are aliases, not commits
+    got = (
+        lake.read_as_of(tag="after-e0").to_pandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    want = pd.DataFrame(oracle_lake(epochs[0])).sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    shared = [c for c in want.columns if c in got.columns]
+    pd.testing.assert_frame_equal(got[shared], want[shared], check_dtype=False)
+    with pytest.raises(ValueError, match="already exists"):
+        lake.tag("after-e0")
+    with pytest.raises(KeyError):
+        lake.read_as_of(tag="nope")
+    lake.untag("after-e0")
+    assert lake.tags() == {}
+    with pytest.raises(KeyError):
+        lake.untag("after-e0")
