@@ -1010,12 +1010,28 @@ def lm_fluency(ds, id_col: str = "doc_id", text_col: str = "text"):
             .reset_index()
         )
 
-    bdf = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["w1", "w2"])
-        .aggregate(Sum("n", alias_name="c_xy"))
-        .to_pandas()
-    )
+    uni = build_vocab(ds, text_col=text_col, max_size=1 << 62)
+    uni_ref = ray.put(dict(zip(uni["term"], uni["n"].astype(np.int64))))
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    if len(uni) ** 2 <= 1_000_000:
+        # bounded bigram cardinality (vocab² rows max per partial) → fold the
+        # per-batch partials in ONE coalesced task instead of paying the
+        # sort-shuffle groupby (~12s → ~1s on the sf0.1 battery)
+        def combine(t: pa.Table) -> pa.Table:
+            g = t.group_by(["w1", "w2"]).aggregate([("n", "sum")])
+            return g.rename_columns(["w1", "w2", "c_xy"])
+
+        bdf = (
+            partials.repartition(1)
+            .map_batches(combine, batch_format="pyarrow", batch_size=None)
+            .to_pandas()
+        )
+    else:  # open-vocabulary corpus: distributed key shuffle
+        bdf = (
+            partials.groupby(["w1", "w2"])
+            .aggregate(Sum("n", alias_name="c_xy"))
+            .to_pandas()
+        )
     big_ref = ray.put(
         dict(
             zip(
@@ -1024,8 +1040,6 @@ def lm_fluency(ds, id_col: str = "doc_id", text_col: str = "text"):
             )
         )
     )
-    uni = build_vocab(ds, text_col=text_col, max_size=1 << 62)
-    uni_ref = ray.put(dict(zip(uni["term"], uni["n"].astype(np.int64))))
 
     def score(batch: pa.Table) -> pa.Table:
         id_type = batch.schema.field(id_col).type
