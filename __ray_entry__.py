@@ -566,6 +566,20 @@ def _mixed_corpus_documents(sf_dir: str):
     )
 
 
+def _bpe_encoded_documents(sf_dir: str):
+    """BPE tokenizer induction (Sennrich 2016): distributed word counts →
+    deterministic driver merge loop (count DESC, pair ASC ties) → map-only
+    encode. Training is iterative re-segmentation — not SQL-expressible, so
+    this entry is rows-only; determinism is pinned by tests (distributed ==
+    no-Ray twin, layout-independent)."""
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.bpe import encode_bpe, train_bpe
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = train_bpe(ds, num_merges=60)
+    return encode_bpe(ds, merges)
+
+
 def _gopher_rules_documents(sf_dir: str):
     """Gopher quality rules (word-level subset): integer-algebra thresholds so
     every boolean is bit-exact vs the SQL oracle. Map-only, zero-copy Arrow."""
@@ -929,6 +943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["vocab_documents"] = _vocab_documents
     out["lm_fluency_documents"] = _lm_fluency_documents
     out["mixed_corpus_documents"] = _mixed_corpus_documents
+    out["bpe_encoded_documents"] = _bpe_encoded_documents
     out["encoded_documents"] = _encoded_documents
     out["curated_documents"] = _curated_documents
     out["minhash_near_dups"] = _minhash_near_dups
