@@ -150,6 +150,15 @@ def _cdc_sft_export(sf_dir: str):
     return sft_export(sf=0.01)
 
 
+def _cdc_sft_split(sf_dir: str):
+    """Conversation-grain train/val split of the SFT export (md5-permille on
+    conv_id — splitting at turn grain would leak conversations across sets).
+    Oracled — the sft oracle plus the same permille CASE."""
+    from dbt_customer360_ray.pipelines.cdc_replay import sft_split
+
+    return sft_split(sf=0.01)
+
+
 def _cdc_describe_history(sf_dir: str):
     """DESCRIBE HISTORY: one row per manifest version with the commit's
     operation + apply metrics (metadata-only, no data reads). Oracled — every
@@ -908,6 +917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_cloned_lake"] = _cdc_cloned_lake
     out["cdc_describe_history"] = _cdc_describe_history
     out["cdc_sft_export"] = _cdc_sft_export
+    out["cdc_sft_split"] = _cdc_sft_split
     out["cdc_fk_lake"] = _cdc_fk_lake
     out["cdc_fk_dlq"] = _cdc_fk_dlq
     out["cdc_analyze"] = _cdc_analyze
@@ -1077,9 +1087,13 @@ def oracle_sql() -> dict[str, str]:
     from dbt_customer360_ray.pipelines.cdc_replay import describe_history_oracle_sql
 
     out["cdc_describe_history"] = describe_history_oracle_sql(sf=0.01)
-    from dbt_customer360_ray.pipelines.cdc_replay import sft_oracle_sql
+    from dbt_customer360_ray.pipelines.cdc_replay import (
+        sft_oracle_sql,
+        sft_split_oracle_sql,
+    )
 
     out["cdc_sft_export"] = sft_oracle_sql(sf=0.01)
+    out["cdc_sft_split"] = sft_split_oracle_sql(sf=0.01)
     from dbt_customer360_ray.pipelines.cdc_replay import (
         fk_dlq_oracle_sql,
         fk_oracle_sql,

@@ -2136,3 +2136,33 @@ ORACLE_SQL["top_types_per_nation"] = """
         PARTITION BY n_name ORDER BY revenue_cents DESC, p_type ASC) <= 3
 """
 QUERIES["top_types_per_nation"] = q_top_types_per_nation
+
+
+def q_ivf_recall_embeddings(sf_dir: str, k: int = 10, num_queries: int = 5):
+    """ANN quality evaluation: recall@k of the IVF index against the exact
+    brute-force answer, per query — the metric an ANN deployment is judged by.
+    Both sides are the already-oracled pipelines; the overlap count is a
+    50-row driver join. Oracled by composing both oracle SQLs."""
+    exact = q_ann_topk_embeddings(sf_dir, k=k, num_queries=num_queries).to_pandas()
+    approx = q_ivf_topk_embeddings(sf_dir, k=k, num_queries=num_queries).to_pandas()
+    hit = exact.merge(approx, on=["query_id", "vec_id"])
+    g = hit.groupby("query_id").size().rename("n_hits").reset_index()
+    g["n_hits"] = g["n_hits"].astype("int64")
+    g["k"] = np.int64(k)
+    return g
+
+
+def _ivf_recall_sql(k: int = 10) -> str:
+    exact = ORACLE_SQL["ann_topk_embeddings"]
+    approx = _ivf_topk_sql()
+    return f"""
+        WITH exact AS ({exact}), approx AS ({approx})
+        SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits,
+               CAST({k} AS BIGINT) AS k
+        FROM exact JOIN approx USING (query_id, vec_id)
+        GROUP BY query_id
+    """
+
+
+QUERIES["ivf_recall_embeddings"] = q_ivf_recall_embeddings
+ORACLE_SQL["ivf_recall_embeddings"] = _ivf_recall_sql()

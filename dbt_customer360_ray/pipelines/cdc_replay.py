@@ -1574,3 +1574,25 @@ def analyze_oracle_sql(sf: float = 0.01, k: int = 64) -> str:
         WITH state AS ({inner})
         {body}
     """
+
+
+def sft_split(sf: float = 0.01, test_permille: int = 200):
+    """Train/val split of the SFT export at CONVERSATION grain — the
+    correctness rule an LLM pipeline must honor (splitting at turn grain
+    leaks a conversation across sets). Deterministic md5-permille on conv_id,
+    id-stable at any cluster size."""
+    from ..stages.sampling import hash_split
+
+    return hash_split(sft_export(sf), "conv_id", test_permille=test_permille)
+
+
+def sft_split_oracle_sql(sf: float = 0.01, test_permille: int = 200) -> str:
+    from ..stages.sampling import _permille_sql
+
+    inner = sft_oracle_sql(sf)
+    return f"""
+        SELECT *,
+               CASE WHEN {_permille_sql("conv_id", "split")} < {test_permille}
+                    THEN 'test' ELSE 'train' END AS split
+        FROM ({inner})
+    """
