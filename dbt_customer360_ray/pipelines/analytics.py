@@ -2166,3 +2166,31 @@ def _ivf_recall_sql(k: int = 10) -> str:
 
 QUERIES["ivf_recall_embeddings"] = q_ivf_recall_embeddings
 ORACLE_SQL["ivf_recall_embeddings"] = _ivf_recall_sql()
+
+
+def q_pq_topk_embeddings(sf_dir: str, k: int = 10, num_queries: int = 5):
+    """PQ/ADC approximate top-k (Jégou 2011): 64-dim vectors → 8 one-byte
+    codes; queries score candidates by summing 8 distance-table lookups.
+    Seeded codebooks (like the IVF entry) so one inlined-codebook oracle SQL
+    holds at every sf."""
+    from ..stages.similarity import pq_seeded_codebooks, pq_topk
+
+    emb = read_table_arrow(sf_dir, "embeddings", ["vec_id", "embedding"])
+    order = pc.sort_indices(emb, sort_keys=[("vec_id", "ascending")])
+    head = emb.take(order).slice(0, num_queries)
+    q_ids = head.column("vec_id").to_numpy()
+    q_mat = np.stack(head.column("embedding").to_pylist())
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], rows_per_block=2_048)
+    cbs = pq_seeded_codebooks(dim=q_mat.shape[1], m=8, codewords=16)
+    return pq_topk(ds, q_mat, q_ids, cbs, k=k)
+
+
+def _pq_topk_sql() -> str:
+    from ..stages.similarity import pq_seeded_codebooks, pq_topk_oracle_sql
+
+    return pq_topk_oracle_sql(pq_seeded_codebooks(dim=64, m=8, codewords=16),
+                              k=10, num_queries=5)
+
+
+QUERIES["pq_topk_embeddings"] = q_pq_topk_embeddings
+ORACLE_SQL["pq_topk_embeddings"] = _pq_topk_sql()

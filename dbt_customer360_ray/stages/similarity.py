@@ -602,3 +602,169 @@ def quantize_int8_oracle_sql(
                           * 127.0 + 0.5) AS BIGINT) AS code
         FROM ex JOIN sc USING ({id_col})
     """
+
+
+# -- product quantization (PQ) --------------------------------------------------
+
+
+def pq_seeded_codebooks(
+    dim: int = 64, m: int = 8, codewords: int = 16, seed: int = 29
+) -> np.ndarray:
+    """Seeded PQ codebooks, shape (m, codewords, dim // m) — the pretrained
+    stand-in (same rationale as ``ivf_seeded_centroids``): one SQL oracle with
+    the codebooks inlined is valid at every scale factor. A production
+    codebook trains per-subspace k-means offline with ``_ivf_fit``."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((m, codewords, dim // m))
+
+
+def _pq_subdists(sub: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """(B, codewords) squared L2 distances, accumulated dim-by-dim LEFT TO
+    RIGHT — the exact float64 op order the SQL oracle's '+' chain uses."""
+    b, d = sub.shape
+    out = np.zeros((b, cb.shape[0]), dtype=np.float64)
+    for i in range(d):
+        diff = sub[:, i, None] - cb[None, :, i]
+        out += diff * diff
+    return out
+
+
+def pq_encode_matrix(emb: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(B, m) int64 codes: per subspace, the argmin-distance codeword (ties →
+    lowest index, matching SQL list_position-of-min)."""
+    m, _, d = codebooks.shape
+    codes = np.empty((emb.shape[0], m), dtype=np.int64)
+    for s in range(m):
+        codes[:, s] = np.argmin(
+            _pq_subdists(emb[:, s * d : (s + 1) * d], codebooks[s]), axis=1
+        )
+    return codes
+
+
+def pq_topk(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    round_to: int = 2,
+):
+    """PQ/ADC approximate top-k (Jégou et al. 2011): vectors compress to m
+    one-byte codes; each query precomputes an (m × codewords) distance table
+    and scores a candidate as the SUM of m table lookups — no full-vector
+    arithmetic at scan time (the memory-bound regime PQ exists for). Map-only
+    partial top-k per batch (adc asc, id asc) + one per-query merge; fully
+    deterministic (fixed summation order), so the approximate answer itself
+    is oracled via ``pq_topk_oracle_sql`` with the codebooks inlined."""
+    import ray
+
+    m, _, d = codebooks.shape
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    # (Q, m, codewords) ADC tables, same left-to-right accumulation
+    tables = np.stack(
+        [
+            np.stack(
+                [_pq_subdists(qm[qi, None, s * d : (s + 1) * d], codebooks[s])[0]
+                 for s in range(m)]
+            )
+            for qi in range(len(qm))
+        ]
+    )
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), tables, codebooks))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        q_ids, tabs, cbs = ray.get(ref)
+        emb = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        ids = batch[id_col].to_numpy()
+        codes = pq_encode_matrix(emb, cbs)
+        out = []
+        for qi in range(len(q_ids)):
+            adc = np.zeros(len(ids), dtype=np.float64)
+            for s in range(cbs.shape[0]):  # fixed subspace order == SQL chain
+                adc += tabs[qi, s][codes[:, s]]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(len(ids), q_ids[qi], dtype=np.int64),
+                        id_col: ids,
+                        "adc_dist": np.round(adc, round_to),
+                    }
+                )
+                .sort_values(["adc_dist", id_col], kind="stable")
+                .head(k)
+            )
+        return pd.concat(out, ignore_index=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.sort_values(["adc_dist", id_col], kind="stable")
+            .head(k)
+            .reset_index(drop=True)
+        )
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=4096)
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def pq_topk_oracle_sql(
+    codebooks: np.ndarray,
+    k: int = 10,
+    num_queries: int = 5,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB mirror of ``pq_topk``: codebooks inlined as float literals;
+    per-subspace squared distances written as explicit left-to-right '+'
+    chains (the same float64 op order as ``_pq_subdists``); codes via
+    list_position-of-min (first-wins ties = np.argmin); ADC = the m-term
+    lookup chain."""
+    m, c, d = codebooks.shape
+
+    def dist_chain(vec_expr_prefix: str, cw: np.ndarray, lo: int) -> str:
+        terms = [
+            f"({vec_expr_prefix}[{lo + i}] - {float(cw[i])!r}) * "
+            f"({vec_expr_prefix}[{lo + i}] - {float(cw[i])!r})"
+            for i in range(d)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    code_cols, qtab_cols, adc_terms = [], [], []
+    for s in range(m):
+        lo = s * d + 1  # SQL lists are 1-indexed
+        dl = "[" + ", ".join(dist_chain("ne", codebooks[s][j], lo) for j in range(c)) + "]"
+        code_cols.append(
+            f"CAST(list_position({dl}, list_min({dl})) AS BIGINT) AS code_{s}"
+        )
+        qdl = "[" + ", ".join(dist_chain("qe", codebooks[s][j], lo) for j in range(c)) + "]"
+        qtab_cols.append(f"{qdl} AS qt_{s}")
+        adc_terms.append(f"q.qt_{s}[c.code_{s}]")
+    adc = " + ".join(adc_terms)
+    return f"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> x / sqrt(list_dot_product(
+                                      CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])))) AS ne
+            FROM {table}
+        ), codes AS (
+            SELECT vec_id, {', '.join(code_cols)} FROM v
+        ), q AS (
+            SELECT vec_id AS query_id, {', '.join(qtab_cols)}
+            FROM (SELECT vec_id, ne AS qe FROM v ORDER BY vec_id LIMIT {num_queries})
+        ), adc AS (
+            SELECT q.query_id, c.vec_id,
+                   ROUND(CAST({adc} AS DOUBLE), 2) AS adc_dist
+            FROM codes c CROSS JOIN q
+        )
+        SELECT query_id, vec_id, adc_dist,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC
+               ) AS BIGINT) AS rank
+        FROM adc
+        QUALIFY rank <= {k}
+    """

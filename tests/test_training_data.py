@@ -548,3 +548,41 @@ def test_mix_to_proportions_hits_targets_and_is_deterministic():
         ray.data.from_arrow(docs).repartition(13), "doc_id", "source", weights
     ).to_pandas()
     assert set(got2["doc_id"]) == set(got["doc_id"])
+
+
+def test_pq_topk_deterministic_and_plausible():
+    import ray.data
+
+    from dbt_customer360_ray.stages.similarity import (
+        pq_encode_matrix,
+        pq_seeded_codebooks,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(31)
+    n, dim = 400, 64
+    emb = rng.standard_normal((n, dim))
+    t = pa.table({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": list(emb.astype(np.float64)),
+    })
+    cbs = pq_seeded_codebooks(dim=dim, m=8, codewords=16)
+    q = emb[:3]
+    out = pq_topk(ray.data.from_arrow(t), q, np.arange(3), cbs, k=5).to_pandas()
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(out) == 15
+    # a query's own vector has ADC distance == its reconstruction distance —
+    # it must rank at or near the top (quantization noise bounded)
+    top3 = out[out["rank"] <= 3]
+    assert all(
+        qid in set(top3.loc[top3["query_id"] == qid, "vec_id"]) for qid in range(3)
+    )
+    # layout independence
+    out2 = pq_topk(
+        ray.data.from_arrow(t).repartition(7), q, np.arange(3), cbs, k=5
+    ).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
+    # codes are within range and deterministic
+    codes = pq_encode_matrix(emb, cbs)
+    assert codes.shape == (n, 8) and codes.min() >= 0 and codes.max() < 16
+    assert (pq_encode_matrix(emb, cbs) == codes).all()
