@@ -2194,3 +2194,42 @@ def _pq_topk_sql() -> str:
 
 QUERIES["pq_topk_embeddings"] = q_pq_topk_embeddings
 ORACLE_SQL["pq_topk_embeddings"] = _pq_topk_sql()
+
+
+def q_ivfpq_topk_embeddings(sf_dir: str, k: int = 10, num_queries: int = 5):
+    """IVF-PQ (FAISS IndexIVFPQ shape): coarse probe prunes to nprobe lists,
+    PQ/ADC scores the survivors — the memory-and-compute scale path combined.
+    Seeded quantizer + codebooks, fully oracled."""
+    from ..stages.similarity import (
+        ivf_seeded_centroids,
+        ivfpq_topk,
+        pq_seeded_codebooks,
+    )
+
+    emb = read_table_arrow(sf_dir, "embeddings", ["vec_id", "embedding"])
+    order = pc.sort_indices(emb, sort_keys=[("vec_id", "ascending")])
+    head = emb.take(order).slice(0, num_queries)
+    q_ids = head.column("vec_id").to_numpy()
+    q_mat = np.stack(head.column("embedding").to_pylist())
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], rows_per_block=2_048)
+    cent = ivf_seeded_centroids(dim=q_mat.shape[1], num_clusters=16)
+    cbs = pq_seeded_codebooks(dim=q_mat.shape[1], m=8, codewords=16)
+    return ivfpq_topk(ds, q_mat, q_ids, cent, cbs, k=k, nprobe=4)
+
+
+def _ivfpq_topk_sql() -> str:
+    from ..stages.similarity import (
+        ivf_seeded_centroids,
+        ivfpq_topk_oracle_sql,
+        pq_seeded_codebooks,
+    )
+
+    return ivfpq_topk_oracle_sql(
+        ivf_seeded_centroids(dim=64, num_clusters=16),
+        pq_seeded_codebooks(dim=64, m=8, codewords=16),
+        k=10, num_queries=5, nprobe=4,
+    )
+
+
+QUERIES["ivfpq_topk_embeddings"] = q_ivfpq_topk_embeddings
+ORACLE_SQL["ivfpq_topk_embeddings"] = _ivfpq_topk_sql()

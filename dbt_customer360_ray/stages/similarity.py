@@ -768,3 +768,169 @@ def pq_topk_oracle_sql(
         FROM adc
         QUALIFY rank <= {k}
     """
+
+
+def ivfpq_topk(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    round_to: int = 2,
+):
+    """IVF-PQ — the production ANN architecture (FAISS's IndexIVFPQ): a
+    coarse quantizer prunes the scan to ``nprobe`` inverted lists, then PQ
+    ADC scores only those candidates with m table lookups each. At lake
+    scale the coarse assignment is the partition key (probes touch nprobe
+    partitions) and codes are 8 bytes/vector resident memory. Deterministic:
+    same probe rule as ``ivf_topk``, same ADC chain as ``pq_topk`` — oracled
+    with both the centroids and the codebooks inlined."""
+    import ray
+
+    m, _, d = codebooks.shape
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    nprobe = min(nprobe, len(centroids))
+    order = np.lexsort((np.arange(len(centroids))[None, :].repeat(len(qm), 0),
+                        -(qm @ centroids.T)), axis=1)
+    probes = order[:, :nprobe]
+    tables = np.stack(
+        [
+            np.stack(
+                [_pq_subdists(qm[qi, None, s * d : (s + 1) * d], codebooks[s])[0]
+                 for s in range(m)]
+            )
+            for qi in range(len(qm))
+        ]
+    )
+    ref = ray.put(
+        (np.asarray(query_ids, dtype=np.int64), centroids, probes, tables, codebooks)
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        q_ids, cent, prb, tabs, cbs = ray.get(ref)
+        emb = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        ids = batch[id_col].to_numpy()
+        assign = np.argmax(emb @ cent.T, axis=1)
+        codes = pq_encode_matrix(emb, cbs)
+        out = []
+        for qi in range(len(q_ids)):
+            mask = np.isin(assign, prb[qi])
+            if not mask.any():
+                continue
+            cand = np.nonzero(mask)[0]
+            adc = np.zeros(len(cand), dtype=np.float64)
+            for s in range(cbs.shape[0]):
+                adc += tabs[qi, s][codes[cand, s]]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(len(cand), q_ids[qi], dtype=np.int64),
+                        id_col: ids[cand],
+                        "adc_dist": np.round(adc, round_to),
+                    }
+                )
+                .sort_values(["adc_dist", id_col], kind="stable")
+                .head(k)
+            )
+        if not out:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 id_col: pd.Series([], dtype="int64"),
+                 "adc_dist": pd.Series([], dtype="float64")}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.sort_values(["adc_dist", id_col], kind="stable")
+            .head(k)
+            .reset_index(drop=True)
+        )
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=4096)
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def ivfpq_topk_oracle_sql(
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    num_queries: int = 5,
+    nprobe: int = 4,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB mirror of ``ivfpq_topk``: the IVF probe CTEs composed with the
+    PQ code/ADC chains, everything inlined."""
+    c = len(centroids)
+    m, cw, d = codebooks.shape
+
+    def lit(v) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+    dots = ", ".join(
+        f"list_dot_product(ne, {lit(centroids[j])})" for j in range(c)
+    )
+
+    def dist_chain(prefix: str, cwv: np.ndarray, lo: int) -> str:
+        terms = [
+            f"({prefix}[{lo + i}] - {float(cwv[i])!r}) * "
+            f"({prefix}[{lo + i}] - {float(cwv[i])!r})"
+            for i in range(d)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    code_cols, qtab_cols, adc_terms = [], [], []
+    for s in range(m):
+        lo = s * d + 1
+        dl = "[" + ", ".join(dist_chain("ne", codebooks[s][j], lo) for j in range(cw)) + "]"
+        code_cols.append(
+            f"CAST(list_position({dl}, list_min({dl})) AS BIGINT) AS code_{s}"
+        )
+        qdl = "[" + ", ".join(dist_chain("qe", codebooks[s][j], lo) for j in range(cw)) + "]"
+        qtab_cols.append(f"{qdl} AS qt_{s}")
+        adc_terms.append(f"q.qt_{s}[c.code_{s}]")
+    adc = " + ".join(adc_terms)
+    return f"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> x / sqrt(list_dot_product(
+                                      CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])))) AS ne
+            FROM {table}
+        ), a AS (
+            SELECT vec_id, ne, dl,
+                   CAST(list_position(dl, list_max(dl)) - 1 AS BIGINT) AS cluster
+            FROM (SELECT vec_id, ne, [{dots}] AS dl FROM v)
+        ), codes AS (
+            SELECT vec_id, cluster, {', '.join(code_cols)} FROM a
+        ), qsrc AS (
+            SELECT vec_id AS query_id, ne AS qe, dl AS qdl
+            FROM a ORDER BY vec_id LIMIT {num_queries}
+        ), probes AS (
+            SELECT query_id, j.j AS cluster
+            FROM qsrc, range({c}) j(j)
+            QUALIFY row_number() OVER (
+                PARTITION BY query_id ORDER BY qdl[CAST(j.j AS INT) + 1] DESC, j.j ASC
+            ) <= {nprobe}
+        ), q AS (
+            SELECT query_id, {', '.join(qtab_cols)} FROM qsrc
+        ), adc AS (
+            SELECT q.query_id, c.vec_id,
+                   ROUND(CAST({adc} AS DOUBLE), 2) AS adc_dist
+            FROM codes c
+            JOIN probes p ON p.cluster = c.cluster
+            JOIN q ON q.query_id = p.query_id
+        )
+        SELECT query_id, vec_id, adc_dist,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC
+               ) AS BIGINT) AS rank
+        FROM adc
+        QUALIFY rank <= {k}
+    """
