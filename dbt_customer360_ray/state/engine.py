@@ -3074,13 +3074,17 @@ class CdcLake:
         self.manifest.commit_deadletter_clear(drained)
         return {"repaired": fixed.num_rows, **metrics}
 
-    def fsck(self, check_rows: bool = True) -> dict:
+    def fsck(self, check_rows: bool = True, check_constraints: bool = False) -> dict:
         """Manifest ↔ storage integrity check (the ops `fsck`): every live
         run file must exist and (``check_rows``) its parquet footer row count
         must match the manifest's record; dead-letter files checked too; bloom
         sidecar absences reported informationally (lookups fall back to
         reading the run). Footer-only local reads — no Ray session, O(runs)
-        metadata I/O."""
+        metadata I/O. ``check_constraints=True`` additionally LWW-merges the
+        live state locally and counts rows violating the declared constraints
+        (FKs resolved against their parents) — O(lake) I/O, opt-in; a nonzero
+        count means a constraint was added with ``validate=False`` over dirty
+        data or a parent lake shrank after admission."""
         report: dict = {
             "runs_checked": 0,
             "missing_files": [],
@@ -3088,6 +3092,23 @@ class CdcLake:
             "missing_blooms": 0,
             "missing_deadletter_files": [],
         }
+        if check_constraints:
+            from .constraints import violation_any
+
+            # logical namespace: read_local_table surfaces post-RENAME names
+            cons = [
+                self._resolve_fk(c) if c["op"] == "fk" else c
+                for c in self.manifest.constraints
+            ]
+            viol = 0
+            if cons and self.manifest.schema is not None:
+                state = self.read_local_table()
+                if state.num_rows:
+                    probe = state.append_column(
+                        "op", pa.array(["U"] * state.num_rows)
+                    )
+                    viol = int(violation_any(probe, cons).sum())
+            report["constraint_violations"] = viol
         for pid in range(self.P):
             for run in self.manifest.partition(pid)["runs"]:
                 p = os.path.join(self.lake_dir, run["path"])

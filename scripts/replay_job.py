@@ -276,7 +276,9 @@ def main() -> int:
                 k: v for k, v in row.items() if v is not None
             }}), flush=True)
     if args.fsck:
-        print(json.dumps({"fsck": lake.fsck()}), flush=True)
+        print(json.dumps({"fsck": lake.fsck(
+            check_constraints=bool(args.constraint)
+        )}), flush=True)
     if args.vacuum:
         print(json.dumps({"vacuumed_files": lake.vacuum()}), flush=True)
     print(

@@ -258,3 +258,24 @@ def test_fk_resolution_tracks_parent_commits(tmp_path):
     other.apply(ray.data.from_arrow(ev(1, "cZ", 0, "2025-01-01T00:00:00")))
     with pytest.raises(ValueError, match="existing live rows"):
         other.add_fk_constraint("fk", "conv_id", parent.lake_dir)
+
+
+def test_fsck_counts_constraint_violations(tmp_path):
+    import ray.data
+
+    changes = gen_changes(1_000, 80, seed=47)
+    lake = CdcLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply(ray.data.from_arrow(changes))
+    # clean lake, no constraints → zero violations reported
+    assert lake.fsck(check_constraints=True)["constraint_violations"] == 0
+    # a validate=False ADD over dirty data → fsck surfaces the live violations
+    lake.add_check_constraint(
+        "role_allowed", "role", "in", ["user", "assistant", "system"],
+        validate=False,
+    )
+    live = lake.read_local_table().to_pandas()
+    dirty = int((live["role"] == "tool").sum())
+    assert dirty > 0
+    rep = lake.fsck(check_constraints=True)
+    assert rep["constraint_violations"] == dirty
+    assert rep["ok"]  # structural integrity unaffected
