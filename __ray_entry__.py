@@ -589,6 +589,24 @@ def _bpe_encoded_documents(sf_dir: str):
     return encode_bpe(ds, merges)
 
 
+_DSIR_TARGET = ("src0", "src1", "src2")
+
+
+def _dsir_selected_documents(sf_dir: str):
+    """DSIR data selection (Xie et al. 2023): hashed unigram+bigram
+    log-likelihood-ratio importance weights toward a target-domain subset,
+    quantized to int64 so the top-k is bit-exact at any cluster size. Two
+    map-only passes + an O(buckets) driver combine — no shuffle."""
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.dsir import dsir_select
+
+    ds = read_table(
+        sf_dir, "documents", columns=["doc_id", "text", "source"],
+        rows_per_block=2_048,
+    )
+    return dsir_select(ds, _DSIR_TARGET, k=100)
+
+
 def _gopher_rules_documents(sf_dir: str):
     """Gopher quality rules (word-level subset): integer-algebra thresholds so
     every boolean is bit-exact vs the SQL oracle. Map-only, zero-copy Arrow."""
@@ -947,6 +965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["stream_patch_lake"] = _stream_patch_lake
     out["lang_quality_documents"] = _lang_quality_documents
     out["gopher_rules_documents"] = _gopher_rules_documents
+    out["dsir_selected_documents"] = _dsir_selected_documents
     out["window_dedup_documents"] = _window_dedup_documents
     out["quota_sample_documents"] = _quota_sample_documents
     out["repetition_documents"] = _repetition_documents
@@ -1033,6 +1052,9 @@ def oracle_sql() -> dict[str, str]:
 
     out = dict(ORACLE_SQL)
     out["gopher_rules_documents"] = gopher_oracle_sql("documents")
+    from dbt_customer360_ray.stages.dsir import dsir_oracle_sql
+
+    out["dsir_selected_documents"] = dsir_oracle_sql("documents", _DSIR_TARGET, k=100)
     out["lm_fluency_documents"] = lm_fluency_oracle_sql("documents")
     from dbt_customer360_ray.stages.sampling import mix_oracle_sql
 

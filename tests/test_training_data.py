@@ -586,3 +586,49 @@ def test_pq_topk_deterministic_and_plausible():
     codes = pq_encode_matrix(emb, cbs)
     assert codes.shape == (n, 8) and codes.min() >= 0 and codes.max() < 16
     assert (pq_encode_matrix(emb, cbs) == codes).all()
+
+
+def test_dsir_select_matches_duckdb_oracle_and_layout_independent():
+    import duckdb
+    import ray.data
+
+    from dbt_customer360_ray.stages.dsir import dsir_oracle_sql, dsir_select
+
+    rng = np.random.default_rng(31)
+    # two "domains" with shifted vocabularies; target docs favour w0..w9
+    tgt_vocab = [f"w{i}" for i in range(10)]
+    raw_vocab = [f"w{i}" for i in range(5, 40)]
+    rows = []
+    for i in range(240):
+        is_t = i % 3 == 0
+        vocab = tgt_vocab if is_t else raw_vocab
+        rows.append(
+            {
+                "doc_id": i,
+                "text": " ".join(rng.choice(vocab, size=int(rng.integers(1, 30)))),
+                "source": "target" if is_t else f"raw{i % 4}",
+            }
+        )
+    docs = pa.Table.from_pylist(rows)
+
+    got = dsir_select(
+        ray.data.from_arrow(docs).repartition(7), ("target",), k=50,
+        num_buckets=256,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(
+        dsir_oracle_sql("documents", ("target",), k=50, num_buckets=256)
+    ).df()
+    pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
+
+    # layout independence: one block vs many blocks, identical result
+    again = dsir_select(
+        ray.data.from_arrow(docs), ("target",), k=50, num_buckets=256
+    ).to_pandas()
+    pd.testing.assert_frame_equal(got, again)
+
+    # target-domain docs dominate the selection: their vocabulary is what the
+    # importance weight rewards
+    top10 = set(got.head(10)["doc_id"])
+    assert sum(1 for d in top10 if d % 3 == 0) >= 8
