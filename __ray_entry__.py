@@ -590,6 +590,21 @@ def _bpe_encoded_documents(sf_dir: str):
 
 
 _DSIR_TARGET = ("src0", "src1", "src2")
+_BM25_QUERY = ("hash", "merge", "scan", "batch")
+
+
+def _bm25_topk_documents(sf_dir: str):
+    """BM25 ranked retrieval for a fixed query-term bag: one stats pass
+    (partial df/length totals, O(|query|) driver combine), one broadcast
+    scoring pass with per-batch partial top-k — integer-exact scores, no
+    shuffle."""
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.text import bm25_topk
+
+    ds = read_table(
+        sf_dir, "documents", columns=["doc_id", "text"], rows_per_block=2_048
+    )
+    return bm25_topk(ds, _BM25_QUERY, k=20)
 
 
 def _dsir_selected_documents(sf_dir: str):
@@ -966,6 +981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["lang_quality_documents"] = _lang_quality_documents
     out["gopher_rules_documents"] = _gopher_rules_documents
     out["dsir_selected_documents"] = _dsir_selected_documents
+    out["bm25_topk_documents"] = _bm25_topk_documents
     out["window_dedup_documents"] = _window_dedup_documents
     out["quota_sample_documents"] = _quota_sample_documents
     out["repetition_documents"] = _repetition_documents
@@ -1055,6 +1071,9 @@ def oracle_sql() -> dict[str, str]:
     from dbt_customer360_ray.stages.dsir import dsir_oracle_sql
 
     out["dsir_selected_documents"] = dsir_oracle_sql("documents", _DSIR_TARGET, k=100)
+    from dbt_customer360_ray.stages.text import bm25_oracle_sql
+
+    out["bm25_topk_documents"] = bm25_oracle_sql("documents", _BM25_QUERY, k=20)
     out["lm_fluency_documents"] = lm_fluency_oracle_sql("documents")
     from dbt_customer360_ray.stages.sampling import mix_oracle_sql
 

@@ -1097,3 +1097,158 @@ def lm_fluency_oracle_sql(
         JOIN uc ON uc.term = b.w1
         GROUP BY b.{id_col}
     """
+
+
+# -- BM25 ranked retrieval ----------------------------------------------------
+
+
+def bm25_topk(
+    ds,
+    query_terms: tuple[str, ...],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """BM25 top-``k`` documents for a fixed bag of query terms (k1=1.2,
+    b=0.75) — the ranked-retrieval face of ``inverted_index``.
+
+    Distributed shape: one map-only STATS pass (per-batch partial document
+    frequencies for the query terms + corpus length totals; partial counts sum
+    exactly because each document lives in exactly one batch), a tiny driver
+    combine (O(|query|)), then a broadcast SCORE pass with per-batch partial
+    top-k under the total order (score DESC, id ASC) and a driver merge —
+    identical at any cluster size, no shuffle.
+
+    Integer-exact scoring (the lm_fluency/dsir house style): with k1=6/5 and
+    b=3/4 the per-term score idf · tf(k1+1) / (tf + k1(1−b+b·dl/avgdl)),
+    avgdl=L/N, clears denominators to round(idf_int·22·tf·L /
+    (10·tf·L + 3·L + 9·dl·N)) — an int64 everywhere except one
+    correctly-rounded float64 division, so numpy and DuckDB agree bit-for-bit
+    (products stay ≪ 2^53 for corpora to ~10^8 tokens; shard the id space
+    above that). idf_int = round(1e6·ln(1+(N−df+0.5)/(df+0.5))) quantizes the
+    only transcendental once, on the driver.
+    """
+    import ray
+
+    qterms = tuple(dict.fromkeys(query_terms))  # stable de-dup
+
+    def stats_partial(batch: pa.Table) -> pd.DataFrame:
+        texts = batch.column(text_col).to_pandas().fillna("")
+        toks = texts.str.split(" ")
+        dl = toks.str.len().to_numpy(np.int64)
+        rows = [{"term": "", "df": 0, "dl_sum": int(dl.sum()), "n_docs": len(texts)}]
+        tok_sets = toks.map(set)
+        for t in qterms:
+            rows.append(
+                {
+                    "term": t,
+                    "df": int(tok_sets.map(lambda s: t in s).sum()),
+                    "dl_sum": 0,
+                    "n_docs": 0,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    agg = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("term")
+        .sum()
+    )
+    N = int(agg["n_docs"].sum())
+    L = int(agg["dl_sum"].sum())
+    df = {t: int(agg.loc[t, "df"]) if t in agg.index else 0 for t in qterms}
+    idf = {
+        t: int(
+            np.floor(
+                1_000_000.0 * np.log1p((N - df[t] + 0.5) / (df[t] + 0.5)) + 0.5
+            )
+        )
+        for t in qterms
+    }
+    ref = ray.put((idf, N, L))
+
+    def score_partial(batch: pa.Table) -> pd.DataFrame:
+        idf_, N_, L_ = ray.get(ref)
+        df_b = batch.select([id_col, text_col]).to_pandas()
+        toks = df_b[text_col].fillna("").str.split(" ")
+        dl = toks.str.len().to_numpy(np.int64)
+        score = np.zeros(len(df_b), np.int64)
+        hit = np.zeros(len(df_b), bool)
+        den_base = 3 * L_ + 9 * dl * N_
+        for t, idf_t in idf_.items():
+            tf = np.fromiter((doc.count(t) for doc in toks), np.int64, len(df_b))
+            m = tf > 0
+            if not m.any():
+                continue
+            num = idf_t * 22 * tf[m] * L_
+            den = 10 * tf[m] * L_ + den_base[m]
+            score[m] += np.floor(num / den + 0.5).astype(np.int64)
+            hit |= m
+        out = pd.DataFrame(
+            {id_col: df_b[id_col].to_numpy()[hit], "bm25_score": score[hit]}
+        )
+        out = out.sort_values(
+            ["bm25_score", id_col], ascending=[False, True], kind="stable"
+        )
+        return out.head(k)
+
+    partials = ds.map_batches(score_partial, batch_format="pyarrow").to_pandas()
+    top = partials.sort_values(
+        ["bm25_score", id_col], ascending=[False, True], kind="stable"
+    ).head(k)
+    top.insert(0, "rank", np.arange(1, len(top) + 1, dtype=np.int64))
+    return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
+
+
+def bm25_oracle_sql(
+    table: str,
+    query_terms: tuple[str, ...],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror of ``bm25_topk`` — same cleared-denominator integer
+    formula, same 1e6 idf quantization, same (score DESC, id) rank."""
+    terms = ", ".join(f"'{t}'" for t in dict.fromkeys(query_terms))
+    return f"""
+        WITH tok AS (
+            SELECT {id_col},
+                   unnest(string_split(coalesce({text_col}, ''), ' ')) AS term
+            FROM {table}
+        ), stats AS (
+            SELECT count(*) AS L, (SELECT count(*) FROM {table}) AS N FROM tok
+        ), dl AS (
+            SELECT {id_col}, count(*) AS dl FROM tok GROUP BY 1
+        ), tf AS (
+            SELECT {id_col}, term, count(*) AS tf
+            FROM tok WHERE term IN ({terms}) GROUP BY 1, 2
+        ), df AS (
+            SELECT term, count(DISTINCT {id_col}) AS df
+            FROM tok WHERE term IN ({terms}) GROUP BY 1
+        ), idf AS (
+            SELECT term,
+                   CAST(round(1000000 * ln(1 + (s.N - df + 0.5) / (df + 0.5)))
+                       AS BIGINT) AS idf
+            FROM df, stats s
+        ), contrib AS (
+            SELECT tf.{id_col},
+                   CAST(round(
+                       (idf.idf * 22 * tf.tf * s.L)
+                       / (10 * tf.tf * s.L + 3 * s.L + 9 * d.dl * s.N)
+                   ) AS BIGINT) AS c
+            FROM tf
+            JOIN idf USING (term)
+            JOIN dl d USING ({id_col})
+            CROSS JOIN stats s
+        ), scored AS (
+            SELECT {id_col}, CAST(sum(c) AS BIGINT) AS bm25_score
+            FROM contrib GROUP BY 1
+        )
+        SELECT CAST(row_number() OVER (
+                   ORDER BY bm25_score DESC, {id_col} ASC) AS BIGINT) AS rank,
+               {id_col}, bm25_score
+        FROM scored
+        QUALIFY rank <= {k}
+        ORDER BY rank
+    """

@@ -632,3 +632,34 @@ def test_dsir_select_matches_duckdb_oracle_and_layout_independent():
     # importance weight rewards
     top10 = set(got.head(10)["doc_id"])
     assert sum(1 for d in top10 if d % 3 == 0) >= 8
+
+
+def test_bm25_topk_matches_duckdb_oracle_and_ranks_sanely():
+    import duckdb
+    import ray.data
+
+    from dbt_customer360_ray.stages.text import bm25_oracle_sql, bm25_topk
+
+    rng = np.random.default_rng(47)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(n)))
+        for n in rng.integers(1, 50, size=200)
+    ]
+    # doc 0: saturated with the query terms; doc 1: no query terms at all
+    texts[0] = "hash merge hash merge hash scan"
+    texts[1] = "w1 w2 w3"
+    docs = pa.table({"doc_id": np.arange(200, dtype=np.int64), "text": texts})
+    q = ("hash", "merge", "scan", "absent-term")
+
+    got = bm25_topk(ray.data.from_arrow(docs).repartition(5), q, k=25).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(bm25_oracle_sql("documents", q, k=25)).df()
+    pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
+
+    assert 0 in set(got["doc_id"])  # query-term-dense doc is retrieved
+    assert 1 not in set(got["doc_id"])  # doc without query terms never scores
+    # layout independence
+    again = bm25_topk(ray.data.from_arrow(docs), q, k=25).to_pandas()
+    pd.testing.assert_frame_equal(got, again)
