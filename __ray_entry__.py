@@ -593,6 +593,17 @@ _DSIR_TARGET = ("src0", "src1", "src2")
 _BM25_QUERY = ("hash", "merge", "scan", "batch")
 
 
+def _knn_graph_embeddings(sf_dir: str):
+    """Exact cosine k-NN graph (no self edges): object-store block-pair tiles,
+    per-tile partial top-k, one groupby merge under the same total order —
+    the neighbourhood input for graph-based curation."""
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.similarity import knn_graph
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_graph(ds, k=5)
+
+
 def _bm25_topk_documents(sf_dir: str):
     """BM25 ranked retrieval for a fixed query-term bag: one stats pass
     (partial df/length totals, O(|query|) driver combine), one broadcast
@@ -982,6 +993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["gopher_rules_documents"] = _gopher_rules_documents
     out["dsir_selected_documents"] = _dsir_selected_documents
     out["bm25_topk_documents"] = _bm25_topk_documents
+    out["knn_graph_embeddings"] = _knn_graph_embeddings
     out["window_dedup_documents"] = _window_dedup_documents
     out["quota_sample_documents"] = _quota_sample_documents
     out["repetition_documents"] = _repetition_documents
@@ -1074,6 +1086,9 @@ def oracle_sql() -> dict[str, str]:
     from dbt_customer360_ray.stages.text import bm25_oracle_sql
 
     out["bm25_topk_documents"] = bm25_oracle_sql("documents", _BM25_QUERY, k=20)
+    from dbt_customer360_ray.stages.similarity import knn_graph_oracle_sql
+
+    out["knn_graph_embeddings"] = knn_graph_oracle_sql("embeddings", k=5)
     out["lm_fluency_documents"] = lm_fluency_oracle_sql("documents")
     from dbt_customer360_ray.stages.sampling import mix_oracle_sql
 

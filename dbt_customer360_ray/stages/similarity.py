@@ -934,3 +934,118 @@ def ivfpq_topk_oracle_sql(
         FROM adc
         QUALIFY rank <= {k}
     """
+
+
+# -- exact k-NN graph ---------------------------------------------------------
+
+
+def _knn_tile(
+    ta, tb, same: bool, k: int, id_col: str, round_to: int | None
+) -> "pa.Table":
+    """One matmul tile of the all-pairs k-NN graph (Ray task, zero-copy blocks
+    from the object store): partial top-k for ta's rows against tb — and, for
+    an off-diagonal tile, tb's rows against ta too, so each of the B·(B+1)/2
+    tiles is computed once."""
+    import pyarrow as pa
+
+    ia = ta.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    ib = tb.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    def mat(t):
+        c = t.column("embedding").combine_chunks()
+        flat = c.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        return flat.reshape(len(c), -1) if len(c) else flat.reshape(0, 0)
+
+    ma, mb = mat(ta), mat(tb)
+    na, nb = _normalize(ma), _normalize(mb)
+    sims = na @ nb.T
+    if same:
+        np.fill_diagonal(sims, -np.inf)  # no self edge
+    frames = [
+        _topk_frame(
+            np.repeat(ia, len(ib)), np.tile(ib, len(ia)), sims.reshape(-1),
+            k, "neighbor_id", round_to,
+        )
+    ]
+    if not same:
+        frames.append(
+            _topk_frame(
+                np.repeat(ib, len(ia)), np.tile(ia, len(ib)),
+                sims.T.reshape(-1), k, "neighbor_id", round_to,
+            )
+        )
+    out = pd.concat(frames, ignore_index=True)
+    out = out.rename(columns={"query_id": id_col})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def knn_graph(
+    ds,
+    k: int = 5,
+    id_col: str = "vec_id",
+    round_to: int | None = 2,
+    num_blocks: int | None = None,
+):
+    """Exact cosine k-NN graph: every vector's top-``k`` neighbours (self
+    excluded) under the (cosine rounded DESC, neighbour id ASC) total order —
+    the neighbourhood structure semantic-dedup and graph-based curation
+    build on.
+
+    Same distributed shape as ``dedup.embedding_near_dups``: blocks pinned in
+    the object store, one Ray task per block PAIR (each off-diagonal tile
+    serves both directions), per-tile partial top-k, then one
+    ``groupby(id).map_groups`` merge under the identical total order — the
+    merge of per-tile top-k is exact, and rounding the cosine first makes the
+    ranking reproducible against an independent engine. O(N²) compute is
+    inherent to the exact graph; the approximate scale path runs these tiles
+    inside LSH/IVF buckets instead (``embedding_near_dups_lsh``)."""
+    import ray
+    import ray.data
+
+    if num_blocks is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_blocks = max(2, min(16, cpus))
+    packed = (
+        ds.select_columns([id_col, "embedding"]).repartition(num_blocks).materialize()
+    )
+    refs = packed.to_arrow_refs()
+    tile = ray.remote(_knn_tile)
+    out = [
+        tile.remote(refs[i], refs[j], i == j, k, id_col, round_to)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = _topk_frame(
+            g[id_col].to_numpy(), g["neighbor_id"].to_numpy(),
+            g["cosine"].to_numpy(), k, "neighbor_id", round_to,
+        ).rename(columns={"query_id": id_col})
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        ray.data.from_arrow_refs(out)
+        .groupby(id_col)
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def knn_graph_oracle_sql(
+    table: str = "embeddings", k: int = 5, id_col: str = "vec_id"
+) -> str:
+    """DuckDB mirror of ``knn_graph`` (round-2 cosine, id tiebreak, no self)."""
+    return f"""
+        WITH sims AS (
+            SELECT a.{id_col}, b.{id_col} AS neighbor_id,
+                   ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                         AS DOUBLE), 2) AS cosine
+            FROM {table} a JOIN {table} b ON a.{id_col} <> b.{id_col}
+        )
+        SELECT {id_col}, neighbor_id, cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY {id_col}
+                   ORDER BY cosine DESC, neighbor_id ASC
+               ) AS BIGINT) AS rank
+        FROM sims
+        QUALIFY rank <= {k}
+    """

@@ -663,3 +663,45 @@ def test_bm25_topk_matches_duckdb_oracle_and_ranks_sanely():
     # layout independence
     again = bm25_topk(ray.data.from_arrow(docs), q, k=25).to_pandas()
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_knn_graph_matches_duckdb_oracle_and_excludes_self():
+    import duckdb
+    import ray.data
+
+    from dbt_customer360_ray.stages.similarity import (
+        knn_graph,
+        knn_graph_oracle_sql,
+    )
+
+    rng = np.random.default_rng(53)
+    n, dim = 120, 16
+    emb = rng.standard_normal((n, dim))
+    emb[7] = emb[3] * 2.0  # planted exact-direction duplicate pair
+    t = pa.table(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(emb.astype(np.float64)),
+        }
+    )
+    got = (
+        knn_graph(ray.data.from_arrow(t).repartition(6), k=4)
+        .to_pandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("embeddings", t)
+    want = (
+        con.execute(knn_graph_oracle_sql("embeddings", k=4))
+        .df()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
+
+    assert (got["vec_id"] != got["neighbor_id"]).all()  # no self edges
+    assert got.groupby("vec_id").size().eq(4).all()  # exactly k per node
+    # the planted colinear pair are each other's top neighbour at cosine 1.0
+    r1 = got[(got["vec_id"] == 3) & (got["rank"] == 1)].iloc[0]
+    assert r1["neighbor_id"] == 7 and r1["cosine"] == 1.0
