@@ -179,6 +179,18 @@ def _cdc_cloned_lake(sf_dir: str):
     return cloned_lake(sf=0.01)
 
 
+def _cdc_branch_merged(sf_dir: str):
+    """Branch merge (the git-merge face of CLONE): parent and clone apply
+    disjoint epochs, then ``merge_branch`` unions live runs by reference —
+    metadata-only, LWW resolves cross-branch rows — and the branch's epochs
+    become committed on the parent (exactly-once survives the merge; the
+    callable asserts a re-apply fully dedupes). Oracled against the plain
+    full replay."""
+    from dbt_customer360_ray.pipelines.cdc_replay import branch_merged_lake
+
+    return branch_merged_lake(sf=0.01)
+
+
 def _cdc_scd2_history(sf_dir: str):
     """SCD2 history view (the dbt-snapshot analogue): one snapshot-diff per
     epoch appended to a co-partitioned store, versions finalized at read with
@@ -959,6 +971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_change_feed_images"] = _cdc_change_feed_images
     out["cdc_scd2_history"] = _cdc_scd2_history
     out["cdc_cloned_lake"] = _cdc_cloned_lake
+    out["cdc_branch_merged"] = _cdc_branch_merged
     out["cdc_describe_history"] = _cdc_describe_history
     out["cdc_sft_export"] = _cdc_sft_export
     out["cdc_sft_split"] = _cdc_sft_split
@@ -1140,6 +1153,7 @@ def oracle_sql() -> dict[str, str]:
 
     out["cdc_scd2_history"] = scd2_oracle_sql(sf=0.01)
     out["cdc_cloned_lake"] = replay_oracle_sql(sf=0.01)
+    out["cdc_branch_merged"] = replay_oracle_sql(sf=0.01)
     from dbt_customer360_ray.pipelines.cdc_replay import describe_history_oracle_sql
 
     out["cdc_describe_history"] = describe_history_oracle_sql(sf=0.01)

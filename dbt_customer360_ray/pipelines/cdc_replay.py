@@ -1374,6 +1374,40 @@ def cloned_lake(sf: float = 0.01):
     return clone.read()
 
 
+_BRANCH_MERGED: dict = {}
+
+
+def branch_merged_lake(sf: float = 0.01):
+    """Driver surface for ``CdcLake.merge_branch``: replay epochs 0-1 into a
+    parent lake, shallow-clone it, DIVERGE (parent applies epoch 2, the branch
+    applies epoch 3 — disjoint offset ranges, overlapping keys), then merge
+    the branch back. The merged lake must equal one lake that applied all four
+    epochs — the plain replay oracle — because the merge unions live runs and
+    LWW merge-at-read resolves cross-branch writes exactly like same-lake
+    writes."""
+    import tempfile
+
+    if sf in _BRANCH_MERGED:
+        return _BRANCH_MERGED[sf].read()
+    fx = changes_fixture(sf)
+    root = tempfile.mkdtemp(prefix="branch-")
+    parent = CdcLake(os.path.join(root, "parent"), num_partitions=32)
+    for p in fx["paths"][:2]:
+        parent.apply(p)
+    fork_version = parent.manifest.version
+    branch = parent.clone(os.path.join(root, "branch"))
+    parent.apply(fx["paths"][2])
+    branch.apply(fx["paths"][3])
+    res = parent.merge_branch(branch, fork_version=fork_version)
+    assert res["merged_runs"] > 0 and res["merged_rows"] > 0, res
+    # exactly-once across the merge: checkpoints advanced to the branch's
+    # offsets, so redelivering the branch's stream fully dedupes
+    m = parent.apply(fx["paths"][3])
+    assert m["events_deduped"] == m["events_in"] > 0, m
+    _BRANCH_MERGED[sf] = parent
+    return parent.read()
+
+
 # -- DESCRIBE HISTORY -----------------------------------------------------------
 
 _HISTORY_LAKE: dict = {}

@@ -2972,6 +2972,90 @@ class CdcLake:
             schema_mode=self.schema_mode,
         )
 
+    def merge_branch(self, other: "CdcLake", fork_version: int = 0) -> dict:
+        """Merge a diverged branch (a ``clone`` that has applied its own
+        epochs) back into this lake — the git-merge face of shallow clone.
+
+        Metadata-only and O(manifest): per partition, the branch's run files
+        NOT already live here (shared pre-fork files dedupe by resolved path)
+        are appended by reference — zero bytes copied, no Ray session.
+        Checkpoints advance to the elementwise max, the branch's epoch records
+        become committed here (so a change stream applied on the branch never
+        re-applies on the parent — the exactly-once line survives the merge),
+        and schema evolution from either side unifies additively. Rows both
+        branches touched are resolved by the engine's ordinary LWW
+        merge-at-read on (conv_id, turn_idx, ts) — the merged state is
+        identical to one lake having applied BOTH change streams, which is
+        exactly what the oracle asserts. ``fork_version`` (the source version
+        ``clone`` was taken at) scopes the branch's metric deltas; merging
+        across column-mapping changes (RENAME/DROP on either side since the
+        fork) is refused — rewrite first.
+
+        Caveat (same as shallow clone): the parent now references files under
+        the branch's directory; ``compact(force=True, rewrite_single=True)``
+        severs the dependency, and ``vacuum`` on either side never deletes
+        the other's files."""
+        if other.P != self.P:
+            raise ValueError(
+                f"merge_branch: partition counts differ ({other.P} vs {self.P})"
+            )
+        if other.merge_mode != self.merge_mode:
+            raise ValueError("merge_branch: merge modes differ")
+        if self.manifest.column_mapping or other.manifest.column_mapping:
+            raise ValueError(
+                "merge_branch across column-mapping changes is not supported; "
+                "compact(force=True, rewrite_single=True) the renamed side first"
+            )
+        sa, sb = self.manifest.schema, other.manifest.schema
+        if sa is None or sb is None:
+            raise ValueError("merge_branch: one side is an empty lake")
+        schema = pa.unify_schemas([sa, sb])
+        updates: dict[int, dict] = {}
+        added_runs = added_rows = 0
+        for pid in range(self.P):
+            mine = {
+                os.path.abspath(os.path.join(self.lake_dir, r["path"]))
+                for r in self.manifest.partition(pid)["runs"]
+            }
+            new_runs = []
+            for r in other.manifest.partition(pid)["runs"]:
+                ap = os.path.abspath(os.path.join(other.lake_dir, r["path"]))
+                if ap in mine:
+                    continue
+                e = dict(r)
+                e["path"] = ap
+                new_runs.append(e)
+            if new_runs:
+                updates[pid] = {
+                    "runs": new_runs,
+                    "max_offset": other.manifest.partition(pid)["max_offset"],
+                }
+                added_runs += len(new_runs)
+                added_rows += sum(int(r["rows"]) for r in new_runs)
+        base_metrics = (
+            other.manifest.at_version(fork_version).metrics if fork_version else {}
+        )
+        mdelta = {
+            k: int(v) - int(base_metrics.get(k, 0))
+            for k, v in other.manifest.metrics.items()
+        }
+        mdelta = {k: v for k, v in mdelta.items() if v}
+        new_epochs = [
+            int(e["epoch"])
+            for e in other.manifest._state["epochs"]
+            if not self.manifest.epoch_committed(int(e["epoch"]))
+        ]
+        version = self.manifest.commit_merge(
+            updates, schema, new_epochs, mdelta,
+            source=os.path.abspath(other.lake_dir),
+        )
+        return {
+            "version": version,
+            "merged_runs": added_runs,
+            "merged_rows": added_rows,
+            "epochs_added": new_epochs,
+        }
+
     def restore(self, epoch: int | None = None, version: int | None = None) -> int:
         """Roll the lake back to a committed snapshot as a NEW commit
         (Delta-style RESTORE — the engine analogue of re-running the reference

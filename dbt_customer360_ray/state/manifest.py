@@ -412,6 +412,60 @@ class Manifest:
                     raise
                 self.reload()
 
+    def commit_merge(
+        self,
+        partition_updates: dict[int, dict],
+        schema: pa.Schema,
+        new_epochs: list[int],
+        metrics_delta: dict,
+        source: str,
+    ) -> int:
+        """Commit a BRANCH MERGE: append the diverged branch's run files to
+        each partition's live list (``partition_updates[pid]["runs"]`` —
+        already absolute paths into the branch's directory), advance
+        checkpoints to the elementwise max, record the branch's epochs as
+        committed (exactly-once: a stream already applied on the branch will
+        not re-apply on the parent), and fold the branch's metric DELTAS in.
+        One atomic version bump, operation ``MERGE_BRANCH``; conflicts between
+        the branches' rows are resolved by the engine's ordinary LWW
+        merge-at-read, exactly as if both change streams had been applied to
+        one lake."""
+        for attempt in range(5):
+            state = json.loads(json.dumps(self._state))
+            for pid, upd in partition_updates.items():
+                cur = state["partitions"].get(
+                    str(pid), {"runs": [], "max_offset": -1, "rows": 0}
+                )
+                cur["runs"] = cur["runs"] + list(upd["runs"])
+                cur["max_offset"] = max(cur["max_offset"], upd.get("max_offset", -1))
+                cur["rows"] = cur["rows"] + sum(
+                    int(r["rows"]) - int(r.get("tombstones", 0))
+                    for r in upd["runs"]
+                )
+                state["partitions"][str(pid)] = cur
+            m = state["metrics"]
+            for k, v in metrics_delta.items():
+                m[k] = m.get(k, 0) + v
+            for ep in new_epochs:
+                state["epochs"].append(
+                    {"epoch": int(ep), "version": state["version"] + 1,
+                     "metrics": {}}
+                )
+                state["last_epoch"] = max(state["last_epoch"], int(ep))
+            state["schema"] = _schema_to_json(schema)
+            state["operation"] = {
+                "op": "MERGE_BRANCH", "source": source,
+                "epochs": [int(e) for e in new_epochs],
+            }
+            state["version"] += 1
+            try:
+                self._persist(state)
+                return state["version"]
+            except CommitConflictError:
+                if attempt == 4:
+                    raise
+                self.reload()
+
     def commit_schema_change(self, column_mapping: dict) -> int:
         """Metadata-only commit of a column-mapping change (RENAME / DROP
         COLUMN): a new manifest version with the same data files — no bytes

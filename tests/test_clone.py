@@ -166,3 +166,64 @@ def test_describe_history_stamps_operations(tmp_path):
     h2 = lake.describe_history().to_pandas()
     assert h2["operation"].tolist()[-1] == "APPLY"
     assert m["events_in"] == h2.iloc[-1]["events_in"]
+
+
+def test_merge_branch_converges_to_union_replay(tmp_path):
+    import ray.data
+
+    changes = gen_changes(4_000, 250, seed=87)
+    epochs = split_epochs(changes, 4)
+    parent = CdcLake(str(tmp_path / "parent"), num_partitions=8)
+    parent.apply(ray.data.from_arrow(epochs[0]))
+    parent.apply(ray.data.from_arrow(epochs[1]))
+    fork_version = parent.manifest.version
+
+    branch = parent.clone(str(tmp_path / "branch"))
+    parent.apply(ray.data.from_arrow(epochs[2]))
+    branch.apply(ray.data.from_arrow(epochs[3]))
+
+    res = parent.merge_branch(branch, fork_version=fork_version)
+    assert res["merged_runs"] > 0
+
+    # merged state == one lake that applied all four epochs
+    want = _oracle(*epochs)
+    got = _state(parent)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+    # the branch itself is untouched by the merge
+    want_b = _oracle(epochs[0], epochs[1], epochs[3])
+    pd.testing.assert_frame_equal(
+        _state(branch)[want_b.columns.tolist()], want_b, check_dtype=False
+    )
+    # checkpoints advanced: replaying the branch's epoch fully dedupes
+    m = parent.apply(ray.data.from_arrow(epochs[3]))
+    assert m["events_deduped"] == m["events_in"] > 0
+
+    # merge is metadata-only: no branch data bytes copied under the parent
+    merged_abs = [
+        p for p in parent.manifest.live_files()
+        if str(tmp_path / "branch") in p
+    ]
+    assert merged_abs, "expected by-reference runs from the branch"
+    for p in merged_abs:
+        assert os.path.exists(p)
+
+
+def test_merge_branch_refuses_mismatched_lakes(tmp_path):
+    import ray.data
+
+    changes = gen_changes(1_000, 60, seed=88)
+    epochs = split_epochs(changes, 2)
+    a = CdcLake(str(tmp_path / "a"), num_partitions=8)
+    a.apply(ray.data.from_arrow(epochs[0]))
+    other_p = CdcLake(str(tmp_path / "b"), num_partitions=4)
+    other_p.apply(ray.data.from_arrow(epochs[1]))
+    with pytest.raises(ValueError, match="partition counts"):
+        a.merge_branch(other_p)
+
+    # column mapping on either side is refused
+    branch = a.clone(str(tmp_path / "c"))
+    branch.apply(ray.data.from_arrow(epochs[1]))
+    branch.rename_column("tool", "tool_label")
+    with pytest.raises(ValueError, match="column-mapping"):
+        a.merge_branch(branch)
