@@ -616,6 +616,17 @@ def _knn_graph_embeddings(sf_dir: str):
     return knn_graph(ds, k=5)
 
 
+def _hard_negatives_embeddings(sf_dir: str):
+    """Contrastive hard-negative mining: top-k most-similar DIFFERENT-label
+    neighbours per vector — same tile/merge shape as the k-NN graph with the
+    same-label mask applied inside the tile."""
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.similarity import hard_negatives
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+    return hard_negatives(ds, k=5)
+
+
 def _bm25_topk_documents(sf_dir: str):
     """BM25 ranked retrieval for a fixed query-term bag: one stats pass
     (partial df/length totals, O(|query|) driver combine), one broadcast
@@ -1007,6 +1018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["dsir_selected_documents"] = _dsir_selected_documents
     out["bm25_topk_documents"] = _bm25_topk_documents
     out["knn_graph_embeddings"] = _knn_graph_embeddings
+    out["hard_negatives_embeddings"] = _hard_negatives_embeddings
     out["window_dedup_documents"] = _window_dedup_documents
     out["quota_sample_documents"] = _quota_sample_documents
     out["repetition_documents"] = _repetition_documents
@@ -1102,6 +1114,9 @@ def oracle_sql() -> dict[str, str]:
     from dbt_customer360_ray.stages.similarity import knn_graph_oracle_sql
 
     out["knn_graph_embeddings"] = knn_graph_oracle_sql("embeddings", k=5)
+    from dbt_customer360_ray.stages.similarity import hard_negatives_oracle_sql
+
+    out["hard_negatives_embeddings"] = hard_negatives_oracle_sql("embeddings", k=5)
     out["lm_fluency_documents"] = lm_fluency_oracle_sql("documents")
     from dbt_customer360_ray.stages.sampling import mix_oracle_sql
 

@@ -940,12 +940,14 @@ def ivfpq_topk_oracle_sql(
 
 
 def _knn_tile(
-    ta, tb, same: bool, k: int, id_col: str, round_to: int | None
+    ta, tb, same: bool, k: int, id_col: str, round_to: int | None,
+    label_col: str | None = None,
 ) -> "pa.Table":
     """One matmul tile of the all-pairs k-NN graph (Ray task, zero-copy blocks
     from the object store): partial top-k for ta's rows against tb — and, for
     an off-diagonal tile, tb's rows against ta too, so each of the B·(B+1)/2
-    tiles is computed once."""
+    tiles is computed once. With ``label_col``, SAME-label pairs are masked
+    out — the hard-negative mining variant."""
     import pyarrow as pa
 
     ia = ta.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -958,6 +960,10 @@ def _knn_tile(
     ma, mb = mat(ta), mat(tb)
     na, nb = _normalize(ma), _normalize(mb)
     sims = na @ nb.T
+    if label_col is not None:
+        la = ta.column(label_col).to_numpy(zero_copy_only=False)
+        lb = tb.column(label_col).to_numpy(zero_copy_only=False)
+        sims[la[:, None] == lb[None, :]] = -np.inf  # negatives only
     if same:
         np.fill_diagonal(sims, -np.inf)  # no self edge
     frames = [
@@ -974,6 +980,7 @@ def _knn_tile(
             )
         )
     out = pd.concat(frames, ignore_index=True)
+    out = out[np.isfinite(out["cosine"].to_numpy())]  # masked pairs never emit
     out = out.rename(columns={"query_id": id_col})
     return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -1040,6 +1047,80 @@ def knn_graph_oracle_sql(
                    ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding)
                          AS DOUBLE), 2) AS cosine
             FROM {table} a JOIN {table} b ON a.{id_col} <> b.{id_col}
+        )
+        SELECT {id_col}, neighbor_id, cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY {id_col}
+                   ORDER BY cosine DESC, neighbor_id ASC
+               ) AS BIGINT) AS rank
+        FROM sims
+        QUALIFY rank <= {k}
+    """
+
+
+def hard_negatives(
+    ds,
+    k: int = 5,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    round_to: int | None = 2,
+    num_blocks: int | None = None,
+):
+    """Hard-negative mining for contrastive training: each vector's top-``k``
+    most-similar neighbours with a DIFFERENT label — the highest-loss
+    negatives a contrastive batch wants.
+
+    Identical distributed shape to ``knn_graph`` (block-pair tiles, partial
+    top-k, one groupby merge under the shared total order); same-label pairs
+    are masked inside the tile so they never ship."""
+    import ray
+    import ray.data
+
+    if num_blocks is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_blocks = max(2, min(16, cpus))
+    packed = (
+        ds.select_columns([id_col, label_col, "embedding"])
+        .repartition(num_blocks)
+        .materialize()
+    )
+    refs = packed.to_arrow_refs()
+    tile = ray.remote(_knn_tile)
+    out = [
+        tile.remote(refs[i], refs[j], i == j, k, id_col, round_to, label_col)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = _topk_frame(
+            g[id_col].to_numpy(), g["neighbor_id"].to_numpy(),
+            g["cosine"].to_numpy(), k, "neighbor_id", round_to,
+        ).rename(columns={"query_id": id_col})
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        ray.data.from_arrow_refs(out)
+        .groupby(id_col)
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def hard_negatives_oracle_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> str:
+    """DuckDB mirror of ``hard_negatives`` (different-label pairs only)."""
+    return f"""
+        WITH sims AS (
+            SELECT a.{id_col}, b.{id_col} AS neighbor_id,
+                   ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                         AS DOUBLE), 2) AS cosine
+            FROM {table} a JOIN {table} b
+              ON a.{id_col} <> b.{id_col} AND a.{label_col} <> b.{label_col}
         )
         SELECT {id_col}, neighbor_id, cosine,
                CAST(row_number() OVER (

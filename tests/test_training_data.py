@@ -705,3 +705,47 @@ def test_knn_graph_matches_duckdb_oracle_and_excludes_self():
     # the planted colinear pair are each other's top neighbour at cosine 1.0
     r1 = got[(got["vec_id"] == 3) & (got["rank"] == 1)].iloc[0]
     assert r1["neighbor_id"] == 7 and r1["cosine"] == 1.0
+
+
+def test_hard_negatives_matches_oracle_and_masks_same_label():
+    import duckdb
+    import ray.data
+
+    from dbt_customer360_ray.stages.similarity import (
+        hard_negatives,
+        hard_negatives_oracle_sql,
+    )
+
+    rng = np.random.default_rng(59)
+    n, dim = 90, 12
+    emb = rng.standard_normal((n, dim))
+    emb[11] = emb[4] * 3.0  # colinear pair with DIFFERENT labels
+    labels = np.array([f"c{i % 3}" for i in range(n)], dtype=object)
+    labels[4], labels[11] = "c0", "c1"
+    t = pa.table(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "label": pa.array(list(labels), pa.string()),
+            "embedding": list(emb.astype(np.float64)),
+        }
+    )
+    got = (
+        hard_negatives(ray.data.from_arrow(t).repartition(5), k=3)
+        .to_pandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("embeddings", t)
+    want = (
+        con.execute(hard_negatives_oracle_sql("embeddings", k=3))
+        .df()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
+
+    lab = dict(zip(range(n), labels))
+    assert all(lab[r.vec_id] != lab[r.neighbor_id] for r in got.itertuples())
+    top4 = got[(got["vec_id"] == 4) & (got["rank"] == 1)].iloc[0]
+    assert top4["neighbor_id"] == 11 and top4["cosine"] == 1.0
