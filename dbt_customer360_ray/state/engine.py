@@ -2923,6 +2923,8 @@ class CdcLake:
         src_root = os.path.abspath(self.lake_dir)
         if dest_dir == src_root:
             raise ValueError("clone destination is the source lake")
+        if not os.path.exists(self.manifest._current_path()):
+            raise ValueError("clone: source lake has no committed version yet")
         if os.path.exists(os.path.join(dest_dir, "_manifest", "CURRENT")):
             raise ValueError(f"clone destination {dest_dir} is already a lake")
 

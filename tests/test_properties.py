@@ -192,3 +192,53 @@ def test_heavy_hitters_exact_vs_definition(spec, phi):
     else:
         got = got.sort_values("value").reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_events_strategy(), st.integers(0, 7), st.integers(1, 3))
+def test_branch_merge_converges_for_any_split(
+    ray_session, rows, split_seed, n_branch_epochs
+):
+    """Branch-merge property: fork after a shared prefix, deal the remaining
+    events ARBITRARILY between parent and branch (any interleaving of offsets
+    and timestamps, including cross-branch writes to the same key), merge —
+    the parent must equal the one-lake replay of ALL events."""
+    import tempfile
+
+    import ray.data
+
+    from dbt_customer360_ray.state.engine import CdcLake
+
+    table = _table(rows)
+    n = table.num_rows
+    n_shared = max(1, n // 2)  # clone requires a committed source schema
+    shared = table.slice(0, n_shared)
+    rest = table.slice(n_shared)
+    rnd = np.random.default_rng(split_seed)
+    to_branch = rnd.integers(0, 2, size=rest.num_rows).astype(bool)
+    parent_part = rest.filter(pa.array(~to_branch))
+    branch_part = rest.filter(pa.array(to_branch))
+
+    parent = CdcLake(tempfile.mkdtemp(prefix="prop-bm-p-"), num_partitions=4)
+    if shared.num_rows:
+        parent.apply(ray.data.from_arrow(shared))
+    fork_version = parent.manifest.version
+    branch = parent.clone(tempfile.mkdtemp(prefix="prop-bm-b-") + "/lake")
+    if parent_part.num_rows:
+        parent.apply(ray.data.from_arrow(parent_part))
+    if branch_part.num_rows:
+        bounds = np.linspace(0, branch_part.num_rows, n_branch_epochs + 1).astype(int)
+        for i in range(n_branch_epochs):
+            part = branch_part.slice(bounds[i], bounds[i + 1] - bounds[i])
+            if part.num_rows:
+                branch.apply(ray.data.from_arrow(part))
+    if branch.manifest.schema is not None and parent.manifest.schema is not None:
+        parent.merge_branch(branch, fork_version=fork_version)
+        got = parent.read_local_table().to_pandas()
+        want = oracle_lake(table)
+        got = (
+            got[want.columns.tolist()]
+            .sort_values(["conv_id", "turn_idx"], kind="stable")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
