@@ -616,6 +616,37 @@ def _knn_graph_embeddings(sf_dir: str):
     return knn_graph(ds, k=5)
 
 
+def _semantic_decontaminate_embeddings(sf_dir: str):
+    """Embedding-space decontamination: the md5-permille test split plays the
+    benchmark set (broadcast once), one map-only matmul pass flags training
+    vectors with a too-close eval witness — the fuzzy companion to n-gram
+    decontamination."""
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.decontaminate import semantic_decontaminate
+    from dbt_customer360_ray.stages.sampling import _bucket_of
+
+    import numpy as _np
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def _is_eval(df):
+        return _bucket_of(df["vec_id"].to_numpy(), "split") < 100
+
+    # eval split is small by design (10%) and must be broadcast anyway; the
+    # TRAIN side stays a streaming Dataset — never collected
+    eval_side = (
+        ds.map_batches(lambda df: df[_is_eval(df)], batch_format="pandas")
+        .to_pandas()
+    )
+    train = ds.map_batches(lambda df: df[~_is_eval(df)], batch_format="pandas")
+    return semantic_decontaminate(
+        train,
+        _np.stack(eval_side["embedding"].to_numpy()),
+        eval_side["vec_id"].to_numpy(),
+        threshold=0.3,
+    )
+
+
 def _hard_negatives_embeddings(sf_dir: str):
     """Contrastive hard-negative mining: top-k most-similar DIFFERENT-label
     neighbours per vector — same tile/merge shape as the k-NN graph with the
@@ -1019,6 +1050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["bm25_topk_documents"] = _bm25_topk_documents
     out["knn_graph_embeddings"] = _knn_graph_embeddings
     out["hard_negatives_embeddings"] = _hard_negatives_embeddings
+    out["semantic_decontaminate_embeddings"] = _semantic_decontaminate_embeddings
     out["window_dedup_documents"] = _window_dedup_documents
     out["quota_sample_documents"] = _quota_sample_documents
     out["repetition_documents"] = _repetition_documents
@@ -1117,6 +1149,13 @@ def oracle_sql() -> dict[str, str]:
     from dbt_customer360_ray.stages.similarity import hard_negatives_oracle_sql
 
     out["hard_negatives_embeddings"] = hard_negatives_oracle_sql("embeddings", k=5)
+    from dbt_customer360_ray.stages.decontaminate import (
+        semantic_decontaminate_oracle_sql,
+    )
+
+    out["semantic_decontaminate_embeddings"] = semantic_decontaminate_oracle_sql(
+        "embeddings", threshold=0.3
+    )
     out["lm_fluency_documents"] = lm_fluency_oracle_sql("documents")
     from dbt_customer360_ray.stages.sampling import mix_oracle_sql
 

@@ -165,3 +165,87 @@ def decontaminate_oracle_sql(
         WHERE NOT ({eval_pred})
           AND {id_col} NOT IN (SELECT {id_col} FROM contaminated)
     """
+
+
+# -- semantic (embedding-overlap) decontamination -----------------------------
+
+
+def semantic_decontaminate(
+    train_ds,
+    eval_vecs: np.ndarray,
+    eval_ids: np.ndarray,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    round_to: int | None = 2,
+):
+    """Embedding-space contamination report: training vectors whose cosine to
+    ANY eval vector is ≥ ``threshold``, each with its closest eval witness —
+    the fuzzy companion to the exact n-gram pass above, catching paraphrased
+    benchmark leakage n-grams miss.
+
+    The eval side is small by nature (a benchmark suite), so its normalized
+    matrix ships ONCE via ``ray.put`` and the whole pass is map-only over the
+    training corpus — one numpy matmul per batch, no shuffle, the 100 TB
+    shape. Witness choice follows the shared (cosine rounded DESC, eval id
+    ASC) total order, so the report is deterministic at any layout and
+    oracle-checkable."""
+    import pyarrow as pa
+    import ray
+
+    from .similarity import _normalize
+
+    em = _normalize(np.asarray(eval_vecs, dtype=np.float64))
+    ref = ray.put((np.asarray(eval_ids, dtype=np.int64), em))
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        e_ids, e_m = ray.get(ref)
+        emb = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        sims = emb @ e_m.T  # (B, E)
+        if round_to is not None:
+            sims = sims.round(round_to)
+        # per train row: best (cosine desc, eval id asc) — ids are sorted
+        # ascending, so the first argmax along the row IS the tiebreak winner
+        order = np.argsort(e_ids, kind="stable")
+        sims = sims[:, order]
+        best = sims.argmax(axis=1)
+        best_sim = sims[np.arange(len(sims)), best]
+        keep = best_sim >= threshold
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy()[keep],
+                "eval_id": e_ids[order][best[keep]],
+                "cosine": best_sim[keep],
+            }
+        )
+
+    return train_ds.map_batches(flag, batch_format="pandas")
+
+
+def semantic_decontaminate_oracle_sql(
+    table: str = "embeddings",
+    test_permille: int = 100,
+    salt: str = "split",
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB mirror of the driver entry: eval side = the md5-permille test
+    split (``hash_split`` recipe), train side = the rest; per train vector the
+    single best eval witness at rounded cosine ≥ threshold."""
+    from .sampling import _permille_sql
+
+    return f"""
+        WITH split AS (
+            SELECT *, {_permille_sql(id_col, salt)} < {test_permille} AS is_eval
+            FROM {table}
+        ), sims AS (
+            SELECT t.{id_col}, e.{id_col} AS eval_id,
+                   ROUND(CAST(list_cosine_similarity(t.embedding, e.embedding)
+                         AS DOUBLE), 2) AS cosine
+            FROM split t JOIN split e ON NOT t.is_eval AND e.is_eval
+        )
+        SELECT {id_col}, eval_id, cosine
+        FROM sims
+        QUALIFY row_number() OVER (
+            PARTITION BY {id_col} ORDER BY cosine DESC, eval_id ASC
+        ) = 1 AND cosine >= {threshold}
+    """

@@ -749,3 +749,38 @@ def test_hard_negatives_matches_oracle_and_masks_same_label():
     assert all(lab[r.vec_id] != lab[r.neighbor_id] for r in got.itertuples())
     top4 = got[(got["vec_id"] == 4) & (got["rank"] == 1)].iloc[0]
     assert top4["neighbor_id"] == 11 and top4["cosine"] == 1.0
+
+
+def test_semantic_decontaminate_flags_planted_leak():
+    import ray.data
+
+    from dbt_customer360_ray.stages.decontaminate import semantic_decontaminate
+
+    rng = np.random.default_rng(61)
+    n, dim = 80, 16
+    train_emb = rng.standard_normal((n, dim))
+    eval_emb = rng.standard_normal((6, dim))
+    train_emb[17] = eval_emb[2] * 1.5  # planted paraphrase-leak (cos 1.0)
+    t = pa.table(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(train_emb.astype(np.float64)),
+        }
+    )
+    got = (
+        semantic_decontaminate(
+            ray.data.from_arrow(t).repartition(5),
+            eval_emb, np.arange(100, 106, dtype=np.int64), threshold=0.95,
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert got.loc[got["vec_id"] == 17, "eval_id"].tolist() == [102]
+    assert (got["cosine"] >= 0.95).all()
+    # layout independence
+    again = semantic_decontaminate(
+        ray.data.from_arrow(t), eval_emb,
+        np.arange(100, 106, dtype=np.int64), threshold=0.95,
+    ).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, again)
