@@ -179,6 +179,15 @@ def _cdc_cloned_lake(sf_dir: str):
     return cloned_lake(sf=0.01)
 
 
+def _cdc_masked_lake(sf_dir: str):
+    """Dynamic data masking: metadata-committed column masks applied at every
+    serving read — text hash-tokenized (md5, still joinable), tool redacted.
+    Oracled against the plain replay with the same masks in SQL."""
+    from dbt_customer360_ray.pipelines.cdc_replay import masked_lake
+
+    return masked_lake(sf=0.01)
+
+
 def _cdc_branch_merged(sf_dir: str):
     """Branch merge (the git-merge face of CLONE): parent and clone apply
     disjoint epochs, then ``merge_branch`` unions live runs by reference —
@@ -1014,6 +1023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_scd2_history"] = _cdc_scd2_history
     out["cdc_cloned_lake"] = _cdc_cloned_lake
     out["cdc_branch_merged"] = _cdc_branch_merged
+    out["cdc_masked_lake"] = _cdc_masked_lake
     out["cdc_describe_history"] = _cdc_describe_history
     out["cdc_sft_export"] = _cdc_sft_export
     out["cdc_sft_split"] = _cdc_sft_split
@@ -1208,6 +1218,9 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_scd2_history"] = scd2_oracle_sql(sf=0.01)
     out["cdc_cloned_lake"] = replay_oracle_sql(sf=0.01)
     out["cdc_branch_merged"] = replay_oracle_sql(sf=0.01)
+    from dbt_customer360_ray.pipelines.cdc_replay import masked_oracle_sql
+
+    out["cdc_masked_lake"] = masked_oracle_sql(sf=0.01)
     from dbt_customer360_ray.pipelines.cdc_replay import describe_history_oracle_sql
 
     out["cdc_describe_history"] = describe_history_oracle_sql(sf=0.01)

@@ -1374,6 +1374,37 @@ def cloned_lake(sf: float = 0.01):
     return clone.read()
 
 
+_MASKED: dict = {}
+
+
+def masked_lake(sf: float = 0.01):
+    """Driver surface for ``CdcLake.add_mask`` (dynamic data masking): a fresh
+    full replay with ``text`` hash-masked (md5 token — still joinable) and
+    ``tool`` null-masked; the serving read must present exactly the masked
+    converged state, which ``masked_oracle_sql`` re-derives independently."""
+    import tempfile
+
+    if sf not in _MASKED:
+        lake, _metrics = replay(sf=sf, lake_dir=tempfile.mkdtemp(prefix="masked-"))
+        lake.add_mask("text", "hash")
+        lake.add_mask("tool", "null")
+        _MASKED[sf] = lake
+    return _MASKED[sf].read()
+
+
+def masked_oracle_sql(sf: float = 0.01) -> str:
+    """Oracle for ``masked_lake``: the plain converged state with the same
+    masks applied in SQL (md5 ↔ md5, NULL ↔ NULL)."""
+    inner = _lww_sql(_epoch_selects(sf))
+    return f"""
+        SELECT conv_id, turn_idx, role,
+               md5(text) AS text,
+               CAST(NULL AS VARCHAR) AS tool,
+               ts
+        FROM ({inner})
+    """
+
+
 _BRANCH_MERGED: dict = {}
 
 

@@ -479,6 +479,38 @@ def _export_partition(
     return path
 
 
+def apply_masks(table: pa.Table, masks: tuple) -> pa.Table:
+    """Apply column masking policies to a LOGICAL-named result table (the
+    dynamic-masking read hook): kind "null" redacts the column wholesale;
+    kind "hash" replaces each non-null string with its md5 hex digest — a
+    deterministic token that joins/groups consistently across reads without
+    revealing the value (and is mirror-able by an independent engine's
+    ``md5()``). Unknown columns are skipped (pre-evolution snapshots)."""
+    if not masks:
+        return table
+    import hashlib
+
+    for m in masks:
+        col = m["column"]
+        if col not in table.column_names:
+            continue
+        i = table.schema.get_field_index(col)
+        c = table.column(col)
+        if m["kind"] == "null":
+            table = table.set_column(
+                i, pa.field(col, c.type), pa.nulls(len(table), c.type)
+            )
+        else:  # hash — add_mask only admits string columns for this kind
+            hashed = [
+                None if v is None else hashlib.md5(v.encode("utf-8")).hexdigest()
+                for v in c.to_pylist()
+            ]
+            table = table.set_column(
+                i, pa.field(col, pa.string()), pa.array(hashed, pa.string())
+            )
+    return table
+
+
 def _lookup_partition(
     files: list[str],
     state_schema: pa.Schema,
@@ -486,6 +518,7 @@ def _lookup_partition(
     public: tuple,
     merge_mode: str = "lww",
     out_names: tuple | None = None,
+    masks: tuple = (),
 ) -> pa.Table:
     """lookup_many kernel for one touched partition: bloom-skip runs that
     provably lack every requested id, parquet-filter the survivors to the id
@@ -501,12 +534,15 @@ def _lookup_partition(
         t = pq.read_table(f, filters=[("conv_id", "in", id_list)])
         tables.append(conform_batch(t, state_schema))
     if not tables:
-        return _select_renamed(
-            state_schema.empty_table(), public, out_names or public
+        return apply_masks(
+            _select_renamed(state_schema.empty_table(), public, out_names or public),
+            masks,
         )
     merged = drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode))
     order = pc.sort_indices(merged, sort_keys=[(c, "ascending") for c in KEY_COLUMNS])
-    return _select_renamed(merged.take(order), public, out_names or public)
+    return apply_masks(
+        _select_renamed(merged.take(order), public, out_names or public), masks
+    )
 
 
 def _headers_partition(
@@ -2222,6 +2258,7 @@ class CdcLake:
                 t = t.filter(pc.less_equal(t.column("ts").cast(pa.int64()), until_us))
             return t
 
+        masks = self._active_masks()
         single_run = (
             all(n <= 1 for n in kept_per_pid.values())
             and self.merge_mode != "patch"
@@ -2231,9 +2268,11 @@ class CdcLake:
             # pruned sibling run either loses to this file's row or fails the
             # ts filter — _read_manifest docstring): filter + project
             def finalize(
-                t: pa.Table, cols=tuple(public), outs=tuple(out_names)
+                t: pa.Table, cols=tuple(public), outs=tuple(out_names), mk=masks
             ) -> pa.Table:
-                return _select_renamed(ts_filter(drop_tombstones(t)), cols, outs)
+                return apply_masks(
+                    _select_renamed(ts_filter(drop_tombstones(t)), cols, outs), mk
+                )
 
             return ds.map_batches(
                 finalize, batch_format="pyarrow", zero_copy_batch=True
@@ -2244,12 +2283,13 @@ class CdcLake:
             cols=tuple(public),
             outs=tuple(out_names),
             mode=self.merge_mode,
+            mk=masks,
         ) -> pa.Table:
             merged = ts_filter(drop_tombstones(_resolve_latest(group, mode)))
             order = pc.sort_indices(
                 merged, sort_keys=[(c, "ascending") for c in KEY_COLUMNS]
             )
-            return _select_renamed(merged.take(order), cols, outs)
+            return apply_masks(_select_renamed(merged.take(order), cols, outs), mk)
 
         return ds.groupby("pid").map_groups(merge, batch_format="pyarrow")
 
@@ -2545,7 +2585,10 @@ class CdcLake:
         public, out_names = _mapped_public(
             state_schema, self.manifest.column_mapping
         )
-        return _select_renamed(merged.take(order), public, out_names)
+        return apply_masks(
+            _select_renamed(merged.take(order), public, out_names),
+            self._active_masks(),
+        )
 
     def export_snapshot(self, dest_dir: str) -> dict:
         """Export the converged state to plain partitioned parquet for
@@ -2634,6 +2677,7 @@ class CdcLake:
                 tuple(public),
                 self.merge_mode,
                 tuple(out_names),
+                self._active_masks(),
             )
             for pid, cids in sorted(by_pid.items())
         ]
@@ -2693,6 +2737,54 @@ class CdcLake:
             )
         del cm["logical"][name]
         return self.manifest.commit_schema_change(cm)
+
+    def _active_masks(self) -> tuple:
+        """CURRENT masking policies as a hashable tuple for task closures."""
+        return tuple(
+            {"column": m["column"], "kind": m["kind"]}
+            for m in self.manifest.masks
+        )
+
+    def add_mask(self, column: str, kind: str) -> int:
+        """Declare a COLUMN MASK (dynamic data masking): every SERVING read
+        (``read`` / ``read_as_of`` / ``lookup`` / ``lookup_many``) presents
+        ``column`` masked — ``kind="null"`` redacts it, ``kind="hash"``
+        replaces each string with its md5 hex token (deterministic, so masked
+        reads still join/group on the column). Metadata-only commit; policies
+        are governance state, applying to EVERY snapshot including time
+        travel (revoking access must cover history). Producer-side surfaces
+        (``export_snapshot``, ``change_feed``, ``assemble_conversations``)
+        bypass masks by design — they feed trusted downstream systems; gate
+        them at the process level. Re-adding a mask for the same column
+        replaces it. Returns the new manifest version."""
+        if kind not in ("null", "hash"):
+            raise ValueError(f"unknown mask kind {kind!r} (use 'null' or 'hash')")
+        s = self.manifest.schema
+        if s is None:
+            raise ValueError("add_mask: lake has no schema yet")
+        public, out_names = _mapped_public(s, self.manifest.column_mapping)
+        if column not in out_names:
+            raise KeyError(f"unknown lake column {column!r} (have {out_names})")
+        if column in KEY_COLUMNS:
+            raise ValueError(f"cannot mask key column {column!r}")
+        if kind == "hash":
+            phys = dict(zip(out_names, public))[column]
+            if s.field(phys).type != pa.string():
+                raise ValueError(
+                    f"hash mask requires a string column; {column!r} is "
+                    f"{s.field(phys).type}"
+                )
+        masks = [m for m in self.manifest.masks if m["column"] != column]
+        masks.append({"column": column, "kind": kind})
+        return self.manifest.commit_masks(masks)
+
+    def drop_mask(self, column: str) -> int:
+        """Remove the mask on ``column``; raises KeyError if none exists."""
+        masks = self.manifest.masks
+        kept = [m for m in masks if m["column"] != column]
+        if len(kept) == len(masks):
+            raise KeyError(f"no mask declared on {column!r}")
+        return self.manifest.commit_masks(kept)
 
     def add_check_constraint(
         self, name: str, column: str, op: str, value=None, validate: bool = True

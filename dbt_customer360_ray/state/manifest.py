@@ -174,6 +174,30 @@ class Manifest:
                 self.reload()
 
     @property
+    def masks(self) -> list[dict]:
+        """Column masking policies (``{"column", "kind"}``, kind ∈ {"null",
+        "hash"}), applied at the SERVING read surfaces (read / read_as_of /
+        lookup / lookup_many). Policies are governance state, not data state:
+        the CURRENT mask set applies to every snapshot read, including time
+        travel — revoking access must cover history too."""
+        return [dict(m) for m in self._state.get("masks", [])]
+
+    def commit_masks(self, masks: list[dict]) -> int:
+        """Metadata-only commit replacing the mask list (ADD / DROP MASK)."""
+        for attempt in range(5):
+            state = json.loads(json.dumps(self._state))
+            state["masks"] = json.loads(json.dumps(masks))
+            state["operation"] = {"op": "SET_MASKS", "n": len(masks)}
+            state["version"] += 1
+            try:
+                self._persist(state)
+                return state["version"]
+            except CommitConflictError:
+                if attempt == 4:
+                    raise
+                self.reload()
+
+    @property
     def computed_columns(self) -> list[dict]:
         """Generated-column specs (``{"name","kind","source"}``) derived at
         every apply — per-version like the schema."""

@@ -93,6 +93,9 @@ def main() -> int:
     ap.add_argument("--describe-history", action="store_true",
                     help="print one line per manifest version with the "
                          "operation that created it")
+    ap.add_argument("--mask", action="append", default=[], metavar="COL:KIND",
+                    help="declare a column mask applied at serving reads "
+                         "(KIND: null | hash); repeatable")
     ap.add_argument("--fsck", action="store_true",
                     help="verify manifest ↔ storage integrity at the end (missing "
                          "files, row-count mismatches) and print the report")
@@ -266,6 +269,11 @@ def main() -> int:
             "epochs_synced": len(ms),
             "history_rows": read_history_local(args.scd2).num_rows,
         }), flush=True)
+    for spec in args.mask:
+        col, _, kind = spec.partition(":")
+        v = lake.add_mask(col, kind or "null")
+        print(json.dumps({"masked": col, "kind": kind or "null",
+                          "version": v}), flush=True)
     if args.clone:
         c = lake.clone(args.clone)
         print(json.dumps({"cloned": args.clone,
