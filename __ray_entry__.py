@@ -188,6 +188,15 @@ def _cdc_masked_lake(sf_dir: str):
     return masked_lake(sf=0.01)
 
 
+def _cdc_row_policy_lake(sf_dir: str):
+    """Row access policy: constraint-shaped predicate hides system-role turns
+    at every serving read (CHECK semantics — only definitively-FALSE rows
+    drop). Oracled against the filtered plain replay."""
+    from dbt_customer360_ray.pipelines.cdc_replay import row_policy_lake
+
+    return row_policy_lake(sf=0.01)
+
+
 def _cdc_branch_merged(sf_dir: str):
     """Branch merge (the git-merge face of CLONE): parent and clone apply
     disjoint epochs, then ``merge_branch`` unions live runs by reference —
@@ -1024,6 +1033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_cloned_lake"] = _cdc_cloned_lake
     out["cdc_branch_merged"] = _cdc_branch_merged
     out["cdc_masked_lake"] = _cdc_masked_lake
+    out["cdc_row_policy_lake"] = _cdc_row_policy_lake
     out["cdc_describe_history"] = _cdc_describe_history
     out["cdc_sft_export"] = _cdc_sft_export
     out["cdc_sft_split"] = _cdc_sft_split
@@ -1221,6 +1231,9 @@ def oracle_sql() -> dict[str, str]:
     from dbt_customer360_ray.pipelines.cdc_replay import masked_oracle_sql
 
     out["cdc_masked_lake"] = masked_oracle_sql(sf=0.01)
+    from dbt_customer360_ray.pipelines.cdc_replay import row_policy_oracle_sql
+
+    out["cdc_row_policy_lake"] = row_policy_oracle_sql(sf=0.01)
     from dbt_customer360_ray.pipelines.cdc_replay import describe_history_oracle_sql
 
     out["cdc_describe_history"] = describe_history_oracle_sql(sf=0.01)

@@ -1405,6 +1405,39 @@ def masked_oracle_sql(sf: float = 0.01) -> str:
     """
 
 
+_ROW_POLICY: dict = {}
+
+_ROW_POLICY_SPEC = {
+    "name": "no_system", "column": "role", "op": "!=", "value": "system",
+}
+
+
+def row_policy_lake(sf: float = 0.01):
+    """Driver surface for ``CdcLake.add_row_filter`` (row access policies): a
+    fresh full replay with system-role turns hidden from every serving read;
+    the oracle re-derives the converged state and applies the same predicate
+    with identical CHECK semantics (FALSE drops, NULL serves)."""
+    import tempfile
+
+    if sf not in _ROW_POLICY:
+        lake, _metrics = replay(sf=sf, lake_dir=tempfile.mkdtemp(prefix="rowpol-"))
+        lake.add_row_filter(dict(_ROW_POLICY_SPEC))
+        _ROW_POLICY[sf] = lake
+    return _ROW_POLICY[sf].read()
+
+
+def row_policy_oracle_sql(sf: float = 0.01) -> str:
+    """Oracle for ``row_policy_lake``: the plain converged state filtered by
+    the policy predicate under CHECK semantics."""
+    from ..state.constraints import predicate_sql
+
+    inner = _lww_sql(_epoch_selects(sf))
+    return f"""
+        SELECT * FROM ({inner})
+        WHERE ({predicate_sql(_ROW_POLICY_SPEC)}) IS NOT FALSE
+    """
+
+
 _BRANCH_MERGED: dict = {}
 
 

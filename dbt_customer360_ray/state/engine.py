@@ -479,6 +479,37 @@ def _export_partition(
     return path
 
 
+def apply_row_filters(table: pa.Table, filters: tuple) -> pa.Table:
+    """Apply row access policies to a LOGICAL-named result table: a row is
+    served unless a policy predicate is definitively FALSE (the same SQL
+    CHECK semantics as ingest constraints — ``constraints._predicate_false``
+    is the shared kernel); ``not_null`` policies drop null rows. A policy on
+    a column absent from a pre-evolution snapshot sees an all-null column."""
+    if not filters or not table.num_rows:
+        return table
+    import numpy as np
+
+    from .constraints import _predicate_false
+
+    keep = np.ones(table.num_rows, dtype=bool)
+    for spec in filters:
+        present = spec["column"] in table.column_names
+        if spec["op"] == "not_null":
+            if not present:
+                keep[:] = False
+            else:
+                keep &= pc.is_valid(table.column(spec["column"])).to_numpy(
+                    zero_copy_only=False
+                )
+            continue
+        if not present:
+            continue  # all-null column: predicate NULL → served
+        keep &= ~_predicate_false(
+            table.column(spec["column"]), spec
+        ).to_numpy(zero_copy_only=False)
+    return table.filter(pa.array(keep))
+
+
 def apply_masks(table: pa.Table, masks: tuple) -> pa.Table:
     """Apply column masking policies to a LOGICAL-named result table (the
     dynamic-masking read hook): kind "null" redacts the column wholesale;
@@ -519,6 +550,7 @@ def _lookup_partition(
     merge_mode: str = "lww",
     out_names: tuple | None = None,
     masks: tuple = (),
+    row_filters: tuple = (),
 ) -> pa.Table:
     """lookup_many kernel for one touched partition: bloom-skip runs that
     provably lack every requested id, parquet-filter the survivors to the id
@@ -541,7 +573,11 @@ def _lookup_partition(
     merged = drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode))
     order = pc.sort_indices(merged, sort_keys=[(c, "ascending") for c in KEY_COLUMNS])
     return apply_masks(
-        _select_renamed(merged.take(order), public, out_names or public), masks
+        apply_row_filters(
+            _select_renamed(merged.take(order), public, out_names or public),
+            row_filters,
+        ),
+        masks,
     )
 
 
@@ -2259,6 +2295,7 @@ class CdcLake:
             return t
 
         masks = self._active_masks()
+        rfs = self._active_row_filters()
         single_run = (
             all(n <= 1 for n in kept_per_pid.values())
             and self.merge_mode != "patch"
@@ -2268,10 +2305,15 @@ class CdcLake:
             # pruned sibling run either loses to this file's row or fails the
             # ts filter — _read_manifest docstring): filter + project
             def finalize(
-                t: pa.Table, cols=tuple(public), outs=tuple(out_names), mk=masks
+                t: pa.Table, cols=tuple(public), outs=tuple(out_names),
+                mk=masks, rf=rfs,
             ) -> pa.Table:
                 return apply_masks(
-                    _select_renamed(ts_filter(drop_tombstones(t)), cols, outs), mk
+                    apply_row_filters(
+                        _select_renamed(ts_filter(drop_tombstones(t)), cols, outs),
+                        rf,
+                    ),
+                    mk,
                 )
 
             return ds.map_batches(
@@ -2284,12 +2326,18 @@ class CdcLake:
             outs=tuple(out_names),
             mode=self.merge_mode,
             mk=masks,
+            rf=rfs,
         ) -> pa.Table:
             merged = ts_filter(drop_tombstones(_resolve_latest(group, mode)))
             order = pc.sort_indices(
                 merged, sort_keys=[(c, "ascending") for c in KEY_COLUMNS]
             )
-            return apply_masks(_select_renamed(merged.take(order), cols, outs), mk)
+            return apply_masks(
+                apply_row_filters(
+                    _select_renamed(merged.take(order), cols, outs), rf
+                ),
+                mk,
+            )
 
         return ds.groupby("pid").map_groups(merge, batch_format="pyarrow")
 
@@ -2586,7 +2634,10 @@ class CdcLake:
             state_schema, self.manifest.column_mapping
         )
         return apply_masks(
-            _select_renamed(merged.take(order), public, out_names),
+            apply_row_filters(
+                _select_renamed(merged.take(order), public, out_names),
+                self._active_row_filters(),
+            ),
             self._active_masks(),
         )
 
@@ -2678,6 +2729,7 @@ class CdcLake:
                 self.merge_mode,
                 tuple(out_names),
                 self._active_masks(),
+                self._active_row_filters(),
             )
             for pid, cids in sorted(by_pid.items())
         ]
@@ -2744,6 +2796,46 @@ class CdcLake:
             {"column": m["column"], "kind": m["kind"]}
             for m in self.manifest.masks
         )
+
+    def _active_row_filters(self) -> tuple:
+        return tuple(self.manifest.row_filters)
+
+    def add_row_filter(self, spec: dict) -> int:
+        """Declare a ROW ACCESS POLICY: every serving read (``read`` /
+        ``read_as_of`` / ``lookup`` / ``lookup_many``) drops rows whose
+        predicate is definitively FALSE (SQL CHECK semantics — the same
+        constraint-shaped spec dict, evaluated by the same kernel as ingest
+        constraints, e.g. ``{"name": "no_system", "column": "role",
+        "op": "!=", "value": "system"}``). Metadata-only commit; governance
+        state like masks — covers time travel, bypassed by producer surfaces.
+        Re-adding a policy with the same name replaces it. Returns the new
+        manifest version."""
+        from .constraints import validate_spec
+
+        spec = validate_spec(spec)
+        if spec["op"] == "fk":
+            raise ValueError("row policies cannot reference another lake (fk)")
+        s = self.manifest.schema
+        if s is None:
+            raise ValueError("add_row_filter: lake has no schema yet")
+        _public, out_names = _mapped_public(s, self.manifest.column_mapping)
+        if spec["column"] not in out_names:
+            raise KeyError(
+                f"unknown lake column {spec['column']!r} (have {out_names})"
+            )
+        filters = [
+            f for f in self.manifest.row_filters if f["name"] != spec["name"]
+        ]
+        filters.append(spec)
+        return self.manifest.commit_row_filters(filters)
+
+    def drop_row_filter(self, name: str) -> int:
+        """Remove the named row policy; raises KeyError if none exists."""
+        filters = self.manifest.row_filters
+        kept = [f for f in filters if f["name"] != name]
+        if len(kept) == len(filters):
+            raise KeyError(f"no row policy named {name!r}")
+        return self.manifest.commit_row_filters(kept)
 
     def add_mask(self, column: str, kind: str) -> int:
         """Declare a COLUMN MASK (dynamic data masking): every SERVING read

@@ -198,6 +198,30 @@ class Manifest:
                 self.reload()
 
     @property
+    def row_filters(self) -> list[dict]:
+        """Row access policies (constraint-shaped specs) applied at the
+        SERVING read surfaces: a row is served unless a policy predicate is
+        definitively FALSE (SQL CHECK semantics — nulls pass, except
+        ``not_null`` which demands a value). Governance state like masks:
+        the CURRENT set covers every snapshot."""
+        return [dict(f) for f in self._state.get("row_filters", [])]
+
+    def commit_row_filters(self, filters: list[dict]) -> int:
+        """Metadata-only commit replacing the row-policy list."""
+        for attempt in range(5):
+            state = json.loads(json.dumps(self._state))
+            state["row_filters"] = json.loads(json.dumps(filters))
+            state["operation"] = {"op": "SET_ROW_FILTERS", "n": len(filters)}
+            state["version"] += 1
+            try:
+                self._persist(state)
+                return state["version"]
+            except CommitConflictError:
+                if attempt == 4:
+                    raise
+                self.reload()
+
+    @property
     def computed_columns(self) -> list[dict]:
         """Generated-column specs (``{"name","kind","source"}``) derived at
         every apply — per-version like the schema."""

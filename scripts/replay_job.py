@@ -96,6 +96,11 @@ def main() -> int:
     ap.add_argument("--mask", action="append", default=[], metavar="COL:KIND",
                     help="declare a column mask applied at serving reads "
                          "(KIND: null | hash); repeatable")
+    ap.add_argument("--row-policy", action="append", default=[],
+                    metavar="NAME:COL:OP:VALUE",
+                    help="declare a row access policy applied at serving reads "
+                         "(OP: !=, ==, in, matches, not_null, <, <=, >, >=); "
+                         "repeatable")
     ap.add_argument("--fsck", action="store_true",
                     help="verify manifest ↔ storage integrity at the end (missing "
                          "files, row-count mismatches) and print the report")
@@ -274,6 +279,18 @@ def main() -> int:
         v = lake.add_mask(col, kind or "null")
         print(json.dumps({"masked": col, "kind": kind or "null",
                           "version": v}), flush=True)
+    for spec in args.row_policy:
+        parts = spec.split(":", 3)
+        if len(parts) < 3:
+            raise SystemExit(f"--row-policy wants NAME:COL:OP[:VALUE], got {spec!r}")
+        name, col, op = parts[:3]
+        value = parts[3] if len(parts) == 4 else None
+        if op == "in" and value is not None:
+            value = value.split(",")
+        v = lake.add_row_filter(
+            {"name": name, "column": col, "op": op, "value": value}
+        )
+        print(json.dumps({"row_policy": name, "version": v}), flush=True)
     if args.clone:
         c = lake.clone(args.clone)
         print(json.dumps({"cloned": args.clone,

@@ -77,3 +77,46 @@ def test_mask_validation(tmp_path):
     lake.add_mask("text", "hash")
     lake.add_mask("text", "null")
     assert lake.manifest.masks == [{"column": "text", "kind": "null"}]
+
+
+def test_row_policies_serve_and_drop(tmp_path):
+    lake = _lake(tmp_path)
+    plain = lake.read().to_pandas()
+    n_system = int((plain["role"] == "system").sum())
+    assert n_system > 0
+
+    lake.add_row_filter(
+        {"name": "no_system", "column": "role", "op": "!=", "value": "system"}
+    )
+    got = lake.read().to_pandas()
+    assert len(got) == len(plain) - n_system
+    assert (got["role"] != "system").all()
+
+    # lookup surfaces enforce the policy too
+    conv = plain.loc[plain["role"] == "system", "conv_id"].iloc[0]
+    lk = lake.lookup(conv).to_pandas()
+    assert (lk["role"] != "system").all()
+    lm = lake.lookup_many([conv]).to_pandas()
+    assert (lm["role"] != "system").all()
+
+    # stacked policies AND together; replace-by-name holds
+    lake.add_row_filter(
+        {"name": "no_system", "column": "role", "op": "in",
+         "value": ["user", "assistant"]}
+    )
+    assert len(lake.manifest.row_filters) == 1
+    got2 = lake.read().to_pandas()
+    assert set(got2["role"]) <= {"user", "assistant"}
+
+    lake.drop_row_filter("no_system")
+    pd.testing.assert_frame_equal(
+        lake.read().to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+        plain.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+    )
+    with pytest.raises(KeyError, match="no row policy"):
+        lake.drop_row_filter("no_system")
+    with pytest.raises(ValueError, match="fk"):
+        lake.add_row_filter(
+            {"name": "x", "column": "conv_id", "op": "fk",
+             "value": {"ref_dir": "/tmp/nope"}}
+        )
