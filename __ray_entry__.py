@@ -188,6 +188,16 @@ def _cdc_masked_lake(sf_dir: str):
     return masked_lake(sf=0.01)
 
 
+def _cdc_purged_lake(sf_dir: str):
+    """GDPR erasure: purge list filtered at EVERY read surface (incl. time
+    travel, change feed, export, SFT assembly) plus bloom-targeted physical
+    rewrite of the owner partition's live runs (asserted in the callable).
+    Oracled against the plain replay minus the purged conversations."""
+    from dbt_customer360_ray.pipelines.cdc_replay import purged_lake
+
+    return purged_lake(sf=0.01)
+
+
 def _cdc_row_policy_lake(sf_dir: str):
     """Row access policy: constraint-shaped predicate hides system-role turns
     at every serving read (CHECK semantics — only definitively-FALSE rows
@@ -1034,6 +1044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_branch_merged"] = _cdc_branch_merged
     out["cdc_masked_lake"] = _cdc_masked_lake
     out["cdc_row_policy_lake"] = _cdc_row_policy_lake
+    out["cdc_purged_lake"] = _cdc_purged_lake
     out["cdc_describe_history"] = _cdc_describe_history
     out["cdc_sft_export"] = _cdc_sft_export
     out["cdc_sft_split"] = _cdc_sft_split
@@ -1234,6 +1245,9 @@ def oracle_sql() -> dict[str, str]:
     from dbt_customer360_ray.pipelines.cdc_replay import row_policy_oracle_sql
 
     out["cdc_row_policy_lake"] = row_policy_oracle_sql(sf=0.01)
+    from dbt_customer360_ray.pipelines.cdc_replay import purged_oracle_sql
+
+    out["cdc_purged_lake"] = purged_oracle_sql(sf=0.01)
     from dbt_customer360_ray.pipelines.cdc_replay import describe_history_oracle_sql
 
     out["cdc_describe_history"] = describe_history_oracle_sql(sf=0.01)

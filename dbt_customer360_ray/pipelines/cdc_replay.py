@@ -1405,6 +1405,48 @@ def masked_oracle_sql(sf: float = 0.01) -> str:
     """
 
 
+_PURGED: dict = {}
+
+_PURGE_CONVS = ("conv-00000003", "conv-00000007")
+
+
+def purged_lake(sf: float = 0.01):
+    """Driver surface for ``CdcLake.purge_key`` (GDPR erasure): a fresh full
+    replay with two conversations purged — list-committed (unreadable
+    everywhere immediately) AND physically rewritten out of the owner
+    partition's live runs (asserted: no live run parquet holds the keys, and
+    fsck stays clean after the rewrite)."""
+    import tempfile
+
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    if sf not in _PURGED:
+        lake, _metrics = replay(sf=sf, lake_dir=tempfile.mkdtemp(prefix="purged-"))
+        for cid in _PURGE_CONVS:
+            res = lake.purge_key(cid)
+            assert res["rows_removed"] > 0, res
+        for f in lake.manifest.live_files():
+            t = _pq.read_table(f, columns=["conv_id"])
+            for cid in _PURGE_CONVS:
+                assert not _pc.any(
+                    _pc.equal(t.column("conv_id"), cid)
+                ).as_py(), f"purged key {cid} survives in live run {f}"
+        assert lake.fsck()["ok"]
+        _PURGED[sf] = lake
+    return _PURGED[sf].read()
+
+
+def purged_oracle_sql(sf: float = 0.01) -> str:
+    """Oracle for ``purged_lake``: the plain converged state minus the purged
+    conversations."""
+    inner = _lww_sql(_epoch_selects(sf))
+    keys = ", ".join(f"'{c}'" for c in _PURGE_CONVS)
+    return f"""
+        SELECT * FROM ({inner}) WHERE conv_id NOT IN ({keys})
+    """
+
+
 _ROW_POLICY: dict = {}
 
 _ROW_POLICY_SPEC = {

@@ -154,6 +154,19 @@ def _compact_partition(
     }
 
 
+def _drop_purged(t: pa.Table, purged: tuple) -> pa.Table:
+    """Filter erased conversations (``purge_key``) out of any table that
+    carries ``conv_id`` — applied in EVERY read kernel, so purged keys are
+    unreadable even from historical files that still hold their bytes."""
+    if not purged or "conv_id" not in t.column_names or not t.num_rows:
+        return t
+    hit = pc.fill_null(
+        pc.is_in(t.column("conv_id"), value_set=pa.array(list(purged), pa.string())),
+        False,
+    )
+    return t.filter(pc.invert(hit))
+
+
 def _diff_partition(
     files_a: list[str],
     files_b: list[str],
@@ -161,6 +174,7 @@ def _diff_partition(
     public_cols: list[str],
     preimage: bool = False,
     merge_mode: str = "lww",
+    purged: tuple = (),
 ) -> pa.Table:
     """change_feed kernel for one partition: LWW-merge each snapshot's runs
     (both conformed to the TO-version schema), then classify per KEY_COLUMNS
@@ -177,7 +191,10 @@ def _diff_partition(
         if not files:
             return state_schema.empty_table()
         tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
-        return drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode))
+        return _drop_purged(
+            drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode)),
+            purged,
+        )
 
     a = _state(files_a).select(public_cols).to_pandas()
     b = _state(files_b).select(public_cols).to_pandas()
@@ -460,6 +477,7 @@ def _export_partition(
     path: str,
     merge_mode: str = "lww",
     out_names: tuple | None = None,
+    purged: tuple = (),
 ) -> str:
     """export_snapshot kernel: LWW-merge one partition's runs and write the
     key-sorted public rows to a single shard file, atomically. ``out_names``
@@ -468,7 +486,10 @@ def _export_partition(
 
     if files:
         tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
-        merged = drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode))
+        merged = _drop_purged(
+            drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode)),
+            purged,
+        )
         order = pc.sort_indices(
             merged, sort_keys=[(c, "ascending") for c in KEY_COLUMNS]
         )
@@ -494,6 +515,19 @@ def apply_row_filters(table: pa.Table, filters: tuple) -> pa.Table:
     keep = np.ones(table.num_rows, dtype=bool)
     for spec in filters:
         present = spec["column"] in table.column_names
+        if spec["op"] == "not_in":
+            # internal form (the purge list): drop rows whose value is in the
+            # set; nulls are served
+            if present:
+                hit = pc.fill_null(
+                    pc.is_in(
+                        table.column(spec["column"]),
+                        value_set=pa.array(spec["value"], pa.string()),
+                    ),
+                    False,
+                )
+                keep &= ~hit.to_numpy(zero_copy_only=False)
+            continue
         if spec["op"] == "not_null":
             if not present:
                 keep[:] = False
@@ -582,7 +616,8 @@ def _lookup_partition(
 
 
 def _headers_partition(
-    files: list[str], state_schema: pa.Schema, merge_mode: str = "lww"
+    files: list[str], state_schema: pa.Schema, merge_mode: str = "lww",
+    purged: tuple = (),
 ) -> pa.Table:
     """conversation_headers kernel for one partition: LWW-merge the runs,
     then one pandas groupby over conv_id (every turn of a conversation lives
@@ -604,7 +639,10 @@ def _headers_partition(
     )
     if not tables:
         return out_schema.empty_table()
-    state = drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode))
+    state = _drop_purged(
+        drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode)),
+        purged,
+    )
     df = state.select(
         [c for c in ("conv_id", "ts", "tool") if c in state.column_names]
     ).to_pandas()
@@ -623,7 +661,8 @@ def _headers_partition(
 
 
 def _assemble_partition(
-    files: list[str], state_schema: pa.Schema, merge_mode: str = "lww"
+    files: list[str], state_schema: pa.Schema, merge_mode: str = "lww",
+    purged: tuple = (),
 ) -> pa.Table:
     """assemble_conversations kernel for one partition: LWW-merge the runs,
     order each conversation by turn_idx, and concatenate its turns into one
@@ -642,7 +681,10 @@ def _assemble_partition(
     if not files:
         return out_schema.empty_table()
     tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
-    state = drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode))
+    state = _drop_purged(
+        drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode)),
+        purged,
+    )
     cols = [c for c in ("conv_id", "turn_idx", "role", "text") if c in state.column_names]
     df = state.select(cols).to_pandas()
     for c in ("role", "text"):
@@ -2381,6 +2423,7 @@ class CdcLake:
             diff_task.remote(
                 ma.live_files(pid), mb.live_files(pid), schema_ref, public,
                 include_preimage, self.merge_mode,
+                tuple(self.manifest.purged_keys),
             )
             for pid in range(P)
         ]
@@ -2492,7 +2535,10 @@ class CdcLake:
         task = ray.remote(_headers_partition)
         schema_ref = ray.put(state_schema)
         refs = [
-            task.remote(m.live_files(pid), schema_ref, self.merge_mode)
+            task.remote(
+                m.live_files(pid), schema_ref, self.merge_mode,
+                tuple(self.manifest.purged_keys),
+            )
             for pid in range(P)
         ]
         return ray.data.from_arrow_refs(refs)
@@ -2522,7 +2568,10 @@ class CdcLake:
         task = ray.remote(_assemble_partition)
         schema_ref = ray.put(state_schema)
         refs = [
-            task.remote(m.live_files(pid), schema_ref, self.merge_mode)
+            task.remote(
+                m.live_files(pid), schema_ref, self.merge_mode,
+                tuple(self.manifest.purged_keys),
+            )
             for pid in range(P)
         ]
         return ray.data.from_arrow_refs(refs)
@@ -2674,6 +2723,7 @@ class CdcLake:
                     path,
                     self.merge_mode,
                     tuple(out_names),
+                    tuple(self.manifest.purged_keys),
                 )
             )
         written = ray.get(refs)
@@ -2798,7 +2848,83 @@ class CdcLake:
         )
 
     def _active_row_filters(self) -> tuple:
-        return tuple(self.manifest.row_filters)
+        fl = list(self.manifest.row_filters)
+        purged = self.manifest.purged_keys
+        if purged:
+            fl.append(
+                {"name": "__purged__", "column": "conv_id", "op": "not_in",
+                 "value": purged}
+            )
+        return tuple(fl)
+
+    def purge_key(self, conv_id: str, rewrite: bool = True) -> dict:
+        """GDPR-style ERASURE of one conversation — permanent and physical,
+        unlike the reversible governance of masks/row policies.
+
+        Two stages, each an atomic commit: (1) the key joins the manifest's
+        purge list, which EVERY read surface filters — serving reads, time
+        travel, lookups, change feed, export, SFT assembly — so the data is
+        unreadable immediately, including from historical snapshots whose
+        files still hold the bytes; (2) with ``rewrite=True`` (default) the
+        owner partition's live runs containing the key are rewritten without
+        it (bloom-targeted — untouched runs are skipped without opening; new
+        blooms no longer witness the key), committed as a compaction-style
+        replace. ``vacuum()`` then physically reclaims the replaced files and
+        any historical versions, completing the erasure. O(one partition's
+        matching runs) local I/O, no Ray session. A later re-ingest of the
+        same conv_id stores but never serves it (the purge list is permanent);
+        block it at ingest with a CHECK constraint if the upstream can
+        re-emit purged keys. Returns {version, runs_rewritten, rows_removed}."""
+        from ..hashing import partition_ids
+        from .applier import atomic_parquet, bloom_may_contain, run_ts_stats
+
+        v = self.manifest.commit_purge([conv_id])
+        out = {"version": v, "runs_rewritten": 0, "rows_removed": 0}
+        if not rewrite or self.manifest.schema is None:
+            return out
+        pid = int(partition_ids([conv_id], self.P)[0])
+        part = self.manifest.partition(pid)
+        new_runs: list[dict] = []
+        replaced: list[str] = []
+        for run in part["runs"]:
+            ap = os.path.join(self.lake_dir, run["path"])
+            if not bloom_may_contain(ap, conv_id):
+                continue
+            t = pq.read_table(ap)
+            keep = pc.fill_null(pc.not_equal(t.column("conv_id"), conv_id), True)
+            kept_n = int(pc.sum(keep).as_py() or 0)
+            if kept_n == t.num_rows:
+                continue  # bloom false positive
+            replaced.append(run["path"])
+            out["runs_rewritten"] += 1
+            out["rows_removed"] += t.num_rows - kept_n
+            if kept_n == 0:
+                continue  # run was entirely this key — replaced by nothing
+            t2 = t.filter(keep)
+            rel = run["path"][: -len(".parquet")] + f"-purge{v}.parquet"
+            atomic_parquet(t2, os.path.join(self.lake_dir, rel))
+            tomb = (
+                int(pc.sum(pc.equal(t2.column("op"), "D")).as_py() or 0)
+                if "op" in t2.column_names
+                else 0
+            )
+            new_runs.append(
+                {"path": rel, "rows": t2.num_rows, "tombstones": tomb}
+                | run_ts_stats(t2)
+            )
+        if replaced:
+            self.manifest.commit_compaction(
+                {
+                    pid: {
+                        "runs": new_runs,
+                        "replaced_paths": replaced,
+                        "rows": sum(r["rows"] - r["tombstones"] for r in new_runs),
+                        "max_offset": part["max_offset"],
+                    }
+                }
+            )
+            out["version"] = self.manifest.version
+        return out
 
     def add_row_filter(self, spec: dict) -> int:
         """Declare a ROW ACCESS POLICY: every serving read (``read`` /

@@ -198,6 +198,32 @@ class Manifest:
                 self.reload()
 
     @property
+    def purged_keys(self) -> list[str]:
+        """Conversations erased by ``purge_key`` (GDPR right-to-be-forgotten):
+        every read surface — serving, time travel, change feed, export,
+        assembly — filters these keys, regardless of which historical files
+        still hold their bytes until ``vacuum``."""
+        return list(self._state.get("purged_keys", []))
+
+    def commit_purge(self, keys: list[str]) -> int:
+        """Add keys to the purge list (set-union, never removed — erasure is
+        permanent). One atomic version bump, operation PURGE_KEY."""
+        for attempt in range(5):
+            state = json.loads(json.dumps(self._state))
+            cur = list(state.get("purged_keys", []))
+            merged = sorted(set(cur) | set(map(str, keys)))
+            state["purged_keys"] = merged
+            state["operation"] = {"op": "PURGE_KEY", "n": len(merged)}
+            state["version"] += 1
+            try:
+                self._persist(state)
+                return state["version"]
+            except CommitConflictError:
+                if attempt == 4:
+                    raise
+                self.reload()
+
+    @property
     def row_filters(self) -> list[dict]:
         """Row access policies (constraint-shaped specs) applied at the
         SERVING read surfaces: a row is served unless a policy predicate is

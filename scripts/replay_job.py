@@ -101,6 +101,10 @@ def main() -> int:
                     help="declare a row access policy applied at serving reads "
                          "(OP: !=, ==, in, matches, not_null, <, <=, >, >=); "
                          "repeatable")
+    ap.add_argument("--purge-key", action="append", default=[], metavar="CONV_ID",
+                    help="GDPR-erase a conversation: unreadable on every "
+                         "surface immediately, physically rewritten out of "
+                         "live runs; repeatable")
     ap.add_argument("--fsck", action="store_true",
                     help="verify manifest ↔ storage integrity at the end (missing "
                          "files, row-count mismatches) and print the report")
@@ -279,6 +283,8 @@ def main() -> int:
         v = lake.add_mask(col, kind or "null")
         print(json.dumps({"masked": col, "kind": kind or "null",
                           "version": v}), flush=True)
+    for cid in args.purge_key:
+        print(json.dumps({"purged": cid} | lake.purge_key(cid)), flush=True)
     for spec in args.row_policy:
         parts = spec.split(":", 3)
         if len(parts) < 3:

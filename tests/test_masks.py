@@ -120,3 +120,57 @@ def test_row_policies_serve_and_drop(tmp_path):
             {"name": "x", "column": "conv_id", "op": "fk",
              "value": {"ref_dir": "/tmp/nope"}}
         )
+
+
+def test_purge_key_erases_everywhere(tmp_path):
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    lake = _lake(tmp_path)
+    plain = lake.read().to_pandas()
+    victim = plain["conv_id"].iloc[0]
+    n_victim = int((plain["conv_id"] == victim).sum())
+    assert n_victim > 0
+
+    res = lake.purge_key(victim)
+    assert res["rows_removed"] >= n_victim  # raw run rows ≥ converged rows
+    assert res["runs_rewritten"] > 0
+
+    # serving reads, lookups, time travel: gone
+    got = lake.read().to_pandas()
+    assert len(got) == len(plain) - n_victim
+    assert victim not in set(got["conv_id"])
+    assert lake.lookup(victim).num_rows == 0
+    assert lake.lookup_many([victim]).count() == 0
+    assert victim not in set(lake.read_as_of(epoch=0).to_pandas()["conv_id"])
+
+    # producer surfaces too — erasure binds where governance masking doesn't
+    assert victim not in set(
+        lake.change_feed(
+            from_version=0, to_version=lake.manifest.version
+        ).to_pandas()["conv_id"]
+    )
+    assert victim not in set(
+        lake.conversation_headers().to_pandas()["conv_id"]
+    )
+    assert victim not in set(
+        lake.assemble_conversations().to_pandas()["conv_id"]
+    )
+    exp = str(tmp_path / "export")
+    lake.export_snapshot(exp)
+    for f in sorted((tmp_path / "export").glob("part-*.parquet")):
+        t = pq.read_table(str(f), columns=["conv_id"])
+        assert not pc.any(pc.equal(t.column("conv_id"), victim)).as_py()
+
+    # physically absent from live runs; manifest still consistent
+    for f in lake.manifest.live_files():
+        t = pq.read_table(f, columns=["conv_id"])
+        assert not pc.any(pc.equal(t.column("conv_id"), victim)).as_py()
+    assert lake.fsck()["ok"]
+
+    # everyone else untouched
+    rest = plain[plain["conv_id"] != victim].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+        rest.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+    )
