@@ -188,6 +188,15 @@ def _cdc_masked_lake(sf_dir: str):
     return masked_lake(sf=0.01)
 
 
+def _cdc_expired_lake(sf_dir: str):
+    """Snapshot expiry (Iceberg expire_snapshots): version log trimmed to
+    CURRENT + vacuum — serving reads unchanged (oracled against the plain
+    replay), sub-horizon time travel raises (asserted), fsck clean."""
+    from dbt_customer360_ray.pipelines.cdc_replay import expired_lake
+
+    return expired_lake(sf=0.01)
+
+
 def _cdc_purged_lake(sf_dir: str):
     """GDPR erasure: purge list filtered at EVERY read surface (incl. time
     travel, change feed, export, SFT assembly) plus bloom-targeted physical
@@ -1045,6 +1054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_masked_lake"] = _cdc_masked_lake
     out["cdc_row_policy_lake"] = _cdc_row_policy_lake
     out["cdc_purged_lake"] = _cdc_purged_lake
+    out["cdc_expired_lake"] = _cdc_expired_lake
     out["cdc_describe_history"] = _cdc_describe_history
     out["cdc_sft_export"] = _cdc_sft_export
     out["cdc_sft_split"] = _cdc_sft_split
@@ -1248,6 +1258,7 @@ def oracle_sql() -> dict[str, str]:
     from dbt_customer360_ray.pipelines.cdc_replay import purged_oracle_sql
 
     out["cdc_purged_lake"] = purged_oracle_sql(sf=0.01)
+    out["cdc_expired_lake"] = replay_oracle_sql(sf=0.01)
     from dbt_customer360_ray.pipelines.cdc_replay import describe_history_oracle_sql
 
     out["cdc_describe_history"] = describe_history_oracle_sql(sf=0.01)

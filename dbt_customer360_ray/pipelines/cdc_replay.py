@@ -1405,6 +1405,32 @@ def masked_oracle_sql(sf: float = 0.01) -> str:
     """
 
 
+_EXPIRED: dict = {}
+
+
+def expired_lake(sf: float = 0.01):
+    """Driver surface for ``CdcLake.expire_snapshots`` + ``vacuum``: a fresh
+    full replay with the version log trimmed to the CURRENT version only and
+    unreferenced files reclaimed — the serving read must be byte-identical to
+    the untrimmed replay (the plain oracle), while time travel below the
+    horizon now raises (asserted) and fsck stays clean."""
+    import tempfile
+
+    if sf not in _EXPIRED:
+        lake, _metrics = replay(sf=sf, lake_dir=tempfile.mkdtemp(prefix="expired-"))
+        removed = lake.expire_snapshots(keep_last=1)
+        assert removed > 0, "expected historical manifest versions to expire"
+        lake.vacuum()
+        try:
+            lake.read_as_of(epoch=0)
+            raise AssertionError("time travel below the horizon must raise")
+        except KeyError:
+            pass
+        assert lake.fsck()["ok"]
+        _EXPIRED[sf] = lake
+    return _EXPIRED[sf].read()
+
+
 _PURGED: dict = {}
 
 _PURGE_CONVS = ("conv-00000003", "conv-00000007")

@@ -3578,6 +3578,15 @@ class CdcLake:
         }
         return pa.table(cols)
 
+    def expire_snapshots(self, keep_last: int = 10) -> int:
+        """Trim the version log to the newest ``keep_last`` manifest versions
+        (Iceberg ``expire_snapshots`` / Delta logRetention): bounds manifest
+        growth on a long-lived lake; time travel below the horizon raises a
+        clear error afterwards. Pair with ``vacuum()`` to also reclaim the
+        data files only historical versions referenced. Returns the number of
+        manifest files removed."""
+        return self.manifest.expire_snapshots(keep_last)
+
     def vacuum(self) -> int:
         """Delete data files no longer referenced by the current manifest."""
         live = {os.path.abspath(p) for p in self.manifest.live_files()}

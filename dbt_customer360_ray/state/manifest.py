@@ -335,6 +335,27 @@ class Manifest:
             raise KeyError(f"no committed snapshot at or below offset {offset}")
         return best
 
+    def expire_snapshots(self, keep_last: int = 10) -> int:
+        """Iceberg-style ``expire_snapshots``: delete manifest versions older
+        than the newest ``keep_last`` (CURRENT always survives), bounding the
+        version log's growth. Time travel below the horizon raises a clear
+        KeyError afterwards; data files referenced ONLY by expired versions
+        are already what ``vacuum()`` reclaims (it keys off CURRENT), so the
+        pair (expire_snapshots → vacuum) is the complete retention story.
+        Returns the number of manifest files removed."""
+        if keep_last < 1:
+            raise ValueError("expire_snapshots: keep_last must be >= 1")
+        horizon = self.version - keep_last
+        removed = 0
+        for name in sorted(os.listdir(self.dir)):
+            if not (name.startswith("MANIFEST-") and name.endswith(".json")):
+                continue
+            v = int(name[len("MANIFEST-"):-len(".json")])
+            if v <= horizon:
+                os.remove(os.path.join(self.dir, name))
+                removed += 1
+        return removed
+
     def at_version(self, version: int) -> "Manifest":
         """Read-only snapshot pinned at ``version``. Every commit retains its
         ``MANIFEST-<version>.json`` (the Delta/Iceberg log pattern), so any
@@ -352,8 +373,15 @@ class Manifest:
             }
             return snap
         path = os.path.join(self.dir, f"MANIFEST-{version:08d}.json")
-        with open(path) as f:
-            snap._state = json.load(f)
+        try:
+            with open(path) as f:
+                snap._state = json.load(f)
+        except FileNotFoundError:
+            raise KeyError(
+                f"manifest version {version} is expired or was never "
+                f"committed (expire_snapshots trims the log; current "
+                f"version is {self.version})"
+            ) from None
         return snap
 
     # -- commit ------------------------------------------------------------

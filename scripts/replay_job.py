@@ -105,6 +105,9 @@ def main() -> int:
                     help="GDPR-erase a conversation: unreadable on every "
                          "surface immediately, physically rewritten out of "
                          "live runs; repeatable")
+    ap.add_argument("--expire-snapshots", type=int, default=None, metavar="N",
+                    help="trim the manifest version log to the newest N "
+                         "versions (run with --vacuum to also reclaim files)")
     ap.add_argument("--fsck", action="store_true",
                     help="verify manifest ↔ storage integrity at the end (missing "
                          "files, row-count mismatches) and print the report")
@@ -310,6 +313,10 @@ def main() -> int:
         print(json.dumps({"fsck": lake.fsck(
             check_constraints=bool(args.constraint)
         )}), flush=True)
+    if args.expire_snapshots is not None:
+        print(json.dumps({
+            "expired_versions": lake.expire_snapshots(args.expire_snapshots)
+        }), flush=True)
     if args.vacuum:
         print(json.dumps({"vacuumed_files": lake.vacuum()}), flush=True)
     print(

@@ -403,3 +403,38 @@ def test_named_tags_alias_versions(tmp_path):
     assert lake.tags() == {}
     with pytest.raises(KeyError):
         lake.untag("after-e0")
+
+
+def test_expire_snapshots_trims_log_but_serves(tmp_path):
+    import pytest as _pytest
+    import ray.data
+
+    from dbt_customer360_ray.gen import gen_changes, split_epochs
+    from dbt_customer360_ray.state.engine import CdcLake
+
+    epochs = split_epochs(gen_changes(2_000, 120, seed=97), 3)
+    lake = CdcLake(str(tmp_path / "lake"), num_partitions=8)
+    for e in epochs:
+        lake.apply(ray.data.from_arrow(e))
+    before = lake.read().to_pandas()
+
+    removed = lake.expire_snapshots(keep_last=1)
+    assert removed > 0
+    lake.vacuum()
+
+    # current reads unchanged; fsck clean; sub-horizon travel raises clearly
+    after = lake.read().to_pandas()
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        after.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+        before.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+    )
+    assert lake.fsck()["ok"]
+    with _pytest.raises(KeyError, match="expired"):
+        lake.read_as_of(epoch=0)
+    # history still enumerable (expired versions surface as UNKNOWN)
+    h = lake.describe_history().to_pandas()
+    assert len(h) == lake.manifest.version
+    assert (h["operation"] == "UNKNOWN").sum() == removed
+    with _pytest.raises(ValueError, match="keep_last"):
+        lake.expire_snapshots(keep_last=0)
