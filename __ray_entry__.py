@@ -188,6 +188,16 @@ def _cdc_masked_lake(sf_dir: str):
     return masked_lake(sf=0.01)
 
 
+def _cdc_hot_keys(sf_dir: str):
+    """Skew handling made driver-visible: a planted heavy conversation must
+    be detected (exact prepass histogram) and recorded in the manifest as a
+    hot key (then salted across sub-partitions). Oracled against the exact
+    share computation over the same derived epoch."""
+    from dbt_customer360_ray.pipelines.cdc_replay import hot_keys_lake
+
+    return hot_keys_lake(sf=0.01)
+
+
 def _cdc_expired_lake(sf_dir: str):
     """Snapshot expiry (Iceberg expire_snapshots): version log trimmed to
     CURRENT + vacuum — serving reads unchanged (oracled against the plain
@@ -1055,6 +1065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_row_policy_lake"] = _cdc_row_policy_lake
     out["cdc_purged_lake"] = _cdc_purged_lake
     out["cdc_expired_lake"] = _cdc_expired_lake
+    out["cdc_hot_keys"] = _cdc_hot_keys
     out["cdc_describe_history"] = _cdc_describe_history
     out["cdc_sft_export"] = _cdc_sft_export
     out["cdc_sft_split"] = _cdc_sft_split
@@ -1259,6 +1270,9 @@ def oracle_sql() -> dict[str, str]:
 
     out["cdc_purged_lake"] = purged_oracle_sql(sf=0.01)
     out["cdc_expired_lake"] = replay_oracle_sql(sf=0.01)
+    from dbt_customer360_ray.pipelines.cdc_replay import hot_keys_oracle_sql
+
+    out["cdc_hot_keys"] = hot_keys_oracle_sql(sf=0.01)
     from dbt_customer360_ray.pipelines.cdc_replay import describe_history_oracle_sql
 
     out["cdc_describe_history"] = describe_history_oracle_sql(sf=0.01)

@@ -1405,6 +1405,84 @@ def masked_oracle_sql(sf: float = 0.01) -> str:
     """
 
 
+_HOT_THRESHOLD = 0.05
+
+
+def _skewed_epoch_path(src: str, conv: str = "conv-00000001", factor: int = 30) -> str:
+    """Derived fixture (cached, atomic): epoch 0 with ``conv``'s events
+    replicated ``factor``× under fresh offsets — a planted hot conversation
+    holding a clear double-digit share of the epoch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    dst = src[: -len(".parquet")] + f"-skew{factor}.parquet"
+    if not os.path.exists(dst):
+        t = pq.read_table(src)
+        hot = t.filter(pc.equal(t.column("conv_id"), conv))
+        max_off = pc.max(t.column("offset")).as_py()
+        parts = [t]
+        for i in range(factor - 1):
+            off = pc.add(
+                hot.column("offset"),
+                pa.scalar((i + 1) * (max_off + 1), pa.int64()),
+            )
+            parts.append(hot.set_column(
+                hot.schema.get_field_index("offset"), "offset", off
+            ))
+        tmp = f"{dst}.tmp-{os.getpid()}"
+        pq.write_table(pa.concat_tables(parts), tmp)
+        os.replace(tmp, dst)
+    return dst
+
+
+_HOT: dict = {}
+
+
+def hot_keys_lake(sf: float = 0.01):
+    """Driver surface for hot-key detection (the north rule's skew handling):
+    apply a derived epoch with one planted heavy conversation under
+    ``detect_hot="prepass"`` (exact per-file counts) — the manifest must
+    record exactly the conv_ids whose event share meets ``hot_threshold``,
+    and those conversations are salted across sub-partitions during the
+    apply. Returns the recorded hot-key set as a one-column table; the SQL
+    oracle re-derives it from the same derived parquet."""
+    import pyarrow as pa
+    import tempfile
+
+    if sf not in _HOT:
+        fx = changes_fixture(sf)
+        skew = _skewed_epoch_path(fx["paths"][0])
+        lake = CdcLake(
+            tempfile.mkdtemp(prefix="hot-") + "/lake",
+            num_partitions=16,
+            hot_threshold=_HOT_THRESHOLD,
+            num_salts=4,
+        )
+        m = lake.apply(skew, detect_hot="prepass")
+        assert m["events_in"] > 0
+        _HOT[sf] = pa.table(
+            {"conv_id": pa.array(sorted(lake.manifest_hot_keys()), pa.string())}
+        )
+    return _HOT[sf]
+
+
+def hot_keys_oracle_sql(sf: float = 0.01) -> str:
+    """Oracle for ``hot_keys_lake``: conv_ids whose share of the derived
+    epoch's events ≥ hot_threshold (the planted key's margin is wide, so the
+    float comparison form cannot flip the set)."""
+    fx = changes_fixture(sf)
+    skew = _skewed_epoch_path(fx["paths"][0])
+    return f"""
+        SELECT conv_id FROM read_parquet('{skew}')
+        GROUP BY conv_id
+        HAVING count(*) >= {_HOT_THRESHOLD} * (
+            SELECT count(*) FROM read_parquet('{skew}')
+        )
+        ORDER BY conv_id
+    """
+
+
 _EXPIRED: dict = {}
 
 

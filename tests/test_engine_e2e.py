@@ -716,3 +716,17 @@ def test_export_snapshot_resumable_and_equal(tmp_path):
     assert m2["written"] == 1 and m2["skipped"] == lake.P - 1
     assert m2["rows"] == m1["rows"]
     assert os.path.exists(os.path.join(dest, "_SUCCESS"))
+
+
+def test_hot_key_detection_records_planted_conv(ray_session):
+    import duckdb
+
+    from dbt_customer360_ray.pipelines.cdc_replay import (
+        hot_keys_lake,
+        hot_keys_oracle_sql,
+    )
+
+    got = hot_keys_lake(sf=0.001).to_pandas()
+    want = duckdb.connect().execute(hot_keys_oracle_sql(sf=0.001)).df()
+    assert got["conv_id"].tolist() == want["conv_id"].tolist()
+    assert "conv-00000001" in set(got["conv_id"])
