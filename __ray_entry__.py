@@ -652,6 +652,20 @@ _DSIR_TARGET = ("src0", "src1", "src2")
 _BM25_QUERY = ("hash", "merge", "scan", "batch")
 
 
+def _nb_classified_documents(sf_dir: str):
+    """Hashed naive-Bayes domain classifier (the fastText-style curation
+    filter, closed-form counts): one count pass + one broadcast argmax pass,
+    all-integer scores — bit-exact at any cluster size."""
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.dsir import nb_classify
+
+    ds = read_table(
+        sf_dir, "documents", columns=["doc_id", "text", "source"],
+        rows_per_block=2_048,
+    )
+    return nb_classify(ds)
+
+
 def _knn_graph_embeddings(sf_dir: str):
     """Exact cosine k-NN graph (no self edges): object-store block-pair tiles,
     per-tile partial top-k, one groupby merge under the same total order —
@@ -1099,6 +1113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["lang_quality_documents"] = _lang_quality_documents
     out["gopher_rules_documents"] = _gopher_rules_documents
     out["dsir_selected_documents"] = _dsir_selected_documents
+    out["nb_classified_documents"] = _nb_classified_documents
     out["bm25_topk_documents"] = _bm25_topk_documents
     out["knn_graph_embeddings"] = _knn_graph_embeddings
     out["hard_negatives_embeddings"] = _hard_negatives_embeddings
@@ -1192,6 +1207,9 @@ def oracle_sql() -> dict[str, str]:
     from dbt_customer360_ray.stages.dsir import dsir_oracle_sql
 
     out["dsir_selected_documents"] = dsir_oracle_sql("documents", _DSIR_TARGET, k=100)
+    from dbt_customer360_ray.stages.dsir import nb_oracle_sql
+
+    out["nb_classified_documents"] = nb_oracle_sql("documents")
     from dbt_customer360_ray.stages.text import bm25_oracle_sql
 
     out["bm25_topk_documents"] = bm25_oracle_sql("documents", _BM25_QUERY, k=20)

@@ -218,3 +218,167 @@ def dsir_oracle_sql(
         QUALIFY rank <= {k}
         ORDER BY rank
     """
+
+
+# -- hashed naive-Bayes domain classifier -------------------------------------
+
+
+def nb_classify(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "source",
+    num_buckets: int = 4096,
+    salt: str = "dsir",
+):
+    """Multinomial naive-Bayes domain/quality classifier over the same hashed
+    unigram+bigram features as DSIR — the fastText-style linear filter a
+    curation pipeline trains on weak domain labels and applies corpus-wide
+    (Joulin et al. 2016 shape, closed-form counts instead of SGD so training
+    is one exact aggregation).
+
+    Train: per-class bucket counts (one map-only partial pass, O(buckets ×
+    classes) driver combine). Quantize per-class log-likelihoods and priors
+    to int64 at 1e6 scale (the dsir determinism contract). Predict: broadcast
+    the λ matrix, one map-only pass scores every document against every
+    class — score(c) = prior_c + Σ_b c_{d,b}·λ_{b,c}, all-integer — and the
+    argmax (ties → lexicographically smallest class) is bit-identical at any
+    cluster size and vs the SQL oracle. Returns (id, predicted, nb_score).
+    """
+    import ray
+
+    def count_partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select([text_col, label_col]).to_pandas()
+        grams = _grams(df[text_col])
+        n = np.fromiter((len(g) for g in grams), np.int64, len(grams))
+        flat = pd.Series([g for gs in grams for g in gs], dtype=object)
+        bucket = _bucket_lut(flat, salt, num_buckets).to_numpy(np.int64)
+        out = pd.DataFrame(
+            {
+                "bucket": bucket,
+                "label": np.repeat(df[label_col].to_numpy(dtype=object), n),
+                "n": 1,
+            }
+        ).groupby(["label", "bucket"], as_index=False).sum()
+        docs = df.groupby(label_col, as_index=False).size()
+        docs = pd.DataFrame(
+            {"bucket": -1, "label": docs[label_col], "n": docs["size"]}
+        )
+        return pd.concat([out, docs], ignore_index=True)
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["label", "bucket"], as_index=False)["n"]
+        .sum()
+    )
+    classes = sorted(counts["label"].unique())
+    cix = {c: i for i, c in enumerate(classes)}
+    C = len(classes)
+    tok = np.zeros((C, num_buckets), np.int64)
+    ndocs = np.zeros(C, np.int64)
+    for r in counts.itertuples(index=False):
+        if r.bucket < 0:
+            ndocs[cix[r.label]] = r.n
+        else:
+            tok[cix[r.label], r.bucket] = r.n
+    tot = tok.sum(axis=1)
+    lam = _round_half_away(
+        _SCALE * np.log((tok + 1.0) / (tot + num_buckets)[:, None])
+    ).astype(np.int64)
+    prior = _round_half_away(
+        _SCALE * np.log((ndocs + 1.0) / (ndocs.sum() + C))
+    ).astype(np.int64)
+    ref = ray.put((classes, lam, prior))
+
+    def predict(batch: pa.Table) -> pd.DataFrame:
+        classes_, lam_, prior_ = ray.get(ref)
+        df = batch.select([id_col, text_col]).to_pandas()
+        grams = _grams(df[text_col])
+        n = np.fromiter((len(g) for g in grams), np.int64, len(grams))
+        flat = pd.Series([g for gs in grams for g in gs], dtype=object)
+        bucket = _bucket_lut(flat, salt, num_buckets).to_numpy(np.int64)
+        doc_ix = np.repeat(np.arange(len(df)), n)
+        scores = np.tile(prior_, (len(df), 1))  # (D, C)
+        # lam_.T[bucket] is (grams, C); accumulate each gram row into its doc
+        np.add.at(scores, doc_ix, lam_.T[bucket])
+        best = scores.argmax(axis=1)  # first max = smallest class index = lex tiebreak
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "predicted": np.array(classes_, dtype=object)[best],
+                "nb_score": scores[np.arange(len(df)), best],
+            }
+        )
+
+    return ds.map_batches(predict, batch_format="pyarrow")
+
+
+def nb_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "source",
+    num_buckets: int = 4096,
+    salt: str = "dsir",
+) -> str:
+    """DuckDB mirror of ``nb_classify`` — same buckets, same add-one
+    smoothing, same 1e6 quantization, argmax with lexicographic tiebreak."""
+    B = num_buckets
+    return f"""
+        WITH toks AS (
+            SELECT {id_col}, {label_col},
+                   string_split(coalesce({text_col}, ''), ' ') AS tk
+            FROM {table}
+        ), grams AS (
+            SELECT {id_col}, {label_col},
+                   unnest(
+                       tk || CASE WHEN len(tk) >= 2
+                           THEN list_transform(
+                               generate_series(1, len(tk) - 1),
+                               i -> tk[i] || ' ' || tk[i + 1])
+                           ELSE [] END
+                   ) AS g
+            FROM toks
+        ), bg AS (
+            SELECT {id_col}, {label_col},
+                   {_bucket_sql('g', salt, B)} AS bucket
+            FROM grams
+        ), classes AS (
+            SELECT {label_col} AS label, count(DISTINCT {id_col}) AS ndocs
+            FROM {table} GROUP BY 1
+        ), class_tot AS (
+            SELECT {label_col} AS label, count(*) AS tot FROM bg GROUP BY 1
+        ), cell AS (
+            SELECT {label_col} AS label, bucket, count(*) AS n
+            FROM bg GROUP BY 1, 2
+        ), lam AS (
+            SELECT ct.label, b.bucket,
+                   CAST(round({_SCALE} * ln(
+                       (coalesce(cell.n, 0) + 1.0) / (ct.tot + {B})
+                   )) AS BIGINT) AS lam
+            FROM (SELECT DISTINCT bucket FROM bg) b
+            CROSS JOIN class_tot ct
+            LEFT JOIN cell ON cell.label = ct.label AND cell.bucket = b.bucket
+        ), prior AS (
+            SELECT label,
+                   CAST(round({_SCALE} * ln(
+                       (ndocs + 1.0)
+                       / ((SELECT sum(ndocs) FROM classes)
+                          + (SELECT count(*) FROM classes))
+                   )) AS BIGINT) AS prior
+            FROM classes
+        ), doc_class AS (
+            SELECT bg.{id_col}, lam.label,
+                   CAST(sum(lam.lam) AS BIGINT) + any_value(p.prior) AS score
+            FROM bg
+            JOIN lam ON lam.bucket = bg.bucket
+            JOIN prior p ON p.label = lam.label
+            GROUP BY 1, 2
+        )
+        SELECT {id_col}, label AS predicted, CAST(score AS BIGINT) AS nb_score
+        FROM doc_class
+        QUALIFY row_number() OVER (
+            PARTITION BY {id_col} ORDER BY score DESC, label ASC
+        ) = 1
+    """

@@ -784,3 +784,48 @@ def test_semantic_decontaminate_flags_planted_leak():
         np.arange(100, 106, dtype=np.int64), threshold=0.95,
     ).to_pandas().sort_values("vec_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_nb_classify_separable_domains_and_oracle_parity():
+    import duckdb
+    import ray.data
+
+    from dbt_customer360_ray.stages.dsir import nb_classify, nb_oracle_sql
+
+    rng = np.random.default_rng(67)
+    vocabs = {
+        "code": [f"fn{i}" for i in range(15)],
+        "web": [f"ad{i}" for i in range(15)],
+        "wiki": [f"ref{i}" for i in range(15)],
+    }
+    rows = []
+    for i in range(210):
+        src = ["code", "web", "wiki"][i % 3]
+        rows.append(
+            {
+                "doc_id": i,
+                "text": " ".join(rng.choice(vocabs[src], size=int(rng.integers(5, 25)))),
+                "source": src,
+            }
+        )
+    docs = pa.Table.from_pylist(rows)
+
+    got = (
+        nb_classify(ray.data.from_arrow(docs).repartition(6), num_buckets=512)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = (
+        con.execute(nb_oracle_sql("documents", num_buckets=512))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
+
+    # disjoint vocabularies are perfectly separable — self-train accuracy 100%
+    actual = pd.Series([r["source"] for r in rows])
+    assert (got["predicted"] == actual).all()
