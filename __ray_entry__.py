@@ -708,6 +708,17 @@ def _semantic_decontaminate_embeddings(sf_dir: str):
     )
 
 
+def _label_propagated_embeddings(sf_dir: str):
+    """One-hop label propagation: md5-permille seed subset keeps its label,
+    everyone else majority-votes over its top-k seed neighbours — the k-NN
+    graph composed with the hash-split recipe, fully deterministic."""
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.similarity import label_propagate
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+    return label_propagate(ds, k=5)
+
+
 def _hard_negatives_embeddings(sf_dir: str):
     """Contrastive hard-negative mining: top-k most-similar DIFFERENT-label
     neighbours per vector — same tile/merge shape as the k-NN graph with the
@@ -1118,6 +1129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["knn_graph_embeddings"] = _knn_graph_embeddings
     out["hard_negatives_embeddings"] = _hard_negatives_embeddings
     out["semantic_decontaminate_embeddings"] = _semantic_decontaminate_embeddings
+    out["label_propagated_embeddings"] = _label_propagated_embeddings
     out["window_dedup_documents"] = _window_dedup_documents
     out["quota_sample_documents"] = _quota_sample_documents
     out["repetition_documents"] = _repetition_documents
@@ -1225,6 +1237,11 @@ def oracle_sql() -> dict[str, str]:
 
     out["semantic_decontaminate_embeddings"] = semantic_decontaminate_oracle_sql(
         "embeddings", threshold=0.3
+    )
+    from dbt_customer360_ray.stages.similarity import label_propagate_oracle_sql
+
+    out["label_propagated_embeddings"] = label_propagate_oracle_sql(
+        "embeddings", k=5
     )
     out["lm_fluency_documents"] = lm_fluency_oracle_sql("documents")
     from dbt_customer360_ray.stages.sampling import mix_oracle_sql

@@ -1130,3 +1130,117 @@ def hard_negatives_oracle_sql(
         FROM sims
         QUALIFY rank <= {k}
     """
+
+
+def label_propagate(
+    ds,
+    k: int = 5,
+    seed_permille: int = 500,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    salt: str = "lp",
+    round_to: int | None = 2,
+    num_blocks: int | None = None,
+):
+    """One-hop label propagation (semi-supervised labeling): an md5-permille
+    SEED subset keeps its true label; every other vector takes the MAJORITY
+    label among its top-``k`` cosine neighbours that are seeds (ties →
+    lexicographically smallest label; no seed neighbour → null). The cheap
+    way to stretch a small labeled set over a big corpus before training a
+    classifier on the result.
+
+    Composition, not new machinery: the ``knn_graph`` tiles produce the
+    neighbourhood, the seed split is the ``hash_split`` md5 recipe (so the
+    SQL oracle reproduces membership verbatim), and the vote is one
+    map-groups over each vector's neighbour rows. Deterministic end-to-end;
+    the majority vote is exact-count arithmetic."""
+    from .sampling import _bucket_of
+
+    graph = knn_graph(
+        ds, k=k, id_col=id_col, round_to=round_to, num_blocks=num_blocks
+    )
+    labels = ds.select_columns([id_col, label_col]).to_pandas()
+    # a nullable result column: numeric labels surface as float64 (what an
+    # independent engine's NULL-able projection yields), strings as object
+    numeric = pd.api.types.is_numeric_dtype(labels[label_col])
+    is_seed = _bucket_of(labels[id_col].to_numpy(), salt) < seed_permille
+    seed_map = dict(
+        zip(labels[id_col][is_seed], labels[label_col][is_seed].astype(object))
+    )
+    import ray
+
+    ref = ray.put(seed_map)
+
+    def vote(g: pd.DataFrame) -> pd.DataFrame:
+        seeds = ray.get(ref)
+        vid = g[id_col].iloc[0]
+        if vid in seeds:
+            lab = seeds[vid]
+        else:
+            cand = [seeds[n] for n in g["neighbor_id"] if n in seeds]
+            if not cand:
+                lab = None
+            else:
+                vc: dict = {}
+                for c in cand:
+                    vc[c] = vc.get(c, 0) + 1
+                top = max(vc.values())
+                lab = min(c for c, n in vc.items() if n == top)
+        if numeric:
+            prop = pd.array(
+                [np.nan if lab is None else float(lab)], dtype="float64"
+            )
+        else:
+            prop = pd.array([lab], dtype=object)
+        return pd.DataFrame(
+            {
+                id_col: [vid],
+                "propagated": prop,
+                "is_seed": [bool(vid in seeds)],
+            }
+        )
+
+    return graph.groupby(id_col).map_groups(vote, batch_format="pandas")
+
+
+def label_propagate_oracle_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    seed_permille: int = 500,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    salt: str = "lp",
+    numeric: bool = True,
+) -> str:
+    """DuckDB mirror of ``label_propagate`` over the same knn-graph SQL.
+    ``numeric`` pins the propagated column to DOUBLE (the nullable dtype the
+    Python side emits for numeric labels); pass False for string labels."""
+    from .sampling import _permille_sql
+
+    knn = knn_graph_oracle_sql(table, k=k, id_col=id_col)
+    out_type = "DOUBLE" if numeric else "VARCHAR"
+    return f"""
+        WITH knn AS ({knn}),
+        seeds AS (
+            SELECT {id_col}, {label_col}
+            FROM {table}
+            WHERE {_permille_sql(id_col, salt)} < {seed_permille}
+        ), votes AS (
+            SELECT knn.{id_col}, s.{label_col} AS lab, count(*) AS n
+            FROM knn JOIN seeds s ON s.{id_col} = knn.neighbor_id
+            GROUP BY 1, 2
+        ), winner AS (
+            SELECT {id_col}, lab
+            FROM votes
+            QUALIFY row_number() OVER (
+                PARTITION BY {id_col} ORDER BY n DESC, lab ASC
+            ) = 1
+        )
+        SELECT t.{id_col},
+               CAST(CASE WHEN s.{id_col} IS NOT NULL THEN s.{label_col}
+                    ELSE w.lab END AS {out_type}) AS propagated,
+               s.{id_col} IS NOT NULL AS is_seed
+        FROM {table} t
+        LEFT JOIN seeds s ON s.{id_col} = t.{id_col}
+        LEFT JOIN winner w ON w.{id_col} = t.{id_col}
+    """

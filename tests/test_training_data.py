@@ -829,3 +829,50 @@ def test_nb_classify_separable_domains_and_oracle_parity():
     # disjoint vocabularies are perfectly separable — self-train accuracy 100%
     actual = pd.Series([r["source"] for r in rows])
     assert (got["predicted"] == actual).all()
+
+
+def test_label_propagate_seeds_keep_and_neighbors_vote():
+    import duckdb
+    import ray.data
+
+    from dbt_customer360_ray.stages.similarity import (
+        label_propagate,
+        label_propagate_oracle_sql,
+    )
+
+    rng = np.random.default_rng(71)
+    # three well-separated clusters => neighbours share the cluster label
+    centers = np.eye(3) * 10
+    n_per = 40
+    emb, labels = [], []
+    for c in range(3):
+        emb.append(centers[c] + 0.1 * rng.standard_normal((n_per, 3)))
+        labels.extend([c] * n_per)
+    t = pa.table(
+        {
+            "vec_id": np.arange(3 * n_per, dtype=np.int64),
+            "label": pa.array(labels, pa.int32()),
+            "embedding": list(np.vstack(emb).astype(np.float64)),
+        }
+    )
+    got = (
+        label_propagate(ray.data.from_arrow(t).repartition(5), k=4)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("embeddings", t)
+    want = (
+        con.execute(label_propagate_oracle_sql("embeddings", k=4))
+        .df()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
+
+    # seeds keep their label; non-seeds in tight clusters inherit it
+    truth = pd.Series(labels, dtype="float64")
+    resolved = got["propagated"].notna()
+    assert resolved.mean() > 0.9
+    assert (got.loc[resolved, "propagated"] == truth[resolved]).all()
