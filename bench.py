@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "knn_graph_embeddings",
     "hard_negatives_embeddings",
     "semantic_decontaminate_embeddings",
+    "nb_classified_documents",
+    "label_propagated_embeddings",
 ]
 
 
