@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "semantic_decontaminate_embeddings",
     "nb_classified_documents",
     "label_propagated_embeddings",
+    "cluster_top_terms",
 ]
 
 

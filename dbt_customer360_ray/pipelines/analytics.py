@@ -2233,3 +2233,28 @@ def _ivfpq_topk_sql() -> str:
 
 QUERIES["ivfpq_topk_embeddings"] = q_ivfpq_topk_embeddings
 ORACLE_SQL["ivfpq_topk_embeddings"] = _ivfpq_topk_sql()
+
+
+def q_cluster_top_terms(sf_dir: str, k: int = 5):
+    """Topic-cluster labeling: top-k terms per k-means cluster — documents
+    joined to their embedding's cluster (bucketed hash join), per-batch
+    partial term counts, one vocab×K-bounded groupby, per-cluster rank."""
+    from ..stages.similarity import ivf_seeded_centroids, kmeans_assign
+    from ..stages.text import cluster_top_terms
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], rows_per_block=2_048)
+    assign = kmeans_assign(emb, ivf_seeded_centroids(dim=64, num_clusters=16))
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return cluster_top_terms(docs, assign, k=k)
+
+
+def _cluster_top_terms_sql(k: int = 5) -> str:
+    from ..stages.similarity import ivf_seeded_centroids, kmeans_assign_oracle_sql
+    from ..stages.text import cluster_top_terms_oracle_sql
+
+    assign = kmeans_assign_oracle_sql(ivf_seeded_centroids(dim=64, num_clusters=16))
+    return cluster_top_terms_oracle_sql(assign, k=k)
+
+
+QUERIES["cluster_top_terms"] = q_cluster_top_terms
+ORACLE_SQL["cluster_top_terms"] = _cluster_top_terms_sql()

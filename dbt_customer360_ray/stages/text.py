@@ -363,6 +363,86 @@ def top_terms_oracle_sql(
     """
 
 
+def cluster_top_terms(
+    docs,
+    assign,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Cluster labeling: the top-``k`` terms per k-means cluster by
+    (tf DESC, term ASC) — the human-readable name a topic-clustered corpus
+    browser puts on each cluster (the standard summarization step after
+    SemDeDup/ANN-style clustering; cf. Abbas et al. 2023 §4's cluster
+    inspection). ``assign`` is a (vec_id, cluster) Dataset from
+    ``similarity.kmeans_assign``; cluster ids join documents by id.
+
+    Shape: one bucketed hash join (docs ⋈ assignment on id — the assignment
+    side is O(N) rows × 16 bytes, far too big to broadcast at corpus scale),
+    one map-only pass emitting per-batch (cluster, term) partial counts, a
+    (cluster, term) groupby sum (vocab×K-bounded, tiny next to the corpus),
+    and a per-cluster map_groups rank over K vocab-bounded groups. Integer
+    rank order (no float tf-idf), so the labels are bit-exact in SQL."""
+    from ray.data.aggregate import Sum
+
+    from .joins import bucketed_hash_join
+
+    joined = bucketed_hash_join(
+        docs.select_columns([id_col, text_col]),
+        assign,
+        on=id_col,
+        right_on="vec_id",
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        tf = _term_tf(batch, "cluster", text_col)
+        g = tf.groupby(["doc", "term"], sort=False)["tf"].sum().reset_index()
+        return g.rename(columns={"doc": "cluster", "tf": "n"})
+
+    counts = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["cluster", "term"])
+        .aggregate(Sum("n", alias_name="tf"))
+    )
+
+    def rank(grp: pd.DataFrame) -> pd.DataFrame:
+        grp = grp.sort_values(["tf", "term"], ascending=[False, True], kind="stable")
+        out = grp.head(k).copy()
+        out["cluster"] = out["cluster"].astype(np.int64)
+        out["tf"] = out["tf"].astype(np.int64)
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out[["cluster", "term", "tf", "rank"]]
+
+    return counts.groupby("cluster").map_groups(rank, batch_format="pandas")
+
+
+def cluster_top_terms_oracle_sql(
+    assign_sql: str,
+    k: int = 5,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror of ``cluster_top_terms``: ``assign_sql`` is the full
+    assignment SELECT (``kmeans_assign_oracle_sql`` with the same centroids
+    inlined), wrapped as a CTE; same split, same (tf DESC, term ASC) order."""
+    return f"""
+        WITH assign AS ({assign_sql}), tok AS (
+            SELECT a.cluster, unnest(string_split(d.{text_col}, ' ')) AS term
+            FROM {table} d JOIN assign a ON a.vec_id = d.{id_col}
+        ), tf AS (
+            SELECT cluster, term, CAST(count(*) AS BIGINT) AS tf
+            FROM tok GROUP BY 1, 2
+        )
+        SELECT cluster, term, tf,
+               CAST(row_number() OVER (
+                   PARTITION BY cluster ORDER BY tf DESC, term ASC
+               ) AS BIGINT) AS rank
+        FROM tf
+        QUALIFY rank <= {k}
+    """
+
+
 def repetition_stats(
     ds,
     id_col: str = "doc_id",

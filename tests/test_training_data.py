@@ -876,3 +876,49 @@ def test_label_propagate_seeds_keep_and_neighbors_vote():
     resolved = got["propagated"].notna()
     assert resolved.mean() > 0.9
     assert (got.loc[resolved, "propagated"] == truth[resolved]).all()
+
+
+def test_cluster_top_terms_matches_bruteforce_and_layout_independent():
+    import ray.data
+
+    from dbt_customer360_ray.stages.text import cluster_top_terms
+
+    rng = np.random.default_rng(7)
+    texts = _mk_texts(rng, 60, length=15)
+    docs = _docs_ds(texts)
+    # a planted 3-cluster assignment (cluster = doc_id mod 3) keyed vec_id
+    assign_tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(60, dtype=np.int64)),
+            "cluster": pa.array(np.arange(60, dtype=np.int64) % 3),
+        }
+    )
+    assign = ray.data.from_arrow(assign_tbl).repartition(3)
+    out = (
+        cluster_top_terms(docs, assign, k=4)
+        .to_pandas()
+        .sort_values(["cluster", "rank"])
+        .reset_index(drop=True)
+    )
+    # brute force in pandas
+    rows = []
+    for i, t in enumerate(texts):
+        for w in t.split(" "):
+            rows.append({"cluster": i % 3, "term": w})
+    tf = (
+        pd.DataFrame(rows).groupby(["cluster", "term"]).size().rename("tf").reset_index()
+    )
+    tf = tf.sort_values(["cluster", "tf", "term"], ascending=[True, False, True])
+    want = tf.groupby("cluster").head(4).reset_index(drop=True)
+    want["rank"] = want.groupby("cluster").cumcount() + 1
+    for c in ["cluster", "tf", "rank"]:
+        want[c] = want[c].astype(np.int64)
+    pd.testing.assert_frame_equal(out, want[["cluster", "term", "tf", "rank"]])
+    # layout independence
+    again = (
+        cluster_top_terms(docs.repartition(7), assign.repartition(1), k=4)
+        .to_pandas()
+        .sort_values(["cluster", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, again)
