@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "nb_classified_documents",
     "label_propagated_embeddings",
     "cluster_top_terms",
+    "ccnet_bucket_documents",
 ]
 
 

@@ -2258,3 +2258,65 @@ def _cluster_top_terms_sql(k: int = 5) -> str:
 
 QUERIES["cluster_top_terms"] = q_cluster_top_terms
 ORACLE_SQL["cluster_top_terms"] = _cluster_top_terms_sql()
+
+
+def q_ccnet_bucket_documents(sf_dir: str):
+    """CCNet's corpus organization step (Wenzek et al. 2019 §4.3): per
+    LANGUAGE, rank documents by LM quality and cut into head / middle / tail
+    terciles — downstream pretraining recipes keep head+middle. Scores are the
+    integer lm_fluency permille (higher = more fluent, so head = tile 1 of
+    NTILE(3) ... ORDER BY score DESC); language rides a bucketed hash join;
+    the partitioned tercile is the exact grouped row number
+    (stages/windows.grouped_row_number — O(blocks × parts) driver metadata,
+    never a whole language's rows in one task)."""
+    import pyarrow as pa
+
+    from ..stages.joins import bucketed_hash_join
+    from ..stages.text import lm_fluency
+    from ..stages.windows import with_grouped_ntile
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    scores = lm_fluency(docs)
+    joined = bucketed_hash_join(
+        scores, docs.select_columns(["doc_id", "lang"]), on="doc_id"
+    )
+    tiled = with_grouped_ntile(
+        joined,
+        3,
+        part_col="lang",
+        keys=["fluency_permille", "doc_id"],
+        descending=[True, False],
+    )
+
+    def label(t: pa.Table) -> pa.Table:
+        tile = t.column("tile").to_numpy(zero_copy_only=False)
+        bucket = np.where(tile == 1, "head", np.where(tile == 2, "middle", "tail"))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "fluency_permille": t.column("fluency_permille"),
+                "bucket": pa.array(bucket, pa.string()),
+            }
+        )
+
+    return tiled.map_batches(label, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _ccnet_bucket_sql() -> str:
+    from ..stages.text import lm_fluency_oracle_sql
+
+    return f"""
+        WITH f AS ({lm_fluency_oracle_sql("documents")})
+        SELECT f.doc_id, d.lang, f.fluency_permille,
+               CASE ntile(3) OVER (
+                   PARTITION BY d.lang
+                   ORDER BY f.fluency_permille DESC, f.doc_id ASC
+               ) WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+                   AS bucket
+        FROM f JOIN documents d USING (doc_id)
+    """
+
+
+QUERIES["ccnet_bucket_documents"] = q_ccnet_bucket_documents
+ORACLE_SQL["ccnet_bucket_documents"] = _ccnet_bucket_sql()

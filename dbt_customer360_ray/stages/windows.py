@@ -417,3 +417,131 @@ def with_ntile(ds, n: int, keys: list[str], descending=None, out_col: str = "til
         return t.drop_columns(["_rn"]).append_column(out_col, pa.array(tl))
 
     return numbered.map_batches(tile, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_row_number(
+    ds,
+    part_col: str,
+    keys: list[str],
+    descending=None,
+    out_col: str = "rn",
+):
+    """Exact ``row_number() OVER (PARTITION BY part ORDER BY keys)`` at scale —
+    the partitioned generalization of ``global_row_number``. Same three-step
+    shape: one distributed sort on ``[part] + keys``, O(blocks × parts-per-
+    block) driver metadata (each block's first composite key + its per-part
+    segment counts, in block order), broadcast offsets, map-only numbering.
+    Driver memory is O(blocks + distinct parts), never O(rows) — unlike a
+    ``groupby(part).map_groups`` rank, no single task ever holds a whole
+    partition's rows. Same uniqueness contract: ``keys`` must end in a
+    per-row-unique id so block first-keys are distinct.
+
+    Returns ``(numbered_ds, totals)`` where ``totals`` maps part → row count
+    (tiles and percent ranks need it)."""
+    import json
+
+    import pyarrow as pa
+    import ray
+
+    desc = [False] + list(descending if descending is not None else [False] * len(keys))
+    sort_cols = [part_col] + keys
+    s = ds.sort(sort_cols, descending=desc).materialize()
+
+    def _first_key(t: pa.Table) -> str:
+        return json.dumps([str(t.column(k)[0].as_py()) for k in sort_cols])
+
+    def block_meta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            cols = {k: t.column(k) for k in sort_cols}
+            cols["_part"] = t.column(part_col)
+            cols["_n"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        parts = t.column(part_col).to_pandas()
+        seg = parts.ne(parts.shift()).cumsum()
+        counts = parts.groupby(seg, sort=False).agg(["first", "size"])
+        cols = {
+            k: pa.concat_arrays(
+                [t.column(k).slice(0, 1).combine_chunks()] * len(counts)
+            )
+            for k in sort_cols
+        }
+        cols["_part"] = pa.array(counts["first"])
+        cols["_n"] = pa.array(counts["size"].to_numpy(np.int64))
+        return pa.table(cols)
+
+    meta = s.map_batches(block_meta, batch_size=None, batch_format="pyarrow").to_pandas()
+    # block order = composite-first-key order (blocks are ranges of the global
+    # sort and first keys are distinct); within a block the emitted segment
+    # rows are already in order, and a stable sort keeps them there
+    meta = meta.sort_values(
+        sort_cols, ascending=[not d for d in desc], kind="stable"
+    ).reset_index(drop=True)
+    running: dict = {}
+    offsets = np.empty(len(meta), dtype=np.int64)
+    for i, (p, n) in enumerate(zip(meta["_part"], meta["_n"])):
+        offsets[i] = running.get(p, 0)
+        running[p] = offsets[i] + int(n)
+    # first-key → [(part, offset), ...] in block-segment order
+    lookup: dict = {}
+    for row, off in zip(meta[sort_cols + ["_part"]].itertuples(index=False, name=None), offsets):
+        fk = json.dumps([str(v) for v in row[: len(sort_cols)]])
+        lookup.setdefault(fk, []).append((row[-1], int(off)))
+    totals = {p: int(n) for p, n in running.items()}
+    lookup_ref = ray.put(lookup)
+
+    def number(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        segs = ray.get(lookup_ref)[_first_key(t)]
+        parts = t.column(part_col).to_pandas()
+        change = parts.ne(parts.shift()).to_numpy()
+        starts = np.flatnonzero(change)
+        seg_off = np.array([o for _, o in segs], dtype=np.int64)
+        idx = np.cumsum(change) - 1  # segment index per row
+        pos_in_seg = np.arange(t.num_rows, dtype=np.int64) - starts[idx]
+        rn = seg_off[idx] + pos_in_seg + 1
+        return t.append_column(out_col, pa.array(rn))
+
+    return s.map_batches(number, batch_size=None, batch_format="pyarrow"), totals
+
+
+def with_grouped_ntile(
+    ds,
+    n: int,
+    part_col: str,
+    keys: list[str],
+    descending=None,
+    out_col: str = "tile",
+):
+    """``NTILE(n) OVER (PARTITION BY part ORDER BY keys)`` — SQL remainder
+    rule per partition (first ``total % n`` tiles get the extra row), computed
+    from the exact grouped row number. Broadcast state is O(distinct parts)."""
+    import pyarrow as pa
+    import ray
+
+    numbered, totals = grouped_row_number(ds, part_col, keys, descending, out_col="_rn")
+    qr_ref = ray.put(
+        (
+            {p: t // n for p, t in totals.items()},
+            {p: t % n for p, t in totals.items()},
+        )
+    )
+
+    def tile(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.drop_columns(["_rn"]).append_column(out_col, pa.array([], pa.int64()))
+        q_map, r_map = ray.get(qr_ref)
+        parts = t.column(part_col).to_pandas()
+        rn = t.column("_rn").to_numpy(zero_copy_only=False)
+        q = parts.map(q_map).to_numpy(np.int64)
+        r = parts.map(r_map).to_numpy(np.int64)
+        big = (q + 1) * r
+        in_big = rn <= big
+        tl = np.where(
+            in_big,
+            (rn - 1) // np.maximum(q + 1, 1) + 1,
+            r + (np.maximum(rn - big, 1) - 1) // np.maximum(q, 1) + 1,
+        ).astype(np.int64)
+        return t.drop_columns(["_rn"]).append_column(out_col, pa.array(tl))
+
+    return numbered.map_batches(tile, batch_size=None, batch_format="pyarrow")

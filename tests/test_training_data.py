@@ -922,3 +922,43 @@ def test_cluster_top_terms_matches_bruteforce_and_layout_independent():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, again)
+
+
+def test_grouped_row_number_matches_duckdb_across_blockings():
+    import duckdb
+    import ray.data
+
+    from dbt_customer360_ray.stages.windows import grouped_row_number, with_grouped_ntile
+
+    rng = np.random.default_rng(17)
+    n = 400
+    t = pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "part": pa.array(rng.choice(["en", "de", "fr", "xx"], n)),
+            "v": pa.array(rng.integers(0, 50, n), pa.int64()),  # heavy ties
+        }
+    )
+    want = duckdb.sql(
+        """
+        SELECT id, part, v,
+               CAST(row_number() OVER (PARTITION BY part ORDER BY v DESC, id) AS BIGINT) AS rn,
+               CAST(ntile(3) OVER (PARTITION BY part ORDER BY v DESC, id) AS BIGINT) AS tile
+        FROM t ORDER BY id
+        """
+    ).df()
+    for nblocks in (1, 5, 23):
+        ds = ray.data.from_arrow(t).repartition(nblocks)
+        numbered, totals = grouped_row_number(
+            ds, "part", ["v", "id"], descending=[True, False]
+        )
+        got = numbered.to_pandas().sort_values("id").reset_index(drop=True)
+        assert got["rn"].tolist() == want["rn"].tolist()
+        assert totals == dict(want["part"].value_counts())
+        tiled = (
+            with_grouped_ntile(ds, 3, "part", ["v", "id"], descending=[True, False])
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        assert tiled["tile"].tolist() == want["tile"].tolist()
