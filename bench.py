@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "label_propagated_embeddings",
     "cluster_top_terms",
     "ccnet_bucket_documents",
+    "priority_sample_documents",
 ]
 
 

@@ -2320,3 +2320,24 @@ def _ccnet_bucket_sql() -> str:
 
 QUERIES["ccnet_bucket_documents"] = q_ccnet_bucket_documents
 ORACLE_SQL["ccnet_bucket_documents"] = _ccnet_bucket_sql()
+
+
+def q_priority_sample_documents(sf_dir: str, k: int = 100):
+    """Weighted (by n_chars) sample of k documents without replacement —
+    Duffield-Lund-Thorup priority sampling on the deterministic md5 grid, so
+    the sampled set is identical at any cluster size and oracled verbatim.
+    Map-only partial top-k per batch + one O(k × blocks) final merge."""
+    from ..stages.sampling import priority_sample
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return priority_sample(ds, "doc_id", "n_chars", k=k)
+
+
+def _priority_sample_sql(k: int = 100) -> str:
+    from ..stages.sampling import priority_sample_oracle_sql
+
+    return priority_sample_oracle_sql("documents", "doc_id", "n_chars", k=k)
+
+
+QUERIES["priority_sample_documents"] = q_priority_sample_documents
+ORACLE_SQL["priority_sample_documents"] = _priority_sample_sql()

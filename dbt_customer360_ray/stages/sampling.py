@@ -414,3 +414,73 @@ def mix_oracle_sql(
         FROM {table} d JOIN r USING ({source_col})
         WHERE {_permille_sql("d." + id_col, salt)} < r.rate
     """
+
+
+def priority_sample(
+    ds,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "prio",
+):
+    """Weighted sampling WITHOUT replacement via priority sampling
+    (Duffield-Lund-Thorup, JACM 2007): each row gets priority
+    ``w / u`` with ``u`` uniform on the row's id, and the k highest
+    priorities are the sample — inclusion probability ≈ proportional to
+    weight, and the scheme is the variance-optimal k-sample for subset-sum
+    estimation. Deterministic twist: ``u`` is the 52-bit md5 grid of
+    ``hash_split`` (u+1 ∈ [1, 2^52], exactly representable in a float64), and
+    the priority is ONE correctly-rounded IEEE division — numpy and DuckDB
+    produce bit-identical doubles, so the weighted sample itself is oracled
+    (same total order, ties broken by id).
+
+    Map-only + driver merge: each batch emits its local top-k (k rows), one
+    O(k × blocks) final task ranks the survivors — no shuffle, identical
+    rows at any cluster size. Weights must be positive integers."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        u = _hash_int(batch[id_col].to_numpy(), salt)
+        out = batch[[id_col, weight_col]].copy()
+        out["priority"] = out[weight_col].to_numpy(np.float64) / (
+            u.astype(np.float64) + 1.0
+        )
+        out = out.sort_values(
+            ["priority", id_col], ascending=[False, True], kind="stable"
+        )
+        return out.head(k)
+
+    def final(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.sort_values(
+            ["priority", id_col], ascending=[False, True], kind="stable"
+        ).head(k)
+        t = t.reset_index(drop=True)
+        t["rank"] = np.arange(1, len(t) + 1, dtype=np.int64)
+        return t
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
+def priority_sample_oracle_sql(
+    table: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "prio",
+) -> str:
+    """DuckDB mirror of ``priority_sample`` (same md5 grid, same single IEEE
+    division, same (priority DESC, id) order)."""
+    return f"""
+        SELECT {id_col}, {weight_col},
+               CAST({weight_col} AS DOUBLE)
+                   / CAST(({_hash_int_sql(id_col, salt)}) + 1 AS DOUBLE)
+                   AS priority,
+               CAST(row_number() OVER (
+                   ORDER BY priority DESC, {id_col} ASC
+               ) AS BIGINT) AS rank
+        FROM {table}
+        QUALIFY rank <= {k}
+    """

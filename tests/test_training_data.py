@@ -962,3 +962,38 @@ def test_grouped_row_number_matches_duckdb_across_blockings():
             .reset_index(drop=True)
         )
         assert tiled["tile"].tolist() == want["tile"].tolist()
+
+
+def test_priority_sample_weighted_and_layout_independent():
+    import hashlib
+
+    import ray.data
+
+    from dbt_customer360_ray.stages.sampling import priority_sample
+
+    n = 600
+    # weights: ids < 100 are 50x heavier
+    w = np.where(np.arange(n) < 100, 500, 10).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)), "w": pa.array(w)})
+    ds = ray.data.from_arrow(t).repartition(8)
+    out = priority_sample(ds, "doc_id", "w", k=50).to_pandas()
+    assert len(out) == 50
+    assert out["rank"].tolist() == list(range(1, 51))
+    # brute force: same md5 grid, same division, same order
+    u = np.array(
+        [
+            int(hashlib.md5(f"prio{v}".encode()).hexdigest()[:13], 16)
+            for v in range(n)
+        ],
+        dtype=np.int64,
+    )
+    prio = w.astype(np.float64) / (u.astype(np.float64) + 1.0)
+    want = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "w": w, "priority": prio})
+    want = want.sort_values(["priority", "doc_id"], ascending=[False, True]).head(50)
+    assert out["doc_id"].tolist() == want["doc_id"].tolist()
+    assert (out["priority"].to_numpy() == want["priority"].to_numpy()).all()
+    # heavy ids dominate the sample: 100/600 rows hold 50x weight
+    assert (out["doc_id"] < 100).mean() > 0.6
+    # layout independence
+    again = priority_sample(ds.repartition(1), "doc_id", "w", k=50).to_pandas()
+    pd.testing.assert_frame_equal(out, again)
