@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "cluster_top_terms",
     "ccnet_bucket_documents",
     "priority_sample_documents",
+    "approx_quantiles_events",
 ]
 
 

@@ -2341,3 +2341,35 @@ def _priority_sample_sql(k: int = 100) -> str:
 
 QUERIES["priority_sample_documents"] = q_priority_sample_documents
 ORACLE_SQL["priority_sample_documents"] = _priority_sample_sql()
+
+
+def q_approx_quantiles_events(sf_dir: str):
+    """Approximate event-value quantiles (p10/p50/p90/p99 of cents) from a
+    deterministic md5 bottom-k row sample — O(k) driver state at any corpus
+    size, and the approximate answer itself is oracled (same sample, same
+    order statistic, integer index arithmetic)."""
+    import pyarrow as pa
+
+    from ..stages.sketches import sample_quantiles
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"], rows_per_block=50_000)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": t.column("event_id"), "cents": _cents(t.column("value"))}
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return sample_quantiles(prepped, "event_id", "cents", k=256)
+
+
+def _approx_quantiles_sql() -> str:
+    from ..stages.sketches import sample_quantiles_oracle_sql
+
+    return sample_quantiles_oracle_sql(
+        "events", "event_id", "CAST(round(value * 100) AS BIGINT)", k=256
+    )
+
+
+QUERIES["approx_quantiles_events"] = q_approx_quantiles_events
+ORACLE_SQL["approx_quantiles_events"] = _approx_quantiles_sql()

@@ -204,3 +204,91 @@ def heavy_hitters_oracle_sql(col: str, table: str, phi: float) -> str:
         HAVING count(*) >= ceil({phi} * (
             SELECT count(*) FROM {table} WHERE {col} IS NOT NULL))
     """
+
+
+def sample_quantiles(
+    ds,
+    id_col: str,
+    value_col: str,
+    qs_permille: tuple = (100, 500, 900, 990),
+    k: int = 256,
+    salt: str = "quant",
+):
+    """Approximate quantiles from a deterministic bottom-k uniform sample —
+    the quantile cousin of ``kmv_distinct``: hashing row IDS to [0,1) and
+    keeping the k smallest hashes IS a uniform k-sample of the rows
+    (bottom-k sampling, Cohen & Kaplan 2007), and the q-quantile of that
+    sample estimates the population quantile with error O(1/sqrt(k)).
+    Deterministic given the hash, so the approximate answer itself is
+    oracle-checkable (``sample_quantiles_oracle_sql`` — same md5, same
+    sample, same order statistic).
+
+    Per batch ≤k (hash, value) rows leave the worker; a distributed
+    sort+limit-k reduces the k·B candidates; the driver holds only the k-row
+    sample. The quantile is the type-1 order statistic: sorted ASC, index
+    ceil(q·n) computed in INTEGER arithmetic ((q‰·n + 999) // 1000) — no
+    float boundary to diverge. ``value_col`` must be integer."""
+    import ray.data
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].astype(str).to_numpy()
+        hs = np.array(
+            [hashlib.md5(f"{salt}{v}".encode("utf-8")).hexdigest()[:_HEX_LEN] for v in ids],
+            dtype=object,
+        )
+        out = pd.DataFrame(
+            {"h": pd.Series(hs, dtype="string"), "v": batch[value_col].to_numpy(np.int64)}
+        )
+        return out.sort_values("h", kind="stable").head(k)
+
+    sample = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=4096)
+        .sort("h")
+        .limit(k)
+        .to_pandas()
+    )
+    n = len(sample)
+    vals = np.sort(sample["v"].to_numpy(np.int64))
+    qp = np.asarray(qs_permille, dtype=np.int64)
+    idx = np.maximum((qp * n + 999) // 1000, 1) - 1
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "q_permille": qp,
+                "value_est": vals[idx],
+                "n_sample": np.full(len(qp), n, dtype=np.int64),
+            }
+        )
+    )
+
+
+def sample_quantiles_oracle_sql(
+    table: str,
+    id_col: str,
+    value_expr: str,
+    qs_permille: tuple = (100, 500, 900, 990),
+    k: int = 256,
+    salt: str = "quant",
+) -> str:
+    """DuckDB mirror of ``sample_quantiles``: same md5 bottom-k sample, same
+    integer ceil index, same order statistic. ``value_expr`` must already be
+    BIGINT-typed."""
+    qvals = ", ".join(f"({q})" for q in qs_permille)
+    return f"""
+        WITH s AS (
+            SELECT {value_expr} AS v,
+                   substr(md5('{salt}' || CAST({id_col} AS VARCHAR)), 1, {_HEX_LEN}) AS h
+            FROM {table}
+            ORDER BY h LIMIT {k}
+        ), ranked AS (
+            SELECT v, row_number() OVER (ORDER BY v) AS rn,
+                   count(*) OVER () AS n
+            FROM s
+        )
+        SELECT CAST(q.qp AS BIGINT) AS q_permille,
+               CAST(r.v AS BIGINT) AS value_est,
+               CAST(r.n AS BIGINT) AS n_sample
+        FROM (VALUES {qvals}) q(qp)
+        JOIN ranked r
+          ON r.rn = GREATEST((q.qp * r.n + 999) // 1000, 1)
+    """

@@ -997,3 +997,34 @@ def test_priority_sample_weighted_and_layout_independent():
     # layout independence
     again = priority_sample(ds.repartition(1), "doc_id", "w", k=50).to_pandas()
     pd.testing.assert_frame_equal(out, again)
+
+
+def test_sample_quantiles_accuracy_and_layout_independence():
+    import ray.data
+
+    from dbt_customer360_ray.stages.sketches import sample_quantiles
+
+    n = 20_000
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            # values ARE the 0..n-1 range shuffled: true q-quantile ≈ q·n
+            "v": pa.array(np.random.default_rng(3).permutation(n).astype(np.int64)),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(9)
+    out = (
+        sample_quantiles(ds, "id", "v", qs_permille=(100, 500, 900), k=512)
+        .to_pandas()
+        .set_index("q_permille")
+    )
+    assert (out["n_sample"] == 512).all()
+    for qp in (100, 500, 900):
+        # sampling error O(1/sqrt(k)) ~ 4.4% at k=512; allow 4 sigma
+        assert abs(out.loc[qp, "value_est"] / n - qp / 1000) < 0.18
+    again = (
+        sample_quantiles(ds.repartition(2), "id", "v", qs_permille=(100, 500, 900), k=512)
+        .to_pandas()
+        .set_index("q_permille")
+    )
+    pd.testing.assert_frame_equal(out, again)
