@@ -831,6 +831,19 @@ def _curated_documents(sf_dir: str):
     return curate_documents(ds)
 
 
+def _fineweb_audit_documents(sf_dir: str):
+    """FineWeb-style curation audit: one row per document with per-stage
+    verdicts (lang, Gopher quality, repetition, exact keeper, near-dup
+    keeper) and their conjunction — the removal-attribution table those
+    pipelines publish as ablations. Each verdict column is reproduced by its
+    stage's own oracle SQL, composed."""
+    from dbt_customer360_ray.pipelines.curate import fineweb_audit
+    from dbt_customer360_ray.sources.readers import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], rows_per_block=2_048)
+    return fineweb_audit(ds)
+
+
 def _minhash_near_dups(sf_dir: str):
     """Near-dup groups: MinHash+LSH candidates → exact shingle-Jaccard verify
     → connected components (driver union-find under 100k pairs, distributed
@@ -1139,6 +1152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["bpe_encoded_documents"] = _bpe_encoded_documents
     out["encoded_documents"] = _encoded_documents
     out["curated_documents"] = _curated_documents
+    out["fineweb_audit_documents"] = _fineweb_audit_documents
     out["minhash_near_dups"] = _minhash_near_dups
     out["canonical_documents"] = _canonical_documents
     out["simhash_documents"] = _simhash_documents
@@ -1195,7 +1209,10 @@ def oracle_sql() -> dict[str, str]:
         video_oracle_sql,
     )
 
-    from dbt_customer360_ray.pipelines.curate import curate_oracle_sql
+    from dbt_customer360_ray.pipelines.curate import (
+        curate_oracle_sql,
+        fineweb_audit_oracle_sql,
+    )
     from dbt_customer360_ray.stages.dedup import (
         canonicalize_oracle_sql,
         embedding_lsh_pairs_oracle_sql,
@@ -1255,6 +1272,7 @@ def oracle_sql() -> dict[str, str]:
     out["vocab_documents"] = vocab_oracle_sql("documents")
     out["encoded_documents"] = encode_flat_oracle_sql("documents")
     out["curated_documents"] = curate_oracle_sql()
+    out["fineweb_audit_documents"] = fineweb_audit_oracle_sql()
     out["canonical_documents"] = canonicalize_oracle_sql()
     out["embedding_lsh_near_dups"] = embedding_lsh_pairs_oracle_sql(
         dim=64, threshold=0.3

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "ccnet_bucket_documents",
     "priority_sample_documents",
     "approx_quantiles_events",
+    "fineweb_audit_documents",
 ]
 
 

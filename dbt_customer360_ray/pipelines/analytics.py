@@ -645,8 +645,9 @@ ORACLE_SQL["simhash_documents"] = """
 # Near-dup groups: exact trigram-shingle Jaccard ≥ 0.8 all-pairs, connected
 # components via recursive closure — the all-pairs truth the engine's
 # MinHash-candidates → exact-verify → label-propagation path must reproduce.
-ORACLE_SQL["minhash_near_dups"] = """
-    WITH RECURSIVE d AS (
+# The CTE chain is shared with composed oracles (curate.fineweb_audit_oracle_sql).
+MINHASH_GROUPS_CTES = """
+    d AS (
         SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\\w+') AS toks
         FROM documents
     ), sh AS (
@@ -678,6 +679,10 @@ ORACLE_SQL["minhash_near_dups"] = """
         UNION
         SELECT r.node, e2.b FROM reach r JOIN edges e2 ON e2.a = r.x
     )
+"""
+
+ORACLE_SQL["minhash_near_dups"] = f"""
+    WITH RECURSIVE {MINHASH_GROUPS_CTES}
     SELECT node AS doc_id, least(node, min(x)) AS dup_group
     FROM reach GROUP BY node
 """

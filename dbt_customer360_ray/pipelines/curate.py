@@ -170,3 +170,127 @@ def read_curated(out_dir: str):
     if "shard" in ds.schema().names:
         ds = ds.drop_columns(["shard"])
     return ds
+
+
+def fineweb_audit(ds, jaccard_threshold: float = 0.8):
+    """FineWeb/RefinedWeb-style curation AUDIT: one row per document with
+    every stage's verdict and their conjunction — the per-stage removal
+    attribution those pipelines publish as ablations (Penedo et al. 2024 §3):
+
+      ok_lang             language identified (lang_pred != 'und')
+      gopher_pass         Rae et al. 2021 §A1.1 word-level quality rules
+      ok_repetition       Gopher repetition thresholds
+      is_exact_keeper     min doc_id of its md5(text) group
+      is_near_dup_keeper  not a non-representative member of a verified
+                          MinHash near-dup component
+      kept                AND of the five
+
+    Emitting verdicts instead of filtering keeps the audit total — every
+    document appears exactly once whatever it fails — and each boolean is
+    reproduced verbatim by the stage's own oracle SQL (fineweb_audit_oracle_sql
+    composes them), so the composed pipeline is end-to-end oracled.
+
+    Scale shape: the three text signals fuse into ONE map-only actor pass
+    (TextQuality state built per actor); the exact-keeper set and near-dup
+    drop set are the designed small sides (O(#distinct texts) / O(dup
+    members)) broadcast once — above ~10^8 ids each swaps to the bucketed
+    semi-join like ``curate_documents``' keeper membership."""
+    import ray
+    from ray.data.aggregate import Min
+
+    from ..stages.dedup import dup_groups, verified_near_dup_pairs
+    from ..stages.text import TextQuality, gopher_rules, repetition_batch
+
+    keepers = (
+        ds.map_batches(_fp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("fp")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+    )
+    keeper_ids = np.sort(keepers.to_pandas()["doc_id"].to_numpy())
+    groups = dup_groups(
+        verified_near_dup_pairs(ds, jaccard_threshold=jaccard_threshold)
+    ).to_pandas()
+    nd_drops = np.sort(
+        groups.loc[groups["doc_id"] != groups["dup_group"], "doc_id"].to_numpy(
+            dtype=np.int64
+        )
+    )
+    ek_ref = ray.put(keeper_ids)
+    nd_ref = ray.put(nd_drops)
+
+    def _member(ids: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+        if not len(sorted_set):
+            return np.zeros(len(ids), dtype=bool)
+        pos = np.clip(np.searchsorted(sorted_set, ids), 0, len(sorted_set) - 1)
+        return sorted_set[pos] == ids
+
+    class Audit:
+        def __init__(self):
+            self.tq = TextQuality()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            lang = np.asarray(
+                self.tq(batch).column("lang_pred").to_pylist(), dtype=object
+            )
+            ok_lang = lang != "und"
+            gopher = gopher_rules(batch).column("gopher_pass").to_numpy(
+                zero_copy_only=False
+            )
+            rep = repetition_batch(batch).column("keep").to_numpy(
+                zero_copy_only=False
+            )
+            is_ek = _member(ids, ray.get(ek_ref))
+            is_ndk = ~_member(ids, ray.get(nd_ref))
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "ok_lang": pa.array(ok_lang),
+                    "gopher_pass": pa.array(gopher),
+                    "ok_repetition": pa.array(rep),
+                    "is_exact_keeper": pa.array(is_ek),
+                    "is_near_dup_keeper": pa.array(is_ndk),
+                    "kept": pa.array(ok_lang & gopher & rep & is_ek & is_ndk),
+                }
+            )
+
+    return ds.map_batches(
+        Audit, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=4096, concurrency=(1, 4),
+    )
+
+
+def fineweb_audit_oracle_sql(jaccard_threshold: float = 0.8) -> str:
+    """DuckDB mirror of ``fineweb_audit``: each verdict column is the
+    corresponding stage oracle verbatim (lang/gopher/repetition CTEs, the
+    md5(text) keeper group, the recursive near-dup closure of the
+    minhash_near_dups oracle), conjoined the same way."""
+    from .analytics import MINHASH_GROUPS_CTES, _lang_quality_sql
+    from ..stages.text import gopher_oracle_sql, repetition_oracle_sql
+
+    return f"""
+        WITH RECURSIVE {MINHASH_GROUPS_CTES},
+        nd AS (
+            SELECT node AS doc_id, least(node, min(x)) AS dup_group
+            FROM reach GROUP BY node
+        ), lq AS ({_lang_quality_sql()}),
+        g AS ({gopher_oracle_sql("documents")}),
+        rep AS ({repetition_oracle_sql("documents")}),
+        ek AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+        SELECT d.doc_id,
+               (lq.lang_pred <> 'und') AS ok_lang,
+               g.gopher_pass,
+               rep.keep AS ok_repetition,
+               (ek.doc_id IS NOT NULL) AS is_exact_keeper,
+               (nd.dup_group IS NULL OR nd.dup_group = d.doc_id)
+                   AS is_near_dup_keeper,
+               ((lq.lang_pred <> 'und') AND g.gopher_pass AND rep.keep
+                AND ek.doc_id IS NOT NULL
+                AND (nd.dup_group IS NULL OR nd.dup_group = d.doc_id)) AS kept
+        FROM documents d
+        JOIN lq USING (doc_id)
+        JOIN g USING (doc_id)
+        JOIN rep USING (doc_id)
+        LEFT JOIN ek ON ek.doc_id = d.doc_id
+        LEFT JOIN nd ON nd.doc_id = d.doc_id
+    """

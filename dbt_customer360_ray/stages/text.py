@@ -456,32 +456,50 @@ def repetition_stats(
     of tokens that are repeats of an earlier-seen term, plus a ``keep`` flag
     under the given thresholds (Rae et al. 2021's repetition filters, §A1.1,
     applied at word granularity — this corpus has no newlines to line-filter)."""
+    import functools
 
-    def stats(batch: pa.Table) -> pa.Table:
-        tf = _term_tf(batch, id_col, text_col)
-        g = tf.groupby("doc", sort=False)["tf"]
-        per = pd.DataFrame(
-            {"n_words": g.sum(), "n_distinct": g.size(), "top_c": g.max()}
-        )
-        # _term_tf drops nothing, so every input doc appears; align to batch order
-        per = per.loc[batch.column(id_col).to_numpy(zero_copy_only=False)]
-        n = per["n_words"].to_numpy(dtype=np.float64)
-        top_frac = per["top_c"].to_numpy(dtype=np.float64) / n
-        dup_frac = 1.0 - per["n_distinct"].to_numpy(dtype=np.float64) / n
-        return pa.table(
-            {
-                id_col: batch.column(id_col),
-                "n_words": pa.array(per["n_words"].to_numpy(np.int64)),
-                "n_distinct": pa.array(per["n_distinct"].to_numpy(np.int64)),
-                "top_word_frac": pa.array(top_frac),
-                "dup_word_frac": pa.array(dup_frac),
-                "keep": pa.array(
-                    (top_frac <= max_top_word_frac) & (dup_frac <= max_dup_word_frac)
-                ),
-            }
-        )
+    return ds.map_batches(
+        functools.partial(
+            repetition_batch,
+            id_col=id_col,
+            text_col=text_col,
+            max_top_word_frac=max_top_word_frac,
+            max_dup_word_frac=max_dup_word_frac,
+        ),
+        batch_format="pyarrow",
+    )
 
-    return ds.map_batches(stats, batch_format="pyarrow")
+
+def repetition_batch(
+    batch: pa.Table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_top_word_frac: float = 0.2,
+    max_dup_word_frac: float = 0.3,
+) -> pa.Table:
+    """Per-batch kernel of ``repetition_stats`` (module-level so composed
+    pipelines — ``pipelines/curate.fineweb_audit`` — can fuse it with other
+    map-only signals in one pass)."""
+    tf = _term_tf(batch, id_col, text_col)
+    g = tf.groupby("doc", sort=False)["tf"]
+    per = pd.DataFrame({"n_words": g.sum(), "n_distinct": g.size(), "top_c": g.max()})
+    # _term_tf drops nothing, so every input doc appears; align to batch order
+    per = per.loc[batch.column(id_col).to_numpy(zero_copy_only=False)]
+    n = per["n_words"].to_numpy(dtype=np.float64)
+    top_frac = per["top_c"].to_numpy(dtype=np.float64) / n
+    dup_frac = 1.0 - per["n_distinct"].to_numpy(dtype=np.float64) / n
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_words": pa.array(per["n_words"].to_numpy(np.int64)),
+            "n_distinct": pa.array(per["n_distinct"].to_numpy(np.int64)),
+            "top_word_frac": pa.array(top_frac),
+            "dup_word_frac": pa.array(dup_frac),
+            "keep": pa.array(
+                (top_frac <= max_top_word_frac) & (dup_frac <= max_dup_word_frac)
+            ),
+        }
+    )
 
 
 def repetition_oracle_sql(

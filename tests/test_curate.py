@@ -59,6 +59,54 @@ def test_curate_semi_join_fallback_matches_broadcast():
     pd.testing.assert_frame_equal(base, joined)
 
 
+def test_fineweb_audit_verdicts():
+    """Every input doc appears exactly once; verdict columns match the stage
+    semantics on a hand-built corpus (Gopher needs ≥50 words, so the good
+    docs are long); kept == AND of the verdicts."""
+    import ray.data
+
+    # ≥50 mostly-distinct words: clears Gopher AND the repetition filters
+    good = (
+        "the quick brown fox jumped over one lazy dog while seven children "
+        "walked slowly to school past green fields and tall trees as birds "
+        "sang in the bright morning air near a quiet river where old boats "
+        "drifted gently toward the small wooden bridge that villagers "
+        "crossed each day carrying fresh bread with ripe fruit for home"
+    )
+    rows = [
+        (0, good),                       # kept
+        (1, good),                       # exact dup of 0 → keeper = min id
+        (2, "!!! ### $$$ %%%"),          # no language markers → 'und'
+        (3, GOOD_EN),                    # en but <50 words → gopher fail
+        (4, ("the dog and " * 20).strip()),  # en, 60 words, repetition fail
+        (5, good.replace("fox", "cat")),     # near-dup of 0 → not keeper
+    ]
+    docs = pa.table(
+        {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+         "text": pa.array([r[1] for r in rows], pa.string())}
+    )
+    out = (
+        C.fineweb_audit(ray.data.from_arrow(docs))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [0, 1, 2, 3, 4, 5]
+    assert list(out["ok_lang"]) == [True, True, False, True, True, True]
+    assert list(out["is_exact_keeper"]) == [True, False, True, True, True, True]
+    assert not bool(out.loc[3, "gopher_pass"])  # under the 50-word floor
+    assert bool(out.loc[4, "gopher_pass"])
+    assert not bool(out.loc[4, "ok_repetition"])
+    assert not bool(out.loc[5, "is_near_dup_keeper"])  # member, rep is doc 0
+    conj = (
+        out["ok_lang"] & out["gopher_pass"] & out["ok_repetition"]
+        & out["is_exact_keeper"] & out["is_near_dup_keeper"]
+    )
+    assert (out["kept"] == conj).all()
+    assert bool(out.loc[0, "kept"])
+    assert not out.loc[[1, 2, 3, 4, 5], "kept"].any()
+
+
 def test_write_curated_resumes(tmp_path):
     import ray.data
 
