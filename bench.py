@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "priority_sample_documents",
     "approx_quantiles_events",
     "fineweb_audit_documents",
+    "span_dedup_documents",
 ]
 
 

@@ -1661,7 +1661,19 @@ def q_kgram_dup_documents(sf_dir: str):
     return kgram_dup_stats(ds)
 
 
+def q_span_dedup_documents(sf_dir: str):
+    """Exact span dedup REWRITE (Lee et al. 2022 ExactSubstr, window-
+    quantized): 16-token spans, corpus-wide first occurrence survives,
+    documents reassembled from surviving spans. kgram_dup_documents is the
+    read-only signal twin."""
+    from ..stages.dedup import span_dedup
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], rows_per_block=2_048)
+    return span_dedup(ds, width=16)
+
+
 def _text_index_sql():
+    from ..stages.dedup import span_dedup_oracle_sql
     from ..stages.text import (
         bigram_lift_oracle_sql,
         inverted_index_oracle_sql,
@@ -1671,12 +1683,14 @@ def _text_index_sql():
     ORACLE_SQL["postings_documents"] = inverted_index_oracle_sql("documents")
     ORACLE_SQL["bigram_lift_documents"] = bigram_lift_oracle_sql("documents")
     ORACLE_SQL["kgram_dup_documents"] = kgram_dup_oracle_sql("documents")
+    ORACLE_SQL["span_dedup_documents"] = span_dedup_oracle_sql("documents", width=16)
 
 
 _text_index_sql()
 QUERIES["postings_documents"] = q_postings_documents
 QUERIES["bigram_lift_documents"] = q_bigram_lift_documents
 QUERIES["kgram_dup_documents"] = q_kgram_dup_documents
+QUERIES["span_dedup_documents"] = q_span_dedup_documents
 
 
 # -- 42. broadcast anti join --------------------------------------------------

@@ -1789,3 +1789,167 @@ def ngram_containment_pairs(
             zero_copy_batch=True,
         )
     )
+
+
+# -- exact span dedup (ExactSubstr-style rewrite) -----------------------------
+
+_SPAN_IDX_BITS = 20  # combo key = doc_id << 20 | span_idx; docs < 2^20 spans
+
+
+def _doc_spans(batch: pa.Table, id_col: str, text_col: str, width: int):
+    """Vectorized non-overlapping ``width``-token spans for one batch:
+    (doc_ids_per_span, span_idx_per_span, span_texts). The trailing partial
+    span is included, so every token belongs to exactly one span and every
+    document has >= 1 span (split('') == [''])."""
+    toks = pc.split_pattern(batch.column(text_col), pattern=" ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = (
+        toks.combine_chunks().flatten()
+        if isinstance(toks, pa.ChunkedArray)
+        else toks.flatten()
+    ).to_pandas().to_numpy(dtype=object)
+    n_spans = -(-lens // width) if len(lens) else lens
+    if len(n_spans) and int(n_spans.max()) >= (1 << _SPAN_IDX_BITS):
+        raise ValueError(
+            f"document has >= 2^{_SPAN_IDX_BITS} spans; raise _SPAN_IDX_BITS"
+        )
+    # global span id per token -> one ' '.join per span (C string work)
+    tok_in_doc = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(lens)[:-1]]) if len(lens) else [], lens
+    )
+    span_base = np.concatenate([[0], np.cumsum(n_spans)[:-1]]) if len(n_spans) else n_spans
+    sg = np.repeat(span_base, lens) + tok_in_doc // width
+    texts = (
+        pd.Series(flat).groupby(sg, sort=True).agg(" ".join).to_numpy(dtype=object)
+        if len(flat)
+        else np.array([], dtype=object)
+    )
+    ids = np.repeat(batch.column(id_col).to_numpy(zero_copy_only=False), n_spans)
+    span_idx = np.arange(int(n_spans.sum()), dtype=np.int64) - np.repeat(span_base, n_spans)
+    return ids, span_idx, texts
+
+
+def _span_fp(texts: np.ndarray) -> np.ndarray:
+    """md5 hex per span (unique-value cache), portable to DuckDB md5()."""
+    uniq, inv = np.unique(texts.astype(str), return_inverse=True)
+    hashes = np.array(
+        [hashlib.md5(s.encode("utf-8")).hexdigest() for s in uniq], dtype=object
+    )
+    return hashes[inv]
+
+
+def span_dedup(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 16,
+    broadcast_threshold: int = 20_000_000,
+):
+    """Cross-corpus EXACT SPAN DEDUP — the rewrite side of Lee et al. 2022's
+    exact substring dedup, window-quantized to be shuffle-friendly: each
+    document is cut into consecutive non-overlapping ``width``-token spans;
+    a span occurrence survives only if it is the corpus-wide FIRST occurrence
+    of that span text (order = (doc_id, span_idx)); surviving spans are
+    re-joined in document order. Returns (doc_id, text, n_spans,
+    n_spans_kept) for every input document (text='' when nothing survives).
+
+    Shape: pass 1 pre-mins (span md5 -> combo key) per batch (combiner), a
+    hash groupby takes the global min per span — O(unique spans) winner
+    combos, broadcast once via ray.put (int64 array; above
+    ``broadcast_threshold`` raise — the bucketed semi-join fallback on the
+    combo key is the documented swap, stages/decontaminate.py pattern);
+    pass 2 re-derives spans and keeps winners via one searchsorted.
+    kgram_dup_stats is the read-only signal twin of this operator."""
+    import ray
+    from ray.data.aggregate import Min
+
+    def pre_min(batch: pa.Table) -> pd.DataFrame:
+        ids, span_idx, texts = _doc_spans(batch, id_col, text_col, width)
+        if not len(ids):
+            return pd.DataFrame({"fp": pd.Series([], dtype=object), "combo": pd.Series([], dtype=np.int64)})
+        combo = (ids.astype(np.int64) << _SPAN_IDX_BITS) | span_idx
+        df = pd.DataFrame({"fp": _span_fp(texts), "combo": combo})
+        return df.groupby("fp", sort=False, as_index=False)["combo"].min()
+
+    winners = (
+        ds.map_batches(pre_min, batch_format="pyarrow")
+        .groupby("fp")
+        .aggregate(Min("combo", alias_name="combo"))
+    ).materialize()
+    n_winners = winners.count()
+    if n_winners > broadcast_threshold:
+        raise NotImplementedError(
+            "winner set exceeds the broadcast budget; use the bucketed "
+            "semi-join fallback on the combo key (stages/decontaminate.py "
+            "pattern)"
+        )
+    keep = np.sort(winners.select_columns(["combo"]).to_pandas()["combo"].to_numpy(np.int64))
+    keep_ref = ray.put(keep)
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        kset = ray.get(keep_ref)
+        ids, span_idx, texts = _doc_spans(batch, id_col, text_col, width)
+        combo = (ids.astype(np.int64) << _SPAN_IDX_BITS) | span_idx
+        pos = np.clip(np.searchsorted(kset, combo), 0, max(len(kset) - 1, 0))
+        kept = kset[pos] == combo if len(kset) else np.zeros(len(combo), bool)
+        doc_ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        per = pd.DataFrame({"doc": ids, "kept": kept})
+        g = per.groupby("doc", sort=False)["kept"]
+        counts = pd.DataFrame({"n_spans": g.size(), "n_spans_kept": g.sum()})
+        counts = counts.reindex(doc_ids, fill_value=0)
+        joined = (
+            pd.Series(texts[kept]).groupby(ids[kept], sort=False).agg(" ".join)
+            if kept.any()
+            else pd.Series([], dtype=object)
+        )
+        joined = joined.reindex(doc_ids).fillna("")
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "text": pa.array(joined.to_numpy(dtype=object), pa.string()),
+                "n_spans": pa.array(counts["n_spans"].to_numpy(np.int64)),
+                "n_spans_kept": pa.array(counts["n_spans_kept"].to_numpy(np.int64)),
+            }
+        )
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+def span_dedup_oracle_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text", width: int = 16
+) -> str:
+    """DuckDB mirror of ``span_dedup`` (same space split, same inclusive-end
+    list slice as kgram_dup_oracle_sql, same (doc_id, span_idx) first-
+    occurrence order via the identical combo key)."""
+    return f"""
+        WITH l AS (
+            SELECT {id_col}, string_split({text_col}, ' ') AS l FROM {table}
+        ), sp AS (
+            SELECT {id_col},
+                   CAST((i - 1) / {width} AS BIGINT) AS span_idx,
+                   array_to_string(l[i:i + {width - 1}], ' ') AS span
+            FROM l, UNNEST(range(1, len(l) + 1, {width})) AS t(i)
+        ), win AS (
+            SELECT md5(span) AS fp,
+                   MIN({id_col} * {1 << _SPAN_IDX_BITS} + span_idx) AS combo
+            FROM sp GROUP BY 1
+        ), agg AS (
+            SELECT sp.{id_col},
+                   count(*) AS n_spans,
+                   count(*) FILTER (
+                       WHERE sp.{id_col} * {1 << _SPAN_IDX_BITS} + sp.span_idx
+                             = win.combo
+                   ) AS n_spans_kept,
+                   coalesce(string_agg(sp.span, ' ' ORDER BY sp.span_idx)
+                            FILTER (
+                       WHERE sp.{id_col} * {1 << _SPAN_IDX_BITS} + sp.span_idx
+                             = win.combo
+                   ), '') AS text
+            FROM sp JOIN win ON md5(sp.span) = win.fp
+            GROUP BY 1
+        )
+        SELECT {id_col}, text,
+               CAST(n_spans AS BIGINT) AS n_spans,
+               CAST(n_spans_kept AS BIGINT) AS n_spans_kept
+        FROM agg
+    """

@@ -717,3 +717,52 @@ def test_ngram_containment_catches_quotes_jaccard_misses(ray_session):
     # and Jaccard would have missed it
     jac = r["n_int"] / (r["n_a"] + r["n_b"] - r["n_int"])
     assert jac < 0.2
+
+
+def test_span_dedup_rewrite_semantics(ray_session):
+    """Exact span dedup (width=4): later occurrences of a span are cut —
+    across docs, within a doc, and for the trailing partial span — while the
+    first occurrence (ordered by doc_id, span_idx) survives; every doc stays
+    in the output; values equal the SQL mirror bit-for-bit."""
+    import duckdb
+    import ray.data
+
+    s1 = "alpha beta gamma delta"          # one full span
+    s2 = "epsilon zeta eta theta"
+    rows = [
+        (0, f"{s1} {s2}"),                 # both spans first → kept whole
+        (1, f"{s2} {s1}"),                 # same spans, later docs → text ''
+        (2, f"{s1} {s1} iota kappa"),      # within-doc dup + partial tail
+        (3, "iota kappa"),                 # partial span dup of doc 2's tail
+        (4, "lambda mu nu xi omicron"),    # unique full + unique partial
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+         "text": pa.array([r[1] for r in rows], pa.string())}
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    got = (
+        D.span_dedup(ds, width=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = (
+        con.execute(D.span_dedup_oracle_sql("documents", width=4))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns.tolist()], check_dtype=False)
+    assert got.loc[0, "text"] == f"{s1} {s2}"
+    assert got.loc[1, "text"] == "" and got.loc[1, "n_spans_kept"] == 0
+    # doc 0 owns the s1 span, so BOTH of doc 2's s1 copies are cut; its
+    # partial tail is first-seen there and survives
+    assert got.loc[2, "text"] == "iota kappa"
+    assert got.loc[2, "n_spans"] == 3 and got.loc[2, "n_spans_kept"] == 1
+    assert got.loc[3, "text"] == "" and got.loc[3, "n_spans"] == 1
+    assert got.loc[4, "n_spans_kept"] == 2
+    # every surviving token count is preserved in document order
+    assert list(got["doc_id"]) == [0, 1, 2, 3, 4]
