@@ -1672,18 +1672,31 @@ def q_span_dedup_documents(sf_dir: str):
     return span_dedup(ds, width=16)
 
 
+def q_span_corrupt_documents(sf_dir: str):
+    """T5 span-corruption pretraining pairs (Raffel et al. 2020 §3.1.4):
+    deterministic md5-permille noise mask → inputs with <extra_id_k>
+    sentinels + targets listing each span; map-only, id-stable across
+    cluster sizes, fully SQL-oracled."""
+    from ..stages.text import span_corrupt
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], rows_per_block=2_048)
+    return span_corrupt(ds)
+
+
 def _text_index_sql():
     from ..stages.dedup import span_dedup_oracle_sql
     from ..stages.text import (
         bigram_lift_oracle_sql,
         inverted_index_oracle_sql,
         kgram_dup_oracle_sql,
+        span_corrupt_oracle_sql,
     )
 
     ORACLE_SQL["postings_documents"] = inverted_index_oracle_sql("documents")
     ORACLE_SQL["bigram_lift_documents"] = bigram_lift_oracle_sql("documents")
     ORACLE_SQL["kgram_dup_documents"] = kgram_dup_oracle_sql("documents")
     ORACLE_SQL["span_dedup_documents"] = span_dedup_oracle_sql("documents", width=16)
+    ORACLE_SQL["span_corrupt_documents"] = span_corrupt_oracle_sql("documents")
 
 
 _text_index_sql()
@@ -1691,6 +1704,7 @@ QUERIES["postings_documents"] = q_postings_documents
 QUERIES["bigram_lift_documents"] = q_bigram_lift_documents
 QUERIES["kgram_dup_documents"] = q_kgram_dup_documents
 QUERIES["span_dedup_documents"] = q_span_dedup_documents
+QUERIES["span_corrupt_documents"] = q_span_corrupt_documents
 
 
 # -- 42. broadcast anti join --------------------------------------------------

@@ -1350,3 +1350,148 @@ def bm25_oracle_sql(
         QUALIFY rank <= {k}
         ORDER BY rank
     """
+
+
+# -- T5 span corruption --------------------------------------------------------
+
+
+def span_corrupt(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    noise_permille: int = 150,
+    salt: str = "corrupt",
+):
+    """T5-style SPAN CORRUPTION pairs (Raffel et al. 2020 §3.1.4): each token
+    is noise iff its md5 permille (house hash_split recipe, keyed
+    ``salt + "doc_id:pos"``) falls below ``noise_permille``; consecutive noise
+    tokens form spans; ``inputs`` replaces each span with ``<extra_id_k>``,
+    ``targets`` lists each sentinel + its span's tokens and ends with the
+    final sentinel (``<extra_id_0>`` alone when nothing was masked).
+    Deterministic — no RNG — so the pairs are id-stable across cluster sizes
+    AND the whole transform is SQL-oracled (``span_corrupt_oracle_sql``).
+
+    Map-only, no shuffle; one md5 per token (the determinism cost), string
+    assembly one C-level join per document."""
+    from .sampling import _bucket_of
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column(text_col), pattern=" ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = (
+            toks.combine_chunks().flatten()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks.flatten()
+        ).to_pandas().to_numpy(dtype=object)
+        doc_ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        ids_tok = np.repeat(doc_ids, lens)
+        pos = _intra_offsets(lens)
+        keys = (
+            pd.Series(ids_tok).astype(str) + ":" + pd.Series(pos).astype(str)
+        ).to_numpy(dtype=object)
+        mask = _bucket_of(keys, salt) < noise_permille
+        prev = np.concatenate([[False], mask[:-1]]) if len(mask) else mask
+        starts = mask & ((pos == 0) | ~prev)
+        s = np.cumsum(starts)
+        doc_start = np.concatenate([[0], np.cumsum(lens)[:-1]]) if len(lens) else lens
+        before_doc = (s[doc_start] - starts[doc_start]) if len(mask) else np.zeros(0, np.int64)
+        k = s - np.repeat(before_doc, lens) - 1  # 0-based sentinel idx in-doc
+        doc_end = doc_start + lens - 1
+        n_spans = (s[doc_end] - before_doc) if len(mask) else np.zeros(0, np.int64)
+
+        sent = np.array([f"<extra_id_{v}>" for v in k], dtype=object)
+        piece_in = np.where(starts, sent, flat)
+        sel_in = ~mask | starts
+        piece_tg = np.where(starts, sent + " " + flat.astype(object), flat)
+
+        def join(piece: np.ndarray, sel: np.ndarray) -> pd.Series:
+            if not sel.any():
+                return pd.Series("", index=doc_ids, dtype=object)
+            return (
+                pd.Series(piece[sel])
+                .groupby(ids_tok[sel], sort=False)
+                .agg(" ".join)
+                .reindex(doc_ids)
+                .fillna("")
+            )
+
+        inputs = join(piece_in, sel_in)
+        tgt = join(piece_tg, mask)
+        final = np.where(
+            n_spans == 0,
+            "<extra_id_0>",
+            tgt.to_numpy(dtype=object) + np.array(
+                [f" <extra_id_{v}>" for v in n_spans], dtype=object
+            ),
+        )
+        per = pd.DataFrame({"n": lens, "m": np.zeros(len(lens), np.int64)})
+        if len(mask):
+            msum = pd.Series(mask.astype(np.int64)).groupby(ids_tok, sort=False).sum()
+            per["m"] = msum.reindex(doc_ids).fillna(0).to_numpy(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "inputs": pa.array(inputs.to_numpy(dtype=object), pa.string()),
+                "targets": pa.array(final, pa.string()),
+                "n_tokens": pa.array(lens),
+                "n_masked": pa.array(per["m"].to_numpy(np.int64)),
+                "n_noise_spans": pa.array(n_spans.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(corrupt, batch_format="pyarrow")
+
+
+def span_corrupt_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    noise_permille: int = 150,
+    salt: str = "corrupt",
+) -> str:
+    """DuckDB mirror of ``span_corrupt`` (same md5-permille key, same window
+    semantics; sentinel text built with the identical CAST). The token index
+    is named ``ti`` because ``_permille_sql``'s list_transform lambda binds
+    ``i`` — an outer column named ``i`` would be silently shadowed."""
+    from .sampling import _permille_sql
+
+    key = f"(CAST({id_col} AS VARCHAR) || ':' || CAST(ti - 1 AS VARCHAR))"
+    return f"""
+        WITH l AS (
+            SELECT {id_col}, string_split({text_col}, ' ') AS l FROM {table}
+        ), t AS (
+            SELECT {id_col}, ti, l[ti] AS tok,
+                   {_permille_sql(key, salt)} < {noise_permille} AS m
+            FROM l, UNNEST(range(1, len(l) + 1)) AS u(ti)
+        ), st AS (
+            SELECT *, m AND (ti = 1 OR NOT lag(m) OVER (
+                       PARTITION BY {id_col} ORDER BY ti)) AS s
+            FROM t
+        ), k AS (
+            SELECT *, SUM(CASE WHEN s THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY {id_col} ORDER BY ti) - 1 AS k
+            FROM st
+        ), agg AS (
+            SELECT {id_col},
+                   count(*) AS n_tokens,
+                   count(*) FILTER (WHERE m) AS n_masked,
+                   count(*) FILTER (WHERE s) AS n_noise_spans,
+                   coalesce(string_agg(
+                       CASE WHEN s THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+                            ELSE tok END, ' ' ORDER BY ti)
+                       FILTER (WHERE NOT m OR s), '') AS inputs,
+                   coalesce(string_agg(
+                       CASE WHEN s THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || tok
+                            ELSE tok END, ' ' ORDER BY ti)
+                       FILTER (WHERE m), '') AS tgt
+            FROM k GROUP BY 1
+        )
+        SELECT {id_col}, inputs,
+               CASE WHEN n_noise_spans = 0 THEN '<extra_id_0>'
+                    ELSE tgt || ' <extra_id_' || CAST(n_noise_spans AS VARCHAR) || '>'
+               END AS targets,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_masked AS BIGINT) AS n_masked,
+               CAST(n_noise_spans AS BIGINT) AS n_noise_spans
+        FROM agg
+    """

@@ -766,3 +766,54 @@ def test_span_dedup_rewrite_semantics(ray_session):
     assert got.loc[4, "n_spans_kept"] == 2
     # every surviving token count is preserved in document order
     assert list(got["doc_id"]) == [0, 1, 2, 3, 4]
+
+
+def test_span_corrupt_t5_semantics(ray_session):
+    """Span corruption invariants on arbitrary text: inputs+targets jointly
+    carry every token exactly once; sentinels are numbered 0..n-1 per doc and
+    the final sentinel closes the targets; a doc with no masked tokens gets
+    inputs == text and targets == '<extra_id_0>'; matches the SQL mirror."""
+    import re
+
+    import duckdb
+    import ray.data
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = [(i, " ".join(words[j % len(words)] for j in range(i, i + 40)))
+            for i in range(12)]
+    tbl = pa.table(
+        {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+         "text": pa.array([r[1] for r in rows], pa.string())}
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    got = (
+        T.span_corrupt(ds, noise_permille=300)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = (
+        con.execute(T.span_corrupt_oracle_sql("documents", noise_permille=300))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns.tolist()], check_dtype=False)
+
+    sent = re.compile(r"<extra_id_(\d+)>")
+    for r, (_, text) in zip(got.itertuples(), rows):
+        # reconstruction: splice targets' spans into inputs at the sentinels
+        spans = {}
+        parts = sent.split(r.targets)
+        for j in range(1, len(parts) - 1, 2):
+            spans[int(parts[j])] = parts[j + 1].strip()
+        rebuilt = sent.sub(lambda m: spans.get(int(m.group(1)), ""), r.inputs)
+        assert " ".join(rebuilt.split()) == text
+        ks = [int(m) for m in sent.findall(r.targets)]
+        assert ks == list(range(r.n_noise_spans + 1)) or (
+            r.n_noise_spans == 0 and ks == [0]
+        )
+        if r.n_masked == 0:
+            assert r.inputs == text and r.targets == "<extra_id_0>"
