@@ -110,6 +110,17 @@ def _cdc_token_index(sf_dir: str):
     return token_index_lake(sf=0.01)
 
 
+def _cdc_boilerplate_convs(sf_dir: str):
+    """Boilerplate-turn curation stats over the converged transcript lake:
+    a turn is boilerplate iff its exact text occurs in ≥2 distinct
+    conversations; per conversation emit turn count, boilerplate count, and
+    an integer permille ratio. Only md5 hashes shuffle; the qualifying hash
+    set is small by construction and broadcast once."""
+    from dbt_customer360_ray.pipelines.cdc_replay import conversation_boilerplate
+
+    return conversation_boilerplate(sf=0.01)
+
+
 def _cdc_debezium_replay(sf_dir: str):
     """Debezium-JSONL ingest: the fixture epochs re-encoded as JSON change
     envelopes (op c/u/d, before/after images, binlog pos), decoded with
@@ -708,6 +719,19 @@ def _semantic_decontaminate_embeddings(sf_dir: str):
     )
 
 
+def _pagerank_embeddings(sf_dir: str):
+    """PageRank centrality over the exact cosine k-NN graph: 3 power-iteration
+    rounds in pure integer arithmetic (ranks at 1e9 scale, permille damping,
+    floor divisions) so the distributed join+groupby rounds agree bit-for-bit
+    with the unrolled SQL mirror. Rank state stays a Dataset — O(N) rows,
+    never collected."""
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.similarity import pagerank
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return pagerank(ds, k=5, iters=3)
+
+
 def _label_propagated_embeddings(sf_dir: str):
     """One-hop label propagation: md5-permille seed subset keeps its label,
     everyone else majority-votes over its top-k seed neighbours — the k-NN
@@ -1089,6 +1113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_snapshot_synced"] = _cdc_snapshot_synced
     out["cdc_merged_into"] = _cdc_merged_into
     out["cdc_token_index"] = _cdc_token_index
+    out["cdc_boilerplate_convs"] = _cdc_boilerplate_convs
     out["cdc_debezium_replay"] = _cdc_debezium_replay
     out["cdc_lookup_batch"] = _cdc_lookup_batch
     out["cdc_retention_lake"] = _cdc_retention_lake
@@ -1143,6 +1168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["hard_negatives_embeddings"] = _hard_negatives_embeddings
     out["semantic_decontaminate_embeddings"] = _semantic_decontaminate_embeddings
     out["label_propagated_embeddings"] = _label_propagated_embeddings
+    out["pagerank_embeddings"] = _pagerank_embeddings
     out["window_dedup_documents"] = _window_dedup_documents
     out["quota_sample_documents"] = _quota_sample_documents
     out["repetition_documents"] = _repetition_documents
@@ -1260,6 +1286,9 @@ def oracle_sql() -> dict[str, str]:
     out["label_propagated_embeddings"] = label_propagate_oracle_sql(
         "embeddings", k=5
     )
+    from dbt_customer360_ray.stages.similarity import pagerank_oracle_sql
+
+    out["pagerank_embeddings"] = pagerank_oracle_sql("embeddings", k=5, iters=3)
     out["lm_fluency_documents"] = lm_fluency_oracle_sql("documents")
     from dbt_customer360_ray.stages.sampling import mix_oracle_sql
 
@@ -1287,6 +1316,9 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_snapshot_synced"] = snapshot_sync_oracle_sql(sf=0.01)
     out["cdc_merged_into"] = merge_into_oracle_sql(sf=0.01)
     out["cdc_token_index"] = token_index_oracle_sql(sf=0.01)
+    from dbt_customer360_ray.pipelines.cdc_replay import boilerplate_oracle_sql
+
+    out["cdc_boilerplate_convs"] = boilerplate_oracle_sql(sf=0.01, min_convs=2)
     out["cdc_debezium_replay"] = replay_oracle_sql(sf=0.01)
     out["cdc_lookup_batch"] = lookup_many_oracle_sql(sf=0.01, suffix="7")
     out["cdc_retention_lake"] = retention_oracle_sql(sf=0.01)

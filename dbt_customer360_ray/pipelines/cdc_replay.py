@@ -1840,3 +1840,103 @@ def sft_split_oracle_sql(sf: float = 0.01, test_permille: int = 200) -> str:
                     THEN 'test' ELSE 'train' END AS split
         FROM ({inner})
     """
+
+
+def conversation_boilerplate(sf: float = 0.01, min_convs: int = 2):
+    """Boilerplate-turn detection over the converged transcript lake — the
+    chat-log curation signal: a turn's text is BOILERPLATE iff the identical
+    text occurs in at least ``min_convs`` DISTINCT conversations (canned
+    greetings, templated tool banners, repeated system disclaimers). Returns
+    per-conversation curation stats: turn count, boilerplate-turn count, and
+    an integer permille ratio a downstream filter thresholds on.
+
+    Distributed shape: one map pass hashes each turn's text to md5 (unique
+    texts hashed once per batch; only 32-byte hashes shuffle, never the
+    texts), a (hash, conv_id) groupby dedups occurrences, a second groupby
+    counts distinct conversations per hash, and the qualifying hash set —
+    small by construction (texts repeated across many conversations) — is
+    broadcast for the final per-conversation aggregate. Same size-gated
+    broadcast posture as the curation keeper set (pipelines/curate.py)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data
+
+    lake = replayed_lake(sf=sf)
+    ds = lake.read(columns=["conv_id", "text"])
+
+    def hash_turns(batch: pd.DataFrame) -> pd.DataFrame:
+        txt = batch["text"]
+        uniq = pd.Series(txt.dropna().unique(), dtype=object)
+        hs = {
+            t: hashlib.md5(t.encode("utf-8")).hexdigest() for t in uniq
+        }
+        return pd.DataFrame(
+            {"conv_id": batch["conv_id"], "h": txt.map(hs)}
+        )
+
+    turns = ds.map_batches(hash_turns, batch_format="pandas").materialize()
+
+    per_conv_hash = turns.groupby(["h", "conv_id"]).count()
+    counts = per_conv_hash.groupby("h").count()
+    boiler = counts.map_batches(
+        lambda df: df[df["count()"] >= min_convs][["h"]].dropna(),
+        batch_format="pandas",
+    ).to_pandas()
+    boiler_set = frozenset(boiler["h"])
+    ref = ray.put(boiler_set)
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        bs = ray.get(ref)
+        return pd.DataFrame(
+            {
+                "conv_id": batch["conv_id"],
+                "n": np.ones(len(batch), np.int64),
+                "b": batch["h"].isin(bs).to_numpy().astype(np.int64),
+            }
+        )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["sum(n)"].to_numpy().astype(np.int64)
+        b = batch["sum(b)"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "conv_id": batch["conv_id"],
+                "n_turns": n,
+                "n_boilerplate": b,
+                "boilerplate_permille": (b * 1000) // n,
+            }
+        )
+
+    return (
+        turns.map_batches(flag, batch_format="pandas")
+        .groupby("conv_id")
+        .sum(["n", "b"])
+        .map_batches(finish, batch_format="pandas")
+    )
+
+
+def boilerplate_oracle_sql(sf: float = 0.01, min_convs: int = 2) -> str:
+    """Oracle for ``conversation_boilerplate``: the same ≥min_convs distinct-
+    conversation rule re-derived by SQL over the converged prefix-replay
+    state (DuckDB's md5 is the identical lowercase hex of the UTF-8 text)."""
+    inner = _lww_sql(_epoch_selects(sf))
+    flagged = (
+        "text IS NOT NULL AND md5(text) IN (SELECT h FROM boiler)"
+    )
+    return f"""
+        WITH state AS ({inner}),
+        boiler AS (
+            SELECT md5(text) AS h
+            FROM state WHERE text IS NOT NULL
+            GROUP BY 1 HAVING count(DISTINCT conv_id) >= {min_convs}
+        )
+        SELECT conv_id,
+               count(*) AS n_turns,
+               count(*) FILTER (WHERE {flagged}) AS n_boilerplate,
+               (count(*) FILTER (WHERE {flagged})) * 1000 // count(*)
+                   AS boilerplate_permille
+        FROM state GROUP BY conv_id
+    """

@@ -1244,3 +1244,135 @@ def label_propagate_oracle_sql(
         LEFT JOIN seeds s ON s.{id_col} = t.{id_col}
         LEFT JOIN winner w ON w.{id_col} = t.{id_col}
     """
+
+
+def pagerank(
+    ds,
+    k: int = 5,
+    iters: int = 3,
+    damping_pm: int = 850,
+    id_col: str = "vec_id",
+    scale: int = 10**9,
+    round_to: int | None = 2,
+    num_blocks: int | None = None,
+    num_buckets: int = 16,
+):
+    """PageRank over the exact cosine k-NN graph — the centrality signal
+    graph-based curation ranks documents/vectors by (well-connected ⇒
+    representative). ``iters`` fixed power-iteration rounds in INTEGER
+    arithmetic: ranks live at ``scale`` (1e9), damping is permille, every
+    division is a floor — so numpy and an independent SQL engine agree
+    bit-for-bit with no float drift (house determinism style, cf. the
+    quantized-ln fluency scorer).
+
+    r_0(v)   = scale // N
+    r_t+1(v) = ((1000-d)·scale) // (1000·N)  +  (d · Σ_{u→v} r_t(u)//deg) // 1000
+
+    where deg = min(k, N-1) is every node's exact out-degree in the k-NN
+    graph (k neighbours, self excluded). Distributed shape per round: one
+    bucketed hash join (edges ⋈ ranks on the source id), one map to floor
+    contributions, a union with per-node zero rows (so zero-in-degree nodes
+    survive without a second join), one groupby sum. The edge list is
+    materialized once and re-used every round; ranks are materialized per
+    round so the lazy DAG never re-runs earlier iterations. The rank state
+    is O(N) ROWS but never collected to the driver."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .joins import bucketed_hash_join
+
+    edges = (
+        knn_graph(ds, k=k, id_col=id_col, round_to=round_to, num_blocks=num_blocks)
+        .select_columns([id_col, "neighbor_id"])
+        .materialize()
+    )
+    nodes = ds.select_columns([id_col]).materialize()
+    n = nodes.count()
+    deg = min(k, n - 1)
+    base = ((1000 - damping_pm) * scale) // (1000 * n)
+    r0 = scale // n
+
+    def seed(t: pa.Table) -> pa.Table:
+        return t.append_column("r", pa.array(np.full(t.num_rows, r0, np.int64)))
+
+    ranks = nodes.map_batches(seed, batch_format="pyarrow")
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        return t.append_column("c", pa.array(np.zeros(t.num_rows, np.int64)))
+
+    zeros = nodes.map_batches(zero_rows, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        joined = bucketed_hash_join(
+            edges, ranks, on=id_col, num_buckets=num_buckets
+        )
+
+        def contrib(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    id_col: t.column("neighbor_id"),
+                    "c": pc.divide(t.column("r"), deg),  # int64 // int64
+                }
+            )
+
+        summed = (
+            joined.map_batches(contrib, batch_format="pyarrow")
+            .union(zeros)
+            .groupby(id_col)
+            .sum("c")
+        )
+
+        def step(t: pa.Table) -> pa.Table:
+            s = t.column("sum(c)").to_numpy(zero_copy_only=False).astype(np.int64)
+            r = base + (damping_pm * s) // 1000
+            return pa.table({id_col: t.column(id_col), "r": pa.array(r)})
+
+        ranks = summed.map_batches(step, batch_format="pyarrow").materialize()
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {id_col: t.column(id_col), "pr_scaled": t.column("r")}
+        )
+
+    return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+def pagerank_oracle_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    iters: int = 3,
+    damping_pm: int = 850,
+    id_col: str = "vec_id",
+    scale: int = 10**9,
+) -> str:
+    """DuckDB mirror of ``pagerank``: the same knn-graph SQL feeds ``iters``
+    UNROLLED iteration CTEs with identical integer floors (``//``); SUM's
+    HUGEINT widening is collapsed by the same ``// 1000`` before re-entering
+    BIGINT range."""
+    knn = knn_graph_oracle_sql(table, k=k, id_col=id_col)
+    head = f"""
+        WITH knn AS ({knn}),
+        edges AS (SELECT {id_col} AS src, neighbor_id AS dst FROM knn),
+        nodes AS (SELECT {id_col} AS id FROM {table}),
+        c AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT id, CAST({scale} AS BIGINT) // (SELECT n FROM c) AS r
+               FROM nodes)"""
+    step = ""
+    for i in range(iters):
+        step += f""",
+        r{i + 1} AS (
+            SELECT nodes.id,
+                   ((CAST({1000 - damping_pm} AS BIGINT) * {scale})
+                    // (1000 * (SELECT n FROM c)))
+                   + ({damping_pm} * COALESCE(s.s, 0)) // 1000 AS r
+            FROM nodes LEFT JOIN (
+                SELECT e.dst AS id,
+                       SUM(r.r // LEAST({k}, (SELECT n FROM c) - 1)) AS s
+                FROM edges e JOIN r{i} r ON r.id = e.src
+                GROUP BY 1
+            ) s ON s.id = nodes.id
+        )"""
+    return f"""{head}{step}
+        SELECT id AS {id_col}, CAST(r AS BIGINT) AS pr_scaled FROM r{iters}
+    """

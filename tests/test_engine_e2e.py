@@ -730,3 +730,37 @@ def test_hot_key_detection_records_planted_conv(ray_session):
     want = duckdb.connect().execute(hot_keys_oracle_sql(sf=0.001)).df()
     assert got["conv_id"].tolist() == want["conv_id"].tolist()
     assert "conv-00000001" in set(got["conv_id"])
+
+
+def test_conversation_boilerplate_matches_oracle(ray_session):
+    """Boilerplate-turn detection: per-conversation stats equal the SQL
+    re-derivation over the converged state; the fixture's planted repeated
+    text is flagged (some conversation has n_boilerplate > 0) and every
+    permille is an exact integer floor of 1000·b/n."""
+    import duckdb
+
+    from dbt_customer360_ray.pipelines.cdc_replay import (
+        boilerplate_oracle_sql,
+        conversation_boilerplate,
+    )
+
+    got = (
+        conversation_boilerplate(sf=0.001, min_convs=2)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.connect()
+        .execute(boilerplate_oracle_sql(sf=0.001, min_convs=2))
+        .df()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, want[got.columns.tolist()], check_dtype=False
+    )
+    assert got["n_boilerplate"].sum() > 0
+    assert (got["n_boilerplate"] <= got["n_turns"]).all()
+    exp = (got["n_boilerplate"] * 1000) // got["n_turns"]
+    assert (got["boilerplate_permille"] == exp).all()

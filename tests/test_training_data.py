@@ -1028,3 +1028,59 @@ def test_sample_quantiles_accuracy_and_layout_independence():
         .set_index("q_permille")
     )
     pd.testing.assert_frame_equal(out, again)
+
+
+def test_pagerank_matches_duckdb_oracle_integer_exact():
+    """PageRank over the k-NN graph: bit-exact vs the unrolled SQL mirror
+    (integer floors everywhere), total mass conserved up to floor loss, and a
+    planted hub (a direction many vectors share) ranks above the median."""
+    import duckdb
+    import ray.data
+
+    from dbt_customer360_ray.stages.similarity import (
+        pagerank,
+        pagerank_oracle_sql,
+    )
+
+    rng = np.random.default_rng(71)
+    n, dim = 80, 12
+    emb = rng.standard_normal((n, dim))
+    for i in range(1, 12):  # 11 vectors near vector 0's direction → 0 is a hub
+        emb[i] = emb[0] + 0.01 * rng.standard_normal(dim)
+    t = pa.table(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(emb.astype(np.float64)),
+        }
+    )
+    got = (
+        pagerank(ray.data.from_arrow(t).repartition(5), k=4, iters=3)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("embeddings", t)
+    want = (
+        con.execute(pagerank_oracle_sql("embeddings", k=4, iters=3))
+        .df()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
+
+    scale = 10**9
+    assert (got["pr_scaled"] > 0).all()
+    # mass conservation: floors drop <1 unit per node per division
+    assert 0.9 * scale <= got["pr_scaled"].sum() <= scale
+    assert got["pr_scaled"].nunique() > 1  # structure, not a uniform vector
+    hub = got.loc[got["vec_id"] == 0, "pr_scaled"].iloc[0]
+    assert hub > got["pr_scaled"].median()
+    # layout independence: same answer from a different partitioning
+    again = (
+        pagerank(ray.data.from_arrow(t), k=4, iters=3)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, again)
