@@ -893,6 +893,26 @@ def _approx_distinct_sql() -> str:
 ORACLE_SQL["approx_distinct_texts"] = _approx_distinct_sql()
 
 
+def q_vocab_overlap_documents(sf_dir: str, k: int = 256):
+    """KMV set operations between two corpus slices: distinct-token counts,
+    union, Jaccard and intersection estimated from mergeable bottom-k
+    sketches — ≤k hashes per side leave the cluster; the deterministic
+    estimates themselves are oracle-checked."""
+    from ..stages.sketches import kmv_vocab_overlap
+
+    ds = read_table(sf_dir, "documents", columns=["text", "lang"])
+    return kmv_vocab_overlap(ds, a="en", b="fr", k=k)
+
+
+def _vocab_overlap_sql() -> str:
+    from ..stages.sketches import kmv_overlap_oracle_sql
+
+    return kmv_overlap_oracle_sql("documents", a="en", b="fr", k=256)
+
+
+ORACLE_SQL["vocab_overlap_documents"] = _vocab_overlap_sql()
+
+
 HH_PHI = 0.001
 
 
@@ -1410,6 +1430,7 @@ QUERIES = {
     "ann_topk_embeddings": q_ann_topk_embeddings,
     "ivf_topk_embeddings": q_ivf_topk_embeddings,
     "approx_distinct_texts": q_approx_distinct_texts,
+    "vocab_overlap_documents": q_vocab_overlap_documents,
     "heavy_hitter_users": q_heavy_hitter_users,
     "rolling_events": q_rolling_events,
     "orders_price_bands": q_orders_price_bands,

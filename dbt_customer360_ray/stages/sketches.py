@@ -292,3 +292,163 @@ def sample_quantiles_oracle_sql(
         JOIN ranked r
           ON r.rn = GREATEST((q.qp * r.n + 999) // 1000, 1)
     """
+
+
+# -- KMV set operations: vocabulary overlap between corpus slices --------------
+
+
+def kmv_vocab_overlap(
+    ds,
+    text_col: str = "text",
+    group_col: str = "lang",
+    a: str = "en",
+    b: str = "fr",
+    k: int = 256,
+):
+    """Distinct-token SET OPERATIONS between two corpus slices from mergeable
+    KMV sketches — the corpus-comparison question data mixing asks ("how much
+    vocabulary do slices A and B share?") answered in one pass with ≤k rows
+    per side ever leaving the cluster.
+
+    KMV sketches are closed under union: bottom-k(A ∪ B) =
+    bottom-k(bottom-k(A) ∪ bottom-k(B)), so |A∪B| uses the same (k-1)/h_k
+    estimator, Jaccard is the fraction of the union sketch present in BOTH
+    side sketches (Beyer et al. 2007), and |A∩B| = J·|A∪B|. Every estimate is
+    a deterministic function of md5, reproduced verbatim by
+    ``kmv_overlap_oracle_sql`` — the approximate answers themselves are
+    oracle-checked. Returns one row:
+    (n_a_sketch, n_b_sketch, n_union_sketch, n_intersect_sketch: int64;
+     n_a_est, n_b_est, n_union_est, jaccard_est, n_intersect_est: float64)."""
+    import ray.data
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for side in (a, b):
+            txt = batch.loc[batch[group_col] == side, text_col].dropna()
+            if not len(txt):
+                continue
+            toks = pd.unique(
+                np.concatenate([t.split(" ") for t in txt]) if len(txt) else []
+            )
+            toks = np.array([t for t in toks if t != ""], dtype=object)
+            hs = np.sort(_md5_hex(toks))[:k]
+            out.append(pd.DataFrame({"side": side, "h": pd.Series(hs, dtype="string")}))
+        if not out:
+            return pd.DataFrame(
+                {"side": pd.Series([], dtype="string"),
+                 "h": pd.Series([], dtype="string")}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    partials = ds.map_batches(
+        partial, batch_format="pandas", batch_size=4096
+    ).materialize()
+
+    def side_sketch(side: str) -> list:
+        sk = (
+            partials.map_batches(
+                lambda df, s=side: df[df["side"] == s][["h"]],
+                batch_format="pandas",
+            )
+            .groupby("h")
+            .count()
+            .sort("h")
+            .limit(k)
+            .to_pandas()
+        )
+        return [str(h) for h in sk["h"]]
+
+    ha, hb = side_sketch(a), side_sketch(b)
+
+    def est(hs: list) -> float:
+        if len(hs) < k:
+            return float(len(hs))
+        return (k - 1) / (int(hs[-1][:_FRAC_BITS], 16) / _FRAC_DEN)
+
+    sa, sb = set(ha), set(hb)
+    union = sorted(sa | sb)[:k]
+    inter = [h for h in union if h in sa and h in sb]
+    n_union = est(union)
+    jacc = (len(inter) / len(union)) if union else 0.0
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "n_a_sketch": np.array([len(ha)], np.int64),
+                "n_b_sketch": np.array([len(hb)], np.int64),
+                "n_union_sketch": np.array([len(union)], np.int64),
+                "n_intersect_sketch": np.array([len(inter)], np.int64),
+                "n_a_est": np.array([est(ha)], np.float64),
+                "n_b_est": np.array([est(hb)], np.float64),
+                "n_union_est": np.array([n_union], np.float64),
+                "jaccard_est": np.array([jacc], np.float64),
+                "n_intersect_est": np.array([jacc * n_union], np.float64),
+            }
+        )
+    )
+
+
+def kmv_overlap_oracle_sql(
+    table: str,
+    text_col: str = "text",
+    group_col: str = "lang",
+    a: str = "en",
+    b: str = "fr",
+    k: int = 256,
+) -> str:
+    """DuckDB mirror of ``kmv_vocab_overlap``: same tokenization (split on
+    single space, '' dropped), same md5 16-hex prefix, same bottom-k per
+    side, same merged-union sketch and (k-1)/h_k estimator."""
+
+    def parse(col: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {_FRAC_BITS + 1}), "
+            f"i -> CAST(strpos('0123456789abcdef', substr({col}, CAST(i AS INT), 1)) "
+            f"AS BIGINT) - 1), (x, y) -> x * 16 + y)"
+        )
+
+    def est(cte: str) -> str:
+        return f"""
+            CASE WHEN (SELECT count(*) FROM {cte}) < {k}
+                 THEN CAST((SELECT count(*) FROM {cte}) AS DOUBLE)
+                 ELSE ({k} - 1) / (CAST((SELECT {parse("h")} FROM {cte}
+                                         ORDER BY h DESC LIMIT 1) AS DOUBLE)
+                                   / {_FRAC_DEN!r})
+            END"""
+
+    return f"""
+        WITH tok AS (
+            SELECT {group_col} AS side,
+                   unnest(string_split({text_col}, ' ')) AS tok
+            FROM {table}
+            WHERE {group_col} IN ('{a}', '{b}') AND {text_col} IS NOT NULL
+        ), hs AS (
+            SELECT DISTINCT side, substr(md5(tok), 1, {_HEX_LEN}) AS h
+            FROM tok WHERE tok <> ''
+        ),
+        ka AS (SELECT h FROM hs WHERE side = '{a}' ORDER BY h LIMIT {k}),
+        kb AS (SELECT h FROM hs WHERE side = '{b}' ORDER BY h LIMIT {k}),
+        ku AS (
+            SELECT DISTINCT h
+            FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+            ORDER BY h LIMIT {k}
+        ),
+        ki AS (
+            SELECT h FROM ku
+            WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+        )
+        SELECT CAST((SELECT count(*) FROM ka) AS BIGINT) AS n_a_sketch,
+               CAST((SELECT count(*) FROM kb) AS BIGINT) AS n_b_sketch,
+               CAST((SELECT count(*) FROM ku) AS BIGINT) AS n_union_sketch,
+               CAST((SELECT count(*) FROM ki) AS BIGINT) AS n_intersect_sketch,
+               {est("ka")} AS n_a_est,
+               {est("kb")} AS n_b_est,
+               {est("ku")} AS n_union_est,
+               CASE WHEN (SELECT count(*) FROM ku) = 0 THEN 0.0
+                    ELSE CAST((SELECT count(*) FROM ki) AS DOUBLE)
+                         / (SELECT count(*) FROM ku)
+               END AS jaccard_est,
+               (CASE WHEN (SELECT count(*) FROM ku) = 0 THEN 0.0
+                     ELSE CAST((SELECT count(*) FROM ki) AS DOUBLE)
+                          / (SELECT count(*) FROM ku)
+                END) * ({est("ku")}) AS n_intersect_est
+    """

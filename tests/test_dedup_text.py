@@ -817,3 +817,62 @@ def test_span_corrupt_t5_semantics(ray_session):
         )
         if r.n_masked == 0:
             assert r.inputs == text and r.targets == "<extra_id_0>"
+
+
+def test_kmv_vocab_overlap_matches_oracle_and_exact_regime(ray_session):
+    """KMV set ops: (1) below k the sketch is exact — estimates equal true
+    distinct-token counts and true Jaccard; (2) estimates match the DuckDB
+    mirror bit-for-bit; (3) layout independence."""
+    import duckdb
+    import ray.data
+
+    from dbt_customer360_ray.stages.sketches import (
+        kmv_overlap_oracle_sql,
+        kmv_vocab_overlap,
+    )
+
+    shared = [f"w{i}" for i in range(30)]
+    only_a = [f"a{i}" for i in range(20)]
+    only_b = [f"b{i}" for i in range(10)]
+    rows = []
+    for i in range(40):
+        toks = shared[i % 15 :][:10] + only_a[i % 10 :][:5]
+        rows.append((i, " ".join(toks), "en"))
+    for i in range(40, 70):
+        toks = shared[i % 20 :][:8] + only_b[i % 5 :][:4]
+        rows.append((i, " ".join(toks), "fr"))
+    rows.append((70, "ignored tokens", "de"))  # third slice must not leak in
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = kmv_vocab_overlap(ds, a="en", b="fr", k=256).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute(
+        kmv_overlap_oracle_sql("documents", a="en", b="fr", k=256)
+    ).df()
+    pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
+
+    # exact regime: all vocab sizes < k, so estimates are true counts
+    va = set(tok for r in rows if r[2] == "en" for tok in r[1].split())
+    vb = set(tok for r in rows if r[2] == "fr" for tok in r[1].split())
+    assert got["n_a_est"].iloc[0] == float(len(va))
+    assert got["n_b_est"].iloc[0] == float(len(vb))
+    assert got["n_union_est"].iloc[0] == float(len(va | vb))
+    assert got["jaccard_est"].iloc[0] == len(va & vb) / len(va | vb)
+    assert abs(got["n_intersect_est"].iloc[0] - len(va & vb)) < 1e-9
+
+    # approximate regime still matches its oracle (k below vocab size)
+    got_k = kmv_vocab_overlap(ds, a="en", b="fr", k=16).to_pandas()
+    want_k = con.execute(
+        kmv_overlap_oracle_sql("documents", a="en", b="fr", k=16)
+    ).df()
+    pd.testing.assert_frame_equal(got_k, want_k[got_k.columns.tolist()])
+
+    again = kmv_vocab_overlap(ray.data.from_arrow(t), a="en", b="fr", k=256).to_pandas()
+    pd.testing.assert_frame_equal(got, again)
