@@ -96,6 +96,9 @@ BENCH_QUERIES = [
     "approx_quantiles_events",
     "fineweb_audit_documents",
     "span_dedup_documents",
+    "span_corrupt_documents",
+    "pagerank_embeddings",
+    "vocab_overlap_documents",
 ]
 
 
