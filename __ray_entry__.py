@@ -170,6 +170,27 @@ def _cdc_sft_split(sf_dir: str):
     return sft_split(sf=0.01)
 
 
+def _cdc_merged_turns(sf_dir: str):
+    """Chat-data alternation repair: consecutive same-role turns of each
+    conversation coalesced into one message (gaps-and-islands, first turn_idx
+    kept, latest ts) — one task per partition over the conv-partitioned lake,
+    NO shuffle. Oracled — merged_turns_oracle_sql re-derives the islands with
+    window functions over the converged LWW state."""
+    from dbt_customer360_ray.pipelines.cdc_replay import merged_turns_export
+
+    return merged_turns_export(sf=0.01)
+
+
+def _cdc_context_pairs(sf_dir: str):
+    """Next-turn-prediction training pairs: for every assistant turn with a
+    preceding turn, (context = up-to-4 preceding role-prefixed lines, target =
+    the assistant text) — shuffle-free per partition. Oracled — a windowed
+    string_agg with a ROWS frame in SQL."""
+    from dbt_customer360_ray.pipelines.cdc_replay import context_pairs_export
+
+    return context_pairs_export(sf=0.01)
+
+
 def _cdc_describe_history(sf_dir: str):
     """DESCRIBE HISTORY: one row per manifest version with the commit's
     operation + apply metrics (metadata-only, no data reads). Oracled — every
@@ -1130,6 +1151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_expired_lake"] = _cdc_expired_lake
     out["cdc_hot_keys"] = _cdc_hot_keys
     out["cdc_describe_history"] = _cdc_describe_history
+    out["cdc_merged_turns"] = _cdc_merged_turns
+    out["cdc_context_pairs"] = _cdc_context_pairs
     out["cdc_sft_export"] = _cdc_sft_export
     out["cdc_sft_split"] = _cdc_sft_split
     out["cdc_fk_lake"] = _cdc_fk_lake
@@ -1368,6 +1391,13 @@ def oracle_sql() -> dict[str, str]:
 
     out["cdc_sft_export"] = sft_oracle_sql(sf=0.01)
     out["cdc_sft_split"] = sft_split_oracle_sql(sf=0.01)
+    from dbt_customer360_ray.pipelines.cdc_replay import (
+        context_pairs_oracle_sql,
+        merged_turns_oracle_sql,
+    )
+
+    out["cdc_merged_turns"] = merged_turns_oracle_sql(sf=0.01)
+    out["cdc_context_pairs"] = context_pairs_oracle_sql(sf=0.01)
     from dbt_customer360_ray.pipelines.cdc_replay import (
         fk_dlq_oracle_sql,
         fk_oracle_sql,

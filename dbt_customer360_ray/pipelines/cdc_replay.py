@@ -1707,6 +1707,75 @@ def sft_oracle_sql(sf: float = 0.01) -> str:
     """
 
 
+def merged_turns_export(sf: float = 0.01):
+    """Driver surface for ``CdcLake.merged_turns``: consecutive same-role
+    turns of each conversation coalesced into one message (the alternation
+    repair chat corpora apply before SFT formatting) — one task per
+    partition, no shuffle."""
+    return replayed_lake(sf).merged_turns()
+
+
+def merged_turns_oracle_sql(sf: float = 0.01) -> str:
+    """Oracle for merged_turns: gaps-and-islands over the converged LWW state
+    — an island breaks where the role changes (NULL-safe) between
+    turn_idx-adjacent rows of a conversation."""
+    inner = _lww_sql(_epoch_selects(sf))
+    return f"""
+        WITH st AS ({inner}), ord AS (
+            SELECT *,
+                   CASE WHEN lag(role) OVER (
+                            PARTITION BY conv_id ORDER BY turn_idx
+                        ) IS NOT DISTINCT FROM role THEN 0 ELSE 1 END AS brk
+            FROM st
+        ), isl AS (
+            SELECT *, sum(brk) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx) AS island
+            FROM ord
+        )
+        SELECT conv_id,
+               CAST(min(turn_idx) AS BIGINT) AS turn_idx,
+               min(role) AS role,
+               string_agg(coalesce(text, ''), chr(10) ORDER BY turn_idx) AS text,
+               CAST(count(*) AS BIGINT) AS n_merged,
+               max(ts) AS ts
+        FROM isl
+        GROUP BY conv_id, island
+    """
+
+
+CONTEXT_K = 4  # preceding turns per training pair — mirrored in the oracle
+
+
+def context_pairs_export(sf: float = 0.01, k: int = CONTEXT_K):
+    """Driver surface for ``CdcLake.context_pairs``: next-turn-prediction
+    training pairs (context = up-to-k preceding ``role: text`` lines, target =
+    the assistant text) — one task per partition, no shuffle."""
+    return replayed_lake(sf).context_pairs(k=k)
+
+
+def context_pairs_oracle_sql(sf: float = 0.01, k: int = CONTEXT_K) -> str:
+    """Oracle for context_pairs: a windowed string_agg with a ROWS frame of
+    the k preceding turns over the converged LWW state."""
+    inner = _lww_sql(_epoch_selects(sf))
+    return f"""
+        WITH st AS ({inner}), lined AS (
+            SELECT conv_id, turn_idx, role, text,
+                   row_number() OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx) AS rn,
+                   string_agg(
+                       coalesce(role, '') || ': ' || coalesce(text, ''), chr(10)
+                   ) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN {k} PRECEDING AND 1 PRECEDING) AS context
+            FROM st
+        )
+        SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, context,
+               coalesce(text, '') AS target
+        FROM lined
+        WHERE role = 'assistant' AND rn > 1
+    """
+
+
 # -- foreign-key constraint (cross-lake referential integrity) -------------------
 
 _FK_LAKES: dict = {}

@@ -707,6 +707,125 @@ def _assemble_partition(
     return pa.Table.from_pandas(agg, schema=out_schema, preserve_index=False)
 
 
+def _merged_turns_partition(
+    files: list[str], state_schema: pa.Schema, merge_mode: str = "lww",
+    purged: tuple = (),
+) -> pa.Table:
+    """merged_turns kernel for one partition: LWW-merge the runs, then coalesce
+    CONSECUTIVE same-role turns of each conversation into one turn (the
+    standard chat-data repair before SFT formatting — alternation-broken
+    transcripts merge their runs-of-role into single messages). Gaps-and-
+    islands, vectorized: an island breaks where conv_id or role changes
+    between turn_idx-adjacent rows. Routing co-locates a conversation's turns,
+    so the pass is exact with NO shuffle."""
+    import pandas as pd
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int64()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("n_merged", pa.int64()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+    if not files:
+        return out_schema.empty_table()
+    tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
+    state = _drop_purged(
+        drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode)),
+        purged,
+    )
+    cols = [c for c in ("conv_id", "turn_idx", "role", "text", "ts") if c in state.column_names]
+    df = state.select(cols).to_pandas()
+    for c in ("role", "text"):
+        if c not in df.columns:
+            df[c] = None
+    df = df.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+    # island break where the conversation or the role changes (NULL-safe:
+    # NULL role compares equal to NULL, mirroring IS DISTINCT FROM in SQL)
+    role_key = df["role"].fillna("\x00")
+    brk = (df["conv_id"] != df["conv_id"].shift()) | (role_key != role_key.shift())
+    island = brk.cumsum()
+    piece = df["text"].fillna("")
+    g_txt = piece.groupby(island.to_numpy(), sort=True)
+    g = df.groupby(island.to_numpy(), sort=True)
+    agg = pd.DataFrame(
+        {
+            "conv_id": g["conv_id"].first(),
+            "turn_idx": g["turn_idx"].min().astype("int64"),
+            "role": g["role"].first(),
+            "text": g_txt.agg("\n".join),
+            "n_merged": g.size().astype("int64"),
+            "ts": g["ts"].max(),
+        }
+    )
+    return pa.Table.from_pandas(agg, schema=out_schema, preserve_index=False)
+
+
+def _context_pairs_partition(
+    files: list[str], state_schema: pa.Schema, merge_mode: str = "lww",
+    purged: tuple = (), k: int = 4,
+) -> pa.Table:
+    """context_pairs kernel for one partition: LWW-merge the runs, then for
+    every assistant turn with at least one preceding turn emit a training pair
+    (context = the up-to-``k`` preceding turns as ``role: text`` lines, target
+    = the assistant text). Vectorized: k shifted line columns concatenated
+    oldest-first — no per-row Python. NO shuffle (conversations are
+    co-located by routing)."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int64()),
+            ("context", pa.string()),
+            ("target", pa.string()),
+        ]
+    )
+    if not files:
+        return out_schema.empty_table()
+    tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
+    state = _drop_purged(
+        drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode)),
+        purged,
+    )
+    cols = [c for c in ("conv_id", "turn_idx", "role", "text") if c in state.column_names]
+    df = state.select(cols).to_pandas()
+    for c in ("role", "text"):
+        if c not in df.columns:
+            df[c] = None
+    df = df.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+    line = df["role"].fillna("") + ": " + df["text"].fillna("")
+    conv = df["conv_id"]
+    # context = join of the previous ≤k lines, oldest first: build k shifted
+    # copies (shift j valid only while still inside the same conversation)
+    parts: list[pd.Series] = []
+    for j in range(k, 0, -1):
+        shifted = line.shift(j)
+        valid = conv.shift(j) == conv
+        parts.append(shifted.where(valid))
+    ctx = pd.Series(np.full(len(df), "", dtype=object))
+    started = pd.Series(np.zeros(len(df), dtype=bool))
+    for p in parts:
+        has = p.notna()
+        ctx = ctx.where(~(started & has), ctx + "\n" + p.fillna(""))
+        ctx = ctx.where(~(~started & has), p.fillna(""))
+        started = started | has
+    keep = (df["role"] == "assistant") & started
+    out = pd.DataFrame(
+        {
+            "conv_id": conv[keep],
+            "turn_idx": df["turn_idx"][keep].astype("int64"),
+            "context": ctx[keep],
+            "target": df["text"][keep].fillna(""),
+        }
+    )
+    return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+
+
 _KMV_HEX = 16  # 64-bit hex prefix, matching stages.sketches
 _KMV_FRAC = 13  # 52 bits — exact in a float64 significand
 
@@ -2571,6 +2690,69 @@ class CdcLake:
             task.remote(
                 m.live_files(pid), schema_ref, self.merge_mode,
                 tuple(self.manifest.purged_keys),
+            )
+            for pid in range(P)
+        ]
+        return ray.data.from_arrow_refs(refs)
+
+    def merged_turns(self, epoch: int | None = None, version: int | None = None):
+        """Chat-data repair: coalesce CONSECUTIVE same-role turns of each
+        conversation into one message (text lines joined, first turn_idx kept,
+        latest ts) — the alternation fix applied before SFT formatting. One
+        plain Ray task per partition, NO shuffle (routing co-locates every
+        turn of a conversation)."""
+        import ray
+        import ray.data
+
+        m = (
+            self.manifest
+            if epoch is None and version is None
+            else self._manifest_at(epoch, version)
+        )
+        state_schema = m.schema
+        if state_schema is None:
+            return ray.data.from_arrow(
+                pa.schema([("conv_id", pa.string())]).empty_table()
+            )
+        P = m.num_partitions or self.P
+        task = ray.remote(_merged_turns_partition)
+        schema_ref = ray.put(state_schema)
+        refs = [
+            task.remote(
+                m.live_files(pid), schema_ref, self.merge_mode,
+                tuple(self.manifest.purged_keys),
+            )
+            for pid in range(P)
+        ]
+        return ray.data.from_arrow_refs(refs)
+
+    def context_pairs(
+        self, k: int = 4, epoch: int | None = None, version: int | None = None
+    ):
+        """Training-pair export: for every assistant turn with at least one
+        preceding turn, (context = up-to-``k`` preceding ``role: text`` lines,
+        target = the assistant text) — the next-turn-prediction dataset a chat
+        lake feeds to SFT. One plain Ray task per partition, NO shuffle."""
+        import ray
+        import ray.data
+
+        m = (
+            self.manifest
+            if epoch is None and version is None
+            else self._manifest_at(epoch, version)
+        )
+        state_schema = m.schema
+        if state_schema is None:
+            return ray.data.from_arrow(
+                pa.schema([("conv_id", pa.string())]).empty_table()
+            )
+        P = m.num_partitions or self.P
+        task = ray.remote(_context_pairs_partition)
+        schema_ref = ray.put(state_schema)
+        refs = [
+            task.remote(
+                m.live_files(pid), schema_ref, self.merge_mode,
+                tuple(self.manifest.purged_keys), k,
             )
             for pid in range(P)
         ]
