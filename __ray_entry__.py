@@ -170,6 +170,16 @@ def _cdc_sft_split(sf_dir: str):
     return sft_split(sf=0.01)
 
 
+def _cdc_deleted_where(sf_dir: str):
+    """Predicate DELETE DML (DELETE FROM lake WHERE role = 'tool'): live
+    matching rows tombstoned through the exactly-once epoch path — change-
+    feed-visible, time-travelable, one task per partition, no shuffle.
+    Oracled — the converged state minus definitively-matching rows."""
+    from dbt_customer360_ray.pipelines.cdc_replay import deleted_where_lake
+
+    return deleted_where_lake(sf=0.01)
+
+
 def _cdc_merged_turns(sf_dir: str):
     """Chat-data alternation repair: consecutive same-role turns of each
     conversation coalesced into one message (gaps-and-islands, first turn_idx
@@ -1153,6 +1163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_describe_history"] = _cdc_describe_history
     out["cdc_merged_turns"] = _cdc_merged_turns
     out["cdc_context_pairs"] = _cdc_context_pairs
+    out["cdc_deleted_where"] = _cdc_deleted_where
     out["cdc_sft_export"] = _cdc_sft_export
     out["cdc_sft_split"] = _cdc_sft_split
     out["cdc_fk_lake"] = _cdc_fk_lake
@@ -1398,6 +1409,9 @@ def oracle_sql() -> dict[str, str]:
 
     out["cdc_merged_turns"] = merged_turns_oracle_sql(sf=0.01)
     out["cdc_context_pairs"] = context_pairs_oracle_sql(sf=0.01)
+    from dbt_customer360_ray.pipelines.cdc_replay import delete_where_oracle_sql
+
+    out["cdc_deleted_where"] = delete_where_oracle_sql(sf=0.01)
     from dbt_customer360_ray.pipelines.cdc_replay import (
         fk_dlq_oracle_sql,
         fk_oracle_sql,

@@ -820,6 +820,30 @@ def retention_oracle_sql(sf: float = 0.01, cutoff: str = EXPIRE_CUTOFF) -> str:
     return f"SELECT * FROM ({inner}) WHERE ts >= TIMESTAMP '{cutoff}'"
 
 
+DELETE_SPEC = {"name": "drop_tool_turns", "column": "role", "op": "==", "value": "tool"}
+
+
+def deleted_where_lake(sf: float = 0.01):
+    """Driver surface for ``CdcLake.delete_where`` (predicate DELETE DML):
+    replay the fixture into a fresh lake, tombstone every live tool-role turn
+    through the exactly-once epoch path (one task per partition, no shuffle),
+    and return the post-delete lake."""
+    lake, _ = replay(sf=sf)
+    lake.delete_where(DELETE_SPEC, SYNC_TS)
+    return lake.read()
+
+
+def delete_where_oracle_sql(sf: float = 0.01, spec: dict = DELETE_SPEC) -> str:
+    """Oracle for ``deleted_where_lake``: converged rows where the predicate
+    is NOT definitively TRUE survive with their original ts — the engine's
+    ``predicate_sql`` translation keeps both sides on one grammar."""
+    from ..state.constraints import predicate_sql, validate_spec
+
+    pred = predicate_sql(validate_spec(spec))
+    inner = _lww_sql(_epoch_selects(sf))
+    return f"SELECT * FROM ({inner}) WHERE NOT coalesce(({pred}), FALSE)"
+
+
 def token_index_lake(sf: float = 0.01):
     """Driver surface for the incrementally-maintained inverted token index
     (``state/views.py: sync_token_index``): replay the fixture, then fold each

@@ -111,6 +111,23 @@ def _predicate_false(col, spec) -> "pc.Expression":
     return pc.fill_null(pc.invert(pred), False)
 
 
+def _predicate_true(col, spec) -> "pc.Expression":
+    """Boolean array: True where the predicate is definitively TRUE —
+    ``coalesce(pred, FALSE)``, the DML WHERE semantics (a NULL comparison
+    selects nothing), dual of ``_predicate_false``'s CHECK semantics."""
+    op = spec["op"]
+    if op == "not_null":
+        return pc.is_valid(col)
+    if op == "matches":
+        return pc.fill_null(pc.match_substring_regex(col, spec["value"]), False)
+    if op == "in":
+        # is_in yields False (not null) for null inputs already
+        return pc.is_in(col, value_set=pa.array(spec["value"], type=col.type))
+    kernel = {"==": pc.equal, "!=": pc.not_equal, "<": pc.less,
+              "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}[op]
+    return pc.fill_null(kernel(col, _scalar_for(col, spec["value"])), False)
+
+
 def violation_masks(batch: pa.Table, constraints: list[dict]) -> list[np.ndarray]:
     """One bool ndarray per constraint: True where that constraint quarantines
     the row. Vectorized — one pyarrow.compute kernel chain per constraint.

@@ -470,6 +470,54 @@ def _expire_partition(
     )
 
 
+def _delete_where_partition(
+    files: list[str],
+    state_schema: pa.Schema,
+    spec: dict,
+    sync_ts_us: int,
+    base_offset: int,
+    merge_mode: str = "lww",
+) -> pa.Table:
+    """delete_where kernel for one partition: LWW-merge the runs and emit a
+    'D' tombstone for every LIVE key whose converged row makes the predicate
+    definitively TRUE (``coalesce(pred, FALSE)`` — SQL DELETE WHERE
+    semantics). Same exactly-once epoch shape as ``_expire_partition``: the
+    deletion is change-feed-visible and time-travelable, and the scan never
+    leaves the partition that owns the keys."""
+    import numpy as np
+    import pandas as pd
+
+    from .constraints import _predicate_true
+
+    event_schema = pa.schema([f for f in state_schema if f.name != "pid"])
+    payload = [
+        f.name
+        for f in state_schema
+        if f.name not in KEY_COLUMNS and f.name not in INTERNAL_COLUMNS and f.name != "ts"
+    ]
+    if not files:
+        return event_schema.empty_table()
+    tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
+    state = drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode))
+    if spec["column"] not in state.column_names or state.num_rows == 0:
+        return event_schema.empty_table()
+    hit = state.filter(_predicate_true(state.column(spec["column"]), spec))
+    if hit.num_rows == 0:
+        return event_schema.empty_table()
+    out = hit.select(list(KEY_COLUMNS)).to_pandas()
+    out = out.sort_values(list(KEY_COLUMNS), kind="stable").reset_index(drop=True)
+    out.insert(0, "op", "D")
+    for c in payload:
+        out[c] = None
+    out.insert(0, "offset", base_offset + np.arange(len(out), dtype=np.int64))
+    out["ts"] = pd.Timestamp(sync_ts_us, unit="us")
+    return (
+        pa.Table.from_pandas(out, preserve_index=False)
+        .select([f.name for f in event_schema])
+        .cast(event_schema)
+    )
+
+
 def _export_partition(
     files: list[str],
     state_schema: pa.Schema,
@@ -2163,6 +2211,55 @@ class CdcLake:
                 self.manifest.live_files(pid),
                 schema_ref,
                 cutoff_us,
+                sync_us,
+                base_offset,
+                self.merge_mode,
+            )
+            for pid in range(self.P)
+        ]
+        return self.apply(
+            ray.data.from_arrow_refs(refs),
+            detect_hot=detect_hot,
+            _physical_names=True,
+        )
+
+    def delete_where(self, spec: dict, sync_ts, detect_hot: str = "off") -> dict:
+        """Predicate DELETE (the Delta ``DELETE FROM t WHERE …`` DML verb):
+        tombstone every live row whose converged state satisfies the
+        constraint-shaped predicate spec — ``{"name": …, "column": …, "op":
+        "=="|"!="|"<"|"<="|">"|">="|"in"|"matches"|"not_null", "value": …}``,
+        the same grammar (and SQL translation) as CHECK constraints and row
+        policies, with DML WHERE semantics (a NULL comparison deletes
+        nothing). Expressed as ordinary 'D' change events through the
+        exactly-once epoch path, so the deletion is change-feed-visible and
+        time-travelable. One Ray task per partition, NO shuffle (routing owns
+        the keys). Returns the apply metrics."""
+        import ray
+        import ray.data
+
+        from .constraints import validate_spec
+
+        state_schema = self.manifest.schema
+        if state_schema is None:
+            raise ValueError("delete_where: lake is empty")
+        spec = validate_spec(spec)
+        if spec["op"] == "fk":
+            raise ValueError("delete_where: fk specs are constraint-only")
+        cm = self.manifest.column_mapping
+        if cm:
+            spec = {**spec, "column": dict(cm["logical"]).get(
+                spec["column"], spec["column"]
+            )}
+        sync_us = _ts_to_us(sync_ts)
+        self._require_sync_ts_above_committed("delete_where", sync_us)
+        base_offset = max(self.manifest.committed_offsets().values(), default=-1) + 1
+        task = ray.remote(_delete_where_partition)
+        schema_ref = ray.put(state_schema)
+        refs = [
+            task.remote(
+                self.manifest.live_files(pid),
+                schema_ref,
+                spec,
                 sync_us,
                 base_offset,
                 self.merge_mode,

@@ -101,6 +101,16 @@ def main() -> int:
                     help="declare a row access policy applied at serving reads "
                          "(OP: !=, ==, in, matches, not_null, <, <=, >, >=); "
                          "repeatable")
+    ap.add_argument("--delete-where", action="append", default=[],
+                    metavar="NAME:COL:OP[:VALUE]",
+                    help="predicate DELETE DML after replay: tombstone live "
+                         "rows matching the constraint-shaped predicate "
+                         "(op in ==,!=,<,<=,>,>=,in,matches,not_null; "
+                         "'in' values comma-separated); exactly-once, "
+                         "change-feed-visible")
+    ap.add_argument("--delete-ts", default="2030-01-01",
+                    help="sync_ts stamped on --delete-where tombstones "
+                         "(must exceed every committed ts)")
     ap.add_argument("--purge-key", action="append", default=[], metavar="CONV_ID",
                     help="GDPR-erase a conversation: unreadable on every "
                          "surface immediately, physically rewritten out of "
@@ -288,6 +298,18 @@ def main() -> int:
                           "version": v}), flush=True)
     for cid in args.purge_key:
         print(json.dumps({"purged": cid} | lake.purge_key(cid)), flush=True)
+    for spec in args.delete_where:
+        parts = spec.split(":", 3)
+        if len(parts) < 3:
+            raise SystemExit(f"--delete-where wants NAME:COL:OP[:VALUE], got {spec!r}")
+        name, col, op = parts[:3]
+        value = parts[3] if len(parts) == 4 else None
+        if op == "in" and value is not None:
+            value = value.split(",")
+        m = lake.delete_where(
+            {"name": name, "column": col, "op": op, "value": value}, args.delete_ts
+        )
+        print(json.dumps({"deleted_where": name, "deletes": m["deletes"]}), flush=True)
     for spec in args.row_policy:
         parts = spec.split(":", 3)
         if len(parts) < 3:

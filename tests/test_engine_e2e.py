@@ -670,6 +670,53 @@ def test_expire_rows_matches_filter_and_feeds_change_feed(tmp_path):
     assert m2["events_in"] == 0
 
 
+def test_delete_where_matches_predicate_and_feeds_change_feed(tmp_path):
+    lake, st = _merge_base(tmp_path)
+    epoch0 = lake.manifest.last_epoch
+    n_tool = int((st.role == "tool").sum())
+    assert n_tool > 0
+    m = lake.delete_where(
+        {"name": "drop_tool", "column": "role", "op": "==", "value": "tool"},
+        "2025-06-01",
+    )
+    got = lake.read_local_table().to_pandas()
+    exp = st[~st.role.eq("tool").fillna(False)]
+    assert len(got) == len(exp) and m["deletes"] == n_tool
+    assert not got.role.eq("tool").any()
+    # the DELETE is an ordinary epoch: change-feed-visible and time-travelable
+    feed = lake.change_feed(
+        from_epoch=epoch0, to_epoch=lake.manifest.last_epoch
+    ).to_pandas()
+    assert set(feed["change_type"].unique()) == {"delete"} and len(feed) == n_tool
+    assert len(lake.read_local_table_as_of(epoch=epoch0)) == len(st)
+    # idempotent; and a NULL comparison deletes nothing (DML WHERE semantics)
+    assert lake.delete_where(
+        {"name": "again", "column": "role", "op": "==", "value": "tool"},
+        "2025-06-02",
+    )["events_in"] == 0
+    n_null_tool = int(lake.read_local_table().to_pandas()["tool"].isna().sum())
+    assert n_null_tool > 0
+    assert lake.delete_where(
+        {"name": "lt_null", "column": "tool", "op": "<", "value": "zzz"},
+        "2025-06-03",
+    )["deletes"] == len(exp) - n_null_tool
+
+
+def test_delete_where_matches_regex_and_column_mapping(tmp_path):
+    lake, st = _merge_base(tmp_path)
+    lake.rename_column("role", "speaker")
+    m = lake.delete_where(
+        {"name": "rx", "column": "speaker", "op": "matches", "value": "^(tool|system)$"},
+        "2025-06-01",
+    )
+    want_gone = st.role.isin(["tool", "system"]).sum()
+    assert m["deletes"] == want_gone
+    got = lake.read().to_pandas()
+    assert "speaker" in got.columns
+    assert not got.speaker.isin(["tool", "system"]).any()
+    assert len(got) == len(st) - want_gone
+
+
 def test_lookup_many_matches_filtered_read(tmp_path):
     changes = gen_changes(5_000, 300, seed=41)
     lake = _replay(tmp_path, split_epochs(changes, 2))
