@@ -170,6 +170,16 @@ def _cdc_sft_split(sf_dir: str):
     return sft_split(sf=0.01)
 
 
+def _cdc_wap_published(sf_dir: str):
+    """Write-audit-publish (Iceberg WAP): epoch 3 stages on a metadata-only
+    branch, passes the audits, publishes via merge_branch; a poisoned epoch
+    fails the role-domain audit and never becomes visible (asserted in the
+    callable). Oracled — the final state must equal the plain full replay."""
+    from dbt_customer360_ray.pipelines.cdc_replay import wap_lake
+
+    return wap_lake(sf=0.01)
+
+
 def _cdc_deleted_where(sf_dir: str):
     """Predicate DELETE DML (DELETE FROM lake WHERE role = 'tool'): live
     matching rows tombstoned through the exactly-once epoch path — change-
@@ -1164,6 +1174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_merged_turns"] = _cdc_merged_turns
     out["cdc_context_pairs"] = _cdc_context_pairs
     out["cdc_deleted_where"] = _cdc_deleted_where
+    out["cdc_wap_published"] = _cdc_wap_published
     out["cdc_sft_export"] = _cdc_sft_export
     out["cdc_sft_split"] = _cdc_sft_split
     out["cdc_fk_lake"] = _cdc_fk_lake
@@ -1412,6 +1423,7 @@ def oracle_sql() -> dict[str, str]:
     from dbt_customer360_ray.pipelines.cdc_replay import delete_where_oracle_sql
 
     out["cdc_deleted_where"] = delete_where_oracle_sql(sf=0.01)
+    out["cdc_wap_published"] = replay_oracle_sql(sf=0.01)
     from dbt_customer360_ray.pipelines.cdc_replay import (
         fk_dlq_oracle_sql,
         fk_oracle_sql,

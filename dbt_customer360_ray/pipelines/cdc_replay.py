@@ -820,6 +820,52 @@ def retention_oracle_sql(sf: float = 0.01, cutoff: str = EXPIRE_CUTOFF) -> str:
     return f"SELECT * FROM ({inner}) WHERE ts >= TIMESTAMP '{cutoff}'"
 
 
+WAP_AUDITS = [
+    {"name": "role_domain", "column": "role", "op": "in",
+     "value": ["user", "assistant", "system", "tool"]},
+    {"name": "ts_present", "column": "ts", "op": "not_null"},
+]
+
+
+def wap_lake(sf: float = 0.01):
+    """Driver surface for write-audit-publish: replay epochs 0-2 into a fresh
+    lake, WAP-publish epoch 3 (clean → audits pass → merge_branch), then WAP a
+    POISONED epoch (role rewritten to an out-of-domain value under fresh
+    offsets) which the audit must reject — the poison never becomes visible,
+    so the final state equals the plain full replay (replay_oracle_sql)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    fx = changes_fixture(sf)
+    lake = CdcLake(
+        os.path.join(tempfile.mkdtemp(prefix=f"wap-lake-sf{sf}-"), "lake"),
+        num_partitions=32,
+    )
+    for p in fx["paths"][:3]:
+        lake.apply(p)
+    r1 = lake.write_audit_publish(fx["paths"][3], WAP_AUDITS)
+    assert r1["published"], r1
+    t = pq.read_table(fx["paths"][3])
+    is_img = pc.is_in(t.column("op"), value_set=pa.array(["I", "U"], pa.string()))
+    poisoned = (
+        t.set_column(
+            t.schema.get_field_index("offset"),
+            "offset",
+            pc.add(t.column("offset"), pa.scalar(10_000_000, pa.int64())),
+        )
+        .set_column(
+            t.schema.get_field_index("role"),
+            "role",
+            pc.if_else(is_img, pa.scalar("robot", pa.string()), t.column("role")),
+        )
+    )
+    r2 = lake.write_audit_publish(ray.data.from_arrow(poisoned), WAP_AUDITS)
+    assert not r2["published"] and r2["violations"]["role_domain"] > 0, r2
+    return lake.read()
+
+
 DELETE_SPEC = {"name": "drop_tool_turns", "column": "role", "op": "==", "value": "tool"}
 
 

@@ -470,6 +470,36 @@ def _expire_partition(
     )
 
 
+def _audit_partition(
+    files: list[str], state_schema: pa.Schema, specs: tuple,
+    merge_mode: str = "lww", purged: tuple = (),
+) -> pa.Table:
+    """audit_state kernel for one partition: LWW-merge the runs and count the
+    live rows that DEFINITIVELY violate each constraint-shaped audit spec
+    (CHECK semantics — null passes), one count per spec. No shuffle; the
+    driver sums P small tables."""
+    from .constraints import _predicate_false
+
+    out_schema = pa.schema([("name", pa.string()), ("violations", pa.int64())])
+    names = [s["name"] for s in specs]
+    if not files:
+        return pa.table({"name": names, "violations": [0] * len(names)}, schema=out_schema)
+    tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
+    state = _drop_purged(
+        drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode)),
+        purged,
+    )
+    counts = []
+    for spec in specs:
+        col = state.column(spec["column"])
+        if spec["op"] == "not_null":
+            bad = pc.is_null(col)
+        else:
+            bad = _predicate_false(col, spec)
+        counts.append(int(pc.sum(bad).as_py() or 0))
+    return pa.table({"name": names, "violations": counts}, schema=out_schema)
+
+
 def _delete_where_partition(
     files: list[str],
     state_schema: pa.Schema,
@@ -3646,6 +3676,70 @@ class CdcLake:
             "merged_rows": added_rows,
             "epochs_added": new_epochs,
         }
+
+    def audit_state(self, specs: list[dict]) -> dict:
+        """Count live converged rows that DEFINITIVELY violate each
+        constraint-shaped spec (CHECK semantics — null passes), the audit half
+        of write-audit-publish. One Ray task per partition, NO shuffle; the
+        driver sums P tiny tables. Returns ``{name: violation_count}``."""
+        import ray
+
+        from .constraints import validate_spec
+
+        state_schema = self.manifest.schema
+        if state_schema is None:
+            raise ValueError("audit_state: lake is empty")
+        vspecs = []
+        l2p = dict((self.manifest.column_mapping or {}).get("logical", {}))
+        for s in specs:
+            v = validate_spec(s)
+            if v["op"] == "fk":
+                raise ValueError("audit_state: fk specs are constraint-only")
+            v["column"] = l2p.get(v["column"], v["column"])
+            vspecs.append(v)
+        task = ray.remote(_audit_partition)
+        schema_ref = ray.put(state_schema)
+        parts = ray.get(
+            [
+                task.remote(
+                    self.manifest.live_files(pid), schema_ref, tuple(vspecs),
+                    self.merge_mode, tuple(self.manifest.purged_keys),
+                )
+                for pid in range(self.P)
+            ]
+        )
+        out = {v["name"]: 0 for v in vspecs}
+        for t in parts:
+            for name, n in zip(t.column("name").to_pylist(), t.column("violations").to_pylist()):
+                out[name] += int(n)
+        return out
+
+    def write_audit_publish(
+        self, changes, audits: list[dict], branch_dir: str | None = None
+    ) -> dict:
+        """Iceberg-style WAP (write-audit-publish): stage ``changes`` on a
+        metadata-only branch (``clone``), run the constraint-shaped audits
+        over the branch's STAGED state, and publish via ``merge_branch`` only
+        if every audit counts zero violations — a poisoned epoch never becomes
+        visible to readers of this lake. The abandoned branch directory is
+        left for inspection (the WAP equivalent of a failed audit snapshot);
+        exactly-once carries through publish (the staged epoch's offsets
+        commit here with the merge, so a redelivery is a no-op)."""
+        import tempfile
+
+        fork_version = self.manifest.version
+        branch = self.clone(branch_dir or tempfile.mkdtemp(prefix="wap-branch-"))
+        staged = branch.apply(changes)
+        violations = branch.audit_state(audits)
+        out = {
+            "published": all(v == 0 for v in violations.values()),
+            "violations": violations,
+            "staged": staged,
+            "branch_dir": branch.lake_dir,
+        }
+        if out["published"]:
+            out["merge"] = self.merge_branch(branch, fork_version=fork_version)
+        return out
 
     def restore(self, epoch: int | None = None, version: int | None = None) -> int:
         """Roll the lake back to a committed snapshot as a NEW commit

@@ -227,3 +227,74 @@ def test_merge_branch_refuses_mismatched_lakes(tmp_path):
     branch.rename_column("tool", "tool_label")
     with pytest.raises(ValueError, match="column-mapping"):
         a.merge_branch(branch)
+
+
+def test_wap_publishes_clean_and_rejects_poison(tmp_path):
+    import pyarrow as pa
+    import ray.data
+
+    changes = gen_changes(4_000, 250, seed=29)
+    epochs = split_epochs(changes, 4)
+    lake = CdcLake(str(tmp_path / "lake"), num_partitions=8)
+    for e in epochs[:3]:
+        lake.apply(ray.data.from_arrow(e))
+    audits = [
+        {"name": "role_domain", "column": "role", "op": "in",
+         "value": ["user", "assistant", "system", "tool"]},
+        {"name": "ts_present", "column": "ts", "op": "not_null"},
+    ]
+    v_before = lake.manifest.version
+
+    r = lake.write_audit_publish(
+        ray.data.from_arrow(epochs[3]), audits,
+        branch_dir=str(tmp_path / "b1"),
+    )
+    assert r["published"] and set(r["violations"].values()) == {0}
+    want = _oracle(*epochs)
+    pd.testing.assert_frame_equal(_state(lake)[want.columns.tolist()], want)
+
+    # a poisoned epoch (out-of-domain role, fresh offsets) is staged, audited,
+    # and rejected — the parent state and version log are untouched
+    df = epochs[3].to_pandas()
+    img = df["op"].isin(["I", "U"])
+    df.loc[img, "role"] = "robot"
+    df["offset"] = df["offset"] + 10_000_000
+    v_pub = lake.manifest.version
+    r2 = lake.write_audit_publish(
+        ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)),
+        audits, branch_dir=str(tmp_path / "b2"),
+    )
+    assert not r2["published"]
+    assert r2["violations"]["role_domain"] > 0
+    assert lake.manifest.version == v_pub > v_before
+    want = _oracle(*epochs)
+    pd.testing.assert_frame_equal(_state(lake)[want.columns.tolist()], want)
+    # the abandoned branch is inspectable: its staged state holds the poison
+    staged = CdcLake(str(tmp_path / "b2"), num_partitions=8).read_local_table()
+    assert "robot" in set(staged.column("role").to_pylist())
+
+    # exactly-once survives publish: redelivering the published epoch directly
+    # on the parent fully dedupes
+    m = lake.apply(ray.data.from_arrow(epochs[3]))
+    assert m["events_deduped"] == m["events_in"]
+    want = _oracle(*epochs)
+    pd.testing.assert_frame_equal(_state(lake)[want.columns.tolist()], want)
+
+
+def test_audit_state_counts_exact_violations(tmp_path):
+    import ray.data
+
+    changes = gen_changes(2_000, 120, seed=31)
+    lake = CdcLake(str(tmp_path / "lake"), num_partitions=8)
+    lake.apply(ray.data.from_arrow(changes))
+    st = _state(lake)
+    got = lake.audit_state(
+        [
+            {"name": "no_short", "column": "text", "op": "matches", "value": "."},
+            {"name": "role_user_only", "column": "role", "op": "==", "value": "user"},
+        ]
+    )
+    # CHECK semantics: null passes; definitive violations only
+    want_role = int((st.role.notna() & st.role.ne("user")).sum())
+    assert got["role_user_only"] == want_role
+    assert got["no_short"] == int((st.text.notna() & st.text.eq("")).sum())
