@@ -170,6 +170,17 @@ def _cdc_sft_split(sf_dir: str):
     return sft_split(sf=0.01)
 
 
+def _cdc_dedup_index(sf_dir: str):
+    """Incrementally-maintained exact-dedup index (IVM with true deletions):
+    each epoch's change feed with pre-images maps to member postings of a
+    derived lake — O(changed rows) per epoch — and the keeper table (first
+    member + copy count per distinct live text) is served from the postings.
+    Oracled — the scratch GROUP BY md5(text) over the converged state."""
+    from dbt_customer360_ray.pipelines.cdc_replay import dedup_index_lake
+
+    return dedup_index_lake(sf=0.01)
+
+
 def _cdc_wap_published(sf_dir: str):
     """Write-audit-publish (Iceberg WAP): epoch 3 stages on a metadata-only
     branch, passes the audits, publishes via merge_branch; a poisoned epoch
@@ -1175,6 +1186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_context_pairs"] = _cdc_context_pairs
     out["cdc_deleted_where"] = _cdc_deleted_where
     out["cdc_wap_published"] = _cdc_wap_published
+    out["cdc_dedup_index"] = _cdc_dedup_index
     out["cdc_sft_export"] = _cdc_sft_export
     out["cdc_sft_split"] = _cdc_sft_split
     out["cdc_fk_lake"] = _cdc_fk_lake
@@ -1424,6 +1436,9 @@ def oracle_sql() -> dict[str, str]:
 
     out["cdc_deleted_where"] = delete_where_oracle_sql(sf=0.01)
     out["cdc_wap_published"] = replay_oracle_sql(sf=0.01)
+    from dbt_customer360_ray.pipelines.cdc_replay import dedup_index_oracle_sql
+
+    out["cdc_dedup_index"] = dedup_index_oracle_sql(sf=0.01)
     from dbt_customer360_ray.pipelines.cdc_replay import (
         fk_dlq_oracle_sql,
         fk_oracle_sql,

@@ -820,6 +820,45 @@ def retention_oracle_sql(sf: float = 0.01, cutoff: str = EXPIRE_CUTOFF) -> str:
     return f"SELECT * FROM ({inner}) WHERE ts >= TIMESTAMP '{cutoff}'"
 
 
+def dedup_index_lake(sf: float = 0.01):
+    """Driver surface for the incrementally-maintained exact-dedup index
+    (``state/views.py: sync_dedup_index``): replay the fixture, fold each
+    epoch's change feed (with pre-images) into member-grain postings of a
+    derived lake, and serve the keeper table (first member + copy count per
+    distinct live text). Per-epoch work O(changed rows), never O(lake)."""
+    from ..state.views import read_dedup_keepers, sync_dedup_index
+
+    src = replayed_lake(sf)
+    dst = CdcLake(
+        os.path.join(tempfile.mkdtemp(prefix="dedup-idx-"), "lake"),
+        num_partitions=16,
+    )
+    sync_dedup_index(src, dst)
+    return read_dedup_keepers(dst)
+
+
+def dedup_index_oracle_sql(sf: float = 0.01) -> str:
+    """Oracle for ``dedup_index_lake``: the keeper table derived from scratch
+    — GROUP BY md5(text) over the converged LWW state, min (conv, turn)
+    member, copy count; null-text rows carry no posting."""
+    inner = _lww_sql(_epoch_selects(sf))
+    return f"""
+        WITH st AS ({inner}), h AS (
+            SELECT md5(text) AS text_md5, conv_id, turn_idx
+            FROM st WHERE text IS NOT NULL
+        )
+        SELECT text_md5, conv_id AS keeper_conv,
+               CAST(turn_idx AS BIGINT) AS keeper_turn, n_copies
+        FROM (
+            SELECT text_md5, conv_id, turn_idx,
+                   CAST(count(*) OVER (PARTITION BY text_md5) AS BIGINT) AS n_copies,
+                   row_number() OVER (
+                       PARTITION BY text_md5 ORDER BY conv_id, turn_idx) AS rn
+            FROM h
+        ) WHERE rn = 1
+    """
+
+
 WAP_AUDITS = [
     {"name": "role_domain", "column": "role", "op": "in",
      "value": ["user", "assistant", "system", "tool"]},

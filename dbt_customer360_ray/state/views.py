@@ -645,3 +645,165 @@ def read_join_view(dst: CdcLake):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# -- incremental EXACT-DEDUP index: member-grain postings per distinct text ----
+
+_DEDUP_EVENT_SCHEMA = pa.schema(
+    [
+        ("offset", pa.int64()),
+        ("op", pa.string()),
+        ("conv_id", pa.string()),   # composite key: md5 \x1f conv \x1f turn
+        ("turn_idx", pa.int32()),   # pinned 0 (composite carries the identity)
+        ("text_md5", pa.string()),
+        ("src_conv", pa.string()),
+        ("src_turn", pa.int64()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+
+def _md5_hex(texts: pd.Series) -> pd.Series:
+    import hashlib
+
+    return texts.map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
+
+
+def sync_dedup_index(
+    src: CdcLake,
+    dst: CdcLake,
+    upto_epoch: int | None = None,
+) -> list[dict]:
+    """Incrementally-maintained EXACT-DEDUP index: one posting per live
+    (distinct text, member row) — the curation keeper table as a maintained
+    view instead of a per-run rescan (``stages.dedup.dedup_exact`` is the
+    scratch equivalent).
+
+    Pure delta maintenance with TRUE DELETIONS: each source epoch's change
+    feed WITH PRE-IMAGES maps to member postings — an insert adds
+    (md5(text), conv, turn), a delete removes (md5(old_text), conv, turn), an
+    update whose text hash changed does both (hash-unchanged updates cancel
+    to nothing). Per-epoch work is O(changed rows), independent of lake size;
+    null-text rows carry no posting. Events flow through the exactly-once
+    sink (offset/ts determinism per this module's contract), so the index
+    inherits replay dedup, crash resume, and time travel."""
+    import ray.data
+
+    last_src = src.manifest.last_epoch if upto_epoch is None else upto_epoch
+    out = []
+    for epoch in range(dst.manifest.last_epoch + 1, last_src + 1):
+        if dst.manifest.epoch_committed(epoch):
+            continue
+        feed = (
+            src.change_feed(from_epoch=epoch - 1, to_epoch=epoch, include_preimage=True)
+            if epoch > 0
+            else src.change_feed(from_version=0, to_epoch=0, include_preimage=True)
+        )
+        watermark = _WATERMARK_BASE + np.timedelta64(epoch + 1, "s")
+
+        def to_events(t: pa.Table, ep=epoch, wm=watermark) -> pa.Table:
+            df = t.to_pandas()
+            adds = df[(df["change_type"] != "delete") & df["text"].notna()]
+            drops = df[(df["change_type"] != "insert") & df["old_text"].notna()]
+            frames = []
+            if len(adds):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "text_md5": _md5_hex(adds["text"]),
+                            "src_conv": adds["conv_id"].to_numpy(),
+                            "src_turn": adds["turn_idx"].to_numpy("int64"),
+                            "sign": 1,
+                        }
+                    )
+                )
+            if len(drops):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "text_md5": _md5_hex(drops["old_text"]),
+                            "src_conv": drops["conv_id"].to_numpy(),
+                            "src_turn": drops["turn_idx"].to_numpy("int64"),
+                            "sign": -1,
+                        }
+                    )
+                )
+            if not frames:
+                return _DEDUP_EVENT_SCHEMA.empty_table()
+            d = pd.concat(frames).groupby(
+                ["text_md5", "src_conv", "src_turn"], sort=False, as_index=False
+            )["sign"].sum()
+            d = d[d["sign"] != 0]  # hash-unchanged updates cancel
+            if not len(d):
+                return _DEDUP_EVENT_SCHEMA.empty_table()
+            key = (
+                d["text_md5"]
+                + "\x1f"
+                + d["src_conv"]
+                + "\x1f"
+                + d["src_turn"].astype(str)
+            )
+            dead = d["sign"] < 0
+            ev = pd.DataFrame(
+                {
+                    "offset": np.int64(ep + 1) * np.int64(1 << 40)
+                    + (
+                        stable_hash(key.to_numpy()) % np.uint64(1 << 39)
+                    ).astype(np.int64),
+                    "op": np.where(dead, "D", "I"),
+                    "conv_id": key,
+                    "turn_idx": np.int32(0),
+                    "text_md5": d["text_md5"].where(~dead, None),
+                    "src_conv": d["src_conv"].where(~dead, None),
+                    "src_turn": d["src_turn"].astype("Int64").where(~dead, None),
+                    "ts": pd.Timestamp(wm),
+                }
+            )
+            return pa.Table.from_pandas(
+                ev, schema=_DEDUP_EVENT_SCHEMA, preserve_index=False
+            )
+
+        events = feed.map_batches(to_events, batch_format="pyarrow")
+        out.append(dst.apply(events, epoch=epoch))
+    return out
+
+
+def read_dedup_keepers(dst: CdcLake, num_buckets: int | None = None):
+    """The maintained index as the keeper table: one row per distinct live
+    text with its first member (min (src_conv, src_turn)) and copy count —
+    what ``SELECT md5(text), min-member, count(*) GROUP BY md5(text)`` derives
+    from scratch, served from postings the feed kept in sync. One coarse-
+    bucket shuffle of the lean posting rows (``adaptive_buckets`` sizes it);
+    the member-grain postings are routed by their composite key, so same-hash
+    members may span partitions — the bucket shuffle re-colocates them."""
+    from ..blocks import adaptive_buckets, counted
+
+    ds = dst.read(columns=["text_md5", "src_conv", "src_turn"])
+    if num_buckets is None:
+        ds, n = counted(ds)
+        num_buckets = adaptive_buckets(n)
+
+    def tag(t: pa.Table, nb=num_buckets) -> pa.Table:
+        b = (
+            stable_hash(t.column("text_md5").to_numpy(zero_copy_only=False))
+            % np.uint64(nb)
+        ).astype(np.int64)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    def keepers(grp: pd.DataFrame) -> pd.DataFrame:
+        g = grp.sort_values(
+            ["text_md5", "src_conv", "src_turn"], kind="stable"
+        ).groupby("text_md5", sort=True, as_index=False)
+        out = g.first()[["text_md5", "src_conv", "src_turn"]]
+        out = out.rename(
+            columns={"src_conv": "keeper_conv", "src_turn": "keeper_turn"}
+        )
+        out["n_copies"] = g.size()["size"].to_numpy("int64")
+        out["keeper_turn"] = out["keeper_turn"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(keepers, batch_format="pandas")
+    )

@@ -178,3 +178,69 @@ def test_token_index_resumes_after_rollback(tmp_path):
     pd.testing.assert_frame_equal(_postings(dst2), want, check_dtype=False)
     # and a further sync is a no-op
     assert sync_token_index(src, dst2) == []
+
+
+def _want_keepers(epochs, upto) -> pd.DataFrame:
+    import hashlib
+
+    state = oracle_lake(*epochs[: upto + 1])
+    h = state[state["text"].notna()].copy()
+    h["text_md5"] = h["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest())
+    h = h.sort_values(["text_md5", "conv_id", "turn_idx"], kind="stable")
+    g = h.groupby("text_md5", sort=True, as_index=False)
+    out = g.first()[["text_md5", "conv_id", "turn_idx"]].rename(
+        columns={"conv_id": "keeper_conv", "turn_idx": "keeper_turn"}
+    )
+    out["keeper_turn"] = out["keeper_turn"].astype("int64")
+    out["n_copies"] = g.size()["size"].to_numpy("int64")
+    return out.reset_index(drop=True)
+
+
+def test_dedup_index_tracks_source_epoch_by_epoch(tmp_path):
+    import ray.data
+
+    from dbt_customer360_ray.state.views import read_dedup_keepers, sync_dedup_index
+
+    changes = gen_changes(6_000, 200, seed=67)  # updates + deletes churn texts
+    epochs = split_epochs(changes, 3)
+    src = CdcLake(str(tmp_path / "src"), num_partitions=8)
+    dst = CdcLake(str(tmp_path / "dst"), num_partitions=8)
+    for e, part in enumerate(epochs):
+        src.apply(ray.data.from_arrow(part))
+        sync_dedup_index(src, dst)
+        got = (
+            read_dedup_keepers(dst, num_buckets=4)
+            .to_pandas()
+            .sort_values("text_md5", kind="stable")
+            .reset_index(drop=True)
+        )
+        want = _want_keepers(epochs, e)
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+    # deletions really flow through: some postings were tombstoned
+    assert dst.metrics()["deletes"] > 0
+    # and maintenance is delta-sized: far fewer events than a full rescan
+    assert dst.metrics()["events_in"] < 3 * len(_want_keepers(epochs, 2))
+
+
+def test_dedup_index_resumes_and_dedups_resync(tmp_path):
+    import ray.data
+
+    from dbt_customer360_ray.state.views import read_dedup_keepers, sync_dedup_index
+
+    changes = gen_changes(3_000, 120, seed=71)
+    epochs = split_epochs(changes, 2)
+    src = CdcLake(str(tmp_path / "src"), num_partitions=8)
+    dst = CdcLake(str(tmp_path / "dst"), num_partitions=8)
+    for part in epochs:
+        src.apply(ray.data.from_arrow(part))
+    sync_dedup_index(src, dst)
+    before = read_dedup_keepers(dst, num_buckets=4).to_pandas()
+    # a re-sync is a no-op (epochs already committed on the view)
+    assert sync_dedup_index(src, dst) == []
+    after = (
+        read_dedup_keepers(dst, num_buckets=8).to_pandas()  # bucket-count invariant
+        .sort_values("text_md5", kind="stable").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        before.sort_values("text_md5", kind="stable").reset_index(drop=True), after
+    )
