@@ -170,6 +170,16 @@ def _cdc_sft_split(sf_dir: str):
     return sft_split(sf=0.01)
 
 
+def _cdc_backfilled_lake(sf_dir: str):
+    """Generated-column BACKFILL: columns declared mid-life rewrite history's
+    live runs with the derivations (one task per partition, idempotent skip
+    of already-correct runs, one atomic swap commit). Oracled — the state
+    must equal a lake that had the columns since birth (computed oracle)."""
+    from dbt_customer360_ray.pipelines.cdc_replay import backfilled_lake
+
+    return backfilled_lake(sf=0.01)
+
+
 def _cdc_dedup_index(sf_dir: str):
     """Incrementally-maintained exact-dedup index (IVM with true deletions):
     each epoch's change feed with pre-images maps to member postings of a
@@ -1187,6 +1197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_deleted_where"] = _cdc_deleted_where
     out["cdc_wap_published"] = _cdc_wap_published
     out["cdc_dedup_index"] = _cdc_dedup_index
+    out["cdc_backfilled_lake"] = _cdc_backfilled_lake
     out["cdc_sft_export"] = _cdc_sft_export
     out["cdc_sft_split"] = _cdc_sft_split
     out["cdc_fk_lake"] = _cdc_fk_lake
@@ -1439,6 +1450,7 @@ def oracle_sql() -> dict[str, str]:
     from dbt_customer360_ray.pipelines.cdc_replay import dedup_index_oracle_sql
 
     out["cdc_dedup_index"] = dedup_index_oracle_sql(sf=0.01)
+    out["cdc_backfilled_lake"] = computed_oracle_sql(sf=0.01)
     from dbt_customer360_ray.pipelines.cdc_replay import (
         fk_dlq_oracle_sql,
         fk_oracle_sql,

@@ -634,6 +634,27 @@ def computed_oracle_sql(sf: float = 0.01) -> str:
     )
 
 
+def backfilled_lake(sf: float = 0.01):
+    """Driver surface for ``CdcLake.backfill_computed``: epochs 0-1 replay
+    BEFORE the generated columns are declared (their winners store nulls),
+    epochs 2-3 after; the backfill rewrites exactly the pre-declaration runs
+    (asserted), after which every converged row carries the derivations —
+    the same oracle as ``computed_lake`` (declared-from-birth) must hold."""
+    lake = CdcLake(
+        tempfile.mkdtemp(prefix="backfill-lake-") + "/lake", num_partitions=32
+    )
+    paths = changes_fixture(sf)["paths"]
+    for p in paths[:2]:
+        lake.apply(p)
+    for name, kind, source in COMPUTED_COLUMNS:
+        lake.add_computed_column(name, kind, source)
+    for p in paths[2:]:
+        lake.apply(p)
+    m = lake.backfill_computed()
+    assert m["runs_rewritten"] > 0, m
+    return lake.read()
+
+
 WINDOW = "1 minute"
 WINDOW_LATENESS = "2 minutes"
 

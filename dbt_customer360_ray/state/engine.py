@@ -470,6 +470,36 @@ def _expire_partition(
     )
 
 
+def _backfill_partition(
+    runs: tuple, lake_dir: str, specs: tuple, version: int
+) -> dict:
+    """backfill_computed kernel for one partition: rewrite every live run
+    whose stored computed columns differ from (or predate) the declared
+    derivations — GENERATED ALWAYS semantics, so recomputing is idempotent
+    and a run already carrying correct values is skipped without a write.
+    Tombstones/offsets/ts are byte-preserved; only the computed columns
+    change. No shuffle — each run rewrites in place under a new name."""
+    from .applier import atomic_parquet, run_ts_stats
+    from .computed import apply_computed
+
+    new_runs: list[dict] = []
+    replaced: list[str] = []
+    for run in runs:
+        ap = os.path.join(lake_dir, run["path"])
+        t = pq.read_table(ap)
+        t2 = apply_computed(t, list(specs))
+        if t2.schema == t.schema and t2.equals(t):
+            continue  # already backfilled (or ingested post-declaration)
+        rel = run["path"][: -len(".parquet")] + f"-bf{version}.parquet"
+        atomic_parquet(t2, os.path.join(lake_dir, rel))
+        replaced.append(run["path"])
+        new_runs.append(
+            {"path": rel, "rows": run["rows"], "tombstones": run["tombstones"]}
+            | run_ts_stats(t2)
+        )
+    return {"new_runs": new_runs, "replaced": replaced}
+
+
 def _audit_partition(
     files: list[str], state_schema: pa.Schema, specs: tuple,
     merge_mode: str = "lww", purged: tuple = (),
@@ -3375,6 +3405,71 @@ class CdcLake:
         if any(c["name"] == name for c in existing):
             raise ValueError(f"computed column {name!r} already exists")
         return self.manifest.commit_computed_columns(existing + [spec])
+
+    def backfill_computed(self, names: list[str] | None = None) -> dict:
+        """BACKFILL generated columns into HISTORY: rows ingested before
+        ``add_computed_column`` carry nulls (the derivation runs at ingest);
+        this rewrites every live run still missing the derivations —
+        recompute is deterministic (GENERATED ALWAYS), so the result equals
+        having had the column since the first epoch. One Ray task per
+        partition, no shuffle; runs already correct are skipped without a
+        write; the swap (plus any schema evolution the new columns need)
+        lands in ONE atomic compaction-style commit, and ``vacuum`` reclaims
+        the replaced files. Returns {version, runs_rewritten}."""
+        import ray
+
+        from .computed import computed_fields
+
+        specs = [
+            s
+            for s in self.manifest.computed_columns
+            if names is None or s["name"] in names
+        ]
+        if not specs:
+            raise ValueError("backfill_computed: no matching computed columns")
+        state_schema = self.manifest.schema
+        if state_schema is None:
+            raise ValueError("backfill_computed: lake is empty")
+        target = pa.unify_schemas(
+            [state_schema, pa.schema(computed_fields(specs))]
+        )
+        version = self.manifest.version
+        task = ray.remote(_backfill_partition)
+        results = ray.get(
+            [
+                task.remote(
+                    tuple(self.manifest.partition(pid)["runs"]),
+                    self.lake_dir,
+                    tuple(specs),
+                    version,
+                )
+                for pid in range(self.P)
+            ]
+        )
+        updates: dict[int, dict] = {}
+        rewritten = 0
+        for pid, res in enumerate(results):
+            if not res["replaced"]:
+                continue
+            part = self.manifest.partition(pid)
+            untouched = {r["path"] for r in part["runs"]} - set(res["replaced"])
+            kept_rows = sum(
+                r["rows"] - r["tombstones"]
+                for r in part["runs"]
+                if r["path"] in set(res["replaced"])
+            )
+            updates[pid] = {
+                "runs": res["new_runs"],
+                "replaced_paths": res["replaced"],
+                "rows": kept_rows,
+                "max_offset": part["max_offset"],
+            }
+            rewritten += len(res["replaced"])
+        if updates or target != state_schema:
+            self.manifest.commit_compaction(
+                updates, schema=target if target != state_schema else None
+            )
+        return {"version": self.manifest.version, "runs_rewritten": rewritten}
 
     def drop_computed_column(self, name: str) -> int:
         """Stop deriving ``name`` (metadata-only). Already-stored values stay

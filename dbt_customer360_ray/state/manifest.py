@@ -48,6 +48,13 @@ def _atomic_write(path: str, data: str) -> None:
     os.replace(tmp, path)
 
 
+# Rebase attempts per commit: each CommitConflictError round has exactly one
+# winner among the contenders, so a writer fails only by losing every round —
+# 20 rounds + linear backoff makes that negligible even for bursty thread
+# pools (the liveness bound stays the commit lock's LOCK_WAIT_S).
+_COMMIT_RETRIES = 20
+
+
 def _schema_to_json(schema: pa.Schema) -> str:
     return schema.serialize().to_pybytes().hex()
 
@@ -122,7 +129,7 @@ class Manifest:
         """Advance a named consumer's cursor (monotone — a stale ack can never
         move it backwards). A new manifest version, CAS-retried like every
         commit; returns the new manifest version."""
-        for attempt in range(5):
+        for attempt in range(_COMMIT_RETRIES):
             state = json.loads(json.dumps(self._state))
             cur = int(state.get("consumers", {}).get(consumer, 0))
             state.setdefault("consumers", {})[consumer] = max(cur, int(version))
@@ -132,8 +139,9 @@ class Manifest:
                 self._persist(state)
                 return state["version"]
             except CommitConflictError:
-                if attempt == 4:
+                if attempt == _COMMIT_RETRIES - 1:
                     raise
+                time.sleep(0.001 * attempt)  # drain a contended writer burst
                 self.reload()
 
     @property
@@ -160,7 +168,7 @@ class Manifest:
     def commit_constraints(self, constraints: list[dict]) -> int:
         """Metadata-only commit replacing the constraint list (ADD / DROP
         CONSTRAINT) — a new manifest version, no data files touched."""
-        for attempt in range(5):
+        for attempt in range(_COMMIT_RETRIES):
             state = json.loads(json.dumps(self._state))
             state["constraints"] = json.loads(json.dumps(constraints))
             state["operation"] = {"op": "SET_CONSTRAINTS", "n": len(constraints)}
@@ -169,8 +177,9 @@ class Manifest:
                 self._persist(state)
                 return state["version"]
             except CommitConflictError:
-                if attempt == 4:
+                if attempt == _COMMIT_RETRIES - 1:
                     raise
+                time.sleep(0.001 * attempt)  # drain a contended writer burst
                 self.reload()
 
     @property
@@ -184,7 +193,7 @@ class Manifest:
 
     def commit_masks(self, masks: list[dict]) -> int:
         """Metadata-only commit replacing the mask list (ADD / DROP MASK)."""
-        for attempt in range(5):
+        for attempt in range(_COMMIT_RETRIES):
             state = json.loads(json.dumps(self._state))
             state["masks"] = json.loads(json.dumps(masks))
             state["operation"] = {"op": "SET_MASKS", "n": len(masks)}
@@ -193,8 +202,9 @@ class Manifest:
                 self._persist(state)
                 return state["version"]
             except CommitConflictError:
-                if attempt == 4:
+                if attempt == _COMMIT_RETRIES - 1:
                     raise
+                time.sleep(0.001 * attempt)  # drain a contended writer burst
                 self.reload()
 
     @property
@@ -208,7 +218,7 @@ class Manifest:
     def commit_purge(self, keys: list[str]) -> int:
         """Add keys to the purge list (set-union, never removed — erasure is
         permanent). One atomic version bump, operation PURGE_KEY."""
-        for attempt in range(5):
+        for attempt in range(_COMMIT_RETRIES):
             state = json.loads(json.dumps(self._state))
             cur = list(state.get("purged_keys", []))
             merged = sorted(set(cur) | set(map(str, keys)))
@@ -219,8 +229,9 @@ class Manifest:
                 self._persist(state)
                 return state["version"]
             except CommitConflictError:
-                if attempt == 4:
+                if attempt == _COMMIT_RETRIES - 1:
                     raise
+                time.sleep(0.001 * attempt)  # drain a contended writer burst
                 self.reload()
 
     @property
@@ -234,7 +245,7 @@ class Manifest:
 
     def commit_row_filters(self, filters: list[dict]) -> int:
         """Metadata-only commit replacing the row-policy list."""
-        for attempt in range(5):
+        for attempt in range(_COMMIT_RETRIES):
             state = json.loads(json.dumps(self._state))
             state["row_filters"] = json.loads(json.dumps(filters))
             state["operation"] = {"op": "SET_ROW_FILTERS", "n": len(filters)}
@@ -243,8 +254,9 @@ class Manifest:
                 self._persist(state)
                 return state["version"]
             except CommitConflictError:
-                if attempt == 4:
+                if attempt == _COMMIT_RETRIES - 1:
                     raise
+                time.sleep(0.001 * attempt)  # drain a contended writer burst
                 self.reload()
 
     @property
@@ -255,7 +267,7 @@ class Manifest:
 
     def commit_computed_columns(self, specs: list[dict]) -> int:
         """Metadata-only commit replacing the generated-column list."""
-        for attempt in range(5):
+        for attempt in range(_COMMIT_RETRIES):
             state = json.loads(json.dumps(self._state))
             state["computed_columns"] = json.loads(json.dumps(specs))
             state["operation"] = {"op": "SET_COMPUTED_COLUMNS", "n": len(specs)}
@@ -264,8 +276,9 @@ class Manifest:
                 self._persist(state)
                 return state["version"]
             except CommitConflictError:
-                if attempt == 4:
+                if attempt == _COMMIT_RETRIES - 1:
                     raise
+                time.sleep(0.001 * attempt)  # drain a contended writer burst
                 self.reload()
 
     @property
@@ -420,7 +433,7 @@ class Manifest:
             for pid, upd in partition_updates.items()
             if not upd.get("replaces") and "rows" in upd
         }
-        for attempt in range(5):
+        for attempt in range(_COMMIT_RETRIES):
             state = json.loads(json.dumps(self._state))  # deep copy
             for pid, upd in partition_updates.items():
                 cur = state["partitions"].get(
@@ -473,11 +486,14 @@ class Manifest:
                 self._persist(state)
                 return
             except CommitConflictError:
-                if attempt == 4:
+                if attempt == _COMMIT_RETRIES - 1:
                     raise
+                time.sleep(0.001 * attempt)  # drain a contended writer burst
                 self.reload()
 
-    def commit_compaction(self, partition_updates: dict[int, dict]) -> None:
+    def commit_compaction(
+        self, partition_updates: dict[int, dict], schema: pa.Schema | None = None
+    ) -> None:
         """Swap compacted partitions' run lists atomically (no epoch record).
 
         ``partition_updates[pid]`` may carry ``replaced_paths`` — the
@@ -486,9 +502,13 @@ class Manifest:
         read its inputs are KEPT (new base first, then the survivors), so a
         concurrent ingest epoch is never silently dropped; LWW merge-at-read
         makes the overlap harmless. Without ``replaced_paths`` the swap is
-        wholesale (single-writer behavior, unchanged)."""
-        for attempt in range(5):
+        wholesale (single-writer behavior, unchanged). ``schema`` lets a
+        rewrite that materialized NEW columns (``backfill_computed``) evolve
+        the lake schema in the same atomic commit."""
+        for attempt in range(_COMMIT_RETRIES):
             state = json.loads(json.dumps(self._state))
+            if schema is not None:
+                state["schema"] = _schema_to_json(schema)
             for pid, upd in partition_updates.items():
                 cur = state["partitions"].get(
                     str(pid), {"runs": [], "max_offset": -1, "rows": 0}
@@ -510,8 +530,9 @@ class Manifest:
                 self._persist(state)
                 return
             except CommitConflictError:
-                if attempt == 4:
+                if attempt == _COMMIT_RETRIES - 1:
                     raise
+                time.sleep(0.001 * attempt)  # drain a contended writer burst
                 self.reload()
 
     def commit_merge(
@@ -532,7 +553,7 @@ class Manifest:
         the branches' rows are resolved by the engine's ordinary LWW
         merge-at-read, exactly as if both change streams had been applied to
         one lake."""
-        for attempt in range(5):
+        for attempt in range(_COMMIT_RETRIES):
             state = json.loads(json.dumps(self._state))
             for pid, upd in partition_updates.items():
                 cur = state["partitions"].get(
@@ -564,8 +585,9 @@ class Manifest:
                 self._persist(state)
                 return state["version"]
             except CommitConflictError:
-                if attempt == 4:
+                if attempt == _COMMIT_RETRIES - 1:
                     raise
+                time.sleep(0.001 * attempt)  # drain a contended writer burst
                 self.reload()
 
     def commit_schema_change(self, column_mapping: dict) -> int:
@@ -573,7 +595,7 @@ class Manifest:
         COLUMN): a new manifest version with the same data files — no bytes
         rewritten, exactly Delta's column-mapping ALTER. No epoch record (like
         compaction); returns the new version."""
-        for attempt in range(5):
+        for attempt in range(_COMMIT_RETRIES):
             state = json.loads(json.dumps(self._state))
             state["column_mapping"] = json.loads(json.dumps(column_mapping))
             state["operation"] = {"op": "SCHEMA_CHANGE"}
@@ -582,8 +604,9 @@ class Manifest:
                 self._persist(state)
                 return state["version"]
             except CommitConflictError:
-                if attempt == 4:
+                if attempt == _COMMIT_RETRIES - 1:
                     raise
+                time.sleep(0.001 * attempt)  # drain a contended writer burst
                 self.reload()
 
     def commit_restore(self, target_version: int) -> int:
@@ -600,7 +623,7 @@ class Manifest:
         undone epoch is not skipped by exactly-once, and its events clear the
         restored offset checkpoints again. Returns the new version."""
         target = self.at_version(target_version)._state
-        for attempt in range(5):
+        for attempt in range(_COMMIT_RETRIES):
             state = json.loads(json.dumps(self._state))
             prev = state["version"]
             for k in ("partitions", "schema", "num_partitions", "last_epoch",
@@ -641,8 +664,9 @@ class Manifest:
                 self._persist(state)
                 return state["version"]
             except CommitConflictError:
-                if attempt == 4:
+                if attempt == _COMMIT_RETRIES - 1:
                     raise
+                time.sleep(0.001 * attempt)  # drain a contended writer burst
                 self.reload()
 
     def commit_deadletter_clear(self, paths: list[str]) -> None:
@@ -650,7 +674,7 @@ class Manifest:
         version; the drained files become vacuumable). Used by
         ``CdcLake.retry_deadletter`` after the fixed rows commit."""
         drop = set(paths)
-        for attempt in range(5):
+        for attempt in range(_COMMIT_RETRIES):
             state = json.loads(json.dumps(self._state))
             state["deadletter"] = [
                 r for r in state.get("deadletter", []) if r["path"] not in drop
@@ -661,8 +685,9 @@ class Manifest:
                 self._persist(state)
                 return
             except CommitConflictError:
-                if attempt == 4:
+                if attempt == _COMMIT_RETRIES - 1:
                     raise
+                time.sleep(0.001 * attempt)  # drain a contended writer burst
                 self.reload()
 
     # commit critical section: lock-break horizon for a holder that died

@@ -125,3 +125,58 @@ def test_strict_mode_allows_computed_columns(tmp_path):
     lake.apply(ray.data.from_arrow(_ev([("I", "b", 0, "x y")], start_offset=5)))
     df = lake.read().to_pandas().sort_values("conv_id").reset_index(drop=True)
     assert pd.isna(df["n_tokens"][0]) and df["n_tokens"][1] == 2
+
+
+def test_backfill_rewrites_history_only_and_vacuums(tmp_path):
+    import os
+
+    import ray.data
+
+    from dbt_customer360_ray.gen import gen_changes, split_epochs
+
+    epochs = split_epochs(gen_changes(3_000, 150, seed=37), 3)
+    lake = CdcLake(str(tmp_path / "lake"), num_partitions=8)
+    lake.apply(ray.data.from_arrow(epochs[0]))
+    lake.apply(ray.data.from_arrow(epochs[1]))
+    lake.add_computed_column("text_len", "length", "text")
+    lake.apply(ray.data.from_arrow(epochs[2]))
+
+    pre = lake.read().to_pandas()
+    assert pre["text_len"].isna().any()  # history predates the declaration
+
+    runs_before = sum(
+        len(lake.manifest.partition(p)["runs"]) for p in range(lake.P)
+    )
+    m = lake.backfill_computed()
+    assert 0 < m["runs_rewritten"] < runs_before  # post-declaration runs skipped
+
+    got = lake.read().to_pandas()
+    want = got["text"].str.len()
+    assert (
+        got["text_len"].astype("float64").fillna(-1).to_numpy()
+        == want.astype("float64").fillna(-1).to_numpy()
+    ).all()
+
+    # idempotent: a second backfill rewrites nothing
+    assert lake.backfill_computed()["runs_rewritten"] == 0
+    # the swap is compaction-shaped: vacuum reclaims replaced files, fsck clean
+    assert lake.vacuum() >= m["runs_rewritten"]
+    assert lake.fsck()["ok"]
+
+
+def test_backfill_evolves_schema_without_new_epochs(tmp_path):
+    import ray.data
+
+    from dbt_customer360_ray.gen import gen_changes
+
+    lake = CdcLake(str(tmp_path / "lake"), num_partitions=4)
+    lake.apply(ray.data.from_arrow(gen_changes(800, 60, seed=41)))
+    lake.add_computed_column("text_lower", "lower", "text")
+    # no post-declaration apply: backfill itself must land the column
+    m = lake.backfill_computed()
+    assert m["runs_rewritten"] > 0
+    df = lake.read().to_pandas()
+    assert "text_lower" in df.columns
+    assert df["text_lower"].dropna().eq(
+        df["text"].dropna().str.lower()
+    ).all()
