@@ -232,6 +232,56 @@ def run_bench() -> dict:
             last_lake.change_feed(from_epoch=1, to_epoch=3).count()
             best = min(best, time.perf_counter() - t0)
         timings["cdc_change_feed"] = round(best, 3)
+
+    if not CDC_ONLY:
+        # lake-surface timings over the just-replayed sf0.1 lake. Read-only
+        # surfaces get best-of-reps; the mutators (IVM sync, backfill, DELETE)
+        # run single-shot and LAST — they change the lake.
+        from dbt_customer360_ray.state.views import (
+            read_dedup_keepers,
+            sync_dedup_index,
+        )
+
+        for key, fn in (
+            ("cdc_merged_turns", lambda: last_lake.merged_turns().count()),
+            ("cdc_context_pairs", lambda: last_lake.context_pairs().count()),
+            (
+                "cdc_audit_state",
+                lambda: last_lake.audit_state(
+                    [
+                        {"name": "role_domain", "column": "role", "op": "in",
+                         "value": ["user", "assistant", "system", "tool"]},
+                        {"name": "ts_present", "column": "ts", "op": "not_null"},
+                    ]
+                ),
+            ),
+        ):
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - t0)
+            timings[key] = round(best, 3)
+
+        idx_dir = tempfile.mkdtemp(prefix="bench-dedup-idx-", dir=shm)
+        t0 = time.perf_counter()
+        idx = CdcLake(os.path.join(idx_dir, "lake"), num_partitions=64)
+        sync_dedup_index(last_lake, idx)
+        read_dedup_keepers(idx).count()
+        timings["cdc_dedup_index_sync"] = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+        last_lake.add_computed_column("text_len", "length", "text")
+        t0 = time.perf_counter()
+        last_lake.backfill_computed()  # rewrites every live run
+        timings["cdc_backfill_computed"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        last_lake.delete_where(
+            {"name": "drop_tool", "column": "role", "op": "==", "value": "tool"},
+            "2030-01-01",
+        )
+        timings["cdc_delete_where"] = round(time.perf_counter() - t0, 3)
     shutil.rmtree(last_dir, ignore_errors=True)
 
     if not CDC_ONLY:
