@@ -170,6 +170,17 @@ def _cdc_sft_split(sf_dir: str):
     return sft_split(sf=0.01)
 
 
+def _cdc_redacted_lake(sf_dir: str):
+    """PII-redaction mask (privacy scrub at serving reads): emails → <EMAIL>,
+    phone runs → <PHONE> in place, applied at every serving surface; a
+    PII-planted epoch makes the oracle non-vacuous (asserted). Oracled —
+    the LWW replay over the same planted files + DuckDB regexp_replace
+    (both engines run RE2)."""
+    from dbt_customer360_ray.pipelines.cdc_replay import redacted_lake
+
+    return redacted_lake(sf=0.01)
+
+
 def _cdc_backfilled_lake(sf_dir: str):
     """Generated-column BACKFILL: columns declared mid-life rewrite history's
     live runs with the derivations (one task per partition, idempotent skip
@@ -1198,6 +1209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_wap_published"] = _cdc_wap_published
     out["cdc_dedup_index"] = _cdc_dedup_index
     out["cdc_backfilled_lake"] = _cdc_backfilled_lake
+    out["cdc_redacted_lake"] = _cdc_redacted_lake
     out["cdc_sft_export"] = _cdc_sft_export
     out["cdc_sft_split"] = _cdc_sft_split
     out["cdc_fk_lake"] = _cdc_fk_lake
@@ -1451,6 +1463,9 @@ def oracle_sql() -> dict[str, str]:
 
     out["cdc_dedup_index"] = dedup_index_oracle_sql(sf=0.01)
     out["cdc_backfilled_lake"] = computed_oracle_sql(sf=0.01)
+    from dbt_customer360_ray.pipelines.cdc_replay import redacted_oracle_sql
+
+    out["cdc_redacted_lake"] = redacted_oracle_sql(sf=0.01)
     from dbt_customer360_ray.pipelines.cdc_replay import (
         fk_dlq_oracle_sql,
         fk_oracle_sql,

@@ -841,6 +841,99 @@ def retention_oracle_sql(sf: float = 0.01, cutoff: str = EXPIRE_CUTOFF) -> str:
     return f"SELECT * FROM ({inner}) WHERE ts >= TIMESTAMP '{cutoff}'"
 
 
+_PII_SUFFIX = " reach me at bob.smith+hr@example-corp.com or +1 (415) 555-0199"
+
+
+def _pii_epoch_path(src: str) -> str:
+    """Derived fixture (cached, atomic): the epoch with PII planted into a
+    deterministic ~1-in-8 sample of image-carrying events' texts — the
+    fixture corpus is PII-free, so the redaction mask would otherwise be
+    vacuously oracled."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    dst = src[: -len(".parquet")] + "-pii.parquet"
+    if not os.path.exists(dst):
+        t = pq.read_table(src)
+        # plant into image-carrying events whose offset has its low 3 bits
+        # set (deterministic ~1-in-8 sample, cheap to mirror anywhere)
+        hit = pc.and_(
+            pc.is_in(t.column("op"), value_set=pa.array(["I", "U"], pa.string())),
+            pc.equal(
+                pc.bit_wise_and(t.column("offset"), pa.scalar(7, pa.int64())), 7
+            ),
+        )
+        planted = pc.if_else(
+            pc.and_(hit, pc.is_valid(t.column("text"))),
+            pc.binary_join_element_wise(
+                t.column("text"), pa.scalar(_PII_SUFFIX, pa.string()), ""
+            ),
+            t.column("text"),
+        )
+        tmp = f"{dst}.tmp-{os.getpid()}"
+        pq.write_table(
+            t.set_column(t.schema.get_field_index("text"), "text", planted), tmp
+        )
+        os.replace(tmp, dst)
+    return dst
+
+
+def redacted_lake(sf: float = 0.01):
+    """Driver surface for the redact mask kind: replay epochs 0-2 plus a
+    PII-planted epoch 3, declare ``add_mask("text", "redact")``, and read —
+    every serving read scrubs emails/phones in place (asserted non-vacuous:
+    the plant guarantees matches). Oracled — the same LWW replay over the
+    planted files with DuckDB's regexp_replace (both engines run RE2)."""
+    import pyarrow.compute as pc
+
+    fx = changes_fixture(sf)
+    lake = CdcLake(
+        os.path.join(tempfile.mkdtemp(prefix=f"redact-lake-sf{sf}-"), "lake"),
+        num_partitions=32,
+    )
+    for p in fx["paths"][:3]:
+        lake.apply(p)
+    lake.apply(_pii_epoch_path(fx["paths"][3]))
+    lake.add_mask("text", "redact")
+
+    def _hits(t):
+        import pyarrow as pa
+
+        return pa.table(
+            {"hits": pc.count_substring(t.column("text"), "<EMAIL>").cast(pa.int64())}
+        )
+
+    n_hits = lake.read().map_batches(_hits, batch_format="pyarrow").sum("hits")
+    assert n_hits and n_hits > 0, "redaction plant missed"
+    return lake.read()
+
+
+def redacted_oracle_sql(sf: float = 0.01) -> str:
+    """Oracle for ``redacted_lake``: the LWW replay over epochs 0-2 + the
+    planted epoch-3 FILE (oracle and engine read the same derived bytes),
+    then the same two regexp_replace passes over the winning text."""
+    from ..stages.text import PII_EMAIL_RE, PII_PHONE_RE
+
+    fx = changes_fixture(sf)
+    selects = _epoch_selects(sf)
+    pii = _pii_epoch_path(fx["paths"][3])
+    selects[3] = (
+        f'SELECT "offset", op, conv_id, turn_idx, role, text, tool, ts, '
+        f"3 AS epoch, file_row_number AS file_rn "
+        f"FROM read_parquet('{pii}', file_row_number=true)"
+    )
+    inner = _lww_sql(selects)
+    return f"""
+        SELECT conv_id, turn_idx, role,
+               regexp_replace(
+                   regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PII_PHONE_RE}', '<PHONE>', 'g') AS text,
+               tool, ts
+        FROM ({inner})
+    """
+
+
 def dedup_index_lake(sf: float = 0.01):
     """Driver surface for the incrementally-maintained exact-dedup index
     (``state/views.py: sync_dedup_index``): replay the fixture, fold each

@@ -658,7 +658,10 @@ def apply_masks(table: pa.Table, masks: tuple) -> pa.Table:
     kind "hash" replaces each non-null string with its md5 hex digest — a
     deterministic token that joins/groups consistently across reads without
     revealing the value (and is mirror-able by an independent engine's
-    ``md5()``). Unknown columns are skipped (pre-evolution snapshots)."""
+    ``md5()``); kind "redact" scrubs PII in place (emails then phone-shaped
+    digit runs, the ``stages.text.redact_pii`` RE2 pass — mirror-able by
+    ``regexp_replace``). Unknown columns are skipped (pre-evolution
+    snapshots)."""
     if not masks:
         return table
     import hashlib
@@ -673,6 +676,15 @@ def apply_masks(table: pa.Table, masks: tuple) -> pa.Table:
             table = table.set_column(
                 i, pa.field(col, c.type), pa.nulls(len(table), c.type)
             )
+        elif m["kind"] == "redact":
+            from ..stages.text import PII_EMAIL_RE, PII_PHONE_RE
+
+            scrubbed = pc.replace_substring_regex(
+                pc.replace_substring_regex(c, PII_EMAIL_RE, "<EMAIL>"),
+                PII_PHONE_RE,
+                "<PHONE>",
+            )
+            table = table.set_column(i, pa.field(col, pa.string()), scrubbed)
         else:  # hash — add_mask only admits string columns for this kind
             hashed = [
                 None if v is None else hashlib.md5(v.encode("utf-8")).hexdigest()
@@ -3305,17 +3317,22 @@ class CdcLake:
     def add_mask(self, column: str, kind: str) -> int:
         """Declare a COLUMN MASK (dynamic data masking): every SERVING read
         (``read`` / ``read_as_of`` / ``lookup`` / ``lookup_many``) presents
-        ``column`` masked — ``kind="null"`` redacts it, ``kind="hash"``
-        replaces each string with its md5 hex token (deterministic, so masked
-        reads still join/group on the column). Metadata-only commit; policies
+        ``column`` masked — ``kind="null"`` redacts it wholesale,
+        ``kind="hash"`` replaces each string with its md5 hex token
+        (deterministic, so masked reads still join/group on the column), and
+        ``kind="redact"`` scrubs PII in place (emails → <EMAIL>, then
+        phone-shaped digit runs → <PHONE> — the same RE2 pass as
+        ``stages.text.redact_pii``, so non-PII text stays readable). Metadata-only commit; policies
         are governance state, applying to EVERY snapshot including time
         travel (revoking access must cover history). Producer-side surfaces
         (``export_snapshot``, ``change_feed``, ``assemble_conversations``)
         bypass masks by design — they feed trusted downstream systems; gate
         them at the process level. Re-adding a mask for the same column
         replaces it. Returns the new manifest version."""
-        if kind not in ("null", "hash"):
-            raise ValueError(f"unknown mask kind {kind!r} (use 'null' or 'hash')")
+        if kind not in ("null", "hash", "redact"):
+            raise ValueError(
+                f"unknown mask kind {kind!r} (use 'null', 'hash' or 'redact')"
+            )
         s = self.manifest.schema
         if s is None:
             raise ValueError("add_mask: lake has no schema yet")
@@ -3324,11 +3341,11 @@ class CdcLake:
             raise KeyError(f"unknown lake column {column!r} (have {out_names})")
         if column in KEY_COLUMNS:
             raise ValueError(f"cannot mask key column {column!r}")
-        if kind == "hash":
+        if kind in ("hash", "redact"):
             phys = dict(zip(out_names, public))[column]
             if s.field(phys).type != pa.string():
                 raise ValueError(
-                    f"hash mask requires a string column; {column!r} is "
+                    f"{kind} mask requires a string column; {column!r} is "
                     f"{s.field(phys).type}"
                 )
         masks = [m for m in self.manifest.masks if m["column"] != column]

@@ -174,3 +174,44 @@ def test_purge_key_erases_everywhere(tmp_path):
         got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
         rest.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
     )
+
+
+def test_redact_mask_scrubs_pii_on_serving_surfaces(tmp_path):
+    import pyarrow as pa
+    import ray.data
+
+    lake = _lake(tmp_path, n=1_500, convs=90)
+    st = lake.read().to_pandas()
+    conv = st["conv_id"].iloc[0]
+    # plant PII via an ordinary update epoch on one conversation
+    upd = st[st.conv_id == conv].head(3).copy()
+    upd["op"] = "U"
+    upd["text"] = upd["text"].fillna("") + " mail a.b@x.io or call 415-555-0100"
+    upd["ts"] = (upd["ts"] + pd.Timedelta(hours=1)).astype("datetime64[us]")
+    upd["offset"] = 10_000_000 + pd.RangeIndex(len(upd))
+    lake.apply(ray.data.from_arrow(pa.Table.from_pandas(
+        upd[["offset", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"]],
+        preserve_index=False,
+    )))
+    lake.add_mask("text", "redact")
+
+    got = lake.read().to_pandas()
+    assert not got["text"].dropna().str.contains("a.b@x.io", regex=False).any()
+    assert not got["text"].dropna().str.contains("415-555", regex=False).any()
+    assert got["text"].dropna().str.contains("<EMAIL>").sum() == 3
+    assert got["text"].dropna().str.contains("<PHONE>").sum() == 3
+    # non-PII text is untouched (unlike hash/null masks)
+    lk = lake.lookup(conv).to_pandas()
+    assert lk["text"].dropna().str.contains("<EMAIL>").sum() == 3
+    other = got[got.conv_id != conv]
+    assert other["text"].dropna().map(len).gt(0).any()
+    # drop restores raw PII
+    lake.drop_mask("text")
+    back = lake.read().to_pandas()
+    assert back["text"].dropna().str.contains("a.b@x.io", regex=False).sum() == 3
+
+
+def test_redact_mask_requires_string_column(tmp_path):
+    lake = _lake(tmp_path, n=500, convs=40)
+    with pytest.raises(ValueError, match="redact mask requires a string"):
+        lake.add_mask("ts", "redact")
