@@ -170,6 +170,17 @@ def _cdc_sft_split(sf_dir: str):
     return sft_split(sf=0.01)
 
 
+def _cdc_near_dup_convs(sf_dir: str):
+    """Conversation-grain near-dup groups over the lake (the lake→curation
+    bridge): SFT assembly (shuffle-free) → MinHash+LSH candidates → exact
+    shingle-Jaccard verify → connected components; planted duplicate
+    conversations make the answer non-vacuous. Oracled — all-pairs Jaccard +
+    recursive closure in SQL over the same converged state."""
+    from dbt_customer360_ray.pipelines.cdc_replay import near_dup_convs_lake
+
+    return near_dup_convs_lake(sf=0.01)
+
+
 def _cdc_redacted_lake(sf_dir: str):
     """PII-redaction mask (privacy scrub at serving reads): emails → <EMAIL>,
     phone runs → <PHONE> in place, applied at every serving surface; a
@@ -1210,6 +1221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_dedup_index"] = _cdc_dedup_index
     out["cdc_backfilled_lake"] = _cdc_backfilled_lake
     out["cdc_redacted_lake"] = _cdc_redacted_lake
+    out["cdc_near_dup_convs"] = _cdc_near_dup_convs
     out["cdc_sft_export"] = _cdc_sft_export
     out["cdc_sft_split"] = _cdc_sft_split
     out["cdc_fk_lake"] = _cdc_fk_lake
@@ -1466,6 +1478,9 @@ def oracle_sql() -> dict[str, str]:
     from dbt_customer360_ray.pipelines.cdc_replay import redacted_oracle_sql
 
     out["cdc_redacted_lake"] = redacted_oracle_sql(sf=0.01)
+    from dbt_customer360_ray.pipelines.cdc_replay import near_dup_convs_oracle_sql
+
+    out["cdc_near_dup_convs"] = near_dup_convs_oracle_sql(sf=0.01)
     from dbt_customer360_ray.pipelines.cdc_replay import (
         fk_dlq_oracle_sql,
         fk_oracle_sql,

@@ -973,6 +973,106 @@ def dedup_index_oracle_sql(sf: float = 0.01) -> str:
     """
 
 
+_DUP_CONVS = ("conv-00000001", "conv-00000002", "conv-00000003")
+
+
+def near_dup_convs_lake(sf: float = 0.01):
+    """Conversation-grain near-dup detection over the lake — the lake→curation
+    bridge: clone three conversations' live turns under ``<id>-dup`` keys
+    (fresh offsets, ordinary I events — the fixture has no natural near-dups,
+    so the plant makes the oracle non-vacuous), assemble SFT documents (one
+    task per partition, no shuffle), then run the MinHash+LSH → exact-verify
+    → connected-components near-dup pipeline over the conversation texts.
+    Oracled — the all-pairs shingle-Jaccard + recursive-closure SQL over the
+    same converged state with the same clone arm."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ..stages.dedup import dup_groups, verified_near_dup_pairs
+
+    lake, _ = replay(sf=sf)
+    src = (
+        lake.lookup_many(list(_DUP_CONVS))
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    ev = src.copy()
+    ev["conv_id"] = ev["conv_id"] + "-dup"
+    ev.insert(0, "op", "I")
+    ev.insert(0, "offset", 30_000_000 + np.arange(len(ev), dtype=np.int64))
+    lake.apply(
+        ray.data.from_arrow(
+            pa.Table.from_pandas(
+                ev[["offset", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"]],
+                preserve_index=False,
+            )
+        )
+    )
+    # The dedup stages key documents by int64 ids (sig matrices, union-find).
+    # The fixture's id grammar (conv-%08d[-dup]) admits an ORDER-PRESERVING
+    # int codec — num·2 + dup_flag — so min-id group labels decode to exactly
+    # the SQL oracle's least(conv_id). A deployment with opaque string ids
+    # would dense-rank them first (one sort) instead.
+    def _encode(t: pa.Table) -> pa.Table:
+        s = t.column("conv_id").to_pandas()
+        num = s.str.slice(5, 13).astype("int64")
+        doc = num * 2 + s.str.endswith("-dup").astype("int64")
+        return pa.table({"doc_id": doc.to_numpy(), "text": t.column("sft_text")})
+
+    def _decode_col(col: pd.Series) -> pd.Series:
+        base = (col // 2).map("conv-{:08d}".format)
+        return base.where(col % 2 == 0, base + "-dup")
+
+    docs = lake.assemble_conversations().map_batches(
+        _encode, batch_format="pyarrow"
+    )
+    groups = dup_groups(verified_near_dup_pairs(docs, jaccard_threshold=0.8))
+
+    def _decode(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": _decode_col(df["doc_id"]),
+                "dup_group": _decode_col(df["dup_group"]),
+            }
+        )
+
+    if isinstance(groups, pa.Table):  # driver union-find path (small pair set)
+        return pa.Table.from_pandas(_decode(groups.to_pandas()), preserve_index=False)
+    return groups.map_batches(_decode, batch_format="pandas")
+
+
+def near_dup_convs_oracle_sql(sf: float = 0.01) -> str:
+    """Oracle for ``near_dup_convs_lake``: converged LWW state + the same
+    clone arm → SFT assembly in SQL → the all-pairs trigram-shingle Jaccard
+    recursive closure (``MINHASH_GROUPS_CTES`` — its ``documents`` CTE name
+    shadows the registered view)."""
+    from .analytics import MINHASH_GROUPS_CTES
+
+    ids = ", ".join(f"'{c}'" for c in _DUP_CONVS)
+    inner = _lww_sql(_epoch_selects(sf))
+    return f"""
+        WITH RECURSIVE base AS ({inner}), full_st AS (
+            SELECT conv_id, turn_idx, role, text FROM base
+            UNION ALL
+            SELECT conv_id || '-dup', turn_idx, role, text
+            FROM base WHERE conv_id IN ({ids})
+        ), asm AS (
+            SELECT conv_id,
+                   string_agg(
+                       coalesce(role, '') || ': ' || coalesce(text, ''),
+                       chr(10) ORDER BY turn_idx
+                   ) AS sft_text
+            FROM full_st GROUP BY conv_id
+        ), documents AS (
+            SELECT conv_id AS doc_id, sft_text AS text FROM asm
+        ), {MINHASH_GROUPS_CTES}
+        SELECT node AS conv_id, least(node, min(x)) AS dup_group
+        FROM reach GROUP BY node
+    """
+
+
 WAP_AUDITS = [
     {"name": "role_domain", "column": "role", "op": "in",
      "value": ["user", "assistant", "system", "tool"]},

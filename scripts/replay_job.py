@@ -95,7 +95,7 @@ def main() -> int:
                          "operation that created it")
     ap.add_argument("--mask", action="append", default=[], metavar="COL:KIND",
                     help="declare a column mask applied at serving reads "
-                         "(KIND: null | hash); repeatable")
+                         "(KIND: null | hash | redact); repeatable")
     ap.add_argument("--row-policy", action="append", default=[],
                     metavar="NAME:COL:OP:VALUE",
                     help="declare a row access policy applied at serving reads "

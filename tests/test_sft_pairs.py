@@ -124,3 +124,20 @@ def test_context_pairs_matches_naive(tmp_path):
         )
     # every pair's context holds at most k lines
     assert got["context"].str.count("\n").max() <= 4 - 1
+
+
+def test_near_dup_convs_groups_planted_clones():
+    from dbt_customer360_ray.pipelines.cdc_replay import (
+        _DUP_CONVS,
+        near_dup_convs_lake,
+    )
+
+    got = near_dup_convs_lake(sf=0.001)
+    df = got.to_pandas() if hasattr(got, "to_pandas") else got
+    if not isinstance(df, pd.DataFrame):
+        df = df.to_pandas()
+    g = dict(zip(df["conv_id"], df["dup_group"]))
+    for c in _DUP_CONVS:
+        # each planted clone pairs with its original; the group label is the
+        # least member, which is the original id
+        assert g.get(c + "-dup") == g.get(c) == c
