@@ -170,6 +170,15 @@ def _cdc_sft_split(sf_dir: str):
     return sft_split(sf=0.01)
 
 
+def _cdc_sft_jsonl(sf_dir: str):
+    """Sharded JSONL training egress: one resumable atomic shard per lake
+    partition + _SUCCESS manifest; the entry parses the shards back, so the
+    round trip is oracled against the SAME sft assembly SQL."""
+    from dbt_customer360_ray.pipelines.cdc_replay import sft_jsonl_export
+
+    return sft_jsonl_export(sf=0.01)
+
+
 def _cdc_near_dup_convs(sf_dir: str):
     """Conversation-grain near-dup groups over the lake (the lake→curation
     bridge): SFT assembly (shuffle-free) → MinHash+LSH candidates → exact
@@ -1222,6 +1231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_backfilled_lake"] = _cdc_backfilled_lake
     out["cdc_redacted_lake"] = _cdc_redacted_lake
     out["cdc_near_dup_convs"] = _cdc_near_dup_convs
+    out["cdc_sft_jsonl"] = _cdc_sft_jsonl
     out["cdc_sft_export"] = _cdc_sft_export
     out["cdc_sft_split"] = _cdc_sft_split
     out["cdc_fk_lake"] = _cdc_fk_lake
@@ -1459,6 +1469,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["cdc_sft_export"] = sft_oracle_sql(sf=0.01)
+    out["cdc_sft_jsonl"] = sft_oracle_sql(sf=0.01)
     out["cdc_sft_split"] = sft_split_oracle_sql(sf=0.01)
     from dbt_customer360_ray.pipelines.cdc_replay import (
         context_pairs_oracle_sql,

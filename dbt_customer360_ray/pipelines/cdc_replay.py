@@ -2104,6 +2104,24 @@ def context_pairs_oracle_sql(sf: float = 0.01, k: int = CONTEXT_K) -> str:
 _FK_LAKES: dict = {}
 
 
+def sft_jsonl_export(sf: float = 0.01):
+    """Driver surface for ``CdcLake.export_sft_jsonl``: export the replayed
+    lake's SFT assembly as sharded JSONL, then parse the shards back
+    (``ray.data.read_json``) — the round trip proves the egress bytes carry
+    the exact assembly, so the oracle is the SAME sft oracle."""
+    import ray.data
+
+    lake = replayed_lake(sf)
+    dest = tempfile.mkdtemp(prefix="sft-jsonl-")
+    m = lake.export_sft_jsonl(dest)
+    assert m["rows"] > 0, m
+    shards = [
+        os.path.join(dest, f) for f in sorted(os.listdir(dest))
+        if f.endswith(".jsonl") and os.path.getsize(os.path.join(dest, f))
+    ]
+    return ray.data.read_json(shards)
+
+
 def _fk_pair(sf: float = 0.01):
     if sf not in _FK_LAKES:
         fx = changes_fixture(sf)

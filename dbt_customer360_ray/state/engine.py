@@ -500,6 +500,25 @@ def _backfill_partition(
     return {"new_runs": new_runs, "replaced": replaced}
 
 
+def _sft_jsonl_partition(
+    files: list[str], state_schema: pa.Schema, path: str,
+    merge_mode: str = "lww", purged: tuple = (),
+) -> int:
+    """export_sft_jsonl kernel for one partition: assemble the partition's
+    conversations (the ``_assemble_partition`` kernel) and write one JSONL
+    shard atomically (tmp → rename). Returns the shard's row count."""
+    import pandas as pd
+
+    t = _assemble_partition(files, state_schema, merge_mode, purged)
+    df = t.to_pandas().sort_values("conv_id", kind="stable")
+    tmp = f"{path}.tmp.{os.getpid()}"
+    df.to_json(tmp, orient="records", lines=True, force_ascii=True)
+    if df.empty:  # to_json writes nothing for an empty frame — pin the file
+        open(tmp, "w").close()
+    os.replace(tmp, path)
+    return int(len(df))
+
+
 def _audit_partition(
     files: list[str], state_schema: pa.Schema, specs: tuple,
     merge_mode: str = "lww", purged: tuple = (),
@@ -3082,6 +3101,50 @@ class CdcLake:
         for pid in range(self.P):
             path = os.path.join(dest_dir, f"part-{pid:05d}.parquet")
             counts[f"part-{pid:05d}.parquet"] = pq.read_metadata(path).num_rows
+        tmp = os.path.join(dest_dir, "_SUCCESS.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"rows": counts, "epoch": self.manifest.last_epoch}, f)
+        os.replace(tmp, os.path.join(dest_dir, "_SUCCESS"))
+        return {
+            "written": len(written),
+            "skipped": skipped,
+            "rows": int(sum(counts.values())),
+        }
+
+    def export_sft_jsonl(self, dest_dir: str) -> dict:
+        """Training-ready egress: the SFT conversation assembly
+        (``assemble_conversations`` — role-prefixed turn lines, token counts)
+        exported as sharded JSONL, the format SFT tooling actually ingests.
+        One Ray task per partition (no shuffle), one ``shard-<pid>.jsonl``
+        each, written atomically and RESUMABLE (existing shards skip);
+        ``_SUCCESS`` with per-shard counts commits the export. Returns
+        {written, skipped, rows}."""
+        import ray
+
+        state_schema = self.manifest.schema
+        if state_schema is None:
+            raise ValueError("export_sft_jsonl: lake is empty")
+        os.makedirs(dest_dir, exist_ok=True)
+        task = ray.remote(_sft_jsonl_partition)
+        schema_ref = ray.put(state_schema)
+        refs, skipped = [], 0
+        for pid in range(self.P):
+            path = os.path.join(dest_dir, f"shard-{pid:05d}.jsonl")
+            if os.path.exists(path):
+                skipped += 1
+                continue
+            refs.append(
+                task.remote(
+                    self.manifest.live_files(pid), schema_ref, path,
+                    self.merge_mode, tuple(self.manifest.purged_keys),
+                )
+            )
+        written = ray.get(refs)
+        counts = {}
+        for pid in range(self.P):
+            path = os.path.join(dest_dir, f"shard-{pid:05d}.jsonl")
+            with open(path) as f:
+                counts[f"shard-{pid:05d}.jsonl"] = sum(1 for _ in f)
         tmp = os.path.join(dest_dir, "_SUCCESS.tmp")
         with open(tmp, "w") as f:
             json.dump({"rows": counts, "epoch": self.manifest.last_epoch}, f)

@@ -811,3 +811,46 @@ def test_conversation_boilerplate_matches_oracle(ray_session):
     assert (got["n_boilerplate"] <= got["n_turns"]).all()
     exp = (got["n_boilerplate"] * 1000) // got["n_turns"]
     assert (got["boilerplate_permille"] == exp).all()
+
+
+def test_export_sft_jsonl_resumable_and_parses_back(tmp_path):
+    import json as _json
+    import os
+
+    changes = gen_changes(3_000, 180, seed=59)
+    lake = _replay(tmp_path, split_epochs(changes, 2))
+    dest = str(tmp_path / "sft")
+    m1 = lake.export_sft_jsonl(dest)
+    assert m1["written"] == lake.P and m1["skipped"] == 0
+
+    shards = sorted(f for f in os.listdir(dest) if f.endswith(".jsonl"))
+    assert len(shards) == lake.P
+    with open(os.path.join(dest, "_SUCCESS")) as f:
+        counts = _json.load(f)["rows"]
+    assert sum(counts.values()) == m1["rows"]
+
+    # parse-back equals the in-memory assembly
+    rows = []
+    for s in shards:
+        with open(os.path.join(dest, s)) as f:
+            rows.extend(_json.loads(line) for line in f if line.strip())
+    got = (
+        pd.DataFrame(rows)
+        .sort_values("conv_id", kind="stable")
+        .reset_index(drop=True)
+    )
+    want = (
+        lake.assemble_conversations()
+        .to_pandas()
+        .sort_values("conv_id", kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+    # resume: a lost shard is rewritten byte-identically, others skip
+    victim = os.path.join(dest, shards[3])
+    orig = open(victim, "rb").read()
+    os.unlink(victim)
+    m2 = lake.export_sft_jsonl(dest)
+    assert m2["written"] == 1 and m2["skipped"] == lake.P - 1
+    assert open(victim, "rb").read() == orig
