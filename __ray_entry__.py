@@ -170,6 +170,16 @@ def _cdc_sft_split(sf_dir: str):
     return sft_split(sf=0.01)
 
 
+def _cdc_explain_read(sf_dir: str):
+    """EXPLAIN for the lake: the per-partition read plan (runs kept vs pruned
+    by ts stats / routing / blooms) computed from metadata only — no data
+    I/O. Rows-only entry (planning isn't SQL-expressible); tests pin the plan
+    to the executed read's stats."""
+    from dbt_customer360_ray.pipelines.cdc_replay import replayed_lake
+
+    return replayed_lake(sf=0.01).explain_read(since_ts=_SINCE_CUTOFF)
+
+
 def _cdc_sft_jsonl(sf_dir: str):
     """Sharded JSONL training egress: one resumable atomic shard per lake
     partition + _SUCCESS manifest; the entry parses the shards back, so the
@@ -1232,6 +1242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_redacted_lake"] = _cdc_redacted_lake
     out["cdc_near_dup_convs"] = _cdc_near_dup_convs
     out["cdc_sft_jsonl"] = _cdc_sft_jsonl
+    out["cdc_explain_read"] = _cdc_explain_read
     out["cdc_sft_export"] = _cdc_sft_export
     out["cdc_sft_split"] = _cdc_sft_split
     out["cdc_fk_lake"] = _cdc_fk_lake

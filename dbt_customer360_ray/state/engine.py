@@ -2487,6 +2487,87 @@ class CdcLake:
         ``_read_manifest`` for which bound may prune and why)."""
         return self._read_manifest(self.manifest, columns, since_ts, until_ts)
 
+    def explain_read(
+        self,
+        since_ts=None,
+        conv_ids=None,
+        epoch: int | None = None,
+        version: int | None = None,
+        probe_blooms: bool = False,
+    ) -> pa.Table:
+        """EXPLAIN for a serving read: the per-partition plan — runs kept vs
+        pruned — WITHOUT reading any data. Mirrors ``_read_manifest``'s
+        ``since_ts`` stats pruning and ``lookup_many``'s partition routing;
+        ``probe_blooms=True`` additionally consults the per-run key blooms
+        (sidecar reads only, still no data I/O) the way ``lookup_many`` will.
+        One row per partition: planned counts and the max rows a scan could
+        touch. Metadata-only by design — not SQL-expressible, covered by
+        tests asserting the plan equals the executed read's stats."""
+        from ..hashing import partition_ids
+        from .applier import bloom_may_contain
+
+        m = (
+            self.manifest
+            if epoch is None and version is None
+            else self._manifest_at(epoch, version)
+        )
+        since_us = _ts_to_us(since_ts)
+        touched: set[int] | None = None
+        ids_by_pid: dict[int, list] = {}
+        if conv_ids is not None:
+            ids = list(conv_ids)
+            pids = partition_ids(ids, m.num_partitions or self.P)
+            touched = set(int(p) for p in pids)
+            for c, p in zip(ids, pids):
+                ids_by_pid.setdefault(int(p), []).append(c)
+        rows = []
+        for pid in range(m.num_partitions or self.P):
+            part = m.partition(pid)
+            runs_total = len(part["runs"])
+            if touched is not None and pid not in touched:
+                # the whole partition is skipped by key routing
+                rows.append((pid, runs_total, 0, runs_total, 0, 0, 0))
+                continue
+            planned = pruned_ts = pruned_bloom = 0
+            rows_max = 0
+            for run in part["runs"]:
+                if (
+                    since_us is not None
+                    and self.merge_mode != "patch"
+                    and "ts_max" in run
+                    and int(run["ts_max"]) < since_us
+                ):
+                    pruned_ts += 1
+                    continue
+                if probe_blooms and ids_by_pid.get(pid):
+                    ap = os.path.join(m.lake_dir, run["path"])
+                    if not any(
+                        bloom_may_contain(ap, c) for c in ids_by_pid[pid]
+                    ):
+                        pruned_bloom += 1
+                        continue
+                planned += 1
+                rows_max += int(run["rows"])
+            rows.append(
+                (pid, runs_total, planned, 0, pruned_ts, pruned_bloom, rows_max)
+            )
+        schema = pa.schema(
+            [
+                ("pid", pa.int32()),
+                ("runs_total", pa.int64()),
+                ("runs_planned", pa.int64()),
+                ("pruned_by_routing", pa.int64()),
+                ("pruned_by_ts", pa.int64()),
+                ("pruned_by_bloom", pa.int64()),
+                ("rows_max", pa.int64()),
+            ]
+        )
+        cols = list(zip(*rows)) if rows else [[] for _ in schema]
+        return pa.table(
+            {f.name: pa.array(c, f.type) for f, c in zip(schema, cols)},
+            schema=schema,
+        )
+
     def tag(self, name: str, version: int | None = None) -> int:
         """Name a snapshot (git-tag / Iceberg-ref semantics): records
         ``name → version`` (default: CURRENT) in a sidecar, atomic-replaced.

@@ -854,3 +854,29 @@ def test_export_sft_jsonl_resumable_and_parses_back(tmp_path):
     m2 = lake.export_sft_jsonl(dest)
     assert m2["written"] == 1 and m2["skipped"] == lake.P - 1
     assert open(victim, "rb").read() == orig
+
+
+def test_explain_read_matches_executed_plan(tmp_path):
+    changes = gen_changes(4_000, 250, seed=61)
+    lake = _replay(tmp_path, split_epochs(changes, 3))
+    st = lake.read_local_table().to_pandas()
+    cut = st.ts.quantile(0.7)
+
+    plan = lake.explain_read(since_ts=cut).to_pandas()
+    lake.read(since_ts=cut).count()
+    assert plan["runs_total"].sum() == lake.last_read_stats["runs_total"]
+    assert plan["pruned_by_ts"].sum() == lake.last_read_stats["runs_pruned"]
+    assert (
+        plan["runs_planned"].sum() + plan["pruned_by_ts"].sum()
+        == plan["runs_total"].sum()
+    )
+
+    # point-lookup plan: only the owner partition scans; bloom probing can
+    # only prune further; the actual lookup fits under the planned row bound
+    conv = st["conv_id"].iloc[0]
+    lp = lake.explain_read(conv_ids=[conv]).to_pandas()
+    assert (lp["runs_planned"] > 0).sum() == 1
+    assert lp["pruned_by_routing"].sum() == lp[lp["runs_planned"] == 0]["runs_total"].sum()
+    lpb = lake.explain_read(conv_ids=[conv], probe_blooms=True).to_pandas()
+    assert lpb["runs_planned"].sum() <= lp["runs_planned"].sum()
+    assert lake.lookup(conv).num_rows <= lpb["rows_max"].sum()
