@@ -170,6 +170,16 @@ def _cdc_sft_split(sf_dir: str):
     return sft_split(sf=0.01)
 
 
+def _cdc_token_search(sf_dir: str):
+    """Ranked retrieval served FROM the maintained token index (no lake
+    rescan): conversations scored by summed postings over the query terms,
+    top-k under a total order. Oracled — the from-scratch postings filtered,
+    summed and ranked identically in SQL."""
+    from dbt_customer360_ray.pipelines.cdc_replay import token_search
+
+    return token_search(sf=0.01)
+
+
 def _cdc_explain_read(sf_dir: str):
     """EXPLAIN for the lake: the per-partition read plan (runs kept vs pruned
     by ts stats / routing / blooms) computed from metadata only — no data
@@ -1243,6 +1253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_near_dup_convs"] = _cdc_near_dup_convs
     out["cdc_sft_jsonl"] = _cdc_sft_jsonl
     out["cdc_explain_read"] = _cdc_explain_read
+    out["cdc_token_search"] = _cdc_token_search
     out["cdc_sft_export"] = _cdc_sft_export
     out["cdc_sft_split"] = _cdc_sft_split
     out["cdc_fk_lake"] = _cdc_fk_lake
@@ -1429,6 +1440,9 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_snapshot_synced"] = snapshot_sync_oracle_sql(sf=0.01)
     out["cdc_merged_into"] = merge_into_oracle_sql(sf=0.01)
     out["cdc_token_index"] = token_index_oracle_sql(sf=0.01)
+    from dbt_customer360_ray.pipelines.cdc_replay import token_search_oracle_sql
+
+    out["cdc_token_search"] = token_search_oracle_sql(sf=0.01)
     from dbt_customer360_ray.pipelines.cdc_replay import boilerplate_oracle_sql
 
     out["cdc_boilerplate_convs"] = boilerplate_oracle_sql(sf=0.01, min_convs=2)

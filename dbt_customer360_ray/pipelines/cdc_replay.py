@@ -1177,6 +1177,75 @@ def token_index_oracle_sql(sf: float = 0.01) -> str:
     """
 
 
+_SEARCH_TERMS = ("turn", "text", "17")
+
+
+def token_search(sf: float = 0.01, terms: tuple = _SEARCH_TERMS, k: int = 25):
+    """Ranked retrieval SERVED FROM the maintained token index (never the
+    lake): conversations scored by their summed postings count over the query
+    terms, top-k under (score DESC, conv_id ASC). One map-only filter over
+    the postings + a tiny per-block partial-top-k combine — the payoff of
+    keeping the index in sync instead of rescanning transcripts per query."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..state.views import read_token_index, sync_token_index
+
+    src = replayed_lake(sf)
+    dst = CdcLake(tempfile.mkdtemp(prefix="tokidx-q-") + "/lake", num_partitions=32)
+    sync_token_index(src, dst)
+    idx = read_token_index(dst)
+
+    term_arr = list(terms)
+
+    def score(t: pa.Table) -> pa.Table:
+        hit = t.filter(
+            pc.is_in(t.column("token"), value_set=pa.array(term_arr, pa.string()))
+        )
+        df = hit.select(["conv_id", "n"]).to_pandas()
+        agg = df.groupby("conv_id", sort=True, as_index=False)["n"].sum()
+        return pa.table(
+            {
+                "conv_id": pa.array(agg["conv_id"], pa.string()),
+                "score": pa.array(agg["n"].to_numpy("int64"), pa.int64()),
+            }
+        )
+
+    partial = idx.map_batches(score, batch_format="pyarrow").repartition(1)
+
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("conv_id", sort=True, as_index=False)["score"].sum()
+        df = df.sort_values(
+            ["score", "conv_id"], ascending=[False, True], kind="stable"
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return partial.map_batches(final, batch_format="pyarrow")
+
+
+def token_search_oracle_sql(
+    sf: float = 0.01, terms: tuple = _SEARCH_TERMS, k: int = 25
+) -> str:
+    """Oracle for ``token_search``: the from-scratch postings (token index
+    oracle CTEs) filtered to the query terms, summed per conversation, ranked
+    under the same total order."""
+    inner = _lww_sql(_epoch_selects(sf))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        WITH state AS ({inner}),
+        tok AS (
+            SELECT conv_id,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+            FROM state WHERE text IS NOT NULL
+        )
+        SELECT conv_id, CAST(count(*) AS BIGINT) AS score
+        FROM tok WHERE token IN ({in_list})
+        GROUP BY conv_id
+        ORDER BY score DESC, conv_id ASC
+        LIMIT {k}
+    """
+
+
 def debezium_fixture_paths(sf: float = 0.01) -> list[str]:
     """Re-encode (once, atomically) each fixture epoch as Debezium-style JSONL
     so the JSON ingest path replays the SAME events as the parquet path."""
