@@ -2427,3 +2427,72 @@ def _approx_quantiles_sql() -> str:
 
 QUERIES["approx_quantiles_events"] = q_approx_quantiles_events
 ORACLE_SQL["approx_quantiles_events"] = _approx_quantiles_sql()
+
+
+# -- 46. OPTIMIZE ZORDER layout: per-file data-skipping stats ----------------
+
+def q_zorder_layout_events(sf_dir: str, rows_per_file: int = 500, bits: int = 16):
+    """Z-order (Morton) clustering of events by (user_id, ts) — the lakehouse
+    ``OPTIMIZE ... ZORDER BY`` primitive. Returns the per-file min/max
+    envelope a manifest would record for data skipping: one map to build the
+    interleaved key, ONE distributed sort (clustering is a sort), an
+    O(blocks) driver offset pass, a small per-file aggregate. Pure integer
+    quantisation (step = (range >> bits) + 1) keeps numpy and DuckDB
+    bit-identical."""
+    from ..stages.layout import zorder_layout
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts"],
+        rows_per_block=50_000,
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return zorder_layout(
+        prepped, "user_id", "ts_us", "event_id", rows_per_file=rows_per_file,
+        bits=bits,
+    )
+
+
+def _zorder_layout_sql(rows_per_file: int = 500, bits: int = 16) -> str:
+    from ..stages.layout import zorder_sql_expr
+
+    return f"""
+    WITH base AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+    ), env AS (
+        SELECT min(user_id) AS a_lo, max(user_id) AS a_hi,
+               min(ts_us) AS b_lo, max(ts_us) AS b_hi
+        FROM base
+    ), q AS (
+        SELECT event_id, user_id, ts_us,
+               (user_id - env.a_lo) // (((env.a_hi - env.a_lo) >> {bits}) + 1) AS qa,
+               (ts_us - env.b_lo) // (((env.b_hi - env.b_lo) >> {bits}) + 1) AS qb
+        FROM base, env
+    ), z AS (
+        SELECT event_id, user_id, ts_us,
+               {zorder_sql_expr('qa', 'qb', bits)} AS zval
+        FROM q
+    ), rn AS (
+        SELECT event_id, user_id, ts_us,
+               row_number() OVER (ORDER BY zval, event_id) AS rn
+        FROM z
+    )
+    SELECT CAST((rn - 1) // {rows_per_file} AS BIGINT) AS file_idx,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(user_id) AS user_id_min, max(user_id) AS user_id_max,
+           min(ts_us) AS ts_us_min, max(ts_us) AS ts_us_max
+    FROM rn GROUP BY 1
+    """
+
+
+QUERIES["zorder_layout_events"] = q_zorder_layout_events
+ORACLE_SQL["zorder_layout_events"] = _zorder_layout_sql()
