@@ -112,6 +112,60 @@ def _make_slots(P: int, S: int, hot_pids: set[int]) -> tuple[list, "np.ndarray"]
     return slots, slot_of_skey
 
 
+def _cluster_partition(
+    lake_dir: str,
+    pid: int,
+    files: list[str],
+    state_schema: pa.Schema,
+    version: int,
+    merge_mode: str,
+    rows_per_file: int,
+    bits: int,
+) -> dict | None:
+    """One-partition OPTIMIZE ZORDER task: merge the partition's live runs
+    (exactly like a full compaction), order the state rows by the Morton key
+    of (hash(conv_id), ts), and rewrite them as MULTIPLE run files of at most
+    ``rows_per_file`` rows. Each output file is both KEY-local and TIME-local,
+    so the per-run ts stats and bloom sidecars the lake already records turn
+    into effective intra-partition data skipping: a ``since_ts`` read prunes
+    the old-time files, a point lookup's bloom probe prunes the
+    other-conversations files (``explain_read`` shows both). Content is
+    untouched — LWW merge-at-read is indifferent to how state rows are split
+    across runs. No shuffle: clustering is per-partition, one task each."""
+    import numpy as np
+
+    from ..hashing import stable_hash
+    from ..stages.layout import _interleave, _quantize
+
+    tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
+    merged = _collapse_runs(pa.concat_tables(tables), merge_mode)
+    if merged.num_rows == 0:
+        return None
+    a = (stable_hash(merged.column("conv_id")) >> np.uint64(1)).astype(np.int64)
+    b = merged.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    a_lo, b_lo = int(a.min()), int(b.min())
+    a_step = ((int(a.max()) - a_lo) >> bits) + 1
+    b_step = ((int(b.max()) - b_lo) >> bits) + 1
+    z = _interleave(_quantize(a, a_lo, a_step), _quantize(b, b_lo, b_step), bits)
+    conv = merged.column("conv_id").to_numpy(zero_copy_only=False)
+    turn = merged.column("turn_idx").to_numpy(zero_copy_only=False)
+    order = np.lexsort((turn, conv, z))
+    merged = merged.take(pa.array(order))
+    runs = []
+    for j, start in enumerate(range(0, merged.num_rows, rows_per_file)):
+        chunk = merged.slice(start, rows_per_file)
+        path = os.path.join(
+            "data", f"part-{pid:05d}", f"zord-v{version:08d}-{j:04d}.parquet"
+        )
+        atomic_parquet(chunk, os.path.join(lake_dir, path))
+        tomb = int(pc.sum(pc.equal(chunk.column("op"), "D")).as_py() or 0)
+        runs.append(
+            {"path": path, "rows": chunk.num_rows, "tombstones": tomb}
+            | dict(run_ts_stats(chunk))
+        )
+    return {"pid": pid, "runs": runs}
+
+
 def _compact_partition(
     lake_dir: str,
     pid: int,
@@ -1990,6 +2044,59 @@ class CdcLake:
                 "replaced_paths": inputs[pid],
             }
         self.manifest.commit_compaction(updates)
+        return len(updates)
+
+    def cluster_zorder(self, rows_per_file: int = 4096, bits: int = 12) -> int:
+        """OPTIMIZE ... ZORDER BY (conv_id, ts) — Delta/Iceberg layout
+        clustering for this lake. Per partition (one plain Ray task, NO
+        shuffle — the hash partitioning already co-locates each key), merge
+        the live runs and rewrite them as multiple Morton-ordered run files of
+        ``rows_per_file`` rows, each carrying the ts stats + key bloom every
+        run already gets. The SAME manifest machinery then skips files:
+        ``read(since_ts=…)`` prunes old-time files, ``lookup``/
+        ``explain_read(probe_blooms=True)`` prunes other-key files — pruning
+        a single merged base could never do. Atomic swap via
+        ``commit_compaction`` (concurrent ingest survives via
+        ``replaced_paths``); serving content is provably unchanged (LWW
+        merge-at-read is split-agnostic). Returns partitions rewritten."""
+        import ray
+
+        version = self.manifest.version + 1
+        task = ray.remote(_cluster_partition)
+        schema_ref = ray.put(self.manifest.schema)
+        inputs = {
+            pid: [r["path"] for r in self.manifest.partition(pid)["runs"]]
+            for pid in range(self.P)
+            if self.manifest.partition(pid)["runs"]
+        }
+        refs = [
+            task.remote(
+                self.lake_dir,
+                pid,
+                [os.path.join(self.lake_dir, p) for p in paths],
+                schema_ref,
+                version,
+                self.merge_mode,
+                rows_per_file,
+                bits,
+            )
+            for pid, paths in inputs.items()
+        ]
+        updates = {}
+        for row in ray.get(refs):
+            if row is None:
+                continue
+            pid = int(row["pid"])
+            rows = sum(int(r["rows"]) for r in row["runs"])
+            tombs = sum(int(r["tombstones"]) for r in row["runs"])
+            updates[pid] = {
+                "runs": row["runs"],
+                "max_offset": self.manifest.partition(pid)["max_offset"],
+                "rows": rows - tombs,
+                "replaced_paths": inputs[pid],
+            }
+        if updates:
+            self.manifest.commit_compaction(updates, op="CLUSTER")
         return len(updates)
 
     def snapshot_sync(self, snapshot, sync_ts, detect_hot: str = "off") -> dict:

@@ -492,7 +492,10 @@ class Manifest:
                 self.reload()
 
     def commit_compaction(
-        self, partition_updates: dict[int, dict], schema: pa.Schema | None = None
+        self,
+        partition_updates: dict[int, dict],
+        schema: pa.Schema | None = None,
+        op: str = "COMPACT",
     ) -> None:
         """Swap compacted partitions' run lists atomically (no epoch record).
 
@@ -524,7 +527,7 @@ class Manifest:
                     r["rows"] - r["tombstones"] for r in kept
                 )
                 state["partitions"][str(pid)] = cur
-            state["operation"] = {"op": "COMPACT", "partitions": len(partition_updates)}
+            state["operation"] = {"op": op, "partitions": len(partition_updates)}
             state["version"] += 1
             try:
                 self._persist(state)
