@@ -452,6 +452,17 @@ def _cdc_patch_lake(sf_dir: str):
     return patched_lake().read()
 
 
+def _cdc_clustered_lake(sf_dir: str):
+    """OPTIMIZE ZORDER: full replay into a fresh lake, then every partition's
+    runs merged and rewritten as Morton-ordered (key, ts) multi-file runs —
+    the per-run ts stats and key blooms then prune inside a partition. Oracled
+    — serving content is layout-invariant, so the plain replay oracle must
+    hold (same contract the reshard entry pins)."""
+    from dbt_customer360_ray.pipelines.cdc_replay import clustered_lake
+
+    return clustered_lake(sf=0.01).read()
+
+
 def _cdc_restored_lake(sf_dir: str):
     """Delta-style RESTORE: full 4-epoch replay into a fresh lake, roll back to
     epoch 1's snapshot as a NEW commit (run files shared, checkpoints rolled
@@ -830,6 +841,31 @@ def _semantic_decontaminate_embeddings(sf_dir: str):
         eval_side["vec_id"].to_numpy(),
         threshold=0.3,
     )
+
+
+def _bfs_hops_embeddings(sf_dir: str):
+    """Multi-source BFS hop distance over the undirected exact k-NN graph:
+    md5-permille seeds at hops=0, everyone else the minimum hops to any seed
+    (≤3, unreached omitted) — frontier expansion as the pagerank-style bucket
+    exchange. Oracled against a DuckDB RECURSIVE CTE over the same edges."""
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.similarity import bfs_hops
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return bfs_hops(ds, k=5, max_hops=3, seed_permille=40)
+
+
+def _triangle_stats_embeddings(sf_dir: str):
+    """Per-node triangle count + permille clustering coefficient over the
+    undirected exact k-NN graph: distinct edges → per-node wedges (linear in N
+    for fixed k) → one hash-shuffle wedge⋈edge closure join. The cluster-
+    density signal that separates templated duplicate families from bridge
+    nodes; integer floors end-to-end so SQL agrees bit-for-bit."""
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.similarity import triangle_stats
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return triangle_stats(ds, k=5)
 
 
 def _pagerank_embeddings(sf_dir: str):
@@ -1260,6 +1296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_fk_dlq"] = _cdc_fk_dlq
     out["cdc_analyze"] = _cdc_analyze
     out["cdc_restored_lake"] = _cdc_restored_lake
+    out["cdc_clustered_lake"] = _cdc_clustered_lake
     out["cdc_renamed_lake"] = _cdc_renamed_lake
     out["cdc_txn_lake"] = _cdc_txn_lake
     out["stream_txn_lake"] = _stream_txn_lake
@@ -1293,6 +1330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["semantic_decontaminate_embeddings"] = _semantic_decontaminate_embeddings
     out["label_propagated_embeddings"] = _label_propagated_embeddings
     out["pagerank_embeddings"] = _pagerank_embeddings
+    out["bfs_hops_embeddings"] = _bfs_hops_embeddings
+    out["triangle_stats_embeddings"] = _triangle_stats_embeddings
     out["window_dedup_documents"] = _window_dedup_documents
     out["quota_sample_documents"] = _quota_sample_documents
     out["repetition_documents"] = _repetition_documents
@@ -1413,6 +1452,15 @@ def oracle_sql() -> dict[str, str]:
     from dbt_customer360_ray.stages.similarity import pagerank_oracle_sql
 
     out["pagerank_embeddings"] = pagerank_oracle_sql("embeddings", k=5, iters=3)
+    from dbt_customer360_ray.stages.similarity import (
+        bfs_hops_oracle_sql,
+        triangle_stats_oracle_sql,
+    )
+
+    out["bfs_hops_embeddings"] = bfs_hops_oracle_sql(
+        "embeddings", k=5, max_hops=3, seed_permille=40
+    )
+    out["triangle_stats_embeddings"] = triangle_stats_oracle_sql("embeddings", k=5)
     out["lm_fluency_documents"] = lm_fluency_oracle_sql("documents")
     from dbt_customer360_ray.stages.sampling import mix_oracle_sql
 
@@ -1450,6 +1498,7 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_lookup_batch"] = lookup_many_oracle_sql(sf=0.01, suffix="7")
     out["cdc_retention_lake"] = retention_oracle_sql(sf=0.01)
     out["cdc_resharded_lake"] = replay_oracle_sql(sf=0.01)
+    out["cdc_clustered_lake"] = replay_oracle_sql(sf=0.01)
     out["cdc_late_quarantined"] = late_quarantine_oracle_sql(sf=0.01)
     out["cdc_change_feed"] = change_feed_oracle_sql(sf=0.01, from_epoch=0, to_epoch=2)
     out["cdc_restored_lake"] = timetravel_oracle_sql(sf=0.01, epoch=1)

@@ -76,6 +76,18 @@ def replayed_lake(sf: float = 0.01):
     return _REPLAYED[sf]
 
 
+def clustered_lake(sf: float = 0.01, rows_per_file: int = 2048):
+    """Full replay into a FRESH lake (cluster commits a new manifest version,
+    so the shared ``replayed_lake`` must stay un-mutated), then OPTIMIZE
+    ZORDER: every partition's live runs merged and rewritten as multiple
+    Morton-ordered (key, ts) run files. Serving content is layout-invariant,
+    so the oracle is the plain replay oracle — the same contract the reshard
+    entry pins for partition-count invariance."""
+    lake, _metrics = replay(sf=sf)
+    lake.cluster_zorder(rows_per_file=rows_per_file)
+    return lake
+
+
 def restored_lake(sf: float = 0.01, epoch: int = 1):
     """Full replay into a FRESH lake (the shared ``replayed_lake`` must stay
     un-mutated — restore commits a new version), then RESTORE to ``epoch``'s

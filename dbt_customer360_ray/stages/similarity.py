@@ -1415,3 +1415,310 @@ def pagerank_oracle_sql(
     return f"""{head}{step}
         SELECT id AS {id_col}, CAST(r AS BIGINT) AS pr_scaled FROM r{iters}
     """
+
+def bfs_hops(
+    ds,
+    k: int = 5,
+    max_hops: int = 3,
+    seed_permille: int = 40,
+    id_col: str = "vec_id",
+    salt: str = "bfs",
+    round_to: int | None = 2,
+    num_blocks: int | None = None,
+    num_buckets: int | None = None,
+):
+    """Multi-source BFS hop distance over the UNDIRECTED exact cosine k-NN
+    graph: an md5-permille seed subset sits at hops=0 and every other vector
+    gets the MINIMUM number of graph hops to any seed, capped at ``max_hops``
+    (unreached vectors are omitted) — the "distance to curated exemplars"
+    signal graph-based selection ranks by, and the same frontier-expansion
+    primitive k-hop neighbourhood sampling uses.
+
+    Distributed shape: the PAGERANK bucket exchange (edges and a per-node
+    dist array hash-bucketed by id ONCE into the object store; see
+    ``pagerank``), but each round ships only the CURRENT FRONTIER's unique
+    neighbour ids (monotonically shrinking), not a full rank vector — B²
+    tiny refs per hop, state never on the driver. The hop count is integer
+    and order-independent, so any task interleaving gives the identical
+    answer; the SQL oracle is a recursive CTE over the same knn edges."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from .sampling import _bucket_of
+
+    edges_ds = (
+        knn_graph(ds, k=k, id_col=id_col, round_to=round_to, num_blocks=num_blocks)
+        .select_columns([id_col, "neighbor_id"])
+        .materialize()
+    )
+    nodes_ds = ds.select_columns([id_col]).materialize()
+    n = nodes_ds.count()
+    if num_buckets is None:
+        # same recipe as pagerank: tasks stay heap-sized at scale, small
+        # inputs don't drown in scheduling overhead
+        num_buckets = max(4, min(256, n // 250_000 + 4))
+    B = num_buckets
+
+    def _sym_split(t: pa.Table) -> list:
+        # undirected: materialize both directed copies, bucket by the src
+        a = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("neighbor_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        s, d = np.concatenate([a, b]), np.concatenate([b, a])
+        bk = s % B
+        order = np.argsort(bk, kind="stable")
+        s, d, bk = s[order], d[order], bk[order]
+        cuts = np.searchsorted(bk, np.arange(B + 1))
+        return [
+            (s[cuts[i] : cuts[i + 1]], d[cuts[i] : cuts[i + 1]]) for i in range(B)
+        ]
+
+    def _node_split(t: pa.Table) -> list:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = ids % B
+        order = np.argsort(bk, kind="stable")
+        ids, bk = ids[order], bk[order]
+        cuts = np.searchsorted(bk, np.arange(B + 1))
+        return [ids[cuts[i] : cuts[i + 1]] for i in range(B)]
+
+    split_edges = ray.remote(num_returns=B)(_sym_split)
+    split_nodes = ray.remote(num_returns=B)(_node_split)
+    edge_cols = [split_edges.remote(r) for r in edges_ds.to_arrow_refs()]
+    node_cols = [split_nodes.remote(r) for r in nodes_ds.to_arrow_refs()]
+
+    def _bucket_edges(*parts) -> tuple:
+        s = np.concatenate([p[0] for p in parts])
+        d = np.concatenate([p[1] for p in parts])
+        order = np.argsort(s, kind="stable")
+        return s[order], d[order]
+
+    def _bucket_nodes(*parts) -> np.ndarray:
+        return np.sort(np.concatenate(parts))
+
+    def _seed(ids: np.ndarray) -> np.ndarray:
+        dist = np.full(len(ids), -1, np.int64)
+        if len(ids):
+            dist[_bucket_of(ids, salt) < seed_permille] = 0
+        return dist
+
+    edge_b = [
+        ray.remote(_bucket_edges).remote(*[c[b] for c in edge_cols])
+        for b in range(B)
+    ]
+    node_b = [
+        ray.remote(_bucket_nodes).remote(*[c[b] for c in node_cols])
+        for b in range(B)
+    ]
+    dist_b = [ray.remote(_seed).remote(node_b[b]) for b in range(B)]
+
+    def _expand(edges: tuple, ids: np.ndarray, dist: np.ndarray, h: int) -> list:
+        src, dst = edges
+        f = ids[dist == h - 1]  # this bucket's frontier (sorted: ids sorted)
+        if len(f) == 0 or len(src) == 0:
+            return [np.empty(0, np.int64)] * B
+        pos = np.searchsorted(f, src)
+        m = (pos < len(f)) & (f[np.minimum(pos, len(f) - 1)] == src)
+        out = np.unique(dst[m])
+        bk = out % B
+        order = np.argsort(bk, kind="stable")
+        out, bk = out[order], bk[order]
+        cuts = np.searchsorted(bk, np.arange(B + 1))
+        return [out[cuts[i] : cuts[i + 1]] for i in range(B)]
+
+    def _settle(ids: np.ndarray, dist: np.ndarray, h: int, *arrivals) -> np.ndarray:
+        dist = dist.copy()  # object-store arrays are read-only
+        arr = [a for a in arrivals if len(a)]
+        if arr and len(ids):
+            pos = np.searchsorted(ids, np.unique(np.concatenate(arr)))
+            pos = pos[pos < len(ids)]
+            fresh = pos[dist[pos] < 0]
+            dist[fresh] = h
+        return dist
+
+    expand = ray.remote(num_returns=B)(_expand)
+    settle = ray.remote(_settle)
+    for h in range(1, max_hops + 1):
+        outs = [expand.remote(edge_b[b], node_b[b], dist_b[b], h) for b in range(B)]
+        dist_b = [
+            settle.remote(node_b[c], dist_b[c], h, *[outs[b][c] for b in range(B)])
+            for c in range(B)
+        ]
+
+    def _emit(ids: np.ndarray, dist: np.ndarray) -> pa.Table:
+        m = dist >= 0
+        return pa.table({id_col: pa.array(ids[m]), "hops": pa.array(dist[m])})
+
+    emit = ray.remote(_emit)
+    return ray.data.from_arrow_refs(
+        [emit.remote(node_b[b], dist_b[b]) for b in range(B)]
+    )
+
+
+def bfs_hops_oracle_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    max_hops: int = 3,
+    seed_permille: int = 40,
+    id_col: str = "vec_id",
+    salt: str = "bfs",
+) -> str:
+    """DuckDB mirror of ``bfs_hops``: a recursive CTE over the same knn-graph
+    SQL (UNION, not UNION ALL, so the recursion is node-bounded), MIN(hops)
+    per reached node."""
+    from .sampling import _permille_sql
+
+    knn = knn_graph_oracle_sql(table, k=k, id_col=id_col)
+    return f"""
+        WITH RECURSIVE knn AS ({knn}),
+        edges AS (
+            SELECT {id_col} AS src, neighbor_id AS dst FROM knn
+            UNION
+            SELECT neighbor_id, {id_col} FROM knn
+        ),
+        reach AS (
+            SELECT {id_col} AS id, 0 AS hops FROM {table}
+            WHERE {_permille_sql(id_col, salt)} < {seed_permille}
+            UNION
+            SELECT e.dst, r.hops + 1
+            FROM reach r JOIN edges e ON e.src = r.id
+            WHERE r.hops < {max_hops}
+        )
+        SELECT id AS {id_col}, CAST(MIN(hops) AS BIGINT) AS hops
+        FROM reach GROUP BY 1
+    """
+
+
+def triangle_stats(
+    ds,
+    k: int = 5,
+    id_col: str = "vec_id",
+    round_to: int | None = 2,
+    num_blocks: int | None = None,
+):
+    """Per-node triangle count and integer local clustering coefficient over
+    the UNDIRECTED exact cosine k-NN graph — the density signal that separates
+    tight semantic clusters (duplicates, templated families) from bridge
+    nodes. ``lcc_pm`` is the clustering coefficient in PERMILLE with floor
+    division (house integer-determinism style), so numpy and SQL agree
+    bit-for-bit.
+
+    Distributed shape: normalize each knn edge to (u<v), distinct via one
+    multi-key groupby, double into adjacency, generate each node's wedges
+    (neighbour pairs, ≤ 2k·(2k-1)/2 rows per node — LINEAR in N for fixed k)
+    with map_groups, then ONE hash-shuffle join of wedges against the
+    distinct-edge set on (wa,wc)=(u,v): every match is a closed wedge, i.e. a
+    triangle counted at its centre node. No adjacency broadcast, no N² term
+    beyond the knn tiles themselves."""
+    import pyarrow as pa
+    import ray
+
+    from ray.data.aggregate import Count
+
+    edges = knn_graph(
+        ds, k=k, id_col=id_col, round_to=round_to, num_blocks=num_blocks
+    ).select_columns([id_col, "neighbor_id"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        a = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("neighbor_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"u": np.minimum(a, b), "v": np.maximum(a, b)})
+
+    und = (
+        edges.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["u", "v"])
+        .materialize()
+    )
+
+    def both(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"ctr": np.concatenate([u, v]), "nb": np.concatenate([v, u])}
+        )
+
+    adj = und.map_batches(both, batch_format="pyarrow", zero_copy_batch=True)
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        nb = np.sort(g["nb"].to_numpy())
+        ii, jj = np.triu_indices(len(nb), k=1)
+        return pd.DataFrame(
+            {
+                "ctr": np.full(len(ii), int(g["ctr"].iloc[0]), np.int64),
+                "wa": nb[ii],
+                "wc": nb[jj],
+            }
+        )
+
+    w = adj.groupby("ctr").map_groups(wedges, batch_format="pandas")
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    nparts = max(2, cpus // 2)
+    closed = w.join(
+        und,
+        join_type="inner",
+        num_partitions=nparts,
+        on=("wa", "wc"),
+        right_on=("u", "v"),
+        aggregator_ray_remote_args={"num_cpus": 0.1},
+    )
+    tri = closed.groupby("ctr").aggregate(Count(alias_name="triangles"))
+    deg = adj.groupby("ctr").aggregate(Count(alias_name="degree"))
+    from .joins import bucketed_hash_join
+
+    out = bucketed_hash_join(deg, tri, on="ctr", how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t.column("degree").to_numpy(zero_copy_only=False).astype(np.int64)
+        tr = (
+            pd.Series(t.column("triangles").to_numpy(zero_copy_only=False))
+            .fillna(0)
+            .to_numpy()
+            .astype(np.int64)
+        )
+        lcc = np.where(d >= 2, (2000 * tr) // np.maximum(d * (d - 1), 1), 0)
+        return pa.table(
+            {
+                id_col: t.column("ctr"),
+                "degree": d,
+                "triangles": tr,
+                "lcc_pm": lcc.astype(np.int64),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def triangle_stats_oracle_sql(
+    table: str = "embeddings", k: int = 5, id_col: str = "vec_id"
+) -> str:
+    """DuckDB mirror of ``triangle_stats`` (wedge ⋈ edge closure, permille
+    floor-division clustering coefficient)."""
+    knn = knn_graph_oracle_sql(table, k=k, id_col=id_col)
+    return f"""
+        WITH knn AS ({knn}),
+        und AS (
+            SELECT DISTINCT LEAST({id_col}, neighbor_id) AS u,
+                   GREATEST({id_col}, neighbor_id) AS v
+            FROM knn
+        ),
+        adj AS (SELECT u AS ctr, v AS nb FROM und
+                UNION ALL SELECT v, u FROM und),
+        deg AS (SELECT ctr, count(*) AS degree FROM adj GROUP BY 1),
+        wedge AS (
+            SELECT a.ctr, a.nb AS wa, b.nb AS wc
+            FROM adj a JOIN adj b ON a.ctr = b.ctr AND a.nb < b.nb
+        ),
+        tri AS (
+            SELECT w.ctr, count(*) AS t
+            FROM wedge w JOIN und e ON e.u = w.wa AND e.v = w.wc
+            GROUP BY 1
+        )
+        SELECT d.ctr AS {id_col},
+               CAST(d.degree AS BIGINT) AS degree,
+               CAST(COALESCE(tri.t, 0) AS BIGINT) AS triangles,
+               CAST(CASE WHEN d.degree >= 2
+                    THEN (2000 * COALESCE(tri.t, 0)) // (d.degree * (d.degree - 1))
+                    ELSE 0 END AS BIGINT) AS lcc_pm
+        FROM deg d LEFT JOIN tri ON tri.ctr = d.ctr
+    """
