@@ -252,6 +252,16 @@ def _cdc_wap_published(sf_dir: str):
     return wap_lake(sf=0.01)
 
 
+def _cdc_dv_deleted(sf_dir: str):
+    """Deletion-vector DELETE: the same tool-role predicate as
+    cdc_deleted_where, executed as per-run positional sidecars on
+    hardlink-renamed runs (merge-on-read; zero data bytes moved, no events) —
+    the served state must be identical, so both entries share one oracle."""
+    from dbt_customer360_ray.pipelines.cdc_replay import dv_deleted_lake
+
+    return dv_deleted_lake(sf=0.01)
+
+
 def _cdc_deleted_where(sf_dir: str):
     """Predicate DELETE DML (DELETE FROM lake WHERE role = 'tool'): live
     matching rows tombstoned through the exactly-once epoch path — change-
@@ -1282,6 +1292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_merged_turns"] = _cdc_merged_turns
     out["cdc_context_pairs"] = _cdc_context_pairs
     out["cdc_deleted_where"] = _cdc_deleted_where
+    out["cdc_dv_deleted"] = _cdc_dv_deleted
     out["cdc_wap_published"] = _cdc_wap_published
     out["cdc_dedup_index"] = _cdc_dedup_index
     out["cdc_backfilled_lake"] = _cdc_backfilled_lake
@@ -1555,6 +1566,7 @@ def oracle_sql() -> dict[str, str]:
     from dbt_customer360_ray.pipelines.cdc_replay import delete_where_oracle_sql
 
     out["cdc_deleted_where"] = delete_where_oracle_sql(sf=0.01)
+    out["cdc_dv_deleted"] = delete_where_oracle_sql(sf=0.01)
     out["cdc_wap_published"] = replay_oracle_sql(sf=0.01)
     from dbt_customer360_ray.pipelines.cdc_replay import dedup_index_oracle_sql
 

@@ -1144,6 +1144,19 @@ def deleted_where_lake(sf: float = 0.01):
     return lake.read()
 
 
+def dv_deleted_lake(sf: float = 0.01):
+    """Driver surface for ``delete_where(mode="dv")`` — Delta-style DELETION
+    VECTORS: replay the fixture into a fresh lake, vector-mask every live
+    tool-role turn (per-run positional ``.dv`` sidecars on hardlink-renamed
+    run names; NO data bytes moved, NO events written), and return the merged
+    read THROUGH the vectors. Same logical result as the tombstone mode, so
+    the same oracle holds — the driver thereby exercises the masked
+    per-file read path end-to-end at sf0.01."""
+    lake, _ = replay(sf=sf)
+    lake.delete_where(DELETE_SPEC, mode="dv")
+    return lake.read()
+
+
 def delete_where_oracle_sql(sf: float = 0.01, spec: dict = DELETE_SPEC) -> str:
     """Oracle for ``deleted_where_lake``: converged rows where the predicate
     is NOT definitively TRUE survive with their original ts — the engine's

@@ -72,6 +72,45 @@ def window_count_delta(new: pa.Table, window_us: int) -> dict[str, int]:
     return {f"{int(w)}|{o}": int(n) for (w, o), n in g.items()}
 
 
+def apply_dv(table: pa.Table, run_path: str) -> pa.Table:
+    """Merge-on-read DELETION VECTOR: drop the row POSITIONS listed in the
+    ``<run>.dv`` sidecar (a one-column ``pos`` parquet). Only runs a DV commit
+    hardlink-RENAMED carry a sidecar — older manifest versions still reference
+    the original path, whose bytes have no sidecar — so time travel, change
+    feeds and RESTORE read the exact pre-delete state with zero data copied.
+    (On object storage the rename would be a server-side copy; the manifest's
+    per-run ``dv_rows`` already records which runs carry vectors.)"""
+    dvp = run_path + ".dv"
+    if table.num_rows == 0 or not os.path.exists(dvp):
+        return table
+    pos = pq.read_table(dvp).column("pos").to_numpy(zero_copy_only=False)
+    keep = np.ones(table.num_rows, dtype=bool)
+    keep[pos[pos < table.num_rows]] = False
+    return table.filter(pa.array(keep))
+
+
+def load_run(run_path: str, state_schema: pa.Schema | None = None) -> pa.Table:
+    """The ONE way to read a committed run file: parquet read, deletion-vector
+    mask, then (optionally) conform to the lake schema. Every serving /
+    maintenance surface that opens runs goes through here so a DV'd run is
+    indistinguishable from a rewritten one."""
+    from ..schemas import conform_batch
+
+    t = apply_dv(pq.read_table(run_path), run_path)
+    return conform_batch(t, state_schema) if state_schema is not None else t
+
+
+def load_run_key_filtered(run_path: str, keys: list) -> pa.Table:
+    """Point-lookup read of one run: parquet predicate pushdown on the clean
+    path; a DV'd run must decode fully first (the sidecar positions are
+    file-absolute, so they cannot compose with a filtered read) — acceptable:
+    DVs are transient until the next compaction folds them in."""
+    if os.path.exists(run_path + ".dv"):
+        t = apply_dv(pq.read_table(run_path), run_path)
+        return t.filter(pc.is_in(t.column("conv_id"), pa.array(keys)))
+    return pq.read_table(run_path, filters=[("conv_id", "in", keys)])
+
+
 def atomic_parquet(table: pa.Table, path: str) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"

@@ -27,7 +27,7 @@ import pyarrow.parquet as pq
 
 from ..functions.lww import drop_tombstones, lww_latest, patch_collapse, patch_latest
 from ..schemas import KEY_COLUMNS, conform_batch, evolve_schema, rename_columns_map
-from .applier import EpochApplier, atomic_parquet, run_ts_stats
+from .applier import EpochApplier, apply_dv, atomic_parquet, load_run, load_run_key_filtered, run_ts_stats
 from .manifest import Manifest, _atomic_write
 from .router import AssignPartitions, estimate_hot_keys
 
@@ -137,7 +137,7 @@ def _cluster_partition(
     from ..hashing import stable_hash
     from ..stages.layout import _interleave, _quantize
 
-    tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
+    tables = [load_run(f, state_schema) for f in files]
     merged = _collapse_runs(pa.concat_tables(tables), merge_mode)
     if merged.num_rows == 0:
         return None
@@ -186,7 +186,7 @@ def _compact_partition(
     mask, a redelivery of the deleted key's events is caught by the offset
     checkpoint, and a NEW event old enough to resurrect the key would be
     quarantined as too_late. The RocksDB/Cassandra gc_grace rule."""
-    tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
+    tables = [load_run(f, state_schema) for f in files]
     merged = _collapse_runs(pa.concat_tables(tables), merge_mode)
     if tombstone_horizon_us is not None and prefix == "base":
         gc = pc.and_(
@@ -244,7 +244,7 @@ def _diff_partition(
     def _state(files: list[str]):
         if not files:
             return state_schema.empty_table()
-        tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
+        tables = [load_run(f, state_schema) for f in files]
         return _drop_purged(
             drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode)),
             purged,
@@ -345,7 +345,7 @@ def _snapshot_diff_partition(
 
     files = dict(files_by_pid).get(pid, ())
     if files:
-        tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
+        tables = [load_run(f, state_schema) for f in files]
         state = drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode))
         lake = state.select(list(KEY_COLUMNS) + payload).to_pandas()
     else:
@@ -417,7 +417,7 @@ def _merge_into_partition(
 
     files = dict(files_by_pid).get(pid, ())
     if files:
-        tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
+        tables = [load_run(f, state_schema) for f in files]
         state = drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode))
         lake = state.select(list(KEY_COLUMNS) + payload).to_pandas()
     else:
@@ -505,7 +505,7 @@ def _expire_partition(
     ]
     if not files:
         return event_schema.empty_table()
-    tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
+    tables = [load_run(f, state_schema) for f in files]
     state = drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode))
     old = state.filter(pc.less(state.column("ts"), pa.scalar(cutoff_us, pa.timestamp("us"))))
     if old.num_rows == 0:
@@ -540,15 +540,19 @@ def _backfill_partition(
     replaced: list[str] = []
     for run in runs:
         ap = os.path.join(lake_dir, run["path"])
-        t = pq.read_table(ap)
+        # deletion-vector'd runs fold their mask into the rewrite (the fresh
+        # file has no sidecar, so carrying masked rows would resurrect them);
+        # if the run ends up skipped it keeps its old name + sidecar — fine
+        t = load_run(ap)
         t2 = apply_computed(t, list(specs))
         if t2.schema == t.schema and t2.equals(t):
             continue  # already backfilled (or ingested post-declaration)
         rel = run["path"][: -len(".parquet")] + f"-bf{version}.parquet"
         atomic_parquet(t2, os.path.join(lake_dir, rel))
         replaced.append(run["path"])
+        tomb = int(pc.sum(pc.equal(t2.column("op"), "D")).as_py() or 0)
         new_runs.append(
-            {"path": rel, "rows": run["rows"], "tombstones": run["tombstones"]}
+            {"path": rel, "rows": t2.num_rows, "tombstones": tomb}
             | run_ts_stats(t2)
         )
     return {"new_runs": new_runs, "replaced": replaced}
@@ -587,7 +591,7 @@ def _audit_partition(
     names = [s["name"] for s in specs]
     if not files:
         return pa.table({"name": names, "violations": [0] * len(names)}, schema=out_schema)
-    tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
+    tables = [load_run(f, state_schema) for f in files]
     state = _drop_purged(
         drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode)),
         purged,
@@ -601,6 +605,115 @@ def _audit_partition(
             bad = _predicate_false(col, spec)
         counts.append(int(pc.sum(bad).as_py() or 0))
     return pa.table({"name": names, "violations": counts}, schema=out_schema)
+
+
+def _masked_run_read(path: str, state_schema: pa.Schema) -> pa.Table:
+    """Per-file read task for a deletion-vector'd run on the streaming read
+    path: column-pruned decode, positional mask, conform. (The plain
+    ``read_parquet`` scan can't host the mask — batches there don't know their
+    file-absolute row offsets.)"""
+    avail = set(pq.ParquetFile(path).schema_arrow.names)
+    cols = [n for n in state_schema.names if n in avail]
+    t = apply_dv(pq.read_table(path, columns=cols), path)
+    return conform_batch(t, state_schema)
+
+
+def _dv_partition(
+    lake_dir: str,
+    pid: int,
+    runs: list[dict],
+    state_schema: pa.Schema,
+    spec: dict,
+    version: int,
+    merge_mode: str = "lww",
+) -> dict | None:
+    """delete_where(mode="dv") kernel for one partition — the merge-on-read
+    twin of ``_delete_where_partition``: instead of emitting tombstone events,
+    mark the doomed rows' POSITIONS in per-run deletion-vector sidecars.
+
+    Every stored version of a hit key is masked in every run (masking only
+    the LWW winner would resurrect the key's older rows at merge), so the key
+    vanishes from the commit version onward. No data bytes move: each
+    affected run is HARDLINKED to a fresh ``dv-v{V}-…`` name (bloom sidecar
+    linked along) and the ``.dv`` sidecar attaches to the new name only — the
+    old path stays sidecar-free, so time travel below the commit reads the
+    exact pre-delete rows and ``change_feed`` across it classifies the
+    deletes. A fully-dead run is simply dropped from the manifest. The next
+    compaction folds vectors into rewritten bytes."""
+    import numpy as np
+    import pandas as pd
+
+    from .constraints import _predicate_true
+
+    files = [os.path.join(lake_dir, r["path"]) for r in runs]
+    if not files:
+        return None
+    tables = [load_run(f, state_schema) for f in files]
+    state = drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode))
+    if spec["column"] not in state.column_names or state.num_rows == 0:
+        return None
+    hit = state.filter(_predicate_true(state.column(spec["column"]), spec))
+    if hit.num_rows == 0:
+        return None
+    kill = pd.MultiIndex.from_arrays(
+        [hit.column(c).to_pandas() for c in KEY_COLUMNS]
+    )
+    new_runs: list[dict] = []
+    replaced: list[str] = []
+    masked = 0
+    for run, ap in zip(runs, files):
+        raw = pq.read_table(ap)  # positions are file-absolute: RAW read
+        keys = pd.MultiIndex.from_arrays(
+            [raw.column(c).to_pandas() for c in KEY_COLUMNS]
+        )
+        pos = np.flatnonzero(keys.isin(kill)).astype(np.int64)
+        if len(pos) == 0:
+            continue  # untouched: entry stays as-is via replaced_paths rebase
+        masked += int(len(pos))
+        if os.path.exists(ap + ".dv"):
+            # re-DV of an already-vector'd run: union in file-absolute coords
+            prev = pq.read_table(ap + ".dv").column("pos").to_numpy(
+                zero_copy_only=False
+            )
+            pos = np.union1d(pos, prev).astype(np.int64)
+        replaced.append(run["path"])
+        if len(pos) == raw.num_rows:
+            continue  # fully dead: drop the run entirely
+        rel = os.path.join(
+            os.path.dirname(run["path"]),
+            f"dv-v{version:08d}-{os.path.basename(run['path'])}",
+        )
+        new_ap = os.path.join(lake_dir, rel)
+        try:
+            os.link(ap, new_ap)  # zero-copy rename-for-versioning
+        except FileExistsError:
+            pass  # identical bytes from a retried task
+        if os.path.exists(ap + ".bloom") and not os.path.exists(new_ap + ".bloom"):
+            try:
+                os.link(ap + ".bloom", new_ap + ".bloom")
+            except FileExistsError:
+                pass
+        atomic_parquet(pa.table({"pos": pa.array(pos, pa.int64())}), new_ap + ".dv")
+        keep = np.ones(raw.num_rows, dtype=bool)
+        keep[pos] = False
+        surv = raw.filter(pa.array(keep))
+        tomb = (
+            int(pc.sum(pc.equal(surv.column("op"), "D")).as_py() or 0)
+            if "op" in surv.column_names
+            else 0
+        )
+        new_runs.append(
+            {
+                "path": rel,
+                "rows": surv.num_rows,
+                "tombstones": tomb,
+                "dv_rows": int(len(pos)),
+            }
+            | dict(run_ts_stats(surv))
+        )
+    if not replaced:
+        return None
+    return {"pid": pid, "runs": new_runs, "replaced": replaced, "masked": masked}
 
 
 def _delete_where_partition(
@@ -630,7 +743,7 @@ def _delete_where_partition(
     ]
     if not files:
         return event_schema.empty_table()
-    tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
+    tables = [load_run(f, state_schema) for f in files]
     state = drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode))
     if spec["column"] not in state.column_names or state.num_rows == 0:
         return event_schema.empty_table()
@@ -666,7 +779,7 @@ def _export_partition(
     from .applier import atomic_parquet
 
     if files:
-        tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
+        tables = [load_run(f, state_schema) for f in files]
         merged = _drop_purged(
             drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode)),
             purged,
@@ -790,7 +903,7 @@ def _lookup_partition(
     for f in files:
         if not any(bloom_may_contain(f, cid) for cid in id_list):
             continue
-        t = pq.read_table(f, filters=[("conv_id", "in", id_list)])
+        t = load_run_key_filtered(f, id_list)
         tables.append(conform_batch(t, state_schema))
     if not tables:
         return apply_masks(
@@ -820,7 +933,7 @@ def _headers_partition(
     if not files:
         tables = []
     else:
-        tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
+        tables = [load_run(f, state_schema) for f in files]
     out_schema = pa.schema(
         [
             ("conv_id", pa.string()),
@@ -873,7 +986,7 @@ def _assemble_partition(
     )
     if not files:
         return out_schema.empty_table()
-    tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
+    tables = [load_run(f, state_schema) for f in files]
     state = _drop_purged(
         drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode)),
         purged,
@@ -925,7 +1038,7 @@ def _merged_turns_partition(
     )
     if not files:
         return out_schema.empty_table()
-    tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
+    tables = [load_run(f, state_schema) for f in files]
     state = _drop_purged(
         drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode)),
         purged,
@@ -980,7 +1093,7 @@ def _context_pairs_partition(
     )
     if not files:
         return out_schema.empty_table()
-    tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
+    tables = [load_run(f, state_schema) for f in files]
     state = _drop_purged(
         drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode)),
         purged,
@@ -1045,7 +1158,7 @@ def _analyze_partition(
     )
     if not files:
         return out_schema.empty_table()
-    tables = [conform_batch(pq.read_table(f), state_schema) for f in files]
+    tables = [load_run(f, state_schema) for f in files]
     state = drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode))
     public = [
         c for c in state.column_names if c not in ("op", "offset", "pid")
@@ -1972,6 +2085,9 @@ class CdcLake:
             p
             for p in range(self.P)
             if len(self.manifest.partition(p)["runs"]) > min_runs
+            # a lone run carrying a deletion vector still wants its fold —
+            # rewriting it drops the merge-on-read mask from the hot path
+            or any(r.get("dv_rows") for r in self.manifest.partition(p)["runs"])
         ]
         if not pids:
             return 0
@@ -1997,7 +2113,10 @@ class CdcLake:
                     below += r["rows"]
             else:
                 sel = list(runs)
-            if len(sel) >= (1 if rewrite_single else 2):
+            need = 1 if rewrite_single or any(
+                r.get("dv_rows") for r in sel
+            ) else 2  # a lone DV'd run still folds its merge-on-read mask
+            if len(sel) >= need:
                 inputs[pid] = [r["path"] for r in sel]
         if not inputs:
             return 0
@@ -2421,17 +2540,36 @@ class CdcLake:
             _physical_names=True,
         )
 
-    def delete_where(self, spec: dict, sync_ts, detect_hot: str = "off") -> dict:
+    def delete_where(
+        self,
+        spec: dict,
+        sync_ts=None,
+        detect_hot: str = "off",
+        mode: str = "tombstone",
+    ) -> dict:
         """Predicate DELETE (the Delta ``DELETE FROM t WHERE …`` DML verb):
         tombstone every live row whose converged state satisfies the
         constraint-shaped predicate spec — ``{"name": …, "column": …, "op":
         "=="|"!="|"<"|"<="|">"|">="|"in"|"matches"|"not_null", "value": …}``,
         the same grammar (and SQL translation) as CHECK constraints and row
         policies, with DML WHERE semantics (a NULL comparison deletes
-        nothing). Expressed as ordinary 'D' change events through the
-        exactly-once epoch path, so the deletion is change-feed-visible and
-        time-travelable. One Ray task per partition, NO shuffle (routing owns
-        the keys). Returns the apply metrics."""
+        nothing). Two physical modes, same logical result:
+
+        - ``mode="tombstone"`` (default): ordinary 'D' change events through
+          the exactly-once epoch path (needs ``sync_ts``) — change-feed rows
+          carry the delete explicitly, and the tombstones block late
+          lower-ts events for the deleted keys.
+        - ``mode="dv"``: Delta-style DELETION VECTORS — per-run positional
+          sidecars on hardlink-renamed run names, NO data bytes moved and NO
+          events written (``sync_ts`` unused). Reads merge-on-read the mask;
+          the next compaction folds it into rewritten bytes. Snapshot diffs
+          (``change_feed``) still classify the deletes because both versions
+          resolve their own run names. Unlike tombstone mode the keys vanish
+          entirely, so a genuinely NEW event for a deleted key recreates it
+          (Delta semantics).
+
+        One Ray task per partition, NO shuffle (routing owns the keys).
+        Returns the apply metrics (tombstone) or the vectorize summary (dv)."""
         import ray
         import ray.data
 
@@ -2448,6 +2586,47 @@ class CdcLake:
             spec = {**spec, "column": dict(cm["logical"]).get(
                 spec["column"], spec["column"]
             )}
+        if mode == "dv":
+            version = self.manifest.version + 1
+            task = ray.remote(_dv_partition)
+            schema_ref = ray.put(state_schema)
+            refs = [
+                task.remote(
+                    self.lake_dir,
+                    pid,
+                    self.manifest.partition(pid)["runs"],
+                    schema_ref,
+                    spec,
+                    version,
+                    self.merge_mode,
+                )
+                for pid in range(self.P)
+            ]
+            updates = {}
+            rows_masked = 0
+            for row in ray.get(refs):
+                if row is None:
+                    continue
+                pid = int(row["pid"])
+                updates[pid] = {
+                    "runs": row["runs"],
+                    "max_offset": self.manifest.partition(pid)["max_offset"],
+                    "rows": sum(
+                        int(r["rows"]) - int(r["tombstones"]) for r in row["runs"]
+                    ),
+                    "replaced_paths": row["replaced"],
+                }
+                rows_masked += int(row["masked"])
+            if updates:
+                self.manifest.commit_compaction(updates, op="DELETE_DV")
+            return {
+                "partitions_vectorized": len(updates),
+                "rows_masked": rows_masked,
+            }
+        if mode != "tombstone":
+            raise ValueError(f"delete_where: unknown mode {mode!r}")
+        if sync_ts is None:
+            raise ValueError("delete_where: tombstone mode needs sync_ts")
         sync_us = _ts_to_us(sync_ts)
         self._require_sync_ts_above_committed("delete_where", sync_us)
         base_offset = max(self.manifest.committed_offsets().values(), default=-1) + 1
@@ -2499,7 +2678,13 @@ class CdcLake:
         state_schema = self.manifest.schema
         if state_schema is None:
             raise ValueError("reshard: source lake is empty")
-        files = self.manifest.live_files()
+        files: list[str] = []
+        dv_files: list[str] = []
+        for _pid in range(self.P):
+            for run in self.manifest.partition(_pid)["runs"]:
+                (dv_files if run.get("dv_rows") else files).append(
+                    os.path.join(self.lake_dir, run["path"])
+                )
         epoch = max(self.manifest.last_epoch, 0)
         global_hw = max(self.manifest.committed_offsets().values(), default=-1)
 
@@ -2510,8 +2695,16 @@ class CdcLake:
                 pa.array(partition_ids(batch.column("conv_id"), P), pa.int32()),
             )
 
+        scan = ray.data.read_parquet(files, schema=state_schema) if files else None
+        if dv_files:
+            import ray
+
+            _mt = ray.remote(_masked_run_read)
+            _sr = ray.put(state_schema)
+            dv_ds = ray.data.from_arrow_refs([_mt.remote(f, _sr) for f in dv_files])
+            scan = dv_ds if scan is None else scan.union(dv_ds)
         stats = (
-            ray.data.read_parquet(files, schema=state_schema)
+            scan
             .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("pid")
             .map_groups(
@@ -2765,6 +2958,7 @@ class CdcLake:
         until_us = _ts_to_us(until_ts)
         P_stats = m.num_partitions or self.P
         files: list[str] = []
+        dv_files: list[str] = []
         kept_per_pid: dict[int, int] = {}
         total_runs = 0
         for p in range(P_stats):
@@ -2780,13 +2974,19 @@ class CdcLake:
                 ):
                     continue
                 kept_per_pid[p] = kept_per_pid.get(p, 0) + 1
-                files.append(os.path.join(m.lake_dir, run["path"]))
+                # deletion-vector'd runs can't ride the plain column scan —
+                # positions need the whole file decoded; they read via
+                # dedicated per-file tasks unioned in below (transient: the
+                # next compaction folds vectors in and they rejoin the scan)
+                (dv_files if run.get("dv_rows") else files).append(
+                    os.path.join(m.lake_dir, run["path"])
+                )
         self.last_read_stats = {
             "runs_total": total_runs,
-            "runs_pruned": total_runs - len(files),
+            "runs_pruned": total_runs - len(files) - len(dv_files),
         }
         state_schema = m.schema
-        if not files or state_schema is None:
+        if (not files and not dv_files) or state_schema is None:
             empty = pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int32())])
             return ray.data.from_arrow(empty.empty_table())
 
@@ -2820,7 +3020,16 @@ class CdcLake:
         # projects to the declared schema and null-fills evolution-missing
         # columns; passing columns= besides would make v0 fragments (without
         # e.g. `tool`) fail the reader's schema check
-        ds = ray.data.read_parquet(files, schema=state_schema)
+        ds = ray.data.read_parquet(files, schema=state_schema) if files else None
+        if dv_files:
+            import ray
+
+            task = ray.remote(_masked_run_read)
+            schema_ref = ray.put(state_schema)
+            dv_ds = ray.data.from_arrow_refs(
+                [task.remote(f, schema_ref) for f in dv_files]
+            )
+            ds = dv_ds if ds is None else ds.union(dv_ds)
 
         def ts_filter(t: pa.Table) -> pa.Table:
             # post-merge row filter: both bounds apply here; only the lower
@@ -2970,7 +3179,7 @@ class CdcLake:
         if state_schema is None:
             return pa.schema([("conv_id", pa.string())]).empty_table()
         tables = [
-            conform_batch(pq.read_table(f), state_schema) for f in m.live_files()
+            load_run(f, state_schema) for f in m.live_files()
         ]
         if not tables:
             return state_schema.empty_table()
@@ -3227,7 +3436,7 @@ class CdcLake:
             # touching the parquet footer (~1% false-positive opens)
             if not bloom_may_contain(f, conv_id):
                 continue
-            t = pq.read_table(f, filters=[("conv_id", "=", conv_id)])
+            t = load_run_key_filtered(f, [conv_id])
             tables.append(conform_batch(t, state_schema))
         if not tables:
             return state_schema.empty_table()
@@ -3492,7 +3701,9 @@ class CdcLake:
             ap = os.path.join(self.lake_dir, run["path"])
             if not bloom_may_contain(ap, conv_id):
                 continue
-            t = pq.read_table(ap)
+            # a DV'd run folds its mask into the purge rewrite (the fresh file
+            # carries no sidecar)
+            t = load_run(ap)
             keep = pc.fill_null(pc.not_equal(t.column("conv_id"), conv_id), True)
             kept_n = int(pc.sum(keep).as_py() or 0)
             if kept_n == t.num_rows:
@@ -4250,10 +4461,14 @@ class CdcLake:
                 report["runs_checked"] += 1
                 if check_rows:
                     n = pq.ParquetFile(p).metadata.num_rows
-                    if n != int(run["rows"]):
+                    # a DV'd run serves rows − dv_rows of its physical rows
+                    expect = int(run["rows"]) + int(run.get("dv_rows", 0))
+                    if n != expect:
                         report["row_mismatches"].append(
-                            {"path": run["path"], "manifest": int(run["rows"]), "file": n}
+                            {"path": run["path"], "manifest": expect, "file": n}
                         )
+                    if run.get("dv_rows") and not os.path.exists(p + ".dv"):
+                        report["missing_files"].append(run["path"] + ".dv")
                 if not os.path.exists(p + ".bloom"):
                     report["missing_blooms"] += 1
         for r in self.manifest._state.get("deadletter", []):
@@ -4333,6 +4548,10 @@ class CdcLake:
                 p = os.path.abspath(os.path.join(root, name))
                 if p.endswith(".bloom"):
                     if p[: -len(".bloom")] not in live:  # sidecar of a dead run
+                        os.remove(p)
+                        removed += 1
+                elif p.endswith(".dv"):
+                    if p[: -len(".dv")] not in live:  # deletion vector of a dead run
                         os.remove(p)
                         removed += 1
                 elif p not in live and (name.endswith(".parquet") or name.endswith(".tmp")):

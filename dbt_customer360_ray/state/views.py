@@ -24,6 +24,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..hashing import stable_hash
+from .applier import load_run as _load_run
 from .engine import CdcLake
 
 _WATERMARK_BASE = np.datetime64("2000-01-01T00:00:00", "us")
@@ -186,7 +187,7 @@ def sync_headers_view(
             dirty = pd.unique(grp["conv_id"])
             paths = dict(files).get(pid, ())
             if paths:
-                tables = [conform_batch(_pq.read_table(f), schema) for f in paths]
+                tables = [_load_run(f, schema) for f in paths]
                 state = drop_tombstones(
                     _resolve_latest(pa.concat_tables(tables), mode)
                 ).to_pandas()
@@ -361,7 +362,7 @@ def sync_token_index(
             d = d[d["delta"] != 0]
             paths = dict(files).get(pid, ()) if schema is not None else ()
             if paths:
-                tables = [conform_batch(_pq.read_table(f), schema) for f in paths]
+                tables = [_load_run(f, schema) for f in paths]
                 state = drop_tombstones(
                     _resolve_latest(pa.concat_tables(tables), mode)
                 ).to_pandas()
@@ -534,7 +535,7 @@ def sync_join_view(
 
             if not paths or schema is None:  # empty partition / never-written lake
                 return pd.DataFrame(columns=list(empty_cols))
-            tables = [conform_batch(_pq.read_table(f), schema) for f in paths]
+            tables = [_load_run(f, schema) for f in paths]
             st = drop_tombstones(_resolve_latest_mt(pa.concat_tables(tables), mode))
             df = st.to_pandas()
             return df[df["conv_id"].isin(keep_convs)]

@@ -111,6 +111,12 @@ def main() -> int:
     ap.add_argument("--delete-ts", default="2030-01-01",
                     help="sync_ts stamped on --delete-where tombstones "
                          "(must exceed every committed ts)")
+    ap.add_argument("--delete-mode", choices=["tombstone", "dv"],
+                    default="tombstone",
+                    help="--delete-where execution: tombstone events through "
+                         "the epoch path (default), or dv = Delta-style "
+                         "deletion vectors (per-run positional sidecars, no "
+                         "data rewritten, folded by the next compaction)")
     ap.add_argument("--purge-key", action="append", default=[], metavar="CONV_ID",
                     help="GDPR-erase a conversation: unreadable on every "
                          "surface immediately, physically rewritten out of "
@@ -307,9 +313,16 @@ def main() -> int:
         if op == "in" and value is not None:
             value = value.split(",")
         m = lake.delete_where(
-            {"name": name, "column": col, "op": op, "value": value}, args.delete_ts
+            {"name": name, "column": col, "op": op, "value": value},
+            args.delete_ts,
+            mode=args.delete_mode,
         )
-        print(json.dumps({"deleted_where": name, "deletes": m["deletes"]}), flush=True)
+        out = (
+            {"deleted_where": name, "deletes": m["deletes"]}
+            if args.delete_mode == "tombstone"
+            else {"deleted_where": name, "mode": "dv"} | m
+        )
+        print(json.dumps(out), flush=True)
     for spec in args.row_policy:
         parts = spec.split(":", 3)
         if len(parts) < 3:
