@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "span_corrupt_documents",
     "pagerank_embeddings",
     "vocab_overlap_documents",
+    "bfs_hops_embeddings",
+    "triangle_stats_embeddings",
 ]
 
 

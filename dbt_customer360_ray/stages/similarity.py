@@ -1594,6 +1594,7 @@ def triangle_stats(
     id_col: str = "vec_id",
     round_to: int | None = 2,
     num_blocks: int | None = None,
+    num_buckets: int | None = None,
 ):
     """Per-node triangle count and integer local clustering coefficient over
     the UNDIRECTED exact cosine k-NN graph — the density signal that separates
@@ -1602,91 +1603,165 @@ def triangle_stats(
     division (house integer-determinism style), so numpy and SQL agree
     bit-for-bit.
 
-    Distributed shape: normalize each knn edge to (u<v), distinct via one
-    multi-key groupby, double into adjacency, generate each node's wedges
-    (neighbour pairs, ≤ 2k·(2k-1)/2 rows per node — LINEAR in N for fixed k)
-    with map_groups, then ONE hash-shuffle join of wedges against the
-    distinct-edge set on (wa,wc)=(u,v): every match is a closed wedge, i.e. a
-    triangle counted at its centre node. No adjacency broadcast, no N² term
-    beyond the knn tiles themselves."""
+    Distributed shape: the PAGERANK bucket exchange (measured ~5x faster than
+    chained ``Dataset.join``/groupby ops at sf0.1 — hash-shuffle aggregator
+    actors have a fixed cost per op that dominates lean graph tables). One
+    split pass buckets normalized edges by hash(u) and adjacency copies by
+    hash(ctr); each bucket task dedupes, emits its nodes' degrees, and
+    generates wedges (neighbour pairs, ≤ 2k·(2k−1)/2 per node — LINEAR in N
+    for fixed k) addressed by wa's bucket; the closure stage matches wedges
+    against its LOCAL deduped edge set ((wa,wc) lives in wa's bucket by
+    construction — one pandas hash-merge, no shuffle) and addresses per-centre
+    partial counts back to ctr's bucket, where the fold joins degrees. B²
+    tiny refs per stage, state never on the driver, no N² term beyond the
+    knn tiles themselves."""
     import pyarrow as pa
     import ray
+    import ray.data
 
-    from ray.data.aggregate import Count
-
-    edges = knn_graph(
-        ds, k=k, id_col=id_col, round_to=round_to, num_blocks=num_blocks
-    ).select_columns([id_col, "neighbor_id"])
-
-    def norm(t: pa.Table) -> pa.Table:
-        a = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t.column("neighbor_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"u": np.minimum(a, b), "v": np.maximum(a, b)})
-
-    und = (
-        edges.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["u", "v"])
-        .aggregate(Count(alias_name="n"))
-        .select_columns(["u", "v"])
+    edges_ds = (
+        knn_graph(ds, k=k, id_col=id_col, round_to=round_to, num_blocks=num_blocks)
+        .select_columns([id_col, "neighbor_id"])
         .materialize()
     )
+    n_edges = edges_ds.count()
+    if num_buckets is None:
+        # ~same recipe as pagerank, sized on nodes ≈ edges/k
+        num_buckets = max(4, min(256, (n_edges // max(k, 1)) // 250_000 + 4))
+    B = num_buckets
 
-    def both(t: pa.Table) -> pa.Table:
-        u = t.column("u").to_numpy(zero_copy_only=False)
-        v = t.column("v").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {"ctr": np.concatenate([u, v]), "nb": np.concatenate([v, u])}
-        )
+    def _split(t: pa.Table) -> list:
+        a = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("neighbor_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        u, v = np.minimum(a, b), np.maximum(a, b)
+        # normalized edges keyed by u; adjacency copies keyed by ctr
+        eu, ev, ebk = u, v, u % B
+        ac = np.concatenate([u, v])
+        an = np.concatenate([v, u])
+        abk = ac % B
+        eo = np.argsort(ebk, kind="stable")
+        ao = np.argsort(abk, kind="stable")
+        eu, ev, ebk = eu[eo], ev[eo], ebk[eo]
+        ac, an, abk = ac[ao], an[ao], abk[ao]
+        ec = np.searchsorted(ebk, np.arange(B + 1))
+        acuts = np.searchsorted(abk, np.arange(B + 1))
+        return [
+            (
+                eu[ec[i] : ec[i + 1]],
+                ev[ec[i] : ec[i + 1]],
+                ac[acuts[i] : acuts[i + 1]],
+                an[acuts[i] : acuts[i + 1]],
+            )
+            for i in range(B)
+        ]
 
-    adj = und.map_batches(both, batch_format="pyarrow", zero_copy_batch=True)
+    split = ray.remote(num_returns=B)(_split)
+    cols = [split.remote(r) for r in edges_ds.to_arrow_refs()]
 
-    def wedges(g: pd.DataFrame) -> pd.DataFrame:
-        nb = np.sort(g["nb"].to_numpy())
-        ii, jj = np.triu_indices(len(nb), k=1)
-        return pd.DataFrame(
-            {
-                "ctr": np.full(len(ii), int(g["ctr"].iloc[0]), np.int64),
-                "wa": nb[ii],
-                "wc": nb[jj],
-            }
-        )
+    def _dedup_pairs(x: np.ndarray, y: np.ndarray) -> tuple:
+        order = np.lexsort((y, x))
+        x, y = x[order], y[order]
+        if len(x):
+            fresh = np.empty(len(x), bool)
+            fresh[0] = True
+            fresh[1:] = (x[1:] != x[:-1]) | (y[1:] != y[:-1])
+            x, y = x[fresh], y[fresh]
+        return x, y
 
-    w = adj.groupby("ctr").map_groups(wedges, batch_format="pandas")
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    nparts = max(2, cpus // 2)
-    closed = w.join(
-        und,
-        join_type="inner",
-        num_partitions=nparts,
-        on=("wa", "wc"),
-        right_on=("u", "v"),
-        aggregator_ray_remote_args={"num_cpus": 0.1},
-    )
-    tri = closed.groupby("ctr").aggregate(Count(alias_name="triangles"))
-    deg = adj.groupby("ctr").aggregate(Count(alias_name="degree"))
-    from .joins import bucketed_hash_join
+    def _bucket_wedges(*parts) -> list:
+        """One bucket's combine: dedupe its edges and adjacency, emit
+        (sorted local edge set, this bucket's degree table) first, then B
+        wedge batches addressed by wa's bucket."""
+        eu = np.concatenate([p[0] for p in parts])
+        ev = np.concatenate([p[1] for p in parts])
+        eu, ev = _dedup_pairs(eu, ev)
+        ac = np.concatenate([p[2] for p in parts])
+        an = np.concatenate([p[3] for p in parts])
+        ac, an = _dedup_pairs(ac, an)  # sorted by (ctr, nb)
+        ctrs, starts = np.unique(ac, return_index=True)
+        degs = np.diff(np.append(starts, len(ac)))
+        deg_t = pa.table({id_col: ctrs, "degree": degs.astype(np.int64)})
+        # wedges per centre, vectorized by degree class (deg ≤ 2k is tiny)
+        was, wcs, wct = [], [], []
+        for d in np.unique(degs):
+            if d < 2:
+                continue
+            sel = np.flatnonzero(degs == d)
+            # (num_centres, d) matrix of each centre's sorted neighbours
+            mat = an[starts[sel][:, None] + np.arange(d)[None, :]]
+            ii, jj = np.triu_indices(int(d), k=1)
+            was.append(mat[:, ii].reshape(-1))
+            wcs.append(mat[:, jj].reshape(-1))
+            wct.append(np.repeat(ctrs[sel], len(ii)))
+        wa = np.concatenate(was) if was else np.empty(0, np.int64)
+        wc = np.concatenate(wcs) if wcs else np.empty(0, np.int64)
+        ct = np.concatenate(wct) if wct else np.empty(0, np.int64)
+        bk = wa % B
+        order = np.argsort(bk, kind="stable")
+        wa, wc, ct, bk = wa[order], wc[order], ct[order], bk[order]
+        cuts = np.searchsorted(bk, np.arange(B + 1))
+        out = [((eu, ev), deg_t)]
+        out += [
+            (wa[cuts[i] : cuts[i + 1]], wc[cuts[i] : cuts[i + 1]],
+             ct[cuts[i] : cuts[i + 1]])
+            for i in range(B)
+        ]
+        return out
 
-    out = bucketed_hash_join(deg, tri, on="ctr", how="left")
+    bw = ray.remote(num_returns=B + 1)(_bucket_wedges)
+    staged = [bw.remote(*[c[b] for c in cols]) for b in range(B)]
+    local = [s[0] for s in staged]  # ((edge set, degree table)) per bucket
+    wedge_to = [[staged[b][1 + c] for b in range(B)] for c in range(B)]
 
-    def finish(t: pa.Table) -> pa.Table:
-        d = t.column("degree").to_numpy(zero_copy_only=False).astype(np.int64)
-        tr = (
-            pd.Series(t.column("triangles").to_numpy(zero_copy_only=False))
-            .fillna(0)
-            .to_numpy()
-            .astype(np.int64)
-        )
+    def _close(local_b, *wedge_parts) -> list:
+        """Match this bucket's addressed wedges against its LOCAL edge set
+        (pandas hash-merge — exact, vectorized); address per-centre partial
+        triangle counts to each centre's bucket."""
+        (eu, ev), _deg = local_b
+        wa = np.concatenate([p[0] for p in wedge_parts])
+        wc = np.concatenate([p[1] for p in wedge_parts])
+        ct = np.concatenate([p[2] for p in wedge_parts])
+        if len(wa) and len(eu):
+            m = pd.DataFrame({"wa": wa, "wc": wc, "ct": ct}).merge(
+                pd.DataFrame({"wa": eu, "wc": ev}), on=["wa", "wc"], how="inner"
+            )
+            cu, cn = np.unique(m["ct"].to_numpy(), return_counts=True)
+        else:
+            cu, cn = np.empty(0, np.int64), np.empty(0, np.int64)
+        bk = cu % B
+        order = np.argsort(bk, kind="stable")
+        cu, cn, bk = cu[order], cn[order], bk[order]
+        cuts = np.searchsorted(bk, np.arange(B + 1))
+        return [
+            (cu[cuts[i] : cuts[i + 1]], cn[cuts[i] : cuts[i + 1]])
+            for i in range(B)
+        ]
+
+    close = ray.remote(num_returns=B)(_close)
+    closed = [close.remote(local[b], *wedge_to[b]) for b in range(B)]
+
+    def _fold(local_b, *tri_parts) -> pa.Table:
+        _edges, deg_t = local_b
+        ids = deg_t.column(id_col).to_numpy(zero_copy_only=False)
+        d = deg_t.column("degree").to_numpy(zero_copy_only=False)
+        tr = np.zeros(len(ids), np.int64)
+        for cu, cn in tri_parts:
+            pos = np.searchsorted(ids, cu)  # ids sorted (np.unique order)
+            tr[pos] += cn
         lcc = np.where(d >= 2, (2000 * tr) // np.maximum(d * (d - 1), 1), 0)
         return pa.table(
             {
-                id_col: t.column("ctr"),
-                "degree": d,
-                "triangles": tr,
-                "lcc_pm": lcc.astype(np.int64),
+                id_col: pa.array(ids),
+                "degree": pa.array(d.astype(np.int64)),
+                "triangles": pa.array(tr),
+                "lcc_pm": pa.array(lcc.astype(np.int64)),
             }
         )
 
-    return out.map_batches(finish, batch_format="pyarrow")
+    fold = ray.remote(_fold)
+    return ray.data.from_arrow_refs(
+        [fold.remote(local[c], *[closed[b][c] for b in range(B)]) for c in range(B)]
+    )
 
 
 def triangle_stats_oracle_sql(
