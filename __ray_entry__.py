@@ -210,6 +210,17 @@ def _cdc_near_dup_convs(sf_dir: str):
     return near_dup_convs_lake(sf=0.01)
 
 
+def _cdc_minhash_index_dups(sf_dir: str):
+    """Near-dup groups served from the incrementally-maintained MinHash
+    signature index: per-epoch dirty-conversation signature upserts (as-of
+    point lookups, O(changed convs)/epoch) into a derived lake, then LSH
+    banding over the STORED signatures; only the exact verify touches texts.
+    Same seeds/thresholds as the scratch pipeline — shares its oracle."""
+    from dbt_customer360_ray.pipelines.cdc_replay import minhash_index_near_dups
+
+    return minhash_index_near_dups(sf=0.01)
+
+
 def _cdc_redacted_lake(sf_dir: str):
     """PII-redaction mask (privacy scrub at serving reads): emails → <EMAIL>,
     phone runs → <PHONE> in place, applied at every serving surface; a
@@ -1298,6 +1309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_backfilled_lake"] = _cdc_backfilled_lake
     out["cdc_redacted_lake"] = _cdc_redacted_lake
     out["cdc_near_dup_convs"] = _cdc_near_dup_convs
+    out["cdc_minhash_index_dups"] = _cdc_minhash_index_dups
     out["cdc_sft_jsonl"] = _cdc_sft_jsonl
     out["cdc_explain_read"] = _cdc_explain_read
     out["cdc_token_search"] = _cdc_token_search
@@ -1578,6 +1590,7 @@ def oracle_sql() -> dict[str, str]:
     from dbt_customer360_ray.pipelines.cdc_replay import near_dup_convs_oracle_sql
 
     out["cdc_near_dup_convs"] = near_dup_convs_oracle_sql(sf=0.01)
+    out["cdc_minhash_index_dups"] = near_dup_convs_oracle_sql(sf=0.01)
     from dbt_customer360_ray.pipelines.cdc_replay import (
         fk_dlq_oracle_sql,
         fk_oracle_sql,

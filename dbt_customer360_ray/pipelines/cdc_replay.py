@@ -988,20 +988,14 @@ def dedup_index_oracle_sql(sf: float = 0.01) -> str:
 _DUP_CONVS = ("conv-00000001", "conv-00000002", "conv-00000003")
 
 
-def near_dup_convs_lake(sf: float = 0.01):
-    """Conversation-grain near-dup detection over the lake — the lake→curation
-    bridge: clone three conversations' live turns under ``<id>-dup`` keys
-    (fresh offsets, ordinary I events — the fixture has no natural near-dups,
-    so the plant makes the oracle non-vacuous), assemble SFT documents (one
-    task per partition, no shuffle), then run the MinHash+LSH → exact-verify
-    → connected-components near-dup pipeline over the conversation texts.
-    Oracled — the all-pairs shingle-Jaccard + recursive-closure SQL over the
-    same converged state with the same clone arm."""
+def _planted_dup_lake(sf: float = 0.01):
+    """Replay the fixture, then clone three conversations' live turns under
+    ``<id>-dup`` keys (fresh offsets, ordinary I events — the fixture has no
+    natural near-dups, so the plant keeps both near-dup oracles non-vacuous).
+    Shared fixture arm for the scratch AND index-served near-dup surfaces."""
     import numpy as np
     import pyarrow as pa
     import ray.data
-
-    from ..stages.dedup import dup_groups, verified_near_dup_pairs
 
     lake, _ = replay(sf=sf)
     src = (
@@ -1022,37 +1016,109 @@ def near_dup_convs_lake(sf: float = 0.01):
             )
         )
     )
-    # The dedup stages key documents by int64 ids (sig matrices, union-find).
-    # The fixture's id grammar (conv-%08d[-dup]) admits an ORDER-PRESERVING
-    # int codec — num·2 + dup_flag — so min-id group labels decode to exactly
-    # the SQL oracle's least(conv_id). A deployment with opaque string ids
-    # would dense-rank them first (one sort) instead.
-    def _encode(t: pa.Table) -> pa.Table:
-        s = t.column("conv_id").to_pandas()
-        num = s.str.slice(5, 13).astype("int64")
-        doc = num * 2 + s.str.endswith("-dup").astype("int64")
-        return pa.table({"doc_id": doc.to_numpy(), "text": t.column("sft_text")})
+    return lake
 
-    def _decode_col(col: pd.Series) -> pd.Series:
-        base = (col // 2).map("conv-{:08d}".format)
-        return base.where(col % 2 == 0, base + "-dup")
 
-    docs = lake.assemble_conversations().map_batches(
-        _encode, batch_format="pyarrow"
-    )
-    groups = dup_groups(verified_near_dup_pairs(docs, jaccard_threshold=0.8))
+# The dedup stages key documents by int64 ids (sig matrices, union-find).
+# The fixture's id grammar (conv-%08d[-dup]) admits an ORDER-PRESERVING int
+# codec — num·2 + dup_flag — so min-id group labels decode to exactly the SQL
+# oracle's least(conv_id). A deployment with opaque string ids would
+# dense-rank them first (one sort) instead.
+def _encode_conv_ids(s: "pd.Series") -> "pd.Series":
+    num = s.str.slice(5, 13).astype("int64")
+    return num * 2 + s.str.endswith("-dup").astype("int64")
+
+
+def _decode_conv_col(col: pd.Series) -> pd.Series:
+    base = (col // 2).map("conv-{:08d}".format)
+    return base.where(col % 2 == 0, base + "-dup")
+
+
+def _decode_groups(groups):
+    import pyarrow as pa
 
     def _decode(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "conv_id": _decode_col(df["doc_id"]),
-                "dup_group": _decode_col(df["dup_group"]),
+                "conv_id": _decode_conv_col(df["doc_id"]),
+                "dup_group": _decode_conv_col(df["dup_group"]),
             }
         )
 
     if isinstance(groups, pa.Table):  # driver union-find path (small pair set)
         return pa.Table.from_pandas(_decode(groups.to_pandas()), preserve_index=False)
     return groups.map_batches(_decode, batch_format="pandas")
+
+
+def near_dup_convs_lake(sf: float = 0.01):
+    """Conversation-grain near-dup detection over the lake — the lake→curation
+    bridge: plant clones (``_planted_dup_lake``), assemble SFT documents (one
+    task per partition, no shuffle), then run the MinHash+LSH → exact-verify
+    → connected-components near-dup pipeline over the conversation texts.
+    Oracled — the all-pairs shingle-Jaccard + recursive-closure SQL over the
+    same converged state with the same clone arm."""
+    import pyarrow as pa
+
+    from ..stages.dedup import dup_groups, verified_near_dup_pairs
+
+    lake = _planted_dup_lake(sf=sf)
+
+    def _encode(t: pa.Table) -> pa.Table:
+        doc = _encode_conv_ids(t.column("conv_id").to_pandas())
+        return pa.table({"doc_id": doc.to_numpy(), "text": t.column("sft_text")})
+
+    docs = lake.assemble_conversations().map_batches(
+        _encode, batch_format="pyarrow"
+    )
+    groups = dup_groups(verified_near_dup_pairs(docs, jaccard_threshold=0.8))
+    return _decode_groups(groups)
+
+
+def minhash_index_near_dups(sf: float = 0.01):
+    """Near-dup groups served from the INCREMENTALLY-MAINTAINED MinHash
+    signature index (``state/views.py:sync_minhash_index``): the planted lake
+    syncs per-epoch signature upserts into a derived index lake (dirty-key
+    recompute via as-of point lookups — O(changed conversations) per epoch,
+    never a rescan), then candidate generation runs off the STORED signatures
+    (``minhash_candidates(sigs=…)``); only the exact-Jaccard verify touches
+    conversation texts. Same hasher seeds and thresholds as the scratch
+    pipeline, so the groups — and the oracle — are identical to
+    ``cdc_near_dup_convs``."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from ..state.engine import CdcLake
+    from ..state.views import read_minhash_sigs, sync_minhash_index
+    from ..stages.dedup import dup_groups, verified_near_dup_pairs
+
+    lake = _planted_dup_lake(sf=sf)
+    dst = CdcLake(
+        tempfile.mkdtemp(prefix="minhash-index-") + "/index", num_partitions=8
+    )
+    sync_minhash_index(lake, dst)
+
+    def _encode_sig(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": _encode_conv_ids(df["conv_id"]).to_numpy(),
+                "sig": df["sig"].to_numpy(),
+            }
+        )
+
+    sigs = read_minhash_sigs(dst).map_batches(_encode_sig, batch_format="pandas")
+
+    def _encode(t: pa.Table) -> pa.Table:
+        doc = _encode_conv_ids(t.column("conv_id").to_pandas())
+        return pa.table({"doc_id": doc.to_numpy(), "text": t.column("sft_text")})
+
+    docs = lake.assemble_conversations().map_batches(
+        _encode, batch_format="pyarrow"
+    )
+    groups = dup_groups(
+        verified_near_dup_pairs(docs, jaccard_threshold=0.8, sigs=sigs)
+    )
+    return _decode_groups(groups)
 
 
 def near_dup_convs_oracle_sql(sf: float = 0.01) -> str:

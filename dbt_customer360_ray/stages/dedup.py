@@ -116,8 +116,14 @@ def minhash_candidates(
     threshold: float = 0.7,
     concurrency: int = 4,
     broadcast_sig_bytes: int = 256 << 20,
+    sigs=None,
 ):
     """documents → candidate near-dup pairs (doc_a, doc_b, est_jaccard ≥ threshold).
+
+    ``sigs`` (optional): a precomputed (doc_id, sig) Dataset — e.g. the
+    incrementally-maintained signature index (``state/views.py:
+    sync_minhash_index``) — skips the MinHasher stage entirely; everything
+    downstream (banding, pair gen, est filter) is signature-driven anyway.
 
     Pipeline: MinHasher actor pool → explode signatures to LEAN
     (band_hash, doc_id) rows — signatures themselves never enter the shuffle
@@ -211,13 +217,15 @@ def minhash_candidates(
     def dedupe_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["doc_a", "doc_b"])
 
-    sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "shingle_n": shingle_n},
-        batch_format="pandas",
-        batch_size=2048,
-        concurrency=(1, concurrency),
-    ).materialize()  # consumed twice: banding shuffle + est broadcast
+    if sigs is None:
+        sigs = ds.map_batches(
+            MinHasher,
+            fn_constructor_kwargs={"num_perm": num_perm, "shingle_n": shingle_n},
+            batch_format="pandas",
+            batch_size=2048,
+            concurrency=(1, concurrency),
+        )
+    sigs = sigs.materialize()  # consumed twice: banding shuffle + est broadcast
     from ..blocks import adaptive_buckets
 
     n_docs = sigs.count()
@@ -700,6 +708,7 @@ def verified_near_dup_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     driver_threshold: int = 200_000,
+    sigs=None,
 ):
     """MinHash+LSH candidates verified by EXACT shingle Jaccard — the
     oracle-checkable near-dup operator: candidates are recalled loosely
@@ -725,7 +734,7 @@ def verified_near_dup_pairs(
     docs = ds.select_columns(["doc_id", "text"])
     cands = minhash_candidates(
         ds, num_perm=num_perm, bands=bands, shingle_n=shingle_n,
-        threshold=est_threshold,
+        threshold=est_threshold, sigs=sigs,
     ).map_batches(
         lambda t: t.select(["doc_a", "doc_b"]),
         batch_format="pyarrow", zero_copy_batch=True,

@@ -3552,21 +3552,25 @@ class CdcLake:
             "rows": int(sum(counts.values())),
         }
 
-    def lookup_many(self, conv_ids):
+    def lookup_many(self, conv_ids, epoch: int | None = None):
         """Batch point lookups: the serving path for a SET of conversations.
         Routes the requested ids to their owner partitions and runs ONE Ray
         task per TOUCHED partition — each task bloom-skips runs that provably
         lack all of its ids, reads the survivors with a parquet ``conv_id IN``
         row filter, and LWW-merges only the matching rows. Cost is
         O(touched partitions' matching row groups), never a lake scan;
-        untouched partitions are never visited. Returns a Dataset of the
-        converged turns (same shape as ``read()``)."""
+        untouched partitions are never visited. ``epoch`` serves the lookup
+        AS OF that committed epoch's snapshot (point lookup + time travel —
+        what an incremental view needs to resolve dirty keys per source
+        epoch). Returns a Dataset of the converged turns (same shape as
+        ``read()``)."""
         import ray
         import ray.data
 
         from ..hashing import partition_ids
 
-        state_schema = self.manifest.schema
+        m = self.manifest if epoch is None else self._manifest_at(epoch, None)
+        state_schema = m.schema
         ids = sorted({str(c) for c in conv_ids})
         if state_schema is None or not ids:
             return ray.data.from_arrow(
@@ -3576,14 +3580,12 @@ class CdcLake:
         by_pid: dict[int, list[str]] = {}
         for cid, pid in zip(ids, pids):
             by_pid.setdefault(int(pid), []).append(cid)
-        public, out_names = _mapped_public(
-            state_schema, self.manifest.column_mapping
-        )
+        public, out_names = _mapped_public(state_schema, m.column_mapping)
         task = ray.remote(_lookup_partition)
         schema_ref = ray.put(state_schema)
         refs = [
             task.remote(
-                self.manifest.live_files(pid),
+                m.live_files(pid),
                 schema_ref,
                 tuple(cids),
                 tuple(public),

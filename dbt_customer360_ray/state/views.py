@@ -808,3 +808,113 @@ def read_dedup_keepers(dst: CdcLake, num_buckets: int | None = None):
         .groupby("bucket")
         .map_groups(keepers, batch_format="pandas")
     )
+
+
+_SIG_EVENT_SCHEMA = pa.schema(
+    [
+        ("offset", pa.int64()),
+        ("op", pa.string()),
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("sig_hex", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+
+def sync_minhash_index(
+    src: CdcLake,
+    dst: CdcLake,
+    upto_epoch: int | None = None,
+    num_perm: int = 64,
+    shingle_n: int = 3,
+) -> list[dict]:
+    """Incrementally-maintained MinHash SIGNATURE index: one row per live
+    conversation holding its ``num_perm``-permutation signature over the SFT
+    assembly (``engine._assemble_partition``'s ``role: text`` document, the
+    same text the scratch near-dup pipeline hashes) — LSH candidate
+    generation served from stored signatures instead of re-hashing the
+    corpus per curation run.
+
+    DIRTY-KEY maintenance (a turn change invalidates its whole conversation's
+    signature, so token-count-style pure deltas cannot apply): each source
+    epoch's change feed names the dirty conversations; their AS-OF-EPOCH
+    turns come back through ``lookup_many(..., epoch=…)`` — point reads of
+    O(dirty conversations), never a lake scan — are re-assembled and
+    re-hashed with ``stages.dedup.MinHasher`` (SAME seeds as the scratch
+    pipeline, so index-served candidates equal scratch candidates
+    bit-for-bit) and land as plain upserts; a conversation whose turns all
+    vanished deletes its signature row. Signatures travel hex-encoded
+    (num_perm × uint64 → fixed-width string — LWW/evolution-safe payload).
+    Events flow through the exactly-once sink with deterministic offsets/ts,
+    so the index inherits replay dedup, crash resume, and time travel."""
+    import ray.data
+
+    from ..stages.dedup import MinHasher
+
+    hasher = MinHasher(num_perm=num_perm, shingle_n=shingle_n)
+    last_src = src.manifest.last_epoch if upto_epoch is None else upto_epoch
+    out = []
+    for epoch in range(dst.manifest.last_epoch + 1, last_src + 1):
+        if dst.manifest.epoch_committed(epoch):
+            continue
+        feed = (
+            src.change_feed(from_epoch=epoch - 1, to_epoch=epoch)
+            if epoch > 0
+            else src.change_feed(from_version=0, to_epoch=0)
+        )
+        dirty = sorted(
+            set(feed.select_columns(["conv_id"]).to_pandas()["conv_id"])
+        )
+        if not dirty:
+            continue
+        turns = src.lookup_many(dirty, epoch=epoch).to_pandas()
+        for c in ("role", "text"):
+            if c not in turns.columns:
+                turns[c] = None
+        turns = turns.sort_values(["conv_id", "turn_idx"], kind="stable")
+        piece = turns["role"].fillna("") + ": " + turns["text"].fillna("")
+        sft = piece.groupby(turns["conv_id"].to_numpy(), sort=True).agg("\n".join)
+        alive = list(sft.index)
+        sigs = (
+            hasher(pd.DataFrame({"doc_id": np.arange(len(alive)), "text": sft.to_numpy()}))
+            if alive
+            else pd.DataFrame({"sig": []})
+        )
+        dead = [c for c in dirty if c not in set(alive)]
+        watermark = _WATERMARK_BASE + np.timedelta64(epoch + 1, "s")
+        rows = pd.DataFrame(
+            {
+                "op": ["I"] * len(alive) + ["D"] * len(dead),
+                "conv_id": alive + dead,
+                "sig_hex": [s.tobytes().hex() for s in sigs["sig"]]
+                + [None] * len(dead),
+            }
+        )
+        rows["offset"] = np.int64(epoch + 1) * np.int64(1 << 40) + (
+            stable_hash(rows["conv_id"].to_numpy()) % np.uint64(1 << 39)
+        ).astype(np.int64)
+        rows["turn_idx"] = np.int32(0)
+        rows["ts"] = pd.Timestamp(watermark)
+        events = pa.Table.from_pandas(
+            rows[[f.name for f in _SIG_EVENT_SCHEMA]],
+            schema=_SIG_EVENT_SCHEMA,
+            preserve_index=False,
+        )
+        out.append(dst.apply(ray.data.from_arrow(events), epoch=epoch))
+    return out
+
+
+def read_minhash_sigs(dst: CdcLake):
+    """The maintained signature index as a (conv_id, sig) Dataset — ``sig``
+    decoded back to the ``num_perm``-long uint64 array the dedup stages'
+    banding/est-filter kernels consume (``minhash_candidates(sigs=…)``)."""
+
+    def decode(df: pd.DataFrame) -> pd.DataFrame:
+        sigs = [
+            np.frombuffer(bytes.fromhex(h), dtype=np.uint64)
+            for h in df["sig_hex"]
+        ]
+        return pd.DataFrame({"conv_id": df["conv_id"].to_numpy(), "sig": sigs})
+
+    return dst.read(columns=["sig_hex"]).map_batches(decode, batch_format="pandas")

@@ -1,0 +1,133 @@
+"""Incrementally-maintained MinHash signature index: per-epoch dirty-key
+signature upserts equal from-scratch hashing, deletes propagate, resync is
+idempotent, and the index-served candidate path reproduces scratch groups."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dbt_customer360_ray.gen import gen_changes, split_epochs
+from dbt_customer360_ray.stages.dedup import MinHasher
+from dbt_customer360_ray.state.engine import CdcLake
+from dbt_customer360_ray.state.views import read_minhash_sigs, sync_minhash_index
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _replay(tmp_path, epochs, name="lake", P=8):
+    import ray.data
+
+    lake = CdcLake(str(tmp_path / name), num_partitions=P)
+    for part in epochs:
+        lake.apply(ray.data.from_arrow(part))
+    return lake
+
+
+def _scratch_sigs(lake) -> pd.DataFrame:
+    docs = (
+        lake.assemble_conversations()
+        .to_pandas()
+        .sort_values("conv_id", kind="stable")
+        .reset_index(drop=True)
+    )
+    hasher = MinHasher()
+    out = hasher(
+        pd.DataFrame({"doc_id": np.arange(len(docs)), "text": docs["sft_text"]})
+    )
+    return pd.DataFrame(
+        {
+            "conv_id": docs["conv_id"].to_numpy(),
+            "sig_hex": [s.tobytes().hex() for s in out["sig"]],
+        }
+    )
+
+
+def _index_sigs(dst) -> pd.DataFrame:
+    return (
+        dst.read(columns=["sig_hex"])
+        .to_pandas()[["conv_id", "sig_hex"]]
+        .sort_values("conv_id", kind="stable")
+        .reset_index(drop=True)
+    )
+
+
+def test_index_equals_scratch_after_multi_epoch_sync(tmp_path):
+    changes = gen_changes(5_000, 300, seed=61)
+    src = _replay(tmp_path, split_epochs(changes, 3))
+    dst = CdcLake(str(tmp_path / "index"), num_partitions=4)
+    metrics = sync_minhash_index(src, dst)
+    assert len(metrics) == 3
+    pd.testing.assert_frame_equal(_index_sigs(dst), _scratch_sigs(src))
+    # resync is a no-op (epochs committed)
+    assert sync_minhash_index(src, dst) == []
+
+
+def test_update_and_delete_propagate_incrementally(tmp_path):
+    import ray.data
+    import pyarrow as pa
+
+    changes = gen_changes(4_000, 250, seed=63)
+    src = _replay(tmp_path, split_epochs(changes, 2))
+    dst = CdcLake(str(tmp_path / "index"), num_partitions=4)
+    sync_minhash_index(src, dst)
+    before = _index_sigs(dst).set_index("conv_id")["sig_hex"]
+
+    st = src.read_local_table().to_pandas()
+    victim = st.conv_id.iloc[0]
+    bystander = st.conv_id.iloc[-1]
+    goner = st.conv_id.unique()[1]
+    ev = pd.DataFrame(
+        {
+            "offset": 40_000_000 + np.arange(1 + (st.conv_id == goner).sum()),
+            "op": ["U"] + ["D"] * int((st.conv_id == goner).sum()),
+            "conv_id": [victim] + [goner] * int((st.conv_id == goner).sum()),
+            "turn_idx": np.concatenate(
+                [[st[st.conv_id == victim].turn_idx.iloc[0]],
+                 st[st.conv_id == goner].turn_idx.to_numpy()]
+            ).astype("int32"),
+            "role": "user",
+            "text": "entirely new text for the minhash index test",
+            "tool": None,
+            "ts": pd.Timestamp("2025-07-01"),
+        }
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    src.apply(ray.data.from_arrow(pa.Table.from_pandas(ev, preserve_index=False)))
+    m = sync_minhash_index(src, dst)
+    assert len(m) == 1
+    after = _index_sigs(dst).set_index("conv_id")["sig_hex"]
+    assert goner not in after.index  # all turns deleted → signature dropped
+    assert after[victim] != before[victim]  # text change re-signed
+    assert after[bystander] == before[bystander]  # clean conv untouched
+    # the whole index still equals scratch over the new state
+    pd.testing.assert_frame_equal(_index_sigs(dst), _scratch_sigs(src))
+
+
+def test_read_minhash_sigs_decodes_roundtrip(tmp_path):
+    changes = gen_changes(2_000, 120, seed=65)
+    src = _replay(tmp_path, split_epochs(changes, 2))
+    dst = CdcLake(str(tmp_path / "index"), num_partitions=4)
+    sync_minhash_index(src, dst)
+    sigs = read_minhash_sigs(dst).to_pandas()
+    assert len(sigs) == src.read_local_table().to_pandas().conv_id.nunique()
+    s = sigs["sig"].iloc[0]
+    assert s.dtype == np.uint64 and len(s) == 64
+
+
+def test_lookup_many_as_of_epoch(tmp_path):
+    changes = gen_changes(4_000, 250, seed=67)
+    src = _replay(tmp_path, split_epochs(changes, 3))
+    old = (
+        src.read_local_table_as_of(epoch=1)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+    )
+    ids = sorted(old.conv_id.unique())[::11]
+    got = (
+        src.lookup_many(ids, epoch=1)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    want = old[old.conv_id.isin(set(ids))].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
