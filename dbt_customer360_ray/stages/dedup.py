@@ -1862,15 +1862,20 @@ def span_dedup(
     re-joined in document order. Returns (doc_id, text, n_spans,
     n_spans_kept) for every input document (text='' when nothing survives).
 
-    Shape: pass 1 pre-mins (span md5 -> combo key) per batch (combiner), a
-    hash groupby takes the global min per span — O(unique spans) winner
-    combos, broadcast once via ray.put (int64 array; above
-    ``broadcast_threshold`` raise — the bucketed semi-join fallback on the
-    combo key is the documented swap, stages/decontaminate.py pattern);
+    Shape: pass 1 pre-mins (span md5 -> combo key) per batch (combiner), then
+    a BUCKET TASK EXCHANGE takes the global min per span — per-block pre-min
+    tables split by hash(fp), one reduce task per bucket (the Dataset
+    hash-groupby here cost ~17 s of aggregator-actor fixed overhead at sf0.1
+    against ~0.4 s of actual kernel work; same lesson as pagerank /
+    triangle_stats: lean tables want the exchange, not the shuffle op). The
+    winner combos — O(unique spans) int64s — broadcast once via ray.put
+    (above ``broadcast_threshold`` raise — the bucketed semi-join fallback on
+    the combo key is the documented swap, stages/decontaminate.py pattern);
     pass 2 re-derives spans and keeps winners via one searchsorted.
     kgram_dup_stats is the read-only signal twin of this operator."""
     import ray
-    from ray.data.aggregate import Min
+
+    from ..hashing import stable_hash as _sh
 
     def pre_min(batch: pa.Table) -> pd.DataFrame:
         ids, span_idx, texts = _doc_spans(batch, id_col, text_col, width)
@@ -1880,19 +1885,36 @@ def span_dedup(
         df = pd.DataFrame({"fp": _span_fp(texts), "combo": combo})
         return df.groupby("fp", sort=False, as_index=False)["combo"].min()
 
-    winners = (
-        ds.map_batches(pre_min, batch_format="pyarrow")
-        .groupby("fp")
-        .aggregate(Min("combo", alias_name="combo"))
-    ).materialize()
-    n_winners = winners.count()
+    pre = ds.map_batches(pre_min, batch_format="pyarrow").materialize()
+    B = 16
+
+    def _split(t: pa.Table) -> list:
+        b = (
+            _sh(t.column("fp").to_numpy(zero_copy_only=False)) % np.uint64(B)
+        ).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        tt, sb = t.take(pa.array(order)), b[order]
+        cuts = np.searchsorted(sb, np.arange(B + 1))
+        return [tt.slice(cuts[i], cuts[i + 1] - cuts[i]) for i in range(B)]
+
+    def _reduce(*parts) -> np.ndarray:
+        df = pa.concat_tables(parts).to_pandas()
+        if not len(df):
+            return np.empty(0, np.int64)
+        return df.groupby("fp", sort=False)["combo"].min().to_numpy(np.int64)
+
+    split = ray.remote(num_returns=B)(_split)
+    reduce_t = ray.remote(_reduce)
+    cols = [split.remote(r) for r in pre.to_arrow_refs()]
+    buckets = ray.get([reduce_t.remote(*[c[b] for c in cols]) for b in range(B)])
+    n_winners = sum(len(w) for w in buckets)
     if n_winners > broadcast_threshold:
         raise NotImplementedError(
             "winner set exceeds the broadcast budget; use the bucketed "
             "semi-join fallback on the combo key (stages/decontaminate.py "
             "pattern)"
         )
-    keep = np.sort(winners.select_columns(["combo"]).to_pandas()["combo"].to_numpy(np.int64))
+    keep = np.sort(np.concatenate(buckets)) if buckets else np.empty(0, np.int64)
     keep_ref = ray.put(keep)
 
     def rewrite(batch: pa.Table) -> pa.Table:

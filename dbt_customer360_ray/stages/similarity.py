@@ -1151,9 +1151,14 @@ def label_propagate(
 
     Composition, not new machinery: the ``knn_graph`` tiles produce the
     neighbourhood, the seed split is the ``hash_split`` md5 recipe (so the
-    SQL oracle reproduces membership verbatim), and the vote is one
-    map-groups over each vector's neighbour rows. Deterministic end-to-end;
-    the majority vote is exact-count arithmetic."""
+    SQL oracle reproduces membership verbatim), and the vote is ONE
+    vectorized pandas pass per COARSE bucket (hash(id) % B groups — a
+    per-vector map_groups paid ~1 ms of frame setup per vector, 2.4 s of
+    pure overhead at sf0.1). Deterministic end-to-end; the majority vote is
+    exact-count arithmetic."""
+    import ray
+
+    from ..hashing import stable_hash as _sh
     from .sampling import _bucket_of
 
     graph = knn_graph(
@@ -1167,40 +1172,51 @@ def label_propagate(
     seed_map = dict(
         zip(labels[id_col][is_seed], labels[label_col][is_seed].astype(object))
     )
-    import ray
-
     ref = ray.put(seed_map)
+    B = 32
 
-    def vote(g: pd.DataFrame) -> pd.DataFrame:
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[id_col, "neighbor_id"]].copy()
+        b["bucket"] = (
+            _sh(b[id_col].to_numpy().astype(np.int64)) % np.uint64(B)
+        ).astype(np.int64)
+        return b
+
+    def vote_bucket(g: pd.DataFrame) -> pd.DataFrame:
         seeds = ray.get(ref)
-        vid = g[id_col].iloc[0]
-        if vid in seeds:
-            lab = seeds[vid]
-        else:
-            cand = [seeds[n] for n in g["neighbor_id"] if n in seeds]
-            if not cand:
-                lab = None
-            else:
-                vc: dict = {}
-                for c in cand:
-                    vc[c] = vc.get(c, 0) + 1
-                top = max(vc.values())
-                lab = min(c for c, n in vc.items() if n == top)
+        lab = g["neighbor_id"].map(seeds)
+        votes = (
+            pd.DataFrame({"id": g[id_col], "lab": lab})
+            .dropna(subset=["lab"])
+            .groupby(["id", "lab"], sort=False)
+            .size()
+            .reset_index(name="n")
+            .sort_values(["id", "n", "lab"], ascending=[True, False, True],
+                         kind="stable")
+            .drop_duplicates("id")  # majority, ties → smallest label
+            .set_index("id")["lab"]
+        )
+        ids = pd.unique(g[id_col])
+        own = pd.Series(ids, index=ids).map(seeds)
+        seeded = pd.Series(ids, index=ids).isin(seeds).to_numpy()
+        prop = own.where(seeded, votes.reindex(ids)).to_numpy(dtype=object)
         if numeric:
-            prop = pd.array(
-                [np.nan if lab is None else float(lab)], dtype="float64"
+            col = pd.array(
+                [np.nan if v is None or v is np.nan or pd.isna(v) else float(v)
+                 for v in prop],
+                dtype="float64",
             )
         else:
-            prop = pd.array([lab], dtype=object)
+            col = pd.array(prop, dtype=object)
         return pd.DataFrame(
-            {
-                id_col: [vid],
-                "propagated": prop,
-                "is_seed": [bool(vid in seeds)],
-            }
+            {id_col: ids, "propagated": col, "is_seed": seeded}
         )
 
-    return graph.groupby(id_col).map_groups(vote, batch_format="pandas")
+    return (
+        graph.map_batches(tag, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(vote_bucket, batch_format="pandas")
+    )
 
 
 def label_propagate_oracle_sql(
