@@ -2319,23 +2319,20 @@ def q_ccnet_bucket_documents(sf_dir: str):
     LANGUAGE, rank documents by LM quality and cut into head / middle / tail
     terciles — downstream pretraining recipes keep head+middle. Scores are the
     integer lm_fluency permille (higher = more fluent, so head = tile 1 of
-    NTILE(3) ... ORDER BY score DESC); language rides a bucketed hash join;
-    the partitioned tercile is the exact grouped row number
-    (stages/windows.grouped_row_number — O(blocks × parts) driver metadata,
-    never a whole language's rows in one task)."""
+    NTILE(3) ... ORDER BY score DESC); language RIDES THE SCORING PASS
+    (``lm_fluency(carry_cols=…)`` — batch-local reindex, which replaced a
+    whole bucketed hash join back to the source); the partitioned tercile is
+    the exact grouped row number (stages/windows.grouped_row_number —
+    O(blocks × parts) driver metadata, never a whole language's rows in one
+    task)."""
     import pyarrow as pa
 
-    from ..stages.joins import bucketed_hash_join
     from ..stages.text import lm_fluency
     from ..stages.windows import with_grouped_ntile
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    scores = lm_fluency(docs)
-    joined = bucketed_hash_join(
-        scores, docs.select_columns(["doc_id", "lang"]), on="doc_id"
-    )
     tiled = with_grouped_ntile(
-        joined,
+        lm_fluency(docs, carry_cols=("lang",)),
         3,
         part_col="lang",
         keys=["fluency_permille", "doc_id"],

@@ -379,11 +379,14 @@ def cluster_top_terms(
 
     Shape: one bucketed hash join (docs ⋈ assignment on id — the assignment
     side is O(N) rows × 16 bytes, far too big to broadcast at corpus scale),
-    one map-only pass emitting per-batch (cluster, term) partial counts, a
-    (cluster, term) groupby sum (vocab×K-bounded, tiny next to the corpus),
-    and a per-cluster map_groups rank over K vocab-bounded groups. Integer
-    rank order (no float tf-idf), so the labels are bit-exact in SQL."""
-    from ray.data.aggregate import Sum
+    one map-only pass emitting per-batch (cluster, term) partial counts, then
+    ONE bucket task exchange keyed by cluster — each bucket task folds its
+    clusters' partials and ranks them in the same pass (the two Dataset
+    groupby ops this replaces paid ~2 s of aggregator fixed cost against
+    vocab×K-bounded tables). Integer rank order (no float tf-idf), so the
+    labels are bit-exact in SQL."""
+    import ray
+    import ray.data
 
     from .joins import bucketed_hash_join
 
@@ -399,21 +402,51 @@ def cluster_top_terms(
         g = tf.groupby(["doc", "term"], sort=False)["tf"].sum().reset_index()
         return g.rename(columns={"doc": "cluster", "tf": "n"})
 
-    counts = (
-        joined.map_batches(partial, batch_format="pyarrow")
-        .groupby(["cluster", "term"])
-        .aggregate(Sum("n", alias_name="tf"))
+    partials = joined.map_batches(partial, batch_format="pyarrow").materialize()
+    B = 8
+
+    def _split(t: pa.Table) -> list:
+        b = (
+            t.column("cluster").to_numpy(zero_copy_only=False).astype(np.int64)
+            % B
+        )
+        order = np.argsort(b, kind="stable")
+        tt, sb = t.take(pa.array(order)), b[order]
+        cuts = np.searchsorted(sb, np.arange(B + 1))
+        return [tt.slice(cuts[i], cuts[i + 1] - cuts[i]) for i in range(B)]
+
+    def _fold_rank(*parts) -> pa.Table:
+        df = pa.concat_tables(parts).to_pandas()
+        if not len(df):
+            return pa.table(
+                {
+                    "cluster": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        tf = df.groupby(["cluster", "term"], sort=False, as_index=False)["n"].sum()
+        tf = tf.sort_values(
+            ["cluster", "n", "term"], ascending=[True, False, True], kind="stable"
+        )
+        out = tf.groupby("cluster", sort=False).head(k).copy()
+        out["rank"] = out.groupby("cluster", sort=False).cumcount() + 1
+        return pa.table(
+            {
+                "cluster": pa.array(out["cluster"].to_numpy(np.int64)),
+                "term": pa.array(out["term"].to_numpy(dtype=object), pa.string()),
+                "tf": pa.array(out["n"].to_numpy(np.int64)),
+                "rank": pa.array(out["rank"].to_numpy(np.int64)),
+            }
+        )
+
+    split = ray.remote(num_returns=B)(_split)
+    fold = ray.remote(_fold_rank)
+    cols = [split.remote(r) for r in partials.to_arrow_refs()]
+    return ray.data.from_arrow_refs(
+        [fold.remote(*[c[b] for c in cols]) for b in range(B)]
     )
-
-    def rank(grp: pd.DataFrame) -> pd.DataFrame:
-        grp = grp.sort_values(["tf", "term"], ascending=[False, True], kind="stable")
-        out = grp.head(k).copy()
-        out["cluster"] = out["cluster"].astype(np.int64)
-        out["tf"] = out["tf"].astype(np.int64)
-        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
-        return out[["cluster", "term", "tf", "rank"]]
-
-    return counts.groupby("cluster").map_groups(rank, batch_format="pandas")
 
 
 def cluster_top_terms_oracle_sql(
@@ -1078,7 +1111,9 @@ def gopher_oracle_sql(table: str, id_col: str = "doc_id", text_col: str = "text"
     """
 
 
-def lm_fluency(ds, id_col: str = "doc_id", text_col: str = "text"):
+def lm_fluency(
+    ds, id_col: str = "doc_id", text_col: str = "text", carry_cols: tuple = ()
+):
     """CCNet-style LM quality scoring (Wenzek et al. 2019 filter corpora by
     LM perplexity), recast all-integer so the score is bit-exact at any
     cluster size AND in SQL: per document, the mean conditional bigram
@@ -1094,7 +1129,10 @@ def lm_fluency(ds, id_col: str = "doc_id", text_col: str = "text"):
     broadcast once via ``ray.put`` (O(distinct grams); above ~256 MB swap in
     the bucketed-join fallback documented at ``ngram_jaccard_pairs``); the
     scoring pass is map-only. Documents with < 2 tokens have no bigrams and
-    are dropped (the SQL INNER JOIN + GROUP BY shape)."""
+    are dropped (the SQL INNER JOIN + GROUP BY shape). ``carry_cols`` ride
+    the map-only scoring pass onto the output (batch-local reindex, zero
+    shuffle) — a downstream per-language cut then needs NO join back to the
+    source."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -1143,13 +1181,19 @@ def lm_fluency(ds, id_col: str = "doc_id", text_col: str = "text"):
         id_type = batch.schema.field(id_col).type
         ids, grams = _doc_ngrams(batch, id_col, text_col, 2)
         if len(ids) == 0:
-            return pa.table(
-                {
-                    id_col: pa.array([], id_type),
-                    "fluency_permille": pa.array([], pa.int64()),
-                }
-            )
+            empty = {
+                id_col: pa.array([], id_type),
+                "fluency_permille": pa.array([], pa.int64()),
+            }
+            for c in carry_cols:
+                empty[c] = pa.array([], batch.schema.field(c).type)
+            return pa.table(empty)
         bc, uc = ray.get(big_ref), ray.get(uni_ref)
+        carried = (
+            batch.select([id_col, *carry_cols]).to_pandas().set_index(id_col)
+            if carry_cols
+            else None
+        )
         w1, w2 = pd.Series(grams[0]), pd.Series(grams[1])
         c_xy = (w1.astype(str) + "\x1f" + w2.astype(str)).map(bc).to_numpy(np.int64)
         c1 = w1.map(uc).to_numpy(np.int64)
@@ -1159,11 +1203,16 @@ def lm_fluency(ds, id_col: str = "doc_id", text_col: str = "text"):
         starts = np.concatenate([[0], bounds])
         sums = np.add.reduceat(p, starts)
         n_grams = np.diff(np.concatenate([starts, [len(p)]]))
+        cols = {
+            id_col: pa.array(ids[starts], id_type),
+            "fluency_permille": pa.array(sums // n_grams, pa.int64()),
+        }
+        if carried is not None:
+            keep = carried.reindex(pd.Index(ids[starts]))
+            for c in carry_cols:
+                cols[c] = pa.array(keep[c].to_numpy(dtype=object))
         return pa.table(
-            {
-                id_col: pa.array(ids[starts], id_type),
-                "fluency_permille": pa.array(sums // n_grams, pa.int64()),
-            }
+            cols
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
