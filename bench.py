@@ -284,6 +284,18 @@ def run_bench() -> dict:
             "2030-01-01",
         )
         timings["cdc_delete_where"] = round(time.perf_counter() - t0, 3)
+
+        # deletion-vector DELETE (merge-on-read, zero data movement) on a
+        # different predicate, then OPTIMIZE ZORDER folds the vectors in
+        t0 = time.perf_counter()
+        last_lake.delete_where(
+            {"name": "drop_sys", "column": "role", "op": "==", "value": "system"},
+            mode="dv",
+        )
+        timings["cdc_delete_where_dv"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        last_lake.cluster_zorder()
+        timings["cdc_cluster_zorder"] = round(time.perf_counter() - t0, 3)
     shutil.rmtree(last_dir, ignore_errors=True)
 
     if not CDC_ONLY:
