@@ -547,7 +547,7 @@ def _backfill_partition(
         t2 = apply_computed(t, list(specs))
         if t2.schema == t.schema and t2.equals(t):
             continue  # already backfilled (or ingested post-declaration)
-        rel = run["path"][: -len(".parquet")] + f"-bf{version}.parquet"
+        rel = _rehome(run["path"], f"bf{version}")
         atomic_parquet(t2, os.path.join(lake_dir, rel))
         replaced.append(run["path"])
         tomb = int(pc.sum(pc.equal(t2.column("op"), "D")).as_py() or 0)
@@ -605,6 +605,30 @@ def _audit_partition(
             bad = _predicate_false(col, spec)
         counts.append(int(pc.sum(bad).as_py() or 0))
     return pa.table({"name": names, "violations": counts}, schema=out_schema)
+
+
+def _rehome(run_path: str, prefix: str) -> str:
+    """New RELATIVE path (same partition dir, prefixed name) for a run a
+    rewrite/rename replaces — always under THIS lake's own data dir. A
+    shallow clone references its source's files by ABSOLUTE path; deriving
+    the new name from that path verbatim would land the rewrite in the
+    SOURCE lake's directory (which the clone contract forbids and the
+    source's vacuum would treat as orphans)."""
+    part = os.path.basename(os.path.dirname(run_path))
+    return os.path.join("data", part, f"{prefix}-{os.path.basename(run_path)}")
+
+
+def _link_or_copy(src: str, dst: str) -> None:
+    """Hardlink (zero-copy) with a copy fallback for cross-device links —
+    a shallow clone's source may live on another filesystem."""
+    import shutil
+
+    try:
+        os.link(src, dst)
+    except FileExistsError:
+        pass  # identical bytes from a retried task
+    except OSError:
+        shutil.copy2(src, dst)
 
 
 def _masked_run_read(path: str, state_schema: pa.Schema) -> pa.Table:
@@ -679,20 +703,12 @@ def _dv_partition(
         replaced.append(run["path"])
         if len(pos) == raw.num_rows:
             continue  # fully dead: drop the run entirely
-        rel = os.path.join(
-            os.path.dirname(run["path"]),
-            f"dv-v{version:08d}-{os.path.basename(run['path'])}",
-        )
+        rel = _rehome(run["path"], f"dv-v{version:08d}")
         new_ap = os.path.join(lake_dir, rel)
-        try:
-            os.link(ap, new_ap)  # zero-copy rename-for-versioning
-        except FileExistsError:
-            pass  # identical bytes from a retried task
+        os.makedirs(os.path.dirname(new_ap), exist_ok=True)
+        _link_or_copy(ap, new_ap)  # zero-copy rename-for-versioning
         if os.path.exists(ap + ".bloom") and not os.path.exists(new_ap + ".bloom"):
-            try:
-                os.link(ap + ".bloom", new_ap + ".bloom")
-            except FileExistsError:
-                pass
+            _link_or_copy(ap + ".bloom", new_ap + ".bloom")
         atomic_parquet(pa.table({"pos": pa.array(pos, pa.int64())}), new_ap + ".dv")
         keep = np.ones(raw.num_rows, dtype=bool)
         keep[pos] = False
@@ -3716,7 +3732,7 @@ class CdcLake:
             if kept_n == 0:
                 continue  # run was entirely this key — replaced by nothing
             t2 = t.filter(keep)
-            rel = run["path"][: -len(".parquet")] + f"-purge{v}.parquet"
+            rel = _rehome(run["path"], f"purge{v}")
             atomic_parquet(t2, os.path.join(self.lake_dir, rel))
             tomb = (
                 int(pc.sum(pc.equal(t2.column("op"), "D")).as_py() or 0)

@@ -298,3 +298,50 @@ def test_audit_state_counts_exact_violations(tmp_path):
     want_role = int((st.role.notna() & st.role.ne("user")).sum())
     assert got["role_user_only"] == want_role
     assert got["no_short"] == int((st.text.notna() & st.text.eq("")).sum())
+
+
+def test_clone_mutators_never_write_into_source_dir(tmp_path):
+    """DV deletes, backfills and purges on a SHALLOW CLONE must land their
+    rewrites under the CLONE's data dir — the clone references source files
+    by absolute path, and deriving output names from those paths verbatim
+    would drop files into the source lake (which its vacuum would treat as
+    orphans)."""
+    import ray.data
+
+    changes = gen_changes(3_000, 200, seed=83)
+    epochs = split_epochs(changes, 3)
+    src = CdcLake(str(tmp_path / "src"), num_partitions=8)
+    for part in epochs:
+        src.apply(ray.data.from_arrow(part))
+    src_files = set(glob.glob(str(tmp_path / "src" / "data" / "**"), recursive=True))
+    src_before = _state(src)
+
+    clone = src.clone(str(tmp_path / "clone"))
+    m = clone.delete_where(
+        {"name": "t", "column": "role", "op": "==", "value": "tool"}, mode="dv"
+    )
+    assert m["rows_masked"] > 0
+    clone.add_computed_column("text_len", "length", "text")
+    clone.backfill_computed()
+    victim = src_before.conv_id.iloc[0]
+    clone.purge_key(victim, rewrite=True)
+
+    # the source's data dir gained nothing and its state is untouched
+    assert (
+        set(glob.glob(str(tmp_path / "src" / "data" / "**"), recursive=True))
+        == src_files
+    )
+    pd.testing.assert_frame_equal(_state(src), src_before)
+    # the clone serves all three mutations
+    got = _state(clone)
+    assert not got.role.eq("tool").any()
+    assert "text_len" in got.columns
+    assert victim not in set(got.conv_id)
+    # every clone-side run file lives under the clone
+    for pid in range(clone.P):
+        for run in clone.manifest.partition(pid)["runs"]:
+            p = os.path.join(clone.lake_dir, run["path"])
+            if not os.path.isabs(run["path"]):
+                assert os.path.abspath(p).startswith(
+                    os.path.abspath(str(tmp_path / "clone"))
+                )
