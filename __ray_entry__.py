@@ -1002,6 +1002,24 @@ def _vocab_documents(sf_dir: str):
     return build_vocab(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def _megatron_export_documents(sf_dir: str):
+    """Indexed-binary token egress (Megatron-LM indexed_dataset shape): encode
+    against the corpus vocab, write sharded .bin token streams + parquet
+    indexes atomically (resume skips finished shards), then PARSE THE BYTES
+    BACK — the driver oracles the egress bytes themselves against the
+    tokenization SQL (same contract as the SFT JSONL entry)."""
+    import tempfile
+
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.sources.sinks import export_token_bin, read_token_bin
+    from dbt_customer360_ray.stages.text import build_vocab, encode_documents
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    dest = tempfile.mkdtemp(prefix="token-bin-") + "/out"
+    export_token_bin(encode_documents(ds, build_vocab(ds)), dest)
+    return read_token_bin(dest)
+
+
 def _encoded_documents(sf_dir: str):
     """Token-ID encoding against the corpus-built vocab (broadcast dict, OOV→0),
     order-preserving — exploded (doc, ord, token_id) rows for hash comparison;
@@ -1363,6 +1381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["mixed_corpus_documents"] = _mixed_corpus_documents
     out["bpe_encoded_documents"] = _bpe_encoded_documents
     out["encoded_documents"] = _encoded_documents
+    out["megatron_export_documents"] = _megatron_export_documents
     out["curated_documents"] = _curated_documents
     out["fineweb_audit_documents"] = _fineweb_audit_documents
     out["minhash_near_dups"] = _minhash_near_dups
@@ -1495,6 +1514,7 @@ def oracle_sql() -> dict[str, str]:
     out["repetition_documents"] = repetition_oracle_sql("documents")
     out["vocab_documents"] = vocab_oracle_sql("documents")
     out["encoded_documents"] = encode_flat_oracle_sql("documents")
+    out["megatron_export_documents"] = encode_flat_oracle_sql("documents")
     out["curated_documents"] = curate_oracle_sql()
     out["fineweb_audit_documents"] = fineweb_audit_oracle_sql()
     out["canonical_documents"] = canonicalize_oracle_sql()
