@@ -3524,26 +3524,52 @@ class CdcLake:
             "rows": int(sum(counts.values())),
         }
 
+    def _partition_content_token(self, pid: int) -> str:
+        """Content fingerprint of one partition's SERVED state, from METADATA
+        only: the live run list (paths + per-run dv_rows) plus the purge
+        list. Any commit that can change what this partition serves — apply,
+        compaction, DV delete, purge, backfill, zorder — changes its run
+        list, so a stale token is sufficient for re-export (compaction /
+        zorder rewrite content-identically and cost one spurious refresh —
+        safe, never stale)."""
+        import hashlib as _hl
+
+        runs = [
+            (r["path"], int(r.get("dv_rows", 0)))
+            for r in self.manifest.partition(pid)["runs"]
+        ]
+        payload = json.dumps([runs, sorted(self.manifest.purged_keys)])
+        return _hl.md5(payload.encode()).hexdigest()
+
     def export_sft_jsonl(self, dest_dir: str) -> dict:
         """Training-ready egress: the SFT conversation assembly
         (``assemble_conversations`` — role-prefixed turn lines, token counts)
         exported as sharded JSONL, the format SFT tooling actually ingests.
         One Ray task per partition (no shuffle), one ``shard-<pid>.jsonl``
-        each, written atomically and RESUMABLE (existing shards skip);
-        ``_SUCCESS`` with per-shard counts commits the export. Returns
-        {written, skipped, rows}."""
+        each, written atomically. INCREMENTAL: ``_SUCCESS`` records each
+        shard's partition content token, so a re-export rewrites ONLY shards
+        whose partition changed since (new epochs, DML, purges) — a crashed
+        run resumes (missing shards rewrite) and an unchanged lake re-exports
+        as a metadata-only no-op. Returns {written, skipped, rows}."""
         import ray
 
         state_schema = self.manifest.schema
         if state_schema is None:
             raise ValueError("export_sft_jsonl: lake is empty")
         os.makedirs(dest_dir, exist_ok=True)
+        prev_tokens = {}
+        success_path = os.path.join(dest_dir, "_SUCCESS")
+        if os.path.exists(success_path):
+            with open(success_path) as f:
+                prev_tokens = json.load(f).get("tokens", {})
         task = ray.remote(_sft_jsonl_partition)
         schema_ref = ray.put(state_schema)
-        refs, skipped = [], 0
+        refs, skipped, tokens = [], 0, {}
         for pid in range(self.P):
-            path = os.path.join(dest_dir, f"shard-{pid:05d}.jsonl")
-            if os.path.exists(path):
+            name = f"shard-{pid:05d}.jsonl"
+            path = os.path.join(dest_dir, name)
+            tokens[name] = self._partition_content_token(pid)
+            if os.path.exists(path) and prev_tokens.get(name) == tokens[name]:
                 skipped += 1
                 continue
             refs.append(
@@ -3560,8 +3586,12 @@ class CdcLake:
                 counts[f"shard-{pid:05d}.jsonl"] = sum(1 for _ in f)
         tmp = os.path.join(dest_dir, "_SUCCESS.tmp")
         with open(tmp, "w") as f:
-            json.dump({"rows": counts, "epoch": self.manifest.last_epoch}, f)
-        os.replace(tmp, os.path.join(dest_dir, "_SUCCESS"))
+            json.dump(
+                {"rows": counts, "epoch": self.manifest.last_epoch,
+                 "tokens": tokens},
+                f,
+            )
+        os.replace(tmp, success_path)
         return {
             "written": len(written),
             "skipped": skipped,
@@ -4498,6 +4528,51 @@ class CdcLake:
             or report["missing_deadletter_files"]
         )
         return report
+
+    def describe_files(self, version: int | None = None) -> pa.Table:
+        """The Iceberg ``files`` metadata table / Delta DESCRIBE DETAIL
+        analogue: one row per live run file of the (optionally historical)
+        snapshot — partition, path, physical size, served rows, tombstones,
+        deletion-vector rows, ts min/max, and sidecar presence. METADATA +
+        ``os.stat`` only (no data decode, no Ray); the ops surface behind
+        ``explain_read``'s planning numbers."""
+        m = self.manifest if version is None else self._manifest_at(None, version)
+        rows = []
+        for pid in range(m.num_partitions or self.P):
+            for run in m.partition(pid)["runs"]:
+                ap = os.path.join(m.lake_dir, run["path"])
+                rows.append(
+                    {
+                        "pid": pid,
+                        "path": run["path"],
+                        "bytes": os.path.getsize(ap) if os.path.exists(ap) else None,
+                        "rows": int(run["rows"]),
+                        "tombstones": int(run["tombstones"]),
+                        "dv_rows": int(run.get("dv_rows", 0)),
+                        "ts_min": run.get("ts_min"),
+                        "ts_max": run.get("ts_max"),
+                        "has_bloom": os.path.exists(ap + ".bloom"),
+                        "has_dv": os.path.exists(ap + ".dv"),
+                    }
+                )
+        schema = pa.schema(
+            [
+                ("pid", pa.int32()),
+                ("path", pa.string()),
+                ("bytes", pa.int64()),
+                ("rows", pa.int64()),
+                ("tombstones", pa.int64()),
+                ("dv_rows", pa.int64()),
+                ("ts_min", pa.int64()),
+                ("ts_max", pa.int64()),
+                ("has_bloom", pa.bool_()),
+                ("has_dv", pa.bool_()),
+            ]
+        )
+        return pa.table(
+            {f.name: pa.array([r[f.name] for r in rows], f.type) for f in schema},
+            schema=schema,
+        )
 
     def describe_history(self) -> pa.Table:
         """Delta-style DESCRIBE HISTORY: one row per committed manifest

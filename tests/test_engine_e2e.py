@@ -880,3 +880,56 @@ def test_explain_read_matches_executed_plan(tmp_path):
     lpb = lake.explain_read(conv_ids=[conv], probe_blooms=True).to_pandas()
     assert lpb["runs_planned"].sum() <= lp["runs_planned"].sum()
     assert lake.lookup(conv).num_rows <= lpb["rows_max"].sum()
+
+
+def test_export_sft_jsonl_incremental_refresh(tmp_path):
+    """A re-export after new commits rewrites ONLY the partitions whose
+    content changed (the _SUCCESS content tokens), never serving stale
+    shards the way blind skip-if-exists would."""
+    import json as _json
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    changes = gen_changes(3_000, 180, seed=69)
+    lake = _replay(tmp_path, split_epochs(changes, 2))
+    dest = str(tmp_path / "sft")
+    lake.export_sft_jsonl(dest)
+
+    # touch exactly one conversation → exactly one partition changes
+    st = lake.read_local_table().to_pandas()
+    victim = st.conv_id.iloc[0]
+    ev = pd.DataFrame(
+        {
+            "offset": [50_000_000],
+            "op": ["U"],
+            "conv_id": [victim],
+            "turn_idx": np.array([st[st.conv_id == victim].turn_idx.iloc[0]], "int32"),
+            "role": ["user"],
+            "text": ["refreshed text for the incremental export test"],
+            "tool": [None],
+            "ts": pd.Series([pd.Timestamp("2025-07-02")], dtype="datetime64[us]"),
+        }
+    )
+    lake.apply(ray.data.from_arrow(pa.Table.from_pandas(ev, preserve_index=False)))
+    m = lake.export_sft_jsonl(dest)
+    assert m["written"] == 1 and m["skipped"] == lake.P - 1
+
+    # the refreshed shard carries the new text; totals match the assembly
+    rows = []
+    for s in sorted(f for f in os.listdir(dest) if f.endswith(".jsonl")):
+        with open(os.path.join(dest, s)) as f:
+            rows.extend(_json.loads(line) for line in f if line.strip())
+    got = pd.DataFrame(rows).sort_values("conv_id", kind="stable").reset_index(drop=True)
+    want = (
+        lake.assemble_conversations()
+        .to_pandas()
+        .sort_values("conv_id", kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+    # an untouched lake re-exports as a pure metadata no-op
+    m2 = lake.export_sft_jsonl(dest)
+    assert m2["written"] == 0 and m2["skipped"] == lake.P

@@ -231,3 +231,44 @@ def test_history_syncs_from_streaming_checkpoints(tmp_path):
     pd.testing.assert_frame_equal(
         _norm(got)[want.columns.tolist()], _norm(want), check_dtype=False
     )
+
+
+def test_describe_files_matches_storage_and_plans(tmp_path):
+    """describe_files: one metadata row per live run, sizes/rows/dv flags
+    consistent with fsck and explain_read across DV + zorder mutations."""
+    import os
+
+    import ray.data
+
+    from dbt_customer360_ray.gen import gen_changes, split_epochs
+
+    changes = gen_changes(4_000, 250, seed=71)
+    lake = CdcLake(str(tmp_path / "lake"), num_partitions=8)
+    for part in split_epochs(changes, 2):
+        lake.apply(ray.data.from_arrow(part))
+    f0 = lake.describe_files().to_pandas()
+    total_runs = sum(
+        len(lake.manifest.partition(p)["runs"]) for p in range(lake.P)
+    )
+    assert len(f0) == total_runs
+    assert (f0.dv_rows == 0).all() and not f0.has_dv.any()
+    for _, r in f0.head(5).iterrows():
+        assert r["bytes"] == os.path.getsize(os.path.join(lake.lake_dir, r["path"]))
+
+    v0 = lake.manifest.version
+    lake.delete_where(
+        {"name": "t", "column": "role", "op": "==", "value": "tool"}, mode="dv"
+    )
+    f1 = lake.describe_files().to_pandas()
+    assert f1.dv_rows.sum() > 0 and f1[f1.dv_rows > 0].has_dv.all()
+    # served rows shrink by the masked count on the DV'd runs
+    assert f1.rows.sum() < f0.rows.sum()
+    # the historical snapshot still describes the pre-DV layout
+    pd.testing.assert_frame_equal(
+        lake.describe_files(version=v0).to_pandas(), f0
+    )
+    lake.cluster_zorder(rows_per_file=128)
+    f2 = lake.describe_files().to_pandas()
+    assert not f2.has_dv.any() and (f2.dv_rows == 0).all()  # folded
+    # post-merge every run row is a winner: files metadata equals served rows
+    assert f2.rows.sum() - f2.tombstones.sum() == len(lake.read_local_table())
