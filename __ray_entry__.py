@@ -889,6 +889,18 @@ def _triangle_stats_embeddings(sf_dir: str):
     return triangle_stats(ds, k=5)
 
 
+def _adamic_adar_embeddings(sf_dir: str):
+    """Adamic-Adar link prediction over the undirected k-NN graph: every
+    open wedge pair scored Σ 1/ln(deg(common neighbour)) — ln quantized to
+    int64 at 1e6 scale, contributions floor-divided, sums exact — via the
+    triangle exchange with the closure test inverted. Oracled bit-for-bit."""
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.similarity import adamic_adar
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return adamic_adar(ds, k=5)
+
+
 def _pagerank_embeddings(sf_dir: str):
     """PageRank centrality over the exact cosine k-NN graph: 3 power-iteration
     rounds in pure integer arithmetic (ranks at 1e9 scale, permille damping,
@@ -1373,6 +1385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["pagerank_embeddings"] = _pagerank_embeddings
     out["bfs_hops_embeddings"] = _bfs_hops_embeddings
     out["triangle_stats_embeddings"] = _triangle_stats_embeddings
+    out["adamic_adar_embeddings"] = _adamic_adar_embeddings
     out["window_dedup_documents"] = _window_dedup_documents
     out["quota_sample_documents"] = _quota_sample_documents
     out["repetition_documents"] = _repetition_documents
@@ -1503,6 +1516,9 @@ def oracle_sql() -> dict[str, str]:
         "embeddings", k=5, max_hops=3, seed_permille=40
     )
     out["triangle_stats_embeddings"] = triangle_stats_oracle_sql("embeddings", k=5)
+    from dbt_customer360_ray.stages.similarity import adamic_adar_oracle_sql
+
+    out["adamic_adar_embeddings"] = adamic_adar_oracle_sql("embeddings", k=5)
     out["lm_fluency_documents"] = lm_fluency_oracle_sql("documents")
     from dbt_customer360_ray.stages.sampling import mix_oracle_sql
 

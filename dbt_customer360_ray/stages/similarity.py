@@ -1478,6 +1478,9 @@ def bfs_hops(
 
     def _sym_split(t: pa.Table) -> list:
         # undirected: materialize both directed copies, bucket by the src
+        if t.num_rows == 0 or id_col not in t.column_names:
+            e = np.empty(0, np.int64)
+            return [(e, e) for _ in range(B)]
         a = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         b = t.column("neighbor_id").to_numpy(zero_copy_only=False).astype(np.int64)
         s, d = np.concatenate([a, b]), np.concatenate([b, a])
@@ -1490,6 +1493,8 @@ def bfs_hops(
         ]
 
     def _node_split(t: pa.Table) -> list:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return [np.empty(0, np.int64) for _ in range(B)]
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         bk = ids % B
         order = np.argsort(bk, kind="stable")
@@ -1647,6 +1652,9 @@ def triangle_stats(
     B = num_buckets
 
     def _split(t: pa.Table) -> list:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            e = np.empty(0, np.int64)
+            return [(e, e, e, e) for _ in range(B)]
         a = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         b = t.column("neighbor_id").to_numpy(zero_copy_only=False).astype(np.int64)
         u, v = np.minimum(a, b), np.maximum(a, b)
@@ -1812,4 +1820,194 @@ def triangle_stats_oracle_sql(
                     THEN (2000 * COALESCE(tri.t, 0)) // (d.degree * (d.degree - 1))
                     ELSE 0 END AS BIGINT) AS lcc_pm
         FROM deg d LEFT JOIN tri ON tri.ctr = d.ctr
+    """
+
+
+def adamic_adar(
+    ds,
+    k: int = 5,
+    id_col: str = "vec_id",
+    round_to: int | None = 2,
+    num_blocks: int | None = None,
+    num_buckets: int | None = None,
+    scale: int = 10**12,
+):
+    """Adamic–Adar link prediction over the undirected exact k-NN graph:
+    for every OPEN wedge pair (a, c) — two vectors sharing a neighbour but
+    not yet connected — the score Σ_b 1/ln(deg(b)) over their common
+    neighbours b, the classic "should these join the same cluster" signal
+    that completes near-dup groups and proposes graph edges. House integer
+    determinism: the ONE transcendental ln(deg) is quantized to int64 at 1e6
+    scale, each contribution is the floor division ``scale // lnq``, and the
+    pair score is the exact int64 sum — numpy and the SQL oracle agree
+    bit-for-bit.
+
+    Distributed shape: the ``triangle_stats`` bucket exchange with the
+    closure test INVERTED — wedges carry their centre's quantized weight,
+    the closure bucket ANTI-joins them against its local edge set (a pair
+    (wa,wc) lives in wa's bucket by construction), and one local groupby
+    sums each surviving pair's contributions — already globally complete,
+    so the fold stage disappears."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    edges_ds = (
+        knn_graph(ds, k=k, id_col=id_col, round_to=round_to, num_blocks=num_blocks)
+        .select_columns([id_col, "neighbor_id"])
+        .materialize()
+    )
+    n_edges = edges_ds.count()
+    if num_buckets is None:
+        num_buckets = max(4, min(256, (n_edges // max(k, 1)) // 250_000 + 4))
+    B = num_buckets
+
+    def _split(t: pa.Table) -> list:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            e = np.empty(0, np.int64)
+            return [(e, e, e, e) for _ in range(B)]
+        a = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("neighbor_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        u, v = np.minimum(a, b), np.maximum(a, b)
+        ac, an = np.concatenate([u, v]), np.concatenate([v, u])
+        ebk, abk = u % B, ac % B
+        eo, ao = np.argsort(ebk, kind="stable"), np.argsort(abk, kind="stable")
+        eu, ev, ebk = u[eo], v[eo], ebk[eo]
+        ac, an, abk = ac[ao], an[ao], abk[ao]
+        ec = np.searchsorted(ebk, np.arange(B + 1))
+        acuts = np.searchsorted(abk, np.arange(B + 1))
+        return [
+            (
+                eu[ec[i] : ec[i + 1]],
+                ev[ec[i] : ec[i + 1]],
+                ac[acuts[i] : acuts[i + 1]],
+                an[acuts[i] : acuts[i + 1]],
+            )
+            for i in range(B)
+        ]
+
+    def _dedup_pairs(x: np.ndarray, y: np.ndarray) -> tuple:
+        order = np.lexsort((y, x))
+        x, y = x[order], y[order]
+        if len(x):
+            fresh = np.empty(len(x), bool)
+            fresh[0] = True
+            fresh[1:] = (x[1:] != x[:-1]) | (y[1:] != y[:-1])
+            x, y = x[fresh], y[fresh]
+        return x, y
+
+    def _wedges(*parts) -> list:
+        eu = np.concatenate([p[0] for p in parts])
+        ev = np.concatenate([p[1] for p in parts])
+        eu, ev = _dedup_pairs(eu, ev)
+        ac = np.concatenate([p[2] for p in parts])
+        an = np.concatenate([p[3] for p in parts])
+        ac, an = _dedup_pairs(ac, an)
+        ctrs, starts = np.unique(ac, return_index=True)
+        degs = np.diff(np.append(starts, len(ac)))
+        lnq = np.round(np.log(np.maximum(degs, 2)) * 1_000_000).astype(np.int64)
+        w = scale // lnq  # centre weight rides the wedge
+        was, wcs, wws = [], [], []
+        for d in np.unique(degs):
+            if d < 2:
+                continue
+            sel = np.flatnonzero(degs == d)
+            mat = an[starts[sel][:, None] + np.arange(d)[None, :]]
+            ii, jj = np.triu_indices(int(d), k=1)
+            was.append(mat[:, ii].reshape(-1))
+            wcs.append(mat[:, jj].reshape(-1))
+            wws.append(np.repeat(w[sel], len(ii)))
+        wa = np.concatenate(was) if was else np.empty(0, np.int64)
+        wc = np.concatenate(wcs) if wcs else np.empty(0, np.int64)
+        ww = np.concatenate(wws) if wws else np.empty(0, np.int64)
+        bk = wa % B
+        order = np.argsort(bk, kind="stable")
+        wa, wc, ww, bk = wa[order], wc[order], ww[order], bk[order]
+        cuts = np.searchsorted(bk, np.arange(B + 1))
+        out = [(eu, ev)]
+        out += [
+            (wa[cuts[i] : cuts[i + 1]], wc[cuts[i] : cuts[i + 1]],
+             ww[cuts[i] : cuts[i + 1]])
+            for i in range(B)
+        ]
+        return out
+
+    split = ray.remote(num_returns=B)(_split)
+    wedge_t = ray.remote(num_returns=B + 1)(_wedges)
+    cols = [split.remote(r) for r in edges_ds.to_arrow_refs()]
+    staged = [wedge_t.remote(*[c[b] for c in cols]) for b in range(B)]
+    local = [s[0] for s in staged]
+    wedge_to = [[staged[b][1 + c] for b in range(B)] for c in range(B)]
+
+    def _score(local_b, *wedge_parts) -> pa.Table:
+        eu, ev = local_b
+        wa = np.concatenate([p[0] for p in wedge_parts])
+        wc = np.concatenate([p[1] for p in wedge_parts])
+        ww = np.concatenate([p[2] for p in wedge_parts])
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "aa_score": pa.array([], pa.int64()),
+            }
+        )
+        if not len(wa):
+            return empty
+        df = pd.DataFrame({"id_a": wa, "id_b": wc, "w": ww})
+        if len(eu):
+            closed = pd.DataFrame({"id_a": eu, "id_b": ev, "_e": 1})
+            df = df.merge(closed, on=["id_a", "id_b"], how="left")
+            df = df[df["_e"].isna()]  # OPEN wedges only
+        if not len(df):
+            return empty
+        out = df.groupby(["id_a", "id_b"], sort=False, as_index=False)["w"].sum()
+        return pa.table(
+            {
+                "id_a": pa.array(out["id_a"].to_numpy(np.int64)),
+                "id_b": pa.array(out["id_b"].to_numpy(np.int64)),
+                "aa_score": pa.array(out["w"].to_numpy(np.int64)),
+            }
+        )
+
+    score = ray.remote(_score)
+    return ray.data.from_arrow_refs(
+        [score.remote(local[b], *wedge_to[b]) for b in range(B)]
+    )
+
+
+def adamic_adar_oracle_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    id_col: str = "vec_id",
+    scale: int = 10**12,
+) -> str:
+    """DuckDB mirror of ``adamic_adar`` (open wedges only; ln quantized to
+    1e6 then floor-divided — bit-exact vs numpy)."""
+    knn = knn_graph_oracle_sql(table, k=k, id_col=id_col)
+    return f"""
+        WITH knn AS ({knn}),
+        und AS (
+            SELECT DISTINCT LEAST({id_col}, neighbor_id) AS u,
+                   GREATEST({id_col}, neighbor_id) AS v
+            FROM knn
+        ),
+        adj AS (SELECT u AS ctr, v AS nb FROM und
+                UNION ALL SELECT v, u FROM und),
+        deg AS (SELECT ctr, count(*) AS degree FROM adj GROUP BY 1),
+        wedge AS (
+            SELECT a.ctr, a.nb AS wa, b.nb AS wc
+            FROM adj a JOIN adj b ON a.ctr = b.ctr AND a.nb < b.nb
+        ),
+        openw AS (
+            SELECT w.ctr, w.wa, w.wc
+            FROM wedge w LEFT JOIN und e ON e.u = w.wa AND e.v = w.wc
+            WHERE e.u IS NULL
+        ),
+        contrib AS (
+            SELECT o.wa, o.wc,
+                   {scale} // CAST(round(ln(d.degree) * 1000000) AS BIGINT) AS c
+            FROM openw o JOIN deg d ON d.ctr = o.ctr
+        )
+        SELECT wa AS id_a, wc AS id_b, CAST(SUM(c) AS BIGINT) AS aa_score
+        FROM contrib GROUP BY 1, 2
     """

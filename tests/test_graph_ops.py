@@ -79,3 +79,67 @@ def test_triangle_counts_globally_consistent():
         (2000 * got["triangles"]) // (got["degree"] * (got["degree"] - 1)),
         check_names=False,
     )
+
+
+def test_adamic_adar_cliques_have_no_open_wedges():
+    from dbt_customer360_ray.stages.similarity import adamic_adar
+
+    ds, _ = _clustered_ds()
+    got = adamic_adar(ds, k=5).to_pandas()
+    # K6 cliques: every wedge is closed, so no link is predicted
+    assert len(got) == 0
+
+
+def test_adamic_adar_open_wedges_score_by_centre_degree():
+    """Star of 6 leaves + hub (orthogonal leaves, hub = mean direction):
+    with k=5 the hub is every leaf's only strong neighbour, so leaf-leaf
+    pairs are open wedges scored through shared centres."""
+    import ray.data
+    from dbt_customer360_ray.stages.similarity import adamic_adar, knn_graph
+
+    rng_vecs = []
+    ids = []
+    base = np.zeros(8, np.float32)
+    for j in range(6):
+        v = np.zeros(8, np.float32)
+        v[j] = 1.0
+        v[7] = 0.2  # shared component pulls everyone toward the hub
+        ids.append(j)
+        rng_vecs.append(v.tolist())
+    hub = np.zeros(8, np.float32)
+    hub[7] = 1.0
+    ids.append(99)
+    rng_vecs.append(hub.tolist())
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(rng_vecs, pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    got = adamic_adar(ds, k=5).to_pandas()
+    edges = knn_graph(ds, k=5).to_pandas()
+    und = set(
+        (min(a, b), max(a, b))
+        for a, b in zip(edges.vec_id, edges.neighbor_id)
+    )
+    # every predicted pair is genuinely open, scores positive, and the exact
+    # integer recomputation from degrees matches
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    import itertools
+
+    expect = {}
+    adjacency = {}
+    for a, b in und:
+        adjacency.setdefault(a, set()).add(b)
+        adjacency.setdefault(b, set()).add(a)
+    for c, nbs in adjacency.items():
+        w = 10**12 // int(np.round(np.log(deg[c]) * 1_000_000))
+        for a, b in itertools.combinations(sorted(nbs), 2):
+            if (a, b) not in und:
+                expect[(a, b)] = expect.get((a, b), 0) + w
+    got_map = dict(zip(zip(got.id_a, got.id_b), got.aa_score))
+    assert got_map == expect and len(expect) > 0
