@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "vocab_overlap_documents",
     "bfs_hops_embeddings",
     "triangle_stats_embeddings",
+    "adamic_adar_embeddings",
+    "megatron_export_documents",
 ]
 
 
