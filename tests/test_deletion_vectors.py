@@ -182,3 +182,16 @@ def test_dv_requires_known_mode_and_tombstone_needs_sync_ts(tmp_path):
         lake.delete_where(SPEC, mode="wat")
     with pytest.raises(ValueError, match="sync_ts"):
         lake.delete_where(SPEC)
+
+
+def test_restore_undoes_a_dv_delete(tmp_path):
+    """RESTORE to the pre-DV version serves the exact pre-delete state (the
+    old run names have no sidecars and stay on disk until vacuum)."""
+    lake, _epochs, want = _fixture(tmp_path, seed=53)
+    v0 = lake.manifest.version
+    pre = _served(lake)
+    lake.delete_where(SPEC, mode="dv")
+    assert len(_served(lake)) < len(pre)
+    lake.restore(version=v0)
+    pd.testing.assert_frame_equal(_served(lake), pre)
+    assert lake.fsck(check_rows=True)["ok"]
