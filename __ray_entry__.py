@@ -263,6 +263,20 @@ def _cdc_wap_published(sf_dir: str):
     return wap_lake(sf=0.01)
 
 
+def _cdc_where_read(sf_dir: str):
+    """Predicate serving read: ``read(where=…)`` filters the converged rows
+    with a constraint-shaped spec (SQL WHERE semantics — NULL drops) and a
+    pruned projection, the predicate column riding the scan unprojected.
+    Oracled against the replay oracle wrapped in the shared ``predicate_sql``
+    translation."""
+    from dbt_customer360_ray.pipelines.cdc_replay import replayed_lake
+
+    return replayed_lake(sf=0.01).read(
+        columns=["role", "text"],
+        where={"name": "w", "column": "role", "op": "==", "value": "assistant"},
+    )
+
+
 def _cdc_dv_deleted(sf_dir: str):
     """Deletion-vector DELETE: the same tool-role predicate as
     cdc_deleted_where, executed as per-run positional sidecars on
@@ -1334,6 +1348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_context_pairs"] = _cdc_context_pairs
     out["cdc_deleted_where"] = _cdc_deleted_where
     out["cdc_dv_deleted"] = _cdc_dv_deleted
+    out["cdc_where_read"] = _cdc_where_read
     out["cdc_wap_published"] = _cdc_wap_published
     out["cdc_dedup_index"] = _cdc_dedup_index
     out["cdc_backfilled_lake"] = _cdc_backfilled_lake
@@ -1615,6 +1630,18 @@ def oracle_sql() -> dict[str, str]:
 
     out["cdc_deleted_where"] = delete_where_oracle_sql(sf=0.01)
     out["cdc_dv_deleted"] = delete_where_oracle_sql(sf=0.01)
+    from dbt_customer360_ray.state.constraints import predicate_sql, validate_spec
+
+    _w = predicate_sql(
+        validate_spec(
+            {"name": "w", "column": "role", "op": "==", "value": "assistant"}
+        )
+    )
+    out["cdc_where_read"] = (
+        "SELECT conv_id, turn_idx, role, text FROM ("
+        + replay_oracle_sql(sf=0.01)
+        + f") WHERE coalesce(({_w}), FALSE)"
+    )
     out["cdc_wap_published"] = replay_oracle_sql(sf=0.01)
     from dbt_customer360_ray.pipelines.cdc_replay import dedup_index_oracle_sql
 

@@ -2792,6 +2792,7 @@ class CdcLake:
         columns: list[str] | None = None,
         since_ts=None,
         until_ts=None,
+        where: dict | None = None,
     ):
         """Converged lake state as a streaming Dataset: one merged, tombstone-free,
         ``(conv_id, turn_idx)``-sorted group per partition. ``columns`` prunes
@@ -2800,8 +2801,14 @@ class CdcLake:
         the text payload. ``since_ts``/``until_ts`` (inclusive bounds, anything
         ``pandas.Timestamp`` accepts) filter the CONVERGED rows on ``ts`` and
         use the manifest's per-run ts stats to skip whole runs (see
-        ``_read_manifest`` for which bound may prune and why)."""
-        return self._read_manifest(self.manifest, columns, since_ts, until_ts)
+        ``_read_manifest`` for which bound may prune and why). ``where`` is a
+        constraint-shaped predicate spec (the delete_where / row-policy
+        grammar, LOGICAL column names) applied to the CONVERGED rows with SQL
+        WHERE semantics — a NULL comparison drops the row; the predicate
+        column rides the pruned scan even when not projected."""
+        return self._read_manifest(
+            self.manifest, columns, since_ts, until_ts, where=where
+        )
 
     def explain_read(
         self,
@@ -2930,6 +2937,7 @@ class CdcLake:
         columns: list[str] | None = None,
         since_ts=None,
         until_ts=None,
+        where: dict | None = None,
     ):
         """Time-travel read: the converged lake AS OF a committed epoch (or a
         raw manifest version, binlog offset, or named tag), with the schema as
@@ -2945,7 +2953,8 @@ class CdcLake:
             if version is None:
                 raise KeyError(f"unknown tag {tag!r}")
         return self._read_manifest(
-            self._manifest_at(epoch, version, offset), columns, since_ts, until_ts
+            self._manifest_at(epoch, version, offset), columns, since_ts,
+            until_ts, where=where,
         )
 
     def _read_manifest(
@@ -2954,6 +2963,7 @@ class CdcLake:
         columns: list[str] | None = None,
         since_ts=None,
         until_ts=None,
+        where: dict | None = None,
     ):
         """Manifest-driven merged read with stats-based data skipping.
 
@@ -2972,6 +2982,20 @@ class CdcLake:
 
         since_us = _ts_to_us(since_ts)
         until_us = _ts_to_us(until_ts)
+        if where is not None:
+            from .constraints import validate_spec
+
+            where = validate_spec(where)
+            if where["op"] == "fk":
+                raise ValueError("read(where=…): fk specs are constraint-only")
+            cm0 = m.column_mapping
+            if cm0:  # caller speaks logical names; rows carry physical ones
+                where = {
+                    **where,
+                    "column": dict(cm0["logical"]).get(
+                        where["column"], where["column"]
+                    ),
+                }
         P_stats = m.num_partitions or self.P
         files: list[str] = []
         dv_files: list[str] = []
@@ -3024,11 +3048,15 @@ class CdcLake:
             ]
             public = [p for p, _ in keep]
             out_names = [l for _, l in keep]
-            # the merge itself needs keys + LWW/tombstone internals; prune
-            # everything else at the decoder
+            # the merge itself needs keys + LWW/tombstone internals (and the
+            # where-predicate's column, even unprojected); prune everything
+            # else at the decoder
             needed = list(
                 dict.fromkeys(
-                    KEY_COLUMNS + ["ts", "offset", "op", "pid"] + public
+                    KEY_COLUMNS
+                    + ["ts", "offset", "op", "pid"]
+                    + public
+                    + ([where["column"]] if where is not None else [])
                 )
             )
             state_schema = pa.schema([f for f in state_schema if f.name in needed])
@@ -3054,6 +3082,12 @@ class CdcLake:
                 t = t.filter(pc.greater_equal(t.column("ts").cast(pa.int64()), since_us))
             if until_us is not None:
                 t = t.filter(pc.less_equal(t.column("ts").cast(pa.int64()), until_us))
+            if where is not None:
+                from .constraints import _predicate_true
+
+                if where["column"] not in t.column_names:
+                    return t.slice(0, 0)  # pre-evolution rows: NULL → dropped
+                t = t.filter(_predicate_true(t.column(where["column"]), where))
             return t
 
         masks = self._active_masks()

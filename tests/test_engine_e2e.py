@@ -933,3 +933,42 @@ def test_export_sft_jsonl_incremental_refresh(tmp_path):
     # an untouched lake re-exports as a pure metadata no-op
     m2 = lake.export_sft_jsonl(dest)
     assert m2["written"] == 0 and m2["skipped"] == lake.P
+
+
+def test_read_where_predicate_serving(tmp_path):
+    """read(where=…): constraint-grammar predicate with SQL WHERE semantics
+    at the serving read — column-mapping aware, projection-independent,
+    composing with since_ts and deletion vectors."""
+    changes = gen_changes(4_000, 250, seed=73)
+    lake = _replay(tmp_path, split_epochs(changes, 2))
+    st = lake.read_local_table().to_pandas()
+
+    spec = {"name": "w", "column": "role", "op": "==", "value": "assistant"}
+    got = lake.read(where=spec).to_pandas()
+    exp = st[st.role.eq("assistant").fillna(False)]
+    assert len(got) == len(exp) and got.role.eq("assistant").all()
+
+    # predicate column rides the scan even when not projected
+    got2 = lake.read(columns=["text"], where=spec).to_pandas()
+    assert len(got2) == len(exp) and "role" not in got2.columns
+
+    # composes with the ts bound
+    cut = st.ts.quantile(0.5)
+    got3 = lake.read(since_ts=cut, where=spec).to_pandas()
+    exp3 = exp[exp.ts >= pd.Timestamp(cut)]
+    assert len(got3) == len(exp3)
+
+    # logical names after a RENAME
+    lake.rename_column("role", "speaker")
+    got4 = lake.read(
+        where={"name": "w", "column": "speaker", "op": "==", "value": "assistant"}
+    ).to_pandas()
+    assert len(got4) == len(exp) and got4.speaker.eq("assistant").all()
+
+    # NULL comparisons drop (DML WHERE semantics)
+    n_tool_null = int(st.tool.isna().sum())
+    assert n_tool_null > 0
+    got5 = lake.read(
+        where={"name": "t", "column": "tool", "op": "<", "value": "zzz"}
+    ).to_pandas()
+    assert len(got5) == len(st) - n_tool_null
