@@ -297,6 +297,17 @@ def _cdc_deleted_where(sf_dir: str):
     return deleted_where_lake(sf=0.01)
 
 
+def _cdc_updated_where(sf_dir: str):
+    """Predicate UPDATE DML (UPDATE lake SET text = …, tool = … WHERE role =
+    'tool'): live matching rows rewritten as full-image 'U' events through
+    the exactly-once epoch path — change-feed-visible, time-travelable, one
+    task per partition, no shuffle. Oracled — SQL UPDATE semantics over the
+    converged state, including the LWW-visible ts change."""
+    from dbt_customer360_ray.pipelines.cdc_replay import updated_where_lake
+
+    return updated_where_lake(sf=0.01)
+
+
 def _cdc_merged_turns(sf_dir: str):
     """Chat-data alternation repair: consecutive same-role turns of each
     conversation coalesced into one message (gaps-and-islands, first turn_idx
@@ -1347,6 +1358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_merged_turns"] = _cdc_merged_turns
     out["cdc_context_pairs"] = _cdc_context_pairs
     out["cdc_deleted_where"] = _cdc_deleted_where
+    out["cdc_updated_where"] = _cdc_updated_where
     out["cdc_dv_deleted"] = _cdc_dv_deleted
     out["cdc_where_read"] = _cdc_where_read
     out["cdc_wap_published"] = _cdc_wap_published
@@ -1626,9 +1638,13 @@ def oracle_sql() -> dict[str, str]:
 
     out["cdc_merged_turns"] = merged_turns_oracle_sql(sf=0.01)
     out["cdc_context_pairs"] = context_pairs_oracle_sql(sf=0.01)
-    from dbt_customer360_ray.pipelines.cdc_replay import delete_where_oracle_sql
+    from dbt_customer360_ray.pipelines.cdc_replay import (
+        delete_where_oracle_sql,
+        update_where_oracle_sql,
+    )
 
     out["cdc_deleted_where"] = delete_where_oracle_sql(sf=0.01)
+    out["cdc_updated_where"] = update_where_oracle_sql(sf=0.01)
     out["cdc_dv_deleted"] = delete_where_oracle_sql(sf=0.01)
     from dbt_customer360_ray.state.constraints import predicate_sql, validate_spec
 

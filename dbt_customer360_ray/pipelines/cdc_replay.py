@@ -1234,6 +1234,54 @@ def delete_where_oracle_sql(sf: float = 0.01, spec: dict = DELETE_SPEC) -> str:
     return f"SELECT * FROM ({inner}) WHERE NOT coalesce(({pred}), FALSE)"
 
 
+UPDATE_SET = {"text": "[tool output redacted]", "tool": "redactor"}
+
+
+def updated_where_lake(sf: float = 0.01):
+    """Driver surface for ``CdcLake.update_where`` (predicate UPDATE DML —
+    ``UPDATE lake SET text = …, tool = … WHERE role = 'tool'``): replay the
+    fixture into a fresh lake, rewrite every live tool-role turn's payload
+    through the exactly-once epoch path as full-image 'U' events at SYNC_TS
+    (one task per partition, no shuffle), and return the post-update lake."""
+    lake, _ = replay(sf=sf)
+    lake.update_where(DELETE_SPEC, UPDATE_SET, SYNC_TS)
+    return lake.read()
+
+
+def update_where_oracle_sql(
+    sf: float = 0.01, spec: dict = DELETE_SPEC, set_values: dict = UPDATE_SET
+) -> str:
+    """Oracle for ``updated_where_lake``: SQL UPDATE semantics over the
+    converged LWW state — matching rows take the SET constants AND the
+    update event's ts (it wins LWW, so the served ts is SYNC_TS); rows where
+    the predicate is NULL or FALSE are untouched."""
+    from ..state.constraints import predicate_sql, validate_spec
+
+    pred = predicate_sql(validate_spec(spec))
+    inner = _lww_sql(_epoch_selects(sf))
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
+    assigned = {
+        c: f"CASE WHEN coalesce(({pred}), FALSE) THEN {lit(v)} ELSE {c} END"
+        for c, v in set_values.items()
+    }
+    assigned["ts"] = (
+        f"CASE WHEN coalesce(({pred}), FALSE) "
+        f"THEN TIMESTAMP '{SYNC_TS}' ELSE ts END"
+    )
+    cols = ", ".join(
+        f"{assigned[c]} AS {c}" if c in assigned else c
+        for c in ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    return f"SELECT {cols} FROM ({inner})"
+
+
 def token_index_lake(sf: float = 0.01):
     """Driver surface for the incrementally-maintained inverted token index
     (``state/views.py: sync_token_index``): replay the fixture, then fold each

@@ -780,6 +780,56 @@ def _delete_where_partition(
     )
 
 
+def _update_where_partition(
+    files: list[str],
+    state_schema: pa.Schema,
+    spec: dict,
+    set_values: dict,
+    sync_ts_us: int,
+    base_offset: int,
+    merge_mode: str = "lww",
+) -> pa.Table:
+    """update_where kernel for one partition: LWW-merge the runs and emit a
+    FULL-IMAGE 'U' event for every LIVE key whose converged row makes the
+    predicate definitively TRUE (``coalesce(pred, FALSE)`` — SQL UPDATE WHERE
+    semantics), with the SET assignments overriding the row's current
+    payload. Same exactly-once epoch shape as ``_delete_where_partition``:
+    the update is change-feed-visible and time-travelable, and the scan never
+    leaves the partition that owns the keys."""
+    import numpy as np
+    import pandas as pd
+
+    from .constraints import _predicate_true
+
+    event_schema = pa.schema([f for f in state_schema if f.name != "pid"])
+    payload = [
+        f.name
+        for f in state_schema
+        if f.name not in KEY_COLUMNS and f.name not in INTERNAL_COLUMNS and f.name != "ts"
+    ]
+    if not files:
+        return event_schema.empty_table()
+    tables = [load_run(f, state_schema) for f in files]
+    state = drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode))
+    if spec["column"] not in state.column_names or state.num_rows == 0:
+        return event_schema.empty_table()
+    hit = state.filter(_predicate_true(state.column(spec["column"]), spec))
+    if hit.num_rows == 0:
+        return event_schema.empty_table()
+    out = hit.select(list(KEY_COLUMNS) + payload).to_pandas()
+    out = out.sort_values(list(KEY_COLUMNS), kind="stable").reset_index(drop=True)
+    out.insert(0, "op", "U")
+    for c, v in set_values.items():
+        out[c] = v  # constant broadcast; None = SET col = NULL
+    out.insert(0, "offset", base_offset + np.arange(len(out), dtype=np.int64))
+    out["ts"] = pd.Timestamp(sync_ts_us, unit="us")
+    return (
+        pa.Table.from_pandas(out, preserve_index=False)
+        .select([f.name for f in event_schema])
+        .cast(event_schema)
+    )
+
+
 def _export_partition(
     files: list[str],
     state_schema: pa.Schema,
@@ -2653,6 +2703,88 @@ class CdcLake:
                 self.manifest.live_files(pid),
                 schema_ref,
                 spec,
+                sync_us,
+                base_offset,
+                self.merge_mode,
+            )
+            for pid in range(self.P)
+        ]
+        return self.apply(
+            ray.data.from_arrow_refs(refs),
+            detect_hot=detect_hot,
+            _physical_names=True,
+        )
+
+    def update_where(
+        self,
+        spec: dict,
+        set_values: dict,
+        sync_ts=None,
+        detect_hot: str = "off",
+    ) -> dict:
+        """Predicate UPDATE (the Delta ``UPDATE t SET … WHERE …`` DML verb):
+        emit a FULL-IMAGE 'U' change event through the exactly-once epoch
+        path for every live row whose converged state satisfies the
+        constraint-shaped predicate spec — the same grammar (and SQL
+        translation) as CHECK constraints, row policies and ``delete_where``,
+        with DML WHERE semantics (a NULL comparison updates nothing).
+
+        ``set_values`` maps payload columns to constant new values
+        (``None`` = ``SET col = NULL``). The key columns (conv_id, turn_idx)
+        and the LWW ordering column ``ts`` cannot be assigned: the update
+        event carries ``sync_ts``, so it wins LWW over every stored version
+        of the key, is change-feed-visible and time-travelable, and a later
+        (higher-ts) event for the key overrides it exactly like any upsert.
+        Logical (column-mapped) names are accepted in both the predicate and
+        the SET keys.
+
+        One Ray task per partition, NO shuffle (routing owns the keys).
+        Returns the apply metrics."""
+        import ray
+        import ray.data
+
+        from .constraints import validate_spec
+
+        state_schema = self.manifest.schema
+        if state_schema is None:
+            raise ValueError("update_where: lake is empty")
+        spec = validate_spec(spec)
+        if spec["op"] == "fk":
+            raise ValueError("update_where: fk specs are constraint-only")
+        if not isinstance(set_values, dict) or not set_values:
+            raise ValueError("update_where: set_values must be a non-empty dict")
+        cm = self.manifest.column_mapping
+        logical = dict(cm["logical"]) if cm else {}
+        if cm:
+            spec = {**spec, "column": logical.get(spec["column"], spec["column"])}
+            set_values = {
+                logical.get(c, c): v for c, v in set_values.items()
+            }
+        frozen = set(KEY_COLUMNS) | set(INTERNAL_COLUMNS) | {"ts"}
+        for c, v in set_values.items():
+            if c in frozen:
+                raise ValueError(
+                    f"update_where: column {c!r} is a key / LWW-order / "
+                    "internal column and cannot be assigned"
+                )
+            idx = state_schema.get_field_index(c)
+            if idx < 0:
+                raise ValueError(f"update_where: unknown column {c!r}")
+            if v is not None:
+                pa.scalar(v, state_schema.field(idx).type)  # type-check now
+        if sync_ts is None:
+            raise ValueError("update_where: needs sync_ts")
+        sync_us = _ts_to_us(sync_ts)
+        self._require_sync_ts_above_committed("update_where", sync_us)
+        base_offset = max(self.manifest.committed_offsets().values(), default=-1) + 1
+        task = ray.remote(_update_where_partition)
+        schema_ref = ray.put(state_schema)
+        refs = [
+            task.remote(
+                self.manifest.live_files(pid),
+                schema_ref,
+                spec,
+                set_values,
                 sync_us,
                 base_offset,
                 self.merge_mode,

@@ -111,6 +111,11 @@ def main() -> int:
     ap.add_argument("--delete-ts", default="2030-01-01",
                     help="sync_ts stamped on --delete-where tombstones "
                          "(must exceed every committed ts)")
+    ap.add_argument("--update-where", action="append", default=[],
+                    help="predicate UPDATE DML, NAME:COL:OP[:VALUE]->SETCOL=V[,SETCOL=V...] "
+                         "(e.g. 'redact:role:==:tool->text=[redacted],tool=redactor'); "
+                         "full-image 'U' events at --delete-ts through the "
+                         "exactly-once epoch path, repeatable")
     ap.add_argument("--delete-mode", choices=["tombstone", "dv"],
                     default="tombstone",
                     help="--delete-where execution: tombstone events through "
@@ -323,6 +328,30 @@ def main() -> int:
             else {"deleted_where": name, "mode": "dv"} | m
         )
         print(json.dumps(out), flush=True)
+    for spec in args.update_where:
+        pred_part, _, set_part = spec.partition("->")
+        parts = pred_part.split(":", 3)
+        if len(parts) < 3 or not set_part:
+            raise SystemExit(
+                f"--update-where wants NAME:COL:OP[:VALUE]->SETCOL=V[,...], got {spec!r}"
+            )
+        name, col, op = parts[:3]
+        value = parts[3] if len(parts) == 4 else None
+        if op == "in" and value is not None:
+            value = value.split(",")
+        set_values = {}
+        for kv in set_part.split(","):
+            k, eq, v = kv.partition("=")
+            if not eq:
+                raise SystemExit(f"--update-where SET wants COL=VALUE, got {kv!r}")
+            set_values[k] = None if v == "NULL" else v
+        m = lake.update_where(
+            {"name": name, "column": col, "op": op, "value": value},
+            set_values,
+            args.delete_ts,
+        )
+        print(json.dumps({"updated_where": name, "upserts": m["upserts"]}),
+              flush=True)
     for spec in args.row_policy:
         parts = spec.split(":", 3)
         if len(parts) < 3:
