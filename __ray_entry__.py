@@ -308,6 +308,17 @@ def _cdc_updated_where(sf_dir: str):
     return updated_where_lake(sf=0.01)
 
 
+def _cdc_lake_diff(sf_dir: str):
+    """Anti-entropy diff between two replica lakes (cross-lake change_feed):
+    replica B diverged by an UPDATE, a DELETE and an insert-only epoch; the
+    diff lists the per-key deltas that would turn A into B — one task per
+    partition, no shuffle, empty diff = replica-equality proof. Oracled —
+    the three change classes re-derived from the converged state in SQL."""
+    from dbt_customer360_ray.pipelines.cdc_replay import lake_diff
+
+    return lake_diff(sf=0.01)
+
+
 def _cdc_merged_turns(sf_dir: str):
     """Chat-data alternation repair: consecutive same-role turns of each
     conversation coalesced into one message (gaps-and-islands, first turn_idx
@@ -1359,6 +1370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_context_pairs"] = _cdc_context_pairs
     out["cdc_deleted_where"] = _cdc_deleted_where
     out["cdc_updated_where"] = _cdc_updated_where
+    out["cdc_lake_diff"] = _cdc_lake_diff
     out["cdc_dv_deleted"] = _cdc_dv_deleted
     out["cdc_where_read"] = _cdc_where_read
     out["cdc_wap_published"] = _cdc_wap_published
@@ -1640,11 +1652,13 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_context_pairs"] = context_pairs_oracle_sql(sf=0.01)
     from dbt_customer360_ray.pipelines.cdc_replay import (
         delete_where_oracle_sql,
+        lake_diff_oracle_sql,
         update_where_oracle_sql,
     )
 
     out["cdc_deleted_where"] = delete_where_oracle_sql(sf=0.01)
     out["cdc_updated_where"] = update_where_oracle_sql(sf=0.01)
+    out["cdc_lake_diff"] = lake_diff_oracle_sql(sf=0.01)
     out["cdc_dv_deleted"] = delete_where_oracle_sql(sf=0.01)
     from dbt_customer360_ray.state.constraints import predicate_sql, validate_spec
 

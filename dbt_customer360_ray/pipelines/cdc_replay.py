@@ -1282,6 +1282,83 @@ def update_where_oracle_sql(
     return f"SELECT {cols} FROM ({inner})"
 
 
+DIFF_DELETE_SPEC = {
+    "name": "drop_system", "column": "role", "op": "==", "value": "system",
+}
+DIFF_SYNC_TS2 = "2025-06-02 00:00:00"
+DIFF_INSERTS = [
+    ("diff-new-0", 0, "user", "a brand new conversation", None),
+    ("diff-new-0", 1, "assistant", "only on the diverged side", None),
+    ("diff-new-1", 0, "user", "second inserted conversation", None),
+]
+DIFF_INSERT_TS = "2025-06-03 00:00:00"
+
+
+def lake_diff(sf: float = 0.01):
+    """Driver surface for ``CdcLake.diff_lake`` (anti-entropy diff between
+    two replica lakes): replay the fixture twice into two independent lakes,
+    diverge the second with an UPDATE (tool turns redacted), a DELETE (system
+    turns dropped) and an insert-only epoch of brand-new conversations, and
+    return the per-key deltas that would turn replica A into replica B —
+    one task per partition, no shuffle. Oracled: the three change classes
+    re-derived from the converged state in SQL."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    lake_a, _ = replay(sf=sf)
+    lake_b, _ = replay(sf=sf)
+    lake_b.update_where(DELETE_SPEC, UPDATE_SET, SYNC_TS)
+    lake_b.delete_where(DIFF_DELETE_SPEC, DIFF_SYNC_TS2)
+    base = max(lake_b.manifest.committed_offsets().values()) + 1
+    ev = pa.table(
+        {
+            "offset": pa.array(
+                [base + i for i in range(len(DIFF_INSERTS))], pa.int64()
+            ),
+            "op": pa.array(["I"] * len(DIFF_INSERTS), pa.string()),
+            "conv_id": pa.array([r[0] for r in DIFF_INSERTS], pa.string()),
+            "turn_idx": pa.array([r[1] for r in DIFF_INSERTS], pa.int32()),
+            "role": pa.array([r[2] for r in DIFF_INSERTS], pa.string()),
+            "text": pa.array([r[3] for r in DIFF_INSERTS], pa.string()),
+            "tool": pa.array([r[4] for r in DIFF_INSERTS], pa.string()),
+            "ts": pa.array(
+                [pd.Timestamp(DIFF_INSERT_TS)] * len(DIFF_INSERTS),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    lake_b.apply(ray.data.from_arrow(ev))
+    return lake_a.diff_lake(lake_b)
+
+
+def lake_diff_oracle_sql(sf: float = 0.01) -> str:
+    """Oracle for ``lake_diff``: each change class re-derived from the
+    converged LWW state — updates carry B's post-image (the UPDATE SET
+    constants and its LWW-winning ts), deletes a null post-image, inserts the
+    literal new rows."""
+    inner = _lww_sql(_epoch_selects(sf))
+    ins = "\n            UNION ALL\n            ".join(
+        f"SELECT 'insert' AS change_type, '{cid}' AS conv_id, "
+        f"CAST({ti} AS INTEGER) AS turn_idx, '{role}' AS role, "
+        f"'{text}' AS text, CAST(NULL AS VARCHAR) AS tool, "
+        f"TIMESTAMP '{DIFF_INSERT_TS}' AS ts"
+        for cid, ti, role, text, _tool in DIFF_INSERTS
+    )
+    return f"""
+        WITH state AS ({inner})
+        SELECT 'update' AS change_type, conv_id, turn_idx, role,
+               '{UPDATE_SET["text"]}' AS text, '{UPDATE_SET["tool"]}' AS tool,
+               TIMESTAMP '{SYNC_TS}' AS ts
+        FROM state WHERE coalesce((role = 'tool'), FALSE)
+        UNION ALL
+        SELECT 'delete', conv_id, turn_idx, NULL, NULL, NULL, NULL
+        FROM state WHERE coalesce((role = 'system'), FALSE)
+        UNION ALL
+        {ins}
+    """
+
+
 def token_index_lake(sf: float = 0.01):
     """Driver surface for the incrementally-maintained inverted token index
     (``state/views.py: sync_token_index``): replay the fixture, then fold each

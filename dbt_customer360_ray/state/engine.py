@@ -229,6 +229,7 @@ def _diff_partition(
     preimage: bool = False,
     merge_mode: str = "lww",
     purged: tuple = (),
+    purged_b: tuple | None = None,
 ) -> pa.Table:
     """change_feed kernel for one partition: LWW-merge each snapshot's runs
     (both conformed to the TO-version schema), then classify per KEY_COLUMNS
@@ -241,17 +242,19 @@ def _diff_partition(
     import numpy as np
     import pandas as pd  # noqa: F401 — merge kernel
 
-    def _state(files: list[str]):
+    def _state(files: list[str], side_purged: tuple):
         if not files:
             return state_schema.empty_table()
         tables = [load_run(f, state_schema) for f in files]
         return _drop_purged(
             drop_tombstones(_resolve_latest(pa.concat_tables(tables), merge_mode)),
-            purged,
+            side_purged,
         )
 
-    a = _state(files_a).select(public_cols).to_pandas()
-    b = _state(files_b).select(public_cols).to_pandas()
+    a = _state(files_a, purged).select(public_cols).to_pandas()
+    b = _state(
+        files_b, purged if purged_b is None else purged_b
+    ).select(public_cols).to_pandas()
     payload = [c for c in public_cols if c not in KEY_COLUMNS]
     m = a.merge(b, on=KEY_COLUMNS, how="outer", suffixes=("__a", ""), indicator=True)
     ins = (m["_merge"] == "right_only").to_numpy()
@@ -283,6 +286,12 @@ def _diff_partition(
         ]
     )
     return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+
+
+def _diff_count_partition(*args, **kwargs) -> int:
+    """repair_from probe: the diff row count for one partition — the driver
+    needs only 'differs or not' per partition, never the rows themselves."""
+    return _diff_partition(*args, **kwargs).num_rows
 
 
 def _reshard_partition(
@@ -3325,6 +3334,155 @@ class CdcLake:
                 zero_copy_batch=True,
             )
         return feed
+
+    def _diff_lake_args(self, other: "CdcLake"):
+        """Shared validation for diff_lake / repair_from: the two lakes must
+        be comparable replicas — same partition count (same key routing, so
+        the diff never crosses partitions), same merge mode, same public
+        column set, same column mapping. Returns (schema, public, out_names,
+        purged_self, purged_other)."""
+        if other.P != self.P:
+            raise ValueError(
+                f"diff_lake: partition counts differ ({self.P} vs {other.P}); "
+                "reshard one side first — the per-partition diff needs both "
+                "lakes to route keys identically"
+            )
+        if other.merge_mode != self.merge_mode:
+            raise ValueError("diff_lake: merge modes differ")
+        sa, sb = self.manifest.schema, other.manifest.schema
+        if sa is None and sb is None:
+            raise ValueError("diff_lake: both lakes are empty")
+        schema = sb if sb is not None else sa
+        if sa is not None and sb is not None and set(sa.names) != set(sb.names):
+            raise ValueError(
+                "diff_lake: column sets differ "
+                f"({sorted(set(sa.names) ^ set(sb.names))}); evolve the "
+                "narrower lake first"
+            )
+        cma, cmb = self.manifest.column_mapping, other.manifest.column_mapping
+        if (cma or None) != (cmb or None):
+            raise ValueError("diff_lake: column mappings differ")
+        public, out_names = _mapped_public(schema, cmb if sb is not None else cma)
+        return (
+            schema,
+            public,
+            out_names,
+            tuple(self.manifest.purged_keys),
+            tuple(other.manifest.purged_keys),
+        )
+
+    def diff_lake(self, other: "CdcLake", include_preimage: bool = False):
+        """Anti-entropy DIFF between two replica lakes (the cross-lake
+        generalization of ``change_feed``, which only compares versions of
+        ONE manifest lineage): per-key deltas that would turn SELF's served
+        state into OTHER's, as a Dataset of ``(change_type ∈
+        {insert,update,delete}, conv_id, turn_idx, <OTHER's post-image
+        payload — null for deletes>)``. Use it to verify that two
+        independently-built replicas (batch replay vs streaming ingest, a
+        restored backup, a resharded twin written back at the same P)
+        converged to identical state — an empty diff IS the equality proof —
+        or to see exactly what diverged before ``repair_from``.
+
+        Both lakes must share P (the partitioner is pinned by P, so a key
+        lives in the same pid on both sides), merge mode, column set and
+        column mapping. Each side's GDPR purge list applies to its OWN rows
+        (the diff compares SERVED state). One plain Ray task per partition,
+        NO shuffle."""
+        import ray
+        import ray.data
+
+        schema, public, out_names, pu_a, pu_b = self._diff_lake_args(other)
+        diff_task = ray.remote(_diff_partition)
+        schema_ref = ray.put(schema)
+        refs = [
+            diff_task.remote(
+                self.manifest.live_files(pid),
+                other.manifest.live_files(pid),
+                schema_ref,
+                public,
+                include_preimage,
+                self.merge_mode,
+                pu_a,
+                pu_b,
+            )
+            for pid in range(self.P)
+        ]
+        feed = ray.data.from_arrow_refs(refs)
+        if list(public) != list(out_names):
+            ren = dict(zip(public, out_names))
+            ren.update(
+                {f"old_{p}": f"old_{l}" for p, l in zip(public, out_names)}
+            )
+            feed = feed.map_batches(
+                lambda t, _r=ren: rename_columns_map(t, _r),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        return feed
+
+    def repair_from(self, other: "CdcLake") -> dict:
+        """Anti-entropy REPAIR: make SELF's served state equal OTHER's, by
+        ADOPTING other's run files (absolute references, zero bytes copied —
+        the shallow-clone / merge_branch file-sharing pattern) for exactly
+        the partitions whose converged states differ. Identical partitions
+        are untouched, so a mostly-in-sync replica repairs in O(diverged
+        partitions) metadata. Checkpoints advance to the elementwise max, so
+        a change stream already applied to either side fully dedupes if
+        replayed after the repair. Timestamps, tombstones and time-travel
+        history BELOW the repair commit are preserved on self; the repair
+        itself is one atomic ``REPAIR`` commit.
+
+        Like a shallow clone, the adopted files live in OTHER's directory
+        until self's next compaction rewrites them locally — vacuuming OTHER
+        before then invalidates them. Purge lists must match (a purge is a
+        legal erasure, not divergence to repair). One diff task per
+        partition, NO shuffle, no data movement."""
+        import ray
+
+        schema, public, _out, pu_a, pu_b = self._diff_lake_args(other)
+        if set(pu_a) != set(pu_b):
+            raise ValueError(
+                "repair_from: purge lists differ; apply the missing "
+                "purge_key calls first (erasure must not be repaired away)"
+            )
+        count_task = ray.remote(_diff_count_partition)
+        schema_ref = ray.put(schema)
+        counts = ray.get(
+            [
+                count_task.remote(
+                    self.manifest.live_files(pid),
+                    other.manifest.live_files(pid),
+                    schema_ref,
+                    public,
+                    False,
+                    self.merge_mode,
+                    pu_a,
+                    pu_b,
+                )
+                for pid in range(self.P)
+            ]
+        )
+        my_offsets = self.manifest.committed_offsets()
+        updates = {}
+        rows_changed = 0
+        for pid, n in enumerate(counts):
+            if n == 0:
+                continue
+            rows_changed += int(n)
+            theirs = other.manifest.partition(pid)
+            updates[pid] = {
+                "runs": [
+                    {**run, "path": os.path.join(other.lake_dir, run["path"])}
+                    for run in theirs["runs"]
+                ],
+                "max_offset": max(
+                    my_offsets.get(pid, -1), theirs["max_offset"]
+                ),
+                "rows": theirs["rows"],
+            }
+        if updates:
+            self.manifest.commit_compaction(updates, schema=schema, op="REPAIR")
+        return {"partitions_repaired": len(updates), "rows_changed": rows_changed}
 
     def consume_changes(self, consumer: str, include_preimage: bool = False):
         """Incremental change-feed consumption for a NAMED consumer (the
