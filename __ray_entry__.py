@@ -419,6 +419,18 @@ def _cdc_branch_merged(sf_dir: str):
     return branch_merged_lake(sf=0.01)
 
 
+def _cdc_temporal_join(sf_dir: str):
+    """Flink-style temporal table join: probe rows (key, as_of-epoch)
+    enriched with the SCD2 dimension version valid AT that epoch — keys
+    absent or deleted then come back NULL with matched=false. Only the probe
+    side shuffles; each partition runs one sorted merge_asof against its
+    local history runs. Oracled — per-epoch prefix states LEFT JOINed in
+    SQL."""
+    from dbt_customer360_ray.pipelines.cdc_replay import temporal_joined
+
+    return temporal_joined(sf=0.01)
+
+
 def _cdc_scd2_history(sf_dir: str):
     """SCD2 history view (the dbt-snapshot analogue): one snapshot-diff per
     epoch appended to a co-partitioned store, versions finalized at read with
@@ -1358,6 +1370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_change_feed"] = _cdc_change_feed
     out["cdc_change_feed_images"] = _cdc_change_feed_images
     out["cdc_scd2_history"] = _cdc_scd2_history
+    out["cdc_temporal_join"] = _cdc_temporal_join
     out["cdc_cloned_lake"] = _cdc_cloned_lake
     out["cdc_branch_merged"] = _cdc_branch_merged
     out["cdc_masked_lake"] = _cdc_masked_lake
@@ -1614,9 +1627,13 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_change_feed_images"] = change_feed_images_oracle_sql(
         sf=0.01, from_epoch=0, to_epoch=2
     )
-    from dbt_customer360_ray.pipelines.cdc_replay import scd2_oracle_sql
+    from dbt_customer360_ray.pipelines.cdc_replay import (
+        scd2_oracle_sql,
+        temporal_join_oracle_sql,
+    )
 
     out["cdc_scd2_history"] = scd2_oracle_sql(sf=0.01)
+    out["cdc_temporal_join"] = temporal_join_oracle_sql(sf=0.01)
     out["cdc_cloned_lake"] = replay_oracle_sql(sf=0.01)
     out["cdc_branch_merged"] = replay_oracle_sql(sf=0.01)
     from dbt_customer360_ray.pipelines.cdc_replay import masked_oracle_sql

@@ -1951,6 +1951,85 @@ def scd2_oracle_sql(sf: float = 0.01) -> str:
     """
 
 
+def temporal_joined(sf: float = 0.01):
+    """Driver surface for the Flink-style TEMPORAL TABLE JOIN
+    (``state/history.py: temporal_join``): replay the fixture, sync the SCD2
+    history view, then enrich a probe stream — every key the change stream
+    ever mentioned, asking for epoch ``turn_idx % num_epochs`` — with the
+    dimension version valid AT that epoch. Keys absent (or deleted) at their
+    probe epoch come back with NULL payload and matched=false. Only the probe
+    side shuffles; the history never leaves its partition."""
+    import numpy as np
+    import ray.data
+
+    from ..state.history import sync_history_view, temporal_join
+
+    lake = replayed_lake(sf)
+    view_dir = lake.lake_dir + "-scd2"
+    sync_history_view(lake, view_dir)
+    fx = changes_fixture(sf)
+    n_epochs = len(fx["paths"])
+
+    def add_as_of(t):
+        import numpy as np
+        import pyarrow as pa
+
+        ti = t.column("turn_idx").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "as_of", pa.array((ti % n_epochs).astype(np.int32))
+        )
+
+    probes = ray.data.read_parquet(
+        fx["paths"], columns=["conv_id", "turn_idx"]
+    ).map_batches(add_as_of, batch_format="pyarrow", zero_copy_batch=True)
+    return temporal_join(view_dir, probes, src=lake)
+
+
+def temporal_join_oracle_sql(sf: float = 0.01) -> str:
+    """Oracle for ``temporal_joined``: the converged prefix state at each
+    probe's epoch (present flag keeps deletions nulling the payload), LEFT
+    JOINed on (key, as_of) — SQL's point-in-time join over the same change
+    events."""
+    selects = _epoch_selects(sf)
+    union = "\n            UNION ALL\n            ".join(selects)
+    n_epochs = len(selects)
+    state_sels = []
+    for e in range(n_epochs):
+        state_sels.append(f"""
+            SELECT {e} AS as_of, conv_id, turn_idx, role, text, tool, ts,
+                   (op <> 'D') AS present
+            FROM first_seen WHERE epoch <= {e}
+            QUALIFY row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, "offset" DESC) = 1
+        """)
+    states_union = "\n            UNION ALL\n            ".join(state_sels)
+    return f"""
+        WITH all_ev AS (
+            {union}
+        ), first_seen AS (
+            SELECT * FROM all_ev
+            QUALIFY row_number() OVER (
+                PARTITION BY "offset" ORDER BY epoch, file_rn) = 1
+        ), probes AS (
+            SELECT DISTINCT conv_id, turn_idx,
+                   CAST(turn_idx % {n_epochs} AS INTEGER) AS as_of
+            FROM first_seen
+        ), states AS (
+            {states_union}
+        )
+        SELECT p.conv_id, p.turn_idx, p.as_of,
+               CASE WHEN s.present THEN s.role END AS role,
+               CASE WHEN s.present THEN s.text END AS text,
+               CASE WHEN s.present THEN s.tool END AS tool,
+               CASE WHEN s.present THEN s.ts END AS ts,
+               coalesce(s.present, FALSE) AS matched
+        FROM probes p
+        LEFT JOIN states s
+          ON s.conv_id = p.conv_id AND s.turn_idx = p.turn_idx
+         AND s.as_of = p.as_of
+    """
+
+
 # -- shallow clone --------------------------------------------------------------
 
 _CLONED: dict = {}

@@ -249,6 +249,118 @@ def read_history(view_dir: str, src: CdcLake | None = None):
     return ray.data.from_arrow_refs(refs)
 
 
+def _temporal_join_group(
+    group: pa.Table,
+    files_by_pid: list[list[str]],
+    read_schema: pa.Schema,
+    names: list[str],
+    as_of_col: str,
+) -> pa.Table:
+    """temporal_join kernel for one partition's probe group: SCD2-finalize the
+    partition's local version runs, then ONE sorted ``merge_asof`` (greatest
+    ``valid_from`` ≤ as_of, per key) with the range check ``valid_to`` NULL or
+    > as_of — probes whose key did not exist at that epoch keep NULL payload.
+    Vectorized; duplicate probe keys are deduped here (post-shuffle, so the
+    distinct never needs its own all-to-all)."""
+    import pandas as pd
+
+    pid = int(group.column("pid")[0].as_py())
+    probes = (
+        group.select(KEY_COLUMNS + [as_of_col])
+        .to_pandas()
+        .drop_duplicates(KEY_COLUMNS + [as_of_col])
+        .sort_values(as_of_col, kind="stable")
+        .reset_index(drop=True)
+    )
+    payload = [n for n in names if n not in KEY_COLUMNS]
+    versions = _finalize_history(files_by_pid[pid], read_schema, names)
+    vdf = versions.to_pandas().sort_values("valid_from", kind="stable")
+    merged = pd.merge_asof(
+        probes.assign(_asof64=probes[as_of_col].astype("int64")),
+        vdf.assign(_vfrom64=vdf["valid_from"].astype("int64")),
+        left_on="_asof64",
+        right_on="_vfrom64",
+        by=KEY_COLUMNS,
+        direction="backward",
+    )
+    valid = merged["_vfrom64"].notna() & (
+        merged["valid_to"].isna() | (merged["valid_to"] > merged[as_of_col])
+    )
+    out_schema = pa.schema(
+        [group.schema.field(c) for c in KEY_COLUMNS]
+        + [group.schema.field(as_of_col)]
+        + [read_schema.field(c) for c in payload]
+        + [pa.field("matched", pa.bool_())]
+    )
+    for c in payload:
+        merged.loc[~valid, c] = None
+    merged["matched"] = valid.to_numpy()
+    out = merged[KEY_COLUMNS + [as_of_col] + payload + ["matched"]]
+    out = out.sort_values(KEY_COLUMNS, kind="stable").reset_index(drop=True)
+    return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+
+
+def temporal_join(
+    view_dir: str,
+    probes,
+    as_of_col: str = "as_of",
+    src: CdcLake | None = None,
+):
+    """Flink-style TEMPORAL TABLE JOIN against the SCD2 history view: enrich
+    each probe row ``(conv_id, turn_idx, <as_of_col> = epoch)`` with the
+    dimension version that was valid AT that epoch — the row a consumer
+    joining the change stream at epoch e would have seen, not the current
+    one. Probes whose key did not exist (or was deleted) at their epoch get
+    NULL payload and ``matched = false`` (LEFT temporal join).
+
+    Shuffle shape: only the probe side moves. Probes hash-route to the
+    view's partitions with the lake's own partitioner (``pid =
+    stable_hash(conv_id) % P``), and each partition task runs one sorted
+    ``merge_asof`` against its LOCAL version runs — the history (the big
+    side, O(all versions)) never leaves its partition, and the per-task cost
+    is O(local versions + local probes). Returns a Dataset."""
+    import ray.data
+
+    from ..hashing import partition_ids
+
+    per_pid, read_schema, names = _read_plan(view_dir)
+    if src is not None:
+        _, names = _mapped_public(
+            pa.schema([read_schema.field(n) for n in names]),
+            src.manifest.column_mapping,
+        )
+    P = len(per_pid)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        # batch-level partial dedup (exact (key, as_of) duplicates) shrinks
+        # the probe shuffle; the group task finishes the distinct after
+        # co-location
+        import pandas as pd  # noqa: F401
+
+        df = batch.to_pandas().drop_duplicates(KEY_COLUMNS + [as_of_col])
+        t = pa.Table.from_pandas(df, schema=batch.schema, preserve_index=False)
+        return t.append_column(
+            "pid", pa.array(partition_ids(t.column("conv_id"), P), pa.int32())
+        )
+
+    import functools as _ft
+
+    return (
+        probes.map_batches(assign, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(
+            _ft.partial(
+                _temporal_join_group,
+                files_by_pid=per_pid,
+                read_schema=read_schema,
+                names=names,
+                as_of_col=as_of_col,
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def read_history_local(view_dir: str, src: CdcLake | None = None) -> pa.Table:
     """Pure-pyarrow twin of ``read_history`` (tests / small oracles)."""
     per_pid, read_schema, names = _read_plan(view_dir)
