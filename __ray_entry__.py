@@ -319,6 +319,16 @@ def _cdc_lake_diff(sf_dir: str):
     return lake_diff(sf=0.01)
 
 
+def _cdc_packed_sft(sf_dir: str):
+    """Sequence packing of the SFT export into fixed 512-token bins
+    (md5-bucketed next-fit in conv_id order — cluster-size-invariant).
+    Oracled — packed_sft_oracle_sql steps the same recurrence with a DuckDB
+    recursive CTE."""
+    from dbt_customer360_ray.pipelines.cdc_replay import packed_sft_export
+
+    return packed_sft_export(sf=0.01)
+
+
 def _cdc_merged_turns(sf_dir: str):
     """Chat-data alternation repair: consecutive same-role turns of each
     conversation coalesced into one message (gaps-and-islands, first turn_idx
@@ -1379,6 +1389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_expired_lake"] = _cdc_expired_lake
     out["cdc_hot_keys"] = _cdc_hot_keys
     out["cdc_describe_history"] = _cdc_describe_history
+    out["cdc_packed_sft"] = _cdc_packed_sft
     out["cdc_merged_turns"] = _cdc_merged_turns
     out["cdc_context_pairs"] = _cdc_context_pairs
     out["cdc_deleted_where"] = _cdc_deleted_where
@@ -1663,8 +1674,10 @@ def oracle_sql() -> dict[str, str]:
     from dbt_customer360_ray.pipelines.cdc_replay import (
         context_pairs_oracle_sql,
         merged_turns_oracle_sql,
+        packed_sft_oracle_sql,
     )
 
+    out["cdc_packed_sft"] = packed_sft_oracle_sql(sf=0.01)
     out["cdc_merged_turns"] = merged_turns_oracle_sql(sf=0.01)
     out["cdc_context_pairs"] = context_pairs_oracle_sql(sf=0.01)
     from dbt_customer360_ray.pipelines.cdc_replay import (

@@ -2394,6 +2394,29 @@ def sft_oracle_sql(sf: float = 0.01) -> str:
     """
 
 
+PACK_BUDGET = 512  # tokens per packed pretraining sequence — mirrored in the oracle
+
+
+def packed_sft_export(sf: float = 0.01, budget: int = PACK_BUDGET):
+    """Driver surface for sequence packing (``stages/packing``): the SFT
+    assembly's docs assigned to fixed token-budget bins by md5-bucketed
+    next-fit in conv_id order — the step before fixed-length pretraining
+    egress. One fold task per bucket; only (conv_id, n_tokens) rows move."""
+    from ..stages.packing import pack_sequences
+
+    return pack_sequences(sft_export(sf), "conv_id", "n_tokens", budget)
+
+
+def packed_sft_oracle_sql(sf: float = 0.01, budget: int = PACK_BUDGET) -> str:
+    """Oracle for packed_sft: the next-fit recurrence stepped exactly by a
+    recursive CTE over the SFT oracle's (conv_id, n_tokens)."""
+    from ..stages.packing import pack_sequences_oracle_sql
+
+    return pack_sequences_oracle_sql(
+        sft_oracle_sql(sf), "conv_id", "n_tokens", budget
+    )
+
+
 def merged_turns_export(sf: float = 0.01):
     """Driver surface for ``CdcLake.merged_turns``: consecutive same-role
     turns of each conversation coalesced into one message (the alternation
