@@ -319,6 +319,16 @@ def _cdc_lake_diff(sf_dir: str):
     return lake_diff(sf=0.01)
 
 
+def _cdc_late_events(sf_dir: str):
+    """Event-time watermark audit (Flink bounded out-of-orderness): per epoch,
+    how many arriving events fell below the watermark carried from prior
+    epochs. Oracled — late_event_oracle_sql re-derives the running-max
+    watermark and the strict lateness test in SQL."""
+    from dbt_customer360_ray.pipelines.cdc_replay import late_event_report
+
+    return late_event_report(sf=0.01)
+
+
 def _cdc_packed_sft(sf_dir: str):
     """Sequence packing of the SFT export into fixed 512-token bins
     (md5-bucketed next-fit in conv_id order — cluster-size-invariant).
@@ -1389,6 +1399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_expired_lake"] = _cdc_expired_lake
     out["cdc_hot_keys"] = _cdc_hot_keys
     out["cdc_describe_history"] = _cdc_describe_history
+    out["cdc_late_events"] = _cdc_late_events
     out["cdc_packed_sft"] = _cdc_packed_sft
     out["cdc_merged_turns"] = _cdc_merged_turns
     out["cdc_context_pairs"] = _cdc_context_pairs
@@ -1673,10 +1684,12 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_sft_split"] = sft_split_oracle_sql(sf=0.01)
     from dbt_customer360_ray.pipelines.cdc_replay import (
         context_pairs_oracle_sql,
+        late_event_oracle_sql,
         merged_turns_oracle_sql,
         packed_sft_oracle_sql,
     )
 
+    out["cdc_late_events"] = late_event_oracle_sql(sf=0.01)
     out["cdc_packed_sft"] = packed_sft_oracle_sql(sf=0.01)
     out["cdc_merged_turns"] = merged_turns_oracle_sql(sf=0.01)
     out["cdc_context_pairs"] = context_pairs_oracle_sql(sf=0.01)

@@ -2394,6 +2394,92 @@ def sft_oracle_sql(sf: float = 0.01) -> str:
     """
 
 
+WATERMARK_LAG_S = 900  # bounded out-of-orderness allowance — mirrored in the oracle
+
+
+def late_event_report(sf: float = 0.01, lag_s: int = WATERMARK_LAG_S):
+    """Event-time watermark audit over the raw change stream — Flink-style
+    bounded out-of-orderness: the watermark in force while epoch ``e`` arrives
+    is ``max(ts over epochs < e) − lag_s``; an epoch-``e`` event is LATE iff
+    its ts is below that watermark. (The lake itself applies late events fine
+    — LWW keys on (ts, offset) — this is the monitoring signal a streaming
+    deployment alerts on before lateness silently reorders winners.)
+
+    Shape: pass 1 computes each epoch's max ts as a distributed ``Dataset.max``
+    over a ts-only pruned read; pass 2 tags lateness per batch against the
+    scalar watermark and folds per-block (n, late) partials. Driver holds only
+    O(epochs) rows. Returns (epoch, events_in, late_events, watermark)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    fx = changes_fixture(sf)
+    paths = fx["paths"]
+    ts_max = [
+        ray.data.read_parquet(p, columns=["ts"]).max("ts") for p in paths
+    ]
+    run_max = np.maximum.accumulate(np.array(ts_max, dtype="datetime64[us]"))
+    lag = np.timedelta64(lag_s, "s")
+
+    rows = []
+    for e, p in enumerate(paths):
+        wm = run_max[e - 1] - lag if e > 0 else None
+        ds = ray.data.read_parquet(p, columns=["ts"])
+
+        def partial(t: pa.Table, wm=wm) -> pa.Table:
+            ts = t.column("ts").to_numpy(zero_copy_only=False)
+            late = 0 if wm is None else int((ts < wm).sum())
+            return pa.table(
+                {"n": pa.array([t.num_rows], pa.int64()),
+                 "late": pa.array([late], pa.int64())}
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        rows.append((e, int(parts["n"].sum()), int(parts["late"].sum()), wm))
+
+    return pa.table(
+        {
+            "epoch": pa.array([r[0] for r in rows], pa.int64()),
+            "events_in": pa.array([r[1] for r in rows], pa.int64()),
+            "late_events": pa.array([r[2] for r in rows], pa.int64()),
+            "watermark": pa.array(
+                [r[3] for r in rows], pa.timestamp("us")
+            ),
+        }
+    )
+
+
+def late_event_oracle_sql(sf: float = 0.01, lag_s: int = WATERMARK_LAG_S) -> str:
+    """Oracle for the watermark audit: running max ts per epoch, lagged one
+    epoch, minus the allowance — same strict ``ts < watermark`` test."""
+    union = "\n            UNION ALL\n            ".join(_epoch_selects(sf))
+    return f"""
+        WITH all_ev AS (
+            {union}
+        ), mx AS (
+            SELECT epoch, max(ts) AS ts_max, count(*) AS events_in
+            FROM all_ev GROUP BY epoch
+        ), run AS (
+            SELECT epoch, events_in,
+                   max(ts_max) OVER (ORDER BY epoch) AS run_max
+            FROM mx
+        ), wmk AS (
+            SELECT epoch, events_in,
+                   lag(run_max) OVER (ORDER BY epoch)
+                       - INTERVAL '{lag_s} seconds' AS watermark
+            FROM run
+        )
+        SELECT CAST(w.epoch AS BIGINT) AS epoch,
+               CAST(w.events_in AS BIGINT) AS events_in,
+               CAST(coalesce(
+                   sum(CASE WHEN e.ts < w.watermark THEN 1 ELSE 0 END), 0
+               ) AS BIGINT) AS late_events,
+               w.watermark
+        FROM wmk w JOIN all_ev e USING (epoch)
+        GROUP BY w.epoch, w.events_in, w.watermark
+    """
+
+
 PACK_BUDGET = 512  # tokens per packed pretraining sequence — mirrored in the oracle
 
 
