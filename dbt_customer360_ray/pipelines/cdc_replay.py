@@ -2488,17 +2488,17 @@ def packed_sft_export(sf: float = 0.01, budget: int = PACK_BUDGET):
     assembly's docs assigned to fixed token-budget bins by md5-bucketed
     next-fit in conv_id order — the step before fixed-length pretraining
     egress. One fold task per bucket; only (conv_id, n_tokens) rows move."""
-    from ..stages.packing import pack_sequences
+    from ..stages.packing import pack_next_fit
 
-    return pack_sequences(sft_export(sf), "conv_id", "n_tokens", budget)
+    return pack_next_fit(sft_export(sf), "conv_id", "n_tokens", budget)
 
 
 def packed_sft_oracle_sql(sf: float = 0.01, budget: int = PACK_BUDGET) -> str:
     """Oracle for packed_sft: the next-fit recurrence stepped exactly by a
     recursive CTE over the SFT oracle's (conv_id, n_tokens)."""
-    from ..stages.packing import pack_sequences_oracle_sql
+    from ..stages.packing import pack_next_fit_oracle_sql
 
-    return pack_sequences_oracle_sql(
+    return pack_next_fit_oracle_sql(
         sft_oracle_sql(sf), "conv_id", "n_tokens", budget
     )
 

@@ -18,7 +18,7 @@ aggregator fixed costs on a lean table). At 100 TB the bucket count scales
 with the corpus (buckets are independent; packing quality is per-bucket
 next-fit either way) and a bucket's working set is 16 bytes/doc.
 
-Oracle: ``pack_sequences_oracle_sql`` reproduces the recurrence exactly with a
+Oracle: ``pack_next_fit_oracle_sql`` reproduces the recurrence exactly with a
 DuckDB recursive CTE stepping rn→rn+1 per bucket.
 """
 
@@ -99,7 +99,7 @@ def _pack_bucket(bucket: int, budget: int, *parts: pa.Table) -> pa.Table:
     )
 
 
-def pack_sequences(
+def pack_next_fit(
     ds,
     id_col: str,
     tokens_col: str,
@@ -151,7 +151,7 @@ def pack_sequences(
     return packed.map_batches(rename, batch_format="pyarrow")
 
 
-def pack_sequences_oracle_sql(
+def pack_next_fit_oracle_sql(
     inner_sql: str,
     id_col: str,
     tokens_col: str,
@@ -159,7 +159,7 @@ def pack_sequences_oracle_sql(
     num_buckets: int = 32,
     salt: str = "pack",
 ) -> str:
-    """DuckDB mirror of ``pack_sequences``: same md5 bucket, same id order,
+    """DuckDB mirror of ``pack_next_fit``: same md5 bucket, same id order,
     same next-fit recurrence — stepped exactly by a recursive CTE joining
     rn → rn+1 within each bucket."""
     return f"""

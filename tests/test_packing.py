@@ -7,7 +7,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from dbt_customer360_ray.stages.packing import _md5_mod, pack_sequences
+from dbt_customer360_ray.stages.packing import _md5_mod, pack_next_fit
 
 pytestmark = pytest.mark.usefixtures("ray_session")
 
@@ -47,7 +47,7 @@ def _packed(df: pd.DataFrame, **kw) -> pd.DataFrame:
     import ray.data
 
     ds = ray.data.from_pandas(df)
-    out = pack_sequences(
+    out = pack_next_fit(
         ds, "doc_id", "n_tokens", BUDGET, num_buckets=BUCKETS, **kw
     )
     return (
@@ -87,7 +87,7 @@ def test_invariants_and_layout_invariance():
     # partition-layout invariance: 1 block vs many blocks, same assignment
     ds_many = ray.data.from_pandas(df).repartition(13)
     got2 = (
-        pack_sequences(ds_many, "doc_id", "n_tokens", BUDGET, num_buckets=BUCKETS)
+        pack_next_fit(ds_many, "doc_id", "n_tokens", BUDGET, num_buckets=BUCKETS)
         .to_pandas()
         .sort_values(["bucket", "bin_idx", "pos_in_bin"], kind="stable")
         .reset_index(drop=True)
