@@ -329,6 +329,17 @@ def _cdc_late_events(sf_dir: str):
     return late_event_report(sf=0.01)
 
 
+def _cdc_watermarked_sessions(sf_dir: str):
+    """Watermark-finalized event-time sessionization: first-delivery events
+    admitted under the running watermark, gap sessions per conversation, and
+    the epoch each session would be EMITTED (watermark passes end + gap).
+    Oracled — watermarked_sessions_oracle_sql re-derives admission, islands
+    and finalization with window SQL."""
+    from dbt_customer360_ray.pipelines.cdc_replay import watermarked_sessions
+
+    return watermarked_sessions(sf=0.01)
+
+
 def _cdc_packed_sft(sf_dir: str):
     """Sequence packing of the SFT export into fixed 512-token bins
     (md5-bucketed next-fit in conv_id order — cluster-size-invariant).
@@ -1400,6 +1411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_hot_keys"] = _cdc_hot_keys
     out["cdc_describe_history"] = _cdc_describe_history
     out["cdc_late_events"] = _cdc_late_events
+    out["cdc_watermarked_sessions"] = _cdc_watermarked_sessions
     out["cdc_packed_sft"] = _cdc_packed_sft
     out["cdc_merged_turns"] = _cdc_merged_turns
     out["cdc_context_pairs"] = _cdc_context_pairs
@@ -1687,9 +1699,11 @@ def oracle_sql() -> dict[str, str]:
         late_event_oracle_sql,
         merged_turns_oracle_sql,
         packed_sft_oracle_sql,
+        watermarked_sessions_oracle_sql,
     )
 
     out["cdc_late_events"] = late_event_oracle_sql(sf=0.01)
+    out["cdc_watermarked_sessions"] = watermarked_sessions_oracle_sql(sf=0.01)
     out["cdc_packed_sft"] = packed_sft_oracle_sql(sf=0.01)
     out["cdc_merged_turns"] = merged_turns_oracle_sql(sf=0.01)
     out["cdc_context_pairs"] = context_pairs_oracle_sql(sf=0.01)

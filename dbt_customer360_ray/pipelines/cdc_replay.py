@@ -2480,6 +2480,188 @@ def late_event_oracle_sql(sf: float = 0.01, lag_s: int = WATERMARK_LAG_S) -> str
     """
 
 
+SESSION_GAP_S = 300  # event-time session gap — mirrored in the oracle
+
+
+def watermarked_sessions(
+    sf: float = 0.01,
+    gap_s: int = SESSION_GAP_S,
+    lag_s: int = WATERMARK_LAG_S,
+    num_buckets: int = 32,
+):
+    """Watermark-finalized event-time sessionization of the change stream —
+    the Flink session-window trigger story: a FIRST-DELIVERY event (offset
+    dedup, exactly-once grain) is ADMITTED iff it is not late under the
+    watermark in force when its epoch arrives (``ts >= wm[epoch-1]``; epoch 0
+    has no watermark); sessions are gap-``gap_s`` islands per conversation
+    over admitted events; and a session FINALIZES at the first epoch whose
+    watermark passes ``ts_end + gap`` — the epoch a streaming engine would
+    emit it, after which nothing can extend it. ``finalized_epoch`` is NULL
+    for sessions still open at stream end.
+
+    Shape: per-epoch max ts via distributed ``Dataset.max`` (O(epochs) driver
+    scalars), then ONE conv-bucketed split→fold task exchange carrying only
+    (offset, conv_id, ts, epoch) — dedup, admission, islands, per-session
+    aggregates and the searchsorted finalization all happen inside the
+    bucket's fold task."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from ..hashing import stable_hash
+
+    fx = changes_fixture(sf)
+    paths = fx["paths"]
+    ts_max = [ray.data.read_parquet(p, columns=["ts"]).max("ts") for p in paths]
+    run_max = np.maximum.accumulate(np.array(ts_max, dtype="datetime64[us]"))
+    wm_us = (run_max - np.timedelta64(lag_s, "s")).astype(np.int64)
+    gap_us = gap_s * 1_000_000
+
+    parts = []
+    for e, p in enumerate(paths):
+        ds = ray.data.read_parquet(p, columns=["offset", "conv_id", "ts"])
+        parts.append(
+            ds.map_batches(
+                lambda t, e=e: t.append_column(
+                    "epoch", pa.array(np.full(t.num_rows, e, np.int64))
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    ev = parts[0].union(*parts[1:]).materialize()
+
+    B = num_buckets
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "session_idx": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "ts_start": pa.array([], pa.timestamp("us")),
+            "ts_end": pa.array([], pa.timestamp("us")),
+            "finalized_epoch": pa.array([], pa.int64()),
+        }
+    )
+
+    def _split(t: pa.Table) -> list:
+        b = (stable_hash(t.column("conv_id")) % np.uint64(B)).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        tt, sb = t.take(pa.array(order)), b[order]
+        cuts = np.searchsorted(sb, np.arange(B + 1))
+        return [tt.slice(cuts[i], cuts[i + 1] - cuts[i]) for i in range(B)]
+
+    def _fold(*parts: pa.Table) -> pa.Table:
+        df = pa.concat_tables(parts).to_pandas()
+        if not len(df):
+            return empty
+        # exactly-once grain: first delivery per offset (duplicate deliveries
+        # carry identical payloads; admission uses the FIRST arrival's epoch)
+        df = df.sort_values(["offset", "epoch"], kind="stable").drop_duplicates(
+            "offset", keep="first"
+        )
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        ep = df["epoch"].to_numpy(np.int64)
+        admitted = (ep == 0) | (ts >= wm_us[np.maximum(ep - 1, 0)])
+        # offset tiebreak: equal-ts rows straddling a break boundary need a
+        # deterministic total order or session membership is ambiguous
+        df = df.loc[admitted].sort_values(
+            ["conv_id", "ts", "offset"], kind="stable"
+        )
+        if not len(df):
+            return empty
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        first = df["conv_id"].ne(df["conv_id"].shift()).to_numpy()
+        gaps = np.diff(ts, prepend=ts[0])
+        brk = first | (gaps > gap_us)
+        sg = np.cumsum(brk)  # global session id within the bucket
+        g = pd.DataFrame({"conv_id": df["conv_id"].to_numpy(), "sg": sg, "ts": ts})
+        base = g.groupby("conv_id", sort=False)["sg"].transform("min").to_numpy()
+        g["session_idx"] = g["sg"] - base + 1
+        agg = (
+            g.groupby(["conv_id", "session_idx"], sort=False)
+            .agg(n_events=("ts", "size"), s=("ts", "min"), e=("ts", "max"))
+            .reset_index()
+        )
+        end_us = agg["e"].to_numpy(np.int64)
+        fin = np.searchsorted(wm_us, end_us + gap_us, side="right")
+        fin_col = pa.array(
+            [int(f) if f < len(wm_us) else None for f in fin], pa.int64()
+        )
+        return pa.table(
+            {
+                "conv_id": pa.array(agg["conv_id"].to_numpy(dtype=object), pa.string()),
+                "session_idx": pa.array(agg["session_idx"].to_numpy(np.int64)),
+                "n_events": pa.array(agg["n_events"].to_numpy(np.int64)),
+                "ts_start": pa.array(agg["s"].to_numpy(np.int64).view("datetime64[us]")),
+                "ts_end": pa.array(agg["e"].to_numpy(np.int64).view("datetime64[us]")),
+                "finalized_epoch": fin_col,
+            }
+        )
+
+    split = ray.remote(num_returns=B)(_split)
+    fold = ray.remote(_fold)
+    cols = [split.remote(r) for r in ev.to_arrow_refs()]
+    return ray.data.from_arrow_refs(
+        [fold.remote(*[c[b] for c in cols]) for b in range(B)]
+    )
+
+
+def watermarked_sessions_oracle_sql(
+    sf: float = 0.01, gap_s: int = SESSION_GAP_S, lag_s: int = WATERMARK_LAG_S
+) -> str:
+    """Oracle: first deliveries by min arrival epoch, the same admission test
+    against the lagged running-max watermark, gaps-and-islands sessions, and
+    finalization as the min epoch whose watermark strictly passes end + gap."""
+    union = "\n            UNION ALL\n            ".join(_epoch_selects(sf))
+    return f"""
+        WITH all_ev AS (
+            {union}
+        ), first_del AS (
+            SELECT "offset", min(epoch) AS epoch, min(conv_id) AS conv_id,
+                   min(ts) AS ts
+            FROM all_ev GROUP BY "offset"
+        ), mx AS (
+            SELECT epoch, max(ts) AS ts_max FROM all_ev GROUP BY epoch
+        ), wmk AS (
+            SELECT epoch,
+                   max(ts_max) OVER (ORDER BY epoch)
+                       - INTERVAL '{lag_s} seconds' AS wm
+            FROM mx
+        ), adm AS (
+            SELECT f.conv_id, f.ts, f."offset"
+            FROM first_del f LEFT JOIN wmk w ON w.epoch = f.epoch - 1
+            WHERE f.epoch = 0 OR f.ts >= w.wm
+        ), brk AS (
+            -- offset tiebreak: equal-ts rows straddling a break boundary need
+            -- a deterministic total order or session membership is ambiguous
+            SELECT conv_id, ts, "offset",
+                   CASE WHEN lag(ts) OVER (
+                            PARTITION BY conv_id ORDER BY ts, "offset")
+                            IS NULL
+                        OR ts - lag(ts) OVER (
+                            PARTITION BY conv_id ORDER BY ts, "offset")
+                            > INTERVAL '{gap_s} seconds'
+                        THEN 1 ELSE 0 END AS b
+            FROM adm
+        ), isl AS (
+            SELECT conv_id, ts,
+                   sum(b) OVER (PARTITION BY conv_id ORDER BY ts, "offset"
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+            FROM brk
+        ), ses AS (
+            SELECT conv_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(ts) AS ts_start, max(ts) AS ts_end
+            FROM isl GROUP BY conv_id, session_idx
+        )
+        SELECT s.*,
+               (SELECT CAST(min(w.epoch) AS BIGINT) FROM wmk w
+                WHERE w.wm > s.ts_end + INTERVAL '{gap_s} seconds'
+               ) AS finalized_epoch
+        FROM ses s
+    """
+
+
 PACK_BUDGET = 512  # tokens per packed pretraining sequence — mirrored in the oracle
 
 
