@@ -103,6 +103,9 @@ BENCH_QUERIES = [
     "triangle_stats_embeddings",
     "adamic_adar_embeddings",
     "megatron_export_documents",
+    "cdc_packed_sft",
+    "cdc_late_events",
+    "cdc_watermarked_sessions",
 ]
 
 

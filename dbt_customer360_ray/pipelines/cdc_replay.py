@@ -2397,6 +2397,33 @@ def sft_oracle_sql(sf: float = 0.01) -> str:
 WATERMARK_LAG_S = 900  # bounded out-of-orderness allowance — mirrored in the oracle
 
 
+def _epoch_ts_maxes(paths) -> "list":
+    """Per-epoch max ts from PARQUET FOOTER STATISTICS — zero data bytes read
+    (the same stats the manifest sink records per run). One footer per file on
+    the driver; at fleet scale the footer reads fan out per epoch shard, but
+    they are O(row-groups) metadata either way. Falls back to a ts-pruned
+    column read for a file whose writer omitted stats."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out = []
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("ts")
+        maxes = []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                maxes = None
+                break
+            maxes.append(st.max)
+        if maxes is None:  # stats-less writer: one pruned column scan
+            out.append(pc.max(pq.read_table(p, columns=["ts"]).column("ts")).as_py())
+        else:
+            out.append(max(maxes))
+    return out
+
+
 def late_event_report(sf: float = 0.01, lag_s: int = WATERMARK_LAG_S):
     """Event-time watermark audit over the raw change stream — Flink-style
     bounded out-of-orderness: the watermark in force while epoch ``e`` arrives
@@ -2415,27 +2442,39 @@ def late_event_report(sf: float = 0.01, lag_s: int = WATERMARK_LAG_S):
 
     fx = changes_fixture(sf)
     paths = fx["paths"]
-    ts_max = [
-        ray.data.read_parquet(p, columns=["ts"]).max("ts") for p in paths
-    ]
+    ts_max = _epoch_ts_maxes(paths)
     run_max = np.maximum.accumulate(np.array(ts_max, dtype="datetime64[us]"))
     lag = np.timedelta64(lag_s, "s")
 
-    rows = []
-    for e, p in enumerate(paths):
-        wm = run_max[e - 1] - lag if e > 0 else None
-        ds = ray.data.read_parquet(p, columns=["ts"])
+    wm_arr = run_max - lag  # wm in force AFTER each epoch
 
-        def partial(t: pa.Table, wm=wm) -> pa.Table:
+    def tagged(e: int):
+        def partial(t: pa.Table) -> pa.Table:
             ts = t.column("ts").to_numpy(zero_copy_only=False)
-            late = 0 if wm is None else int((ts < wm).sum())
+            late = 0 if e == 0 else int((ts < wm_arr[e - 1]).sum())
             return pa.table(
-                {"n": pa.array([t.num_rows], pa.int64()),
-                 "late": pa.array([late], pa.int64())}
+                {
+                    "epoch": pa.array([e], pa.int64()),
+                    "n": pa.array([t.num_rows], pa.int64()),
+                    "late": pa.array([late], pa.int64()),
+                }
             )
 
-        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-        rows.append((e, int(parts["n"].sum()), int(parts["late"].sum()), wm))
+        return ray.data.read_parquet(paths[e], columns=["ts"]).map_batches(
+            partial, batch_format="pyarrow"
+        )
+
+    parts = [tagged(e) for e in range(len(paths))]
+    pdf = parts[0].union(*parts[1:]).to_pandas()
+    rows = [
+        (
+            e,
+            int(pdf.loc[pdf["epoch"] == e, "n"].sum()),
+            int(pdf.loc[pdf["epoch"] == e, "late"].sum()),
+            wm_arr[e - 1] if e > 0 else None,
+        )
+        for e in range(len(paths))
+    ]
 
     return pa.table(
         {
@@ -2513,7 +2552,7 @@ def watermarked_sessions(
 
     fx = changes_fixture(sf)
     paths = fx["paths"]
-    ts_max = [ray.data.read_parquet(p, columns=["ts"]).max("ts") for p in paths]
+    ts_max = _epoch_ts_maxes(paths)
     run_max = np.maximum.accumulate(np.array(ts_max, dtype="datetime64[us]"))
     wm_us = (run_max - np.timedelta64(lag_s, "s")).astype(np.int64)
     gap_us = gap_s * 1_000_000
