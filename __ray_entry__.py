@@ -329,6 +329,16 @@ def _cdc_late_events(sf_dir: str):
     return late_event_report(sf=0.01)
 
 
+def _cdc_redriven_dlq(sf_dir: str):
+    """DLQ redrive: constrained replay quarantines CHECK violators, DROP
+    CONSTRAINT, retry_deadletter replays them exactly-once with deterministic
+    fresh offsets, DLQ drains. Oracled — redriven_oracle_sql replays both
+    arms (passing events + re-offset violators) through the shared LWW SQL."""
+    from dbt_customer360_ray.pipelines.cdc_replay import redriven_lake
+
+    return redriven_lake(sf=0.01)
+
+
 def _cdc_watermarked_sessions(sf_dir: str):
     """Watermark-finalized event-time sessionization: first-delivery events
     admitted under the running watermark, gap sessions per conversation, and
@@ -1412,6 +1422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_describe_history"] = _cdc_describe_history
     out["cdc_late_events"] = _cdc_late_events
     out["cdc_watermarked_sessions"] = _cdc_watermarked_sessions
+    out["cdc_redriven_dlq"] = _cdc_redriven_dlq
     out["cdc_packed_sft"] = _cdc_packed_sft
     out["cdc_merged_turns"] = _cdc_merged_turns
     out["cdc_context_pairs"] = _cdc_context_pairs
@@ -1704,6 +1715,9 @@ def oracle_sql() -> dict[str, str]:
 
     out["cdc_late_events"] = late_event_oracle_sql(sf=0.01)
     out["cdc_watermarked_sessions"] = watermarked_sessions_oracle_sql(sf=0.01)
+    from dbt_customer360_ray.pipelines.cdc_replay import redriven_oracle_sql
+
+    out["cdc_redriven_dlq"] = redriven_oracle_sql(sf=0.01)
     out["cdc_packed_sft"] = packed_sft_oracle_sql(sf=0.01)
     out["cdc_merged_turns"] = merged_turns_oracle_sql(sf=0.01)
     out["cdc_context_pairs"] = context_pairs_oracle_sql(sf=0.01)

@@ -350,6 +350,100 @@ def constrained_lake(sf: float = 0.01):
     return _CONSTRAINED[sf]
 
 
+_REDRIVEN: dict = {}
+
+
+def redriven_lake(sf: float = 0.01):
+    """DLQ redrive (the Kafka dead-letter redrive ops story): replay under
+    CHECK_CONSTRAINTS (violators quarantine), ``DROP CONSTRAINT`` them all,
+    then ``retry_deadletter`` replays the quarantined events through the
+    SAME exactly-once epoch path — the fix dedups duplicate deliveries by
+    offset and assigns deterministic FRESH offsets beyond the stream's max
+    (ranked by original offset) so the committed-offset watermark cannot
+    swallow them; the drained DLQ files leave the manifest. Returns the
+    post-redrive converged state."""
+    import numpy as np
+    import pyarrow as pa
+
+    if sf not in _REDRIVEN:
+        fx = changes_fixture(sf)
+        root = tempfile.mkdtemp(prefix=f"cdc-redriven-sf{sf}-")
+        lake = CdcLake(os.path.join(root, "lake"), num_partitions=32)
+        for c in CHECK_CONSTRAINTS:
+            lake.add_check_constraint(
+                c["name"], c["column"], c["op"], c.get("value")
+            )
+        for p in fx["paths"]:
+            lake.apply(p)
+        for c in CHECK_CONSTRAINTS:
+            lake.drop_constraint(c["name"])
+        max_off = _max_offset(fx["paths"])
+
+        def fix(rows: pa.Table) -> pa.Table:
+            df = rows.to_pandas().sort_values("offset", kind="stable")
+            df = df.drop_duplicates("offset", keep="first")
+            df["offset"] = max_off + 1 + np.arange(len(df), dtype=np.int64)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        r = lake.retry_deadletter(fix)
+        assert r.get("repaired", 0) > 0, r
+        assert lake.read_deadletter().num_rows == 0
+        _REDRIVEN[sf] = lake
+    return _REDRIVEN[sf].read()
+
+
+def _max_offset(paths) -> int:
+    """Max offset across the stream from parquet footer stats (zero data
+    read; same pattern as ``_epoch_ts_maxes``)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out = []
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("offset")
+        stats = [
+            md.row_group(rg).column(idx).statistics
+            for rg in range(md.num_row_groups)
+        ]
+        if any(s is None or not s.has_min_max for s in stats):
+            out.append(
+                pc.max(pq.read_table(p, columns=["offset"]).column("offset")).as_py()
+            )
+        else:
+            out.append(max(s.max for s in stats))
+    return int(max(out))
+
+
+def redriven_oracle_sql(sf: float = 0.01) -> str:
+    """Oracle for the redriven lake: passing events as delivered, violators
+    deduped by offset and re-offset to max+rank (the fix's recipe), both arms
+    through the shared exactly-once + LWW window SQL."""
+    from ..state.constraints import keep_sql, validate_spec
+
+    specs = [validate_spec(c) for c in CHECK_CONSTRAINTS]
+    keep = keep_sql(specs)
+    union = "\n            UNION ALL\n            ".join(_epoch_selects(sf))
+    arms = f"""
+            SELECT * FROM (
+                {union}
+            ) WHERE ({keep})
+            UNION ALL
+            SELECT (SELECT max("offset") FROM ({union}))
+                       + row_number() OVER (ORDER BY "offset") AS "offset",
+                   op, conv_id, turn_idx, role, text, tool, ts,
+                   1000000 AS epoch, 0 AS file_rn
+            FROM (
+                SELECT * FROM (
+                    {union}
+                ) WHERE NOT ({keep})
+                QUALIFY row_number() OVER (
+                    PARTITION BY "offset" ORDER BY epoch, file_rn) = 1
+            )
+    """
+    return _lww_sql([arms])
+
+
 def constrained_oracle_sql(sf: float = 0.01) -> str:
     """Oracle for the constrained lake: the plain LWW replay over only the
     events that pass every constraint (SQL CHECK semantics — NULL passes,
