@@ -329,6 +329,16 @@ def _cdc_late_events(sf_dir: str):
     return late_event_report(sf=0.01)
 
 
+def _cdc_widened_lake(sf_dir: str):
+    """Type-widening schema evolution end to end: score arrives int32, a
+    later epoch delivers int64 beyond int32 range, the lake widens in place
+    and old runs cast up at read. Oracled — widened_oracle_sql rides score
+    through the shared LWW SQL as always-BIGINT."""
+    from dbt_customer360_ray.pipelines.cdc_replay import widened_lake
+
+    return widened_lake(sf=0.01)
+
+
 def _cdc_redriven_dlq(sf_dir: str):
     """DLQ redrive: constrained replay quarantines CHECK violators, DROP
     CONSTRAINT, retry_deadletter replays them exactly-once with deterministic
@@ -1423,6 +1433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_late_events"] = _cdc_late_events
     out["cdc_watermarked_sessions"] = _cdc_watermarked_sessions
     out["cdc_redriven_dlq"] = _cdc_redriven_dlq
+    out["cdc_widened_lake"] = _cdc_widened_lake
     out["cdc_packed_sft"] = _cdc_packed_sft
     out["cdc_merged_turns"] = _cdc_merged_turns
     out["cdc_context_pairs"] = _cdc_context_pairs
@@ -1715,9 +1726,13 @@ def oracle_sql() -> dict[str, str]:
 
     out["cdc_late_events"] = late_event_oracle_sql(sf=0.01)
     out["cdc_watermarked_sessions"] = watermarked_sessions_oracle_sql(sf=0.01)
-    from dbt_customer360_ray.pipelines.cdc_replay import redriven_oracle_sql
+    from dbt_customer360_ray.pipelines.cdc_replay import (
+        redriven_oracle_sql,
+        widened_oracle_sql,
+    )
 
     out["cdc_redriven_dlq"] = redriven_oracle_sql(sf=0.01)
+    out["cdc_widened_lake"] = widened_oracle_sql(sf=0.01)
     out["cdc_packed_sft"] = packed_sft_oracle_sql(sf=0.01)
     out["cdc_merged_turns"] = merged_turns_oracle_sql(sf=0.01)
     out["cdc_context_pairs"] = context_pairs_oracle_sql(sf=0.01)

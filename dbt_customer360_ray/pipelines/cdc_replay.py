@@ -950,6 +950,82 @@ def retention_oracle_sql(sf: float = 0.01, cutoff: str = EXPIRE_CUTOFF) -> str:
 _PII_SUFFIX = " reach me at bob.smith+hr@example-corp.com or +1 (415) 555-0199"
 
 
+def _score_epoch_path(src: str, wide: bool) -> str:
+    """Derived fixture (cached, atomic): the epoch with a ``score`` column
+    planted — int32 ``offset & 1023`` when ``wide`` is False (additive
+    evolution), int64 ``(offset & 1023) * 5_000_000_000`` when True (values
+    beyond int32 range, so the widening is load-bearing, not a formality)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    dst = src[: -len(".parquet")] + ("-score64.parquet" if wide else "-score32.parquet")
+    if not os.path.exists(dst):
+        t = pq.read_table(src)
+        base = pc.cast(pc.bit_wise_and(t.column("offset"), pa.scalar(1023, pa.int64())), pa.int64())
+        if wide:
+            score = pc.multiply(base, pa.scalar(5_000_000_000, pa.int64()))
+        else:
+            score = pc.cast(base, pa.int32())
+        tmp = f"{dst}.tmp-{os.getpid()}"
+        pq.write_table(t.append_column("score", score), tmp)
+        os.replace(tmp, dst)
+    return dst
+
+
+_WIDENED: dict = {}
+
+
+def widened_lake(sf: float = 0.01):
+    """Type-widening schema evolution end to end (Delta type widening): epochs
+    0-1 have no ``score``; epoch 2 introduces it as int32 (additive
+    evolution); epoch 3 delivers int64 values beyond int32 range — the lake
+    schema widens in place, int32 runs cast up losslessly at read, earlier
+    rows serve NULL. Cached per sf."""
+    if sf not in _WIDENED:
+        fx = changes_fixture(sf)
+        root = tempfile.mkdtemp(prefix=f"cdc-widened-sf{sf}-")
+        lake = CdcLake(os.path.join(root, "lake"), num_partitions=32)
+        paths = [
+            fx["paths"][0],
+            fx["paths"][1],
+            _score_epoch_path(fx["paths"][2], wide=False),
+            _score_epoch_path(fx["paths"][3], wide=True),
+        ]
+        for p in paths:
+            lake.apply(p)
+        import pyarrow as pa
+
+        assert lake.manifest.schema.field("score").type == pa.int64()
+        _WIDENED[sf] = lake
+    return _WIDENED[sf].read()
+
+
+def widened_oracle_sql(sf: float = 0.01) -> str:
+    """Oracle for the widened lake: the shared LWW SQL with ``score`` riding
+    each arm — NULL for pre-introduction epochs, CAST to BIGINT everywhere
+    (SQL has no narrow/wide distinction, which is exactly the point: the
+    widened engine read must equal the always-wide relational answer)."""
+    fx = changes_fixture(sf)
+    paths = [
+        (fx["paths"][0], "CAST(NULL AS BIGINT)"),
+        (fx["paths"][1], "CAST(NULL AS BIGINT)"),
+        (_score_epoch_path(fx["paths"][2], wide=False), "CAST(score AS BIGINT)"),
+        (_score_epoch_path(fx["paths"][3], wide=True), "CAST(score AS BIGINT)"),
+    ]
+    selects = []
+    for i, (p, expr) in enumerate(paths):
+        tool = "CAST(NULL AS VARCHAR) AS tool" if i == 0 else "tool"
+        selects.append(
+            f'SELECT "offset", op, conv_id, turn_idx, role, text, {tool}, ts, '
+            f"{expr} AS score, {i} AS epoch, file_row_number AS file_rn "
+            f"FROM read_parquet('{p}', file_row_number=true)"
+        )
+    return _lww_sql(
+        selects, out_cols="conv_id, turn_idx, role, text, tool, ts, score"
+    )
+
+
 def _pii_epoch_path(src: str) -> str:
     """Derived fixture (cached, atomic): the epoch with PII planted into a
     deterministic ~1-in-8 sample of image-carrying events' texts — the
