@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "cdc_packed_sft",
     "cdc_late_events",
     "cdc_watermarked_sessions",
+    "cdc_redriven_dlq",
+    "cdc_widened_lake",
 ]
 
 
