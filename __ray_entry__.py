@@ -329,6 +329,16 @@ def _cdc_late_events(sf_dir: str):
     return late_event_report(sf=0.01)
 
 
+def _cdc_offset_gaps(sf_dir: str):
+    """Offset sequence-gap audit (lost-event ingest monitor): maximal runs of
+    offsets absent from the stream, with a planted-gap epoch. Oracled —
+    offset_gap_oracle_sql derives the same gaps from distinct-offset lag
+    adjacency."""
+    from dbt_customer360_ray.pipelines.cdc_replay import offset_gap_report
+
+    return offset_gap_report(sf=0.01)
+
+
 def _cdc_widened_lake(sf_dir: str):
     """Type-widening schema evolution end to end: score arrives int32, a
     later epoch delivers int64 beyond int32 range, the lake widens in place
@@ -1434,6 +1444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_watermarked_sessions"] = _cdc_watermarked_sessions
     out["cdc_redriven_dlq"] = _cdc_redriven_dlq
     out["cdc_widened_lake"] = _cdc_widened_lake
+    out["cdc_offset_gaps"] = _cdc_offset_gaps
     out["cdc_packed_sft"] = _cdc_packed_sft
     out["cdc_merged_turns"] = _cdc_merged_turns
     out["cdc_context_pairs"] = _cdc_context_pairs
@@ -1727,12 +1738,14 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_late_events"] = late_event_oracle_sql(sf=0.01)
     out["cdc_watermarked_sessions"] = watermarked_sessions_oracle_sql(sf=0.01)
     from dbt_customer360_ray.pipelines.cdc_replay import (
+        offset_gap_oracle_sql,
         redriven_oracle_sql,
         widened_oracle_sql,
     )
 
     out["cdc_redriven_dlq"] = redriven_oracle_sql(sf=0.01)
     out["cdc_widened_lake"] = widened_oracle_sql(sf=0.01)
+    out["cdc_offset_gaps"] = offset_gap_oracle_sql(sf=0.01)
     out["cdc_packed_sft"] = packed_sft_oracle_sql(sf=0.01)
     out["cdc_merged_turns"] = merged_turns_oracle_sql(sf=0.01)
     out["cdc_context_pairs"] = context_pairs_oracle_sql(sf=0.01)

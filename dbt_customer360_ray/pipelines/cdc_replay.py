@@ -950,6 +950,147 @@ def retention_oracle_sql(sf: float = 0.01, cutoff: str = EXPIRE_CUTOFF) -> str:
 _PII_SUFFIX = " reach me at bob.smith+hr@example-corp.com or +1 (415) 555-0199"
 
 
+def _gapped_epoch_path(src: str) -> str:
+    """Derived fixture (cached, atomic): the epoch with a deterministic
+    1-in-64 slice of offsets DROPPED (``offset & 63 == 17``) — planted
+    delivery gaps, since the pristine stream is gap-free and the audit would
+    otherwise be vacuous. (A dropped offset whose duplicate delivery landed
+    in another epoch is legitimately healed — both sides see that.)"""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    dst = src[: -len(".parquet")] + "-gapped.parquet"
+    if not os.path.exists(dst):
+        t = pq.read_table(src)
+        keep = pc.not_equal(
+            pc.bit_wise_and(t.column("offset"), pa.scalar(63, pa.int64())),
+            pa.scalar(17, pa.int64()),
+        )
+        tmp = f"{dst}.tmp-{os.getpid()}"
+        pq.write_table(t.filter(keep), tmp)
+        os.replace(tmp, dst)
+    return dst
+
+
+def offset_gap_report(sf: float = 0.01, target_buckets: int = 64):
+    """Offset sequence-gap audit over the change stream — the ingest monitor
+    that catches LOST events (a binlog tailer that skipped a range) before
+    they silently become missing turns: every maximal run of offsets absent
+    from the stream, as (gap_start, gap_end, n_missing) rows. Epoch 1 is the
+    planted-gap derivative; duplicates delivered in other epochs legitimately
+    heal their offsets.
+
+    Shape: offsets range-bucketed by value (width from footer-stats max /
+    ``target_buckets`` — scales with the stream, no magic constant) through
+    the house split→fold exchange; each bucket task dedups + sorts its slice
+    and emits intra-bucket gaps plus its (min, max) edge row; the driver
+    stitches ONLY the O(buckets) edge rows into cross-bucket gaps."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    fx = changes_fixture(sf)
+    paths = [
+        fx["paths"][0],
+        _gapped_epoch_path(fx["paths"][1]),
+        fx["paths"][2],
+        fx["paths"][3],
+    ]
+    max_off = _max_offset(paths)
+    width = max(1, (max_off + target_buckets) // target_buckets)
+    B = max_off // width + 1
+
+    ds = ray.data.read_parquet(paths, columns=["offset"]).materialize()
+
+    def _split(t: pa.Table) -> list:
+        o = t.column("offset").to_numpy(zero_copy_only=False)
+        b = o // width
+        order = np.argsort(b, kind="stable")
+        tt, sb = t.take(pa.array(order)), b[order]
+        cuts = np.searchsorted(sb, np.arange(B + 1))
+        return [tt.slice(cuts[i], cuts[i + 1] - cuts[i]) for i in range(B)]
+
+    def _fold(*parts: pa.Table) -> pa.Table:
+        o = np.unique(
+            np.concatenate(
+                [p.column("offset").to_numpy(zero_copy_only=False) for p in parts]
+            )
+        )
+        if not len(o):
+            return pa.table(
+                {"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64()),
+                 "gs": pa.array([], pa.int64()), "ge": pa.array([], pa.int64())}
+            )
+        d = np.diff(o)
+        at = np.nonzero(d > 1)[0]
+        return pa.table(
+            {
+                "lo": pa.array([int(o[0])] + [-1] * len(at), pa.int64()),
+                "hi": pa.array([int(o[-1])] + [-1] * len(at), pa.int64()),
+                "gs": pa.array(
+                    np.concatenate([[-1], o[at] + 1]).astype(np.int64)
+                ),
+                "ge": pa.array(
+                    np.concatenate([[-1], o[at + 1] - 1]).astype(np.int64)
+                ),
+            }
+        )
+
+    split = ray.remote(num_returns=B)(_split)
+    fold = ray.remote(_fold)
+    cols = [split.remote(r) for r in ds.to_arrow_refs()]
+    folded = ray.data.from_arrow_refs(
+        [fold.remote(*[c[b] for c in cols]) for b in range(B)]
+    ).to_pandas()  # O(buckets + gaps) rows — the audit's result set, not data
+
+    gaps = folded.loc[folded["gs"] >= 0, ["gs", "ge"]].to_numpy(np.int64)
+    edges = folded.loc[folded["lo"] >= 0, ["lo", "hi"]].to_numpy(np.int64)
+    edges = edges[np.argsort(edges[:, 0])]
+    cross = [
+        (int(edges[i, 1]) + 1, int(edges[i + 1, 0]) - 1)
+        for i in range(len(edges) - 1)
+        if edges[i + 1, 0] - edges[i, 1] > 1
+    ]
+    allg = sorted([tuple(g) for g in gaps] + cross)
+    return pa.table(
+        {
+            "gap_start": pa.array([g[0] for g in allg], pa.int64()),
+            "gap_end": pa.array([g[1] for g in allg], pa.int64()),
+            "n_missing": pa.array([g[1] - g[0] + 1 for g in allg], pa.int64()),
+        }
+    )
+
+
+def offset_gap_oracle_sql(sf: float = 0.01) -> str:
+    """Oracle: distinct offsets, lag adjacency, every diff > 1 is a gap."""
+    fx = changes_fixture(sf)
+    paths = [
+        fx["paths"][0],
+        _gapped_epoch_path(fx["paths"][1]),
+        fx["paths"][2],
+        fx["paths"][3],
+    ]
+    union = "\n            UNION ALL\n            ".join(
+        f"SELECT \"offset\" FROM read_parquet('{p}')" for p in paths
+    )
+    return f"""
+        WITH offs AS (
+            SELECT DISTINCT "offset" FROM (
+            {union}
+            )
+        ), adj AS (
+            SELECT "offset" AS o,
+                   lag("offset") OVER (ORDER BY "offset") AS prev
+            FROM offs
+        )
+        SELECT prev + 1 AS gap_start, o - 1 AS gap_end,
+               o - prev - 1 AS n_missing
+        FROM adj WHERE o - prev > 1
+    """
+
+
 def _score_epoch_path(src: str, wide: bool) -> str:
     """Derived fixture (cached, atomic): the epoch with a ``score`` column
     planted — int32 ``offset & 1023`` when ``wide`` is False (additive
