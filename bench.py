@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "cdc_watermarked_sessions",
     "cdc_redriven_dlq",
     "cdc_widened_lake",
+    "cdc_offset_gaps",
 ]
 
 
