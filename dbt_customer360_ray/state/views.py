@@ -822,12 +822,29 @@ _SIG_EVENT_SCHEMA = pa.schema(
 )
 
 
+_HASHER_CACHE: dict = {}
+
+
+def _cached_hasher(num_perm: int, shingle_n: int):
+    """Per-process MinHasher cache: permutation seeds + compiled token regex
+    are built once per worker process, not once per group (actor-state rule
+    applied to ``map_groups`` kernels, which re-enter per bucket)."""
+    from ..stages.dedup import MinHasher
+
+    key = (num_perm, shingle_n)
+    h = _HASHER_CACHE.get(key)
+    if h is None:
+        h = _HASHER_CACHE[key] = MinHasher(num_perm=num_perm, shingle_n=shingle_n)
+    return h
+
+
 def sync_minhash_index(
     src: CdcLake,
     dst: CdcLake,
     upto_epoch: int | None = None,
     num_perm: int = 64,
     shingle_n: int = 3,
+    num_buckets: int | None = None,
 ) -> list[dict]:
     """Incrementally-maintained MinHash SIGNATURE index: one row per live
     conversation holding its ``num_perm``-permutation signature over the SFT
@@ -840,19 +857,25 @@ def sync_minhash_index(
     signature, so token-count-style pure deltas cannot apply): each source
     epoch's change feed names the dirty conversations; their AS-OF-EPOCH
     turns come back through ``lookup_many(..., epoch=…)`` — point reads of
-    O(dirty conversations), never a lake scan — are re-assembled and
-    re-hashed with ``stages.dedup.MinHasher`` (SAME seeds as the scratch
-    pipeline, so index-served candidates equal scratch candidates
-    bit-for-bit) and land as plain upserts; a conversation whose turns all
-    vanished deletes its signature row. Signatures travel hex-encoded
-    (num_perm × uint64 → fixed-width string — LWW/evolution-safe payload).
-    Events flow through the exactly-once sink with deterministic offsets/ts,
-    so the index inherits replay dedup, crash resume, and time travel."""
+    O(dirty conversations), never a lake scan. The re-assembly + re-hash
+    stays DISTRIBUTED: the lookup result is bucketed by conv_id hash and
+    each bucket's ``map_groups`` kernel assembles its conversations and
+    MinHashes them with ``stages.dedup.MinHasher`` (SAME seeds as the
+    scratch pipeline, so index-served candidates equal scratch candidates
+    bit-for-bit). The driver only ever holds the dirty conv_id LIST (lean
+    strings, needed to route the point reads) — never conversation text —
+    so a backfill/bulk epoch that dirties the whole lake streams through
+    workers instead of materializing the corpus in driver memory. Vanished
+    conversations surface inside their own bucket: a probe row per dirty id
+    rides the same shuffle, and a conv with probes but no turns emits a
+    delete. Signatures travel hex-encoded (num_perm × uint64 → fixed-width
+    string — LWW/evolution-safe payload). Events flow through the
+    exactly-once sink with deterministic offsets/ts, so the index inherits
+    replay dedup, crash resume, and time travel."""
     import ray.data
 
-    from ..stages.dedup import MinHasher
+    from ..blocks import adaptive_buckets
 
-    hasher = MinHasher(num_perm=num_perm, shingle_n=shingle_n)
     last_src = src.manifest.last_epoch if upto_epoch is None else upto_epoch
     out = []
     for epoch in range(dst.manifest.last_epoch + 1, last_src + 1):
@@ -868,40 +891,95 @@ def sync_minhash_index(
         )
         if not dirty:
             continue
-        turns = src.lookup_many(dirty, epoch=epoch).to_pandas()
-        for c in ("role", "text"):
-            if c not in turns.columns:
-                turns[c] = None
-        turns = turns.sort_values(["conv_id", "turn_idx"], kind="stable")
-        piece = turns["role"].fillna("") + ": " + turns["text"].fillna("")
-        sft = piece.groupby(turns["conv_id"].to_numpy(), sort=True).agg("\n".join)
-        alive = list(sft.index)
-        sigs = (
-            hasher(pd.DataFrame({"doc_id": np.arange(len(alive)), "text": sft.to_numpy()}))
-            if alive
-            else pd.DataFrame({"sig": []})
-        )
-        dead = [c for c in dirty if c not in set(alive)]
+        nb = num_buckets or adaptive_buckets(len(dirty), rows_per_bucket=25_000)
         watermark = _WATERMARK_BASE + np.timedelta64(epoch + 1, "s")
-        rows = pd.DataFrame(
+
+        def project(t: pa.Table, nb=nb) -> pa.Table:
+            cols = {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx").cast(pa.int64()),
+            }
+            for c in ("role", "text"):
+                cols[c] = (
+                    t.column(c).cast(pa.string())
+                    if c in t.column_names
+                    else pa.nulls(len(t), pa.string())
+                )
+            slim = pa.table(cols)
+            b = (
+                stable_hash(slim.column("conv_id").to_numpy(zero_copy_only=False))
+                % np.uint64(nb)
+            ).astype(np.int64)
+            return slim.append_column("bucket", pa.array(b, pa.int64()))
+
+        # probe rows (turn_idx = -1): one per dirty conv so a conversation
+        # whose turns all vanished still reaches its bucket and emits a D
+        probes = pa.table(
             {
-                "op": ["I"] * len(alive) + ["D"] * len(dead),
-                "conv_id": alive + dead,
-                "sig_hex": [s.tobytes().hex() for s in sigs["sig"]]
-                + [None] * len(dead),
+                "conv_id": pa.array(dirty, pa.string()),
+                "turn_idx": pa.array(np.full(len(dirty), -1, np.int64)),
+                "role": pa.nulls(len(dirty), pa.string()),
+                "text": pa.nulls(len(dirty), pa.string()),
             }
         )
-        rows["offset"] = np.int64(epoch + 1) * np.int64(1 << 40) + (
-            stable_hash(rows["conv_id"].to_numpy()) % np.uint64(1 << 39)
-        ).astype(np.int64)
-        rows["turn_idx"] = np.int32(0)
-        rows["ts"] = pd.Timestamp(watermark)
-        events = pa.Table.from_pandas(
-            rows[[f.name for f in _SIG_EVENT_SCHEMA]],
-            schema=_SIG_EVENT_SCHEMA,
-            preserve_index=False,
+        slim = src.lookup_many(dirty, epoch=epoch).map_batches(
+            project, batch_format="pyarrow"
         )
-        out.append(dst.apply(ray.data.from_arrow(events), epoch=epoch))
+        both = slim.union(
+            ray.data.from_arrow(probes).map_batches(
+                project, batch_format="pyarrow"
+            )
+        )
+
+        def sig_kernel(
+            grp: pd.DataFrame, ep=epoch, wm=watermark, np_=num_perm, sn=shingle_n
+        ) -> pd.DataFrame:
+            hasher = _cached_hasher(np_, sn)
+            turns = grp[grp["turn_idx"] >= 0].sort_values(
+                ["conv_id", "turn_idx"], kind="stable"
+            )
+            piece = turns["role"].fillna("") + ": " + turns["text"].fillna("")
+            sft = piece.groupby(
+                turns["conv_id"].to_numpy(), sort=True
+            ).agg("\n".join)
+            alive = list(sft.index)
+            alive_set = set(alive)
+            dead = sorted(set(grp["conv_id"]) - alive_set)
+            sig_hex = (
+                [
+                    s.tobytes().hex()
+                    for s in hasher(
+                        pd.DataFrame(
+                            {"doc_id": np.arange(len(alive)), "text": sft.to_numpy()}
+                        )
+                    )["sig"]
+                ]
+                if alive
+                else []
+            )
+            rows = pd.DataFrame(
+                {
+                    "op": ["I"] * len(alive) + ["D"] * len(dead),
+                    "conv_id": alive + dead,
+                    "sig_hex": sig_hex + [None] * len(dead),
+                }
+            )
+            rows["offset"] = np.int64(ep + 1) * np.int64(1 << 40) + (
+                stable_hash(rows["conv_id"].to_numpy()) % np.uint64(1 << 39)
+            ).astype(np.int64)
+            rows["turn_idx"] = np.int32(0)
+            rows["ts"] = pd.Timestamp(wm)
+            return rows[[f.name for f in _SIG_EVENT_SCHEMA]]
+
+        events = (
+            both.groupby("bucket")
+            .map_groups(sig_kernel, batch_format="pandas")
+            .map_batches(
+                lambda t: t.cast(_SIG_EVENT_SCHEMA),
+                batch_format="pyarrow",
+            )
+        )
+        out.append(dst.apply(events, epoch=epoch))
     return out
 
 
