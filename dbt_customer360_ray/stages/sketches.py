@@ -111,23 +111,32 @@ def _mg_summary(counts: pd.Series, k: int) -> pd.Series:
     return kept[kept > 0]
 
 
-def heavy_hitters(ds, col: str, phi: float):
+def heavy_hitters(ds, col: str, phi: float, premerge_buckets: int = 64):
     """EXACT φ-heavy hitters over ``ds[col]`` (nulls excluded): every value
     with frequency ≥ ceil(φ·N), with its exact count — the classic two-pass
     scheme (Misra-Gries '82; merge rule per Agarwal et al., mergeable
     summaries).
 
-    Pass 1 (one streaming scan): each batch reduces its value counts to a
-    ≤⌈2/φ⌉-counter MG summary, so only O(1/φ) rows per batch leave the
-    worker; the driver merges the summaries (sum, then one more MG reduction)
-    — total under-count error < φN/2, so every true heavy hitter survives as
-    a candidate. Pass 2 (one streaming scan): exact counts of the ≤⌈2/φ⌉
-    candidates only (broadcast membership, filtered partial counts, tiny
-    groupby), then the exact ≥⌈φN⌉ threshold. Deterministic and exact, so
-    fully SQL-oracle-able; both scans are map-only + an O(1/φ)-row reduce —
-    no all-to-all on row data at any scale.
+    Pass 1 (one streaming scan + one lean tree level): each batch reduces its
+    value counts to a ≤⌈2/φ⌉-counter MG summary, so only O(1/φ) rows per
+    batch leave the worker; the summaries then TREE-MERGE through a
+    hash-bucketed distributed level (bucket by value → sum → per-bucket MG
+    re-reduction to ≤⌈2/φ⌉ counters) before the driver's final reduction, so
+    the driver sees O(premerge_buckets/φ) rows — INDEPENDENT of batch count
+    (at 100 TB, ~10⁷ batches would otherwise land O(#batches/φ) rows on the
+    driver). MG summaries are mergeable by construction (merge = counter-wise
+    sum, then reduce-to-k), and values are hash-DISJOINT across buckets, so
+    per-bucket error ≤ n_b/(k+1) and the final global reduction adds
+    ≤ n/(k+1): total under-count < φN, every true heavy hitter survives as a
+    candidate. Pass 2 (one streaming scan): exact counts of the candidates
+    only (broadcast membership, filtered partial counts, tiny groupby), then
+    the exact ≥⌈φN⌉ threshold. Deterministic and exact, so fully
+    SQL-oracle-able; both scans are map-only + lean reduces — no all-to-all
+    on row data at any scale.
     """
     import ray.data
+
+    from ..hashing import stable_hash
 
     if not (0 < phi < 1):
         raise ValueError(f"heavy_hitters: phi must be in (0,1), got {phi}")
@@ -136,6 +145,13 @@ def heavy_hitters(ds, col: str, phi: float):
     def partial_mg(batch: pd.DataFrame) -> pd.DataFrame:
         vals = batch[col].dropna().astype(str)
         mg = _mg_summary(vals.value_counts(), k)
+        if not len(mg) and len(vals):
+            # an all-ties batch can MG-reduce to nothing; the row count must
+            # still reach the total — ride it on a zero-count carrier row
+            return pd.DataFrame(
+                {"value": [vals.iloc[0]], "c": np.int64(0),
+                 "n_rows": np.int64(len(vals))}
+            )
         n_rows = np.zeros(len(mg), dtype=np.int64)
         if len(mg):  # the batch's row count rides on ONE summary row
             n_rows[0] = len(vals)
@@ -147,17 +163,48 @@ def heavy_hitters(ds, col: str, phi: float):
             }
         )
 
+    def tag(df: pd.DataFrame, nb=premerge_buckets) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = (
+            stable_hash(df["value"].to_numpy()) % np.uint64(nb)
+        ).astype(np.int64)
+        return df
+
+    def premerge(grp: pd.DataFrame) -> pd.DataFrame:
+        summed = grp.groupby("value")["c"].sum()
+        mg = _mg_summary(summed[summed > 0], k)
+        nb = np.int64(grp["n_rows"].sum())
+        if not len(mg):
+            return pd.DataFrame(
+                {"value": [str(grp["value"].iloc[0])], "c": np.int64(0),
+                 "n_rows": nb}
+            )
+        out = pd.DataFrame(
+            {"value": mg.index.astype(str), "c": mg.to_numpy(dtype=np.int64)}
+        )
+        n_rows = np.zeros(len(out), dtype=np.int64)
+        n_rows[0] = nb
+        out["n_rows"] = n_rows
+        return out
+
     # typed Arrow result schema: an all-filtered outcome must still carry the
     # (value, n) columns — ray.data.from_pandas on an empty frame loses them
     import pyarrow as pa
 
     out_schema = pa.schema([("value", pa.string()), ("n", pa.int64())])
 
-    parts = ds.map_batches(partial_mg, batch_format="pandas").to_pandas()
+    parts = (
+        ds.map_batches(partial_mg, batch_format="pandas")
+        .map_batches(tag, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(premerge, batch_format="pandas")
+        .to_pandas()
+    )
     total = int(parts["n_rows"].sum()) if len(parts) else 0
     if total == 0:
         return ray.data.from_arrow(out_schema.empty_table())
-    merged = _mg_summary(parts.groupby("value")["c"].sum(), k)
+    merged = parts[parts["c"] > 0].groupby("value")["c"].sum()
+    merged = _mg_summary(merged, k)
     cands = set(merged.index.astype(str))
     threshold = int(np.ceil(phi * total))
 
