@@ -942,6 +942,31 @@ def _knn_graph_embeddings(sf_dir: str):
     return knn_graph(ds, k=5)
 
 
+def _knn_graph_lsh_embeddings(sf_dir: str):
+    """APPROXIMATE k-NN graph — the bucketed 100 TB scale path: candidates
+    only within shared hyperplane-LSH buckets (any of 4 seeded tables, jumbo
+    buckets tiled), per-tile partial top-k, one groupby merge. Deterministic
+    given the seeded planes, so the approximate answer itself is oracled."""
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.similarity import knn_graph_lsh
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_graph_lsh(ds, k=5, dim=64)
+
+
+def _bfs_hops_lsh_embeddings(sf_dir: str):
+    """Multi-source BFS hop distance over the BUCKETED approximate k-NN
+    graph — the graph family consuming the LSH edge table unchanged via
+    ``edges=`` (the at-scale composition; the exact-knn entries keep the
+    O(N²)-tile shape for parity with the exact oracle)."""
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.similarity import bfs_hops, knn_graph_lsh
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    edges = knn_graph_lsh(ds, k=5, dim=64)
+    return bfs_hops(ds, k=5, max_hops=3, seed_permille=40, edges=edges)
+
+
 def _semantic_decontaminate_embeddings(sf_dir: str):
     """Embedding-space decontamination: the md5-permille test split plays the
     benchmark set (broadcast once), one map-only matmul pass flags training
@@ -1498,6 +1523,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["nb_classified_documents"] = _nb_classified_documents
     out["bm25_topk_documents"] = _bm25_topk_documents
     out["knn_graph_embeddings"] = _knn_graph_embeddings
+    out["knn_graph_lsh_embeddings"] = _knn_graph_lsh_embeddings
+    out["bfs_hops_lsh_embeddings"] = _bfs_hops_lsh_embeddings
     out["hard_negatives_embeddings"] = _hard_negatives_embeddings
     out["semantic_decontaminate_embeddings"] = _semantic_decontaminate_embeddings
     out["label_propagated_embeddings"] = _label_propagated_embeddings
@@ -1608,6 +1635,11 @@ def oracle_sql() -> dict[str, str]:
     from dbt_customer360_ray.stages.similarity import knn_graph_oracle_sql
 
     out["knn_graph_embeddings"] = knn_graph_oracle_sql("embeddings", k=5)
+    from dbt_customer360_ray.stages.similarity import knn_graph_lsh_oracle_sql
+
+    out["knn_graph_lsh_embeddings"] = knn_graph_lsh_oracle_sql(
+        "embeddings", k=5, dim=64
+    )
     from dbt_customer360_ray.stages.similarity import hard_negatives_oracle_sql
 
     out["hard_negatives_embeddings"] = hard_negatives_oracle_sql("embeddings", k=5)
@@ -1633,6 +1665,10 @@ def oracle_sql() -> dict[str, str]:
 
     out["bfs_hops_embeddings"] = bfs_hops_oracle_sql(
         "embeddings", k=5, max_hops=3, seed_permille=40
+    )
+    out["bfs_hops_lsh_embeddings"] = bfs_hops_oracle_sql(
+        "embeddings", k=5, max_hops=3, seed_permille=40,
+        knn_sql=knn_graph_lsh_oracle_sql("embeddings", k=5, dim=64),
     )
     out["triangle_stats_embeddings"] = triangle_stats_oracle_sql("embeddings", k=5)
     from dbt_customer360_ray.stages.similarity import adamic_adar_oracle_sql

@@ -910,9 +910,8 @@ class _LshBucketer:
         return pd.concat(frames, ignore_index=True)
 
 
-def embedding_near_dups_lsh(
+def lsh_tiles(
     ds,
-    threshold: float = 0.95,
     id_col: str = "vec_id",
     dim: int = 64,
     num_bits: int = 8,
@@ -920,29 +919,15 @@ def embedding_near_dups_lsh(
     jumbo_threshold: int = 8192,
     tile_rows: int = 4096,
 ):
-    """Approximate cosine near-dup pairs — the 100 TB path ``embedding_near_dups``
-    documents: vectors are compared ONLY within shared hyperplane-LSH buckets
-    (any of ``num_tables`` seeded tables), so compute drops from O(N²) to
-    Σ|bucket|² while recall < 1 by construction (miss prob ≈ (1-p^bits)^tables
-    per pair). Bucket membership is deterministic given the seeded planes, so
-    the approximate answer is oracle-checkable via
-    ``embedding_lsh_pairs_oracle_sql`` (same planes inlined as SQL literals).
-
-    Pipeline: bucket fan-out (actor pool) → jumbo split → groupby(tile key)
-    all-pairs within tile (vectorized matmul per group) → groupby(pair) dedup
-    across tables/tiles.
-
-    Jumbo buckets (duplicate-heavy corpora produce them) are the skew hazard:
-    a bucket over ``jumbo_threshold`` rows is split into S = ceil(n/tile_rows)
-    deterministic sub-blocks, and each row is replicated into the S
-    upper-triangle tiles its sub-block touches, so no single task ever holds
-    (or matmuls) a whole hot bucket — the same block-pair shape as
-    ``embedding_near_dups``'s ``_pair_tile``. Bucket sizes come from a
-    constant-size count pre-pass (≤ num_tables·2^num_bits rows on the driver);
-    buckets at or under the threshold keep the replication-free single-tile
-    path, so at uniform scale the plan is unchanged."""
+    """Shared LSH bucket fan-out + jumbo-tile assignment: the candidate-
+    generation front half of every bucketed embedding pipeline
+    (``embedding_near_dups_lsh`` pair-gen, ``similarity.knn_graph_lsh``
+    neighbourhood-gen). Returns a Dataset of (gkey, id, embedding, tkey, sub)
+    rows where every within-bucket pair co-occurs in exactly the tiles its
+    sub-blocks touch; ``groupby("tkey")`` downstream sees heap-sized groups
+    even for duplicate-heavy jumbo buckets (see ``embedding_near_dups_lsh``'s
+    docstring for the tiling maths)."""
     import ray
-    from ray.data.aggregate import Max
 
     bucketed = ds.map_batches(
         _LshBucketer,
@@ -1011,7 +996,51 @@ def embedding_near_dups_lsh(
         out["sub"] = sub_r.astype(np.int64)
         return out
 
-    tiled = bucketed.map_batches(assign_tiles, batch_format="pandas")
+    return bucketed.map_batches(assign_tiles, batch_format="pandas")
+
+
+def embedding_near_dups_lsh(
+    ds,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    dim: int = 64,
+    num_bits: int = 8,
+    num_tables: int = 4,
+    jumbo_threshold: int = 8192,
+    tile_rows: int = 4096,
+):
+    """Approximate cosine near-dup pairs — the 100 TB path ``embedding_near_dups``
+    documents: vectors are compared ONLY within shared hyperplane-LSH buckets
+    (any of ``num_tables`` seeded tables), so compute drops from O(N²) to
+    Σ|bucket|² while recall < 1 by construction (miss prob ≈ (1-p^bits)^tables
+    per pair). Bucket membership is deterministic given the seeded planes, so
+    the approximate answer is oracle-checkable via
+    ``embedding_lsh_pairs_oracle_sql`` (same planes inlined as SQL literals).
+
+    Pipeline: bucket fan-out (actor pool) → jumbo split → groupby(tile key)
+    all-pairs within tile (vectorized matmul per group) → groupby(pair) dedup
+    across tables/tiles.
+
+    Jumbo buckets (duplicate-heavy corpora produce them) are the skew hazard:
+    a bucket over ``jumbo_threshold`` rows is split into S = ceil(n/tile_rows)
+    deterministic sub-blocks, and each row is replicated into the S
+    upper-triangle tiles its sub-block touches, so no single task ever holds
+    (or matmuls) a whole hot bucket — the same block-pair shape as
+    ``embedding_near_dups``'s ``_pair_tile``. Bucket sizes come from a
+    constant-size count pre-pass (≤ num_tables·2^num_bits rows on the driver);
+    buckets at or under the threshold keep the replication-free single-tile
+    path, so at uniform scale the plan is unchanged."""
+    from ray.data.aggregate import Max
+
+    tiled = lsh_tiles(
+        ds,
+        id_col=id_col,
+        dim=dim,
+        num_bits=num_bits,
+        num_tables=num_tables,
+        jumbo_threshold=jumbo_threshold,
+        tile_rows=tile_rows,
+    )
 
     def pairs_in_tile(g: pd.DataFrame) -> pd.DataFrame:
         m = np.stack(g["embedding"].to_numpy())

@@ -1058,6 +1058,169 @@ def knn_graph_oracle_sql(
     """
 
 
+def _dense_topk(
+    q_ids: np.ndarray,
+    cand_ids: np.ndarray,
+    sims: np.ndarray,
+    k: int,
+    round_to: int | None,
+) -> pd.DataFrame:
+    """Per-row top-k of a dense (Q, C) sims matrix under the shared
+    (cosine rounded desc, id asc) total order — argsort-based so a tile
+    never builds a Q·C-row DataFrame (an 8k-row bucket would otherwise
+    frame 67M rows). Masked entries (-inf) never emit."""
+    if round_to is not None:
+        sims = np.round(sims, round_to)
+    order = np.argsort(cand_ids, kind="stable")
+    cand_ids, sims = cand_ids[order], sims[:, order]
+    kk = min(k, sims.shape[1])
+    idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+    vals = np.take_along_axis(sims, idx, axis=1).reshape(-1)
+    keep = np.isfinite(vals)
+    return pd.DataFrame(
+        {
+            "query_id": np.repeat(q_ids, kk)[keep],
+            "neighbor_id": cand_ids[idx.reshape(-1)][keep],
+            "cosine": vals[keep].astype(np.float64),
+        }
+    )
+
+
+def knn_graph_lsh(
+    ds,
+    k: int = 5,
+    id_col: str = "vec_id",
+    dim: int = 64,
+    num_bits: int = 8,
+    num_tables: int = 4,
+    round_to: int | None = 2,
+    jumbo_threshold: int = 8192,
+    tile_rows: int = 4096,
+):
+    """APPROXIMATE cosine k-NN graph — the 100 TB scale path ``knn_graph``'s
+    docstring promises: each vector's top-``k`` neighbours are drawn only
+    from candidates sharing a hyperplane-LSH bucket in ANY of ``num_tables``
+    seeded tables, so compute drops from O(N²) to Σ|bucket|² (recall < 1 by
+    construction, miss prob ≈ (1-p^bits)^tables per pair). Output schema and
+    total order ((cosine rounded desc, neighbor id asc), rank column) match
+    ``knn_graph`` exactly, so every downstream graph op (``pagerank``,
+    ``bfs_hops``, ``triangle_stats``, ``adamic_adar``, ``label_propagate``)
+    accepts the edge table unchanged via their ``edges=`` parameter.
+
+    Distributed shape: ``dedup.lsh_tiles`` candidate generation (bucket
+    fan-out actor pool → jumbo split, so no task ever matmuls a whole hot
+    bucket) → per-tile dense partial top-k (argsort, no Q·C-row frames) →
+    one ``groupby(query)`` merge that dedups multi-table duplicates and
+    re-ranks under the same total order — the merge of per-tile top-k is
+    exact over the candidate set because every shared-bucket pair co-occurs
+    in at least one tile. Bucket membership is deterministic given the
+    seeded planes, so the approximate answer itself is oracle-checkable
+    (``knn_graph_lsh_oracle_sql`` inlines the same planes)."""
+    from .dedup import lsh_tiles
+
+    tiled = lsh_tiles(
+        ds,
+        id_col=id_col,
+        dim=dim,
+        num_bits=num_bits,
+        num_tables=num_tables,
+        jumbo_threshold=jumbo_threshold,
+        tile_rows=tile_rows,
+    )
+
+    def knn_in_tile(g: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(g["embedding"].to_numpy())
+        ids = g[id_col].to_numpy().astype(np.int64)
+        n = np.maximum(np.linalg.norm(m, axis=1), 1e-300)
+        subs = g["sub"].to_numpy()
+        lo_sub = subs.min()
+        if subs.max() == lo_sub:  # diagonal tile (or unsplit bucket)
+            sims = (m @ m.T) / (n[:, None] * n[None, :])
+            np.fill_diagonal(sims, -np.inf)
+            return _dense_topk(ids, ids, sims, k, round_to)
+        am = subs == lo_sub
+        ma, mb_ = m[am], m[~am]
+        ia, ib = ids[am], ids[~am]
+        sims = (ma @ mb_.T) / (n[am][:, None] * n[~am][None, :])
+        return pd.concat(
+            [
+                _dense_topk(ia, ib, sims, k, round_to),
+                _dense_topk(ib, ia, sims.T.copy(), k, round_to),
+            ],
+            ignore_index=True,
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # a pair found in several tables/tiles repeats with the same cosine
+        g = g.drop_duplicates(["query_id", "neighbor_id"])
+        g = _topk_frame(
+            g["query_id"].to_numpy(), g["neighbor_id"].to_numpy(),
+            g["cosine"].to_numpy(), k, "neighbor_id", round_to,
+        ).rename(columns={"query_id": id_col})
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        tiled.groupby("tkey")
+        .map_groups(knn_in_tile, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def knn_graph_lsh_oracle_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    id_col: str = "vec_id",
+    dim: int = 64,
+    num_bits: int = 8,
+    num_tables: int = 4,
+) -> str:
+    """DuckDB mirror of ``knn_graph_lsh``: the SAME seeded planes inlined as
+    literals, candidate membership is shared-bucket-in-any-table, ranking is
+    the shared (round-2 cosine desc, id asc) order."""
+    hashers = [
+        HyperplaneLsh(dim, num_bits, seed=11 + 7 * t) for t in range(num_tables)
+    ]
+
+    def bucket_expr(t: int) -> str:
+        terms = []
+        for j in range(num_bits):
+            vec = ", ".join(repr(float(x)) for x in hashers[t].planes[j])
+            terms.append(
+                f"(CASE WHEN list_dot_product(de, [{vec}]) > 0"
+                f" THEN {1 << j} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    buckets = ",\n               ".join(
+        f"({bucket_expr(t)}) AS b{t}" for t in range(num_tables)
+    )
+    on = " OR ".join(f"x.b{t} = y.b{t}" for t in range(num_tables))
+    return f"""
+        WITH b AS (
+            SELECT {id_col}, de,
+               {buckets}
+            FROM (SELECT {id_col}, CAST(embedding AS DOUBLE[]) AS de
+                  FROM {table})
+        ),
+        sims AS (
+            SELECT x.{id_col}, y.{id_col} AS neighbor_id,
+                   ROUND(list_dot_product(x.de, y.de)
+                         / (sqrt(list_dot_product(x.de, x.de))
+                            * sqrt(list_dot_product(y.de, y.de))), 2) AS cosine
+            FROM b x JOIN b y ON x.{id_col} <> y.{id_col} AND ({on})
+        )
+        SELECT {id_col}, neighbor_id, cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY {id_col}
+                   ORDER BY cosine DESC, neighbor_id ASC
+               ) AS BIGINT) AS rank
+        FROM sims
+        QUALIFY rank <= {k}
+    """
+
+
 def hard_negatives(
     ds,
     k: int = 5,
@@ -1141,6 +1304,7 @@ def label_propagate(
     salt: str = "lp",
     round_to: int | None = 2,
     num_blocks: int | None = None,
+    edges=None,
 ):
     """One-hop label propagation (semi-supervised labeling): an md5-permille
     SEED subset keeps its true label; every other vector takes the MAJORITY
@@ -1161,8 +1325,11 @@ def label_propagate(
     from ..hashing import stable_hash as _sh
     from .sampling import _bucket_of
 
-    graph = knn_graph(
-        ds, k=k, id_col=id_col, round_to=round_to, num_blocks=num_blocks
+    graph = (
+        knn_graph(ds, k=k, id_col=id_col, round_to=round_to,
+                  num_blocks=num_blocks)
+        if edges is None
+        else edges
     )
     labels = ds.select_columns([id_col, label_col]).to_pandas()
     # a nullable result column: numeric labels surface as float64 (what an
@@ -1272,7 +1439,8 @@ def pagerank(
     round_to: int | None = 2,
     num_blocks: int | None = None,
     num_buckets: int | None = None,
-):
+
+    edges=None,):
     """PageRank over the exact cosine k-NN graph — the centrality signal
     graph-based curation ranks documents/vectors by (well-connected ⇒
     representative). ``iters`` fixed power-iteration rounds in INTEGER
@@ -1296,13 +1464,20 @@ def pagerank(
     ``Dataset.join`` formulation at sf0.1 (the aggregator-actor fixed cost
     dominated). Rank state stays in the object store, O(N/B) rows per task,
     never on the driver; integer sums are order-independent so any task
-    interleaving gives the identical answer."""
+    interleaving gives the identical answer.
+
+    ``edges=`` accepts a prebuilt (id, neighbor_id) table (e.g.
+    ``knn_graph_lsh`` for the bucketed scale path). Note the integer recipe
+    still divides by deg = min(k, N−1): nodes the approximate graph left
+    with fewer neighbours leak their residual mass (the standard
+    dangling-mass-dropped PageRank variant) rather than re-weighting."""
     import pyarrow as pa
     import ray
     import ray.data
 
     edges_ds = (
-        knn_graph(ds, k=k, id_col=id_col, round_to=round_to, num_blocks=num_blocks)
+        (knn_graph(ds, k=k, id_col=id_col, round_to=round_to,
+                   num_blocks=num_blocks) if edges is None else edges)
         .select_columns([id_col, "neighbor_id"])
         .materialize()
     )
@@ -1442,7 +1617,8 @@ def bfs_hops(
     round_to: int | None = 2,
     num_blocks: int | None = None,
     num_buckets: int | None = None,
-):
+
+    edges=None,):
     """Multi-source BFS hop distance over the UNDIRECTED exact cosine k-NN
     graph: an md5-permille seed subset sits at hops=0 and every other vector
     gets the MINIMUM number of graph hops to any seed, capped at ``max_hops``
@@ -1464,7 +1640,8 @@ def bfs_hops(
     from .sampling import _bucket_of
 
     edges_ds = (
-        knn_graph(ds, k=k, id_col=id_col, round_to=round_to, num_blocks=num_blocks)
+        (knn_graph(ds, k=k, id_col=id_col, round_to=round_to,
+                   num_blocks=num_blocks) if edges is None else edges)
         .select_columns([id_col, "neighbor_id"])
         .materialize()
     )
@@ -1582,13 +1759,15 @@ def bfs_hops_oracle_sql(
     seed_permille: int = 40,
     id_col: str = "vec_id",
     salt: str = "bfs",
+    knn_sql: str | None = None,
 ) -> str:
     """DuckDB mirror of ``bfs_hops``: a recursive CTE over the same knn-graph
     SQL (UNION, not UNION ALL, so the recursion is node-bounded), MIN(hops)
-    per reached node."""
+    per reached node. ``knn_sql`` swaps in a different edge-table SQL (e.g.
+    ``knn_graph_lsh_oracle_sql`` to mirror ``bfs_hops(edges=knn_graph_lsh(…))``)."""
     from .sampling import _permille_sql
 
-    knn = knn_graph_oracle_sql(table, k=k, id_col=id_col)
+    knn = knn_sql or knn_graph_oracle_sql(table, k=k, id_col=id_col)
     return f"""
         WITH RECURSIVE knn AS ({knn}),
         edges AS (
@@ -1616,7 +1795,8 @@ def triangle_stats(
     round_to: int | None = 2,
     num_blocks: int | None = None,
     num_buckets: int | None = None,
-):
+
+    edges=None,):
     """Per-node triangle count and integer local clustering coefficient over
     the UNDIRECTED exact cosine k-NN graph — the density signal that separates
     tight semantic clusters (duplicates, templated families) from bridge
@@ -1641,7 +1821,8 @@ def triangle_stats(
     import ray.data
 
     edges_ds = (
-        knn_graph(ds, k=k, id_col=id_col, round_to=round_to, num_blocks=num_blocks)
+        (knn_graph(ds, k=k, id_col=id_col, round_to=round_to,
+                   num_blocks=num_blocks) if edges is None else edges)
         .select_columns([id_col, "neighbor_id"])
         .materialize()
     )
@@ -1831,7 +2012,8 @@ def adamic_adar(
     num_blocks: int | None = None,
     num_buckets: int | None = None,
     scale: int = 10**12,
-):
+
+    edges=None,):
     """Adamic–Adar link prediction over the undirected exact k-NN graph:
     for every OPEN wedge pair (a, c) — two vectors sharing a neighbour but
     not yet connected — the score Σ_b 1/ln(deg(b)) over their common
@@ -1853,7 +2035,8 @@ def adamic_adar(
     import ray.data
 
     edges_ds = (
-        knn_graph(ds, k=k, id_col=id_col, round_to=round_to, num_blocks=num_blocks)
+        (knn_graph(ds, k=k, id_col=id_col, round_to=round_to,
+                   num_blocks=num_blocks) if edges is None else edges)
         .select_columns([id_col, "neighbor_id"])
         .materialize()
     )

@@ -143,3 +143,95 @@ def test_adamic_adar_open_wedges_score_by_centre_degree():
                 expect[(a, b)] = expect.get((a, b), 0) + w
     got_map = dict(zip(zip(got.id_a, got.id_b), got.aa_score))
     assert got_map == expect and len(expect) > 0
+
+
+def _clustered_embeddings(n_clusters=4, per=60, dim=64, spread=0.004, seed=29):
+    """Well-separated unit-vector clusters: every point is a tiny angular
+    perturbation of its cluster centre, so within-cluster cosines ≈ 1 and
+    cross-cluster cosines are far below — the planted-community fixture."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs, labels = [], []
+    for c in range(n_clusters):
+        pts = centers[c] + spread * rng.standard_normal((per, dim))
+        vecs.append(pts / np.linalg.norm(pts, axis=1, keepdims=True))
+        labels.extend([c] * per)
+    emb = np.concatenate(vecs).astype(np.float64)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(emb), dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.reshape(-1)), dim
+            ).cast(pa.list_(pa.float64())),
+            "label": pa.array(np.array(labels, dtype=np.int64)),
+        }
+    )
+
+
+def test_knn_graph_lsh_identical_communities_on_planted_clusters():
+    """The bucketed scale path must reproduce the exact graph's community
+    structure on clustered data: label propagation over knn_graph_lsh edges
+    equals label propagation over exact knn_graph edges (VERDICT r3 Next #3).
+    Tight clusters make LSH recall effectively 1 within clusters, so the
+    neighbourhoods — and hence the propagated communities — coincide."""
+    import ray.data
+
+    from dbt_customer360_ray.stages.similarity import (
+        knn_graph,
+        knn_graph_lsh,
+        label_propagate,
+    )
+
+    tbl = _clustered_embeddings()
+    df = tbl.to_pandas()
+    ds = ray.data.from_arrow(tbl).repartition(4)
+
+    exact_edges = knn_graph(ds, k=5)
+    lsh_edges = knn_graph_lsh(ds, k=5, dim=64)
+
+    def communities(edges):
+        out = (
+            label_propagate(ds, k=5, seed_permille=500, edges=edges)
+            .to_pandas()
+            .sort_values("vec_id", kind="stable")
+            .reset_index(drop=True)
+        )
+        return out
+
+    got_lsh = communities(lsh_edges)
+    got_exact = communities(exact_edges)
+    pd.testing.assert_frame_equal(got_lsh, got_exact)
+    # propagated labels recover the planted clusters wherever assigned
+    truth = df.set_index("vec_id")["label"]
+    assigned = got_lsh.dropna(subset=["propagated"])
+    assert len(assigned) > 0.9 * len(df)
+    assert (
+        assigned["propagated"].to_numpy()
+        == truth.loc[assigned["vec_id"]].to_numpy()
+    ).all()
+
+
+def test_knn_graph_lsh_edges_feed_graph_family_unchanged():
+    """bfs_hops/triangle_stats consume the LSH edge table via edges= with no
+    reshaping; on planted clusters the hop structure matches the exact graph."""
+    import ray.data
+
+    from dbt_customer360_ray.stages.similarity import knn_graph, knn_graph_lsh
+
+    ds = ray.data.from_arrow(_clustered_embeddings(seed=31)).repartition(4)
+    exact_edges = knn_graph(ds, k=5)
+    lsh_edges = knn_graph_lsh(ds, k=5, dim=64)
+
+    def norm(d):
+        d = d.to_pandas()
+        return d.sort_values(list(d.columns), kind="stable").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(
+        norm(bfs_hops(ds, k=5, max_hops=2, seed_permille=60, edges=lsh_edges)),
+        norm(bfs_hops(ds, k=5, max_hops=2, seed_permille=60, edges=exact_edges)),
+    )
+    pd.testing.assert_frame_equal(
+        norm(triangle_stats(ds, k=5, edges=lsh_edges)),
+        norm(triangle_stats(ds, k=5, edges=exact_edges)),
+    )
