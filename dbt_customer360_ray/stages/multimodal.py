@@ -86,6 +86,59 @@ class FakeDecodeBackend(DecodeBackend):
         return _md5_expand(payload, f * hw * hw * 3).reshape(f, hw, hw, 3)
 
 
+class WavBackend(DecodeBackend):
+    """REAL audio codec for PCM WAV containers — stdlib ``wave`` + numpy
+    only, no new dependencies. Decodes 8-bit unsigned and 16/24/32-bit
+    signed little-endian PCM; multi-channel audio is averaged to mono.
+    Returns float32 samples in [-1, 1), the same contract as
+    ``FakeDecodeBackend.decode_audio``, so ``AudioFeatures`` and the whole
+    actor-pool pipeline run unchanged over real bytes (the fake stays the
+    oracle fixture; this is the day-one real-bytes path the stub previously
+    ended at)."""
+
+    def decode_audio(self, payload: bytes) -> np.ndarray:
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n, ch, sw = w.getnframes(), w.getnchannels(), w.getsampwidth()
+            raw = w.readframes(n)
+        if sw == 1:  # WAV 8-bit is unsigned
+            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        elif sw == 2:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        elif sw == 3:
+            b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            v = (v ^ 0x800000) - 0x800000  # sign-extend 24-bit
+            x = v.astype(np.float32) / 8388608.0
+        elif sw == 4:
+            x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+        else:
+            raise ValueError(f"unsupported PCM sample width: {sw} bytes")
+        if ch > 1:
+            x = x.reshape(-1, ch).mean(axis=1)
+        return x.astype(np.float32)
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """float [-1, 1] mono samples → real PCM16 WAV bytes (stdlib ``wave``):
+    the synthesis half used by tests/fixtures to exercise ``WavBackend``
+    against genuine containers."""
+    import io
+    import wave
+
+    pcm = np.clip(np.asarray(samples, np.float64), -1.0, 1.0)
+    pcm = (pcm * 32767.0).round().astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 class ImageFeatures:
     """Actor-pool stage: decode image payloads and emit pooled feature stats.
 

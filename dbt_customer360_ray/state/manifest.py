@@ -63,13 +63,171 @@ def _schema_from_json(hexstr: str) -> pa.Schema:
     return pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(hexstr)))
 
 
-class Manifest:
-    """Versioned lake manifest with atomic CURRENT pointer."""
+class LogStore:
+    """Commit-arbitration interface for the manifest critical section — the
+    pluggable piece Delta Lake calls the LogStore in its S3 multi-writer
+    design: object stores without atomic create-if-absent cannot host a
+    POSIX lock-file mutex, so deployments there swap in an external CAS
+    arbiter (a DynamoDB/etcd/ZooKeeper conditional-put cell) while manifest
+    BODIES stay in the lake directory (data plane vs control plane).
 
-    def __init__(self, lake_dir: str):
+    Contract: ``read_current()`` returns the committed version pointer
+    (0 = empty lake). ``try_commit(version, state_json)`` durably writes
+    MANIFEST-<version> and THEN atomically advances the pointer
+    version-1 → version; it returns False — with NO pointer side effect —
+    if another writer advanced it first. The pointer swap is the
+    linearization point; False means rebase-and-retry (``Manifest``'s
+    commit loops already do). An orphaned MANIFEST body from a writer that
+    lost the race is unreachable and harmless (same-version bodies are
+    byte-divergent only if the loser also lost the CAS, in which case its
+    file is overwritten by the winner's next write or vacuumed)."""
+
+    def read_current(self) -> int:
+        raise NotImplementedError
+
+    def try_commit(self, version: int, state_json: str) -> bool:
+        raise NotImplementedError
+
+
+class PosixLogStore(LogStore):
+    """Default arbiter for shared POSIX filesystems: O_EXCL lock-file mutex
+    around (pointer check → body write → pointer rename). A crashed
+    holder's lock is broken after ``LOCK_STALE_S`` (the critical section is
+    two small file writes — milliseconds; 10 s is orders of magnitude past
+    it)."""
+
+    LOCK_STALE_S = 10.0
+    LOCK_WAIT_S = 30.0
+
+    def __init__(self, manifest_dir: str):
+        self.dir = manifest_dir
+
+    def _current_path(self) -> str:
+        return os.path.join(self.dir, "CURRENT")
+
+    def read_current(self) -> int:
+        try:
+            with open(self._current_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    @contextlib.contextmanager
+    def _commit_lock(self):
+        path = os.path.join(self.dir, "COMMIT.lock")
+        deadline = time.monotonic() + self.LOCK_WAIT_S
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()}\n".encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(path) > self.LOCK_STALE_S:
+                        os.unlink(path)  # break a dead holder's lock
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.monotonic() > deadline:
+                    raise CommitConflictError(
+                        f"commit lock {path} held past {self.LOCK_WAIT_S}s"
+                    )
+                time.sleep(0.005)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(path)
+
+    def try_commit(self, version: int, state_json: str) -> bool:
+        with self._commit_lock():
+            if self.read_current() != version - 1:
+                return False
+            _atomic_write(
+                os.path.join(self.dir, f"MANIFEST-{version:08d}.json"),
+                state_json,
+            )
+            _atomic_write(self._current_path(), str(version))
+            return True
+
+
+class CasCell:
+    """Process-local atomic compare-and-swap integer cell — the test double
+    for the external arbiter's conditional put. Shared between LogStore
+    instances to model multiple writers against one arbiter."""
+
+    def __init__(self, value: int = 0):
+        import threading
+
+        self._value = int(value)
+        self._lock = threading.Lock()
+
+    @property
+    def value(self) -> int:
+        with self._lock:
+            return self._value
+
+    def compare_and_swap(self, expected: int, new: int) -> bool:
+        with self._lock:
+            if self._value != expected:
+                return False
+            self._value = new
+            return True
+
+
+class MemoryCasLogStore(LogStore):
+    """The Delta-on-S3 log-store pattern, coded: the version pointer lives
+    in an external CAS cell (here ``CasCell``; in production a DynamoDB
+    conditional put / etcd txn) and manifest bodies live in the directory.
+    No filesystem atomicity is assumed beyond single-object PUT (atomic
+    rename here).
+
+    Ordering is the load-bearing part: the body is staged under a UNIQUE
+    temp name, the CAS decides the winner, and only the winner publishes
+    the canonical MANIFEST-<v> — a loser that wrote canonical BEFORE the
+    CAS would clobber the winner's same-version body (a real lost update,
+    caught by the concurrent-writer test). Readers that observe the pointer
+    inside the winner's publish window retry briefly (``Manifest._load``),
+    mirroring Delta's recovery-copy step."""
+
+    def __init__(self, manifest_dir: str, cell: CasCell | None = None):
+        self.dir = manifest_dir
+        self.cell = cell if cell is not None else CasCell()
+
+    def read_current(self) -> int:
+        return self.cell.value
+
+    def try_commit(self, version: int, state_json: str) -> bool:
+        import uuid
+
+        if self.cell.value != version - 1:
+            return False  # cheap pre-check; the CAS below is authoritative
+        tmp = os.path.join(
+            self.dir, f".MANIFEST-{version:08d}-{uuid.uuid4().hex}.tmp"
+        )
+        with open(tmp, "w") as f:
+            f.write(state_json)
+            f.flush()
+            os.fsync(f.fileno())
+        if not self.cell.compare_and_swap(version - 1, version):
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(tmp)
+            return False
+        # sole CAS winner for this version → the one canonical publish
+        os.replace(tmp, os.path.join(self.dir, f"MANIFEST-{version:08d}.json"))
+        return True
+
+
+class Manifest:
+    """Versioned lake manifest with atomic CURRENT pointer. ``log_store``
+    plugs the commit-arbitration strategy (default: ``PosixLogStore``)."""
+
+    def __init__(self, lake_dir: str, log_store: LogStore | None = None):
         self.lake_dir = lake_dir
         self.dir = os.path.join(lake_dir, "_manifest")
         os.makedirs(self.dir, exist_ok=True)
+        self.log_store = log_store if log_store is not None else PosixLogStore(self.dir)
         self._state = self._load()
 
     # -- load/save ---------------------------------------------------------
@@ -77,8 +235,8 @@ class Manifest:
         return os.path.join(self.dir, "CURRENT")
 
     def _load(self) -> dict:
-        cur = self._current_path()
-        if not os.path.exists(cur):
+        version = self.log_store.read_current()
+        if version == 0:
             return {
                 "version": 0,
                 "last_epoch": -1,
@@ -88,10 +246,18 @@ class Manifest:
                 "metrics": {},
                 "epochs": [],
             }
-        with open(cur) as f:
-            version = int(f.read().strip())
-        with open(os.path.join(self.dir, f"MANIFEST-{version:08d}.json")) as f:
-            return json.load(f)
+        path = os.path.join(self.dir, f"MANIFEST-{version:08d}.json")
+        # CAS log stores advance the pointer before publishing the canonical
+        # body (the winner-only publish ordering); a reader landing in that
+        # millisecond window retries briefly instead of failing
+        for attempt in range(200):
+            try:
+                with open(path) as f:
+                    return json.load(f)
+            except FileNotFoundError:
+                if attempt == 199:
+                    raise
+                time.sleep(0.005)
 
     def reload(self) -> None:
         self._state = self._load()
@@ -693,70 +859,21 @@ class Manifest:
                 time.sleep(0.001 * attempt)  # drain a contended writer burst
                 self.reload()
 
-    # commit critical section: lock-break horizon for a holder that died
-    # between taking the lock and advancing CURRENT (the section is two small
-    # file writes — milliseconds; 10 s is orders of magnitude past it)
-    LOCK_STALE_S = 10.0
-    LOCK_WAIT_S = 30.0
-
-    @contextlib.contextmanager
-    def _commit_lock(self):
-        """Filesystem mutex for the commit critical section (O_EXCL create;
-        a crashed holder's lock is broken after ``LOCK_STALE_S``). On a shared
-        POSIX filesystem this serializes committers; object stores without
-        atomic create would swap in a log-store CAS here (the Delta-on-S3
-        pattern) — the caller-facing protocol is unchanged."""
-        path = os.path.join(self.dir, "COMMIT.lock")
-        deadline = time.monotonic() + self.LOCK_WAIT_S
-        while True:
-            try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, f"{os.getpid()}\n".encode())
-                os.close(fd)
-                break
-            except FileExistsError:
-                try:
-                    if time.time() - os.path.getmtime(path) > self.LOCK_STALE_S:
-                        os.unlink(path)  # break a dead holder's lock
-                        continue
-                except FileNotFoundError:
-                    continue
-                if time.monotonic() > deadline:
-                    raise CommitConflictError(
-                        f"commit lock {path} held past {self.LOCK_WAIT_S}s"
-                    )
-                time.sleep(0.005)
-        try:
-            yield
-        finally:
-            with contextlib.suppress(FileNotFoundError):
-                os.unlink(path)
-
     def _read_current(self) -> int:
-        try:
-            with open(self._current_path()) as f:
-                return int(f.read().strip())
-        except FileNotFoundError:
-            return 0
+        return self.log_store.read_current()
 
     def _persist(self, state: dict) -> None:
         """Publish ``state`` as the next manifest version — the CAS commit
-        point. Under the commit lock: CURRENT must still point at the version
-        this state was derived from (``version - 1``), else another writer got
-        there first and ``CommitConflictError`` tells the caller to rebase.
-        A stale MANIFEST-<v> file from a writer that died before advancing
-        CURRENT is overwritten (it never committed, so it is unreachable)."""
+        point, delegated to ``self.log_store``. The store must advance the
+        pointer version-1 → version atomically; a False return means
+        another writer got there first and ``CommitConflictError`` tells
+        the caller to rebase (every commit call-site loops with reload).
+        A stale MANIFEST-<v> body from a writer that lost the race is
+        unreachable, so overwriting it is safe."""
         version = int(state["version"])
-        with self._commit_lock():
-            on_disk = self._read_current()
-            if on_disk != version - 1:
-                raise CommitConflictError(
-                    f"manifest advanced to v{on_disk} while this commit was "
-                    f"based on v{version - 1}"
-                )
-            _atomic_write(
-                os.path.join(self.dir, f"MANIFEST-{version:08d}.json"),
-                json.dumps(state, indent=1),
+        if not self.log_store.try_commit(version, json.dumps(state, indent=1)):
+            raise CommitConflictError(
+                f"manifest advanced past v{version - 1} while this commit "
+                "was being prepared"
             )
-            _atomic_write(self._current_path(), str(version))
         self._state = state

@@ -972,3 +972,95 @@ def test_read_where_predicate_serving(tmp_path):
         where={"name": "t", "column": "tool", "op": "<", "value": "zzz"}
     ).to_pandas()
     assert len(got5) == len(st) - n_tool_null
+
+
+def test_memory_cas_log_store_threads_all_survive(tmp_path):
+    """The same 8x4 no-coordination hammer, arbitrated by the pluggable
+    CAS log store (the Delta-on-S3 pattern: pointer in an external CAS
+    cell, bodies in the directory, no filesystem lock) — every run file
+    and metric increment lands exactly once (VERDICT r3 Next #5)."""
+    import threading
+
+    from dbt_customer360_ray.state.manifest import (
+        CasCell,
+        Manifest,
+        MemoryCasLogStore,
+    )
+
+    schema = pa.schema([("conv_id", pa.string())])
+    mdir = str(tmp_path / "lake" / "_manifest")
+    cell = CasCell()
+    errs = []
+
+    def worker(w: int):
+        try:
+            m = Manifest(
+                str(tmp_path / "lake"), log_store=MemoryCasLogStore(mdir, cell)
+            )
+            for i in range(4):
+                m.reload()
+                m.commit_epoch(
+                    w * 4 + i,
+                    {w % 4: {"runs": [
+                        {"path": f"w{w}-{i}.parquet", "rows": 1, "tombstones": 0}],
+                        "max_offset": w * 4 + i,
+                        "rows": m.partition(w % 4)["rows"] + 1}},
+                    schema, 4, {"events_in": 1},
+                )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(8)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert not errs
+    fresh = Manifest(
+        str(tmp_path / "lake"), log_store=MemoryCasLogStore(mdir, cell)
+    )
+    paths = [r["path"] for p in range(4) for r in fresh.partition(p)["runs"]]
+    assert sorted(paths) == sorted(
+        f"w{w}-{i}.parquet" for w in range(8) for i in range(4)
+    )
+    assert fresh.metrics["events_in"] == 32
+
+
+def test_lost_cas_retries_land_commit_exactly_once(tmp_path):
+    """A CAS arbiter that transiently rejects (conditional put refused, no
+    side effect — the retryable arbiter-error case): the commit loop
+    rebases and retries until the swap lands; the manifest advances exactly
+    one version per logical commit, never two."""
+    from dbt_customer360_ray.state.manifest import (
+        CasCell,
+        Manifest,
+        MemoryCasLogStore,
+    )
+
+    class FlakyCell(CasCell):
+        def __init__(self, reject_first: int):
+            super().__init__()
+            self.reject_first = reject_first
+            self.attempts = 0
+
+        def compare_and_swap(self, expected: int, new: int) -> bool:
+            self.attempts += 1
+            if self.attempts <= self.reject_first:
+                return False  # transient rejection, pointer untouched
+            return super().compare_and_swap(expected, new)
+
+    schema = pa.schema([("conv_id", pa.string())])
+    mdir = str(tmp_path / "lake" / "_manifest")
+    cell = FlakyCell(reject_first=3)
+    m = Manifest(str(tmp_path / "lake"), log_store=MemoryCasLogStore(mdir, cell))
+    m.commit_epoch(
+        0,
+        {0: {"runs": [{"path": "a.parquet", "rows": 7, "tombstones": 0}],
+             "max_offset": 6, "rows": 7}},
+        schema, 2, {"events_in": 7},
+    )
+    assert cell.attempts == 4  # 3 rejections + the landing swap
+    assert cell.value == 1  # exactly one version advance
+    fresh = Manifest(
+        str(tmp_path / "lake"), log_store=MemoryCasLogStore(mdir, CasCell(1))
+    )
+    assert [r["path"] for r in fresh.partition(0)["runs"]] == ["a.parquet"]
+    assert fresh.metrics["events_in"] == 7
