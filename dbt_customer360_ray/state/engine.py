@@ -1340,6 +1340,38 @@ def _txn_split(t: pa.Table, nb: int):
     return out if nb > 1 else out[0]
 
 
+def _txn_count_split(t: pa.Table, nb: int):
+    """Fused shuffle-map for the completion exchange: the per-block distinct
+    (txn_id, offset, txn_n) reduction runs INSIDE the split task (one task
+    layer over the materialized epoch blocks instead of a separate Dataset
+    execution for the partial-dedup pass — measured, the per-execution fixed
+    cost dominated at sf0.1)."""
+    tr = (
+        t.select(["txn_id", "offset", "txn_n"])
+        .group_by(["txn_id", "offset"])
+        .aggregate([("txn_n", "max")])
+    )
+    return _txn_split(tr, nb)
+
+
+def _txn_partition(t: pa.Table, held_ids):
+    """One task per epoch block: split into (complete, held) in a single
+    pass — complete events drop the stream-metadata txn columns; held events
+    keep them for the pending sidecar. ``held_ids`` None = nothing cut."""
+    import pyarrow.compute as pc
+
+    if held_ids is not None:
+        mask = pc.is_in(t.column("txn_id"), value_set=held_ids)
+        held = t.filter(mask)
+        comp = t.filter(pc.invert(mask))
+    else:
+        held, comp = t.schema.empty_table(), t
+    comp = comp.drop_columns(
+        [c for c in ("txn_id", "txn_n") if c in comp.column_names]
+    )
+    return comp, held
+
+
 def _txn_bucket_stats(*chunks):
     """Shuffle-reduce: exact per-transaction completion stats for one bucket —
     global offset dedup (a duplicate may straddle batches) then one vectorized
@@ -1568,6 +1600,7 @@ class CdcLake:
         _physical_names: bool = False,
         _exempt_offsets: frozenset | None = None,
         _pending_txns: list | None = None,
+        _schema: pa.Schema | None = None,
     ) -> dict:
         """Apply one epoch of change events; returns this epoch's metrics.
 
@@ -1605,7 +1638,10 @@ class CdcLake:
                 incoming = _dataset_schema(ds)
         else:
             ds = changes
-            incoming = _dataset_schema(ds)
+            # an internal caller that already knows the event schema (e.g.
+            # apply_transactional's prepared block refs) skips the schema
+            # peek — a Dataset.schema() spins a small execution per call
+            incoming = _schema if _schema is not None else _dataset_schema(ds)
         missing = [c for c in REQUIRED_EVENT_COLUMNS if c not in incoming.names]
         if missing:
             raise ValueError(f"change stream missing required columns: {missing}")
@@ -1927,33 +1963,26 @@ class CdcLake:
                 )
                 schema = target
             ds = ds.union(ray.data.from_arrow(pend_tbl))
-        # the pipeline is consumed three times (schema peek, count, split) —
-        # materialize once so the parquet decode doesn't re-execute per pass
-        # (path inputs included: an epoch is a bounded micro-batch, and the
-        # object store spills if it doesn't fit)
+        # materialize the prepared epoch ONCE (filters + parked union); every
+        # later pass runs as raw tasks over these block refs — no further
+        # Dataset executions, whose per-execution fixed cost dominated the
+        # txn-vs-plain gap at sf0.1 (an epoch is a bounded micro-batch, and
+        # the object store spills if it doesn't fit)
         ds = ds.materialize()
+        refs = ds.to_arrow_refs()
 
         # pass 1 — completion counts by DISTINCT offset (at-least-once
-        # duplicates must not fake completion): per-batch distinct
-        # (txn_id, offset, txn_n) triples, exchanged to COARSE txn-id buckets
-        # with the same two-stage task exchange the apply path uses (no sort
+        # duplicates must not fake completion): the per-block distinct
+        # (txn_id, offset, txn_n) reduction is FUSED into the split task
+        # (_txn_count_split), exchanged to COARSE txn-id buckets with the
+        # same two-stage task exchange the apply path uses (no sort
         # machinery — a per-transaction groupby would pay one Python group
         # call per transaction, millions at scale; a bucket task does one
         # vectorized pandas groupby over thousands of transactions); only the
         # tiny (txn_id, seen, expected) table reaches the driver
-        def pair_partial(t: pa.Table) -> pa.Table:
-            return (
-                t.select(["txn_id", "offset", "txn_n"])
-                .group_by(["txn_id", "offset"])
-                .aggregate([("txn_n", "max")])
-            )
-
-        triple_refs = ds.map_batches(
-            pair_partial, batch_format="pyarrow", zero_copy_batch=True
-        ).to_arrow_refs()
         nb = _TXN_BUCKETS
-        split_task = ray.remote(_txn_split).options(num_returns=nb)
-        srefs = [split_task.remote(r, nb) for r in triple_refs]
+        split_task = ray.remote(_txn_count_split).options(num_returns=nb)
+        srefs = [split_task.remote(r, nb) for r in refs]
         stat_task = ray.remote(_txn_bucket_stats)
         stat_tbls = ray.get(
             [
@@ -1979,21 +2008,21 @@ class CdcLake:
         incomplete = agg.index[agg["seen"] < agg["expected"]]
         held_txns = [int(t) for t in incomplete]
 
-        # pass 2 — split: park the cut transactions, stream the complete ones
+        # pass 2 — ONE task per block splits (complete, held) in a single
+        # filter pass; held fragments (small by nature — transactions in
+        # flight at the boundary) gather to the driver for the sidecar,
+        # complete refs feed the apply exchange directly
         label = epoch if epoch is not None else self.manifest.last_epoch + 1
         pending_list: list[dict] = []
         held_rows = 0
         inc_arr = pa.array(sorted(held_txns), pa.int64()) if held_txns else None
+        part_task = ray.remote(_txn_partition).options(num_returns=2)
+        pairs = [part_task.remote(r, inc_arr) for r in refs]
+        complete_refs = [p[0] for p in pairs]
         if held_txns:
-            held = ds.map_batches(
-                lambda t, _i=inc_arr: t.filter(
-                    pc.is_in(t.column("txn_id"), value_set=_i)
-                ),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
-            held_tbl = pa.concat_tables(
-                list(held.iter_batches(batch_format="pyarrow")) or [schema.empty_table()]
+            held_tbls = [t for t in ray.get([p[1] for p in pairs]) if t.num_rows]
+            held_tbl = (
+                pa.concat_tables(held_tbls) if held_tbls else schema.empty_table()
             )
             held_rows = held_tbl.num_rows
             rel = os.path.join("pending", f"epoch-{label:06d}.parquet")
@@ -2002,22 +2031,18 @@ class CdcLake:
                 {"path": rel, "rows": held_rows, "txns": len(held_txns)}
             ]
 
-        def completes(t: pa.Table, _i=inc_arr) -> pa.Table:
-            if _i is not None:
-                t = t.filter(pc.invert(pc.is_in(t.column("txn_id"), value_set=_i)))
-            return t.drop_columns(
-                [c for c in ("txn_id", "txn_n") if c in t.column_names]
-            )
-
-        complete_ds = ds.map_batches(
-            completes, batch_format="pyarrow", zero_copy_batch=True
+        complete_schema = pa.schema(
+            [f for f in schema if f.name not in ("txn_id", "txn_n")]
         )
         m = self.apply(
-            complete_ds,
+            ray.data.from_arrow_refs(complete_refs)
+            if complete_refs
+            else ray.data.from_arrow(complete_schema.empty_table()),
             epoch=epoch,
             detect_hot=detect_hot,
             _exempt_offsets=exempt or None,
             _pending_txns=pending_list,
+            _schema=complete_schema,
         )
         return {**m, "held_events": held_rows, "held_txns": len(held_txns)}
 
