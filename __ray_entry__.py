@@ -1346,6 +1346,41 @@ def _c360_analysis(sf_dir: str, fn_name: str):
     return _conform_c360(getattr(c3, fn_name)(_C360_CACHE["res"]))
 
 
+_C360_RAW_ANALYSES = {
+    "c360_analysis_email_campaign_raw": "analysis_email_campaign_list_raw",
+    "c360_analysis_all_phones_raw": "analysis_metrics_with_all_phones_raw",
+    "c360_analysis_email_campaign_raw_delta": "analysis_email_campaign_raw_delta",
+    "c360_analysis_all_phones_raw_delta": "analysis_all_phones_raw_delta",
+}
+
+
+def _c360_analysis_raw(sf_dir: str, fn_name: str):
+    """The reference's raw-vs-360 conformance analyses (analyses_old/elan/
+    *_raw.sql twins): raw-source answers over the same fixture parquet the
+    DAG reads, and delta entries full-outer-joining them against the c360
+    answers — the reference's own self-check pattern, mirrored."""
+    import os
+
+    import pandas as pd
+
+    from dbt_customer360_ray.pipelines import customer360 as c3
+    from dbt_customer360_ray.pipelines.c360_oracle import ensure_fixture
+
+    d = ensure_fixture(_c360_n(sf_dir))
+    tables = {
+        name: pd.read_parquet(os.path.join(d, f"{name}.parquet"))
+        for name in (
+            "marketo_leads", "stripe_customer_overview", "zendesk_users",
+            "zendesk_organizations", "stripe_metrics", "zendesk_metrics",
+        )
+    }
+    fn = getattr(c3, fn_name)
+    if fn_name.endswith("_delta"):
+        _c360(sf_dir, key="mapping")  # the 360 side of the comparison
+        return _conform_c360(fn(_C360_CACHE["res"], tables))
+    return _conform_c360(fn(tables))
+
+
 def _stream_replay_lake(sf_dir: str):
     """Streaming actor-pool ingest (micro-batch tail + checkpoints) of the
     stream fixture; returns the converged lake. Oracled — stream_oracle_sql
@@ -1557,6 +1592,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out[f"c360_{key}"] = functools.partial(_c360, key=key)
     for name, fn_name in _C360_ANALYSES.items():
         out[name] = functools.partial(_c360_analysis, fn_name=fn_name)
+    for name, fn_name in _C360_RAW_ANALYSES.items():
+        out[name] = functools.partial(_c360_analysis_raw, fn_name=fn_name)
     out["multimodal_image_features"] = _multimodal_image_features
     out["multimodal_audio_features"] = _multimodal_audio_features
     out["multimodal_video_features"] = _multimodal_video_features

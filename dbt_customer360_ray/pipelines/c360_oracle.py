@@ -926,4 +926,200 @@ def oracle_entries(num_people: int = ORACLE_N, seed: int = ORACLE_SEED) -> dict[
                CAST(coalesce(c.new_customers, 0) AS BIGINT) AS new_customers
         FROM mm_spine s LEFT JOIN mm_counts c ON c.month = s.month""",
     }
+    finals.update(_raw_analysis_entries(d))
     return {name: pro + "\n" + body for name, body in finals.items()}
+
+
+def _raw_analysis_entries(d: str) -> dict[str, str]:
+    """The reference's raw-vs-360 conformance analyses (analyses_old/elan/
+    email_campaign_list_raw.sql, metrics_with_all_phones_raw.sql vs their
+    _360 twins): raw side = email-only entity over the UNPROCESSED source
+    parquet (no cleaning CTEs), delta side full-outer-joins it against the
+    prologue-derived customer/attribute answers. Tiebreaks the reference
+    leaves undefined (row_number with no final key; phone aggregation order)
+    are pinned identically here and in pipelines/customer360.py."""
+    raw_cte = f"""
+        , rz AS (
+            SELECT u.user_id, lower(u.email) AS email, o.name AS org_name,
+                   u.updated_at, u.phone
+            FROM read_parquet('{d}/zendesk_users.parquet') u
+            LEFT JOIN read_parquet('{d}/zendesk_organizations.parquet') o
+              USING (organization_id)
+            WHERE u.role = 'end-user' AND u.email IS NOT NULL
+        ),
+        rm AS (
+            SELECT lead_id, lower(email) AS email, company,
+                   NULLIF(inferred_company, '') AS inferred_company,
+                   phone, main_phone, mobile_phone, updated_timestamp
+            FROM read_parquet('{d}/marketo_leads.parquet')
+            WHERE email IS NOT NULL
+        ),
+        rs AS (
+            SELECT customer_id, lower(email) AS email,
+                   CASE WHEN NULLIF(split_part(customer_name, ' (', 1), '')
+                            IS NULL
+                        THEN customer_name
+                        ELSE split_part(customer_name, ' (', 1)
+                   END AS org_extract,
+                   phone, shipping_phone, customer_created_at
+            FROM read_parquet('{d}/stripe_customer_overview.parquet')
+            WHERE email IS NOT NULL
+        ),
+        raw_emails AS (
+            SELECT email FROM rm UNION SELECT email FROM rs
+            UNION SELECT email FROM rz
+        ),
+        org_lanes AS (
+            SELECT email, company AS organization_name,
+                   updated_timestamp AS last_seen, FALSE AS is_inferred
+            FROM rm WHERE company IS NOT NULL AND company <> ''
+            UNION ALL
+            SELECT email, inferred_company, updated_timestamp, TRUE
+            FROM rm WHERE inferred_company IS NOT NULL
+            UNION ALL
+            SELECT email, org_extract, customer_created_at, FALSE
+            FROM rs WHERE org_extract IS NOT NULL AND org_extract <> ''
+            UNION ALL
+            SELECT email, org_name, updated_at, FALSE
+            FROM rz WHERE org_name IS NOT NULL AND org_name <> ''
+        ),
+        org_rank AS (
+            SELECT email, organization_name,
+                   count(*) AS value_count,
+                   max(coalesce(last_seen, TIMESTAMP '1970-01-01'))
+                       AS value_last,
+                   min(CASE WHEN is_inferred THEN 1 ELSE 0 END) AS inferred
+            FROM org_lanes GROUP BY 1, 2
+        ),
+        org_pick AS (
+            SELECT email, organization_name FROM (
+                SELECT email, organization_name,
+                       row_number() OVER (
+                           PARTITION BY email
+                           ORDER BY value_count DESC, value_last DESC,
+                                    inferred ASC, organization_name ASC
+                       ) AS rn
+                FROM org_rank) WHERE rn = 1
+        ),
+        raw_spend AS (
+            SELECT rs.email, sum(m.total_spend) AS total_spend
+            FROM rs JOIN read_parquet('{d}/stripe_metrics.parquet') m
+              USING (customer_id)
+            GROUP BY 1
+        ),
+        raw_tickets AS (
+            SELECT rz.email,
+                   CAST(sum(m.count_tickets) AS BIGINT) AS count_tickets,
+                   CAST(sum(m.count_open_tickets) AS BIGINT) AS open_t
+            FROM rz JOIN read_parquet('{d}/zendesk_metrics.parquet') m
+              USING (user_id)
+            GROUP BY 1
+        ),
+        raw_campaign AS (
+            SELECT e.email, p.organization_name,
+                   CASE WHEN coalesce(s.total_spend, 0) <= 0 THEN 'none'
+                        WHEN s.total_spend <= 250 THEN 'low'
+                        WHEN s.total_spend <= 1000 THEN 'mid'
+                        ELSE 'high' END AS revenue_bucket,
+                   coalesce(t.open_t, 0) > 0 AS has_open_tickets
+            FROM raw_emails e
+            LEFT JOIN org_pick p USING (email)
+            LEFT JOIN raw_spend s USING (email)
+            LEFT JOIN raw_tickets t USING (email)
+        ),
+        phone_lanes AS (
+            SELECT email, 0 AS lane, phone AS value FROM rm
+              WHERE phone IS NOT NULL AND phone <> ''
+            UNION ALL SELECT email, 1, main_phone FROM rm
+              WHERE main_phone IS NOT NULL AND main_phone <> ''
+            UNION ALL SELECT email, 2, mobile_phone FROM rm
+              WHERE mobile_phone IS NOT NULL AND mobile_phone <> ''
+            UNION ALL SELECT email, 3, phone FROM rs
+              WHERE phone IS NOT NULL AND phone <> ''
+            UNION ALL SELECT email, 4, shipping_phone FROM rs
+              WHERE shipping_phone IS NOT NULL AND shipping_phone <> ''
+            UNION ALL SELECT email, 5, phone FROM rz
+              WHERE phone IS NOT NULL AND phone <> ''
+        ),
+        ph_first AS (
+            SELECT email, value, min(lane) AS first_lane
+            FROM phone_lanes GROUP BY 1, 2
+        ),
+        raw_all_phones AS (
+            SELECT f.email,
+                   string_agg(f.value, ', ' ORDER BY f.first_lane, f.value)
+                       AS phones,
+                   any_value(s.total_spend) AS total_spend,
+                   coalesce(any_value(t.count_tickets), 0) AS count_tickets
+            FROM ph_first f
+            LEFT JOIN raw_spend s ON s.email = f.email
+            LEFT JOIN raw_tickets t ON t.email = f.email
+            GROUP BY f.email
+        )"""
+    return {
+        "c360_analysis_email_campaign_raw": raw_cte + """
+        SELECT email, organization_name, revenue_bucket, has_open_tickets
+        FROM raw_campaign""",
+        "c360_analysis_all_phones_raw": raw_cte + """
+        SELECT email, phones, total_spend,
+               CAST(count_tickets AS BIGINT) AS count_tickets
+        FROM raw_all_phones""",
+        "c360_analysis_email_campaign_raw_delta": raw_cte + """
+        , c360_camp AS (
+            SELECT best_email AS email,
+                   CASE WHEN coalesce(total_spend, 0) <= 0 THEN 'none'
+                        WHEN total_spend <= 250 THEN 'low'
+                        WHEN total_spend <= 1000 THEN 'mid'
+                        ELSE 'high' END AS c360_bucket,
+                   coalesce(count_open_tickets, 0) > 0
+                       AS c360_has_open_tickets
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY best_email ORDER BY customer360_id) AS rn
+                FROM customer
+                WHERE NOT is_organization_header AND best_email IS NOT NULL
+            ) WHERE rn = 1
+        )
+        SELECT coalesce(r.email, c.email) AS email,
+               CASE WHEN c.email IS NULL THEN 'raw_only'
+                    WHEN r.email IS NULL THEN 'c360_only'
+                    ELSE 'both' END AS status,
+               r.revenue_bucket AS raw_bucket,
+               r.has_open_tickets AS raw_has_open_tickets,
+               c.c360_bucket, c.c360_has_open_tickets,
+               CASE WHEN r.email IS NOT NULL AND c.email IS NOT NULL
+                    THEN r.revenue_bucket = c.c360_bucket END AS bucket_match
+        FROM raw_campaign r FULL OUTER JOIN c360_camp c ON r.email = c.email""",
+        "c360_analysis_all_phones_raw_delta": raw_cte + """
+        , c_ph AS (
+            SELECT customer360_id, value, min("index") AS first_idx
+            FROM att_phone GROUP BY customer360_id, value
+        ),
+        c_ph_agg AS (
+            SELECT customer360_id,
+                   string_agg(value, ', ' ORDER BY first_idx, value) AS phones
+            FROM c_ph GROUP BY customer360_id
+        ),
+        c360_phones AS (
+            SELECT email, phones AS c360_phones FROM (
+                SELECT c.best_email AS email, a.phones,
+                       row_number() OVER (
+                           PARTITION BY c.best_email
+                           ORDER BY c.customer360_id) AS rn
+                FROM c_ph_agg a JOIN customer c
+                  ON c.customer360_id = a.customer360_id
+                WHERE c.best_email IS NOT NULL
+            ) WHERE rn = 1
+        )
+        SELECT coalesce(r.email, c.email) AS email,
+               r.phones AS raw_phones, c.c360_phones,
+               CASE WHEN c.email IS NULL THEN 'raw_only'
+                    WHEN r.email IS NULL THEN 'c360_only'
+                    ELSE 'both' END AS status,
+               CAST(len(string_split(r.phones, ', ')) AS DOUBLE)
+                   AS raw_n_phones,
+               CAST(len(string_split(c.c360_phones, ', ')) AS DOUBLE)
+                   AS c360_n_phones
+        FROM raw_all_phones r FULL OUTER JOIN c360_phones c
+          ON r.email = c.email"""
+    }

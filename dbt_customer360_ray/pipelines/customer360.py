@@ -1932,6 +1932,271 @@ def analysis_metrics_with_all_phones(res: dict[str, pd.DataFrame]) -> pd.DataFra
     return out[keep]
 
 
+def _raw_sources(tables: dict[str, pd.DataFrame]):
+    """Shared raw-lane prep for the *_raw analyses (reference
+    email_campaign_list_raw.sql:11-36, metrics_with_all_phones_raw.sql:11-47):
+    email-bearing rows per source, lower-cased email as the entity key,
+    zendesk end-users joined to their org name, stripe org extracted with the
+    reference's split_part(customer_name, ' (', 1) recipe."""
+    mk = tables["marketo_leads"].copy()
+    st = tables["stripe_customer_overview"].copy()
+    zu = tables["zendesk_users"].copy()
+    zo = tables["zendesk_organizations"]
+
+    mk = mk[mk["email"].notna()].copy()
+    mk["email_l"] = mk["email"].str.lower()
+    mk["inferred_company"] = mk["inferred_company"].replace("", None)
+    st = st[st["email"].notna()].copy()
+    st["email_l"] = st["email"].str.lower()
+    part = st["customer_name"].str.split(" (", regex=False).str[0]
+    st["org_extract"] = part.where(part.notna() & (part != ""), st["customer_name"])
+    zu = zu[(zu["role"] == "end-user") & zu["email"].notna()].copy()
+    zu["email_l"] = zu["email"].str.lower()
+    zu = zu.merge(
+        zo[["organization_id", "name"]].rename(columns={"name": "org_name"}),
+        on="organization_id",
+        how="left",
+    )
+    return mk, st, zu
+
+
+def _raw_entity_metrics(st, zu, tables):
+    """Per-email raw metric attachment (the reference's zendesk_metrics /
+    stripe_metrics CTEs re-keyed through raw ids)."""
+    spend = (
+        st[["customer_id", "email_l"]]
+        .merge(tables["stripe_metrics"], on="customer_id")
+        .groupby("email_l")["total_spend"]
+        .sum()
+    )
+    zt = (
+        zu[["user_id", "email_l"]]
+        .merge(tables["zendesk_metrics"], on="user_id")
+        .groupby("email_l")[["count_tickets", "count_open_tickets"]]
+        .sum()
+    )
+    return spend, zt
+
+
+_RAW_EPOCH = pd.Timestamp("1970-01-01")
+
+
+def analysis_email_campaign_list_raw(tables: dict[str, pd.DataFrame]) -> pd.DataFrame:
+    """Reference analyses_old/elan/email_campaign_list_raw.sql:11-210 — the
+    RAW side of the reference's own conformance pair: entity = lower(email)
+    via the email-only join (map_sources :37-71, no c360 matching), org-name
+    survivorship over the unioned name lanes by (value_count desc, recency
+    desc, is_inferred asc) (:73-160), metrics attached through raw per-source
+    ids, then the SAME revenue bins / open-ticket flag as the _360 twin so
+    the delta isolates what entity resolution adds. Determinism note: the
+    reference's row_number() has no final tiebreak; organization_name ASC is
+    added explicitly here AND in the oracle so both agree bit-for-bit."""
+    mk, st, zu = _raw_sources(tables)
+
+    def lane(df, org_col, seen_col, inferred):
+        out = pd.DataFrame(
+            {
+                "email": df["email_l"],
+                "organization_name": df[org_col],
+                "last_seen": df[seen_col],
+                "is_inferred": inferred,
+            }
+        )
+        return out[
+            out["organization_name"].notna() & (out["organization_name"] != "")
+        ]
+
+    lanes = pd.concat(
+        [
+            lane(mk, "company", "updated_timestamp", False),
+            lane(mk, "inferred_company", "updated_timestamp", True),
+            lane(st, "org_extract", "customer_created_at", False),
+            lane(zu, "org_name", "updated_at", False),
+        ],
+        ignore_index=True,
+    )
+    if len(lanes):
+        lanes["last_seen"] = pd.to_datetime(lanes["last_seen"]).fillna(_RAW_EPOCH)
+        rank = (
+            lanes.groupby(["email", "organization_name"], sort=False)
+            .agg(
+                value_count=("organization_name", "size"),
+                value_last=("last_seen", "max"),
+                inferred=("is_inferred", "min"),
+            )
+            .reset_index()
+            .sort_values(
+                ["email", "value_count", "value_last", "inferred", "organization_name"],
+                ascending=[True, False, False, True, True],
+                kind="stable",
+            )
+        )
+        pick = rank.drop_duplicates("email")[["email", "organization_name"]]
+    else:
+        pick = pd.DataFrame(columns=["email", "organization_name"])
+
+    emails = pd.Index(
+        sorted(set(mk["email_l"]) | set(st["email_l"]) | set(zu["email_l"])),
+        name="email",
+    )
+    spend, zt = _raw_entity_metrics(st, zu, tables)
+    out = pd.DataFrame(index=emails).reset_index()
+    out = out.merge(pick, on="email", how="left")
+    out["total_spend"] = out["email"].map(spend).fillna(0.0)
+    out["revenue_bucket"] = pd.cut(
+        out["total_spend"],
+        bins=[-0.01, 0, 250, 1000, float("inf")],
+        labels=["none", "low", "mid", "high"],
+    ).astype(str)
+    out["has_open_tickets"] = (
+        out["email"].map(zt["count_open_tickets"]).fillna(0) > 0
+    )
+    return out[
+        ["email", "organization_name", "revenue_bucket", "has_open_tickets"]
+    ].reset_index(drop=True)
+
+
+def analysis_email_campaign_raw_delta(
+    res: dict[str, pd.DataFrame], tables: dict[str, pd.DataFrame]
+) -> pd.DataFrame:
+    """The reference's conformance-check pattern (email_campaign_list_raw.sql
+    vs _360.sql compared by hand): raw-source answer ⟗ customer360 answer by
+    email — which entities only one side found, and whether the revenue
+    bucket agrees where both did. The 360 side dedups shared best_emails by
+    min customer360_id (deterministic)."""
+    raw = analysis_email_campaign_list_raw(tables).rename(
+        columns={"revenue_bucket": "raw_bucket",
+                 "has_open_tickets": "raw_has_open_tickets"}
+    )
+    c360 = analysis_email_campaign_list(res)
+    c360 = (
+        c360.sort_values(["best_email", "customer360_id"], kind="stable")
+        .drop_duplicates("best_email")
+        .rename(
+            columns={
+                "best_email": "email",
+                "revenue_bucket": "c360_bucket",
+                "has_open_tickets": "c360_has_open_tickets",
+            }
+        )[["email", "c360_bucket", "c360_has_open_tickets"]]
+    )
+    out = raw[["email", "raw_bucket", "raw_has_open_tickets"]].merge(
+        c360, on="email", how="outer", indicator=True
+    )
+    out["status"] = (
+        out["_merge"]
+        .map({"left_only": "raw_only", "right_only": "c360_only", "both": "both"})
+        .astype(str)
+    )
+    both = out["_merge"] == "both"
+    # object dtype with True/False/None: what DuckDB's nullable BOOLEAN
+    # round-trips to in pandas, so engine and oracle hash identically
+    out["bucket_match"] = np.array(
+        [
+            (a == b) if m else None
+            for a, b, m in zip(out["raw_bucket"], out["c360_bucket"], both)
+        ],
+        dtype=object,
+    )
+    return (
+        out.drop(columns="_merge")
+        .sort_values("email", kind="stable")
+        .reset_index(drop=True)
+    )
+
+
+_RAW_PHONE_LANES = [
+    ("marketo_leads", "phone", 0),
+    ("marketo_leads", "main_phone", 1),
+    ("marketo_leads", "mobile_phone", 2),
+    ("stripe_customer_overview", "phone", 3),
+    ("stripe_customer_overview", "shipping_phone", 4),
+    ("zendesk_users", "phone", 5),
+]
+
+
+def analysis_metrics_with_all_phones_raw(tables: dict[str, pd.DataFrame]) -> pd.DataFrame:
+    """Reference analyses_old/elan/metrics_with_all_phones_raw.sql:11-573 —
+    every RAW phone string per email entity (UNNORMALIZED, exactly as stored:
+    the '(555) 123', '555.123 ext 7' and bare-digit spellings stay distinct —
+    that formatting blindness versus the _360 twin's normalized best/all
+    phones is the conformance content), with the raw-id-keyed metrics. Phone
+    order: first source lane that carried the value, then value ASC — stated
+    explicitly (reference leaves aggregation order undefined) so engine and
+    oracle agree."""
+    mk, st, zu = _raw_sources(tables)
+    src = {"marketo_leads": mk, "stripe_customer_overview": st, "zendesk_users": zu}
+    lanes = []
+    for tname, col, lane_idx in _RAW_PHONE_LANES:
+        df = src[tname]
+        vals = pd.DataFrame(
+            {"email": df["email_l"], "value": df[col], "lane": lane_idx}
+        )
+        lanes.append(vals[vals["value"].notna() & (vals["value"] != "")])
+    ph = pd.concat(lanes, ignore_index=True)
+    if not len(ph):
+        return pd.DataFrame(
+            columns=["email", "phones", "total_spend", "count_tickets"]
+        )
+    first = (
+        ph.groupby(["email", "value"], sort=False)["lane"].min().reset_index()
+    )
+    agg = (
+        first.sort_values(["email", "lane", "value"], kind="stable")
+        .groupby("email", sort=True)["value"]
+        .agg(", ".join)
+        .rename("phones")
+        .reset_index()
+    )
+    spend, zt = _raw_entity_metrics(st, zu, tables)
+    agg["total_spend"] = agg["email"].map(spend)
+    agg["count_tickets"] = (
+        agg["email"].map(zt["count_tickets"]).fillna(0).astype(np.int64)
+    )
+    return agg.reset_index(drop=True)
+
+
+def analysis_all_phones_raw_delta(
+    res: dict[str, pd.DataFrame], tables: dict[str, pd.DataFrame]
+) -> pd.DataFrame:
+    """Conformance delta for the phones pair: per email, how many distinct
+    phone spellings the raw side carries vs how many normalized numbers the
+    customer360 side resolved (n_phones counts the ', '-joined lists), plus
+    which side found the entity at all. 360 rows without a best_email cannot
+    key by email and are excluded (stated; the raw side has no such rows by
+    construction)."""
+    raw = analysis_metrics_with_all_phones_raw(tables)
+    c360 = analysis_metrics_with_all_phones(res)
+    c360 = c360[c360["best_email"].notna()]
+    c360 = (
+        c360.sort_values(["best_email", "customer360_id"], kind="stable")
+        .drop_duplicates("best_email")
+        .rename(columns={"best_email": "email", "phones": "c360_phones"})
+    )
+    out = raw[["email", "phones"]].rename(columns={"phones": "raw_phones"}).merge(
+        c360[["email", "c360_phones"]], on="email", how="outer", indicator=True
+    )
+    out["status"] = (
+        out["_merge"]
+        .map({"left_only": "raw_only", "right_only": "c360_only", "both": "both"})
+        .astype(str)
+    )
+
+    def n_of(s):
+        return pd.array(
+            [len(v.split(", ")) if isinstance(v, str) else None for v in s],
+            dtype="Int64",
+        )
+
+    out["raw_n_phones"] = n_of(out["raw_phones"])
+    out["c360_n_phones"] = n_of(out["c360_phones"])
+    return (
+        out.drop(columns="_merge")
+        .sort_values("email", kind="stable")
+        .reset_index(drop=True)
+    )
+
+
 def date_spine(start, end, freq: str = "MS") -> pd.DataFrame:
     """dbt_utils.date_spine equivalent (analyses_old/drafts/
     monthly_metrics_customer360.sql:3-8)."""
