@@ -331,7 +331,7 @@ def run_bench() -> dict:
     }
 
 
-def run_scaling(target: float = 0.8, max_extra_rounds: int = 4) -> dict:
+def run_scaling(n_pairs: int = 5) -> dict:
     """Two-parallelism-level scaling evidence: the enriched CDC replay in
     FRESH processes at N and 4N cpus over the same fixture.
 
@@ -339,13 +339,12 @@ def run_scaling(target: float = 0.8, max_extra_rounds: int = 4) -> dict:
     co-tenant contention — identical runs swing 2-4x; BASELINE.md
     microbenchmarks), so min-of-N per level is the honest estimator of each
     level's true cost, and the efficiency from those mins converges to the
-    true efficiency as N grows. Protocol: best-of-3 per level, lo/hi runs
-    INTERLEAVED so one bad host phase can't poison a whole level; if the
-    computed efficiency still lands under `target` (a noise artifact — the
-    engine's idle-host curve is 0.98-1.11, BASELINE.md), add up to
-    `max_extra_rounds` more interleaved pairs at BOTH levels (symmetric, so
-    the retry cannot bias the ratio) and keep the per-level mins. All raw
-    samples are recorded in the output for auditability.
+    true efficiency as N grows. Protocol: a FIXED ``n_pairs`` interleaved
+    lo/hi pairs decided up front — the count never depends on the interim
+    efficiency, so the recorded ratio is not conditioned on any pass/fail
+    threshold (the r3 advice: the previous retry-while-below-target rule,
+    though symmetric, was a stopping rule keyed to the reported statistic).
+    All raw samples are recorded in the output for auditability.
     """
 
     def run(ncpu: int) -> dict:
@@ -380,22 +379,11 @@ def run_scaling(target: float = 0.8, max_extra_rounds: int = 4) -> dict:
     lo_runs: list[dict] = []
     hi_runs: list[dict] = []
 
-    def pair() -> None:
+    for _ in range(n_pairs):  # fixed count, decided up front — never adaptive
         hi_runs.append(run(hi_n))
         lo_runs.append(run(lo_n))
-
-    def eff_now() -> tuple[dict, dict, float]:
-        lo, hi = min(lo_runs, key=sec), min(hi_runs, key=sec)
-        return lo, hi, (sec(lo) / sec(hi)) / (hi_n / lo_n)
-
-    for _ in range(3):
-        pair()
-    lo, hi, eff = eff_now()
-    extra = 0
-    while eff < target and extra < max_extra_rounds:
-        extra += 1
-        pair()
-        lo, hi, eff = eff_now()
+    lo, hi = min(lo_runs, key=sec), min(hi_runs, key=sec)
+    eff = (sec(lo) / sec(hi)) / (hi_n / lo_n)
     return {
         "metric": "scaling_efficiency_cdc_replay",
         "num_cpus_lo": lo_n,
@@ -413,10 +401,12 @@ def run_scaling(target: float = 0.8, max_extra_rounds: int = 4) -> dict:
         "all_sec_hi": [round(sec(r), 3) for r in hi_runs],
         "sf": lo["sf"],
         "protocol": (
-            "min-of-N per level, lo/hi interleaved, symmetric retries while "
-            f"eff<{target}; this VM's hypervisor noise only slows runs "
-            "(idle-host curve 0.98-1.11 and memory-bandwidth microbenchmarks "
-            "in BASELINE.md), so per-level mins are the consistent estimator"
+            f"FIXED {n_pairs} interleaved lo/hi pairs decided up front (no "
+            "adaptive stopping — the recorded ratio is never conditioned on "
+            "a pass/fail threshold), min-of-N per level; this VM's "
+            "hypervisor noise only slows runs (idle-host curve 0.98-1.11 "
+            "and memory-bandwidth microbenchmarks in BASELINE.md), so "
+            "per-level mins are the consistent estimator"
         ),
     }
 

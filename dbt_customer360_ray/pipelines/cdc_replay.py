@@ -380,8 +380,21 @@ def redriven_lake(sf: float = 0.01):
         max_off = _max_offset(fx["paths"])
 
         def fix(rows: pa.Table) -> pa.Table:
-            df = rows.to_pandas().sort_values("offset", kind="stable")
-            df = df.drop_duplicates("offset", keep="first")
+            # EXPLICIT delivery-order tiebreak (r3 advice): DLQ files concat
+            # in manifest (epoch) order with in-file row order preserved, so
+            # the positional index IS the (epoch, file_rn) delivery key the
+            # oracle's row_number() keeps. Duplicate deliveries are NOT
+            # byte-identical — a redelivery after additive evolution carries
+            # the new column (tool) where the first delivery has NULL — so
+            # keep-first must be pinned to delivery order, not left to
+            # incidental sort stability.
+            df = rows.to_pandas()
+            df["_delivery_rank"] = np.arange(len(df), dtype=np.int64)
+            df = (
+                df.sort_values(["offset", "_delivery_rank"], kind="stable")
+                .drop_duplicates("offset", keep="first")
+                .drop(columns="_delivery_rank")
+            )
             df["offset"] = max_off + 1 + np.arange(len(df), dtype=np.int64)
             return pa.Table.from_pandas(df, preserve_index=False)
 
@@ -973,6 +986,32 @@ def _gapped_epoch_path(src: str) -> str:
     return dst
 
 
+
+def _gap_audit_paths(fx: dict) -> list[str]:
+    """Epoch paths with the gap planted into epoch min(1, last) — derived
+    from len(fx["paths"]) instead of hard-coding indices 2/3, so the audit
+    works at any epoch count (changes_fixture defaults to 2 epochs at
+    sf >= 1; the r3 advice flagged the IndexError)."""
+    paths = list(fx["paths"])
+    gi = min(1, len(paths) - 1)
+    paths[gi] = _gapped_epoch_path(paths[gi])
+    return paths
+
+
+def _widened_paths(fx: dict) -> list[tuple[str, bool | None]]:
+    """(path, score_arm) per epoch for the type-widening fixture: the LAST
+    two epochs carry the planted score column (narrow int32 then wide
+    int64); earlier epochs have none. Derived from the epoch count (same
+    advice as _gap_audit_paths); a single-epoch fixture gets the wide arm
+    only."""
+    paths = list(fx["paths"])
+    out: list[tuple[str, bool | None]] = [(p, None) for p in paths]
+    if len(paths) >= 2:
+        out[-2] = (_score_epoch_path(paths[-2], wide=False), False)
+    out[-1] = (_score_epoch_path(paths[-1], wide=True), True)
+    return out
+
+
 def offset_gap_report(sf: float = 0.01, target_buckets: int = 64):
     """Offset sequence-gap audit over the change stream — the ingest monitor
     that catches LOST events (a binlog tailer that skipped a range) before
@@ -992,12 +1031,7 @@ def offset_gap_report(sf: float = 0.01, target_buckets: int = 64):
     import ray.data
 
     fx = changes_fixture(sf)
-    paths = [
-        fx["paths"][0],
-        _gapped_epoch_path(fx["paths"][1]),
-        fx["paths"][2],
-        fx["paths"][3],
-    ]
+    paths = _gap_audit_paths(fx)
     max_off = _max_offset(paths)
     width = max(1, (max_off + target_buckets) // target_buckets)
     B = max_off // width + 1
@@ -1066,12 +1100,7 @@ def offset_gap_report(sf: float = 0.01, target_buckets: int = 64):
 def offset_gap_oracle_sql(sf: float = 0.01) -> str:
     """Oracle: distinct offsets, lag adjacency, every diff > 1 is a gap."""
     fx = changes_fixture(sf)
-    paths = [
-        fx["paths"][0],
-        _gapped_epoch_path(fx["paths"][1]),
-        fx["paths"][2],
-        fx["paths"][3],
-    ]
+    paths = _gap_audit_paths(fx)
     union = "\n            UNION ALL\n            ".join(
         f"SELECT \"offset\" FROM read_parquet('{p}')" for p in paths
     )
@@ -1127,13 +1156,7 @@ def widened_lake(sf: float = 0.01):
         fx = changes_fixture(sf)
         root = tempfile.mkdtemp(prefix=f"cdc-widened-sf{sf}-")
         lake = CdcLake(os.path.join(root, "lake"), num_partitions=32)
-        paths = [
-            fx["paths"][0],
-            fx["paths"][1],
-            _score_epoch_path(fx["paths"][2], wide=False),
-            _score_epoch_path(fx["paths"][3], wide=True),
-        ]
-        for p in paths:
+        for p, _arm in _widened_paths(fx):
             lake.apply(p)
         import pyarrow as pa
 
@@ -1149,10 +1172,8 @@ def widened_oracle_sql(sf: float = 0.01) -> str:
     widened engine read must equal the always-wide relational answer)."""
     fx = changes_fixture(sf)
     paths = [
-        (fx["paths"][0], "CAST(NULL AS BIGINT)"),
-        (fx["paths"][1], "CAST(NULL AS BIGINT)"),
-        (_score_epoch_path(fx["paths"][2], wide=False), "CAST(score AS BIGINT)"),
-        (_score_epoch_path(fx["paths"][3], wide=True), "CAST(score AS BIGINT)"),
+        (p, "CAST(NULL AS BIGINT)" if arm is None else "CAST(score AS BIGINT)")
+        for p, arm in _widened_paths(fx)
     ]
     selects = []
     for i, (p, expr) in enumerate(paths):
@@ -2743,10 +2764,12 @@ def late_event_report(sf: float = 0.01, lag_s: int = WATERMARK_LAG_S):
     — LWW keys on (ts, offset) — this is the monitoring signal a streaming
     deployment alerts on before lateness silently reorders winners.)
 
-    Shape: pass 1 computes each epoch's max ts as a distributed ``Dataset.max``
-    over a ts-only pruned read; pass 2 tags lateness per batch against the
-    scalar watermark and folds per-block (n, late) partials. Driver holds only
-    O(epochs) rows. Returns (epoch, events_in, late_events, watermark)."""
+    Shape: pass 1 reads each epoch's max ts from parquet FOOTER statistics
+    (``_epoch_ts_maxes`` — zero data rows read; falls back to a ts-only
+    pruned scan when a footer lacks min/max); pass 2 tags lateness per batch
+    against the scalar watermark and folds per-block (n, late) partials.
+    Driver holds only O(epochs) rows. Returns (epoch, events_in,
+    late_events, watermark)."""
     import numpy as np
     import pyarrow as pa
     import ray.data
@@ -2849,8 +2872,9 @@ def watermarked_sessions(
     emit it, after which nothing can extend it. ``finalized_epoch`` is NULL
     for sessions still open at stream end.
 
-    Shape: per-epoch max ts via distributed ``Dataset.max`` (O(epochs) driver
-    scalars), then ONE conv-bucketed split→fold task exchange carrying only
+    Shape: per-epoch max ts from parquet footer statistics
+    (``_epoch_ts_maxes``, O(epochs) driver scalars, zero data rows read),
+    then ONE conv-bucketed split→fold task exchange carrying only
     (offset, conv_id, ts, epoch) — dedup, admission, islands, per-session
     aggregates and the searchsorted finalization all happen inside the
     bucket's fold task."""
@@ -2904,8 +2928,15 @@ def watermarked_sessions(
         df = pa.concat_tables(parts).to_pandas()
         if not len(df):
             return empty
-        # exactly-once grain: first delivery per offset (duplicate deliveries
-        # carry identical payloads; admission uses the FIRST arrival's epoch)
+        # exactly-once grain: first delivery per offset; admission uses the
+        # FIRST arrival's epoch. Duplicate deliveries must be identical
+        # redeliveries — asserted (r3 advice: the oracle's min-per-column
+        # pick coincides with keep-first only under this invariant)
+        dup = df[df.duplicated("offset", keep=False)]
+        if len(dup):
+            assert dup.drop_duplicates(["offset", "conv_id", "ts"])[
+                "offset"
+            ].is_unique, "divergent duplicate deliveries"
         df = df.sort_values(["offset", "epoch"], kind="stable").drop_duplicates(
             "offset", keep="first"
         )
