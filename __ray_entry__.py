@@ -967,6 +967,28 @@ def _bfs_hops_lsh_embeddings(sf_dir: str):
     return bfs_hops(ds, k=5, max_hops=3, seed_permille=40, edges=edges)
 
 
+def _triangle_stats_lsh_embeddings(sf_dir: str):
+    """Triangle count + clustering coefficient over the BUCKETED approximate
+    k-NN graph (edges= composition; the at-scale graph shape)."""
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.similarity import knn_graph_lsh, triangle_stats
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return triangle_stats(ds, k=5, edges=knn_graph_lsh(ds, k=5, dim=64))
+
+
+def _label_propagated_lsh_embeddings(sf_dir: str):
+    """Seed-label propagation over the BUCKETED approximate k-NN graph."""
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.similarity import knn_graph_lsh, label_propagate
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    edges = knn_graph_lsh(
+        ds.select_columns(["vec_id", "embedding"]), k=5, dim=64
+    )
+    return label_propagate(ds, k=5, edges=edges)
+
+
 def _semantic_decontaminate_embeddings(sf_dir: str):
     """Embedding-space decontamination: the md5-permille test split plays the
     benchmark set (broadcast once), one map-only matmul pass flags training
@@ -1560,6 +1582,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["knn_graph_embeddings"] = _knn_graph_embeddings
     out["knn_graph_lsh_embeddings"] = _knn_graph_lsh_embeddings
     out["bfs_hops_lsh_embeddings"] = _bfs_hops_lsh_embeddings
+    out["triangle_stats_lsh_embeddings"] = _triangle_stats_lsh_embeddings
+    out["label_propagated_lsh_embeddings"] = _label_propagated_lsh_embeddings
     out["hard_negatives_embeddings"] = _hard_negatives_embeddings
     out["semantic_decontaminate_embeddings"] = _semantic_decontaminate_embeddings
     out["label_propagated_embeddings"] = _label_propagated_embeddings
@@ -1692,6 +1716,11 @@ def oracle_sql() -> dict[str, str]:
     out["label_propagated_embeddings"] = label_propagate_oracle_sql(
         "embeddings", k=5
     )
+    from dbt_customer360_ray.stages.similarity import knn_graph_lsh_oracle_sql as _lsh_sql
+
+    out["label_propagated_lsh_embeddings"] = label_propagate_oracle_sql(
+        "embeddings", k=5, knn_sql=_lsh_sql("embeddings", k=5, dim=64)
+    )
     from dbt_customer360_ray.stages.similarity import pagerank_oracle_sql
 
     out["pagerank_embeddings"] = pagerank_oracle_sql("embeddings", k=5, iters=3)
@@ -1705,6 +1734,10 @@ def oracle_sql() -> dict[str, str]:
     )
     out["bfs_hops_lsh_embeddings"] = bfs_hops_oracle_sql(
         "embeddings", k=5, max_hops=3, seed_permille=40,
+        knn_sql=knn_graph_lsh_oracle_sql("embeddings", k=5, dim=64),
+    )
+    out["triangle_stats_lsh_embeddings"] = triangle_stats_oracle_sql(
+        "embeddings", k=5,
         knn_sql=knn_graph_lsh_oracle_sql("embeddings", k=5, dim=64),
     )
     out["triangle_stats_embeddings"] = triangle_stats_oracle_sql("embeddings", k=5)

@@ -1394,13 +1394,15 @@ def label_propagate_oracle_sql(
     label_col: str = "label",
     salt: str = "lp",
     numeric: bool = True,
+    knn_sql: str | None = None,
 ) -> str:
-    """DuckDB mirror of ``label_propagate`` over the same knn-graph SQL.
+    """DuckDB mirror of ``label_propagate`` over the same knn-graph SQL
+    (``knn_sql`` swaps in e.g. the LSH edge-table SQL).
     ``numeric`` pins the propagated column to DOUBLE (the nullable dtype the
     Python side emits for numeric labels); pass False for string labels."""
     from .sampling import _permille_sql
 
-    knn = knn_graph_oracle_sql(table, k=k, id_col=id_col)
+    knn = knn_sql or knn_graph_oracle_sql(table, k=k, id_col=id_col)
     out_type = "DOUBLE" if numeric else "VARCHAR"
     return f"""
         WITH knn AS ({knn}),
@@ -1970,11 +1972,14 @@ def triangle_stats(
 
 
 def triangle_stats_oracle_sql(
-    table: str = "embeddings", k: int = 5, id_col: str = "vec_id"
+    table: str = "embeddings", k: int = 5, id_col: str = "vec_id",
+    knn_sql: str | None = None,
 ) -> str:
     """DuckDB mirror of ``triangle_stats`` (wedge ⋈ edge closure, permille
-    floor-division clustering coefficient)."""
-    knn = knn_graph_oracle_sql(table, k=k, id_col=id_col)
+    floor-division clustering coefficient). ``knn_sql`` swaps in a different
+    edge-table SQL (e.g. ``knn_graph_lsh_oracle_sql`` to mirror
+    ``triangle_stats(edges=knn_graph_lsh(…))``)."""
+    knn = knn_sql or knn_graph_oracle_sql(table, k=k, id_col=id_col)
     return f"""
         WITH knn AS ({knn}),
         und AS (
