@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "dsir_selected_documents",
     "bm25_topk_documents",
     "knn_graph_embeddings",
+    "knn_graph_lsh_embeddings",
+    "bfs_hops_lsh_embeddings",
     "hard_negatives_embeddings",
     "semantic_decontaminate_embeddings",
     "nb_classified_documents",

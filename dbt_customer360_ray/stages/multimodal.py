@@ -2,11 +2,14 @@
 with typed metadata, processed by actor-pool map_batches stages.
 
 The Ray-side plumbing (schemas, batch sizing, actor signatures, output layout)
-is real and tested; the codec kernels themselves are STUBS behind
-``DecodeBackend`` because no image/audio libraries exist in this container —
-``FakeDecodeBackend`` produces deterministic arrays so the distributed path is
-exercised end to end, and a real backend (PIL/ffmpeg/torchvision) drops in by
-implementing the same two methods.
+is real and tested, and each media kind has a REAL no-new-dependency codec for
+its standard uncompressed container: ``WavBackend`` (PCM WAV audio),
+``BmpBackend`` (24-bit BMP images), ``Y4mBackend`` (YUV4MPEG2 video) — all
+pure stdlib/numpy, each with an ``encode_*`` synthesis half and actor-pool
+round-trip tests. Compressed formats (JPEG/MP3/H.264) still need an external
+backend (PIL/ffmpeg/torchvision) dropped in behind the same ``DecodeBackend``
+methods; ``FakeDecodeBackend`` stays the md5-chain fixture that makes the
+distributed feature pipelines bit-exactly SQL-oracle-able.
 
 Scale notes: binary payloads make rows wide — keep ``batch_size`` small
 (default 32) and let block sizing follow ``DataContext.target_max_block_size``;
@@ -119,6 +122,146 @@ class WavBackend(DecodeBackend):
         if ch > 1:
             x = x.reshape(-1, ch).mean(axis=1)
         return x.astype(np.float32)
+
+
+class BmpBackend(DecodeBackend):
+    """REAL image codec for uncompressed 24-bit BMP containers — pure
+    numpy/struct, no new dependencies. Returns (H, W, 3) uint8 RGB, the same
+    contract as ``FakeDecodeBackend.decode_image``, so ``ImageFeatures`` and
+    the actor-pool pipeline run unchanged over real bytes. Handles the
+    classic BITMAPINFOHEADER layout: bottom-up OR top-down (negative height)
+    row order, 4-byte row padding, BGR channel order."""
+
+    def decode_image(self, payload: bytes) -> np.ndarray:
+        import struct
+
+        if payload[:2] != b"BM":
+            raise ValueError("not a BMP container (missing 'BM' magic)")
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if bpp != 24 or compression != 0:
+            raise ValueError(
+                f"unsupported BMP: {bpp}-bit, compression={compression} "
+                "(only uncompressed 24-bit is decoded)"
+            )
+        top_down = h < 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if not top_down:
+            rows = rows[::-1]
+        return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_bmp24(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → real uncompressed 24-bit BMP bytes (bottom-up,
+    padded rows): the synthesis half used by tests/fixtures to exercise
+    ``BmpBackend`` against genuine containers."""
+    import struct
+
+    img = np.asarray(img, np.uint8)
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), np.uint8)
+    body[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # RGB → BGR, flip
+    pixels = body.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels),
+                       2835, 2835, 0, 0)
+    return header + info + pixels
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """BT.601 limited-range YCbCr → RGB, integer arithmetic (the standard
+    298/409/516 fixed-point recipe) with clipping — deterministic across
+    platforms, no float rounding ambiguity."""
+    c = y.astype(np.int32) - 16
+    d = cb.astype(np.int32) - 128
+    e = cr.astype(np.int32) - 128
+    r = (298 * c + 409 * e + 128) >> 8
+    g = (298 * c - 100 * d - 208 * e + 128) >> 8
+    b = (298 * c + 516 * d + 128) >> 8
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+class Y4mBackend(DecodeBackend):
+    """REAL video codec for YUV4MPEG2 (.y4m) containers — the standard
+    uncompressed interchange format, pure numpy parsing. Returns
+    (F, H, W, 3) uint8 RGB frames (same contract as
+    ``FakeDecodeBackend.decode_video``, so ``VideoFeatures`` and its
+    frame-sampling actor pool run unchanged over real bytes). Supports the
+    C420 family (chroma nearest-neighbour upsampled) and C444; BT.601
+    limited-range conversion via ``_ycbcr_to_rgb``."""
+
+    def decode_video(self, payload: bytes) -> np.ndarray:
+        nl = payload.index(b"\n")
+        header = payload[:nl].decode("ascii", "replace").split(" ")
+        if header[0] != "YUV4MPEG2":
+            raise ValueError("not a YUV4MPEG2 container")
+        w = h = None
+        cs = "420"
+        for tok in header[1:]:
+            if tok.startswith("W"):
+                w = int(tok[1:])
+            elif tok.startswith("H"):
+                h = int(tok[1:])
+            elif tok.startswith("C"):
+                cs = tok[1:]
+        if not w or not h:
+            raise ValueError("YUV4MPEG2 header missing W/H")
+        if cs.startswith("420"):
+            cw, ch = w // 2, h // 2
+        elif cs.startswith("444"):
+            cw, ch = w, h
+        else:
+            raise ValueError(f"unsupported Y4M colorspace C{cs}")
+        ysz, csz = w * h, cw * ch
+        frames = []
+        pos = nl + 1
+        while pos < len(payload):
+            fnl = payload.index(b"\n", pos)  # FRAME parameter line
+            if not payload[pos:fnl].startswith(b"FRAME"):
+                raise ValueError("malformed Y4M frame marker")
+            pos = fnl + 1
+            buf = np.frombuffer(payload, np.uint8, ysz + 2 * csz, pos)
+            pos += ysz + 2 * csz
+            y = buf[:ysz].reshape(h, w)
+            cb = buf[ysz : ysz + csz].reshape(ch, cw)
+            cr = buf[ysz + csz :].reshape(ch, cw)
+            if cw != w:  # 4:2:0 → nearest-neighbour upsample
+                cb = cb.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+                cr = cr.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+            frames.append(_ycbcr_to_rgb(y, cb, cr))
+        return np.stack(frames) if frames else np.zeros((0, h, w, 3), np.uint8)
+
+
+def encode_y4m(frames: np.ndarray, colorspace: str = "444") -> bytes:
+    """(F, H, W, 3) uint8 RGB → real YUV4MPEG2 bytes (BT.601 limited-range
+    forward transform; C444 by default so decode∘encode is within ±2 of the
+    source — the rounding of the fixed-point pair, no chroma loss). The
+    synthesis half for tests/fixtures exercising ``Y4mBackend``."""
+    frames = np.asarray(frames, np.uint8)
+    f, h, w = frames.shape[:3]
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C{colorspace}\n".encode()]
+    for i in range(f):
+        r = frames[i, :, :, 0].astype(np.int32)
+        g = frames[i, :, :, 1].astype(np.int32)
+        b = frames[i, :, :, 2].astype(np.int32)
+        y = ((66 * r + 129 * g + 25 * b + 128) >> 8) + 16
+        cb = ((-38 * r - 74 * g + 112 * b + 128) >> 8) + 128
+        cr = ((112 * r - 94 * g - 18 * b + 128) >> 8) + 128
+        if colorspace.startswith("420"):
+            cb = cb[::2, ::2]
+            cr = cr[::2, ::2]
+        out.append(b"FRAME\n")
+        out.append(np.clip(y, 0, 255).astype(np.uint8).tobytes())
+        out.append(np.clip(cb, 0, 255).astype(np.uint8).tobytes())
+        out.append(np.clip(cr, 0, 255).astype(np.uint8).tobytes())
+    return b"".join(out)
 
 
 def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 16000) -> bytes:

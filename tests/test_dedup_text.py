@@ -959,3 +959,117 @@ def test_wav_backend_widths_and_channels():
     st = np.array([1000, 3000, -2000, 4000], dtype="<i2").tobytes()
     got_st = be.decode_audio(wav_bytes(st, 2, 2))
     assert np.allclose(got_st, [2000 / 32768, 1000 / 32768], atol=1e-6)
+
+
+def test_bmp_backend_decodes_real_bmp_through_actor_pool(ray_session):
+    """A REAL uncompressed 24-bit BMP container round-trips through the full
+    image_features actor-pool pipeline: per-channel means match the source
+    pixels exactly (BGR order, bottom-up rows and 4-byte padding all handled
+    — width 5 forces a padded stride)."""
+    import ray.data
+
+    from dbt_customer360_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        BmpBackend,
+        encode_bmp24,
+        image_features,
+    )
+
+    rng = np.random.default_rng(41)
+    imgs = {0: rng.integers(0, 256, (4, 5, 3), np.uint8),
+            1: rng.integers(0, 256, (16, 16, 3), np.uint8)}
+    # decode round-trip is exact
+    be = BmpBackend()
+    for img in imgs.values():
+        assert (be.decode_image(encode_bmp24(img)) == img).all()
+
+    rows = pa.table(
+        {
+            "media_id": pa.array(list(imgs), pa.int64()),
+            "kind": pa.array(["image"] * 2, pa.string()),
+            "payload": pa.array(
+                [encode_bmp24(v) for v in imgs.values()], pa.binary()
+            ),
+            "mime": pa.array(["image/bmp"] * 2, pa.string()),
+            "width": pa.array([5, 16], pa.int32()),
+            "height": pa.array([4, 16], pa.int32()),
+            "duration_ms": pa.array([None] * 2, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    got = (
+        image_features(ray.data.from_arrow(rows), backend=BmpBackend())
+        .to_pandas()
+        .set_index("media_id")
+    )
+    for mid, img in imgs.items():
+        want = img.reshape(-1, 3).mean(axis=0)
+        assert np.allclose(
+            got.loc[mid, ["mean_r", "mean_g", "mean_b"]].to_numpy(float), want
+        )
+
+
+def test_bmp_backend_top_down_and_unsupported():
+    import struct
+
+    from dbt_customer360_ray.stages.multimodal import BmpBackend, encode_bmp24
+
+    be = BmpBackend()
+    img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    buf = bytearray(encode_bmp24(img))
+    # flip to top-down: negate height, reverse the (unpadded 2x2) pixel rows
+    struct.pack_into("<i", buf, 22, -2)
+    rows = np.frombuffer(bytes(buf[54:]), np.uint8).reshape(2, -1)
+    flipped = rows[::-1].copy()
+    got = be.decode_image(bytes(buf[:54]) + flipped.tobytes())
+    assert (got == img).all()
+    with pytest.raises(ValueError, match="magic"):
+        be.decode_image(b"XX" + bytes(buf[2:]))
+
+
+def test_y4m_backend_decodes_real_video_through_actor_pool(ray_session):
+    """A REAL YUV4MPEG2 container (C444 + C420) through the frame-sampling
+    video_features actor pool: frame count matches the stride sampling, and
+    channel means track the source frames within fixed-point rounding."""
+    import ray.data
+
+    from dbt_customer360_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        Y4mBackend,
+        encode_y4m,
+        video_features,
+    )
+
+    rng = np.random.default_rng(43)
+    vid = rng.integers(0, 256, (7, 8, 8, 3), np.uint8)
+    be = Y4mBackend()
+    # C444 decode∘encode is within the fixed-point rounding band
+    got444 = be.decode_video(encode_y4m(vid, "444"))
+    assert got444.shape == vid.shape
+    assert np.abs(got444.astype(int) - vid.astype(int)).max() <= 3
+    # C420 parses and upsamples (lossy chroma — shape contract only)
+    got420 = be.decode_video(encode_y4m(vid, "420"))
+    assert got420.shape == vid.shape
+
+    rows = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "kind": pa.array(["video"], pa.string()),
+            "payload": pa.array([encode_y4m(vid, "444")], pa.binary()),
+            "mime": pa.array(["video/x-yuv4mpeg"], pa.string()),
+            "width": pa.array([8], pa.int32()),
+            "height": pa.array([8], pa.int32()),
+            "duration_ms": pa.array([280], pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    got = (
+        video_features(ray.data.from_arrow(rows), backend=Y4mBackend(), stride=3)
+        .to_pandas()
+        .iloc[0]
+    )
+    assert got["n_frames_sampled"] == 3  # frames 0, 3, 6 of 7
+    want = vid[::3].reshape(-1, 3).mean(axis=0)
+    assert np.allclose(
+        got[["mean_r", "mean_g", "mean_b"]].to_numpy(float), want, atol=2.0
+    )
