@@ -46,7 +46,12 @@ def _word_counts(ds, text_col: str) -> pd.Series:
         vc = flat.to_pandas().value_counts()
         return pd.DataFrame({"word": vc.index, "n": vc.to_numpy(np.int64)})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    from ..blocks import sum_kernel, tree_reduce
+
+    parts = tree_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        sum_kernel(["word"], ["n"]),
+    ).to_pandas()
     return parts.groupby("word", sort=True)["n"].sum()
 
 

@@ -940,16 +940,22 @@ def lsh_tiles(
         concurrency=(1, 8),
     ).materialize()  # consumed twice: count pre-pass + tile shuffle
 
-    # bucket-size pre-pass: per-batch partial counts → tiny driver combine
-    # (the gkey domain is num_tables * 2^num_bits, constant in N)
+    # bucket-size pre-pass: per-batch partial counts tree-merged worker-side
+    # (the gkey domain is num_tables * 2^num_bits, constant in N — but the
+    # per-batch partial count is O(#batches x domain), so the merge must not
+    # land on the driver wholesale)
+    from ..blocks import sum_kernel, tree_reduce
+
     counts = (
-        bucketed.map_batches(
-            lambda df: df.groupby("gkey").size().rename("n").reset_index(),
-            batch_format="pandas",
+        tree_reduce(
+            bucketed.map_batches(
+                lambda df: df.groupby("gkey").size().rename("n").reset_index(),
+                batch_format="pandas",
+            ),
+            sum_kernel(["gkey"], ["n"]),
         )
         .to_pandas()
-        .groupby("gkey")["n"]
-        .sum()
+        .set_index("gkey")["n"]
     )
     splits = {
         int(g): int(-(-n // tile_rows))

@@ -103,12 +103,14 @@ def dsir_select(
         out = pd.DataFrame({"bucket": bucket, "t": is_t.astype(np.int64), "r": 1})
         return out.groupby("bucket", as_index=False).sum()
 
-    counts = (
-        ds.map_batches(count_partial, batch_format="pyarrow")
-        .to_pandas()
-        .groupby("bucket")
-        .sum()
-    )
+    from ..blocks import sum_kernel, tree_reduce
+
+    # task-tree merge: driver sees ONE <=num_buckets-row table, independent
+    # of batch count (the per-batch-partials collection scale-bug class)
+    counts = tree_reduce(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        sum_kernel(["bucket"], ["t", "r"]),
+    ).to_pandas().set_index("bucket")
     t = np.zeros(num_buckets, np.int64)
     r = np.zeros(num_buckets, np.int64)
     t[counts.index.to_numpy()] = counts["t"].to_numpy()
@@ -139,10 +141,13 @@ def dsir_select(
         )
         return out.head(k)
 
-    partials = ds.map_batches(score_partial, batch_format="pyarrow").to_pandas()
-    top = partials.sort_values(
-        ["dsir_score", id_col], ascending=[False, True], kind="stable"
-    ).head(k)
+    from ..blocks import topk_kernel
+
+    # tree top-k under the shared total order: driver sees <=k rows
+    top = tree_reduce(
+        ds.map_batches(score_partial, batch_format="pyarrow"),
+        topk_kernel(["dsir_score", id_col], [False, True], k),
+    ).to_pandas()
     top.insert(0, "rank", np.arange(1, len(top) + 1, dtype=np.int64))
     return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
 
@@ -266,12 +271,14 @@ def nb_classify(
         )
         return pd.concat([out, docs], ignore_index=True)
 
-    counts = (
-        ds.map_batches(count_partial, batch_format="pyarrow")
-        .to_pandas()
-        .groupby(["label", "bucket"], as_index=False)["n"]
-        .sum()
-    )
+    from ..blocks import sum_kernel, tree_reduce
+
+    # task-tree merge: driver sees O(classes x buckets) rows, independent of
+    # batch count
+    counts = tree_reduce(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        sum_kernel(["label", "bucket"], ["n"]),
+    ).to_pandas()
     classes = sorted(counts["label"].unique())
     cix = {c: i for i, c in enumerate(classes)}
     C = len(classes)

@@ -318,8 +318,15 @@ def top_terms(ds, id_col: str = "doc_id", text_col: str = "text", k: int = 3):
         tf = _term_tf(batch, id_col, text_col)
         return tf.groupby("term", sort=False).size().rename("n").reset_index()
 
-    partials = ds.map_batches(df_partial, batch_format="pyarrow").to_pandas()
-    df_map = partials.groupby("term")["n"].sum().to_dict()
+    from ..blocks import sum_kernel, tree_reduce
+
+    # task-tree merge: driver sees ONE vocabulary-sized table, independent
+    # of batch count (per-batch-partials collection scale-bug class)
+    partials = tree_reduce(
+        ds.map_batches(df_partial, batch_format="pyarrow"),
+        sum_kernel(["term"], ["n"]),
+    ).to_pandas()
+    df_map = dict(zip(partials["term"], partials["n"]))
     df_ref = ray.put(df_map)
 
     def rank(batch: pa.Table) -> pd.DataFrame:
@@ -586,8 +593,12 @@ def build_vocab(ds, text_col: str = "text", max_size: int = 100_000) -> pd.DataF
         vc = pd.Series(flat.to_pandas().to_numpy(dtype=object)).value_counts()
         return pd.DataFrame({"term": vc.index, "n": vc.to_numpy(np.int64)})
 
-    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    counts = partials.groupby("term")["n"].sum().reset_index()
+    from ..blocks import sum_kernel, tree_reduce
+
+    counts = tree_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        sum_kernel(["term"], ["n"]),
+    ).to_pandas()
     counts = counts.sort_values(
         ["n", "term"], ascending=[False, True], kind="stable"
     ).head(max_size)
@@ -1151,17 +1162,14 @@ def lm_fluency(
     partials = ds.map_batches(partial, batch_format="pyarrow")
     if len(uni) ** 2 <= 1_000_000:
         # bounded bigram cardinality (vocab² rows max per partial) → fold the
-        # per-batch partials in ONE coalesced task instead of paying the
-        # sort-shuffle groupby (~12s → ~1s on the sf0.1 battery)
-        def combine(t: pa.Table) -> pa.Table:
-            g = t.group_by(["w1", "w2"]).aggregate([("n", "sum")])
-            return g.rename_columns(["w1", "w2", "c_xy"])
+        # per-batch partials in a TASK TREE instead of paying the
+        # sort-shuffle groupby (~12s → ~1s on the sf0.1 battery); vs the
+        # earlier repartition(1) single-task fold, no one worker ever holds
+        # all O(#batches × vocab²) partial rows at once
+        from ..blocks import sum_kernel, tree_reduce
 
-        bdf = (
-            partials.repartition(1)
-            .map_batches(combine, batch_format="pyarrow", batch_size=None)
-            .to_pandas()
-        )
+        bdf = tree_reduce(partials, sum_kernel(["w1", "w2"], ["n"])).to_pandas()
+        bdf = bdf.rename(columns={"n": "c_xy"})
     else:  # open-vocabulary corpus: distributed key shuffle
         bdf = (
             partials.groupby(["w1", "w2"])
@@ -1296,11 +1304,15 @@ def bm25_topk(
             )
         return pd.DataFrame(rows)
 
+    from ..blocks import sum_kernel, tree_reduce
+
     agg = (
-        ds.map_batches(stats_partial, batch_format="pyarrow")
+        tree_reduce(
+            ds.map_batches(stats_partial, batch_format="pyarrow"),
+            sum_kernel(["term"], ["df", "dl_sum", "n_docs"]),
+        )
         .to_pandas()
-        .groupby("term")
-        .sum()
+        .set_index("term")
     )
     N = int(agg["n_docs"].sum())
     L = int(agg["dl_sum"].sum())
@@ -1340,10 +1352,12 @@ def bm25_topk(
         )
         return out.head(k)
 
-    partials = ds.map_batches(score_partial, batch_format="pyarrow").to_pandas()
-    top = partials.sort_values(
-        ["bm25_score", id_col], ascending=[False, True], kind="stable"
-    ).head(k)
+    from ..blocks import topk_kernel, tree_reduce
+
+    top = tree_reduce(
+        ds.map_batches(score_partial, batch_format="pyarrow"),
+        topk_kernel(["bm25_score", id_col], [False, True], k),
+    ).to_pandas()
     top.insert(0, "rank", np.arange(1, len(top) + 1, dtype=np.int64))
     return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
 
