@@ -899,6 +899,20 @@ def _mixed_corpus_documents(sf_dir: str):
     )
 
 
+def _temperature_mix_documents(sf_dir: str):
+    """Temperature/alpha-sampling corpus mixing (multilingual-training
+    recipe, alpha=0.5): per-source weights n_s^alpha derived by ONE
+    quantized transcendental per source from the same count pass, then the
+    shared integer rate grid — oracled end to end including the weight
+    derivation."""
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.sampling import temperature_mix
+
+    return temperature_mix(
+        read_table(sf_dir, "documents"), "doc_id", "source", alpha_pm=500
+    )
+
+
 def _bpe_encoded_documents(sf_dir: str):
     """BPE tokenizer induction (Sennrich 2016): distributed word counts →
     deterministic driver merge loop (count DESC, pair ASC ties) → map-only
@@ -1597,6 +1611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["vocab_documents"] = _vocab_documents
     out["lm_fluency_documents"] = _lm_fluency_documents
     out["mixed_corpus_documents"] = _mixed_corpus_documents
+    out["temperature_mix_documents"] = _temperature_mix_documents
     out["bpe_encoded_documents"] = _bpe_encoded_documents
     out["encoded_documents"] = _encoded_documents
     out["megatron_export_documents"] = _megatron_export_documents
@@ -1749,6 +1764,11 @@ def oracle_sql() -> dict[str, str]:
 
     out["mixed_corpus_documents"] = mix_oracle_sql(
         "documents", "doc_id", "source", _MIX_WEIGHTS
+    )
+    from dbt_customer360_ray.stages.sampling import temperature_mix_oracle_sql
+
+    out["temperature_mix_documents"] = temperature_mix_oracle_sql(
+        "documents", "doc_id", "source", alpha_pm=500
     )
     out["window_dedup_documents"] = window_dedup_oracle_sql("documents")
     out["quota_sample_documents"] = quota_sample_oracle_sql("documents", quota=10)

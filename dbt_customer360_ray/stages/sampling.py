@@ -416,6 +416,79 @@ def mix_oracle_sql(
     """
 
 
+def temperature_weights(n: dict[str, int], alpha_pm: int) -> dict[str, int]:
+    """Temperature/alpha-sampling source weights (the multilingual-training
+    recipe: p_s ∝ n_s^α with α ∈ (0, 1] flattening the source distribution
+    toward uniform): w_s = round(10⁶ · n_s^(alpha_pm/1000)). House integer
+    determinism via the quantized-transcendental rule (cf. ``adamic_adar``'s
+    ln(deg) and the lm-fluency scorer): ONE exp∘ln per source, quantized to
+    int64 at 1e6 — numpy and DuckDB produce the identical integers, so the
+    derived weights (and everything downstream of them) are oracled."""
+    out = {}
+    for s, ns in n.items():
+        v = np.exp((alpha_pm / 1000.0) * np.log(float(ns))) * 1e6
+        out[s] = int(np.floor(v + 0.5))
+    return out
+
+
+def temperature_mix(
+    ds,
+    id_col: str,
+    source_col: str,
+    alpha_pm: int = 500,
+    salt: str = "tmix",
+):
+    """Temperature-based corpus mixing: downsample sources toward the
+    n_s^α proportions (α = ``alpha_pm``/1000) — α=1000 keeps the natural
+    distribution, α→0 approaches uniform; the standard lever for keeping
+    low-resource sources/languages represented. Derives the integer weights
+    with ``temperature_weights`` from the SAME O(#sources) count pass
+    ``mix_to_proportions`` already does, then reuses its id-stable integer
+    rate grid verbatim — one count groupby + a map-only filter, identical
+    kept rows at any cluster size."""
+    counts = ds.groupby(source_col).count().to_pandas()
+    n = dict(zip(counts[source_col], counts["count()"].astype(int)))
+    return mix_to_proportions(
+        ds, id_col, source_col, temperature_weights(n, alpha_pm), salt=salt
+    )
+
+
+def temperature_mix_oracle_sql(
+    table: str,
+    id_col: str,
+    source_col: str,
+    alpha_pm: int = 500,
+    salt: str = "tmix",
+) -> str:
+    """DuckDB mirror of ``temperature_mix``: weights re-DERIVED from the
+    counts inside SQL (floor(1e6·exp(α·ln n)+0.5), the same quantized
+    transcendental), then the identical integer rate grid as
+    ``mix_oracle_sql``."""
+    return f"""
+        WITH n AS (
+            SELECT {source_col}, CAST(count(*) AS BIGINT) AS n_s
+            FROM {table} GROUP BY {source_col}
+        ), w AS (
+            SELECT {source_col}, n_s,
+                   CAST(floor(1e6 * exp(({alpha_pm} / 1000.0) * ln(CAST(n_s AS DOUBLE))) + 0.5) AS BIGINT) AS wgt
+            FROM n
+        ), tot AS (
+            SELECT CAST(sum(wgt) AS BIGINT) AS W FROM w
+        ), t AS (
+            SELECT min((w.n_s * tot.W) // w.wgt) AS T
+            FROM w, tot WHERE w.wgt > 0
+        ), r AS (
+            SELECT w.{source_col},
+                   (1000 * ((w.wgt * t.T) // tot.W)) // w.n_s AS rate
+            FROM w, t, tot
+            WHERE w.wgt > 0
+        )
+        SELECT d.*
+        FROM {table} d JOIN r USING ({source_col})
+        WHERE {_permille_sql("d." + id_col, salt)} < r.rate
+    """
+
+
 def priority_sample(
     ds,
     id_col: str,

@@ -1084,3 +1084,39 @@ def test_pagerank_matches_duckdb_oracle_integer_exact():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_temperature_mix_flattens_toward_uniform(ray_session):
+    """alpha=0 keeps sources near-uniform, alpha=1000 keeps the natural
+    distribution — the defining property of temperature sampling; and the
+    kept set is invariant to input partitioning (id-stable md5 grid)."""
+    import ray.data
+
+    from dbt_customer360_ray.stages.sampling import temperature_mix
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(13_000, dtype=np.int64),
+            "source": (["big"] * 10_000 + ["mid"] * 2_500 + ["small"] * 500),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(6)
+
+    nat = temperature_mix(ds, "doc_id", "source", alpha_pm=1000).to_pandas()
+    flat = temperature_mix(ds, "doc_id", "source", alpha_pm=1).to_pandas()
+    nat_share = nat["source"].value_counts(normalize=True)
+    flat_share = flat["source"].value_counts(normalize=True)
+    # natural: big dominates; near-zero alpha: shares approach uniform
+    assert nat_share["big"] > 0.7
+    assert abs(flat_share["small"] - 1 / 3) < 0.05
+    assert abs(flat_share["big"] - 1 / 3) < 0.05
+    # partition invariance: same kept ids at a different block layout
+    again = (
+        temperature_mix(
+            ray.data.from_pandas(df).repartition(2), "doc_id", "source",
+            alpha_pm=1,
+        )
+        .to_pandas()
+    )
+    assert sorted(again["doc_id"]) == sorted(flat["doc_id"])
