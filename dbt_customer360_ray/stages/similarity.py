@@ -1110,12 +1110,17 @@ def knn_graph_lsh(
     Distributed shape: ``dedup.lsh_tiles`` candidate generation (bucket
     fan-out actor pool → jumbo split, so no task ever matmuls a whole hot
     bucket) → per-tile dense partial top-k (argsort, no Q·C-row frames) →
-    one ``groupby(query)`` merge that dedups multi-table duplicates and
+    one query-bucketed merge that dedups multi-table duplicates and
     re-ranks under the same total order — the merge of per-tile top-k is
     exact over the candidate set because every shared-bucket pair co-occurs
-    in at least one tile. Bucket membership is deterministic given the
-    seeded planes, so the approximate answer itself is oracle-checkable
+    in at least one tile. Both groupbys run at COARSE grain (hash of
+    tkey/query into ~64 groups, whole tiles kept together; the kernels loop
+    tiles / rank vectorized within the group) — a per-query map_groups pays
+    ~1 ms of frame setup per vector, 2+ s of pure overhead at 10k vectors
+    (the label_propagate lesson). Bucket membership is deterministic given
+    the seeded planes, so the approximate answer itself is oracle-checkable
     (``knn_graph_lsh_oracle_sql`` inlines the same planes)."""
+    from ..hashing import stable_hash
     from .dedup import lsh_tiles
 
     tiled = lsh_tiles(
@@ -1127,6 +1132,14 @@ def knn_graph_lsh(
         jumbo_threshold=jumbo_threshold,
         tile_rows=tile_rows,
     )
+    B = 64
+
+    def tag_tile_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["tbucket"] = (
+            stable_hash(df["tkey"].to_numpy(np.int64)) % np.uint64(B)
+        ).astype(np.int64)
+        return df
 
     def knn_in_tile(g: pd.DataFrame) -> pd.DataFrame:
         m = np.stack(g["embedding"].to_numpy())
@@ -1150,21 +1163,33 @@ def knn_graph_lsh(
             ignore_index=True,
         )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        # a pair found in several tables/tiles repeats with the same cosine
+    def knn_tiles_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        out = [knn_in_tile(sub) for _, sub in g.groupby("tkey", sort=False)]
+        res = pd.concat(out, ignore_index=True)
+        res["qbucket"] = (
+            stable_hash(res["query_id"].to_numpy(np.int64)) % np.uint64(B)
+        ).astype(np.int64)
+        return res
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # a pair found in several tables/tiles repeats with the same cosine;
+        # _topk_frame ranks ALL queries in the bucket in one vectorized pass
         g = g.drop_duplicates(["query_id", "neighbor_id"])
         g = _topk_frame(
             g["query_id"].to_numpy(), g["neighbor_id"].to_numpy(),
             g["cosine"].to_numpy(), k, "neighbor_id", round_to,
-        ).rename(columns={"query_id": id_col})
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+        )
+        g["rank"] = g.groupby("query_id", sort=False).cumcount() + 1
+        g = g.rename(columns={"query_id": id_col})
+        g["rank"] = g["rank"].astype(np.int64)
+        return g[[id_col, "neighbor_id", "cosine", "rank"]]
 
     return (
-        tiled.groupby("tkey")
-        .map_groups(knn_in_tile, batch_format="pandas")
-        .groupby("query_id")
-        .map_groups(merge, batch_format="pandas")
+        tiled.map_batches(tag_tile_bucket, batch_format="pandas")
+        .groupby("tbucket")
+        .map_groups(knn_tiles_kernel, batch_format="pandas")
+        .groupby("qbucket")
+        .map_groups(merge_bucket, batch_format="pandas")
     )
 
 
