@@ -779,19 +779,41 @@ def read_dedup_keepers(dst: CdcLake, num_buckets: int | None = None):
     members may span partitions — the bucket shuffle re-colocates them."""
     from ..blocks import adaptive_buckets, counted
 
-    ds = dst.read(columns=["text_md5", "src_conv", "src_turn"])
-    if num_buckets is None:
-        ds, n = counted(ds)
-        num_buckets = adaptive_buckets(n)
+    import ray
+    import ray.data
 
-    def tag(t: pa.Table, nb=num_buckets) -> pa.Table:
+    ds, n = counted(dst.read(columns=["text_md5", "src_conv", "src_turn"]))
+    B = num_buckets if num_buckets is not None else adaptive_buckets(n)
+
+    # house bucket-task exchange instead of a Dataset groupby: one argsort
+    # split per block + one fold task per bucket — the sort-shuffle
+    # machinery's fixed cost dominated this lean read (2.8 s → ~1 s at
+    # sf0.1 measured; same swap as span_dedup/triangle per BASELINE.md)
+    _POSTING = pa.schema(
+        [("text_md5", pa.string()), ("src_conv", pa.string()),
+         ("src_turn", pa.int64())]
+    )
+    _KEEPER = pa.schema(
+        [("text_md5", pa.string()), ("keeper_conv", pa.string()),
+         ("keeper_turn", pa.int64()), ("n_copies", pa.int64())]
+    )
+
+    def _split(t: pa.Table) -> list:
+        if t.num_rows == 0 or "text_md5" not in t.column_names:
+            # an empty partition serves a schema-less block — route nothing
+            return [_POSTING.empty_table()] * B
+        t = t.select(["text_md5", "src_conv", "src_turn"]).cast(_POSTING)
         b = (
             stable_hash(t.column("text_md5").to_numpy(zero_copy_only=False))
-            % np.uint64(nb)
+            % np.uint64(B)
         ).astype(np.int64)
-        return t.append_column("bucket", pa.array(b, pa.int64()))
+        order = np.argsort(b, kind="stable")
+        tt, sb = t.take(pa.array(order)), b[order]
+        cuts = np.searchsorted(sb, np.arange(B + 1))
+        return [tt.slice(cuts[i], cuts[i + 1] - cuts[i]) for i in range(B)]
 
-    def keepers(grp: pd.DataFrame) -> pd.DataFrame:
+    def _keepers(*parts: pa.Table) -> pa.Table:
+        grp = pa.concat_tables(parts).to_pandas()
         g = grp.sort_values(
             ["text_md5", "src_conv", "src_turn"], kind="stable"
         ).groupby("text_md5", sort=True, as_index=False)
@@ -801,12 +823,17 @@ def read_dedup_keepers(dst: CdcLake, num_buckets: int | None = None):
         )
         out["n_copies"] = g.size()["size"].to_numpy("int64")
         out["keeper_turn"] = out["keeper_turn"].astype("int64")
-        return out
+        return pa.Table.from_pandas(out, schema=_KEEPER, preserve_index=False)
 
-    return (
-        ds.map_batches(tag, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(keepers, batch_format="pandas")
+    split = ray.remote(num_returns=B)(_split)
+    fold = ray.remote(_keepers)
+    cols = [split.remote(r) for r in ds.to_arrow_refs()]
+    if not cols:
+        return ds
+    if B == 1:
+        cols = [[c] for c in cols]
+    return ray.data.from_arrow_refs(
+        [fold.remote(*[c[b] for c in cols]) for b in range(B)]
     )
 
 
