@@ -1120,3 +1120,59 @@ def test_temperature_mix_flattens_toward_uniform(ray_session):
         .to_pandas()
     )
     assert sorted(again["doc_id"]) == sorted(flat["doc_id"])
+
+
+def test_tree_reduce_fan_invariant_and_driver_bounded(ray_session):
+    """blocks.tree_reduce: the reduced table is identical at any fan (merge
+    tree shape must not matter for associative kernels), equals the naive
+    global reduction, and handles empty blocks."""
+    import pyarrow as pa
+    import ray.data
+
+    from dbt_customer360_ray.blocks import sum_kernel, topk_kernel, tree_reduce
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {"k": rng.integers(0, 50, 20_000), "v": rng.integers(1, 9, 20_000)}
+    )
+    ds = ray.data.from_pandas(df).repartition(17)
+    partial = ds.map_batches(
+        lambda b: b.groupby("k", as_index=False)["v"].sum(),
+        batch_format="pandas",
+    )
+    want = df.groupby("k", as_index=False)["v"].sum()
+    for fan in (2, 5, 32):
+        got = (
+            tree_reduce(partial, sum_kernel(["k"], ["v"]), fan=fan)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want.sort_values("k").reset_index(drop=True))
+
+    # top-k kernel: merge of per-block top-k equals global top-k under the
+    # shared total order, at any fan
+    scored = ds.map_batches(
+        lambda b: b.sort_values(["v", "k"], ascending=[False, True]).head(10),
+        batch_format="pandas",
+    )
+    want_top = (
+        df.sort_values(["v", "k"], ascending=[False, True], kind="stable")
+        .head(10)
+        .reset_index(drop=True)
+    )
+    for fan in (2, 32):
+        got = (
+            tree_reduce(scored, topk_kernel(["v", "k"], [False, True], 10), fan=fan)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want_top)
+
+    # empty blocks: a filter that empties some blocks must not poison concat
+    sparse = ds.map_batches(
+        lambda b: b[b["k"] == 3].groupby("k", as_index=False)["v"].sum(),
+        batch_format="pandas",
+    )
+    got = tree_reduce(sparse, sum_kernel(["k"], ["v"]), fan=4).to_pandas()
+    assert got["v"].sum() == df.loc[df["k"] == 3, "v"].sum()
