@@ -1056,7 +1056,72 @@ def _raw_analysis_entries(d: str) -> dict[str, str]:
             LEFT JOIN raw_tickets t ON t.email = f.email
             GROUP BY f.email
         )"""
+    # created timestamps come straight off the parquet (rm/rs/rz project
+    # only the columns the campaign CTEs use)
+    raw_monthly = raw_cte + """
+        , r_created AS (
+            SELECT lower(email) AS email, created_timestamp AS created_at
+            FROM read_parquet('{D}/marketo_leads.parquet') WHERE email IS NOT NULL
+            UNION ALL
+            SELECT lower(email), customer_created_at
+            FROM read_parquet('{D}/stripe_customer_overview.parquet') WHERE email IS NOT NULL
+            UNION ALL
+            SELECT lower(email), created_at
+            FROM read_parquet('{D}/zendesk_users.parquet')
+            WHERE email IS NOT NULL AND role = 'end-user'
+        ),
+        r_first AS (
+            SELECT email, min(created_at) AS created_at
+            FROM r_created WHERE created_at IS NOT NULL GROUP BY 1
+        ),
+        r_spine AS (
+            SELECT unnest(generate_series(
+                date_trunc('month', min(created_at)),
+                date_trunc('month', max(created_at)), INTERVAL 1 MONTH)) AS month
+            FROM r_first
+        ),
+        r_counts AS (
+            SELECT date_trunc('month', created_at) AS month, count(*) AS n
+            FROM r_first GROUP BY 1
+        ),
+        raw_monthly AS (
+            SELECT s.month,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS new_customers
+            FROM r_spine s LEFT JOIN r_counts c ON c.month = s.month
+        )"""
+    raw_monthly = raw_monthly.replace("{D}", d)
     return {
+        "c360_analysis_monthly_metrics_raw": raw_monthly + """
+        SELECT month, new_customers FROM raw_monthly""",
+        "c360_analysis_monthly_metrics_raw_delta": raw_monthly + """
+        , c_ind AS (
+            SELECT created_at FROM mapping
+            WHERE NOT is_organization_header AND created_at IS NOT NULL
+        ),
+        c_spine AS (
+            SELECT unnest(generate_series(
+                date_trunc('month', min(created_at)),
+                date_trunc('month', max(created_at)), INTERVAL 1 MONTH)) AS month
+            FROM c_ind
+        ),
+        c_counts AS (
+            SELECT date_trunc('month', created_at) AS month, count(*) AS n
+            FROM c_ind GROUP BY 1
+        ),
+        c360_monthly AS (
+            SELECT s.month, CAST(coalesce(c.n, 0) AS BIGINT) AS new_customers
+            FROM c_spine s LEFT JOIN c_counts c ON c.month = s.month
+        )
+        SELECT coalesce(r.month, c.month) AS month,
+               CAST(coalesce(r.new_customers, 0) AS BIGINT)
+                   AS raw_new_customers,
+               CAST(coalesce(c.new_customers, 0) AS BIGINT)
+                   AS c360_new_customers,
+               CAST(coalesce(r.new_customers, 0)
+                    - coalesce(c.new_customers, 0) AS BIGINT) AS count_gap
+        FROM raw_monthly r FULL OUTER JOIN c360_monthly c
+          ON r.month = c.month
+        ORDER BY 1""",
         "c360_analysis_email_campaign_raw": raw_cte + """
         SELECT email, organization_name, revenue_bucket, has_open_tickets
         FROM raw_campaign""",

@@ -2197,6 +2197,58 @@ def analysis_all_phones_raw_delta(
     )
 
 
+def analysis_monthly_metrics_raw(tables: dict[str, pd.DataFrame]) -> pd.DataFrame:
+    """Reference analyses_old/drafts/monthly_metrics_raw.sql:1-240 — the raw
+    side of the monthly-metrics pair: entity = lower(email) via the raw
+    email-only join (join_sources CTE :11-57), first-seen month = the MIN
+    created timestamp across that email's source rows, month spine ×
+    new-entity counts (the same spine recipe as the customer360 twin, so the
+    delta isolates entity resolution)."""
+    mk, st, zu = _raw_sources(tables)
+    created = pd.concat(
+        [
+            pd.DataFrame({"email": mk["email_l"], "created_at": mk["created_timestamp"]}),
+            pd.DataFrame({"email": st["email_l"], "created_at": st["customer_created_at"]}),
+            pd.DataFrame({"email": zu["email_l"], "created_at": zu["created_at"]}),
+        ],
+        ignore_index=True,
+    ).dropna()
+    if not len(created):
+        return pd.DataFrame(columns=["month", "new_customers"])
+    first = pd.to_datetime(created.groupby("email")["created_at"].min())
+    spine = date_spine(first.min().floor("d").replace(day=1), first.max())
+    months = first.dt.to_period("M").dt.to_timestamp()
+    counts = months.value_counts().rename("new_customers")
+    out = spine.merge(
+        counts.rename_axis("month").reset_index(), on="month", how="left"
+    )
+    out["new_customers"] = out["new_customers"].fillna(0).astype(int)
+    return out
+
+
+def analysis_monthly_metrics_raw_delta(
+    res: dict[str, pd.DataFrame], tables: dict[str, pd.DataFrame]
+) -> pd.DataFrame:
+    """Conformance delta for the monthly pair: per month, raw email-entity
+    new-customer counts vs customer360 new-customer counts (full outer on
+    month; the count GAP is the double-counting the raw email join cannot
+    resolve — one person with distinct billing emails is several raw
+    entities, one c360 customer)."""
+    raw = analysis_monthly_metrics_raw(tables).rename(
+        columns={"new_customers": "raw_new_customers"}
+    )
+    c360 = analysis_monthly_metrics(res).rename(
+        columns={"new_customers": "c360_new_customers"}
+    )
+    out = raw.merge(c360, on="month", how="outer")
+    for c in ("raw_new_customers", "c360_new_customers"):
+        out[c] = out[c].fillna(0).astype(np.int64)
+    out["count_gap"] = (
+        out["raw_new_customers"] - out["c360_new_customers"]
+    ).astype(np.int64)
+    return out.sort_values("month", kind="stable").reset_index(drop=True)
+
+
 def date_spine(start, end, freq: str = "MS") -> pd.DataFrame:
     """dbt_utils.date_spine equivalent (analyses_old/drafts/
     monthly_metrics_customer360.sql:3-8)."""

@@ -67,6 +67,8 @@ _RAW_ANALYSES = {
     "c360_analysis_all_phones_raw": "analysis_metrics_with_all_phones_raw",
     "c360_analysis_email_campaign_raw_delta": "analysis_email_campaign_raw_delta",
     "c360_analysis_all_phones_raw_delta": "analysis_all_phones_raw_delta",
+    "c360_analysis_monthly_metrics_raw": "analysis_monthly_metrics_raw",
+    "c360_analysis_monthly_metrics_raw_delta": "analysis_monthly_metrics_raw_delta",
 }
 
 
