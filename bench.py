@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "ngram_containment_docs",
     "lm_fluency_documents",
     "mixed_corpus_documents",
+    "temperature_mix_documents",
     "dsir_selected_documents",
     "bm25_topk_documents",
     "knn_graph_embeddings",
