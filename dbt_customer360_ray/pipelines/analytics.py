@@ -617,6 +617,13 @@ def _lang_quality_sql() -> str:
 
 
 ORACLE_SQL["lang_quality_documents"] = _lang_quality_sql()
+ORACLE_SQL["curriculum_phases_documents"] = f"""
+    WITH q AS ({_lang_quality_sql()})
+    SELECT doc_id, quality_score,
+           CAST(ntile(4) OVER (ORDER BY quality_score DESC, doc_id ASC)
+                AS BIGINT) AS tile
+    FROM q
+"""
 
 # SimHash mirror: token hash = md5_number_lower (same bytes the engine reads),
 # bit-majority per doc, bit 63 contributes the int64 sign term (two's
@@ -1610,6 +1617,29 @@ def q_user_spend_ntile(sf_dir: str, n: int = 4):
     return with_ntile(
         totals, n, keys=["total_cents", "user_id"], descending=[True, False]
     )
+
+
+def q_curriculum_phases(sf_dir: str, n: int = 4):
+    """Curriculum-learning phase assignment: quality-score the corpus
+    (TextQuality actor pool — the lang_quality kernel), then exact global
+    NTILE(n) ordered by (quality_score DESC, doc_id ASC) — tile 1 is the
+    cleanest quarter, the 'high-quality-first' training curriculum.
+    Composition of existing machinery: distributed sort + O(blocks) driver
+    offset pass (stages/windows.with_ntile); the quality arithmetic is
+    bit-exact vs SQL, so the phase boundaries are too."""
+    from ..stages.text import analyze_text
+    from ..stages.windows import with_ntile
+
+    ds = read_table(
+        sf_dir, "documents", columns=["doc_id", "text"], rows_per_block=2_048
+    )
+    scored = analyze_text(ds).select_columns(["doc_id", "quality_score"])
+    return with_ntile(
+        scored, n, keys=["quality_score", "doc_id"], descending=[True, False]
+    )
+
+
+QUERIES["curriculum_phases_documents"] = q_curriculum_phases
 
 
 ORACLE_SQL["user_spend_ntile"] = """
