@@ -38,12 +38,18 @@ def tree_reduce(ds, kernel, fan: int = 32):
     domains, skips the fixed aggregator-actor cost a Dataset groupby shuffle
     would pay (measured across this repo's bucket-task exchanges). The
     kernel must be associative and idempotent on its own output (groupby-sum
-    and sorted-head-k both are)."""
+    and sorted-head-k both are).
+
+    A dataset with ZERO blocks (e.g. ``from_items([])``) runs the kernel once
+    over a single schemaless empty table so callers still receive a pa.Table
+    (with the kernel's output columns when the kernel guards for them) instead
+    of ``None`` — every call site chains ``.to_pandas()`` immediately."""
+    import pyarrow as pa
     import ray
 
     refs = ds.materialize().to_arrow_refs()
     if not refs:
-        return None
+        return kernel(pa.table({}))
     task = ray.remote(kernel)
     while True:
         refs = [task.remote(*refs[i : i + fan]) for i in range(0, len(refs), fan)]
@@ -63,6 +69,24 @@ def _concat_nonempty(tbls):
     return pa.concat_tables(live)
 
 
+def _backfill_missing(df, obj_cols: list, num_cols: list):
+    """On an EMPTY frame whose source blocks were schemaless (all-empty fan
+    group), add the columns the kernel is about to index so groupby/sort see
+    a typed empty result instead of KeyError. Non-empty frames always carry
+    the real map_batches schema and pass through untouched."""
+    import pandas as pd
+
+    if len(df):
+        return df
+    for c in obj_cols:
+        if c not in df.columns:
+            df[c] = pd.Series([], dtype="object")
+    for c in num_cols:
+        if c not in df.columns:
+            df[c] = pd.Series([], dtype="int64")
+    return df
+
+
 def sum_kernel(group_cols: list, sum_cols: list):
     """``tree_reduce`` kernel: concat → groupby(group_cols) sum(sum_cols)."""
 
@@ -71,6 +95,7 @@ def sum_kernel(group_cols: list, sum_cols: list):
         import pyarrow as pa
 
         df = _concat_nonempty(tbls).to_pandas()
+        df = _backfill_missing(df, group_cols, sum_cols)
         out = df.groupby(group_cols, as_index=False)[sum_cols].sum()
         return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -83,6 +108,7 @@ def topk_kernel(sort_cols: list, ascending: list, k: int):
 
     def kernel(*tbls):
         df = _concat_nonempty(tbls).to_pandas()
+        df = _backfill_missing(df, sort_cols, [])
         df = df.sort_values(sort_cols, ascending=ascending, kind="stable").head(k)
         import pyarrow as pa
 

@@ -2933,10 +2933,11 @@ def watermarked_sessions(
         # redeliveries — asserted (r3 advice: the oracle's min-per-column
         # pick coincides with keep-first only under this invariant)
         dup = df[df.duplicated("offset", keep=False)]
-        if len(dup):
-            assert dup.drop_duplicates(["offset", "conv_id", "ts"])[
-                "offset"
-            ].is_unique, "divergent duplicate deliveries"
+        if len(dup) and not dup.drop_duplicates(["offset", "conv_id", "ts"])[
+            "offset"
+        ].is_unique:
+            # ValueError (not assert): the invariant must survive python -O
+            raise ValueError("divergent duplicate deliveries")
         df = df.sort_values(["offset", "epoch"], kind="stable").drop_duplicates(
             "offset", keep="first"
         )

@@ -82,11 +82,24 @@ class LogStore:
     byte-divergent only if the loser also lost the CAS, in which case its
     file is overwritten by the winner's next write or vacuumed)."""
 
+    #: True when the store publishes the canonical MANIFEST body AFTER the
+    #: pointer swap (CAS stores: the winner publishes post-CAS). Readers then
+    #: retry a missing body briefly; pointer-last stores (Posix) must instead
+    #: fail fast — a missing body there is genuine corruption.
+    publish_after_pointer = False
+
     def read_current(self) -> int:
         raise NotImplementedError
 
     def try_commit(self, version: int, state_json: str) -> bool:
         raise NotImplementedError
+
+    def recover_body(self, version: int) -> bool:
+        """Attempt to complete a crashed winner's publish of
+        ``MANIFEST-<version>`` (stores that stage durably before the CAS can
+        finish the copy — Delta's S3 recovery step). Returns True when the
+        canonical body now exists."""
+        return False
 
 
 class PosixLogStore(LogStore):
@@ -94,7 +107,17 @@ class PosixLogStore(LogStore):
     around (pointer check → body write → pointer rename). A crashed
     holder's lock is broken after ``LOCK_STALE_S`` (the critical section is
     two small file writes — milliseconds; 10 s is orders of magnitude past
-    it)."""
+    it).
+
+    Fencing: the lock file carries a unique HOLDER TOKEN. A holder paused
+    past ``LOCK_STALE_S`` (GC, VM freeze) can have its lock broken and
+    re-acquired; when it wakes it re-verifies ownership immediately before
+    each irreversible step (canonical body publish, pointer rename) and
+    surfaces ``CommitConflictError`` instead of double-committing — the
+    lost-update window the unfenced ordering had. The residual race is the
+    microseconds between the ownership check and the rename (POSIX rename
+    cannot be made conditional); deployments needing a hard guarantee use a
+    CAS store (``MemoryCasLogStore`` / ``FileCasLogStore``)."""
 
     LOCK_STALE_S = 10.0
     LOCK_WAIT_S = 30.0
@@ -112,14 +135,27 @@ class PosixLogStore(LogStore):
         except FileNotFoundError:
             return 0
 
+    def _lock_path(self) -> str:
+        return os.path.join(self.dir, "COMMIT.lock")
+
+    def _owns_lock(self, token: str) -> bool:
+        try:
+            with open(self._lock_path()) as f:
+                return f.read() == token
+        except FileNotFoundError:
+            return False  # broken and released by another writer
+
     @contextlib.contextmanager
     def _commit_lock(self):
-        path = os.path.join(self.dir, "COMMIT.lock")
+        import uuid
+
+        path = self._lock_path()
+        token = f"{os.getpid()}.{threading.get_ident()}.{uuid.uuid4().hex}\n"
         deadline = time.monotonic() + self.LOCK_WAIT_S
         while True:
             try:
                 fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, f"{os.getpid()}\n".encode())
+                os.write(fd, token.encode())
                 os.close(fd)
                 break
             except FileExistsError:
@@ -135,19 +171,44 @@ class PosixLogStore(LogStore):
                     )
                 time.sleep(0.005)
         try:
-            yield
+            yield token
         finally:
-            with contextlib.suppress(FileNotFoundError):
-                os.unlink(path)
+            # release only OUR lock — a broken-and-reacquired lock belongs
+            # to the new holder now
+            if self._owns_lock(token):
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(path)
+
+    def _pre_publish_pause(self) -> None:
+        """Test seam: monkeypatched to simulate a holder pausing (GC / VM
+        freeze) between staging the body and publishing it."""
 
     def try_commit(self, version: int, state_json: str) -> bool:
-        with self._commit_lock():
+        with self._commit_lock() as token:
             if self.read_current() != version - 1:
                 return False
-            _atomic_write(
-                os.path.join(self.dir, f"MANIFEST-{version:08d}.json"),
-                state_json,
-            )
+            body = os.path.join(self.dir, f"MANIFEST-{version:08d}.json")
+            tmp = f"{body}.tmp.{os.getpid()}.{threading.get_ident()}"
+            with open(tmp, "w") as f:
+                f.write(state_json)
+                f.flush()
+                os.fsync(f.fileno())
+            self._pre_publish_pause()
+            # fence: a stale-broken lock means another writer owns this
+            # version now — abort BEFORE touching the canonical body
+            if not self._owns_lock(token):
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(tmp)
+                raise CommitConflictError(
+                    f"commit lock for v{version} was broken while this "
+                    "holder was paused; another writer owns the commit"
+                )
+            os.replace(tmp, body)
+            if not self._owns_lock(token):
+                raise CommitConflictError(
+                    f"commit lock for v{version} was broken before the "
+                    "pointer rename; aborting without advancing CURRENT"
+                )
             _atomic_write(self._current_path(), str(version))
             return True
 
@@ -189,7 +250,15 @@ class MemoryCasLogStore(LogStore):
     CAS would clobber the winner's same-version body (a real lost update,
     caught by the concurrent-writer test). Readers that observe the pointer
     inside the winner's publish window retry briefly (``Manifest._load``),
-    mirroring Delta's recovery-copy step."""
+    mirroring Delta's recovery-copy step.
+
+    Limitation (test double only): a winner crashing between the CAS and the
+    publish leaves its version unreadable — the staged temp name is random,
+    so readers cannot complete the copy. ``FileCasLogStore`` records the
+    staged path in the marker and IS recoverable; use it for anything beyond
+    in-process tests."""
+
+    publish_after_pointer = True
 
     def __init__(self, manifest_dir: str, cell: CasCell | None = None):
         self.dir = manifest_dir
@@ -216,6 +285,106 @@ class MemoryCasLogStore(LogStore):
             return False
         # sole CAS winner for this version → the one canonical publish
         os.replace(tmp, os.path.join(self.dir, f"MANIFEST-{version:08d}.json"))
+        return True
+
+
+class FileCasLogStore(LogStore):
+    """File-backed conditional-put arbiter — the deployable emulation of the
+    DynamoDB/etcd cell the Delta-on-S3 LogStore design assumes, with no
+    external service: the pointer advances by CREATE-IF-ABSENT
+    (``O_CREAT|O_EXCL``) of a ``v<N>`` marker file in a dedicated arbiter
+    directory (pass a path on a filesystem where exclusive create is atomic
+    — a local disk or a real POSIX NFS v4 mount; manifest BODIES stay in the
+    lake's ``_manifest`` directory, the data-plane/control-plane split).
+
+    Ordering (the same winner-only-publish discipline the CAS store's test
+    caught a lost update without):
+
+    1. stage the body durably under a unique temp name,
+    2. conditional put: exclusive-create ``arbiter/v<N>`` whose CONTENT is
+       the staged temp path — the linearization point; losers see
+       FileExistsError, clean up, return False,
+    3. the winner renames its staged body onto canonical ``MANIFEST-<N>``.
+
+    Crash recovery: a winner dying between (2) and (3) leaves the marker
+    pointing at a durably-staged body, so ANY later reader/writer completes
+    the copy (``recover_body`` — Delta's S3 recovery-copy step); the staged
+    file is never deleted by the winner's publish (rename consumes it).
+    Duplicate attempts at the same version are harmless: exactly one
+    exclusive create succeeds."""
+
+    publish_after_pointer = True
+
+    def __init__(self, manifest_dir: str, arbiter_dir: str):
+        self.dir = manifest_dir
+        self.arbiter_dir = arbiter_dir
+        os.makedirs(arbiter_dir, exist_ok=True)
+
+    def _marker(self, version: int) -> str:
+        return os.path.join(self.arbiter_dir, f"v{version:08d}")
+
+    def read_current(self) -> int:
+        cur = 0
+        try:
+            names = os.listdir(self.arbiter_dir)
+        except FileNotFoundError:
+            return 0
+        for name in names:
+            if name.startswith("v") and name[1:].isdigit():
+                cur = max(cur, int(name[1:]))
+        return cur
+
+    def try_commit(self, version: int, state_json: str) -> bool:
+        import uuid
+
+        if self.read_current() != version - 1:
+            return False  # cheap pre-check; the exclusive create arbitrates
+        tmp = os.path.join(
+            self.dir, f".MANIFEST-{version:08d}-{uuid.uuid4().hex}.staged"
+        )
+        with open(tmp, "w") as f:
+            f.write(state_json)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            fd = os.open(
+                self._marker(version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError:
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(tmp)
+            return False
+        os.write(fd, tmp.encode())
+        os.fsync(fd)
+        os.close(fd)
+        # sole marker creator for this version → the one canonical publish
+        os.replace(
+            tmp, os.path.join(self.dir, f"MANIFEST-{version:08d}.json")
+        )
+        return True
+
+    def recover_body(self, version: int) -> bool:
+        """Complete a crashed winner's publish: copy the marker's staged body
+        onto the canonical name if the canonical is missing. Idempotent and
+        safe under races — the canonical content is identical either way."""
+        canon = os.path.join(self.dir, f"MANIFEST-{version:08d}.json")
+        if os.path.exists(canon):
+            return True
+        try:
+            with open(self._marker(version)) as f:
+                staged = f.read().strip()
+        except FileNotFoundError:
+            return False
+        if not staged:
+            return False  # winner died inside the marker write itself
+        try:
+            with open(staged) as f:
+                body = f.read()
+        except FileNotFoundError:
+            # another recoverer won the copy (rename consumed the staged
+            # file) — or genuine corruption; re-check the canonical
+            return os.path.exists(canon)
+        _atomic_write(canon, body)
         return True
 
 
@@ -249,13 +418,21 @@ class Manifest:
         path = os.path.join(self.dir, f"MANIFEST-{version:08d}.json")
         # CAS log stores advance the pointer before publishing the canonical
         # body (the winner-only publish ordering); a reader landing in that
-        # millisecond window retries briefly instead of failing
-        for attempt in range(200):
+        # millisecond window first attempts the store's crash recovery
+        # (FileCasLogStore completes the staged copy), then retries briefly.
+        # Pointer-LAST stores (Posix) write the body before CURRENT, so a
+        # missing body there is genuine corruption — fail fast, no busy-wait.
+        attempts = (
+            200 if getattr(self.log_store, "publish_after_pointer", False) else 1
+        )
+        for attempt in range(attempts):
             try:
                 with open(path) as f:
                     return json.load(f)
             except FileNotFoundError:
-                if attempt == 199:
+                if self.log_store.recover_body(version):
+                    continue
+                if attempt >= attempts - 1:
                     raise
                 time.sleep(0.005)
 

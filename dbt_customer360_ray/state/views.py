@@ -829,7 +829,9 @@ def read_dedup_keepers(dst: CdcLake, num_buckets: int | None = None):
     fold = ray.remote(_keepers)
     cols = [split.remote(r) for r in ds.to_arrow_refs()]
     if not cols:
-        return ds
+        # zero-block lake: return the KEEPER schema, not the posting input's —
+        # callers select keeper_conv/keeper_turn/n_copies immediately
+        return ray.data.from_arrow(_KEEPER.empty_table())
     if B == 1:
         cols = [[c] for c in cols]
     return ray.data.from_arrow_refs(

@@ -1176,3 +1176,24 @@ def test_tree_reduce_fan_invariant_and_driver_bounded(ray_session):
     )
     got = tree_reduce(sparse, sum_kernel(["k"], ["v"]), fan=4).to_pandas()
     assert got["v"].sum() == df.loc[df["k"] == 3, "v"].sum()
+
+
+def test_tree_reduce_empty_corpus_returns_typed_empty(ray_session):
+    """A zero-block dataset (r4 ADVICE): tree_reduce must return a pa.Table
+    the call sites can .to_pandas() — with the kernel's output columns —
+    not None; all-empty schemaless fan groups must not KeyError either."""
+    import pyarrow as pa
+    import ray.data
+
+    from dbt_customer360_ray.blocks import sum_kernel, topk_kernel, tree_reduce
+
+    empty = ray.data.from_items([])
+    got = tree_reduce(empty, sum_kernel(["k"], ["v"])).to_pandas()
+    assert len(got) == 0 and set(got.columns) >= {"k", "v"}
+    top = tree_reduce(empty, topk_kernel(["v", "k"], [False, True], 5)).to_pandas()
+    assert len(top) == 0 and set(top.columns) >= {"v", "k"}
+
+    # schemaless empty blocks (zero-row, zero-column) through a real tree
+    blanks = ray.data.from_arrow([pa.table({})] * 6)
+    got2 = tree_reduce(blanks, sum_kernel(["k"], ["v"]), fan=2).to_pandas()
+    assert len(got2) == 0 and set(got2.columns) >= {"k", "v"}

@@ -244,3 +244,20 @@ def test_dedup_index_resumes_and_dedups_resync(tmp_path):
     pd.testing.assert_frame_equal(
         before.sort_values("text_md5", kind="stable").reset_index(drop=True), after
     )
+
+
+def test_dedup_keepers_empty_lake_serves_keeper_schema(tmp_path):
+    """A zero-block index lake must serve the KEEPER schema (keeper_conv /
+    keeper_turn / n_copies), not the posting input's — callers select keeper
+    columns immediately (r4 ADVICE)."""
+    from dbt_customer360_ray.state.views import read_dedup_keepers
+
+    dst = CdcLake(str(tmp_path / "dst"), num_partitions=4)
+    got = read_dedup_keepers(dst, num_buckets=4)
+    assert got.count() == 0
+    # dataset-level schema is the contract (Ray's to_pandas drops columns on
+    # any zero-row dataset); selecting keeper columns must succeed
+    assert got.schema().names == [
+        "text_md5", "keeper_conv", "keeper_turn", "n_copies"
+    ]
+    assert got.select_columns(["keeper_conv", "n_copies"]).count() == 0
