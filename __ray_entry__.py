@@ -1003,6 +1003,28 @@ def _label_propagated_lsh_embeddings(sf_dir: str):
     return label_propagate(ds, k=5, edges=edges)
 
 
+def _pagerank_lsh_embeddings(sf_dir: str):
+    """PageRank centrality over the BUCKETED approximate k-NN graph — the
+    last graph op to gain an LSH-fed driver path (r4 VERDICT Next #2); the
+    power-iteration rounds consume the LSH edge table unchanged via
+    ``edges=`` (same schema/total order as the exact graph)."""
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.similarity import knn_graph_lsh, pagerank
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return pagerank(ds, k=5, iters=3, edges=knn_graph_lsh(ds, k=5, dim=64))
+
+
+def _adamic_adar_lsh_embeddings(sf_dir: str):
+    """Adamic-Adar link prediction over the BUCKETED approximate k-NN graph
+    (edges= composition — the at-scale shape for the open-wedge exchange)."""
+    from dbt_customer360_ray.sources.readers import read_table
+    from dbt_customer360_ray.stages.similarity import adamic_adar, knn_graph_lsh
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return adamic_adar(ds, k=5, edges=knn_graph_lsh(ds, k=5, dim=64))
+
+
 def _semantic_decontaminate_embeddings(sf_dir: str):
     """Embedding-space decontamination: the md5-permille test split plays the
     benchmark set (broadcast once), one map-only matmul pass flags training
@@ -1600,6 +1622,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["bfs_hops_lsh_embeddings"] = _bfs_hops_lsh_embeddings
     out["triangle_stats_lsh_embeddings"] = _triangle_stats_lsh_embeddings
     out["label_propagated_lsh_embeddings"] = _label_propagated_lsh_embeddings
+    out["pagerank_lsh_embeddings"] = _pagerank_lsh_embeddings
+    out["adamic_adar_lsh_embeddings"] = _adamic_adar_lsh_embeddings
     out["hard_negatives_embeddings"] = _hard_negatives_embeddings
     out["semantic_decontaminate_embeddings"] = _semantic_decontaminate_embeddings
     out["label_propagated_embeddings"] = _label_propagated_embeddings
@@ -1741,6 +1765,10 @@ def oracle_sql() -> dict[str, str]:
     from dbt_customer360_ray.stages.similarity import pagerank_oracle_sql
 
     out["pagerank_embeddings"] = pagerank_oracle_sql("embeddings", k=5, iters=3)
+    out["pagerank_lsh_embeddings"] = pagerank_oracle_sql(
+        "embeddings", k=5, iters=3,
+        knn_sql=knn_graph_lsh_oracle_sql("embeddings", k=5, dim=64),
+    )
     from dbt_customer360_ray.stages.similarity import (
         bfs_hops_oracle_sql,
         triangle_stats_oracle_sql,
@@ -1761,6 +1789,10 @@ def oracle_sql() -> dict[str, str]:
     from dbt_customer360_ray.stages.similarity import adamic_adar_oracle_sql
 
     out["adamic_adar_embeddings"] = adamic_adar_oracle_sql("embeddings", k=5)
+    out["adamic_adar_lsh_embeddings"] = adamic_adar_oracle_sql(
+        "embeddings", k=5,
+        knn_sql=knn_graph_lsh_oracle_sql("embeddings", k=5, dim=64),
+    )
     out["lm_fluency_documents"] = lm_fluency_oracle_sql("documents")
     from dbt_customer360_ray.stages.sampling import mix_oracle_sql
 

@@ -112,6 +112,13 @@ BENCH_QUERIES = [
     "cdc_redriven_dlq",
     "cdc_widened_lake",
     "cdc_offset_gaps",
+    # r4 VERDICT Next #8: the top-cost absentees a training-data user runs
+    "label_propagated_lsh_embeddings",
+    "triangle_stats_lsh_embeddings",
+    "pagerank_lsh_embeddings",
+    "adamic_adar_lsh_embeddings",
+    "cdc_minhash_index_dups",
+    "cdc_near_dup_convs",
 ]
 
 

@@ -1602,12 +1602,14 @@ def pagerank_oracle_sql(
     damping_pm: int = 850,
     id_col: str = "vec_id",
     scale: int = 10**9,
+    knn_sql: str | None = None,
 ) -> str:
     """DuckDB mirror of ``pagerank``: the same knn-graph SQL feeds ``iters``
     UNROLLED iteration CTEs with identical integer floors (``//``); SUM's
     HUGEINT widening is collapsed by the same ``// 1000`` before re-entering
-    BIGINT range."""
-    knn = knn_graph_oracle_sql(table, k=k, id_col=id_col)
+    BIGINT range. ``knn_sql`` swaps in a different edge-table SQL (e.g.
+    ``knn_graph_lsh_oracle_sql`` to mirror ``pagerank(edges=knn_graph_lsh(…))``)."""
+    knn = knn_sql or knn_graph_oracle_sql(table, k=k, id_col=id_col)
     head = f"""
         WITH knn AS ({knn}),
         edges AS (SELECT {id_col} AS src, neighbor_id AS dst FROM knn),
@@ -2193,10 +2195,13 @@ def adamic_adar_oracle_sql(
     k: int = 5,
     id_col: str = "vec_id",
     scale: int = 10**12,
+    knn_sql: str | None = None,
 ) -> str:
     """DuckDB mirror of ``adamic_adar`` (open wedges only; ln quantized to
-    1e6 then floor-divided — bit-exact vs numpy)."""
-    knn = knn_graph_oracle_sql(table, k=k, id_col=id_col)
+    1e6 then floor-divided — bit-exact vs numpy). ``knn_sql`` swaps in a
+    different edge-table SQL (e.g. ``knn_graph_lsh_oracle_sql`` to mirror
+    ``adamic_adar(edges=knn_graph_lsh(…))``)."""
+    knn = knn_sql or knn_graph_oracle_sql(table, k=k, id_col=id_col)
     return f"""
         WITH knn AS ({knn}),
         und AS (
