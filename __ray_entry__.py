@@ -221,6 +221,28 @@ def _cdc_minhash_index_dups(sf_dir: str):
     return minhash_index_near_dups(sf=0.01)
 
 
+def _cdc_ann_index(sf_dir: str):
+    """Incrementally-maintained embedding-sketch index off the CDC lake (the
+    semantic sibling of the minhash index): per-epoch dirty-conversation
+    sketch upserts via as-of point lookups — O(changed convs)/epoch, no text
+    on the driver — into a derived lake; served back as the long-format
+    (conv_id, proj_idx, value) sketch table. Oracled bit-exactly (hashed
+    token counts × seeded sign matrix, all-integer after hashing)."""
+    from dbt_customer360_ray.pipelines.cdc_replay import ann_index_lake
+
+    return ann_index_lake(sf=0.01)
+
+
+def _cdc_ann_index_dups(sf_dir: str):
+    """Semantic near-dup conversation groups served from the MAINTAINED
+    sketch index — no corpus re-embedding: sign-pattern LSH buckets over the
+    stored sketches, per-bucket integer-cosine ≥ permille threshold, least-id
+    closure. The approximate answer itself is oracled."""
+    from dbt_customer360_ray.pipelines.cdc_replay import ann_index_near_dups
+
+    return ann_index_near_dups(sf=0.01)
+
+
 def _cdc_redacted_lake(sf_dir: str):
     """PII-redaction mask (privacy scrub at serving reads): emails → <EMAIL>,
     phone runs → <PHONE> in place, applied at every serving surface; a
@@ -1579,6 +1601,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_redacted_lake"] = _cdc_redacted_lake
     out["cdc_near_dup_convs"] = _cdc_near_dup_convs
     out["cdc_minhash_index_dups"] = _cdc_minhash_index_dups
+    out["cdc_ann_index"] = _cdc_ann_index
+    out["cdc_ann_index_dups"] = _cdc_ann_index_dups
     out["cdc_sft_jsonl"] = _cdc_sft_jsonl
     out["cdc_explain_read"] = _cdc_explain_read
     out["cdc_token_search"] = _cdc_token_search
@@ -1943,6 +1967,13 @@ def oracle_sql() -> dict[str, str]:
 
     out["cdc_near_dup_convs"] = near_dup_convs_oracle_sql(sf=0.01)
     out["cdc_minhash_index_dups"] = near_dup_convs_oracle_sql(sf=0.01)
+    from dbt_customer360_ray.pipelines.cdc_replay import (
+        ann_index_oracle_sql,
+        ann_near_dups_oracle_sql,
+    )
+
+    out["cdc_ann_index"] = ann_index_oracle_sql(sf=0.01)
+    out["cdc_ann_index_dups"] = ann_near_dups_oracle_sql(sf=0.01)
     from dbt_customer360_ray.pipelines.cdc_replay import (
         fk_dlq_oracle_sql,
         fk_oracle_sql,

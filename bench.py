@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "adamic_adar_lsh_embeddings",
     "cdc_minhash_index_dups",
     "cdc_near_dup_convs",
+    "cdc_ann_index_dups",
 ]
 
 

@@ -1453,17 +1453,13 @@ def minhash_index_near_dups(sf: float = 0.01):
     return _decode_groups(groups)
 
 
-def near_dup_convs_oracle_sql(sf: float = 0.01) -> str:
-    """Oracle for ``near_dup_convs_lake``: converged LWW state + the same
-    clone arm → SFT assembly in SQL → the all-pairs trigram-shingle Jaccard
-    recursive closure (``MINHASH_GROUPS_CTES`` — its ``documents`` CTE name
-    shadows the registered view)."""
-    from .analytics import MINHASH_GROUPS_CTES
-
+def _planted_asm_ctes(sf: float) -> str:
+    """Shared oracle CTE prefix: converged LWW state + the ``-dup`` clone arm
+    → per-conversation SFT assembly (``asm(conv_id, sft_text)``) — the SQL
+    twin of ``_planted_dup_lake`` + ``assemble_conversations``."""
     ids = ", ".join(f"'{c}'" for c in _DUP_CONVS)
     inner = _lww_sql(_epoch_selects(sf))
-    return f"""
-        WITH RECURSIVE base AS ({inner}), full_st AS (
+    return f"""base AS ({inner}), full_st AS (
             SELECT conv_id, turn_idx, role, text FROM base
             UNION ALL
             SELECT conv_id || '-dup', turn_idx, role, text
@@ -1475,9 +1471,220 @@ def near_dup_convs_oracle_sql(sf: float = 0.01) -> str:
                        chr(10) ORDER BY turn_idx
                    ) AS sft_text
             FROM full_st GROUP BY conv_id
-        ), documents AS (
+        )"""
+
+
+def near_dup_convs_oracle_sql(sf: float = 0.01) -> str:
+    """Oracle for ``near_dup_convs_lake``: converged LWW state + the same
+    clone arm → SFT assembly in SQL → the all-pairs trigram-shingle Jaccard
+    recursive closure (``MINHASH_GROUPS_CTES`` — its ``documents`` CTE name
+    shadows the registered view)."""
+    from .analytics import MINHASH_GROUPS_CTES
+
+    return f"""
+        WITH RECURSIVE {_planted_asm_ctes(sf)}, documents AS (
             SELECT conv_id AS doc_id, sft_text AS text FROM asm
         ), {MINHASH_GROUPS_CTES}
+        SELECT node AS conv_id, least(node, min(x)) AS dup_group
+        FROM reach GROUP BY node
+    """
+
+
+_ANN_DIM, _ANN_OUT_DIM, _ANN_SEED, _ANN_SALT = 64, 8, 29, "ann"
+
+
+def ann_index_lake(sf: float = 0.01):
+    """The INCREMENTALLY-MAINTAINED embedding-sketch index off the CDC lake
+    (``state/views.py:sync_ann_index`` — the semantic sibling of the minhash
+    index, r4 VERDICT Next #6): per-epoch dirty-conversation sketch upserts
+    (as-of point lookups, O(changed convs)/epoch) into a derived lake, read
+    back as the long-format ``(conv_id, proj_idx, value)`` sketch table.
+    Oracled — hashed-token counts × the seeded sign matrix over the SAME
+    converged SFT assembly in SQL, bit-exact (all-integer after hashing)."""
+    import tempfile
+
+    from ..state.engine import CdcLake
+    from ..state.views import read_ann_sketch, sync_ann_index
+
+    lake = _planted_dup_lake(sf=sf)
+    dst = CdcLake(
+        tempfile.mkdtemp(prefix="ann-index-") + "/index", num_partitions=8
+    )
+    sync_ann_index(
+        lake, dst, dim=_ANN_DIM, out_dim=_ANN_OUT_DIM,
+        seed=_ANN_SEED, salt=_ANN_SALT,
+    )
+    return read_ann_sketch(dst, out_dim=_ANN_OUT_DIM)
+
+
+def _ann_token_bucket_sql(tok_expr: str) -> str:
+    """md5 first-13-hex % dim of ``salt || token`` — the dsir/_permille_sql
+    52-bit parse, so DuckDB reproduces ``_ann_hexsigs``'s bucketing."""
+    return (
+        f"list_reduce(list_transform(range(1, 14), "
+        f"i -> CAST(strpos('0123456789abcdef', substr(md5('{_ANN_SALT}' || "
+        f"{tok_expr}), CAST(i AS INT), 1)) AS BIGINT) - 1), "
+        f"(a, b) -> a * 16 + b) % {_ANN_DIM}"
+    )
+
+
+def _ann_sketch_ctes(sf: float) -> str:
+    """Oracle CTE chain ending in ``sk(conv_id, proj_idx, value)`` — the SQL
+    twin of the maintained sketch: SFT assembly → single-space token split →
+    hashed-bucket counts → seeded sign-matrix projection (integer SUM)."""
+    from ..stages.similarity import rp_sign_planes
+
+    R = rp_sign_planes(_ANN_DIM, _ANN_OUT_DIM, _ANN_SEED)
+    rows = ", ".join(
+        f"({j}, {i}, {int(R[j, i])})"
+        for j in range(_ANN_OUT_DIM)
+        for i in range(_ANN_DIM)
+    )
+    return f"""{_planted_asm_ctes(sf)}, toks AS (
+            SELECT conv_id, unnest(string_split(sft_text, ' ')) AS tok FROM asm
+        ), tb AS (
+            SELECT conv_id, ({_ann_token_bucket_sql("tok")}) AS bucket FROM toks
+        ), counts AS (
+            SELECT conv_id, bucket, CAST(count(*) AS BIGINT) AS c
+            FROM tb GROUP BY 1, 2
+        ), planes(proj_idx, dim_idx, s) AS (
+            VALUES {rows}
+        ), sk AS (
+            SELECT c.conv_id, CAST(p.proj_idx AS BIGINT) AS proj_idx,
+                   CAST(sum(c.c * p.s) AS BIGINT) AS value
+            FROM counts c JOIN planes p ON p.dim_idx = c.bucket
+            GROUP BY 1, 2
+        )"""
+
+
+def ann_index_oracle_sql(sf: float = 0.01) -> str:
+    """Oracle for ``ann_index_lake``: the sketch table derived from scratch
+    over the converged state + clone arm."""
+    return f"""
+        WITH {_ann_sketch_ctes(sf)}
+        SELECT conv_id, proj_idx, value FROM sk
+    """
+
+
+def ann_index_near_dups(sf: float = 0.01, threshold_pm: int = 990):
+    """SEMANTIC near-dup groups served from the maintained sketch index —
+    ``cdc_semantic_near_dup_convs`` without re-embedding the corpus: stored
+    sketches bucket by their 8-bit SIGN pattern (hyperplane LSH for free —
+    identical sketches always collide), per-bucket pairwise integer-cosine ≥
+    ``threshold_pm`` permille, then the shared least-id closure. Cosine =
+    floor(dot/√na/√nb·1000+0.5) with exact integer dot/norms (float64 sqrt
+    and divide are correctly rounded in both numpy and DuckDB), so the
+    approximate answer itself is oracled."""
+    import tempfile
+
+    import numpy as np
+    import ray.data  # noqa: F401
+
+    from ..state.engine import CdcLake
+    from ..state.views import sync_ann_index
+    from ..stages.dedup import dup_groups
+
+    lake = _planted_dup_lake(sf=sf)
+    dst = CdcLake(
+        tempfile.mkdtemp(prefix="ann-index-") + "/index", num_partitions=8
+    )
+    sync_ann_index(
+        lake, dst, dim=_ANN_DIM, out_dim=_ANN_OUT_DIM,
+        seed=_ANN_SEED, salt=_ANN_SALT,
+    )
+    od = _ANN_OUT_DIM
+
+    def _vecrows(df: pd.DataFrame) -> pd.DataFrame:
+        vals = (
+            np.stack(
+                [
+                    np.frombuffer(bytes.fromhex(h), dtype="<i8")
+                    for h in df["sig_hex"]
+                ]
+            )
+            if len(df)
+            else np.zeros((0, od), np.int64)
+        )
+        cols = {"doc_id": _encode_conv_ids(df["conv_id"]).to_numpy()}
+        for j in range(od):
+            cols[f"v{j}"] = vals[:, j]
+        cols["bucket"] = (vals >= 0).astype(np.int64) @ (
+            np.int64(1) << np.arange(od, dtype=np.int64)
+        )
+        return pd.DataFrame(cols)
+
+    vecs = dst.read(columns=["sig_hex"]).map_batches(
+        _vecrows, batch_format="pandas"
+    )
+
+    def pair_kernel(grp: pd.DataFrame, od=od, thr=threshold_pm) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
+        )
+        ids = grp["doc_id"].to_numpy(np.int64)
+        M = grp[[f"v{j}" for j in range(od)]].to_numpy(np.float64)
+        nrm = (M * M).sum(axis=1)  # exact: integer-valued float64 sums
+        keep = nrm > 0.0
+        ids, M, nrm = ids[keep], M[keep], nrm[keep]
+        if len(ids) < 2:
+            return empty
+        order = np.argsort(ids, kind="stable")
+        ids, M, nrm = ids[order], M[order], nrm[order]
+        # dot / sqrt(na) / sqrt(nb) — the SQL mirror's exact operand order
+        cos = (M @ M.T) / np.sqrt(nrm)[:, None] / np.sqrt(nrm)[None, :]
+        pm = np.floor(cos * 1000.0 + 0.5)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        hit = pm[ia, ib] >= thr
+        return pd.DataFrame(
+            {"doc_a": ids[ia[hit]], "doc_b": ids[ib[hit]]}
+        )
+
+    pairs = vecs.groupby("bucket").map_groups(pair_kernel, batch_format="pandas")
+    return _decode_groups(dup_groups(pairs))
+
+
+def ann_near_dups_oracle_sql(sf: float = 0.01, threshold_pm: int = 990) -> str:
+    """Oracle for ``ann_index_near_dups``: sketches from scratch → sign
+    buckets → per-bucket integer-cosine pairs → recursive least-id closure
+    (string least == min encoded id: the conv-id codec is order-preserving)."""
+    return f"""
+        WITH RECURSIVE {_ann_sketch_ctes(sf)}, nrm AS (
+            SELECT conv_id, CAST(sum(value * value) AS BIGINT) AS n2
+            FROM sk GROUP BY 1
+        ), bkt AS (
+            SELECT conv_id,
+                   sum(CASE WHEN value >= 0
+                       THEN (CAST(1 AS BIGINT) << CAST(proj_idx AS INT))
+                       ELSE 0 END) AS bucket
+            FROM sk GROUP BY 1
+        ), cand AS (
+            SELECT a.conv_id AS ca, b.conv_id AS cb
+            FROM bkt a JOIN bkt b
+              ON a.bucket = b.bucket AND a.conv_id < b.conv_id
+        ), dots AS (
+            SELECT c.ca, c.cb, CAST(sum(x.value * y.value) AS BIGINT) AS dot
+            FROM cand c
+            JOIN sk x ON x.conv_id = c.ca
+            JOIN sk y ON y.conv_id = c.cb AND y.proj_idx = x.proj_idx
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT d.ca AS doc_a, d.cb AS doc_b
+            FROM dots d
+            JOIN nrm na ON na.conv_id = d.ca
+            JOIN nrm nb ON nb.conv_id = d.cb
+            WHERE na.n2 > 0 AND nb.n2 > 0
+              AND CAST(floor(CAST(d.dot AS DOUBLE)
+                             / sqrt(CAST(na.n2 AS DOUBLE))
+                             / sqrt(CAST(nb.n2 AS DOUBLE))
+                             * 1000.0 + 0.5) AS BIGINT) >= {threshold_pm}
+        ), edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ), reach(node, x) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.node, e2.b FROM reach r JOIN edges e2 ON e2.a = r.x
+        )
         SELECT node AS conv_id, least(node, min(x)) AS dup_group
         FROM reach GROUP BY node
     """

@@ -867,6 +867,56 @@ def _cached_hasher(num_perm: int, shingle_n: int):
     return h
 
 
+def _minhash_hexsigs(texts: np.ndarray, params: dict) -> list[str]:
+    """Hex MinHash signature per SFT document (per-worker cached hasher —
+    SAME seeds as the scratch pipeline)."""
+    hasher = _cached_hasher(params["num_perm"], params["shingle_n"])
+    sigs = hasher(
+        pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    )["sig"]
+    return [s.tobytes().hex() for s in sigs]
+
+
+_PLANES_CACHE: dict = {}
+
+
+def _cached_planes(dim: int, out_dim: int, seed: int):
+    from ..stages.similarity import rp_sign_planes
+
+    key = (dim, out_dim, seed)
+    R = _PLANES_CACHE.get(key)
+    if R is None:
+        R = _PLANES_CACHE[key] = rp_sign_planes(dim, out_dim, seed)
+    return R
+
+
+def _ann_hexsigs(texts: np.ndarray, params: dict) -> list[str]:
+    """Hex embedding sketch per SFT document: hashed-token count vector
+    (md5 first-13-hex % dim — the dsir/_permille_sql bucket recipe, so
+    DuckDB reproduces it verbatim) projected through the seeded Achlioptas
+    sign matrix (``stages.similarity.rp_sign_planes``). All-integer after
+    hashing, so the stored sketch is bit-exactly oracle-checkable."""
+    import hashlib
+
+    dim, salt = params["dim"], params["salt"]
+    R = _cached_planes(dim, params["out_dim"], params["seed"])
+    toks_per = [("" if t is None else t).split(" ") for t in texts]
+    n = np.fromiter((len(t) for t in toks_per), np.int64, len(toks_per))
+    flat = pd.Series([tok for toks in toks_per for tok in toks], dtype=object)
+    uniq = pd.unique(flat.to_numpy(dtype=object))
+    lut = {
+        g: int(hashlib.md5(f"{salt}{g}".encode("utf-8")).hexdigest()[:13], 16)
+        % dim
+        for g in uniq
+    }
+    bucket = flat.map(lut).to_numpy(np.int64)
+    doc = np.repeat(np.arange(len(texts), dtype=np.int64), n)
+    C = np.zeros((len(texts), dim), np.int64)
+    np.add.at(C, (doc, bucket), 1)
+    proj = C @ R.T
+    return [row.astype("<i8").tobytes().hex() for row in proj]
+
+
 def sync_minhash_index(
     src: CdcLake,
     dst: CdcLake,
@@ -901,6 +951,60 @@ def sync_minhash_index(
     string — LWW/evolution-safe payload). Events flow through the
     exactly-once sink with deterministic offsets/ts, so the index inherits
     replay dedup, crash resume, and time travel."""
+    return _sync_conv_sig_index(
+        src, dst, _minhash_hexsigs,
+        {"num_perm": num_perm, "shingle_n": shingle_n},
+        upto_epoch, num_buckets,
+    )
+
+
+def sync_ann_index(
+    src: CdcLake,
+    dst: CdcLake,
+    upto_epoch: int | None = None,
+    dim: int = 64,
+    out_dim: int = 8,
+    seed: int = 29,
+    salt: str = "ann",
+    num_buckets: int | None = None,
+) -> list[dict]:
+    """Incrementally-maintained EMBEDDING-SKETCH index — the semantic sibling
+    of ``sync_minhash_index`` (r4 VERDICT Next #6): one row per live
+    conversation holding a deterministic ``out_dim``-component integer
+    embedding of its SFT document, so semantic near-dup curation off the CDC
+    lake is served from STORED sketches instead of re-embedding the corpus
+    per run.
+
+    The embedding is the house deterministic composition: hashed-token count
+    vector (md5-13-hex % ``dim`` — the dsir bucket recipe) projected through
+    the seeded Achlioptas sign matrix (the ``rp_sketch`` kernel shape) —
+    all-integer after hashing, so the stored sketch is bit-exactly
+    reproducible in SQL AND at any cluster size. A deployment with a real
+    model swaps ``_ann_hexsigs`` for a batched-inference actor pool; the
+    maintenance machinery (dirty-key as-of lookups, bucketed distributed
+    re-embed, probe-row deletes, exactly-once sink) is shared and unchanged:
+    O(changed conversations) per epoch, never a corpus scan, no text on the
+    driver."""
+    return _sync_conv_sig_index(
+        src, dst, _ann_hexsigs,
+        {"dim": dim, "out_dim": out_dim, "seed": seed, "salt": salt},
+        upto_epoch, num_buckets,
+    )
+
+
+def _sync_conv_sig_index(
+    src: CdcLake,
+    dst: CdcLake,
+    hexsig_fn,
+    params: dict,
+    upto_epoch: int | None = None,
+    num_buckets: int | None = None,
+) -> list[dict]:
+    """Shared dirty-key per-conversation signature maintenance loop (see
+    ``sync_minhash_index`` for the full design notes): change feed names the
+    dirty conversations → as-of point lookups → conv-bucketed distributed
+    ``map_groups`` re-assembly → ``hexsig_fn(texts, params)`` per bucket →
+    upsert/delete events through the exactly-once sink."""
     import ray.data
 
     from ..blocks import adaptive_buckets
@@ -961,9 +1065,8 @@ def sync_minhash_index(
         )
 
         def sig_kernel(
-            grp: pd.DataFrame, ep=epoch, wm=watermark, np_=num_perm, sn=shingle_n
+            grp: pd.DataFrame, ep=epoch, wm=watermark, fn=hexsig_fn, prm=params
         ) -> pd.DataFrame:
-            hasher = _cached_hasher(np_, sn)
             turns = grp[grp["turn_idx"] >= 0].sort_values(
                 ["conv_id", "turn_idx"], kind="stable"
             )
@@ -974,18 +1077,7 @@ def sync_minhash_index(
             alive = list(sft.index)
             alive_set = set(alive)
             dead = sorted(set(grp["conv_id"]) - alive_set)
-            sig_hex = (
-                [
-                    s.tobytes().hex()
-                    for s in hasher(
-                        pd.DataFrame(
-                            {"doc_id": np.arange(len(alive)), "text": sft.to_numpy()}
-                        )
-                    )["sig"]
-                ]
-                if alive
-                else []
-            )
+            sig_hex = fn(sft.to_numpy(), prm) if alive else []
             rows = pd.DataFrame(
                 {
                     "op": ["I"] * len(alive) + ["D"] * len(dead),
@@ -1023,5 +1115,34 @@ def read_minhash_sigs(dst: CdcLake):
             for h in df["sig_hex"]
         ]
         return pd.DataFrame({"conv_id": df["conv_id"].to_numpy(), "sig": sigs})
+
+    return dst.read(columns=["sig_hex"]).map_batches(decode, batch_format="pandas")
+
+
+def read_ann_sketch(dst: CdcLake, out_dim: int = 8):
+    """The maintained embedding-sketch index as long-format
+    ``(conv_id, proj_idx, value)`` rows — the ``rp_sketch`` output shape, so
+    downstream ANN/clustering stages (and the SQL oracle) consume it
+    unchanged. Map-only decode of the stored hex sketches."""
+
+    def decode(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        vals = (
+            np.concatenate(
+                [
+                    np.frombuffer(bytes.fromhex(h), dtype="<i8")
+                    for h in df["sig_hex"]
+                ]
+            )
+            if n
+            else np.array([], np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "conv_id": np.repeat(df["conv_id"].to_numpy(), out_dim),
+                "proj_idx": np.tile(np.arange(out_dim, dtype=np.int64), n),
+                "value": vals,
+            }
+        )
 
     return dst.read(columns=["sig_hex"]).map_batches(decode, batch_format="pandas")
