@@ -37,21 +37,32 @@ MEDIA_SCHEMA = pa.schema(
 
 
 class DecodeBackend:
-    """Codec interface. Real backends implement decode_image/decode_audio."""
+    """Codec interface — THE extension seam for compressed formats. Built-in
+    real backends cover each modality's standard uncompressed container
+    (WavBackend/BmpBackend/Y4mBackend); JPEG/PNG/FLAC/MP3/MP4 need a
+    user-supplied subclass wrapping Pillow/soundfile/ffmpeg (not installed in
+    this build). See README 'Multimodal codec boundary' for the 3-line
+    example subclass."""
 
     def decode_image(self, payload: bytes) -> np.ndarray:  # (H, W, 3) uint8
         raise NotImplementedError(
-            "no image codec in this environment — plug in a PIL/cv2 backend"
+            "no compressed-image codec in this build — subclass DecodeBackend"
+            ".decode_image with a Pillow/cv2 wrapper and pass it as the "
+            "stage's backend (BmpBackend handles uncompressed 24-bit BMP)"
         )
 
     def decode_audio(self, payload: bytes) -> np.ndarray:  # (n_samples,) float32
         raise NotImplementedError(
-            "no audio codec in this environment — plug in an ffmpeg backend"
+            "no compressed-audio codec in this build — subclass DecodeBackend"
+            ".decode_audio with a soundfile/ffmpeg wrapper and pass it as the "
+            "stage's backend (WavBackend handles PCM WAV)"
         )
 
     def decode_video(self, payload: bytes) -> np.ndarray:  # (F, H, W, 3) uint8
         raise NotImplementedError(
-            "no video codec in this environment — plug in an ffmpeg backend"
+            "no compressed-video codec in this build — subclass DecodeBackend"
+            ".decode_video with an ffmpeg/PyAV wrapper and pass it as the "
+            "stage's backend (Y4mBackend handles YUV4MPEG2)"
         )
 
 

@@ -374,10 +374,17 @@ def test_multimodal_plumbing(ray_session):
     )[::3]
     assert vid.set_index("media_id").loc[0, "mean_r"] == frames[..., 0].mean()
 
-    # the real backend is an explicit stub
-    with pytest.raises(NotImplementedError):
+    # compressed formats hit a DOCUMENTED seam: the error must name
+    # DecodeBackend (subclass point) and the uncompressed built-in
+    with pytest.raises(NotImplementedError, match="DecodeBackend"):
         M.DecodeBackend().decode_image(b"x")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError, match="BmpBackend"):
+        M.DecodeBackend().decode_image(b"x")
+    with pytest.raises(NotImplementedError, match="WavBackend"):
+        M.DecodeBackend().decode_audio(b"x")
+    with pytest.raises(NotImplementedError, match="DecodeBackend"):
+        M.DecodeBackend().decode_video(b"x")
+    with pytest.raises(NotImplementedError, match="Y4mBackend"):
         M.DecodeBackend().decode_video(b"x")
 
 
