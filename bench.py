@@ -181,7 +181,13 @@ def run_bench() -> dict:
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     cdc_sec = float("inf")
     last_lake = last_dir = None
-    for _ in range(reps):
+    # flagship replay gets >=3 reps and records the raw samples: the FIRST
+    # rep is a consistent warm-up outlier (~1.5x steady state — worker pool
+    # ramp + first-touch caches; r4's apparent 2.73->3.16s "regression" was
+    # the 2-rep min catching a half-warm rep, r5 5-rep profiling showed
+    # steady state unchanged at 2.9-3.1s / ~700k events/s)
+    replay_samples = []
+    for _ in range(max(reps, 3) if not CDC_ONLY else reps):
         # fresh lake per rep: the manifest sink is exactly-once, so re-applying
         # to an existing lake would be a no-op and time nothing
         lake_dir = tempfile.mkdtemp(prefix="bench-lake-", dir=shm)
@@ -194,7 +200,8 @@ def run_bench() -> dict:
         for p in fx["paths"]:
             m = lake.apply(p, enrich=enrich, enrich_schema=enrich_schema)
             events += m["events_in"]
-        cdc_sec = min(cdc_sec, time.perf_counter() - t0)
+        replay_samples.append(round(time.perf_counter() - t0, 3))
+        cdc_sec = min(cdc_sec, replay_samples[-1])
         if last_dir is not None:
             shutil.rmtree(last_dir, ignore_errors=True)
         last_lake, last_dir = lake, lake_dir
@@ -337,6 +344,7 @@ def run_bench() -> dict:
         "queries": timings,
         "cdc_events": events,
         "cdc_events_per_sec": round(eps, 1),
+        "cdc_replay_samples": replay_samples,
         "sf": sf,
         "num_cpus": NUM_CPUS,
     }
