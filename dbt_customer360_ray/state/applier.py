@@ -230,7 +230,9 @@ class EpochApplier:
         exempt_offsets: frozenset | None = None,
         constraints: tuple = (),
         window_us: int | None = None,
+        assign_offsets: bool = False,
     ):
+        self.assign_offsets = assign_offsets
         self.merge_mode = merge_mode
         self.constraints = tuple(constraints)
         self.window_us = window_us
@@ -298,6 +300,36 @@ class EpochApplier:
             "pid",
             pa.array([pid] * group.num_rows, pa.int32()),
         )
+        if self.assign_offsets and group.num_rows:
+            # Collision-FREE derived-view offsets, assigned AFTER routing:
+            # (epoch+1)<<40 | salt<<34 | rank-of-key within this (pid, salt)
+            # group, keys sorted — deterministic (routing + sort are key
+            # functions of the event content), monotone across epochs, and
+            # exact at any scale. Replaces the caller-side hash recipe whose
+            # 39-bit birthday collisions silently dropped distinct events at
+            # ~10M+ rows/epoch (first-delivery dedup ate them — found by the
+            # r5 sf1.5 rehearsal, 5 missing keepers in 2.77M). Callers emit a
+            # placeholder offset and must guarantee UNIQUE keys per epoch
+            # (every sync_* view does: one event per key per feed).
+            n = group.num_rows
+            if n >= (1 << 34):
+                raise ValueError(
+                    "assign_offsets: partition group exceeds 2^34 events — "
+                    "raise num_partitions"
+                )
+            order = pc.sort_indices(
+                group,
+                sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")],
+            )
+            group = group.take(order)
+            base = (np.int64(self.epoch + 1) << np.int64(40)) | (
+                np.int64(salt) << np.int64(34)
+            )
+            group = group.set_column(
+                group.schema.get_field_index("offset"),
+                "offset",
+                pa.array(base + np.arange(n, dtype=np.int64), pa.int64()),
+            )
         events_in = group.num_rows
         committed = self.committed_offsets.get(pid, -1)
         fresh = pc.greater(group.column("offset"), committed)

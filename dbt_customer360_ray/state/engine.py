@@ -1601,8 +1601,15 @@ class CdcLake:
         _exempt_offsets: frozenset | None = None,
         _pending_txns: list | None = None,
         _schema: pa.Schema | None = None,
+        assign_offsets: bool = False,
     ) -> dict:
         """Apply one epoch of change events; returns this epoch's metrics.
+
+        ``assign_offsets``: derived-view mode — the caller emits a
+        placeholder ``offset`` column and the applier assigns collision-free
+        offsets AFTER routing ((epoch+1)<<40 | salt<<34 | key rank within the
+        partition group). Requires keys unique per epoch; replaces hash-based
+        view offsets whose birthday collisions drop events at 10M+ rows/epoch.
 
         ``enrich``: optional vectorized per-batch transform run inside the
         shuffle-map task (e.g. transcript text analysis); the columns it adds
@@ -1746,6 +1753,7 @@ class CdcLake:
             exempt_offsets=_exempt_offsets,
             constraints=self._active_constraints(),
             window_us=self.window_us,
+            assign_offsets=assign_offsets,
         )
 
         event_only = pa.schema(list(event_schema))

@@ -10,11 +10,17 @@ exactly-once manifest sink — so view maintenance inherits replay dedup,
 crash resume (a re-sync skips view epochs already committed), time travel,
 and metrics for free.
 
-Determinism contract: event offsets are (epoch+1)·2^40 + hash(key) — unique
-across epochs by construction, collision-free in expectation within one, and
-independent of feed row order, so a re-executed sync writes byte-identical
-events. The view's LWW ts is a per-epoch watermark (later syncs always win);
-the source timestamp rides along as the payload column ``src_ts``.
+Determinism contract: view events carry a PLACEHOLDER offset; the sink
+assigns collision-FREE offsets after routing (``apply(assign_offsets=True)``:
+(epoch+1)<<40 | salt<<34 | key rank within the partition group) — unique by
+construction, monotone across epochs, and independent of feed row order, so
+a re-executed sync writes byte-identical events. (The previous recipe —
+(epoch+1)·2^40 + hash(key) % 2^39 — was only collision-free in expectation;
+at ~10M events/epoch its birthday collisions made the sink's first-delivery
+dedup silently drop distinct events, found by the r5 sf1.5 rehearsal.) Every
+sync emits exactly ONE event per view key per epoch, which assign_offsets
+requires. The view's LWW ts is a per-epoch watermark (later syncs always
+win); the source timestamp rides along as the payload column ``src_ts``.
 """
 
 from __future__ import annotations
@@ -77,11 +83,7 @@ def sync_view(
             ev = batch.copy()
             ev["op"] = "D"
             ev.loc[post.index[kept], "op"] = "U"
-            key = ev["conv_id"].astype(str) + "\x1f" + ev["turn_idx"].astype(str)
-            ev["offset"] = (
-                np.int64(ep + 1) * np.int64(1 << 40)
-                + (stable_hash(key) % np.uint64(1 << 39)).astype(np.int64)
-            )
+            ev["offset"] = np.int64(0)  # sink-assigned (assign_offsets)
             ev["src_ts"] = ev["ts"]
             ev["ts"] = pd.Timestamp(wm)
             drop = ev["op"] == "D"
@@ -97,7 +99,7 @@ def sync_view(
             )
 
         events = feed.map_batches(to_events, batch_format="pandas")
-        out.append(dst.apply(events, epoch=epoch))
+        out.append(dst.apply(events, epoch=epoch, assign_offsets=True))
     return out
 
 
@@ -211,13 +213,7 @@ def sync_headers_view(
             ev.loc[dead, ["n_turns", "n_tool_turns"]] = None
             ev["turn_idx"] = np.int32(0)
             ev["ts"] = pd.Timestamp(wm)
-            ev["offset"] = (
-                np.int64(ep + 1) * np.int64(1 << 40)
-                + (
-                    stable_hash(ev["conv_id"].astype(str).to_numpy())
-                    % np.uint64(1 << 39)
-                ).astype(np.int64)
-            )
+            ev["offset"] = np.int64(0)  # sink-assigned (assign_offsets)
             return pa.Table.from_pandas(
                 ev[list(_HEADER_EVENT_SCHEMA.names)],
                 schema=_HEADER_EVENT_SCHEMA,
@@ -229,7 +225,7 @@ def sync_headers_view(
             .groupby("pid")
             .map_groups(headers_for_dirty, batch_format="pandas")
         )
-        out.append(dst.apply(events, epoch=epoch))
+        out.append(dst.apply(events, epoch=epoch, assign_offsets=True))
     return out
 
 
@@ -389,13 +385,7 @@ def sync_token_index(
             ev.loc[dead, "n"] = None
             ev["turn_idx"] = np.int32(0)
             ev["ts"] = pd.Timestamp(wm)
-            ev["offset"] = (
-                np.int64(ep + 1) * np.int64(1 << 40)
-                + (
-                    stable_hash(ev["conv_id"].astype(str).to_numpy())
-                    % np.uint64(1 << 39)
-                ).astype(np.int64)
-            )
+            ev["offset"] = np.int64(0)  # sink-assigned (assign_offsets)
             return pa.Table.from_pandas(
                 ev[list(_INDEX_EVENT_SCHEMA.names)],
                 schema=_INDEX_EVENT_SCHEMA,
@@ -407,7 +397,7 @@ def sync_token_index(
             .groupby("pid")
             .map_groups(fold_partition, batch_format="pandas")
         )
-        out.append(dst.apply(events, epoch=epoch))
+        out.append(dst.apply(events, epoch=epoch, assign_offsets=True))
     return out
 
 
@@ -597,11 +587,7 @@ def sync_join_view(
                     dd["op"] = "D"
                     ev = pd.concat([ev, dd], ignore_index=True)
             ev["ts"] = pd.Timestamp(wm)
-            key = ev["conv_id"].astype(str) + "\x1f" + ev["turn_idx"].astype(int).astype(str)
-            ev["offset"] = (
-                np.int64(ep + 1) * np.int64(1 << 40)
-                + (stable_hash(key.to_numpy(dtype=object)) % np.uint64(1 << 39)).astype(np.int64)
-            )
+            ev["offset"] = np.int64(0)  # sink-assigned (assign_offsets)
             ev["turn_idx"] = ev["turn_idx"].astype("int32")
             for f in _JOIN_EVENT_SCHEMA:
                 if f.name not in ev.columns:
@@ -624,7 +610,7 @@ def sync_join_view(
         events = dirty_ds.groupby("pid").map_groups(
             join_for_dirty, batch_format="pandas"
         )
-        out.append(dst.apply(events, epoch=epoch))
+        out.append(dst.apply(events, epoch=epoch, assign_offsets=True))
     dst.manifest.commit_consumer_cursor("src_left", lv1)
     dst.manifest.commit_consumer_cursor("src_right", rv1)
     return out
@@ -747,10 +733,7 @@ def sync_dedup_index(
             dead = d["sign"] < 0
             ev = pd.DataFrame(
                 {
-                    "offset": np.int64(ep + 1) * np.int64(1 << 40)
-                    + (
-                        stable_hash(key.to_numpy()) % np.uint64(1 << 39)
-                    ).astype(np.int64),
+                    "offset": np.int64(0),  # sink-assigned (assign_offsets)
                     "op": np.where(dead, "D", "I"),
                     "conv_id": key,
                     "turn_idx": np.int32(0),
@@ -765,7 +748,7 @@ def sync_dedup_index(
             )
 
         events = feed.map_batches(to_events, batch_format="pyarrow")
-        out.append(dst.apply(events, epoch=epoch))
+        out.append(dst.apply(events, epoch=epoch, assign_offsets=True))
     return out
 
 
@@ -1085,9 +1068,7 @@ def _sync_conv_sig_index(
                     "sig_hex": sig_hex + [None] * len(dead),
                 }
             )
-            rows["offset"] = np.int64(ep + 1) * np.int64(1 << 40) + (
-                stable_hash(rows["conv_id"].to_numpy()) % np.uint64(1 << 39)
-            ).astype(np.int64)
+            rows["offset"] = np.int64(0)  # sink-assigned (assign_offsets)
             rows["turn_idx"] = np.int32(0)
             rows["ts"] = pd.Timestamp(wm)
             return rows[[f.name for f in _SIG_EVENT_SCHEMA]]
@@ -1100,7 +1081,7 @@ def _sync_conv_sig_index(
                 batch_format="pyarrow",
             )
         )
-        out.append(dst.apply(events, epoch=epoch))
+        out.append(dst.apply(events, epoch=epoch, assign_offsets=True))
     return out
 
 
