@@ -302,20 +302,34 @@ class EpochApplier:
         )
         if self.assign_offsets and group.num_rows:
             # Collision-FREE derived-view offsets, assigned AFTER routing:
-            # (epoch+1)<<40 | salt<<34 | rank-of-key within this (pid, salt)
-            # group, keys sorted — deterministic (routing + sort are key
-            # functions of the event content), monotone across epochs, and
-            # exact at any scale. Replaces the caller-side hash recipe whose
-            # 39-bit birthday collisions silently dropped distinct events at
-            # ~10M+ rows/epoch (first-delivery dedup ate them — found by the
-            # r5 sf1.5 rehearsal, 5 missing keepers in 2.77M). Callers emit a
-            # placeholder offset and must guarantee UNIQUE keys per epoch
-            # (every sync_* view does: one event per key per feed).
+            # (epoch+1)<<40 | skey<<rank_bits | rank-of-key within this
+            # (pid, salt) group, keys sorted — globally unique (the skey
+            # field separates partitions/salts), deterministic (routing +
+            # sort are key functions of the event content), monotone across
+            # epochs, and exact at any scale. Replaces the caller-side hash
+            # recipe whose 39-bit birthday collisions silently dropped
+            # distinct events at ~10M+ rows/epoch (first-delivery dedup ate
+            # them — found by the r5 sf1.5 rehearsal, 5 missing keepers in
+            # 2.77M). Callers emit a placeholder offset and must guarantee
+            # UNIQUE keys per epoch (every sync_* view does: one event per
+            # key per feed).
             n = group.num_rows
-            if n >= (1 << 34):
+            nsk = (
+                self.quarantine_skey
+                if self.quarantine_skey is not None
+                else skey + 1
+            )
+            rank_bits = 40 - (max(nsk - 1, 0)).bit_length()
+            if rank_bits < 20:
                 raise ValueError(
-                    "assign_offsets: partition group exceeds 2^34 events — "
-                    "raise num_partitions"
+                    f"assign_offsets: {nsk} partition groups leave only "
+                    f"2^{rank_bits} offsets per group — the 40-bit "
+                    "intra-epoch budget is too small for this layout"
+                )
+            if n >= (1 << rank_bits):
+                raise ValueError(
+                    f"assign_offsets: partition group exceeds 2^{rank_bits} "
+                    "events — raise num_partitions"
                 )
             order = pc.sort_indices(
                 group,
@@ -323,7 +337,7 @@ class EpochApplier:
             )
             group = group.take(order)
             base = (np.int64(self.epoch + 1) << np.int64(40)) | (
-                np.int64(salt) << np.int64(34)
+                np.int64(skey) << np.int64(rank_bits)
             )
             group = group.set_column(
                 group.schema.get_field_index("offset"),

@@ -246,6 +246,78 @@ def test_dedup_index_resumes_and_dedups_resync(tmp_path):
     )
 
 
+def test_assign_offsets_survives_placeholder_collisions(tmp_path):
+    """The r5 sf1.5 rehearsal bug, pinned at unit scale: view events all
+    carry the SAME placeholder offset (worst-case total collision — the old
+    hash recipe's birthday collisions, taken to the limit); with
+    ``apply(assign_offsets=True)`` every distinct key must survive the
+    sink's first-delivery dedup with a unique, epoch-monotone offset."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    lake = CdcLake(str(tmp_path / "lake"), num_partitions=4)
+    n = 5_000
+    for epoch in range(2):
+        ev = pa.table(
+            {
+                "offset": pa.array(np.zeros(n, np.int64)),  # ALL colliding
+                "op": pa.array(["I"] * n),
+                "conv_id": pa.array([f"k-{epoch}-{i:06d}" for i in range(n)]),
+                "turn_idx": pa.array(np.zeros(n, np.int32)),
+                "text": pa.array([f"v{i}" for i in range(n)]),
+                "ts": pa.array(
+                    np.full(n, np.datetime64("2025-01-01", "us")
+                            + np.timedelta64(epoch, "s"))
+                ),
+            }
+        )
+        m = lake.apply(ray.data.from_arrow(ev), epoch=epoch, assign_offsets=True)
+        assert m["events_deduped"] == 0, m  # no silent drops
+
+    import pyarrow.parquet as pq
+
+    def _runs_df(lk):
+        return pd.concat(
+            [pq.read_table(f).to_pandas() for f in lk.manifest.live_files()],
+            ignore_index=True,
+        )
+
+    st = _runs_df(lake)
+    assert len(st) == 2 * n  # every distinct key survived
+    offs = st["offset"].to_numpy()
+    assert len(np.unique(offs)) == len(offs)  # collision-free
+    # epoch-monotone: epoch-1 offsets all above epoch-0's envelope
+    e0 = st["conv_id"].str.startswith("k-0-").to_numpy()
+    assert offs[~e0].min() > offs[e0].max()
+    # deterministic: a second lake replaying the same events writes the
+    # same offsets (rank is a key function, not an arrival-order function)
+    lake2 = CdcLake(str(tmp_path / "lake2"), num_partitions=4)
+    for epoch in range(2):
+        ev = pa.table(
+            {
+                "offset": pa.array(np.zeros(n, np.int64)),
+                "op": pa.array(["I"] * n),
+                "conv_id": pa.array([f"k-{epoch}-{i:06d}" for i in range(n)]),
+                "turn_idx": pa.array(np.zeros(n, np.int32)),
+                "text": pa.array([f"v{i}" for i in range(n)]),
+                "ts": pa.array(
+                    np.full(n, np.datetime64("2025-01-01", "us")
+                            + np.timedelta64(epoch, "s"))
+                ),
+            }
+        )
+        # reversed arrival order must not change the assigned offsets
+        lake2.apply(
+            ray.data.from_arrow(ev.take(pa.array(range(n - 1, -1, -1)))),
+            epoch=epoch, assign_offsets=True,
+        )
+    st2 = _runs_df(lake2)
+    a = st.sort_values(["conv_id"], kind="stable").reset_index(drop=True)
+    b = st2.sort_values(["conv_id"], kind="stable").reset_index(drop=True)
+    pd.testing.assert_series_equal(a["offset"], b["offset"])
+
+
 def test_dedup_keepers_empty_lake_serves_keeper_schema(tmp_path):
     """A zero-block index lake must serve the KEEPER schema (keeper_conv /
     keeper_turn / n_copies), not the posting input's — callers select keeper
