@@ -1012,7 +1012,7 @@ def _widened_paths(fx: dict) -> list[tuple[str, bool | None]]:
     return out
 
 
-def offset_gap_report(sf: float = 0.01, target_buckets: int = 64):
+def offset_gap_report(sf: float = 0.01, target_buckets: int | None = None):
     """Offset sequence-gap audit over the change stream — the ingest monitor
     that catches LOST events (a binlog tailer that skipped a range) before
     they silently become missing turns: every maximal run of offsets absent
@@ -1033,6 +1033,13 @@ def offset_gap_report(sf: float = 0.01, target_buckets: int = 64):
     fx = changes_fixture(sf)
     paths = _gap_audit_paths(fx)
     max_off = _max_offset(paths)
+    if target_buckets is None:
+        # bucket count grows with the offset space (≈ event count) so each
+        # fold's slice stays bounded at any stream size; gaps are
+        # bucket-count-invariant (stitched from O(buckets) edge rows)
+        from ..blocks import adaptive_buckets
+
+        target_buckets = adaptive_buckets(max_off, rows_per_bucket=250_000, lo=64)
     width = max(1, (max_off + target_buckets) // target_buckets)
     B = max_off // width + 1
 
@@ -3067,7 +3074,7 @@ def watermarked_sessions(
     sf: float = 0.01,
     gap_s: int = SESSION_GAP_S,
     lag_s: int = WATERMARK_LAG_S,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ):
     """Watermark-finalized event-time sessionization of the change stream —
     the Flink session-window trigger story: a FIRST-DELIVERY event (offset
@@ -3112,7 +3119,14 @@ def watermarked_sessions(
         )
     ev = parts[0].union(*parts[1:]).materialize()
 
-    B = num_buckets
+    # bucket count grows with the stream (a fixed count would make each fold
+    # kernel's pandas frame grow linearly with the data); results are
+    # bucket-count-invariant — sessions live entirely within a conversation
+    from ..blocks import adaptive_buckets
+
+    B = num_buckets if num_buckets is not None else adaptive_buckets(
+        ev.count(), rows_per_bucket=250_000, lo=32
+    )
     empty = pa.table(
         {
             "conv_id": pa.array([], pa.string()),
