@@ -243,6 +243,17 @@ def _cdc_ann_index_dups(sf_dir: str):
     return ann_index_near_dups(sf=0.01)
 
 
+def _cdc_ann_search(sf_dir: str):
+    """Semantic ranked retrieval off the MAINTAINED sketch index — the
+    embedding twin of token_search: query text → deterministic sketch (one
+    O(1) driver call) → map-only integer-cosine scoring of stored sketches
+    with tree-reduced partial top-k. No shuffle, no corpus re-embedding;
+    oracled (query sketch inlined in the SQL)."""
+    from dbt_customer360_ray.pipelines.cdc_replay import ann_search_lake
+
+    return ann_search_lake(sf=0.01)
+
+
 def _cdc_redacted_lake(sf_dir: str):
     """PII-redaction mask (privacy scrub at serving reads): emails → <EMAIL>,
     phone runs → <PHONE> in place, applied at every serving surface; a
@@ -1603,6 +1614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["cdc_minhash_index_dups"] = _cdc_minhash_index_dups
     out["cdc_ann_index"] = _cdc_ann_index
     out["cdc_ann_index_dups"] = _cdc_ann_index_dups
+    out["cdc_ann_search"] = _cdc_ann_search
     out["cdc_sft_jsonl"] = _cdc_sft_jsonl
     out["cdc_explain_read"] = _cdc_explain_read
     out["cdc_token_search"] = _cdc_token_search
@@ -1970,10 +1982,12 @@ def oracle_sql() -> dict[str, str]:
     from dbt_customer360_ray.pipelines.cdc_replay import (
         ann_index_oracle_sql,
         ann_near_dups_oracle_sql,
+        ann_search_oracle_sql,
     )
 
     out["cdc_ann_index"] = ann_index_oracle_sql(sf=0.01)
     out["cdc_ann_index_dups"] = ann_near_dups_oracle_sql(sf=0.01)
+    out["cdc_ann_search"] = ann_search_oracle_sql(sf=0.01)
     from dbt_customer360_ray.pipelines.cdc_replay import (
         fk_dlq_oracle_sql,
         fk_oracle_sql,

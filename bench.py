@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "cdc_minhash_index_dups",
     "cdc_near_dup_convs",
     "cdc_ann_index_dups",
+    "cdc_ann_search",
 ]
 
 

@@ -1524,6 +1524,122 @@ def ann_index_lake(sf: float = 0.01):
     return read_ann_sketch(dst, out_dim=_ANN_OUT_DIM)
 
 
+_ANN_QUERY = "assistant: turn text 17 / 3 @4242 lorem ipsum dolor sit amet"
+
+
+def ann_search_lake(sf: float = 0.01, query: str = _ANN_QUERY, k: int = 20):
+    """SEMANTIC ranked retrieval served from the maintained sketch index —
+    the embedding twin of ``token_search``: the query text runs through the
+    SAME deterministic sketch kernel (one driver-side call, O(1)), then one
+    map-only pass scores every stored conversation sketch by integer cosine
+    (exact int dot/norms; float64 sqrt/divide correctly rounded both
+    engines) with per-batch partial top-k under (cosine_pm DESC, conv_id
+    ASC), merged by ``blocks.tree_reduce`` — no shuffle, no corpus
+    re-embedding, driver sees ONE k-row table. Returns (rank, conv_id,
+    cosine_pm); zero-norm sketches are unrankable and excluded."""
+    import tempfile
+
+    import numpy as np
+
+    from ..blocks import topk_kernel, tree_reduce
+    from ..state.engine import CdcLake
+    from ..state.views import _ann_hexsigs, sync_ann_index
+
+    lake = _planted_dup_lake(sf=sf)
+    dst = CdcLake(
+        tempfile.mkdtemp(prefix="ann-search-") + "/index", num_partitions=8
+    )
+    params = {
+        "dim": _ANN_DIM, "out_dim": _ANN_OUT_DIM,
+        "seed": _ANN_SEED, "salt": _ANN_SALT,
+    }
+    sync_ann_index(lake, dst, **params)
+    q = np.frombuffer(
+        bytes.fromhex(_ann_hexsigs(np.array([query], dtype=object), params)[0]),
+        dtype="<i8",
+    ).astype(np.float64)
+    qn = float(np.dot(q, q))
+
+    def score(df: pd.DataFrame, q=q, qn=qn, k=k) -> pd.DataFrame:
+        M = (
+            np.stack(
+                [np.frombuffer(bytes.fromhex(h), dtype="<i8") for h in df["sig_hex"]]
+            ).astype(np.float64)
+            if len(df)
+            else np.zeros((0, len(q)))
+        )
+        nrm = (M * M).sum(axis=1)
+        keep = nrm > 0.0
+        # dot / sqrt(qn) / sqrt(nc) — the SQL mirror's exact operand order
+        cos = (M[keep] @ q) / np.sqrt(qn) / np.sqrt(nrm[keep])
+        out = pd.DataFrame(
+            {
+                "conv_id": df["conv_id"].to_numpy()[keep],
+                "cosine_pm": np.floor(cos * 1000.0 + 0.5).astype(np.int64),
+            }
+        )
+        return out.sort_values(
+            ["cosine_pm", "conv_id"], ascending=[False, True], kind="stable"
+        ).head(k)
+
+    partial = dst.read(columns=["sig_hex"]).map_batches(
+        score, batch_format="pandas"
+    )
+    top = tree_reduce(
+        partial, topk_kernel(["cosine_pm", "conv_id"], [False, True], k)
+    ).to_pandas()
+    top.insert(0, "rank", np.arange(1, len(top) + 1, dtype=np.int64))
+    return top[["rank", "conv_id", "cosine_pm"]]
+
+
+def ann_search_oracle_sql(
+    sf: float = 0.01, query: str = _ANN_QUERY, k: int = 20
+) -> str:
+    """Oracle for ``ann_search_lake``: sketches from scratch, the QUERY's
+    sketch inlined as a VALUES relation (deterministic from the query text),
+    integer-cosine scoring, row_number ranking under the shared total order."""
+    import numpy as np
+
+    from ..state.views import _ann_hexsigs
+
+    params = {
+        "dim": _ANN_DIM, "out_dim": _ANN_OUT_DIM,
+        "seed": _ANN_SEED, "salt": _ANN_SALT,
+    }
+    q = np.frombuffer(
+        bytes.fromhex(_ann_hexsigs(np.array([query], dtype=object), params)[0]),
+        dtype="<i8",
+    )
+    qn = int(np.dot(q.astype(object), q.astype(object)))
+    qrows = ", ".join(f"({j}, {int(q[j])})" for j in range(_ANN_OUT_DIM))
+    return f"""
+        WITH {_ann_sketch_ctes(sf)}, q(proj_idx, qv) AS (
+            VALUES {qrows}
+        ), nrm AS (
+            SELECT conv_id, CAST(sum(value * value) AS BIGINT) AS n2
+            FROM sk GROUP BY 1
+        ), dots AS (
+            SELECT sk.conv_id, CAST(sum(sk.value * q.qv) AS BIGINT) AS dot
+            FROM sk JOIN q ON q.proj_idx = sk.proj_idx
+            GROUP BY 1
+        ), scored AS (
+            SELECT d.conv_id,
+                   CAST(floor(CAST(d.dot AS DOUBLE)
+                              / sqrt(CAST({qn} AS DOUBLE))
+                              / sqrt(CAST(n.n2 AS DOUBLE))
+                              * 1000.0 + 0.5) AS BIGINT) AS cosine_pm
+            FROM dots d JOIN nrm n ON n.conv_id = d.conv_id
+            WHERE n.n2 > 0
+        )
+        SELECT CAST(row_number() OVER (
+                   ORDER BY cosine_pm DESC, conv_id) AS BIGINT) AS rank,
+               conv_id, cosine_pm
+        FROM scored
+        ORDER BY cosine_pm DESC, conv_id
+        LIMIT {k}
+    """
+
+
 def _ann_token_bucket_sql(tok_expr: str) -> str:
     """md5 first-13-hex % dim of ``salt || token`` — the dsir/_permille_sql
     52-bit parse, so DuckDB reproduces ``_ann_hexsigs``'s bucketing."""
@@ -1573,7 +1689,7 @@ def ann_index_oracle_sql(sf: float = 0.01) -> str:
     """
 
 
-def ann_index_near_dups(sf: float = 0.01, threshold_pm: int = 990):
+def ann_index_near_dups(sf: float = 0.01, threshold_pm: int = 999):
     """SEMANTIC near-dup groups served from the maintained sketch index —
     ``cdc_semantic_near_dup_convs`` without re-embedding the corpus: stored
     sketches bucket by their 8-bit SIGN pattern (hyperplane LSH for free —
@@ -1581,7 +1697,11 @@ def ann_index_near_dups(sf: float = 0.01, threshold_pm: int = 990):
     ``threshold_pm`` permille, then the shared least-id closure. Cosine =
     floor(dot/√na/√nb·1000+0.5) with exact integer dot/norms (float64 sqrt
     and divide are correctly rounded in both numpy and DuckDB), so the
-    approximate answer itself is oracled."""
+    approximate answer itself is oracled. The default threshold is TIGHT
+    (999‰): 8-dim sketches of short templated texts correlate heavily, and a
+    looser cut (990‰ admits ~6× the pairs on this fixture) floods the
+    closure with sketch-level false positives — a deployment doing real
+    semantic dedup would raise ``out_dim`` and drop the threshold."""
     import tempfile
 
     import numpy as np
@@ -1650,7 +1770,7 @@ def ann_index_near_dups(sf: float = 0.01, threshold_pm: int = 990):
     return _decode_groups(dup_groups(pairs))
 
 
-def ann_near_dups_oracle_sql(sf: float = 0.01, threshold_pm: int = 990) -> str:
+def ann_near_dups_oracle_sql(sf: float = 0.01, threshold_pm: int = 999) -> str:
     """Oracle for ``ann_index_near_dups``: sketches from scratch → sign
     buckets → per-bucket integer-cosine pairs → recursive least-id closure
     (string least == min encoded id: the conv-id codec is order-preserving)."""
