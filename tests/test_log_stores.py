@@ -226,6 +226,47 @@ def test_file_cas_transient_rejection_exactly_once(tmp_path):
     assert [r["path"] for r in fresh.partition(0)["runs"]] == ["a.parquet"]
 
 
+def _proc_worker(args):
+    """Module-level worker for the cross-process hammer (picklable)."""
+    lake, mdir, arb, w = args
+    from dbt_customer360_ray.state.manifest import FileCasLogStore, Manifest
+
+    m = Manifest(lake, log_store=FileCasLogStore(mdir, arb))
+    for i in range(4):
+        m.reload()
+        m.commit_epoch(
+            w * 4 + i,
+            {w % 4: {"runs": [
+                {"path": f"w{w}-{i}.parquet", "rows": 1, "tombstones": 0}],
+                "max_offset": w * 4 + i,
+                "rows": m.partition(w % 4)["rows"] + 1}},
+            SCHEMA, 4, {"events_in": 1},
+        )
+    return w
+
+
+def test_file_cas_processes_all_survive(tmp_path):
+    """The same hammer across PROCESSES: exclusive create is the arbiter's
+    atomicity claim, and O_EXCL is a kernel-level guarantee — verify it
+    outside the GIL with 4 concurrent committer processes."""
+    import multiprocessing as mp
+
+    lake = str(tmp_path / "lake")
+    mdir = os.path.join(lake, "_manifest")
+    arb = str(tmp_path / "arbiter")
+    os.makedirs(mdir, exist_ok=True)
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(4) as pool:
+        done = pool.map(_proc_worker, [(lake, mdir, arb, w) for w in range(4)])
+    assert sorted(done) == [0, 1, 2, 3]
+    fresh = Manifest(lake, log_store=FileCasLogStore(mdir, arb))
+    paths = [r["path"] for p in range(4) for r in fresh.partition(p)["runs"]]
+    assert sorted(paths) == sorted(
+        f"w{w}-{i}.parquet" for w in range(4) for i in range(4)
+    )
+    assert fresh.metrics["events_in"] == 16 and fresh.version == 16
+
+
 # -- per-store reader retry policy ------------------------------------------
 
 def test_posix_missing_body_fails_fast(tmp_path):
