@@ -318,6 +318,51 @@ def test_assign_offsets_survives_placeholder_collisions(tmp_path):
     pd.testing.assert_series_equal(a["offset"], b["offset"])
 
 
+def test_assign_offsets_unique_under_hot_key_salting(tmp_path):
+    """A hot key fans one partition's events across salts; salted groups
+    rank independently, so the salt field in the offset layout must keep
+    them disjoint (same pid, same epoch, different salt)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    lake = CdcLake(str(tmp_path / "lake"), num_partitions=2, num_salts=4)
+    n = 2_000
+    # one hot conversation (same conv_id, distinct turns) + cold background;
+    # explicit hot_keys skips the estimator
+    ev = pa.table(
+        {
+            "offset": pa.array(np.zeros(2 * n, np.int64)),
+            "op": pa.array(["I"] * (2 * n)),
+            "conv_id": pa.array(["hot"] * n + [f"c-{i:05d}" for i in range(n)]),
+            "turn_idx": pa.array(
+                np.concatenate([np.arange(n), np.zeros(n)]).astype(np.int32)
+            ),
+            "text": pa.array([f"v{i}" for i in range(2 * n)]),
+            "ts": pa.array(np.full(2 * n, np.datetime64("2025-01-01", "us"))),
+        }
+    )
+    m = lake.apply(
+        ray.data.from_arrow(ev), epoch=0, hot_keys={"hot"}, assign_offsets=True
+    )
+    assert m["events_deduped"] == 0, m
+    st = pd.concat(
+        [pq.read_table(f).to_pandas() for f in lake.manifest.live_files()],
+        ignore_index=True,
+    )
+    assert len(st) == 2 * n
+    offs = st["offset"].to_numpy()
+    assert len(np.unique(offs)) == len(offs)
+    # the hot conversation really was salted into >1 group (else vacuous)
+    hot_offs = st.loc[st["conv_id"] == "hot", "offset"].to_numpy()
+    nsk = 2 * 4  # P * S
+    skey_bits = (nsk - 1).bit_length()
+    rank_bits = 40 - skey_bits
+    skeys = (hot_offs >> rank_bits) & ((1 << skey_bits) - 1)
+    assert len(np.unique(skeys)) > 1
+
+
 def test_dedup_keepers_empty_lake_serves_keeper_schema(tmp_path):
     """A zero-block index lake must serve the KEEPER schema (keeper_conv /
     keeper_turn / n_copies), not the posting input's — callers select keeper
