@@ -1527,33 +1527,20 @@ def ann_index_lake(sf: float = 0.01):
 _ANN_QUERY = "assistant: turn text 17 / 3 @4242 lorem ipsum dolor sit amet"
 
 
-def ann_search_lake(sf: float = 0.01, query: str = _ANN_QUERY, k: int = 20):
-    """SEMANTIC ranked retrieval served from the maintained sketch index —
-    the embedding twin of ``token_search``: the query text runs through the
-    SAME deterministic sketch kernel (one driver-side call, O(1)), then one
-    map-only pass scores every stored conversation sketch by integer cosine
-    (exact int dot/norms; float64 sqrt/divide correctly rounded both
-    engines) with per-batch partial top-k under (cosine_pm DESC, conv_id
-    ASC), merged by ``blocks.tree_reduce`` — no shuffle, no corpus
-    re-embedding, driver sees ONE k-row table. Returns (rank, conv_id,
-    cosine_pm); zero-norm sketches are unrankable and excluded."""
-    import tempfile
-
+def ann_search_index(dst, query: str, k: int = 20):
+    """Serving half of ``ann_search_lake``: rank an ALREADY-SYNCED sketch
+    index against a query text. One O(1) driver-side query sketch, a
+    map-only integer-cosine pass with per-batch partial top-k, one
+    tree-reduced k-row result."""
     import numpy as np
 
     from ..blocks import topk_kernel, tree_reduce
-    from ..state.engine import CdcLake
-    from ..state.views import _ann_hexsigs, sync_ann_index
+    from ..state.views import _ann_hexsigs
 
-    lake = _planted_dup_lake(sf=sf)
-    dst = CdcLake(
-        tempfile.mkdtemp(prefix="ann-search-") + "/index", num_partitions=8
-    )
     params = {
         "dim": _ANN_DIM, "out_dim": _ANN_OUT_DIM,
         "seed": _ANN_SEED, "salt": _ANN_SALT,
     }
-    sync_ann_index(lake, dst, **params)
     q = np.frombuffer(
         bytes.fromhex(_ann_hexsigs(np.array([query], dtype=object), params)[0]),
         dtype="<i8",
@@ -1590,6 +1577,32 @@ def ann_search_lake(sf: float = 0.01, query: str = _ANN_QUERY, k: int = 20):
     ).to_pandas()
     top.insert(0, "rank", np.arange(1, len(top) + 1, dtype=np.int64))
     return top[["rank", "conv_id", "cosine_pm"]]
+
+
+def ann_search_lake(sf: float = 0.01, query: str = _ANN_QUERY, k: int = 20):
+    """SEMANTIC ranked retrieval served from the maintained sketch index —
+    the embedding twin of ``token_search``: the query text runs through the
+    SAME deterministic sketch kernel (one driver-side call, O(1)), then one
+    map-only pass scores every stored conversation sketch by integer cosine
+    (exact int dot/norms; float64 sqrt/divide correctly rounded both
+    engines) with per-batch partial top-k under (cosine_pm DESC, conv_id
+    ASC), merged by ``blocks.tree_reduce`` — no shuffle, no corpus
+    re-embedding, driver sees ONE k-row table. Returns (rank, conv_id,
+    cosine_pm); zero-norm sketches are unrankable and excluded."""
+    import tempfile
+
+    from ..state.engine import CdcLake
+    from ..state.views import sync_ann_index
+
+    lake = _planted_dup_lake(sf=sf)
+    dst = CdcLake(
+        tempfile.mkdtemp(prefix="ann-search-") + "/index", num_partitions=8
+    )
+    sync_ann_index(
+        lake, dst, dim=_ANN_DIM, out_dim=_ANN_OUT_DIM,
+        seed=_ANN_SEED, salt=_ANN_SALT,
+    )
+    return ann_search_index(dst, query, k=k)
 
 
 def ann_search_oracle_sql(

@@ -101,6 +101,13 @@ def bench(sf: float) -> dict:
     aidx = CdcLake(os.path.join(adir, "lake"), num_partitions=64)
     step("sync_ann_index", lambda: sync_ann_index(lake, aidx))
 
+    from dbt_customer360_ray.pipelines.cdc_replay import (
+        _ANN_QUERY,
+        ann_search_index,
+    )
+
+    step("ann_search", lambda: ann_search_index(aidx, _ANN_QUERY, k=20))
+
     out["total_sec"] = round(sum(out["steps"].values()), 3)
     out["peak_driver_rss_mb"] = round(_rss_mb(), 1)
     for d in (lake_dir, ddir, mdir, adir):
