@@ -986,8 +986,13 @@ def _sync_conv_sig_index(
     """Shared dirty-key per-conversation signature maintenance loop (see
     ``sync_minhash_index`` for the full design notes): change feed names the
     dirty conversations → as-of point lookups → conv-bucketed distributed
-    ``map_groups`` re-assembly → ``hexsig_fn(texts, params)`` per bucket →
-    upsert/delete events through the exactly-once sink."""
+    re-assembly → ``hexsig_fn(texts, params)`` per bucket → upsert/delete
+    events through the exactly-once sink. The bucket exchange is the house
+    split→fold raw-task pattern (one argsort split per lookup block + one
+    fold task per bucket) — the Dataset groupby sort-shuffle's fixed
+    aggregator cost dominated this lean exchange (~1 s/epoch at sf0.1,
+    same finding as read_dedup_keepers per BASELINE.md)."""
+    import ray
     import ray.data
 
     from ..blocks import adaptive_buckets
@@ -1047,9 +1052,22 @@ def _sync_conv_sig_index(
             )
         )
 
-        def sig_kernel(
-            grp: pd.DataFrame, ep=epoch, wm=watermark, fn=hexsig_fn, prm=params
-        ) -> pd.DataFrame:
+        def _split(t: pa.Table, B=nb) -> list:
+            if t.num_rows == 0:
+                return [t] * B
+            b = t.column("bucket").to_numpy(zero_copy_only=False)
+            order = np.argsort(b, kind="stable")
+            tt, sb = t.take(pa.array(order)), b[order]
+            cuts = np.searchsorted(sb, np.arange(B + 1))
+            return [tt.slice(cuts[i], cuts[i + 1] - cuts[i]) for i in range(B)]
+
+        def _sig_fold(
+            *parts: pa.Table, ep=epoch, wm=watermark, fn=hexsig_fn, prm=params
+        ) -> pa.Table:
+            live = [p for p in parts if p.num_rows]
+            if not live:
+                return _SIG_EVENT_SCHEMA.empty_table()
+            grp = pa.concat_tables(live).to_pandas()
             turns = grp[grp["turn_idx"] >= 0].sort_values(
                 ["conv_id", "turn_idx"], kind="stable"
             )
@@ -1071,17 +1089,27 @@ def _sync_conv_sig_index(
             rows["offset"] = np.int64(0)  # sink-assigned (assign_offsets)
             rows["turn_idx"] = np.int32(0)
             rows["ts"] = pd.Timestamp(wm)
-            return rows[[f.name for f in _SIG_EVENT_SCHEMA]]
+            return pa.Table.from_pandas(
+                rows[[f.name for f in _SIG_EVENT_SCHEMA]],
+                schema=_SIG_EVENT_SCHEMA,
+                preserve_index=False,
+            )
 
-        events = (
-            both.groupby("bucket")
-            .map_groups(sig_kernel, batch_format="pandas")
-            .map_batches(
-                lambda t: t.cast(_SIG_EVENT_SCHEMA),
-                batch_format="pyarrow",
+        split = ray.remote(num_returns=nb)(_split)
+        fold = ray.remote(_sig_fold)
+        refs = both.materialize().to_arrow_refs()
+        cols = [split.remote(r) for r in refs]
+        if nb == 1:
+            cols = [[c] for c in cols]
+        events = ray.data.from_arrow_refs(
+            [fold.remote(*[c[b] for c in cols]) for b in range(nb)]
+        )
+        out.append(
+            dst.apply(
+                events, epoch=epoch, assign_offsets=True,
+                _schema=_SIG_EVENT_SCHEMA,
             )
         )
-        out.append(dst.apply(events, epoch=epoch, assign_offsets=True))
     return out
 
 
