@@ -1327,15 +1327,23 @@ def dedup_index_oracle_sql(sf: float = 0.01) -> str:
 _DUP_CONVS = ("conv-00000001", "conv-00000002", "conv-00000003")
 
 
+_PLANTED: dict = {}
+
+
 def _planted_dup_lake(sf: float = 0.01):
     """Replay the fixture, then clone three conversations' live turns under
     ``<id>-dup`` keys (fresh offsets, ordinary I events — the fixture has no
     natural near-dups, so the plant keeps both near-dup oracles non-vacuous).
-    Shared fixture arm for the scratch AND index-served near-dup surfaces."""
+    Shared fixture arm for the scratch AND index-served near-dup surfaces —
+    process-lifetime cached like ``replayed_lake``: every consumer (near-dup
+    groups, the three index entries, semantic search) only READS it or syncs
+    a separate derived lake from it, so one plant serves all five."""
     import numpy as np
     import pyarrow as pa
     import ray.data
 
+    if sf in _PLANTED:
+        return _PLANTED[sf]
     lake, _ = replay(sf=sf)
     src = (
         lake.lookup_many(list(_DUP_CONVS))
@@ -1355,6 +1363,7 @@ def _planted_dup_lake(sf: float = 0.01):
             )
         )
     )
+    _PLANTED[sf] = lake
     return lake
 
 
