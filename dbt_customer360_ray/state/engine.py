@@ -1481,6 +1481,7 @@ class CdcLake:
         merge_mode: str = "lww",
         window: str | None = None,
         schema_mode: str = "additive",
+        log_store=None,
     ):
         self.lake_dir = lake_dir
         os.makedirs(lake_dir, exist_ok=True)
@@ -1529,7 +1530,11 @@ class CdcLake:
         # of auto-evolving — the production guardrail against upstream schema
         # drift (type WIDENING is still allowed; it is lossless)
         self.schema_mode = schema_mode
-        self.manifest = Manifest(lake_dir)
+        # log_store plugs the commit-arbitration strategy (None = the default
+        # PosixLogStore): pass manifest.FileCasLogStore / MemoryCasLogStore to
+        # run the whole lake on a conditional-put arbiter — the Delta-on-S3
+        # deployment shape, exercised end-to-end by test_log_stores
+        self.manifest = Manifest(lake_dir, log_store=log_store)
         if self.manifest.num_partitions is not None:
             if self.manifest.num_partitions != num_partitions:
                 # partition count is pinned at creation so checkpoints line up

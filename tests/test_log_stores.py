@@ -267,6 +267,47 @@ def test_file_cas_processes_all_survive(tmp_path):
     assert fresh.metrics["events_in"] == 16 and fresh.version == 16
 
 
+def test_lake_end_to_end_on_file_cas_store(tmp_path, ray_session):
+    """The WHOLE engine on the conditional-put arbiter: replay the fixture
+    into a CdcLake whose manifest commits through FileCasLogStore, converge
+    to the oracle, resume-skip a redelivered epoch, and time-travel —
+    the Delta-on-S3 deployment shape end-to-end."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from dbt_customer360_ray.gen import gen_changes, oracle_lake, split_epochs
+    from dbt_customer360_ray.state.engine import CdcLake
+
+    lake_dir = str(tmp_path / "lake")
+    arb = str(tmp_path / "arbiter")
+    store = FileCasLogStore(os.path.join(lake_dir, "_manifest"), arb)
+    lake = CdcLake(lake_dir, num_partitions=8, log_store=store)
+    changes = gen_changes(4_000, 200, seed=91)
+    epochs = split_epochs(changes, 3)
+    for part in epochs:
+        lake.apply(ray.data.from_arrow(part))
+    assert store.read_current() == lake.manifest.version > 0
+
+    import pandas as pd
+
+    got = (
+        lake.read().to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    want = oracle_lake(*epochs)
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )
+    # exactly-once: a redelivered epoch is skipped by the committed log
+    m = lake.apply(ray.data.from_arrow(epochs[1]), epoch=1)
+    assert m.get("skipped") is True
+    # time travel reads a historical snapshot through the same store
+    old = lake.read_as_of(epoch=0).to_pandas()
+    want0 = oracle_lake(epochs[0])
+    assert len(old) == len(want0)
+
+
 # -- per-store reader retry policy ------------------------------------------
 
 def test_posix_missing_body_fails_fast(tmp_path):
