@@ -102,19 +102,71 @@ def sum_kernel(group_cols: list, sum_cols: list):
     return kernel
 
 
-def topk_kernel(sort_cols: list, ascending: list, k: int):
+def topk_kernel(sort_cols: list, ascending: list, k: int, str_cols: tuple = ()):
     """``tree_reduce`` kernel: concat → stable sort → head-k (the shared
-    total order makes the distributed merge of partial top-ks exact)."""
+    total order makes the distributed merge of partial top-ks exact).
+    ``str_cols`` names the sort columns that are strings — on an all-empty
+    input the rest backfill as int64, keeping the empty result's dtypes
+    identical to the populated one's (the oracle dtype contract)."""
 
     def kernel(*tbls):
         df = _concat_nonempty(tbls).to_pandas()
-        df = _backfill_missing(df, sort_cols, [])
+        df = _backfill_missing(
+            df,
+            [c for c in sort_cols if c in str_cols],
+            [c for c in sort_cols if c not in str_cols],
+        )
         df = df.sort_values(sort_cols, ascending=ascending, kind="stable").head(k)
         import pyarrow as pa
 
         return pa.Table.from_pandas(df, preserve_index=False)
 
     return kernel
+
+
+def bucket_exchange(ds, num_buckets: int, bucket_of, fold):
+    """The house split→fold raw-task exchange: one stable-argsort split per
+    materialized block (``bucket_of(pa.Table) -> np.int64 array in
+    [0, num_buckets)``; empty blocks route themselves to every bucket
+    unchanged) + ONE ``fold(*tables) -> pa.Table`` task per bucket; returns
+    the fold outputs as a Dataset. This replaces Dataset.groupby's
+    sort-shuffle for lean keyed exchanges, whose fixed aggregator cost
+    dominates at per-epoch granularity (measured: read_dedup_keepers
+    2.8→1.6 s, signature-index syncs 12.2→5.4 s / 10.0→4.4 s at sf0.1 —
+    BASELINE.md). Callers must normalize block schemas first (an empty
+    schemaless block reaching a concat-style fold must be filtered or typed
+    by the fold itself). ``num_buckets == 1`` folds the blocks directly —
+    no split tasks.
+
+    Returns None→empty contract: a ZERO-block input returns the input
+    dataset unchanged (callers with a schema contract should guard)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    refs = ds.materialize().to_arrow_refs()
+    if not refs:
+        return ds
+    fold_t = ray.remote(fold)
+    if num_buckets == 1:
+        return ray.data.from_arrow_refs([fold_t.remote(*refs)])
+    B = num_buckets
+
+    def _split(t: pa.Table) -> list:
+        if t.num_rows == 0:
+            return [t] * B
+        b = bucket_of(t)
+        order = np.argsort(b, kind="stable")
+        tt, sb = t.take(pa.array(order)), b[order]
+        cuts = np.searchsorted(sb, np.arange(B + 1))
+        return [tt.slice(cuts[i], cuts[i + 1] - cuts[i]) for i in range(B)]
+
+    split = ray.remote(num_returns=B)(_split)
+    cols = [split.remote(r) for r in refs]
+    return ray.data.from_arrow_refs(
+        [fold_t.remote(*[c[b] for c in cols]) for b in range(B)]
+    )
 
 
 def counted(ds) -> tuple:

@@ -1508,6 +1508,31 @@ def near_dup_convs_oracle_sql(sf: float = 0.01) -> str:
 
 _ANN_DIM, _ANN_OUT_DIM, _ANN_SEED, _ANN_SALT = 64, 8, 29, "ann"
 
+_ANN_INDEX: dict = {}
+
+
+def _ann_index_for(sf: float):
+    """One synced sketch index per sf (process-lifetime cache, like
+    ``_PLANTED``): the three ANN entries (index read, near-dup groups,
+    semantic search) all consume the SAME maintained index read-only, so one
+    sync serves them all."""
+    import tempfile
+
+    from ..state.engine import CdcLake
+    from ..state.views import sync_ann_index
+
+    if sf not in _ANN_INDEX:
+        lake = _planted_dup_lake(sf=sf)
+        dst = CdcLake(
+            tempfile.mkdtemp(prefix="ann-index-") + "/index", num_partitions=8
+        )
+        sync_ann_index(
+            lake, dst, dim=_ANN_DIM, out_dim=_ANN_OUT_DIM,
+            seed=_ANN_SEED, salt=_ANN_SALT,
+        )
+        _ANN_INDEX[sf] = dst
+    return _ANN_INDEX[sf]
+
 
 def ann_index_lake(sf: float = 0.01):
     """The INCREMENTALLY-MAINTAINED embedding-sketch index off the CDC lake
@@ -1517,20 +1542,9 @@ def ann_index_lake(sf: float = 0.01):
     back as the long-format ``(conv_id, proj_idx, value)`` sketch table.
     Oracled — hashed-token counts × the seeded sign matrix over the SAME
     converged SFT assembly in SQL, bit-exact (all-integer after hashing)."""
-    import tempfile
+    from ..state.views import read_ann_sketch
 
-    from ..state.engine import CdcLake
-    from ..state.views import read_ann_sketch, sync_ann_index
-
-    lake = _planted_dup_lake(sf=sf)
-    dst = CdcLake(
-        tempfile.mkdtemp(prefix="ann-index-") + "/index", num_partitions=8
-    )
-    sync_ann_index(
-        lake, dst, dim=_ANN_DIM, out_dim=_ANN_OUT_DIM,
-        seed=_ANN_SEED, salt=_ANN_SALT,
-    )
-    return read_ann_sketch(dst, out_dim=_ANN_OUT_DIM)
+    return read_ann_sketch(_ann_index_for(sf), out_dim=_ANN_OUT_DIM)
 
 
 _ANN_QUERY = "assistant: turn text 17 / 3 @4242 lorem ipsum dolor sit amet"
@@ -1555,6 +1569,13 @@ def ann_search_index(dst, query: str, k: int = 20):
         dtype="<i8",
     ).astype(np.float64)
     qn = float(np.dot(q, q))
+    if qn == 0.0:
+        # a zero query sketch has no cosine direction — NaN/inf scores cast
+        # to garbage int64 silently; refuse loudly instead
+        raise ValueError(
+            "ann_search: the query text sketches to the zero vector — "
+            "cosine ranking is undefined for it"
+        )
 
     def score(df: pd.DataFrame, q=q, qn=qn, k=k) -> pd.DataFrame:
         M = (
@@ -1582,7 +1603,10 @@ def ann_search_index(dst, query: str, k: int = 20):
         score, batch_format="pandas"
     )
     top = tree_reduce(
-        partial, topk_kernel(["cosine_pm", "conv_id"], [False, True], k)
+        partial,
+        topk_kernel(
+            ["cosine_pm", "conv_id"], [False, True], k, str_cols=("conv_id",)
+        ),
     ).to_pandas()
     top.insert(0, "rank", np.arange(1, len(top) + 1, dtype=np.int64))
     return top[["rank", "conv_id", "cosine_pm"]]
@@ -1598,20 +1622,7 @@ def ann_search_lake(sf: float = 0.01, query: str = _ANN_QUERY, k: int = 20):
     ASC), merged by ``blocks.tree_reduce`` — no shuffle, no corpus
     re-embedding, driver sees ONE k-row table. Returns (rank, conv_id,
     cosine_pm); zero-norm sketches are unrankable and excluded."""
-    import tempfile
-
-    from ..state.engine import CdcLake
-    from ..state.views import sync_ann_index
-
-    lake = _planted_dup_lake(sf=sf)
-    dst = CdcLake(
-        tempfile.mkdtemp(prefix="ann-search-") + "/index", num_partitions=8
-    )
-    sync_ann_index(
-        lake, dst, dim=_ANN_DIM, out_dim=_ANN_OUT_DIM,
-        seed=_ANN_SEED, salt=_ANN_SALT,
-    )
-    return ann_search_index(dst, query, k=k)
+    return ann_search_index(_ann_index_for(sf), query, k=k)
 
 
 def ann_search_oracle_sql(
@@ -1724,23 +1735,12 @@ def ann_index_near_dups(sf: float = 0.01, threshold_pm: int = 999):
     looser cut (990‰ admits ~6× the pairs on this fixture) floods the
     closure with sketch-level false positives — a deployment doing real
     semantic dedup would raise ``out_dim`` and drop the threshold."""
-    import tempfile
-
     import numpy as np
     import ray.data  # noqa: F401
 
-    from ..state.engine import CdcLake
-    from ..state.views import sync_ann_index
     from ..stages.dedup import dup_groups
 
-    lake = _planted_dup_lake(sf=sf)
-    dst = CdcLake(
-        tempfile.mkdtemp(prefix="ann-index-") + "/index", num_partitions=8
-    )
-    sync_ann_index(
-        lake, dst, dim=_ANN_DIM, out_dim=_ANN_OUT_DIM,
-        seed=_ANN_SEED, salt=_ANN_SALT,
-    )
+    dst = _ann_index_for(sf)
     od = _ANN_OUT_DIM
 
     def _vecrows(df: pd.DataFrame) -> pd.DataFrame:

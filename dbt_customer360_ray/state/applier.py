@@ -314,11 +314,17 @@ class EpochApplier:
             # UNIQUE keys per epoch (every sync_* view does: one event per
             # key per feed).
             n = group.num_rows
-            nsk = (
-                self.quarantine_skey
-                if self.quarantine_skey is not None
-                else skey + 1
-            )
+            if self.quarantine_skey is None:
+                # rank_bits must derive from the TOTAL group count, which
+                # only the caller knows — a per-group guess (e.g. skey+1)
+                # would give different layouts per group and collide across
+                # them, re-creating the silent-drop bug this mode fixes
+                raise ValueError(
+                    "assign_offsets requires quarantine_skey (= P * S, the "
+                    "total routing-group count) so every group shares one "
+                    "offset layout"
+                )
+            nsk = self.quarantine_skey
             rank_bits = 40 - (max(nsk - 1, 0)).bit_length()
             if rank_bits < 20:
                 raise ValueError(

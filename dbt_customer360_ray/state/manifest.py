@@ -318,20 +318,22 @@ class FileCasLogStore(LogStore):
     def __init__(self, manifest_dir: str, arbiter_dir: str):
         self.dir = manifest_dir
         self.arbiter_dir = arbiter_dir
+        self._cur = 0  # monotone cached floor (markers are never removed)
         os.makedirs(arbiter_dir, exist_ok=True)
 
     def _marker(self, version: int) -> str:
         return os.path.join(self.arbiter_dir, f"v{version:08d}")
 
     def read_current(self) -> int:
-        cur = 0
-        try:
-            names = os.listdir(self.arbiter_dir)
-        except FileNotFoundError:
-            return 0
-        for name in names:
-            if name.startswith("v") and name[1:].isdigit():
-                cur = max(cur, int(name[1:]))
+        # markers are created strictly sequentially (v N commits only when
+        # CURRENT == N-1), so probing FORWARD from the cached floor is
+        # complete — O(delta) stat calls per read instead of an O(versions)
+        # directory listing (which compounds quadratically over a lake's
+        # lifetime of frequent read_current calls)
+        cur = self._cur
+        while os.path.exists(self._marker(cur + 1)):
+            cur += 1
+        self._cur = cur
         return cur
 
     def try_commit(self, version: int, state_json: str) -> bool:
@@ -385,6 +387,8 @@ class FileCasLogStore(LogStore):
             # file) — or genuine corruption; re-check the canonical
             return os.path.exists(canon)
         _atomic_write(canon, body)
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(staged)  # recovered — don't leak the staged body
         return True
 
 
@@ -435,6 +439,11 @@ class Manifest:
                 if attempt >= attempts - 1:
                     raise
                 time.sleep(0.005)
+        # recover_body succeeded on the final attempt but the body still
+        # would not open — surface it instead of falling through to None
+        raise FileNotFoundError(
+            f"manifest body {path} unreadable after recovery attempts"
+        )
 
     def reload(self) -> None:
         self._state = self._load()

@@ -760,18 +760,16 @@ def read_dedup_keepers(dst: CdcLake, num_buckets: int | None = None):
     bucket shuffle of the lean posting rows (``adaptive_buckets`` sizes it);
     the member-grain postings are routed by their composite key, so same-hash
     members may span partitions — the bucket shuffle re-colocates them."""
-    from ..blocks import adaptive_buckets, counted
+    from ..blocks import adaptive_buckets, bucket_exchange, counted
 
     import ray
     import ray.data
 
     ds, n = counted(dst.read(columns=["text_md5", "src_conv", "src_turn"]))
     B = num_buckets if num_buckets is not None else adaptive_buckets(n)
-
-    # house bucket-task exchange instead of a Dataset groupby: one argsort
-    # split per block + one fold task per bucket — the sort-shuffle
-    # machinery's fixed cost dominated this lean read (2.8 s → ~1 s at
-    # sf0.1 measured; same swap as span_dedup/triangle per BASELINE.md)
+    # shared house bucket-task exchange (blocks.bucket_exchange) instead of a
+    # Dataset groupby — the sort-shuffle machinery's fixed cost dominated
+    # this lean read (2.8 s → ~1 s at sf0.1 measured, BASELINE.md)
     _POSTING = pa.schema(
         [("text_md5", pa.string()), ("src_conv", pa.string()),
          ("src_turn", pa.int64())]
@@ -781,22 +779,25 @@ def read_dedup_keepers(dst: CdcLake, num_buckets: int | None = None):
          ("keeper_turn", pa.int64()), ("n_copies", pa.int64())]
     )
 
-    def _split(t: pa.Table) -> list:
+    def _conform(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "text_md5" not in t.column_names:
-            # an empty partition serves a schema-less block — route nothing
-            return [_POSTING.empty_table()] * B
-        t = t.select(["text_md5", "src_conv", "src_turn"]).cast(_POSTING)
-        b = (
+            # an empty partition serves a schema-less block — type it
+            return _POSTING.empty_table()
+        return t.select(["text_md5", "src_conv", "src_turn"]).cast(_POSTING)
+
+    def _bucket_of(t: pa.Table):
+        return (
             stable_hash(t.column("text_md5").to_numpy(zero_copy_only=False))
             % np.uint64(B)
         ).astype(np.int64)
-        order = np.argsort(b, kind="stable")
-        tt, sb = t.take(pa.array(order)), b[order]
-        cuts = np.searchsorted(sb, np.arange(B + 1))
-        return [tt.slice(cuts[i], cuts[i + 1] - cuts[i]) for i in range(B)]
 
     def _keepers(*parts: pa.Table) -> pa.Table:
-        grp = pa.concat_tables(parts).to_pandas()
+        # map_batches skips zero-row blocks, so an empty partition's
+        # original-schema block can reach the fold untyped — drop it
+        live = [p for p in parts if p.num_rows and "text_md5" in p.schema.names]
+        if not live:
+            return _KEEPER.empty_table()
+        grp = pa.concat_tables(live).to_pandas()
         g = grp.sort_values(
             ["text_md5", "src_conv", "src_turn"], kind="stable"
         ).groupby("text_md5", sort=True, as_index=False)
@@ -808,18 +809,12 @@ def read_dedup_keepers(dst: CdcLake, num_buckets: int | None = None):
         out["keeper_turn"] = out["keeper_turn"].astype("int64")
         return pa.Table.from_pandas(out, schema=_KEEPER, preserve_index=False)
 
-    split = ray.remote(num_returns=B)(_split)
-    fold = ray.remote(_keepers)
-    cols = [split.remote(r) for r in ds.to_arrow_refs()]
-    if not cols:
+    typed = ds.map_batches(_conform, batch_format="pyarrow")
+    if not typed.materialize().to_arrow_refs():
         # zero-block lake: return the KEEPER schema, not the posting input's —
         # callers select keeper_conv/keeper_turn/n_copies immediately
         return ray.data.from_arrow(_KEEPER.empty_table())
-    if B == 1:
-        cols = [[c] for c in cols]
-    return ray.data.from_arrow_refs(
-        [fold.remote(*[c[b] for c in cols]) for b in range(B)]
-    )
+    return bucket_exchange(typed, B, _bucket_of, _keepers)
 
 
 _SIG_EVENT_SCHEMA = pa.schema(
@@ -1052,15 +1047,6 @@ def _sync_conv_sig_index(
             )
         )
 
-        def _split(t: pa.Table, B=nb) -> list:
-            if t.num_rows == 0:
-                return [t] * B
-            b = t.column("bucket").to_numpy(zero_copy_only=False)
-            order = np.argsort(b, kind="stable")
-            tt, sb = t.take(pa.array(order)), b[order]
-            cuts = np.searchsorted(sb, np.arange(B + 1))
-            return [tt.slice(cuts[i], cuts[i + 1] - cuts[i]) for i in range(B)]
-
         def _sig_fold(
             *parts: pa.Table, ep=epoch, wm=watermark, fn=hexsig_fn, prm=params
         ) -> pa.Table:
@@ -1095,14 +1081,12 @@ def _sync_conv_sig_index(
                 preserve_index=False,
             )
 
-        split = ray.remote(num_returns=nb)(_split)
-        fold = ray.remote(_sig_fold)
-        refs = both.materialize().to_arrow_refs()
-        cols = [split.remote(r) for r in refs]
-        if nb == 1:
-            cols = [[c] for c in cols]
-        events = ray.data.from_arrow_refs(
-            [fold.remote(*[c[b] for c in cols]) for b in range(nb)]
+        from ..blocks import bucket_exchange
+
+        events = bucket_exchange(
+            both, nb,
+            lambda t: t.column("bucket").to_numpy(zero_copy_only=False),
+            _sig_fold,
         )
         out.append(
             dst.apply(
